@@ -1,13 +1,76 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2) re-expressed
+  * Spark-first over the driver's synthetic tables; `oracleSql` carries the
+  * DuckDB twin of every SQL-expressible query (same column names, same
+  * deterministic arithmetic — see graft.operators package doc). Queries
+  * with no oracle entry (hash-based dedup, HLL) get the driver's
+  * rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-Q1-shaped pricing summary — scan + filter + hash agg. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("p0_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Flagship.queries ++
+      Aggregates.queries ++
+      JoinOps.queries ++
+      WindowOps.queries
+
+  def oracleSql: Map[String, String] =
+    Flagship.oracles ++
+      Aggregates.oracles ++
+      JoinOps.oracles ++
+      WindowOps.oracles
+}
+
+/** The headline pricing-summary query (TPC-H Q1 shape — the canonical
+  * scan+agg the reference's update_blocklog_bulk resembles,
+  * ref substrateetl.js:9448-9451). */
+object Flagship {
+  import org.apache.spark.sql.functions._
+
+  private def p0(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        dmean(col("l_quantity")).as("avg_qty"),
+        dmean(col("l_extendedprice")).as("avg_price"),
+        dmean(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val p0Sql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlDsum("l_quantity")} AS sum_qty,
+       | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+       | sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+       | ${sqlDmean("l_quantity")} AS avg_qty,
+       | ${sqlDmean("l_extendedprice")} AS avg_price,
+       | ${sqlDmean("l_discount")} AS avg_disc,
+       | count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("p0_pricing_summary" -> (p0 _))
+  val oracles: Map[String, String] = Map("p0_pricing_summary" -> p0Sql)
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table access layer over the driver-generated parquet test tables
+  * (TESTDATA.md): region nation customer supplier part orders lineitem
+  * events documents embeddings.
+  *
+  * Design notes (100 TB mindset):
+  *  - Every reader is a plain parquet scan so Catalyst predicate pushdown,
+  *    column pruning and partition pruning all apply; callers `select`/
+  *    `filter` and the plan shows `PushedFilters`/narrow `ReadSchema`.
+  *  - The `events` table ships nanosecond parquet timestamps, which Spark's
+  *    vectorized reader rejects; we read them as raw nanos
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to micros —
+  *    the same truncation DuckDB applies when casting TIMESTAMP_NS to
+  *    TIMESTAMP, keeping both engines bit-identical.
+  *  - Dimension tables (region/nation/supplier/part/customer at small SF)
+  *    are the broadcast side of every join; see JoinOps.
+  */
+object Tables {
+
+  /** Session settings every entry point applies. Mirrors the reference's
+    * fixed-UTC date logic (ref docs/DEFINITIONS.md:23-26). */
+  def configure(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.session.timeZone", "UTC")
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // raw INT64 nanos -> TimestampType(micros); `div` floors, matching
+      // DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation.
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

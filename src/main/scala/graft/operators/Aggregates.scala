@@ -1,0 +1,410 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation operator family — SURVEY.md §2.3 (A1-A16), re-expressed over
+  * the driver's synthetic tables. Each query has a DuckDB oracle twin in
+  * `oracles` (same column names, same deterministic arithmetic).
+  *
+  * Scale notes: all of these are single-pass hash aggregations with map-side
+  * partial aggregation; group keys are low-cardinality (day/type/month) or
+  * naturally partition-aligned (order/part keys), so at 100 TB they shuffle
+  * only the partial-aggregate state, not the rows.
+  */
+object Aggregates {
+
+  // A1 — per-entity stats (ref indexer.js:5019-5047 getBlockStats): per
+  // order: line count, quantity, distinct suppliers, revenue.
+  private def a1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("l_orderkey"))
+
+  private val a1Sql =
+    """SELECT l_orderkey, count(*) AS n_lines,
+      | count(DISTINCT l_suppkey) AS n_suppliers,
+      | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+      | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // A2 — daily chain metrics (ref substrateetl.js:9448-9451
+  // update_blocklog_bulk): count, conditional count, distinct actors, sum.
+  private def a2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(dayKey(col("ts")).as("log_dt"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("log_dt"))
+
+  private val a2Sql =
+    s"""SELECT ${sqlDay(TS)} AS log_dt, count(*) AS n_events,
+       | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       | count(DISTINCT user_id) AS n_users,
+       | ${sqlDsum("\"value\"")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY log_dt""".stripMargin
+
+  // A3 — trailing 7d/30d/all rollups relative to max ts
+  // (ref substrateetl.js:9487-9508).
+  private def a3(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val mx = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(mx)
+      .agg(
+        sum(when(col("ts") > col("mx") - expr("INTERVAL 7 DAYS"),
+          dec6(col("value")))).as("sum_7d"),
+        sum(when(col("ts") > col("mx") - expr("INTERVAL 30 DAYS"),
+          dec6(col("value")))).as("sum_30d"),
+        dsum(col("value")).as("sum_all"),
+        count(lit(1)).as("n_all"))
+  }
+
+  private val a3Sql =
+    s"""SELECT
+       | sum(CASE WHEN $TS > m.mx - INTERVAL 7 DAY THEN CAST("value" AS DECIMAL(38,6)) END) AS sum_7d,
+       | sum(CASE WHEN $TS > m.mx - INTERVAL 30 DAY THEN CAST("value" AS DECIMAL(38,6)) END) AS sum_30d,
+       | ${sqlDsum("\"value\"")} AS sum_all, count(*) AS n_all
+       |FROM events, (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events) m""".stripMargin
+
+  // A4 — monthly sum/min/max/avg/std (ref substrateetl.js:3969-3995).
+  private def a4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(monthKey(col("o_orderdate")).as("log_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dmean(col("o_totalprice")).as("avg_price"),
+        dstd(col("o_totalprice")).as("std_price"))
+      .orderBy(col("log_month"))
+
+  private val a4Sql =
+    s"""SELECT ${sqlMonth("o_orderdate")} AS log_month, count(*) AS n_orders,
+       | ${sqlDsum("o_totalprice")} AS sum_price,
+       | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       | ${sqlDmean("o_totalprice")} AS avg_price,
+       | ${sqlDstd("o_totalprice")} AS std_price
+       |FROM orders GROUP BY 1 ORDER BY log_month""".stripMargin
+
+  // A5 — active accounts: union of "signers" and "authors" then re-group
+  // (ref docs/DEFINITIONS.md:48-91).
+  private def a5(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), lit("signer").as("acct_type"),
+        us(col("ts")).as("seen_us"))
+    val authors = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), lit("author").as("acct_type"),
+        us(col("ts")).as("seen_us"))
+    signers.unionByName(authors)
+      .groupBy(col("user_id"))
+      .agg(max(col("acct_type")).as("acct_type"),
+        max(col("seen_us")).as("last_seen_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val a5Sql =
+    s"""SELECT user_id, max(acct_type) AS acct_type, max(seen_us) AS last_seen_us
+       |FROM (
+       | SELECT user_id, 'signer' AS acct_type, ${sqlUs(TS)} AS seen_us
+       | FROM events WHERE event_type = 'purchase'
+       | UNION ALL
+       | SELECT user_id, 'author' AS acct_type, ${sqlUs(TS)} AS seen_us
+       | FROM events WHERE event_type = 'signup')
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // A6 — passive accounts: participants anti-joined against the active set
+  // (ref docs/DEFINITIONS.md:106-177, the NOT IN subquery).
+  private def a6(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val active = ev
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("user_id")).distinct()
+    ev.filter(col("event_type") === "view")
+      .join(active, Seq("user_id"), "left_anti")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy(col("user_id"))
+  }
+
+  private val a6Sql =
+    """SELECT user_id, count(*) AS n_views
+      |FROM events
+      |WHERE event_type = 'view' AND user_id NOT IN (
+      |  SELECT DISTINCT user_id FROM events
+      |  WHERE event_type IN ('purchase', 'signup'))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // A7 — new accounts per day: present on day d, absent on d-1
+  // (ref docs/DEFINITIONS.md:204-234 day-over-day anti-join).
+  private def dailyUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(to_date(col("ts")).as("dt"), col("user_id")).distinct()
+
+  private def a7(s: SparkSession, d: String): DataFrame = {
+    val du = dailyUsers(s, d)
+    val prev = du.select(col("user_id"), col("dt").as("prev_dt"))
+    du.join(prev,
+        du("user_id") === prev("user_id") &&
+          prev("prev_dt") === date_sub(du("dt"), 1), "left_anti")
+      .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"))
+      .agg(count(lit(1)).as("n_new"))
+      .orderBy(col("log_dt"))
+  }
+
+  private val a7Sql =
+    s"""WITH du AS (SELECT DISTINCT CAST($TS AS DATE) AS dt, user_id FROM events)
+       |SELECT strftime(a.dt, '%Y-%m-%d') AS log_dt, count(*) AS n_new
+       |FROM du a
+       |WHERE NOT EXISTS (SELECT 1 FROM du b
+       |  WHERE b.user_id = a.user_id AND b.dt = a.dt - 1)
+       |GROUP BY 1 ORDER BY log_dt""".stripMargin
+
+  // A7b — reaped accounts: present on day d, absent on d+1.
+  private def a7b(s: SparkSession, d: String): DataFrame = {
+    val du = dailyUsers(s, d)
+    val next = du.select(col("user_id"), col("dt").as("next_dt"))
+    du.join(next,
+        du("user_id") === next("user_id") &&
+          next("next_dt") === date_add(du("dt"), 1), "left_anti")
+      .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"))
+      .agg(count(lit(1)).as("n_reaped"))
+      .orderBy(col("log_dt"))
+  }
+
+  private val a7bSql =
+    s"""WITH du AS (SELECT DISTINCT CAST($TS AS DATE) AS dt, user_id FROM events)
+       |SELECT strftime(a.dt, '%Y-%m-%d') AS log_dt, count(*) AS n_reaped
+       |FROM du a
+       |WHERE NOT EXISTS (SELECT 1 FROM du b
+       |  WHERE b.user_id = a.user_id AND b.dt = a.dt + 1)
+       |GROUP BY 1 ORDER BY log_dt""".stripMargin
+
+  // A8 — fee statistics with conditional fallback
+  // (ref substrateetl.js:3200-3203: if(std=0, avg*0.2, std)).
+  private def a8(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        dmean(col("value")).as("avg_fee"),
+        dstd(col("value")).as("std_fee"))
+      .withColumn("adj_std",
+        when(col("std_fee") === 0.0, round(col("avg_fee") * 0.2, 6))
+          .otherwise(col("std_fee")))
+      .orderBy(col("event_type"))
+
+  private val a8Sql =
+    s"""SELECT event_type, n, avg_fee, std_fee,
+       | CASE WHEN std_fee = 0.0 THEN round(avg_fee * 0.2, 6) ELSE std_fee END AS adj_std
+       |FROM (SELECT event_type, count(*) AS n,
+       |  ${sqlDmean("\"value\"")} AS avg_fee, ${sqlDstd("\"value\"")} AS std_fee
+       | FROM events GROUP BY event_type)
+       |ORDER BY event_type""".stripMargin
+
+  // A9 — daily per-type summary with HAVING day < today
+  // (ref substrateetl.js:5228-5276).
+  private def a9(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val maxDay = ev.agg(max(dayKey(col("ts"))).as("max_dt"))
+    ev.groupBy(col("event_type"), dayKey(col("ts")).as("log_dt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(coalesce(dec6(col("value")), dec6(lit(0.0)))).as("sum_value"))
+      .crossJoin(maxDay)
+      .filter(col("log_dt") < col("max_dt"))
+      .drop("max_dt")
+      .orderBy(col("event_type"), col("log_dt"))
+  }
+
+  private val a9Sql =
+    s"""SELECT event_type, ${sqlDay(TS)} AS log_dt, count(*) AS n,
+       | sum(coalesce(CAST("value" AS DECIMAL(38,6)), CAST(0.0 AS DECIMAL(38,6)))) AS sum_value
+       |FROM events GROUP BY 1, 2
+       |HAVING log_dt < (SELECT max(${sqlDay(TS)}) FROM events)
+       |ORDER BY event_type, log_dt""".stripMargin
+
+  // A10 — first-attribution argmin via struct ordering
+  // (ref substrateetl.js:616-631 min(concat(ts,...)) lexicographic argmin).
+  private def a10(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(struct(us(col("ts")).as("first_ts_us"),
+        col("event_id").as("first_event_id"),
+        col("event_type").as("first_type"))).as("f"))
+      .select(col("user_id"), col("f.first_ts_us"), col("f.first_event_id"),
+        col("f.first_type"))
+      .orderBy(col("user_id"))
+
+  private val a10Sql =
+    s"""SELECT user_id, ${sqlUs(TS)} AS first_ts_us, event_id AS first_event_id,
+       | event_type AS first_type
+       |FROM (SELECT *, row_number() OVER (
+       |   PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // A11 — holder tallies per asset (ref indexer.js:2335 flush_assets,
+  // 5094 updateAssetHolder): holders + supply per part.
+  private def a11(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_holders"),
+        count(lit(1)).as("n_lines"),
+        dsum(col("l_quantity")).as("total_supply"))
+      .orderBy(col("l_partkey"))
+
+  private val a11Sql =
+    """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_holders,
+      | count(*) AS n_lines,
+      | sum(CAST(l_quantity AS DECIMAL(38,6))) AS total_supply
+      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  // A12 — OHLCV candles per (type, hour): open/close via struct-min/max
+  // argmin (ref indexer.js:338 updateAssetLiquidityPairTradingVolume;
+  // reader query.js:2103-2142).
+  private def a12(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), hourKey(col("ts")).as("hr"))
+      .agg(
+        min(struct(us(col("ts")), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(us(col("ts")), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        dsum(col("value")).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .orderBy(col("event_type"), col("hr"))
+
+  private val a12Sql =
+    s"""SELECT event_type, hr, min(o) AS open, min(c) AS close,
+       | min("value") AS low, max("value") AS high,
+       | ${sqlDsum("\"value\"")} AS volume, count(*) AS n_trades
+       |FROM (SELECT event_type, ${sqlHour(TS)} AS hr, "value",
+       |  first_value("value") OVER (PARTITION BY event_type, ${sqlHour(TS)}
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+       |  last_value("value") OVER (PARTITION BY event_type, ${sqlHour(TS)}
+       |    ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+       | FROM events)
+       |GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin
+
+  // A14 — gap detection via LAG islands (ref substrateetl.js:1008-1013).
+  // Note: the global orderBy window is single-partition by design here
+  // (matches the reference's per-chain query); at scale, partition by
+  // chain_id first — see docs/COVERAGE.md.
+  private def a14(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"))
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+      .filter(col("prev_key").isNotNull &&
+        col("o_orderkey") =!= col("prev_key") + 1)
+      .select(col("prev_key"), col("o_orderkey"),
+        (col("o_orderkey") - col("prev_key") - 1).as("gap_size"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val a14Sql =
+    """SELECT prev_key, o_orderkey, o_orderkey - prev_key - 1 AS gap_size
+      |FROM (SELECT o_orderkey,
+      |  lag(o_orderkey) OVER (ORDER BY o_orderkey) AS prev_key FROM orders)
+      |WHERE prev_key IS NOT NULL AND o_orderkey <> prev_key + 1
+      |ORDER BY o_orderkey""".stripMargin
+
+  // A15 — completeness audit: expected-vs-actual per day
+  // (ref substrateetl.js:6963, 7069, audit_substrateetl:3206).
+  private def a15(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(dayKey(col("ts")).as("log_dt"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .withColumn("missing",
+        col("max_id") - col("min_id") + 1 - col("n"))
+      .orderBy(col("log_dt"))
+
+  private val a15Sql =
+    s"""SELECT log_dt, n, min_id, max_id, max_id - min_id + 1 - n AS missing
+       |FROM (SELECT ${sqlDay(TS)} AS log_dt, count(*) AS n,
+       |  min(event_id) AS min_id, max(event_id) AS max_id
+       | FROM events GROUP BY 1)
+       |ORDER BY log_dt""".stripMargin
+
+  // A16 — exact distinct counts per day (ref substrateetl.js:9448; the
+  // reference uses exact COUNT(DISTINCT), no HLL — SURVEY A16).
+  private def a16(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(dayKey(col("ts")).as("log_dt"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("log_dt"))
+
+  private val a16Sql =
+    s"""SELECT ${sqlDay(TS)} AS log_dt, count(DISTINCT user_id) AS n_users,
+       | count(*) AS n_events
+       |FROM events GROUP BY 1 ORDER BY log_dt""".stripMargin
+
+  // A16b — approximate distinct (HLL) as the 100 TB scale path; no oracle
+  // (DuckDB's approx sketch differs) → driver records rows-only check.
+  private def a16b(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(dayKey(col("ts")).as("log_dt"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy(col("log_dt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_order_stats" -> (a1 _),
+    "a2_daily_metrics" -> (a2 _),
+    "a3_trailing_rollup" -> (a3 _),
+    "a4_monthly_stats" -> (a4 _),
+    "a5_active_accounts" -> (a5 _),
+    "a6_passive_accounts" -> (a6 _),
+    "a7_new_accounts" -> (a7 _),
+    "a7b_reaped_accounts" -> (a7b _),
+    "a8_fee_stats" -> (a8 _),
+    "a9_daily_type_summary" -> (a9 _),
+    "a10_first_attribution" -> (a10 _),
+    "a11_holder_tallies" -> (a11 _),
+    "a12_ohlcv" -> (a12 _),
+    "a14_gap_islands" -> (a14 _),
+    "a15_audit_counts" -> (a15 _),
+    "a16_distinct_daily" -> (a16 _),
+    "a16b_approx_distinct" -> (a16b _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a1_order_stats" -> a1Sql,
+    "a2_daily_metrics" -> a2Sql,
+    "a3_trailing_rollup" -> a3Sql,
+    "a4_monthly_stats" -> a4Sql,
+    "a5_active_accounts" -> a5Sql,
+    "a6_passive_accounts" -> a6Sql,
+    "a7_new_accounts" -> a7Sql,
+    "a7b_reaped_accounts" -> a7bSql,
+    "a8_fee_stats" -> a8Sql,
+    "a9_daily_type_summary" -> a9Sql,
+    "a10_first_attribution" -> a10Sql,
+    "a11_holder_tallies" -> a11Sql,
+    "a12_ohlcv" -> a12Sql,
+    "a14_gap_islands" -> a14Sql,
+    "a15_audit_counts" -> a15Sql,
+    "a16_distinct_daily" -> a16Sql,
+  )
+}

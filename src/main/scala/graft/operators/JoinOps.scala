@@ -1,0 +1,355 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operator family — SURVEY.md §2.4 (J1-J17): interval self-joins with
+  * top-1-per-key matching, tolerance/as-of joins, broadcast dimension joins,
+  * semi/anti joins, theta-band joins, day-over-day self-joins.
+  *
+  * Scale notes:
+  *  - Dimension joins (j6/j8/j9) explicitly `broadcast()` the small side —
+  *    at 100 TB the fact side never shuffles for these.
+  *  - The time-window self-joins (j1/j3) join on an equi-key (user_id)
+  *    first, so Spark plans a shuffled hash/sort-merge join on the key and
+  *    evaluates the interval predicate as a post-join filter — no
+  *    nested-loop blowup. The matching window is bounded (the reference's
+  *    lookbackSeconds=120 idea, xcmmanager.js:423), which with event-time
+  *    bucketing keeps per-key candidate sets small.
+  *  - As-of join (j16) uses the union+last(ignoreNulls) window form — one
+  *    shuffle on the partition key, no range explosion.
+  */
+object JoinOps {
+
+  // J1 — XCM message matching: source×dest self equi-join + bounded
+  // interval + closest-first top-1-per-key
+  // (ref xcmmanager.js:423-497: HAVING diffSentAt BETWEEN 0 AND 4, then
+  // first-wins ordered by (diffSentAt, diffTS)).
+  private def j1(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val src = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_event_id"),
+        us(col("ts")).as("s_us"))
+    val dst = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("d_event_id"),
+        us(col("ts")).as("d_us"))
+    val joined = src.join(dst, Seq("user_id"))
+      .withColumn("diff_us", col("d_us") - col("s_us"))
+      .filter(col("diff_us") >= 0L &&
+        col("diff_us") <= 7200L * 1000000L)
+    val w = Window.partitionBy(col("s_event_id"))
+      .orderBy(col("diff_us"), col("d_event_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("s_event_id"), col("d_event_id"),
+        col("diff_us"))
+      .orderBy(col("s_event_id"))
+  }
+
+  private val j1Sql =
+    s"""SELECT user_id, s_event_id, d_event_id, diff_us FROM (
+       | SELECT s.user_id, s.s_event_id, d.d_event_id,
+       |  d.d_us - s.s_us AS diff_us,
+       |  row_number() OVER (PARTITION BY s.s_event_id
+       |    ORDER BY d.d_us - s.s_us, d.d_event_id) AS rn
+       | FROM (SELECT user_id, event_id AS s_event_id, ${sqlUs(TS)} AS s_us
+       |       FROM events WHERE event_type = 'signup') s
+       | JOIN (SELECT user_id, event_id AS d_event_id, ${sqlUs(TS)} AS d_us
+       |       FROM events WHERE event_type = 'purchase') d
+       |  ON s.user_id = d.user_id
+       | WHERE d.d_us - s.s_us BETWEEN 0 AND CAST(7200000000 AS BIGINT))
+       |WHERE rn = 1 ORDER BY s_event_id""".stripMargin
+
+  // J3 — tolerance/as-of candidate matching with value predicate and
+  // confidence ranking (ref xcmCleaner.js:569-666: destTS within
+  // [sourceTS-10, sourceTS+120], amount tolerance, confidence sort).
+  private def j3(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val src = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("s_event_id"),
+        us(col("ts")).as("s_us"), col("value").as("s_value"))
+    val cand = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("c_event_id"),
+        us(col("ts")).as("c_us"), col("value").as("c_value"))
+    val joined = src.join(cand, Seq("user_id"))
+      .filter(col("c_us") >= col("s_us") - 600L * 1000000L &&
+        col("c_us") <= col("s_us") + 7200L * 1000000L)
+      .withColumn("score", abs(col("c_value") - col("s_value")))
+    val w = Window.partitionBy(col("s_event_id"))
+      .orderBy(col("score"), col("c_event_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("score") <= 25.0).drop("rn")
+      .select(col("user_id"), col("s_event_id"), col("c_event_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("s_event_id"))
+  }
+
+  private val j3Sql =
+    s"""SELECT user_id, s_event_id, c_event_id, round(score, 6) AS score FROM (
+       | SELECT s.user_id, s.s_event_id, c.c_event_id,
+       |  abs(c.c_value - s.s_value) AS score,
+       |  row_number() OVER (PARTITION BY s.s_event_id
+       |    ORDER BY abs(c.c_value - s.s_value), c.c_event_id) AS rn
+       | FROM (SELECT user_id, event_id AS s_event_id, ${sqlUs(TS)} AS s_us,
+       |        "value" AS s_value FROM events WHERE event_type = 'purchase') s
+       | JOIN (SELECT user_id, event_id AS c_event_id, ${sqlUs(TS)} AS c_us,
+       |        "value" AS c_value FROM events WHERE event_type = 'error') c
+       |  ON s.user_id = c.user_id
+       | WHERE c.c_us >= s.s_us - CAST(600000000 AS BIGINT)
+       |   AND c.c_us <= s.s_us + CAST(7200000000 AS BIGINT))
+       |WHERE rn = 1 AND score <= 25.0 ORDER BY s_event_id""".stripMargin
+
+  // J6 — dimension joins, broadcast (ref query.js:2214 asset LEFT JOIN
+  // xcmasset): customer -> nation -> region.
+  private def j6(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val j6Sql =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      | sum(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // J8 — multi-way route tally (ref xcmmanager.js:353 4-way join + count):
+  // lineitem x orders x customer x nation x region, revenue per nation.
+  private def j8(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val j8Sql =
+    """SELECT r_name, n_name, count(*) AS n_lines,
+      | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // J9 — multi-stage left joins over aggregated CTEs
+  // (ref docs/StakingAnalytics.md:41-105: validators/nominators pipeline).
+  private def j9(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("sup_bal"))
+    val cust = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("cust_bal"))
+    broadcast(Tables.nation(s, d))
+      .join(sup, col("n_nationkey") === sup("nk"), "left")
+      .drop("nk")
+      .join(cust, col("n_nationkey") === cust("nk"), "left")
+      .drop("nk")
+      .select(col("n_name"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        col("sup_bal"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        col("cust_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  private val j9Sql =
+    """WITH sup AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers,
+      |  sum(CAST(s_acctbal AS DECIMAL(38,6))) AS sup_bal FROM supplier GROUP BY 1),
+      |cust AS (SELECT c_nationkey AS nk, count(*) AS n_customers,
+      |  sum(CAST(c_acctbal AS DECIMAL(38,6))) AS cust_bal FROM customer GROUP BY 1)
+      |SELECT n_name, coalesce(sup.n_suppliers, 0) AS n_suppliers, sup.sup_bal,
+      | coalesce(cust.n_customers, 0) AS n_customers, cust.cust_bal
+      |FROM nation
+      |LEFT JOIN sup ON n_nationkey = sup.nk
+      |LEFT JOIN cust ON n_nationkey = cust.nk
+      |ORDER BY n_name""".stripMargin
+
+  // J11 — anti-join: customers with no orders
+  // (ref docs/DEFINITIONS.md:171-173 NOT IN).
+  private def j11(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_custkey")).as("min_custkey"))
+      .orderBy(col("c_mktsegment"))
+
+  private val j11Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // J12 — semi-join: orders having a high-quantity line
+  // (ref substrateetl.js:3964 chainID IN (SELECT ...)).
+  private def j12(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48.0)
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  private val j12Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 48.0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // J13 — theta-band join: daily value vs monthly avg±2σ audit gate
+  // (ref substrateetl.js:4047-4058).
+  private def j13(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.groupBy(dayKey(col("ts")).as("log_dt"))
+      .agg(dsum(col("value")).cast("double").as("day_value"))
+      .withColumn("log_month", substring(col("log_dt"), 1, 7))
+    val monthly = daily.groupBy(col("log_month").as("m"))
+      .agg(dmean(col("day_value")).as("avg_value"),
+        dstd(col("day_value")).as("std_value"))
+    daily.join(monthly, daily("log_month") === monthly("m"))
+      .filter(abs(col("day_value") - col("avg_value")) >
+        lit(2.0) * col("std_value"))
+      .select(col("log_dt"), round(col("day_value"), 6).as("day_value"),
+        col("avg_value"), col("std_value"))
+      .orderBy(col("log_dt"))
+  }
+
+  private val j13Sql =
+    s"""WITH daily AS (
+       |  SELECT ${sqlDay(TS)} AS log_dt,
+       |   CAST(${sqlDsum("\"value\"")} AS DOUBLE) AS day_value
+       |  FROM events GROUP BY 1),
+       |monthly AS (
+       |  SELECT substr(log_dt, 1, 7) AS m,
+       |   ${sqlDmean("day_value")} AS avg_value,
+       |   ${sqlDstd("day_value")} AS std_value
+       |  FROM daily GROUP BY 1)
+       |SELECT log_dt, round(day_value, 6) AS day_value, avg_value, std_value
+       |FROM daily JOIN monthly ON substr(log_dt, 1, 7) = m
+       |WHERE abs(day_value - avg_value) > 2.0 * std_value
+       |ORDER BY log_dt""".stripMargin
+
+  // J14 — day-over-day self-join (ref substrateetl.js:4063-4068,
+  // p.logDT = t.logDT - 1), expressed with LAG over days.
+  private def j14(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(dsum(col("o_totalprice")).as("day_total"))
+    val w = Window.orderBy(col("dt"))
+    daily
+      .withColumn("prev_total", lag(col("day_total"), 1).over(w))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"),
+        col("day_total"), col("prev_total"),
+        (col("day_total") - col("prev_total")).as("delta"))
+      .orderBy(col("log_dt"))
+  }
+
+  private val j14Sql =
+    """SELECT strftime(dt, '%Y-%m-%d') AS log_dt, day_total, prev_total,
+      | day_total - prev_total AS delta
+      |FROM (SELECT CAST(o_orderdate AS DATE) AS dt,
+      |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS day_total,
+      |  lag(sum(CAST(o_totalprice AS DECIMAL(38,6)))) OVER (
+      |    ORDER BY CAST(o_orderdate AS DATE)) AS prev_total
+      | FROM orders GROUP BY 1)
+      |ORDER BY log_dt""".stripMargin
+
+  // J16 — as-of join: last prior 'view' value for each purchase, per user
+  // (ref assetManager.js:1392 computePriceUSD — nearest price at ts).
+  // Union + last(ignoreNulls) window: one shuffle on user_id, no range
+  // explosion — the scalable as-of form.
+  private def j16(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val tagged = ev.filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), us(col("ts")).as("t_us"),
+        col("event_type"),
+        when(col("event_type") === "view", col("value")).as("view_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("asof_view_value",
+        last(col("view_value"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("asof_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j16Sql =
+    s"""SELECT user_id, event_id, asof_view_value FROM (
+       | SELECT user_id, event_id, event_type,
+       |  last_value(CASE WHEN event_type = 'view' THEN "value" END IGNORE NULLS)
+       |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_view_value
+       | FROM events WHERE event_type IN ('purchase', 'view'))
+       |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  // J17 — block-number-by-timestamp resolution: running max id per hour
+  // (ref query.js:4290-4308 getBlockNumberByTS range probe).
+  private def j17(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(hourKey(col("ts")).as("hr"))
+      .agg(max(col("event_id")).as("hr_max_id"))
+    val w = Window.orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hourly
+      .withColumn("last_event_id", max(col("hr_max_id")).over(w))
+      .select(col("hr"), col("last_event_id"))
+      .orderBy(col("hr"))
+  }
+
+  private val j17Sql =
+    s"""SELECT hr, max(hr_max_id) OVER (
+       |  ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       | ) AS last_event_id
+       |FROM (SELECT ${sqlHour(TS)} AS hr, max(event_id) AS hr_max_id
+       | FROM events GROUP BY 1)
+       |ORDER BY hr""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_interval_match" -> (j1 _),
+    "j3_tolerance_match" -> (j3 _),
+    "j6_dim_join" -> (j6 _),
+    "j8_route_tally" -> (j8 _),
+    "j9_multistage_left" -> (j9 _),
+    "j11_anti_join" -> (j11 _),
+    "j12_semi_join" -> (j12 _),
+    "j13_theta_band" -> (j13 _),
+    "j14_day_over_day" -> (j14 _),
+    "j16_asof_join" -> (j16 _),
+    "j17_running_resolve" -> (j17 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j1_interval_match" -> j1Sql,
+    "j3_tolerance_match" -> j3Sql,
+    "j6_dim_join" -> j6Sql,
+    "j8_route_tally" -> j8Sql,
+    "j9_multistage_left" -> j9Sql,
+    "j11_anti_join" -> j11Sql,
+    "j12_semi_join" -> j12Sql,
+    "j13_theta_band" -> j13Sql,
+    "j14_day_over_day" -> j14Sql,
+    "j16_asof_join" -> j16Sql,
+    "j17_running_resolve" -> j17Sql,
+  )
+}

@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / sort / limit / set-op / serving families — SURVEY.md §2.5
+  * (W1-W5), §2.6 (T1-T6) and §2.10 (Q1-Q9 serving semantics as batch
+  * queries).
+  *
+  * Scale notes: ranking windows partition by a high-cardinality key
+  * (user_id) so state is distributed; `orderBy(...).limit(n)` compiles to
+  * TakeOrderedAndProject (per-partition top-n + driver merge — no global
+  * sort); rank-1 filters hit Spark's WindowGroupLimit pushdown.
+  */
+object WindowOps {
+
+  // W2 — lag delta per key (ref docs/StakingAnalytics.md:285 member_bond:
+  // LAG(member_bonded) OVER (PARTITION BY address ORDER BY era)).
+  private def w2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"),
+        round(col("value") - col("prev_value"), 6).as("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val w2Sql =
+    """SELECT user_id, event_id,
+      | round("value" - lag("value") OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // W3 — top-1-per-group (ref xcmmanager.js:440,460-481 first-wins match):
+  // highest-value event per (user, type).
+  private def w3(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val w3Sql =
+    """SELECT user_id, event_type, event_id, "value" FROM (
+      | SELECT user_id, event_type, event_id, "value",
+      |  row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY "value" DESC, event_id) AS rn
+      | FROM events)
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // W4 — most-liquid price per timestamp (ref query.js:2080-2086: keep the
+  // min-`liquid` row per indexTS): min-k row per hour.
+  private def w4(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    val w = Window.partitionBy(col("hr"))
+      .orderBy(col("k"), col("event_id"))
+    ev.withColumn("hr", hourKey(col("ts")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("hr"), col("event_id"), col("k"))
+      .orderBy(col("hr"))
+  }
+
+  private val w4Sql =
+    s"""SELECT hr, event_id, k FROM (
+       | SELECT ${sqlHour(TS)} AS hr, event_id,
+       |  CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+       |  row_number() OVER (PARTITION BY ${sqlHour(TS)}
+       |    ORDER BY CAST(json_extract_string(props, '$$.k') AS INT), event_id) AS rn
+       | FROM events)
+       |WHERE rn = 1 ORDER BY hr""".stripMargin
+
+  // W5 / T5 / Q2 — reversed-time keyset pagination of an account timeline
+  // (ref query.js:4648-4778 address#invertedTS row keys; paraTool.js:588
+  // inverted_ts_key → in Spark just ORDER BY ts DESC + keyset predicate).
+  private def w5(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cutoff = ev.filter(col("user_id") === 7)
+      .agg(max(us(col("ts"))).as("mx"))
+    ev.filter(col("user_id") === 7)
+      .crossJoin(cutoff)
+      .filter(us(col("ts")) < col("mx")) // keyset: strictly before newest
+      .select(col("event_id"), us(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(25)
+  }
+
+  private val w5Sql =
+    s"""SELECT event_id, ${sqlUs(TS)} AS ts_us, event_type, "value"
+       |FROM events
+       |WHERE user_id = 7 AND ${sqlUs(TS)} < (
+       |  SELECT max(${sqlUs(TS)}) FROM events WHERE user_id = 7)
+       |ORDER BY ts_us DESC, event_id DESC LIMIT 25""".stripMargin
+
+  // T1 — top-N by metric (ref query.js:4349-4427 addressTopN).
+  // Compiles to TakeOrderedAndProject — no global sort at scale.
+  private def t1(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(20)
+
+  private val t1Sql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin
+
+  // T3 — UNION ALL + re-group of role projections
+  // (ref docs/DEFINITIONS.md:81,136,158).
+  private def t3(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val buyers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), lit("buyer").as("role"))
+    val viewers = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), lit("viewer").as("role"))
+    buyers.unionByName(viewers).distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_roles"), max(col("role")).as("max_role"))
+      .orderBy(col("user_id"))
+  }
+
+  private val t3Sql =
+    """SELECT user_id, count(*) AS n_roles, max(role) AS max_role
+      |FROM (
+      | SELECT DISTINCT user_id, 'buyer' AS role FROM events
+      |  WHERE event_type = 'purchase'
+      | UNION
+      | SELECT DISTINCT user_id, 'viewer' AS role FROM events
+      |  WHERE event_type = 'view')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // T4 — set difference (ref docs/DEFINITIONS.md:171-173): users who
+  // viewed but never purchased, via EXCEPT.
+  private def t4(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "view").select(col("user_id"))
+      .except(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")))
+      .orderBy(col("user_id"))
+  }
+
+  private val t4Sql =
+    """SELECT user_id FROM events WHERE event_type = 'view'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
+  // Q1 — point lookup + joined detail (ref query.js:2924-2978 getBlock):
+  // the first order with its lines. The key is derived (min orderkey) so
+  // the query is portable across scale factors.
+  private def q1(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val firstKey = o.agg(min(col("o_orderkey")).as("fk"))
+    o.crossJoin(broadcast(firstKey))
+      .filter(col("o_orderkey") === col("fk"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_linenumber"))
+  }
+
+  private val q1Sql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      | l_linenumber, l_quantity, l_extendedprice
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+      |ORDER BY l_linenumber""".stripMargin
+
+  // Q3 — batched multi-account lookup (ref query.js:3666 getMultiAccount).
+  private def q3(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id").isin(1L, 2L, 3L, 5L, 8L))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q3Sql =
+    s"""SELECT user_id, event_type, count(*) AS n,
+       | ${sqlDsum("\"value\"")} AS sum_value
+       |FROM events WHERE user_id IN (1, 2, 3, 5, 8)
+       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
+  // Q4 — search-by-key disambiguation union (ref query.js:989-1195).
+  private def q4(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_id") === 42L)
+      .select(lit("event").as("src"), col("event_id").as("lookup_key"))
+    val o = Tables.orders(s, d).filter(col("o_orderkey") === 42L)
+      .select(lit("order").as("src"), col("o_orderkey").as("lookup_key"))
+    val c = Tables.customer(s, d).filter(col("c_custkey") === 42L)
+      .select(lit("customer").as("src"), col("c_custkey").as("lookup_key"))
+    ev.unionByName(o).unionByName(c).orderBy(col("src"))
+  }
+
+  private val q4Sql =
+    """SELECT 'event' AS src, event_id AS lookup_key FROM events WHERE event_id = 42
+      |UNION ALL
+      |SELECT 'order' AS src, o_orderkey AS lookup_key FROM orders WHERE o_orderkey = 42
+      |UNION ALL
+      |SELECT 'customer' AS src, c_custkey AS lookup_key FROM customer WHERE c_custkey = 42
+      |ORDER BY src""".stripMargin
+
+  // Q9 — latest-per-key realtime balances (ref query.js:3865,3121
+  // accountrealtime): latest event per user via struct-max argmax.
+  private def q9(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(us(col("ts")).as("last_ts_us"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"))).as("m"))
+      .select(col("user_id"), col("m.last_ts_us"), col("m.last_event_id"),
+        col("m.last_type"), col("m.last_value"))
+      .orderBy(col("user_id"))
+
+  private val q9Sql =
+    s"""SELECT user_id, ${sqlUs(TS)} AS last_ts_us, event_id AS last_event_id,
+       | event_type AS last_type, "value" AS last_value
+       |FROM (SELECT *, row_number() OVER (
+       |  PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       | FROM events)
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // TPC-H Q3-shaped shipping-priority top-k (bench headline; T2 order by +
+  // limit over a 3-way join).
+  private def t2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_dt"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private val t2Sql =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_dt,
+      | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_dt
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w2_lag_delta" -> (w2 _),
+    "w3_top1_per_group" -> (w3 _),
+    "w4_most_liquid" -> (w4 _),
+    "w5_keyset_page" -> (w5 _),
+    "t1_topn" -> (t1 _),
+    "t2_shipping_priority" -> (t2 _),
+    "t3_union_roles" -> (t3 _),
+    "t4_except" -> (t4 _),
+    "q1_point_lookup" -> (q1 _),
+    "q3_multi_account" -> (q3 _),
+    "q4_search_union" -> (q4 _),
+    "q9_latest_per_key" -> (q9 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w2_lag_delta" -> w2Sql,
+    "w3_top1_per_group" -> w3Sql,
+    "w4_most_liquid" -> w4Sql,
+    "w5_keyset_page" -> w5Sql,
+    "t1_topn" -> t1Sql,
+    "t2_shipping_priority" -> t2Sql,
+    "t3_union_roles" -> t3Sql,
+    "t4_except" -> t4Sql,
+    "q1_point_lookup" -> q1Sql,
+    "q3_multi_account" -> q3Sql,
+    "q4_search_union" -> q4Sql,
+    "q9_latest_per_key" -> q9Sql,
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared expression helpers for the operator library.
+  *
+  * Determinism contract: every query result must hash-match a DuckDB oracle
+  * run on the same parquet. Floating-point SUMs are order-dependent, and
+  * Spark's partial aggregation order is nondeterministic — so all sums go
+  * through fixed-scale decimals (exact, associative, order-independent),
+  * and all ratios/avgs are derived from those exact sums with a single
+  * IEEE-754 double expression that both engines evaluate identically.
+  */
+package object operators {
+
+  /** Exact-sum cast: DECIMAL(38,6) carries anything up to ~1e31 with
+    * micro-unit precision — the same trick the reference uses when it keeps
+    * NUMERIC `raw_amount` next to FLOAT `amount`
+    * (ref substrate/schema/substrateetl/transfers.json). */
+  def dec6(c: Column): Column = c.cast("decimal(38,6)")
+
+  /** Higher-scale variant for tiny magnitudes (vector components, ratios). */
+  def dec12(c: Column): Column = c.cast("decimal(38,12)")
+
+  /** Exact decimal sum of a double column. */
+  def dsum(c: Column): Column = sum(dec6(c))
+
+  /** Deterministic mean from exact sums: double division is a single IEEE
+    * op, identical in Spark and DuckDB. */
+  def dmean(c: Column): Column =
+    round(dsum(c).cast("double") / count(lit(1)), 6)
+
+  /** Deterministic sample stddev from exact sums:
+    * sqrt((Σx² − (Σx)²/n) / (n−1)). All inputs exact decimals, the final
+    * arithmetic a fixed double expression → engine-identical
+    * (ref substrateetl.js:3983-3995 uses SQL STDDEV; we re-derive it so the
+    * result is order-independent). */
+  def dstd(c: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val s = dsum(c).cast("double")
+    val s2 = sum(dec6(c * c)).cast("double")
+    when(count(lit(1)) > 1,
+      round(sqrt((s2 - s * s / n) / (n - lit(1.0))), 6))
+  }
+
+  /** UTC day key as a string — unambiguous across engines. */
+  def dayKey(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
+
+  /** UTC hour key. */
+  def hourKey(ts: Column): Column = date_format(ts, "yyyy-MM-dd HH")
+
+  /** Month key. */
+  def monthKey(ts: Column): Column = date_format(ts, "yyyy-MM")
+
+  /** Epoch microseconds as BIGINT — the exact representation of a
+    * timestamp, avoiding engine-specific timestamp rendering. */
+  def us(ts: Column): Column = unix_micros(ts)
+
+  // ---- Oracle-side (DuckDB SQL) twins of the helpers above ----
+  /** events.ts is TIMESTAMP_NS in DuckDB; CAST truncates to micros exactly
+    * like our `timestamp_micros(ts div 1000)` load path. */
+  val TS = "CAST(ts AS TIMESTAMP)"
+  def sqlDsum(x: String): String = s"sum(CAST($x AS DECIMAL(38,6)))"
+  def sqlDmean(x: String): String =
+    s"round(CAST(${sqlDsum(x)} AS DOUBLE) / count(*), 6)"
+  def sqlDstd(x: String): String =
+    s"CASE WHEN count(*) > 1 THEN " +
+      s"round(sqrt((CAST(sum(CAST(($x)*($x) AS DECIMAL(38,6))) AS DOUBLE) - " +
+      s"CAST(${sqlDsum(x)} AS DOUBLE)*CAST(${sqlDsum(x)} AS DOUBLE)/count(*)) / " +
+      s"(count(*) - 1.0)), 6) END"
+  def sqlDay(ts: String): String = s"strftime($ts, '%Y-%m-%d')"
+  def sqlHour(ts: String): String = s"strftime($ts, '%Y-%m-%d %H')"
+  def sqlMonth(ts: String): String = s"strftime($ts, '%Y-%m')"
+  def sqlUs(ts: String): String = s"epoch_us($ts)"
+}
