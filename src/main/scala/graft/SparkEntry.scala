@@ -23,13 +23,23 @@ object SparkEntry {
     Flagship.queries ++
       Aggregates.queries ++
       JoinOps.queries ++
-      WindowOps.queries
+      WindowOps.queries ++
+      TextOps.queries ++
+      DedupOps.queries ++
+      VectorOps.queries ++
+      MultimodalOps.queries ++
+      FlattenOps.queries
 
   def oracleSql: Map[String, String] =
     Flagship.oracles ++
       Aggregates.oracles ++
       JoinOps.oracles ++
-      WindowOps.oracles
+      WindowOps.oracles ++
+      TextOps.oracles ++
+      DedupOps.oracles ++
+      VectorOps.oracles ++
+      MultimodalOps.oracles ++
+      FlattenOps.oracles
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

@@ -24,11 +24,17 @@ object Tables {
   /** Session settings every entry point applies. Mirrors the reference's
     * fixed-UTC date logic (ref docs/DEFINITIONS.md:23-26). */
   def configure(spark: SparkSession): SparkSession = {
+    graft.plans.VectorExpressions.register(spark)
     val c = spark.conf
     c.set("spark.sql.session.timeZone", "UTC")
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.parquet.aggregatePushdown", "true")
+    // Wrapping 64-bit arithmetic for the hash families (MinHash affine
+    // transforms, SimHash bit mixing) — ANSI overflow checking would
+    // throw on intentional wraparound. Division-by-zero etc. are guarded
+    // explicitly in the operators (see operators.dstd).
+    c.set("spark.sql.ansi.enabled", "false")
     spark
   }
 

@@ -60,7 +60,7 @@ object Aggregates {
   private def a3(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val mx = ev.agg(max(col("ts")).as("mx"))
-    ev.crossJoin(mx)
+    ev.crossJoin(broadcast(mx))
       .agg(
         sum(when(col("ts") > col("mx") - expr("INTERVAL 7 DAYS"),
           dec6(col("value")))).as("sum_7d"),
@@ -154,11 +154,13 @@ object Aggregates {
       .select(to_date(col("ts")).as("dt"), col("user_id")).distinct()
 
   private def a7(s: SparkSession, d: String): DataFrame = {
-    val du = dailyUsers(s, d)
-    val prev = du.select(col("user_id"), col("dt").as("prev_dt"))
+    val du = dailyUsers(s, d).alias("a")
+    val prev = dailyUsers(s, d)
+      .select(col("user_id").as("p_user_id"), col("dt").as("prev_dt"))
+      .alias("p")
     du.join(prev,
-        du("user_id") === prev("user_id") &&
-          prev("prev_dt") === date_sub(du("dt"), 1), "left_anti")
+        col("a.user_id") === col("p_user_id") &&
+          col("prev_dt") === date_sub(col("a.dt"), 1), "left_anti")
       .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"))
       .agg(count(lit(1)).as("n_new"))
       .orderBy(col("log_dt"))
@@ -174,11 +176,13 @@ object Aggregates {
 
   // A7b — reaped accounts: present on day d, absent on d+1.
   private def a7b(s: SparkSession, d: String): DataFrame = {
-    val du = dailyUsers(s, d)
-    val next = du.select(col("user_id"), col("dt").as("next_dt"))
+    val du = dailyUsers(s, d).alias("a")
+    val next = dailyUsers(s, d)
+      .select(col("user_id").as("n_user_id"), col("dt").as("next_dt"))
+      .alias("n")
     du.join(next,
-        du("user_id") === next("user_id") &&
-          next("next_dt") === date_add(du("dt"), 1), "left_anti")
+        col("a.user_id") === col("n_user_id") &&
+          col("next_dt") === date_add(col("a.dt"), 1), "left_anti")
       .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"))
       .agg(count(lit(1)).as("n_reaped"))
       .orderBy(col("log_dt"))
@@ -223,7 +227,7 @@ object Aggregates {
       .agg(
         count(lit(1)).as("n"),
         sum(coalesce(dec6(col("value")), dec6(lit(0.0)))).as("sum_value"))
-      .crossJoin(maxDay)
+      .crossJoin(broadcast(maxDay))
       .filter(col("log_dt") < col("max_dt"))
       .drop("max_dt")
       .orderBy(col("event_type"), col("log_dt"))

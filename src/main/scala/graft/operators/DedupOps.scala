@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), n-gram/word-set Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale notes:
+  *  - Exact dedup is a single hash aggregation on a 16-byte digest — the
+  *    only thing shuffled is (digest, doc_id).
+  *  - Pairwise similarity NEVER does an unblocked cross join: Jaccard
+  *    pairs are generated through an inverted (token → docs) index join
+  *    *blocked by source*; MinHash pairs come from LSH band buckets;
+  *    SimHash pairs are blocked by source. At 100 TB the blocking key
+  *    is what bounds the candidate set (band width / block size tuned so
+  *    buckets stay small); skew in a hot bucket is handled by AQE skew
+  *    splitting.
+  *  - MinHash signatures are 32 column-wise min-aggregates (map-side
+  *    partial agg) — the signature matrix never materializes per token.
+  */
+object DedupOps {
+
+  private def normText: Column =
+    regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+  // D1 — exact dedup summary over the normalized-text digest.
+  private def d1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(md5(normText).as("fp"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_docs"))
+
+  private val d1Sql =
+    """SELECT sum(cnt) AS n_docs, count(*) AS n_unique,
+      | sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_clusters,
+      | sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_docs
+      |FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |  count(*) AS cnt FROM documents GROUP BY 1)""".stripMargin
+
+  /** (doc_id, source, token) inverted index, distinct tokens per doc.
+    * The blocking unit for all pairwise similarity below. */
+  private def docTokens(s: SparkSession, d: String, cap: Int): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < cap)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr("split(trim(text), '\\\\s+')")))
+          .as("w"))
+
+  // D2 — word-set Jaccard near-dup pairs, blocked by source. The doc_id
+  // cap keeps the candidate space fixed across scale factors (a sampling
+  // strategy; at 100 TB the block would be an LSH band instead — see d3).
+  private def d2(s: SparkSession, d: String): DataFrame = {
+    val t = docTokens(s, d, 2000)
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
+    val b = t.select(col("source"), col("doc_id").as("db"), col("w"))
+    val inter = a.join(b, Seq("source", "w"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val d2Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    string_split_regex(trim(text), '\s+'))) AS w
+      |  FROM documents WHERE doc_id < 2000),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT da, db,
+      | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = da
+      |JOIN sizes sb ON sb.doc_id = db
+      |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5
+      |ORDER BY da, db""".stripMargin
+
+  // D3 — MinHash + LSH near-dup candidates (no DuckDB oracle: hash
+  // family is engine-specific → driver rows-only check).
+  //
+  // 32 permutations h_i(w) = (a_i * xxhash64(w) + b_i) via odd multipliers
+  // (bijective mod 2^64); signature = column-wise min; 8 bands × 4 rows;
+  // candidates = docs sharing a band bucket; verified with exact word-set
+  // Jaccard ≥ 0.5. This is the scale path for d2: candidate generation is
+  // an equi-join on (band, bucket-hash), never a cross join.
+  private val NPerm = 32
+  private val Bands = 8
+  private val RowsPerBand = NPerm / Bands
+
+  private def d3(s: SparkSession, d: String): DataFrame = {
+    val t = docTokens(s, d, 2000)
+      .withColumn("h", xxhash64(col("w")))
+    // column-wise min over bijective affine transforms of the token hash
+    val sigCols = (0 until NPerm).map { i =>
+      val a = 2 * i + 1 // odd → bijective mod 2^64
+      val b = 0x9e3779b97f4a7c15L + i
+      min(col("h") * lit(a.toLong) + lit(b)).as(s"m$i")
+    }
+    val sigs = t.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // ONE pass over the signatures: explode an array of (band, bucket)
+    // structs — unioning per-band selects would re-run the whole
+    // signature aggregation once per band.
+    val bandStructs = array((0 until Bands).map { bi =>
+      val cols = (0 until RowsPerBand)
+        .map(ri => col(s"m${bi * RowsPerBand + ri}"))
+      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bucket"))
+    }: _*)
+    val bandRows = sigs
+      .select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    // Hot-bucket cap: a bucket shared by k docs yields k²/2 candidate
+    // pairs; degenerate buckets (near-identical boilerplate — the
+    // stopword problem of LSH) are dropped, standard practice at scale.
+    val okBuckets = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz").between(2, 50))
+      .select(col("band"), col("bucket"))
+    val pruned = bandRows.join(okBuckets, Seq("band", "bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("da"))
+    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("db"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    // verify candidates with exact Jaccard (inner: a candidate pair with
+    // no shared token can never reach 0.5)
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = t.select(col("doc_id").as("da"), col("w"))
+      .join(cand, Seq("da"))
+      .join(t.select(col("doc_id").as("db"), col("w")), Seq("db", "w"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // D4 — SimHash near-dup pairs (no oracle: engine-specific hashes).
+  // 64-bit signature: bit j set iff Σ_tokens (bit_j(h) ? +1 : −1) > 0;
+  // near-dups = pairs within the same source at Hamming distance ≤ 3.
+  private def d4(s: SparkSession, d: String): DataFrame = {
+    val t = docTokens(s, d, 2000).withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = t.groupBy(col("doc_id"), col("source"))
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, expr(s"CAST(1 AS BIGINT) << $j"))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sh = agg.select(col("doc_id"), col("source"),
+      simhash.as("simhash"))
+    val a = sh.select(col("source"), col("doc_id").as("da"),
+      col("simhash").as("ha"))
+    val b = sh.select(col("source"), col("doc_id").as("db"),
+      col("simhash").as("hb"))
+    a.join(b, Seq("source")).filter(col("da") < col("db"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("da"), col("db"), col("hamming"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> (d1 _),
+    "d2_jaccard_pairs" -> (d2 _),
+    "d3_minhash_lsh" -> (d3 _),
+    "d4_simhash" -> (d4 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" -> d1Sql,
+    "d2_jaccard_pairs" -> d2Sql,
+  )
+}

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.CallFlatten
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / flatten family — SURVEY.md §2.2 (the decode
+  * pipeline shapes): JSON extraction (P3), recursive call flatten (P4),
+  * noise suppression (P5), posexplode flatten (P8).
+  *
+  * p4 is the flagship: nested call-tree JSON documents are synthesized
+  * per order from its lineitems (deterministic), then exploded by the
+  * real recursive flattener (graft.functions.CallFlatten) inside a typed
+  * `flatMap` — and the oracle reconstructs the expected rows relationally
+  * (root = orders, leaves = non-suppressed lineitems), so the recursion
+  * is verified against DuckDB, not just row-counted.
+  */
+object FlattenOps {
+
+  // P3 — JSON param extraction + bucket aggregation
+  // (ref indexer.js:3319 parseEvent; get_json_object on data column).
+  private def p3(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
+  private val p3Sql =
+    s"""SELECT CAST(floor(CAST(json_extract_string(props, '$$.k') AS INT) / 10.0) AS INT) AS k_bucket,
+       | count(*) AS n, ${sqlDsum("\"value\"")} AS sum_value
+       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  // P5 — noise suppression by section:method key
+  // (ref substrateetl.js:6446 suppress_call).
+  private def p5(s: SparkSession, d: String): DataFrame = {
+    val noise = Seq("view:0", "click:1", "error:2")
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("sm",
+        concat(col("event_type"), lit(":"), pmod(col("k"), lit(3))))
+      .filter(!col("sm").isin(noise: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  private val p5Sql =
+    """SELECT event_type, count(*) AS n_kept
+      |FROM (SELECT event_type,
+      |  event_type || ':' ||
+      |    (CAST(json_extract_string(props, '$.k') AS INT) % 3) AS sm
+      | FROM events)
+      |WHERE sm NOT IN ('view:0', 'click:1', 'error:2')
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // P4 — recursive call flatten. Call trees are synthesized per order:
+  // root = utility.batch carrying the order fee; children (in linenumber
+  // order) = balances.transfer per line, except quantity-1 lines which
+  // become system.remark — suppressed noise (P5) the flattener must drop.
+  private def p4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val trees = li
+      .withColumn("child", struct(
+        when(col("l_quantity") < 2, "system").otherwise("balances")
+          .as("section"),
+        when(col("l_quantity") < 2, "remark").otherwise("transfer")
+          .as("method"),
+        struct(col("l_quantity").as("qty")).as("args")))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("child"))))
+        .as("children"))
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        to_json(struct(
+          lit("utility").as("section"),
+          lit("batch").as("method"),
+          struct(lit(0).as("z")).as("args"),
+          col("children.child").as("calls"))).as("tree"))
+    trees.as[(Long, Double, String)].flatMap { case (okey, fee, json) =>
+      CallFlatten.flatten(json, Some(fee)).map { fc =>
+        (okey, fc.call_id, fc.call_section, fc.call_method,
+          fc.root, fc.leaf, fc.fee)
+      }
+    }.toDF("o_orderkey", "call_id", "call_section", "call_method",
+        "root", "leaf", "fee")
+      .orderBy(col("o_orderkey"), col("call_id"))
+  }
+
+  // Child index = position in the (linenumber, section, method, qty)
+  // sort — mirrors Spark's sort_array struct comparison, including the
+  // tie-break on duplicated linenumbers; suppressed children still
+  // consume an index slot (they are dropped, not renumbered).
+  private val p4Sql =
+    """WITH kids AS (
+      | SELECT l_orderkey, l_quantity,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber,
+      |      CASE WHEN l_quantity < 2 THEN 'system' ELSE 'balances' END,
+      |      l_quantity) - 1 AS idx
+      | FROM lineitem)
+      |SELECT o_orderkey, '0' AS call_id, 'utility' AS call_section,
+      | 'batch' AS call_method, TRUE AS root, FALSE AS leaf,
+      | o_totalprice AS fee
+      |FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+      |UNION ALL
+      |SELECT l_orderkey AS o_orderkey,
+      | '0_' || CAST(idx AS VARCHAR) AS call_id,
+      | 'balances' AS call_section, 'transfer' AS call_method,
+      | FALSE AS root, TRUE AS leaf, NULL AS fee
+      |FROM kids WHERE l_quantity >= 2
+      |ORDER BY o_orderkey, call_id""".stripMargin
+
+  // P8 — posexplode digest-log flatten (ref substrateetl.js:6462-6473):
+  // per-vector element statistics via explode.
+  private def p8(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        min(col("e").cast("double")).as("min_e"),
+        max(col("e").cast("double")).as("max_e"),
+        sum(dec12(col("e").cast("double") * col("e").cast("double")))
+          .as("sum_sq"))
+      .orderBy(col("vec_id"))
+
+  private val p8Sql =
+    """SELECT vec_id, count(*) AS n_dims,
+      | min(CAST(e AS DOUBLE)) AS min_e, max(CAST(e AS DOUBLE)) AS max_e,
+      | sum(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(38,12))) AS sum_sq
+      |FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings
+      | WHERE vec_id < 50)
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p3_json_extract" -> (p3 _),
+    "p4_call_flatten" -> (p4 _),
+    "p5_noise_suppression" -> (p5 _),
+    "p8_posexplode" -> (p8 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p3_json_extract" -> p3Sql,
+    "p4_call_flatten" -> p4Sql,
+    "p5_noise_suppression" -> p5Sql,
+    "p8_posexplode" -> p8Sql,
+  )
+}

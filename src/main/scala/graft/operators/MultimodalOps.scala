@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * batch "decode"/feature-extract over partitions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (see [[MultimodalOps.stubDecode]]) —
+  * but the Spark-side shape is real: binary column in, typed struct of
+  * metadata out, decoder state initialized once per partition (the
+  * mapPartitions pattern you'd use for a JNI codec or an ONNX session,
+  * mirroring the reference's per-batch decoder reuse, indexer.js:6999).
+  */
+object MultimodalOps {
+
+  // M1 — binary metadata: treat text payloads as opaque bytes; byte
+  // length + content digest per blob, aggregated per source.
+  private def m1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        countDistinct(col("sha")).as("n_unique"),
+        min(col("sha")).as("min_sha"))
+      .orderBy(col("source"))
+
+  private val m1Sql =
+    """SELECT source, count(*) AS n_blobs,
+      | sum(octet_length(CAST(text AS BLOB))) AS total_bytes,
+      | count(DISTINCT sha256(text)) AS n_unique,
+      | min(sha256(text)) AS min_sha
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Decoded-media metadata row produced by the stub decoder. */
+  case class MediaMeta(doc_id: Long, source: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int, feat0: Double)
+
+  /** STUB decoder: derives fake-but-deterministic "media" properties from
+    * the payload digest. A real deployment swaps `decodeOne` for a codec
+    * call; everything around it (per-partition init, batch iteration,
+    * typed output schema) is the production shape. */
+  def stubDecode(payload: Array[Byte], digest: Array[Byte]): (Int, Int, Int, Double) = {
+    // ??? real codec goes here; deterministic fake derived from digest:
+    val w = 16 + (digest(0) & 0x3f) * 16
+    val h = 16 + (digest(1) & 0x3f) * 16
+    val f = 1 + (digest(2) & 0x0f)
+    val feat = ((digest(3) & 0xff) << 8 | (digest(4) & 0xff)).toDouble / 65535.0
+    (w, h, f, feat)
+  }
+
+  // M2 — partitioned decode/feature-extract (rows-only check; the stub's
+  // outputs are engine-specific by construction).
+  private def m2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])]
+    src.mapPartitions { it =>
+      // per-partition decoder init (codec/session handle goes here)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { case (id, source, payload) =>
+        md.reset()
+        val digest = md.digest(payload)
+        val (w, h, f, feat) = stubDecode(payload, digest)
+        MediaMeta(id, source, payload.length, w, h, f, feat)
+      }
+    }.toDF()
+      .filter(col("doc_id") < 200)
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_binary_meta" -> (m1 _),
+    "m2_media_decode_stub" -> (m2 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m1_binary_meta" -> m1Sql,
+  )
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token statistics, quality scoring, heuristic language ID, document
+  * fingerprinting. All run over the `documents` table.
+  *
+  * Scale notes: every query is a narrow projection + hash aggregation —
+  * the text column is read once, per-row expressions are codegen'd
+  * built-ins (split/filter/transform), no UDFs, no shuffle of raw text
+  * except the (doc_id, token)-grain explode in DedupOps which is bounded
+  * by blocking keys.
+  */
+object TextOps {
+
+  private val stopPred =
+    "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to' OR t = 'and'"
+
+  /** Tokenize on runs of whitespace — same regex class in Spark and
+    * DuckDB. */
+  private def toks = expr("split(trim(text), '\\\\s+')")
+
+  // X1 — per-language token statistics (length/token-count profile).
+  private def x1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct", size(array_distinct(toks)))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_distinct").cast("long")).as("sum_distinct"),
+        round(sum(col("n_tokens").cast("long")).cast("double") /
+          count(lit(1)), 6).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  private val x1Sql =
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      | sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
+      | sum(len(list_distinct(string_split_regex(trim(text), '\s+')))) AS sum_distinct,
+      | round(CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+      |   / count(*), 6) AS avg_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // X2 — per-document quality score: length, stopword ratio, vocabulary
+  // diversity (the classic pre-training quality heuristics).
+  private def x2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .withColumn("n_tokens", size(toks).cast("double"))
+      .withColumn("n_stop",
+        size(expr(s"filter(split(trim(text), '\\\\s+'), $stopPred)"))
+          .cast("double"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("double"))
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"),
+        round(
+          lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
+            lit(0.3) * (col("n_distinct") / col("n_tokens")), 6)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val x2Sql =
+    s"""SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       | round(n_stop / n_tokens, 6) AS stop_ratio,
+       | round(n_distinct / n_tokens, 6) AS distinct_ratio,
+       | round(0.4 * least(n_tokens / 100.0, 1.0)
+       |   + 0.3 * (1.0 - n_stop / n_tokens)
+       |   + 0.3 * (n_distinct / n_tokens), 6) AS quality
+       |FROM (SELECT doc_id, lang,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |    $stopPred)) AS DOUBLE) AS n_stop,
+       |  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_distinct
+       | FROM documents WHERE doc_id < 200)
+       |ORDER BY doc_id""".stripMargin
+
+  // X3 — heuristic n-gram/marker language ID vs the labeled column
+  // (agreement per label).
+  private def x3(s: SparkSession, d: String): DataFrame = {
+    val pred = when(col("text").contains(" el "), "es")
+      .when(col("text").contains(" der "), "de")
+      .when(col("text").contains(" le "), "fr")
+      .when(col("text").contains(" zh "), "zh")
+      .otherwise("en")
+    Tables.documents(s, d)
+      .withColumn("pred_lang", pred)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .as("n_match"),
+        countDistinct(col("pred_lang")).as("n_pred_langs"))
+      .orderBy(col("lang"))
+  }
+
+  private val x3Sql =
+    """SELECT lang, count(*) AS n_docs,
+      | sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_match,
+      | count(DISTINCT pred_lang) AS n_pred_langs
+      |FROM (SELECT lang,
+      |  CASE WHEN contains(text, ' el ') THEN 'es'
+      |       WHEN contains(text, ' der ') THEN 'de'
+      |       WHEN contains(text, ' le ') THEN 'fr'
+      |       WHEN contains(text, ' zh ') THEN 'zh'
+      |       ELSE 'en' END AS pred_lang
+      | FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // X4 — document fingerprinting: md5 over whitespace-normalized text
+  // (the exact-dedup key), uniqueness per source.
+  private def x4(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("fp",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        min(col("fp")).as("min_fp"))
+      .orderBy(col("source"))
+
+  private val x4Sql =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT fp) AS n_unique,
+      | min(fp) AS min_fp
+      |FROM (SELECT source,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      | FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_text_stats" -> (x1 _),
+    "x2_quality_score" -> (x2 _),
+    "x3_langid" -> (x3 _),
+    "x4_fingerprint" -> (x4 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x1_text_stats" -> x1Sql,
+    "x2_quality_score" -> x2Sql,
+    "x3_langid" -> x3Sql,
+    "x4_fingerprint" -> x4Sql,
+  )
+}

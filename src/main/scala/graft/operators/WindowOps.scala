@@ -86,7 +86,7 @@ object WindowOps {
     val cutoff = ev.filter(col("user_id") === 7)
       .agg(max(us(col("ts"))).as("mx"))
     ev.filter(col("user_id") === 7)
-      .crossJoin(cutoff)
+      .crossJoin(broadcast(cutoff))
       .filter(us(col("ts")) < col("mx")) // keyset: strictly before newest
       .select(col("event_id"), us(col("ts")).as("ts_us"),
         col("event_type"), col("value"))

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming faces of the engine — SURVEY.md §2.9 (ST1-ST8).
+  *
+  * The reference ingests via WebSocket subscriptions with a
+  * tip/finalized duality (crawler.js:1572-1720): unfinalized candidate
+  * blocks arrive optimistically, finalization picks the winning fork and
+  * deletes the losers. In Spark:
+  *
+  *  - bronze = append-only candidate stream (possibly multiple rows per
+  *    (chain_id, block_number) from redundant crawlers / forks);
+  *  - silver = finalized-only view: watermarked dedup keeping the
+  *    finalized (or latest) candidate per key — `flatMapGroupsWithState`
+  *    when retraction timing matters, `dropDuplicates` + filter when the
+  *    2-tier layout suffices (SURVEY §7.3 recommends the 2-tier dodge).
+  *
+  * Tests drive these with a file/memory source at small scale; the same
+  * code runs against a Kafka/file stream on a cluster (watermarks bound
+  * all state).
+  */
+object EventStream {
+
+  /** Candidate block row (bronze). */
+  case class Candidate(chain_id: Int, block_number: Long, block_hash: String,
+      finalized: Boolean, ts: java.sql.Timestamp)
+
+  /** Resolved block row (silver). */
+  case class Finalized(chain_id: Int, block_number: Long, block_hash: String,
+      ts: java.sql.Timestamp)
+
+  val candidateSchema: StructType = StructType(Seq(
+    StructField("chain_id", IntegerType),
+    StructField("block_number", LongType),
+    StructField("block_hash", StringType),
+    StructField("finalized", BooleanType),
+    StructField("ts", TimestampType)))
+
+  /** ST1/ST5 — finality resolution with bounded state: one state entry
+    * per (chain, block); emits exactly one row per key — the first
+    * finalized candidate seen — and times out straggler state.
+    * (ref crawler.js:1572-1619 processFinalizedHead + candidate delete.)
+    */
+  def finalizeStream(candidates: org.apache.spark.sql.Dataset[Candidate])(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[Finalized] = {
+    import spark.implicits._
+    candidates
+      .groupByKey(c => (c.chain_id, c.block_number))
+      .flatMapGroupsWithState[List[Candidate], Finalized](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((chain, bn), rows, state: GroupState[List[Candidate]]) =>
+          // Straggler state (a fork that never finalizes) is bounded by
+          // the ST3 reconciliation job (gap audit + backfill), not a
+          // processing-time timeout — timeout triggers would force a
+          // no-data micro-batch per trigger, wasted work at idle.
+          val all = state.getOption.getOrElse(Nil) ++ rows
+          all.find(_.finalized) match {
+            case Some(win) =>
+              state.remove()
+              Iterator.single(Finalized(chain, bn, win.block_hash, win.ts))
+            case None =>
+              state.update(all)
+              Iterator.empty
+          }
+      }
+  }
+
+  /** ST5 batch/stream dedup twin: finalized-preferred latest-candidate
+    * per (chain, block) as a plain DataFrame op (works on both batch and
+    * streaming inputs; streaming requires a watermark upstream). */
+  def dedupCandidates(bronze: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chain_id"), col("block_number"))
+      .orderBy(col("finalized").desc, col("ts").desc, col("block_hash"))
+    bronze.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** ST6 — tumbling-window aggregation with watermark (the streaming twin
+    * of Aggregates a12; ref priceManager.js:223 five-minute buckets). */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hr_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** ST2/ST7 — stream-stream interval join with watermarks: the XCM
+    * source↔dest correlation (ref xcmmanager.js:423: dest within
+    * [source, source+120s]); state bounded by both watermarks + the
+    * interval condition. */
+  def streamIntervalJoin(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.withWatermark("ts", "2 minutes")
+      .select(col("user_id").as("s_user"), col("event_id").as("s_event_id"),
+        col("ts").as("s_ts"))
+    val d = dst.withWatermark("ts", "2 minutes")
+      .select(col("user_id").as("d_user"), col("event_id").as("d_event_id"),
+        col("ts").as("d_ts"))
+    s.join(d,
+      col("s_user") === col("d_user") &&
+        col("d_ts") >= col("s_ts") &&
+        col("d_ts") <= col("s_ts") + expr("INTERVAL 120 SECONDS"))
+  }
+}

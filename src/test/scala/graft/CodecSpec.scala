@@ -1,0 +1,139 @@
+package graft
+
+import graft.functions.Codec
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Golden vectors + seeded property tests for the codec layer
+  * (SURVEY §2.7; test strategy per FIXTURES.md "Property tests").
+  * Golden values are public test vectors (XXH64 spec, RFC 7693,
+  * substrate storage-key docs, the well-known Alice dev address). */
+class CodecSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]) = Codec.bytesToHex(b, prefix = false)
+  private val rnd = new scala.util.Random(42)
+
+  test("xxh64 known vectors") {
+    assert(Codec.xxh64(Array.empty, 0) == 0xef46db3751d8e999L)
+    // twox128("System") / twox128("Account") — the System.Account
+    // storage prefix every substrate tool hardcodes
+    // (ref paraTool.js:1785; substrateetl.js:6619 storageKeys).
+    assert(hex(Codec.twox128("System".getBytes(UTF_8))) ==
+      "26aa394eea5630e07c48ae0c9558cef7")
+    assert(hex(Codec.twox128("Account".getBytes(UTF_8))) ==
+      "b99d880ec681799c0cf30e8886371da9")
+  }
+
+  test("xxh64 covers all tail-length branches") {
+    // lengths hitting the 32-stripe loop, 8-, 4-, and 1-byte tails
+    for (len <- Seq(0, 1, 3, 4, 7, 8, 12, 15, 16, 31, 32, 33, 63, 64, 100)) {
+      val data = Array.tabulate[Byte](len)(i => (i * 31 + 7).toByte)
+      val h1 = Codec.xxh64(data, 0)
+      val h2 = Codec.xxh64(data, 0)
+      assert(h1 == h2)
+      if (len > 0)
+        assert(Codec.xxh64(data, 1) != h1, s"seed must matter at len $len")
+    }
+  }
+
+  test("blake2b known vectors") {
+    assert(hex(Codec.blake2b512(Array.empty)).startsWith(
+      "786a02f742015903c6c6fd852552d272"))
+    assert(hex(Codec.blake2b256("abc".getBytes(UTF_8))) ==
+      "bddd813c634239723171ef3fee98579b94964e3bb1cb3e427262c8c068d52319")
+  }
+
+  test("blake2b multi-block input") {
+    // > 128 bytes forces the multi-compression path
+    val long = Array.fill[Byte](300)(0x61)
+    val h1 = Codec.blake2b256(long)
+    assert(h1.length == 32)
+    assert(hex(Codec.blake2b256(long)) == hex(h1))
+    assert(hex(Codec.blake2b256(long.take(299))) != hex(h1))
+    assert(hex(Codec.blake2b256(Array.fill[Byte](128)(1))) !=
+      hex(Codec.blake2b256(Array.fill[Byte](129)(1))))
+  }
+
+  test("ss58 Alice round-trip (generic network 42)") {
+    val alicePub =
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+    val addr = Codec.ss58Encode(Codec.hexToBytes(alicePub), 42)
+    assert(addr == "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
+    val (net, pub) = Codec.ss58Decode(addr)
+    assert(net == 42 && hex(pub) == alicePub)
+  }
+
+  test("ss58 round-trips across networks incl. two-byte prefixes") {
+    for (net <- Seq(0, 2, 42, 63, 64, 100, 2000, 16383); _ <- 1 to 5) {
+      val pub = Array.fill[Byte](32)(rnd.nextInt().toByte)
+      val (n2, p2) = Codec.ss58Decode(Codec.ss58Encode(pub, net))
+      assert(n2 == net && java.util.Arrays.equals(p2, pub))
+    }
+  }
+
+  test("ss58 rejects corrupted checksum") {
+    val addr = Codec.ss58Encode(Array.fill[Byte](32)(7), 0)
+    val bad = addr.init + (if (addr.last == '1') '2' else '1')
+    intercept[IllegalArgumentException](Codec.ss58Decode(bad))
+  }
+
+  test("SCALE compact round-trips all four modes") {
+    val cases = Seq[BigInt](0, 1, 63, 64, 16383, 16384, (1L << 30) - 1,
+      BigInt(1) << 30, BigInt(Long.MaxValue),
+      BigInt("340282366920938463463374607431768211455")) // u128 max
+    cases.foreach { v =>
+      val enc = Codec.compactEncode(v)
+      val (dec, used) = Codec.compactDecode(enc)
+      assert(dec == v, s"round trip $v")
+      assert(used == enc.length)
+    }
+    for (_ <- 1 to 200) {
+      val v = BigInt(rnd.nextLong()).abs
+      val (dec, _) = Codec.compactDecode(Codec.compactEncode(v))
+      assert(dec == v)
+    }
+  }
+
+  test("SCALE compact known encodings") {
+    assert(hex(Codec.compactEncode(1)) == "04")
+    assert(hex(Codec.compactEncode(42)) == "a8")
+    assert(hex(Codec.compactEncode(69)) == "1501")
+    assert(hex(Codec.compactEncode(65535)) == "feff0300")
+  }
+
+  test("base58 round-trip with leading zeros") {
+    for (_ <- 1 to 100) {
+      val zeros = rnd.nextInt(4)
+      val body = Array.fill[Byte](rnd.nextInt(40))(rnd.nextInt().toByte)
+      val b = Array.fill[Byte](zeros)(0) ++ body
+      assert(java.util.Arrays.equals(
+        Codec.base58Decode(Codec.base58Encode(b)), b))
+    }
+  }
+
+  test("hex round-trip") {
+    for (_ <- 1 to 100) {
+      val bytes = Array.fill[Byte](rnd.nextInt(64))(rnd.nextInt().toByte)
+      assert(java.util.Arrays.equals(
+        Codec.hexToBytes(Codec.bytesToHex(bytes)), bytes))
+    }
+  }
+
+  test("inverted ts key orders reverse-chronologically") {
+    for (_ <- 1 to 100) {
+      val a = math.abs(rnd.nextInt()).toLong
+      val b = math.abs(rnd.nextInt()).toLong
+      if (a < b)
+        assert(Codec.invertedTsKey(a) > Codec.invertedTsKey(b))
+    }
+  }
+
+  test("asset-chain key round-trip incl. '~' inside asset json") {
+    val k = Codec.makeAssetChain("""{"Token":"A~B"}""", 22000)
+    assert(Codec.parseAssetChain(k) == (("""{"Token":"A~B"}""", 22000)))
+  }
+
+  test("toBaseUnit scales by decimals") {
+    assert(Codec.toBaseUnit(BigInt("12345678901"), 10) == 1.2345678901)
+  }
+}

