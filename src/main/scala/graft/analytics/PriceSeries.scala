@@ -1,0 +1,73 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Price/OHLCV time series + as-of USD valuation — SURVEY M5 (A12, J16,
+  * W4, Q6/Q7) on the domain `assetpricelog` schema (FIXTURES.md §11).
+  *
+  * Scale notes: resampling is a groupBy on (asset, chain_id, bucket);
+  * the as-of join is the union+last(ignoreNulls) window form — one
+  * shuffle on the asset key, state bounded by the series length, no
+  * range-join explosion. Both shapes hold at 10⁹-row price logs because
+  * the partition key carries the asset.
+  */
+object PriceSeries {
+
+  /** Most-liquid price per timestamp (ref query.js:2080-2086: keep the
+    * min-`liquid` row per indexTS per asset — W4). */
+  def mostLiquid(priceLog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset"), col("chain_id"), col("index_ts"))
+      .orderBy(col("liquid"), col("router_asset_chain"))
+    priceLog.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Resample the 5-min log to a coarser bucket with OHLCV semantics
+    * (ref query.js:2034-2149: `indexTS % {300,3600,86400} = 0` sampling +
+    * OHLCV reader; A12 struct-argmin open/close). */
+  def resample(priceLog: DataFrame, bucket: String): DataFrame =
+    priceLog
+      .groupBy(col("asset"), col("chain_id"),
+        window(col("index_ts"), bucket).getField("start").as("bucket_ts"))
+      .agg(
+        min(struct(col("index_ts"), col("router_asset_chain"),
+          col("price_usd"))).getField("price_usd").as("open"),
+        max(struct(col("index_ts"), col("router_asset_chain"),
+          col("price_usd"))).getField("price_usd").as("close"),
+        min(col("low")).as("low"),
+        max(col("high")).as("high"),
+        sum(col("token0_volume")).as("token0_volume"),
+        sum(col("token1_volume")).as("token1_volume"),
+        count(lit(1)).as("n_points"))
+
+  /** As-of USD decoration (ref assetManager.js:1392 computePriceUSD —
+    * J16): for each event row (asset, chain_id, ts, amount), attach the
+    * last price at-or-before ts and compute amount_usd. Union+window —
+    * the scalable as-of form. */
+  def decorateUsd(events: DataFrame, priceLog: DataFrame): DataFrame = {
+    val prices = priceLog.select(
+      col("asset"), col("chain_id"), col("index_ts").as("ts"),
+      lit(null).cast("string").as("event_id"),
+      lit(null).cast("double").as("amount"),
+      col("price_usd").as("px"), lit(0).as("is_event"))
+    val evs = events.select(
+      col("asset"), col("chain_id"), col("ts"),
+      col("event_id"), col("amount"),
+      lit(null).cast("double").as("px"), lit(1).as("is_event"))
+    // at equal ts the price sorts first (is_event 0 < 1) → an event picks
+    // up a price stamped at its own timestamp, like the reference's
+    // cache lookup
+    val wSelf = Window.partitionBy(col("asset"), col("chain_id"))
+      .orderBy(col("ts"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    prices.unionByName(evs)
+      .withColumn("asof_px",
+        last(col("px"), ignoreNulls = true).over(wSelf))
+      .filter(col("is_event") === 1)
+      .select(col("asset"), col("chain_id"), col("ts"), col("event_id"),
+        col("amount"), col("asof_px").as("price_usd"),
+        (col("amount") * col("asof_px")).as("amount_usd"))
+  }
+}

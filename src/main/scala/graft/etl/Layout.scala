@@ -1,0 +1,61 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout helpers for 100 TB operation — SURVEY §4's manual
+  * optimizations re-expressed as Spark layout policy:
+  *
+  *  - **Bucketing** (ref: BigTable row-key design / per-chain MySQL
+  *    sharding): persist both sides of a recurring big join bucketed and
+  *    sorted on the join key → sort-merge join with NO shuffle on every
+  *    subsequent read (verified by LayoutSpec: the joined plan contains
+  *    zero Exchange nodes).
+  *  - **Sorted-by-key writes** (ref README.md:187 8-hex block-number
+  *    keys): sortWithinPartitions on (chain, number) gives parquet
+  *    min/max page pruning for the point/range serving queries.
+  *  - **Salting** (ref polkaholic:112-130 `bn % nmax` shard split): skew
+  *    mitigation for hot keys when AQE's skew-join splitting isn't
+  *    available (e.g. aggregation skew).
+  */
+object Layout {
+
+  /** Persist a DataFrame bucketed+sorted by the join key. Reading both
+    * tables back joins without any Exchange. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet") // managed table under spark.sql.warehouse.dir
+      .saveAsTable(table)
+
+  /** Date-partitioned + key-sorted layout for serving-range scans. */
+  def writeSortedPartitions(df: DataFrame, path: String,
+      partitionCol: String, sortCols: Seq[String]): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Salt a hot grouping key into `n` subkeys; aggregate partially on
+    * (key, salt), then finish on key — two small shuffles instead of one
+    * skewed one. */
+  def saltedAgg(df: DataFrame, key: String, n: Int,
+      aggs: Seq[(String, String)]): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(n)))
+    val partial = salted.groupBy(col(key), col("_salt"))
+      .agg(aggs.head match { case (c, f) => expr(s"$f($c)").as(s"_p0") },
+        aggs.tail.zipWithIndex.map { case ((c, f), i) =>
+          expr(s"$f($c)").as(s"_p${i + 1}")
+        }: _*)
+    // re-aggregate the partials (sum/count/min/max are decomposable;
+    // count partials re-combine with sum)
+    val finals = aggs.zipWithIndex.map { case ((c, f), i) =>
+      val refinish = if (f == "count") "sum" else f
+      expr(s"$refinish(_p$i)").as(s"${f}_$c")
+    }
+    partial.groupBy(col(key)).agg(finals.head, finals.tail: _*)
+  }
+}
