@@ -1,0 +1,183 @@
+package graft.etl
+
+import graft.functions.{CallFlatten, Udfs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The core batch ETL entry point — SURVEY §3.2 (`substrate-etl dump`,
+  * ref substrateetl.js:6171 dump_substrateetl) as ONE DataFrame job:
+  *
+  *   raw (nested) blocks for a UTC day
+  *     → 6 entity projections: blocks, extrinsics, events, transfers,
+  *       calls, logs
+  *     → idempotent date-partitioned parquet (Writers.overwritePartitions
+  *       = the `bq load $date --replace` semantics)
+  *
+  * where the reference runs nested per-block/per-extrinsic JS loops, each
+  * output here is a declarative explode/flatten that Catalyst pipelines —
+  * no process boundaries, no driver-side iteration. One scan of the raw
+  * table feeds all six projections (each projection prunes to the columns
+  * it needs).
+  */
+object Dump {
+
+  /** Filter to the UTC day and flag rows like the reference's guards
+    * (ref substrateetl.js:6271-6288: fork/date-mismatch checks —
+    * finalized-only, matching logDT). */
+  private def dayBlocks(raw: DataFrame, logDT: String): DataFrame = {
+    Udfs.register(raw.sparkSession) // idempotent; projections use the UDFs
+    raw.filter(col("finalized") &&
+      date_format(col("block_time"), "yyyy-MM-dd") === logDT)
+  }
+
+  /** blocks projection + per-block stats (A1,
+    * ref indexer.js:5019-5047 getBlockStats; substrateetl.js:6293-6309). */
+  def blocks(raw: DataFrame, logDT: String): DataFrame =
+    dayBlocks(raw, logDT).select(
+      col("chain_id"), col("number"), col("hash"), col("parent_hash"),
+      col("block_time"), col("spec_version"),
+      col("author_pub").as("author_pub_key"),
+      expr("ss58_encode(author_pub, 42)").as("author_ss58"),
+      size(col("extrinsics")).as("extrinsic_count"),
+      expr("aggregate(extrinsics, 0, (acc, x) -> acc + size(x.events))")
+        .as("event_count"),
+      expr("aggregate(extrinsics, 0, (acc, x) -> acc + size(x.transfers))")
+        .as("transfer_count"),
+      lit(logDT).as("log_dt"))
+
+  /** extrinsics projection; success/fail resolved from the paired
+    * system.ExtrinsicSuccess/Failed event WITHOUT exploding (P2,
+    * ref indexer.js:3754 checkExtrinsicStatusAndFee). */
+  def extrinsics(raw: DataFrame, logDT: String): DataFrame =
+    dayBlocks(raw, logDT)
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("hash").as("block_hash"),
+        explode(col("extrinsics")).as("ex"))
+      .select(
+        col("chain_id"),
+        col("ex.hash").as("hash"),
+        concat(col("number"), lit("-"), col("ex.idx")).as("extrinsic_id"),
+        col("block_time"), col("number").as("block_number"),
+        col("block_hash"),
+        col("ex.section"), col("ex.method"),
+        col("ex.params"), col("ex.fee"),
+        col("ex.signed"),
+        expr("exists(ex.events, e -> e.section = 'system' AND e.method = 'ExtrinsicSuccess')")
+          .as("status"),
+        col("ex.signer_pub").as("signer_pub_key"),
+        when(col("ex.signed"), expr("ss58_encode(ex.signer_pub, 42)"))
+          .as("signer_ss58"),
+        lit(logDT).as("log_dt"))
+
+  /** events projection with composite ids (P3,
+    * ref substrateetl.js:6314-6341). */
+  def events(raw: DataFrame, logDT: String): DataFrame =
+    dayBlocks(raw, logDT)
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("hash").as("block_hash"),
+        explode(col("extrinsics")).as("ex"))
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("block_hash"), col("ex.idx").as("ext_idx"),
+        col("ex.hash").as("extrinsic_hash"),
+        explode(col("ex.events")).as("ev"))
+      .select(
+        col("chain_id"),
+        concat(col("number"), lit("-"), col("ext_idx"), lit("-"),
+          col("ev.event_idx")).as("event_id"),
+        col("ev.section"), col("ev.method"), col("ev.data"),
+        concat(col("number"), lit("-"), col("ext_idx")).as("extrinsic_id"),
+        col("extrinsic_hash"), col("block_time"),
+        col("number").as("block_number"), col("block_hash"),
+        lit(logDT).as("log_dt"))
+
+  /** transfers projection: classification, dedup of duplicated emits,
+    * decimal scaling, address normalization (P6/P12,
+    * ref indexer.js:4228 map_feedTransfers_to_transfers; dedup note
+    * docs/DEFINITIONS.md:255-258). */
+  def transfers(raw: DataFrame, logDT: String): DataFrame =
+    dayBlocks(raw, logDT)
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("hash").as("block_hash"),
+        explode(col("extrinsics")).as("ex"))
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("block_hash"), col("ex.idx").as("ext_idx"),
+        col("ex.hash").as("extrinsic_hash"),
+        explode(col("ex.transfers")).as("t"))
+      // duplicate-emit dedup on the transfer identity
+      .dropDuplicates("chain_id", "number", "ext_idx", "t")
+      .select(
+        col("chain_id"),
+        concat(col("number"), lit("-"), col("ext_idx")).as("extrinsic_id"),
+        col("extrinsic_hash"), col("block_time"),
+        col("number").as("block_number"), col("block_hash"),
+        expr("ss58_encode(t.from_pub, 42)").as("from_ss58"),
+        col("t.from_pub").as("from_pub_key"),
+        expr("ss58_encode(t.to_pub, 42)").as("to_ss58"),
+        col("t.to_pub").as("to_pub_key"),
+        expr("asset_chain(t.asset, chain_id)").as("asset"),
+        col("t.raw_amount_hex"),
+        col("t.decimals"),
+        expr("to_base_unit(t.raw_amount_hex, t.decimals)").as("amount"),
+        lit(logDT).as("log_dt"))
+
+  /** calls projection: recursive flatten with noise suppression, fee on
+    * root only (P4/P5 — graft.functions.CallFlatten inside a typed
+    * flatMap). */
+  def calls(raw: DataFrame, logDT: String): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val src = dayBlocks(raw, logDT)
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("hash").as("block_hash"),
+        explode(col("extrinsics")).as("ex"))
+      .select(col("chain_id"), col("number").as("block_number"),
+        col("block_hash"), col("ex.idx").as("ext_idx"),
+        col("ex.hash").as("extrinsic_hash"),
+        col("ex.section"), col("ex.method"),
+        col("ex.params"), col("ex.fee"), col("ex.signed"))
+      .as[(Int, Long, String, Int, String, String, String, String,
+        Double, Boolean)]
+    src.flatMap { case (chainId, bn, bh, extIdx, exHash, section, method,
+        params, fee, signed) =>
+      CallFlatten.flatten(params, Some(fee)).map { fc =>
+        (chainId, s"$bn-$extIdx", bh, bn, exHash, section, method,
+          fc.call_id, fc.call_section, fc.call_method, fc.call_args,
+          fc.root, fc.leaf, fc.fee, signed)
+      }
+    }.toDF("chain_id", "extrinsic_id", "block_hash", "block_number",
+        "extrinsic_hash", "extrinsic_section", "extrinsic_method",
+        "call_id", "call_section", "call_method", "call_args",
+        "root", "leaf", "fee", "signed")
+      .withColumn("log_dt", lit(logDT))
+  }
+
+  /** logs projection: digest-log posexplode with log ids (P8,
+    * ref substrateetl.js:6462-6473). */
+  def logs(raw: DataFrame, logDT: String): DataFrame =
+    dayBlocks(raw, logDT)
+      .select(col("chain_id"), col("number"), col("block_time"),
+        posexplode(col("logs")).as(Seq("log_idx", "lg")))
+      .select(col("chain_id"),
+        concat(col("number"), lit("-"), col("log_idx")).as("log_id"),
+        col("number").as("block_number"), col("block_time"),
+        col("lg.log_type"), col("lg.value"),
+        lit(logDT).as("log_dt"))
+
+  /** The whole §3.2 entry point: validate (timestamp-presence check,
+    * ref substrateetl.js:6451-6455), project all six tables, write each
+    * as an idempotent date partition. Returns the table map. */
+  def dumpDay(raw: DataFrame, logDT: String, outRoot: String): Map[String, DataFrame] = {
+    Udfs.register(raw.sparkSession)
+    val tables = Map(
+      "blocks" -> blocks(raw, logDT),
+      "extrinsics" -> extrinsics(raw, logDT),
+      "events" -> events(raw, logDT),
+      "transfers" -> transfers(raw, logDT),
+      "calls" -> calls(raw, logDT),
+      "logs" -> logs(raw, logDT))
+    tables.foreach { case (name, df) =>
+      Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
+    }
+    tables
+  }
+}

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-registered scalar functions — the Spark twin of the reference's
+  * BigQuery JS UDF surface (ref substrate/tools/udfs.sql; SURVEY §2.8)
+  * plus the paraTool conversions used on every exported row
+  * (ref substrateetl.js:6301,6396). All pure → Catalyst treats them as
+  * deterministic and can collapse/reorder them. */
+object Udfs {
+
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+
+    // P12 — address normalization (ref paraTool.js:1666 getPubKey /
+    // getAddress)
+    u.register("ss58_encode", (pubkeyHex: String, network: Int) =>
+      if (pubkeyHex == null) null
+      else Codec.ss58Encode(Codec.hexToBytes(pubkeyHex), network))
+    u.register("ss58_pubkey", (address: String) =>
+      if (address == null) null
+      else Codec.bytesToHex(Codec.ss58Decode(address)._2))
+
+    // crypto/encoding (ref paraTool.js:1785,1883)
+    u.register("twox128_hex", (s: String) =>
+      if (s == null) null
+      else Codec.bytesToHex(Codec.twox128(s.getBytes("UTF-8")), prefix = false))
+    u.register("blake2_256_hex", (hex: String) =>
+      if (hex == null) null
+      else Codec.bytesToHex(Codec.blake2b256(Codec.hexToBytes(hex)), prefix = false))
+
+    // decimal scaling of raw chain amounts (ref paraTool.js:214
+    // toBaseUnit; hex u128 → double at token decimals)
+    u.register("to_base_unit", (rawHex: String, decimals: Int) =>
+      if (rawHex == null) null
+      else java.lang.Double.valueOf(
+        Codec.toBaseUnit(BigInt(1, Codec.hexToBytes(rawHex)), decimals)))
+
+    // composite keys (ref paraTool.js:1945)
+    u.register("asset_chain", (asset: String, chainId: Int) =>
+      if (asset == null) null else Codec.makeAssetChain(asset, chainId))
+
+    // SCALE compact decode (leading field of a storage value)
+    u.register("compact_decode", (hex: String) =>
+      if (hex == null) null
+      else java.lang.Double.valueOf(
+        Codec.compactDecode(Codec.hexToBytes(hex))._1.toDouble))
+  }
+}
