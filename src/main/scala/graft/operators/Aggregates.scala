@@ -307,6 +307,25 @@ object Aggregates {
        | FROM events)
        |GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin
 
+  // A13 — era-style rollup with ARRAY_AGG (ref docs/StakingAnalytics.md:20
+  // ARRAY_AGG of validators per era): per day, the sorted distinct set of
+  // event types (joined to a string for engine-neutral hashing) + counts.
+  private def a13(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(dayKey(col("ts")).as("log_dt"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",")
+          .as("types_seen"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("log_dt"))
+
+  private val a13Sql =
+    s"""SELECT ${sqlDay(TS)} AS log_dt,
+       | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+       | count(DISTINCT event_type) AS n_types, count(*) AS n_events
+       |FROM events GROUP BY 1 ORDER BY log_dt""".stripMargin
+
   // A14 — gap detection via LAG islands (ref substrateetl.js:1008-1013).
   // Note: the global orderBy window is single-partition by design here
   // (matches the reference's per-chain query); at scale, partition by
@@ -387,6 +406,7 @@ object Aggregates {
     "a10_first_attribution" -> (a10 _),
     "a11_holder_tallies" -> (a11 _),
     "a12_ohlcv" -> (a12 _),
+    "a13_era_rollup" -> (a13 _),
     "a14_gap_islands" -> (a14 _),
     "a15_audit_counts" -> (a15 _),
     "a16_distinct_daily" -> (a16 _),
@@ -407,6 +427,7 @@ object Aggregates {
     "a10_first_attribution" -> a10Sql,
     "a11_holder_tallies" -> a11Sql,
     "a12_ohlcv" -> a12Sql,
+    "a13_era_rollup" -> a13Sql,
     "a14_gap_islands" -> a14Sql,
     "a15_audit_counts" -> a15Sql,
     "a16_distinct_daily" -> a16Sql,
