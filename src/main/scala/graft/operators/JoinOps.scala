@@ -303,6 +303,35 @@ object JoinOps {
        | FROM events WHERE event_type IN ('purchase', 'view'))
        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  // J16b — the same as-of semantics through the NATIVE operator
+  // (graft.plans.AsOfJoin: custom LogicalPlan + Strategy + co-partitioned
+  // merge Exec). Oracle = DuckDB's own ASOF JOIN. Each left row keeps the
+  // latest view with v_ts <= ts for the same user.
+  private def j16b(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"),
+        col("value").as("asof_view_value"))
+    graft.plans.AsOfJoin.asof(purchases, views, Seq("user_id"),
+        "ts", "v_ts")
+      // both sides carry the key column; disambiguate positionally
+      .toDF("user_id", "event_id", "ts", "r_user_id", "v_ts",
+        "asof_view_value")
+      .select(col("user_id"), col("event_id"), col("asof_view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j16bSql =
+    """SELECT p.user_id, p.event_id, v."value" AS asof_view_value
+      |FROM (SELECT user_id, event_id, ts FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events
+      |      WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // J17 — block-number-by-timestamp resolution: running max id per hour
   // (ref query.js:4290-4308 getBlockNumberByTS range probe).
   private def j17(s: SparkSession, d: String): DataFrame = {
@@ -336,10 +365,12 @@ object JoinOps {
     "j13_theta_band" -> (j13 _),
     "j14_day_over_day" -> (j14 _),
     "j16_asof_join" -> (j16 _),
+    "j16b_asof_native" -> (j16b _),
     "j17_running_resolve" -> (j17 _),
   )
 
   val oracles: Map[String, String] = Map(
+    "j16b_asof_native" -> j16bSql,
     "j1_interval_match" -> j1Sql,
     "j3_tolerance_match" -> j3Sql,
     "j6_dim_join" -> j6Sql,

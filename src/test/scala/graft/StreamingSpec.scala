@@ -94,4 +94,29 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 10L)))
   }
+
+  test("true stream-stream interval join with watermarks") {
+    val src = MemoryStream[(Long, Long, Timestamp)](spark)
+    val dst = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = EventStream.streamIntervalJoin(
+      src.toDS().toDF("user_id", "event_id", "ts"),
+      dst.toDS().toDF("user_id", "event_id", "ts"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join_out").outputMode("append").start()
+    try {
+      src.addData((7L, 1L, ts(1000)), (8L, 2L, ts(2000)))
+      dst.addData((7L, 10L, ts(1050)), (7L, 11L, ts(1500)),
+        (8L, 12L, ts(1990)))
+      q.processAllAvailable()
+      // advance both watermarks so in-window results are emitted
+      src.addData((9L, 99L, ts(9000)))
+      dst.addData((9L, 98L, ts(9000)))
+      q.processAllAvailable()
+      val out = spark.table("ss_join_out")
+        .filter(col("s_user") =!= 9) // sentinel rows join each other
+        .select("s_event_id", "d_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((1L, 10L)))
+    } finally q.stop()
+  }
 }
