@@ -55,6 +55,31 @@ object XcmMatcher {
         col("diff_ts"))
   }
 
+  /** J5 — parent/child XCM correlation by instruction-fingerprint
+    * subset inclusion within a 60 s window (ref xcmmanager.js:521-605:
+    * a child message's fingerprint set must be contained in the
+    * parent's, destination chain of the parent = origin of the child).
+    * Equi-join on the chain handoff key first; the window predicate and
+    * the array-containment check are post-join filters — no cross join.
+    */
+  def matchFingerprints(parents: DataFrame, children: DataFrame): DataFrame = {
+    val p = parents.select(col("msg_hash").as("parent_hash"),
+      col("chain_id_dest").as("handoff_chain"),
+      col("block_ts").as("p_ts"),
+      col("fingerprints").as("p_fp"))
+    val c = children.select(col("msg_hash").as("child_hash"),
+      col("chain_id").as("handoff_chain"),
+      col("block_ts").as("c_ts"),
+      col("fingerprints").as("c_fp"))
+    p.join(c, Seq("handoff_chain"))
+      .filter(col("c_ts") >= col("p_ts") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 60 SECONDS"))
+      // child fingerprint set ⊆ parent fingerprint set
+      .filter(size(array_except(col("c_fp"), col("p_fp"))) === 0)
+      .select(col("parent_hash"), col("child_hash"),
+        col("handoff_chain"), col("p_ts"), col("c_ts"))
+  }
+
   /** J3 — transfer → dest-candidate tolerance matching
     * (ref xcmCleaner.js:569-666): candidate window
     * `dest_ts ∈ [source_ts − 10 s, source_ts + 120 s]`, exact-amount

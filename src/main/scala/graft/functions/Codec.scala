@@ -340,6 +340,48 @@ object Codec {
     }
   }
 
+  // ---------- mortal era (extrinsic lifetime) ----------
+
+  /** Decode a two-byte SCALE MortalEra into (period, phase) — the
+    * extrinsic lifetime (ref paraTool.js:2067 getLifetime; public SCALE
+    * spec: low 4 bits of the LE u16 encode log2(period)−1, the rest the
+    * quantized phase). Returns None for the immortal era (0x00). */
+  def decodeMortalEra(b0: Int, b1: Int): Option[(Long, Long)] = {
+    if (b0 == 0 && b1 == 0) None // immortal
+    else {
+      val encoded = (b0 & 0xff) | ((b1 & 0xff) << 8)
+      val period = 2L << (encoded & 0x0f)
+      val quantizeFactor = math.max(period >> 12, 1L)
+      val phase = (encoded >> 4) * quantizeFactor
+      Some((period, phase))
+    }
+  }
+
+  /** Lifetime window [birth, death] for an era at `currentBlock`
+    * (ref paraTool.js getLifetime: birth = largest b ≤ current with
+    * b % period == phase; death = birth + period). */
+  def eraLifetime(period: Long, phase: Long, currentBlock: Long): (Long, Long) = {
+    val birth = currentBlock - ((currentBlock - phase) % period + period) % period
+    (birth, birth + period)
+  }
+
+  /** Extract the pubkey from a System.Account storage key:
+    * twox128("System") ++ twox128("Account") ++ blake2_128(pk) ++ pk —
+    * the trailing 32 bytes are the raw pubkey, and the 16-byte
+    * blake2_128 prefix must match (blake2_128_concat hasher;
+    * ref paraTool.js:2025 parseStorageKey). Returns None if the key is
+    * malformed or fails the hash check. */
+  def systemAccountKeyPubkey(keyHex: String): Option[Array[Byte]] = {
+    val bytes = hexToBytes(keyHex)
+    if (bytes.length != 16 + 16 + 16 + 32) None
+    else {
+      val pk = bytes.slice(48, 80)
+      val h = blake2b(pk, 16)
+      if (java.util.Arrays.equals(bytes.slice(32, 48), h)) Some(pk)
+      else None
+    }
+  }
+
   // ---------- composite keys & time keys ----------
 
   /** `asset~chainID` composite (ref paraTool.js:1945 makeAssetChain). */

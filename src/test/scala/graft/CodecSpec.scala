@@ -128,6 +128,35 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("mortal era decode: spec example and immortal") {
+    // the SCALE spec's worked example: bytes b5 03 → period 64, phase 59
+    assert(Codec.decodeMortalEra(0xb5, 0x03).contains((64L, 59L)))
+    assert(Codec.decodeMortalEra(0, 0).isEmpty) // immortal
+    // large period uses the quantize factor
+    val (p, ph) = Codec.decodeMortalEra(0xee, 0xff).get
+    assert(p == 2L << 0xe)
+    assert(ph % math.max(p >> 12, 1) == 0)
+    // lifetime window contains the current block and aligns to phase
+    val (birth, death) = Codec.eraLifetime(64, 59, 100000)
+    assert(birth == 99963 && death == 100027 && birth % 64 == 59)
+  }
+
+  test("System.Account key pubkey extraction with hash check") {
+    val pk = Codec.hexToBytes(
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d")
+    val key = Codec.bytesToHex(
+      Codec.twox128("System".getBytes(UTF_8)) ++
+        Codec.twox128("Account".getBytes(UTF_8)) ++
+        Codec.blake2b(pk, 16) ++ pk)
+    assert(Codec.systemAccountKeyPubkey(key).map(hex) ==
+      Some(hex(pk)))
+    // corrupt the blake2_128 prefix → rejected
+    val bad = key.substring(0, 2 + 64) + "00" * 16 +
+      key.substring(2 + 64 + 32)
+    assert(Codec.systemAccountKeyPubkey(bad).isEmpty)
+    assert(Codec.systemAccountKeyPubkey("0x1234").isEmpty)
+  }
+
   test("asset-chain key round-trip incl. '~' inside asset json") {
     val k = Codec.makeAssetChain("""{"Token":"A~B"}""", 22000)
     assert(Codec.parseAssetChain(k) == (("""{"Token":"A~B"}""", 22000)))

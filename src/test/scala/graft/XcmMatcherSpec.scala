@@ -81,6 +81,25 @@ class XcmMatcherSpec extends AnyFunSuite {
     assert(out == Set(("5-1", "900-1-1", 1), ("6-1", "910-1-1", 0)))
   }
 
+  test("fingerprint subset matching within the 60 s window") {
+    val parents = Seq(
+      ("0xp1", 1, 2, ts(1000), Seq("a", "b", "c")),
+      ("0xp2", 1, 3, ts(1000), Seq("a"))
+    ).toDF("msg_hash", "chain_id", "chain_id_dest", "block_ts",
+      "fingerprints")
+    val children = Seq(
+      ("0xc1", 2, 4, ts(1030), Seq("a", "b")),   // ⊆ p1, in window ✓
+      ("0xc2", 2, 4, ts(1030), Seq("a", "z")),   // z ∉ p1 ✗
+      ("0xc3", 2, 4, ts(1100), Seq("a")),        // +100 s ✗
+      ("0xc4", 3, 4, ts(1010), Seq("a"))         // ⊆ p2 via chain 3 ✓
+    ).toDF("msg_hash", "chain_id", "chain_id_dest", "block_ts",
+      "fingerprints")
+    val out = XcmMatcher.matchFingerprints(parents, children)
+      .select("parent_hash", "child_hash").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("0xp1", "0xc1"), ("0xp2", "0xc4")))
+  }
+
   test("transfer matching: one candidate event consumed once") {
     val transfers = Seq(
       ("5-1", 0, 0, 1, 2, "DOT", BigDecimal(1000), ts(5000), "0xm1", 10L),
