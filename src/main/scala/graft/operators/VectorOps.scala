@@ -137,7 +137,7 @@ object VectorOps {
        |   / count(*), 6) AS avg_sq_norm
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-  // V4 — embedding-cosine near-duplicate pairs above 0.95 among the
+  // V4 — embedding-cosine near-duplicate pairs above a threshold among
   // first 500 vectors (the exact verify step an LSH/IVF blocker would
   // feed at scale).
   private def v4(s: SparkSession, d: String): DataFrame = {
@@ -152,7 +152,7 @@ object VectorOps {
     a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
         round(cosine("ea", "eb"), 6).as("sim"))
-      .filter(col("sim") >= 0.95)
+      .filter(col("sim") >= 0.45)
       .orderBy(col("va"), col("vb"))
   }
 
@@ -161,7 +161,58 @@ object VectorOps {
        | round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS sim
        |FROM embeddings a CROSS JOIN embeddings b
        |WHERE a.vec_id < 500 AND b.vec_id < 500 AND a.vec_id < b.vec_id
-       |  AND round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.95
+       |  AND round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.45
+       |ORDER BY va, vb""".stripMargin
+
+  // V5 — IVF-blocked near-duplicate detection: the 100 TB path for v4.
+  // Assign every vector to its nearest codebook cell (map-side broadcast,
+  // as in v2), then search pairs only WITHIN a cell — candidate count
+  // drops from N²/2 to Σ|cell|²/2. Exact-verify survivors above the
+  // threshold (0.45 here: the synthetic vectors are near-orthogonal, max
+  // pairwise cosine ≈ 0.51, so a production 0.9x threshold matches nothing).
+  // (Boundary pairs straddling two cells are missed by design — the
+  // recall/cost trade every IVF/LSH blocker makes; multi-probe raises
+  // recall at scale.)
+  private def v5(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val assigned = emb
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosine("embedding", "cv"), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .select(col("cell"), col("va"), col("vb"),
+        round(cosine("ea", "eb"), 6).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  private val v5Sql =
+    s"""WITH assigned AS (
+       | SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, s.vec_id AS cell,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${sqlCosine("e.embedding", "s.embedding")}, 6) DESC,
+       |     s.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN embeddings s
+       |  WHERE e.vec_id < 2000 AND s.vec_id < 8)
+       | WHERE rn = 1)
+       |SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
+       | round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM assigned a JOIN assigned b
+       | ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.45
        |ORDER BY va, vb""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,6 +220,7 @@ object VectorOps {
     "v2_ivf_assign" -> (v2 _),
     "v3_centroid_stats" -> (v3 _),
     "v4_embedding_neardup" -> (v4 _),
+    "v5_ivf_blocked_neardup" -> (v5 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +228,6 @@ object VectorOps {
     "v2_ivf_assign" -> v2Sql,
     "v3_centroid_stats" -> v3Sql,
     "v4_embedding_neardup" -> v4Sql,
+    "v5_ivf_blocked_neardup" -> v5Sql,
   )
 }
