@@ -33,7 +33,10 @@ object Layout {
   def writeSortedPartitions(df: DataFrame, path: String,
       partitionCol: String, sortCols: Seq[String]): Unit =
     df.repartition(col(partitionCol))
-      .sortWithinPartitions(sortCols.map(col): _*)
+      // lead with the partition column: FileFormatWriter requires an
+      // ordering on partition columns and would re-sort (unstably,
+      // destroying the key order) if it isn't already satisfied
+      .sortWithinPartitions((partitionCol +: sortCols).map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)

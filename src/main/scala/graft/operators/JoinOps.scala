@@ -62,6 +62,55 @@ object JoinOps {
        | WHERE d.d_us - s.s_us BETWEEN 0 AND CAST(7200000000 AS BIGINT))
        |WHERE rn = 1 ORDER BY s_event_id""".stripMargin
 
+  // J2 — the full two-pass match: after the per-source closest-wins pick
+  // (j1), each destination may be consumed by only ONE source — first
+  // wins in the same (diff, id) order (ref xcmmanager.js:609-645 dedup
+  // pass marking duplicates).
+  private def j2(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val src = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_event_id"),
+        us(col("ts")).as("s_us"))
+    val dst = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("d_event_id"),
+        us(col("ts")).as("d_us"))
+    val joined = src.join(dst, Seq("user_id"))
+      .withColumn("diff_us", col("d_us") - col("s_us"))
+      .filter(col("diff_us") >= 0L &&
+        col("diff_us") <= 7200L * 1000000L)
+    val perSrc = Window.partitionBy(col("s_event_id"))
+      .orderBy(col("diff_us"), col("d_event_id"))
+    val best = joined.withColumn("rn", row_number().over(perSrc))
+      .filter(col("rn") === 1).drop("rn")
+    val perDst = Window.partitionBy(col("d_event_id"))
+      .orderBy(col("diff_us"), col("s_event_id"))
+    best.withColumn("rn", row_number().over(perDst))
+      .filter(col("rn") === 1).drop("rn")
+      .select(col("user_id"), col("s_event_id"), col("d_event_id"),
+        col("diff_us"))
+      .orderBy(col("s_event_id"))
+  }
+
+  private val j2Sql =
+    s"""WITH cand AS (
+       | SELECT s.user_id, s.s_event_id, d.d_event_id,
+       |  d.d_us - s.s_us AS diff_us
+       | FROM (SELECT user_id, event_id AS s_event_id, ${sqlUs(TS)} AS s_us
+       |       FROM events WHERE event_type = 'signup') s
+       | JOIN (SELECT user_id, event_id AS d_event_id, ${sqlUs(TS)} AS d_us
+       |       FROM events WHERE event_type = 'purchase') d
+       |  ON s.user_id = d.user_id
+       | WHERE d.d_us - s.s_us BETWEEN 0 AND CAST(7200000000 AS BIGINT)),
+       |best AS (
+       | SELECT * FROM (SELECT *, row_number() OVER (
+       |   PARTITION BY s_event_id ORDER BY diff_us, d_event_id) AS rn
+       |  FROM cand) WHERE rn = 1)
+       |SELECT user_id, s_event_id, d_event_id, diff_us FROM (
+       | SELECT user_id, s_event_id, d_event_id, diff_us,
+       |  row_number() OVER (PARTITION BY d_event_id
+       |    ORDER BY diff_us, s_event_id) AS rn2
+       | FROM best) WHERE rn2 = 1 ORDER BY s_event_id""".stripMargin
+
   // J3 — tolerance/as-of candidate matching with value predicate and
   // confidence ranking (ref xcmCleaner.js:569-666: destTS within
   // [sourceTS-10, sourceTS+120], amount tolerance, confidence sort).
@@ -356,6 +405,7 @@ object JoinOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_interval_match" -> (j1 _),
+    "j2_dedup_match" -> (j2 _),
     "j3_tolerance_match" -> (j3 _),
     "j6_dim_join" -> (j6 _),
     "j8_route_tally" -> (j8 _),
@@ -372,6 +422,7 @@ object JoinOps {
   val oracles: Map[String, String] = Map(
     "j16b_asof_native" -> j16bSql,
     "j1_interval_match" -> j1Sql,
+    "j2_dedup_match" -> j2Sql,
     "j3_tolerance_match" -> j3Sql,
     "j6_dim_join" -> j6Sql,
     "j8_route_tally" -> j8Sql,
