@@ -115,6 +115,33 @@ object FlattenOps {
       |FROM kids WHERE l_quantity >= 2
       |ORDER BY o_orderkey, call_id""".stripMargin
 
+  // P6 — duplicate-emit transfer dedup: parachains emit the same logical
+  // transfer through several event paths; canonicalization keeps one row
+  // per transfer identity and the audit compares raw vs deduped counts
+  // (ref indexer.js:4228 map_feedTransfers_to_transfers; dup note
+  // docs/DEFINITIONS.md:255-258; detector substrateetl.js:5324).
+  private def p6(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val raw = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_raw"))
+    val deduped = ev
+      .dropDuplicates("user_id", "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_dedup"))
+    raw.join(deduped, Seq("event_type"))
+      .withColumn("n_dups", col("n_raw") - col("n_dedup"))
+      .orderBy(col("event_type"))
+  }
+
+  private val p6Sql =
+    """SELECT r.event_type, r.n_raw, d.n_dedup, r.n_raw - d.n_dedup AS n_dups
+      |FROM (SELECT event_type, count(*) AS n_raw FROM events GROUP BY 1) r
+      |JOIN (SELECT event_type, count(*) AS n_dedup FROM (
+      |   SELECT DISTINCT user_id, event_type, "value" FROM events)
+      |  GROUP BY 1) d
+      | ON r.event_type = d.event_type
+      |ORDER BY r.event_type""".stripMargin
+
   // P8 — posexplode digest-log flatten (ref substrateetl.js:6462-6473):
   // per-vector element statistics via explode.
   private def p8(s: SparkSession, d: String): DataFrame =
@@ -142,6 +169,7 @@ object FlattenOps {
     "p3_json_extract" -> (p3 _),
     "p4_call_flatten" -> (p4 _),
     "p5_noise_suppression" -> (p5 _),
+    "p6_transfer_dedup" -> (p6 _),
     "p8_posexplode" -> (p8 _),
   )
 
@@ -149,6 +177,7 @@ object FlattenOps {
     "p3_json_extract" -> p3Sql,
     "p4_call_flatten" -> p4Sql,
     "p5_noise_suppression" -> p5Sql,
+    "p6_transfer_dedup" -> p6Sql,
     "p8_posexplode" -> p8Sql,
   )
 }

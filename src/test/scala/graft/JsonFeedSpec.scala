@@ -1,0 +1,40 @@
+package graft
+
+import graft.sources.JsonFeed
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** External payload readers (S13): coingecko market-chart JSON and
+  * wallet-attribution CSV into engine schemas. */
+class JsonFeedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("market chart payload → 5-min aligned price rows") {
+    val dir = Files.createTempDirectory("graft_feed")
+    val f = dir.resolve("dot.json")
+    Files.writeString(f,
+      """{"prices": [[1700000100000, 5.25], [1700000400000, 5.30]],
+        |"total_volumes": [[1700000100000, 1000.0], [1700000400000, 1100.0]]}"""
+        .stripMargin)
+    val out = JsonFeed.marketChart(spark, f.toString, "DOT", 0)
+      .orderBy("index_ts").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("asset") == "DOT")
+    assert(out(0).getAs[Double]("price_usd") == 5.25)
+    assert(out(0).getAs[Double]("volume") == 1000.0)
+    // 1700000100 aligns down to 1700000100 - (1700000100 % 300)
+    val ts0 = out(0).getAs[java.sql.Timestamp]("index_ts").getTime / 1000
+    assert(ts0 % 300 == 0 && ts0 <= 1700000100 && ts0 > 1700000100 - 300)
+  }
+
+  test("wallet label CSV → dimension rows") {
+    val dir = Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("labels.csv")
+    Files.writeString(f,
+      "address,label,kind\n0xabc,Binance 1,exchange\n0xdef,Treasury,system\n")
+    val out = JsonFeed.walletLabels(spark, f.toString).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out == Map("0xabc" -> ("Binance 1", "exchange"),
+      "0xdef" -> ("Treasury", "system")))
+  }
+}
