@@ -40,12 +40,20 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name != "events") df
+    else df.schema("ts").dataType match {
       // raw INT64 nanos -> TimestampType(micros); `div` floors, matching
-      // DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation.
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+      // DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // timezone-less micros (e.g. plain TIMESTAMP parquet) -> session-TZ
+      // timestamp; session is pinned UTC so values are unchanged
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already TimestampType
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
