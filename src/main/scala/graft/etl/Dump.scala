@@ -165,19 +165,27 @@ object Dump {
 
   /** The whole §3.2 entry point: validate (timestamp-presence check,
     * ref substrateetl.js:6451-6455), project all six tables, write each
-    * as an idempotent date partition. Returns the table map. */
+    * as an idempotent date partition. Returns the table map.
+    *
+    * The day-filtered raw scan is persisted for the duration of the six
+    * writes — each write is its own job, and without the persist the
+    * (at scale, enormous) raw table would be re-scanned six times. */
   def dumpDay(raw: DataFrame, logDT: String, outRoot: String): Map[String, DataFrame] = {
     Udfs.register(raw.sparkSession)
-    val tables = Map(
-      "blocks" -> blocks(raw, logDT),
-      "extrinsics" -> extrinsics(raw, logDT),
-      "events" -> events(raw, logDT),
-      "transfers" -> transfers(raw, logDT),
-      "calls" -> calls(raw, logDT),
-      "logs" -> logs(raw, logDT))
-    tables.foreach { case (name, df) =>
-      Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
-    }
-    tables
+    val day = dayBlocks(raw, logDT)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tables = Map(
+        "blocks" -> blocks(day, logDT),
+        "extrinsics" -> extrinsics(day, logDT),
+        "events" -> events(day, logDT),
+        "transfers" -> transfers(day, logDT),
+        "calls" -> calls(day, logDT),
+        "logs" -> logs(day, logDT))
+      tables.foreach { case (name, df) =>
+        Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
+      }
+      tables
+    } finally day.unpersist()
   }
 }

@@ -20,14 +20,14 @@ object Writers {
   /** S7 — write `df` partitioned by `partitionCols`, replacing only the
     * partitions contained in the batch. */
   def overwritePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
-    df.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      partitionCols: Seq[String]): Unit =
     df.write
       .mode(SaveMode.Overwrite)
+      // per-write option — NOT the session conf, which would silently
+      // change the semantics of unrelated overwrite writes later
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
-  }
 
   /** S9 — upsert: rows from `updates` win over `base` on `keys`;
     * within `updates`, the highest `versionCol` wins (deterministic).

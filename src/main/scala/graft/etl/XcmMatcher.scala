@@ -37,15 +37,19 @@ object XcmMatcher {
       .filter(col("diff_sent_at").between(0, 4))
       .withColumn("diff_ts",
         abs(unix_timestamp(col("d_ts")) - unix_timestamp(col("s_ts"))))
-    // closest dest per source…
+    // closest dest per source… (the source identity includes the chain
+    // pair: a multi-hop message reuses its msg_hash on several pairs,
+    // ref xcmmanager.js groups by (msgHash, chains))
     val perSrc = Window
-      .partitionBy(col("msg_hash"), col("s_sent_at"), col("s_block_number"))
+      .partitionBy(col("msg_hash"), col("chain_id"), col("chain_id_dest"),
+        col("s_sent_at"), col("s_block_number"))
       .orderBy(col("diff_sent_at"), col("diff_ts"), col("d_block_number"))
     val best = cand.withColumn("rn", row_number().over(perSrc))
       .filter(col("rn") === 1).drop("rn")
     // …then each dest consumed once, first source (same ordering) wins
     val perDst = Window
-      .partitionBy(col("msg_hash"), col("d_sent_at"), col("d_block_number"))
+      .partitionBy(col("msg_hash"), col("chain_id"), col("chain_id_dest"),
+        col("d_sent_at"), col("d_block_number"))
       .orderBy(col("diff_sent_at"), col("diff_ts"), col("s_block_number"))
     best.withColumn("rn", row_number().over(perDst))
       .filter(col("rn") === 1).drop("rn")

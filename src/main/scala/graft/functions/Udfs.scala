@@ -40,10 +40,10 @@ object Udfs {
     u.register("asset_chain", (asset: String, chainId: Int) =>
       if (asset == null) null else Codec.makeAssetChain(asset, chainId))
 
-    // SCALE compact decode (leading field of a storage value)
-    u.register("compact_decode", (hex: String) =>
-      if (hex == null) null
-      else java.lang.Double.valueOf(
-        Codec.compactDecode(Codec.hexToBytes(hex))._1.toDouble))
+    // SCALE compact decode (leading field of a storage value); null on
+    // malformed input — one bad value must not fail the stage (reuses
+    // the guarded TraceDecode path)
+    u.register("compact_decode",
+      graft.decode.TraceDecode.decodeCompactHex)
   }
 }

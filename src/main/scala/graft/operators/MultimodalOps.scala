@@ -59,6 +59,10 @@ object MultimodalOps {
   private def m2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = Tables.documents(s, d)
+      // filter BEFORE the typed mapPartitions barrier: Catalyst can't
+      // push predicates through it, and the decode step is the expensive
+      // part being gated
+      .filter(col("doc_id") < 200)
       .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
       .as[(Long, String, Array[Byte])]
     src.mapPartitions { it =>
@@ -71,7 +75,6 @@ object MultimodalOps {
         MediaMeta(id, source, payload.length, w, h, f, feat)
       }
     }.toDF()
-      .filter(col("doc_id") < 200)
       .orderBy(col("doc_id"))
   }
 

@@ -25,20 +25,35 @@ object Serve {
         Seq("chain_id"), "left")
       .orderBy(col("extrinsic_id"))
 
+  /** Numeric sort keys from a "blockNumber-idx" extrinsic id —
+    * lexicographic comparison would rank "99-0" after "100-1". */
+  private def extBn: Column =
+    split(col("extrinsic_id"), "-").getItem(0).cast("long")
+  private def extIdx: Column =
+    split(col("extrinsic_id"), "-").getItem(1).cast("long")
+
   /** Q2/W5 — account timeline tab, reverse-chronological with keyset
     * pagination (ref query.js:4544-4778: address#invertedTS scan →
-    * ORDER BY desc + keyset predicate). `beforeUs` = exclusive upper
-    * bound from the previous page's last row. */
+    * ORDER BY desc + keyset predicate). The keyset is the full sort key
+    * (ts, extrinsic_id) of the previous page's last row — a ts-only
+    * bound would skip rows sharing the boundary timestamp (several
+    * extrinsics per block share block_time routinely). */
   def accountTimeline(events: DataFrame, pubkey: String,
       chainFilter: Option[Seq[Int]], pageSize: Int,
-      beforeUs: Option[Long]): DataFrame = {
+      before: Option[(Long, String)]): DataFrame = {
     var df = events.filter(col("from_pub_key") === pubkey ||
       col("to_pub_key") === pubkey)
     chainFilter.foreach(cs => df = df.filter(col("chain_id").isin(cs: _*)))
-    beforeUs.foreach(b =>
-      df = df.filter(unix_micros(col("block_time")) < b))
+    before.foreach { case (bUs, bId) =>
+      val bBn = bId.split("-")(0).toLong
+      val bIdx = bId.split("-")(1).toLong
+      val ts = unix_micros(col("block_time"))
+      df = df.filter(ts < bUs ||
+        (ts === bUs && (extBn < bBn ||
+          (extBn === bBn && extIdx < bIdx))))
+    }
     df.orderBy(unix_micros(col("block_time")).desc,
-        col("extrinsic_id").desc)
+        extBn.desc, extIdx.desc)
       .limit(pageSize)
   }
 
@@ -70,7 +85,10 @@ object Serve {
         col("block_time"), col("extrinsic_id"), lit("in").as("direction"),
         col("amount")))
       .groupBy(col("pubkey"))
+      // argmax over NUMERIC (ts, block, idx) — the raw id string would
+      // compare lexicographically ("99-0" > "100-1")
       .agg(max(struct(unix_micros(col("block_time")).as("ts_us"),
+        extBn.as("bn"), extIdx.as("idx"),
         col("extrinsic_id"), col("direction"), col("amount"))).as("m"))
       .select(col("pubkey"), col("m.ts_us").as("last_ts_us"),
         col("m.extrinsic_id").as("last_extrinsic_id"),

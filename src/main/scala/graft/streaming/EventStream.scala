@@ -57,14 +57,25 @@ object EventStream {
           // the ST3 reconciliation job (gap audit + backfill), not a
           // processing-time timeout — timeout triggers would force a
           // no-data micro-batch per trigger, wasted work at idle.
-          val all = state.getOption.getOrElse(Nil) ++ rows
-          all.find(_.finalized) match {
-            case Some(win) =>
-              state.remove()
-              Iterator.single(Finalized(chain, bn, win.block_hash, win.ts))
-            case None =>
-              state.update(all)
-              Iterator.empty
+          //
+          // After emission the state keeps an EMPTY list as a tombstone:
+          // a redundant crawler delivering the finalized block again in a
+          // later micro-batch (the explicit ST5 bronze model) must not
+          // re-emit. Tombstones are per-block-ever-seen; production
+          // deployments evict them with the same reconciliation cadence.
+          val emitted = state.getOption.exists(_.isEmpty)
+          if (emitted) Iterator.empty
+          else {
+            val all = state.getOption.getOrElse(Nil) ++ rows
+            all.find(_.finalized) match {
+              case Some(win) =>
+                state.update(Nil) // tombstone
+                Iterator.single(
+                  Finalized(chain, bn, win.block_hash, win.ts))
+              case None =>
+                state.update(all)
+                Iterator.empty
+            }
           }
       }
   }

@@ -24,7 +24,12 @@ class ServeSpec extends AnyFunSuite {
 
   private lazy val transfers = Seq(
     (0, "a", "b", ts("2024-03-01 10:00:00"), "100-1", 1.0),
-    (0, "b", "a", ts("2024-03-01 11:00:00"), "101-0", 2.0),
+    // three transfers share one timestamp — blocks 99/100 interleave to
+    // exercise numeric (not lexicographic) extrinsic ordering and the
+    // composite keyset
+    (0, "b", "a", ts("2024-03-01 11:00:00"), "99-0", 1.5),
+    (0, "a", "c", ts("2024-03-01 11:00:00"), "101-0", 2.0),
+    (0, "c", "a", ts("2024-03-01 11:00:00"), "101-2", 2.5),
     (2000, "a", "c", ts("2024-03-02 00:30:00"), "7-0", 3.0)
   ).toDF("chain_id", "from_pub_key", "to_pub_key", "block_time",
     "extrinsic_id", "amount")
@@ -35,15 +40,21 @@ class ServeSpec extends AnyFunSuite {
     assert(out.select("hash").distinct().count() == 1)
   }
 
-  test("account timeline: desc order, chain filter, keyset pagination") {
-    val page1 = Serve.accountTimeline(transfers, "a", None, 2, None)
-      .select("extrinsic_id").collect().map(_.getString(0)).toSeq
-    assert(page1 == Seq("7-0", "101-0")) // newest first
-    val lastUs = Serve.accountTimeline(transfers, "a", None, 2, None)
-      .select(unix_micros(col("block_time"))).collect().last.getLong(0)
-    val page2 = Serve.accountTimeline(transfers, "a", None, 2, Some(lastUs))
-      .select("extrinsic_id").collect().map(_.getString(0)).toSeq
-    assert(page2 == Seq("100-1")) // continues past the keyset, no overlap
+  test("account timeline: numeric desc order, chain filter, composite keyset") {
+    def page(n: Int, before: Option[(Long, String)]) =
+      Serve.accountTimeline(transfers, "a", None, n, before)
+        .select(unix_micros(col("block_time")), col("extrinsic_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val p1 = page(2, None)
+    // newest first; within the shared 11:00 timestamp, block 101 before
+    // block 99 NUMERICALLY (lexicographic order would put "99-0" first)
+    assert(p1.map(_._2) == Seq("7-0", "101-2"))
+    // page 2 resumes from the full (ts, id) keyset — rows sharing the
+    // boundary timestamp are NOT skipped
+    val p2 = page(2, Some(p1.last))
+    assert(p2.map(_._2) == Seq("101-0", "99-0"))
+    val p3 = page(2, Some(p2.last))
+    assert(p3.map(_._2) == Seq("100-1"))
     val filtered = Serve.accountTimeline(transfers, "a", Some(Seq(2000)),
       10, None).select("extrinsic_id").collect().map(_.getString(0)).toSeq
     assert(filtered == Seq("7-0"))
@@ -57,12 +68,13 @@ class ServeSpec extends AnyFunSuite {
     assert(Serve.searchByHash(blocks, extrinsics, "0xnope").count() == 0)
   }
 
-  test("latestActivity keeps one latest row per account") {
+  test("latestActivity keeps one latest row per account (numeric id order)") {
     val out = Serve.latestActivity(transfers).collect()
       .map(r => r.getString(0) ->
         (r.getString(2), r.getString(3))).toMap
     assert(out("a") == ("7-0", "out"))   // 2024-03-02 outgoing wins
-    assert(out("b") == ("101-0", "out")) // latest of b's two rows
+    // b's latest row is the 11:00 outgoing transfer at block 99
+    assert(out("b") == ("99-0", "out"))
     assert(out("c") == ("7-0", "in"))
   }
 }

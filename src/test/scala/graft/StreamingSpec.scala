@@ -35,12 +35,11 @@ class StreamingSpec extends AnyFunSuite {
       val out = spark.table("finalized_out").as[Finalized].collect()
         .map(f => (f.chain_id, f.block_number, f.block_hash)).toSet
       assert(out == Set((1, 100L, "0xb"), (1, 101L, "0xc")))
-      // replayed duplicate finality is a no-op (state already removed +
-      // emitted) — matches ST5's dedup-across-redundant-crawlers
+      // replayed duplicate finality in a LATER micro-batch must be a
+      // no-op (tombstone state) — ST5's dedup-across-redundant-crawlers
       input.addData(Candidate(1, 101L, "0xc", finalized = true, ts(16)))
       query.processAllAvailable()
-      assert(spark.table("finalized_out").count() == 3 ||
-        spark.table("finalized_out").count() == 2)
+      assert(spark.table("finalized_out").count() == 2)
     } finally query.stop()
   }
 
