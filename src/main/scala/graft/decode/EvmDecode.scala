@@ -36,9 +36,18 @@ object EvmDecode {
     * (ref indexer.js:5113; ethTool ERC-20 handling). `logs` is an array
     * of structs (address, topics ARRAY<STRING>, data). */
   def erc20Transfers(txReceipts: DataFrame): DataFrame = {
-    val hexToDec = udf((h: String) =>
-      if (h == null || h.isEmpty || h == "0x") BigDecimal(0)
-      else BigDecimal(BigInt(1, Codec.hexToBytes(h))))
+    // explicit DecimalType(38,0): the inferred type for a BigDecimal
+    // return is Decimal(38,18), whose integer range (<1e20) silently
+    // NULLs routine 18-decimal token amounts like 10^21. Java UDF API:
+    // Spark 4 rejects the untyped Scala udf(f, dataType) form.
+    val hexToDec = udf(
+      new org.apache.spark.sql.api.java.UDF1[String, java.math.BigDecimal] {
+        override def call(h: String): java.math.BigDecimal =
+          if (h == null || h.isEmpty || h == "0x") java.math.BigDecimal.ZERO
+          else new java.math.BigDecimal(
+            BigInt(1, Codec.hexToBytes(h)).bigInteger)
+      },
+      org.apache.spark.sql.types.DecimalType(38, 0))
     txReceipts
       .select(col("transaction_hash"), col("block_number"),
         posexplode(col("logs")).as(Seq("log_index", "lg")))
@@ -54,6 +63,6 @@ object EvmDecode {
           .as("from_address"),
         concat(lit("0x"), substring(col("lg.topics")(2), 27, 40))
           .as("to_address"),
-        hexToDec(col("lg.data")).cast("decimal(38,0)").as("raw_value"))
+        hexToDec(col("lg.data")).as("raw_value"))
   }
 }

@@ -23,7 +23,9 @@ object Dump {
 
   /** Filter to the UTC day and flag rows like the reference's guards
     * (ref substrateetl.js:6271-6288: fork/date-mismatch checks —
-    * finalized-only, matching logDT). */
+    * finalized-only, matching logDT). Applied exactly once per input:
+    * the public projections call it on raw input; dumpDay applies it
+    * once, persists, and feeds the day frame to the *Of variants. */
   private def dayBlocks(raw: DataFrame, logDT: String): DataFrame = {
     Udfs.register(raw.sparkSession) // idempotent; projections use the UDFs
     raw.filter(col("finalized") &&
@@ -33,7 +35,10 @@ object Dump {
   /** blocks projection + per-block stats (A1,
     * ref indexer.js:5019-5047 getBlockStats; substrateetl.js:6293-6309). */
   def blocks(raw: DataFrame, logDT: String): DataFrame =
-    dayBlocks(raw, logDT).select(
+    blocksOf(dayBlocks(raw, logDT), logDT)
+
+  private def blocksOf(day: DataFrame, logDT: String): DataFrame =
+    day.select(
       col("chain_id"), col("number"), col("hash"), col("parent_hash"),
       col("block_time"), col("spec_version"),
       col("author_pub").as("author_pub_key"),
@@ -49,7 +54,10 @@ object Dump {
     * system.ExtrinsicSuccess/Failed event WITHOUT exploding (P2,
     * ref indexer.js:3754 checkExtrinsicStatusAndFee). */
   def extrinsics(raw: DataFrame, logDT: String): DataFrame =
-    dayBlocks(raw, logDT)
+    extrinsicsOf(dayBlocks(raw, logDT), logDT)
+
+  private def extrinsicsOf(day: DataFrame, logDT: String): DataFrame =
+    day
       .select(col("chain_id"), col("number"), col("block_time"),
         col("hash").as("block_hash"),
         explode(col("extrinsics")).as("ex"))
@@ -72,7 +80,10 @@ object Dump {
   /** events projection with composite ids (P3,
     * ref substrateetl.js:6314-6341). */
   def events(raw: DataFrame, logDT: String): DataFrame =
-    dayBlocks(raw, logDT)
+    eventsOf(dayBlocks(raw, logDT), logDT)
+
+  private def eventsOf(day: DataFrame, logDT: String): DataFrame =
+    day
       .select(col("chain_id"), col("number"), col("block_time"),
         col("hash").as("block_hash"),
         explode(col("extrinsics")).as("ex"))
@@ -95,7 +106,10 @@ object Dump {
     * ref indexer.js:4228 map_feedTransfers_to_transfers; dedup note
     * docs/DEFINITIONS.md:255-258). */
   def transfers(raw: DataFrame, logDT: String): DataFrame =
-    dayBlocks(raw, logDT)
+    transfersOf(dayBlocks(raw, logDT), logDT)
+
+  private def transfersOf(day: DataFrame, logDT: String): DataFrame =
+    day
       .select(col("chain_id"), col("number"), col("block_time"),
         col("hash").as("block_hash"),
         explode(col("extrinsics")).as("ex"))
@@ -123,10 +137,13 @@ object Dump {
   /** calls projection: recursive flatten with noise suppression, fee on
     * root only (P4/P5 — graft.functions.CallFlatten inside a typed
     * flatMap). */
-  def calls(raw: DataFrame, logDT: String): DataFrame = {
-    val spark = raw.sparkSession
+  def calls(raw: DataFrame, logDT: String): DataFrame =
+    callsOf(dayBlocks(raw, logDT), logDT)
+
+  private def callsOf(day: DataFrame, logDT: String): DataFrame = {
+    val spark = day.sparkSession
     import spark.implicits._
-    val src = dayBlocks(raw, logDT)
+    val src = day
       .select(col("chain_id"), col("number"), col("block_time"),
         col("hash").as("block_hash"),
         explode(col("extrinsics")).as("ex"))
@@ -154,7 +171,10 @@ object Dump {
   /** logs projection: digest-log posexplode with log ids (P8,
     * ref substrateetl.js:6462-6473). */
   def logs(raw: DataFrame, logDT: String): DataFrame =
-    dayBlocks(raw, logDT)
+    logsOf(dayBlocks(raw, logDT), logDT)
+
+  private def logsOf(day: DataFrame, logDT: String): DataFrame =
+    day
       .select(col("chain_id"), col("number"), col("block_time"),
         posexplode(col("logs")).as(Seq("log_idx", "lg")))
       .select(col("chain_id"),
@@ -176,12 +196,12 @@ object Dump {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val tables = Map(
-        "blocks" -> blocks(day, logDT),
-        "extrinsics" -> extrinsics(day, logDT),
-        "events" -> events(day, logDT),
-        "transfers" -> transfers(day, logDT),
-        "calls" -> calls(day, logDT),
-        "logs" -> logs(day, logDT))
+        "blocks" -> blocksOf(day, logDT),
+        "extrinsics" -> extrinsicsOf(day, logDT),
+        "events" -> eventsOf(day, logDT),
+        "transfers" -> transfersOf(day, logDT),
+        "calls" -> callsOf(day, logDT),
+        "logs" -> logsOf(day, logDT))
       tables.foreach { case (name, df) =>
         Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
       }

@@ -75,11 +75,21 @@ object XcmMatcher {
       col("chain_id").as("handoff_chain"),
       col("block_ts").as("c_ts"),
       col("fingerprints").as("c_fp"))
-    p.join(c, Seq("handoff_chain"))
+    val cand = p.join(c, Seq("handoff_chain"))
       .filter(col("c_ts") >= col("p_ts") &&
         col("c_ts") <= col("p_ts") + expr("INTERVAL 60 SECONDS"))
+      // an empty child fingerprint set is vacuously ⊆ everything — no
+      // evidence, no match
+      .filter(size(col("c_fp")) > 0)
       // child fingerprint set ⊆ parent fingerprint set
       .filter(size(array_except(col("c_fp"), col("p_fp"))) === 0)
+    // one parent per child: closest preceding parent wins (same
+    // first-wins discipline as matchMessages/matchTransfers)
+    val w = Window.partitionBy(col("child_hash"))
+      .orderBy((unix_timestamp(col("c_ts")) -
+        unix_timestamp(col("p_ts"))).asc, col("parent_hash"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
       .select(col("parent_hash"), col("child_hash"),
         col("handoff_chain"), col("p_ts"), col("c_ts"))
   }

@@ -371,16 +371,21 @@ object Codec {
     * blake2_128 prefix must match (blake2_128_concat hasher;
     * ref paraTool.js:2025 parseStorageKey). Returns None if the key is
     * malformed or fails the hash check. */
-  def systemAccountKeyPubkey(keyHex: String): Option[Array[Byte]] = {
-    val bytes = hexToBytes(keyHex)
-    if (bytes.length != 16 + 16 + 16 + 32) None
-    else {
-      val pk = bytes.slice(48, 80)
-      val h = blake2b(pk, 16)
-      if (java.util.Arrays.equals(bytes.slice(32, 48), h)) Some(pk)
-      else None
+  def systemAccountKeyPubkey(keyHex: String): Option[Array[Byte]] =
+    try {
+      val bytes = hexToBytes(keyHex)
+      if (bytes.length != 16 + 16 + 16 + 32) None
+      else {
+        val pk = bytes.slice(48, 80)
+        val h = blake2b(pk, 16)
+        if (java.util.Arrays.equals(bytes.slice(32, 48), h)) Some(pk)
+        else None
+      }
+    } catch {
+      // non-hex garbage in a corrupt dump row is malformed input, not a
+      // stage-killing error
+      case _: NumberFormatException => None
     }
-  }
 
   // ---------- composite keys & time keys ----------
 

@@ -32,28 +32,41 @@ object Serve {
   private def extIdx: Column =
     split(col("extrinsic_id"), "-").getItem(1).cast("long")
 
+  /** Pagination cursor: the full sort key of the previous page's last
+    * row. chain_id is part of the key — block numbers collide freely
+    * across chains, so (ts, extrinsic_id) alone is not unique for a
+    * multi-chain account. */
+  case class Cursor(tsUs: Long, chainId: Int, extrinsicId: String) {
+    private val parts = extrinsicId.split("-")
+    require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+      s"malformed cursor extrinsic id '$extrinsicId'")
+    val bn: Long = parts(0).toLong
+    val idx: Long = parts(1).toLong
+  }
+
   /** Q2/W5 — account timeline tab, reverse-chronological with keyset
     * pagination (ref query.js:4544-4778: address#invertedTS scan →
-    * ORDER BY desc + keyset predicate). The keyset is the full sort key
-    * (ts, extrinsic_id) of the previous page's last row — a ts-only
-    * bound would skip rows sharing the boundary timestamp (several
-    * extrinsics per block share block_time routinely). */
+    * ORDER BY desc + keyset predicate). A ts-only bound would skip rows
+    * sharing the boundary timestamp (several extrinsics per block share
+    * block_time routinely) — the cursor carries the whole sort key.
+    * A malformed externally-supplied cursor fails fast with
+    * IllegalArgumentException rather than crashing mid-query. */
   def accountTimeline(events: DataFrame, pubkey: String,
       chainFilter: Option[Seq[Int]], pageSize: Int,
-      before: Option[(Long, String)]): DataFrame = {
+      before: Option[Cursor]): DataFrame = {
     var df = events.filter(col("from_pub_key") === pubkey ||
       col("to_pub_key") === pubkey)
     chainFilter.foreach(cs => df = df.filter(col("chain_id").isin(cs: _*)))
-    before.foreach { case (bUs, bId) =>
-      val bBn = bId.split("-")(0).toLong
-      val bIdx = bId.split("-")(1).toLong
+    before.foreach { c =>
       val ts = unix_micros(col("block_time"))
-      df = df.filter(ts < bUs ||
-        (ts === bUs && (extBn < bBn ||
-          (extBn === bBn && extIdx < bIdx))))
+      val chain = col("chain_id")
+      df = df.filter(ts < c.tsUs ||
+        (ts === c.tsUs && (chain < c.chainId ||
+          (chain === c.chainId && (extBn < c.bn ||
+            (extBn === c.bn && extIdx < c.idx))))))
     }
     df.orderBy(unix_micros(col("block_time")).desc,
-        extBn.desc, extIdx.desc)
+        col("chain_id").desc, extBn.desc, extIdx.desc)
       .limit(pageSize)
   }
 

@@ -41,40 +41,52 @@ object EventStream {
     StructField("ts", TimestampType)))
 
   /** ST1/ST5 — finality resolution with bounded state: one state entry
-    * per (chain, block); emits exactly one row per key — the first
-    * finalized candidate seen — and times out straggler state.
+    * per (chain, block), evicted by event-time timeout once the
+    * watermark passes the block by `stateRetention`. Emits exactly one
+    * row per key within the retention window: after emission the entry
+    * becomes an empty-list tombstone so redundant crawlers re-delivering
+    * the finalized block in later micro-batches (the ST5 bronze model)
+    * don't re-emit. A duplicate arriving later than the retention window
+    * could re-emit — at that lateness the ST3 reconciliation pass (which
+    * rebuilds silver idempotently from bronze) is the authority anyway.
     * (ref crawler.js:1572-1619 processFinalizedHead + candidate delete.)
     */
-  def finalizeStream(candidates: org.apache.spark.sql.Dataset[Candidate])(
+  def finalizeStream(candidates: org.apache.spark.sql.Dataset[Candidate],
+      watermarkDelay: String = "10 minutes",
+      stateRetentionMs: Long = 60L * 60 * 1000)(
       implicit spark: SparkSession): org.apache.spark.sql.Dataset[Finalized] = {
     import spark.implicits._
     candidates
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(c => (c.chain_id, c.block_number))
       .flatMapGroupsWithState[List[Candidate], Finalized](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((chain, bn), rows, state: GroupState[List[Candidate]]) =>
-          // Straggler state (a fork that never finalizes) is bounded by
-          // the ST3 reconciliation job (gap audit + backfill), not a
-          // processing-time timeout — timeout triggers would force a
-          // no-data micro-batch per trigger, wasted work at idle.
-          //
-          // After emission the state keeps an EMPTY list as a tombstone:
-          // a redundant crawler delivering the finalized block again in a
-          // later micro-batch (the explicit ST5 bronze model) must not
-          // re-emit. Tombstones are per-block-ever-seen; production
-          // deployments evict them with the same reconciliation cadence.
-          val emitted = state.getOption.exists(_.isEmpty)
-          if (emitted) Iterator.empty
-          else {
-            val all = state.getOption.getOrElse(Nil) ++ rows
-            all.find(_.finalized) match {
-              case Some(win) =>
-                state.update(Nil) // tombstone
-                Iterator.single(
-                  Finalized(chain, bn, win.block_hash, win.ts))
-              case None =>
-                state.update(all)
-                Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed: evict (tombstone or fork)
+            Iterator.empty
+          } else {
+            val batch = rows.toList // the iterator is single-use
+            def armEviction(): Unit = {
+              val maxTs = batch.map(_.ts.getTime).foldLeft(
+                state.getCurrentWatermarkMs())(math.max)
+              state.setTimeoutTimestamp(maxTs + stateRetentionMs)
+            }
+            val emitted = state.getOption.exists(_.isEmpty)
+            if (emitted) { armEviction(); Iterator.empty }
+            else {
+              val all = state.getOption.getOrElse(Nil) ++ batch
+              all.find(_.finalized) match {
+                case Some(win) =>
+                  state.update(Nil) // tombstone until eviction
+                  armEviction()
+                  Iterator.single(
+                    Finalized(chain, bn, win.block_hash, win.ts))
+                case None =>
+                  state.update(all)
+                  armEviction()
+                  Iterator.empty
+              }
             }
           }
       }

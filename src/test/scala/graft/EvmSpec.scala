@@ -54,7 +54,7 @@ class EvmSpec extends AnyFunSuite {
       // a Transfer log: topic0 = signature, topics 1/2 = padded addrs
       EvmLog("0xtoken",
         Seq(EvmDecode.TransferTopic, pad32(from), pad32(to)),
-        "0x0de0b6b3a7640000"), // 10^18
+        "0x3635c9adc5dea00000"), // 10^21 — overflows Decimal(38,18) inference
       // a non-transfer log (wrong topic0)
       EvmLog("0xtoken", Seq("0x" + "11" * 32, pad32(from), pad32(to)),
         "0x01"),
@@ -71,6 +71,6 @@ class EvmSpec extends AnyFunSuite {
     assert(r.getAs[String]("from_address") == from)
     assert(r.getAs[String]("to_address") == to)
     assert(r.getAs[java.math.BigDecimal]("raw_value")
-      .toBigInteger.toString == "1000000000000000000")
+      .toBigInteger.toString == "1000000000000000000000")
   }
 }

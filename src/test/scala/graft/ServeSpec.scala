@@ -41,23 +41,29 @@ class ServeSpec extends AnyFunSuite {
   }
 
   test("account timeline: numeric desc order, chain filter, composite keyset") {
-    def page(n: Int, before: Option[(Long, String)]) =
+    def page(n: Int, before: Option[Serve.Cursor]) =
       Serve.accountTimeline(transfers, "a", None, n, before)
-        .select(unix_micros(col("block_time")), col("extrinsic_id"))
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        .select(unix_micros(col("block_time")), col("chain_id"),
+          col("extrinsic_id"))
+        .collect()
+        .map(r => Serve.Cursor(r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq
     val p1 = page(2, None)
     // newest first; within the shared 11:00 timestamp, block 101 before
     // block 99 NUMERICALLY (lexicographic order would put "99-0" first)
-    assert(p1.map(_._2) == Seq("7-0", "101-2"))
-    // page 2 resumes from the full (ts, id) keyset — rows sharing the
+    assert(p1.map(_.extrinsicId) == Seq("7-0", "101-2"))
+    // page 2 resumes from the full sort-key cursor — rows sharing the
     // boundary timestamp are NOT skipped
     val p2 = page(2, Some(p1.last))
-    assert(p2.map(_._2) == Seq("101-0", "99-0"))
+    assert(p2.map(_.extrinsicId) == Seq("101-0", "99-0"))
     val p3 = page(2, Some(p2.last))
-    assert(p3.map(_._2) == Seq("100-1"))
+    assert(p3.map(_.extrinsicId) == Seq("100-1"))
     val filtered = Serve.accountTimeline(transfers, "a", Some(Seq(2000)),
       10, None).select("extrinsic_id").collect().map(_.getString(0)).toSeq
     assert(filtered == Seq("7-0"))
+    // an externally-supplied malformed cursor fails fast and clearly
+    intercept[IllegalArgumentException](
+      Serve.Cursor(0L, 0, "not-a-valid-id"))
   }
 
   test("searchByHash disambiguates block vs extrinsic hits") {

@@ -91,7 +91,8 @@ class XcmMatcherSpec extends AnyFunSuite {
       ("0xc1", 2, 4, ts(1030), Seq("a", "b")),   // ⊆ p1, in window ✓
       ("0xc2", 2, 4, ts(1030), Seq("a", "z")),   // z ∉ p1 ✗
       ("0xc3", 2, 4, ts(1100), Seq("a")),        // +100 s ✗
-      ("0xc4", 3, 4, ts(1010), Seq("a"))         // ⊆ p2 via chain 3 ✓
+      ("0xc4", 3, 4, ts(1010), Seq("a")),        // ⊆ p2 via chain 3 ✓
+      ("0xc5", 2, 4, ts(1030), Seq.empty[String]) // empty fp: vacuous ✗
     ).toDF("msg_hash", "chain_id", "chain_id_dest", "block_ts",
       "fingerprints")
     val out = XcmMatcher.matchFingerprints(parents, children)
