@@ -53,12 +53,12 @@ object Flagship {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        dsumOut(col("l_quantity")).as("sum_qty"),
+        dsumOut(col("l_extendedprice")).as("sum_base_price"),
+        decOut(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
           .as("sum_disc_price"),
-        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        decOut(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))))).as("sum_charge"),
         dmean(col("l_quantity")).as("avg_qty"),
         dmean(col("l_extendedprice")).as("avg_price"),
         dmean(col("l_discount")).as("avg_disc"),
@@ -67,10 +67,10 @@ object Flagship {
 
   private val p0Sql =
     s"""SELECT l_returnflag, l_linestatus,
-       | ${sqlDsum("l_quantity")} AS sum_qty,
-       | ${sqlDsum("l_extendedprice")} AS sum_base_price,
-       | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-       | sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+       | ${sqlDsumOut("l_quantity")} AS sum_qty,
+       | ${sqlDsumOut("l_extendedprice")} AS sum_base_price,
+       | ${sqlDecOut("sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))")} AS sum_disc_price,
+       | ${sqlDecOut("sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6)))")} AS sum_charge,
        | ${sqlDmean("l_quantity")} AS avg_qty,
        | ${sqlDmean("l_extendedprice")} AS avg_price,
        | ${sqlDmean("l_discount")} AS avg_disc,

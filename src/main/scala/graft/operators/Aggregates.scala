@@ -23,17 +23,17 @@ object Aggregates {
       .agg(
         count(lit(1)).as("n_lines"),
         countDistinct(col("l_suppkey")).as("n_suppliers"),
-        dsum(col("l_quantity")).as("sum_qty"),
-        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        dsumOut(col("l_quantity")).as("sum_qty"),
+        decOut(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
           .as("revenue"))
       .orderBy(col("l_orderkey"))
 
   private val a1Sql =
-    """SELECT l_orderkey, count(*) AS n_lines,
-      | count(DISTINCT l_suppkey) AS n_suppliers,
-      | sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-      | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
-      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+    s"""SELECT l_orderkey, count(*) AS n_lines,
+       | count(DISTINCT l_suppkey) AS n_suppliers,
+       | ${sqlDsumOut("l_quantity")} AS sum_qty,
+       | ${sqlDecOut("sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))")} AS revenue
+       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   // A2 — daily chain metrics (ref substrateetl.js:9448-9451
   // update_blocklog_bulk): count, conditional count, distinct actors, sum.
@@ -45,14 +45,14 @@ object Aggregates {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("n_purchases"),
         countDistinct(col("user_id")).as("n_users"),
-        dsum(col("value")).as("sum_value"))
+        dsumOut(col("value")).as("sum_value"))
       .orderBy(col("log_dt"))
 
   private val a2Sql =
     s"""SELECT ${sqlDay(TS)} AS log_dt, count(*) AS n_events,
-       | sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+       | ${sqlLsum("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")} AS n_purchases,
        | count(DISTINCT user_id) AS n_users,
-       | ${sqlDsum("\"value\"")} AS sum_value
+       | ${sqlDsumOut("\"value\"")} AS sum_value
        |FROM events GROUP BY 1 ORDER BY log_dt""".stripMargin
 
   // A3 — trailing 7d/30d/all rollups relative to max ts
@@ -62,19 +62,19 @@ object Aggregates {
     val mx = ev.agg(max(col("ts")).as("mx"))
     ev.crossJoin(broadcast(mx))
       .agg(
-        sum(when(col("ts") > col("mx") - expr("INTERVAL 7 DAYS"),
-          dec6(col("value")))).as("sum_7d"),
-        sum(when(col("ts") > col("mx") - expr("INTERVAL 30 DAYS"),
-          dec6(col("value")))).as("sum_30d"),
-        dsum(col("value")).as("sum_all"),
+        decOut(sum(when(col("ts") > col("mx") - expr("INTERVAL 7 DAYS"),
+          dec6(col("value"))))).as("sum_7d"),
+        decOut(sum(when(col("ts") > col("mx") - expr("INTERVAL 30 DAYS"),
+          dec6(col("value"))))).as("sum_30d"),
+        dsumOut(col("value")).as("sum_all"),
         count(lit(1)).as("n_all"))
   }
 
   private val a3Sql =
     s"""SELECT
-       | sum(CASE WHEN $TS > m.mx - INTERVAL 7 DAY THEN CAST("value" AS DECIMAL(38,6)) END) AS sum_7d,
-       | sum(CASE WHEN $TS > m.mx - INTERVAL 30 DAY THEN CAST("value" AS DECIMAL(38,6)) END) AS sum_30d,
-       | ${sqlDsum("\"value\"")} AS sum_all, count(*) AS n_all
+       | ${sqlDecOut("sum(CASE WHEN " + TS + " > m.mx - INTERVAL 7 DAY THEN CAST(\"value\" AS DECIMAL(38,6)) END)")} AS sum_7d,
+       | ${sqlDecOut("sum(CASE WHEN " + TS + " > m.mx - INTERVAL 30 DAY THEN CAST(\"value\" AS DECIMAL(38,6)) END)")} AS sum_30d,
+       | ${sqlDsumOut("\"value\"")} AS sum_all, count(*) AS n_all
        |FROM events, (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events) m""".stripMargin
 
   // A4 — monthly sum/min/max/avg/std (ref substrateetl.js:3969-3995).
@@ -83,7 +83,7 @@ object Aggregates {
       .groupBy(monthKey(col("o_orderdate")).as("log_month"))
       .agg(
         count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("sum_price"),
+        dsumOut(col("o_totalprice")).as("sum_price"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         dmean(col("o_totalprice")).as("avg_price"),
@@ -92,7 +92,7 @@ object Aggregates {
 
   private val a4Sql =
     s"""SELECT ${sqlMonth("o_orderdate")} AS log_month, count(*) AS n_orders,
-       | ${sqlDsum("o_totalprice")} AS sum_price,
+       | ${sqlDsumOut("o_totalprice")} AS sum_price,
        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
        | ${sqlDmean("o_totalprice")} AS avg_price,
        | ${sqlDstd("o_totalprice")} AS std_price
@@ -226,7 +226,8 @@ object Aggregates {
     ev.groupBy(col("event_type"), dayKey(col("ts")).as("log_dt"))
       .agg(
         count(lit(1)).as("n"),
-        sum(coalesce(dec6(col("value")), dec6(lit(0.0)))).as("sum_value"))
+        decOut(sum(coalesce(dec6(col("value")), dec6(lit(0.0)))))
+          .as("sum_value"))
       .crossJoin(broadcast(maxDay))
       .filter(col("log_dt") < col("max_dt"))
       .drop("max_dt")
@@ -235,7 +236,7 @@ object Aggregates {
 
   private val a9Sql =
     s"""SELECT event_type, ${sqlDay(TS)} AS log_dt, count(*) AS n,
-       | sum(coalesce(CAST("value" AS DECIMAL(38,6)), CAST(0.0 AS DECIMAL(38,6)))) AS sum_value
+       | ${sqlDecOut("sum(coalesce(CAST(\"value\" AS DECIMAL(38,6)), CAST(0.0 AS DECIMAL(38,6))))")} AS sum_value
        |FROM events GROUP BY 1, 2
        |HAVING log_dt < (SELECT max(${sqlDay(TS)}) FROM events)
        |ORDER BY event_type, log_dt""".stripMargin
@@ -267,14 +268,14 @@ object Aggregates {
       .agg(
         countDistinct(col("l_suppkey")).as("n_holders"),
         count(lit(1)).as("n_lines"),
-        dsum(col("l_quantity")).as("total_supply"))
+        dsumOut(col("l_quantity")).as("total_supply"))
       .orderBy(col("l_partkey"))
 
   private val a11Sql =
-    """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_holders,
-      | count(*) AS n_lines,
-      | sum(CAST(l_quantity AS DECIMAL(38,6))) AS total_supply
-      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+    s"""SELECT l_partkey, count(DISTINCT l_suppkey) AS n_holders,
+       | count(*) AS n_lines,
+       | ${sqlDsumOut("l_quantity")} AS total_supply
+       |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
 
   // A12 — OHLCV candles per (type, hour): open/close via struct-min/max
   // argmin (ref indexer.js:338 updateAssetLiquidityPairTradingVolume;
@@ -289,14 +290,14 @@ object Aggregates {
           .getField("value").as("close"),
         min(col("value")).as("low"),
         max(col("value")).as("high"),
-        dsum(col("value")).as("volume"),
+        dsumOut(col("value")).as("volume"),
         count(lit(1)).as("n_trades"))
       .orderBy(col("event_type"), col("hr"))
 
   private val a12Sql =
     s"""SELECT event_type, hr, min(o) AS open, min(c) AS close,
        | min("value") AS low, max("value") AS high,
-       | ${sqlDsum("\"value\"")} AS volume, count(*) AS n_trades
+       | ${sqlDsumOut("\"value\"")} AS volume, count(*) AS n_trades
        |FROM (SELECT event_type, ${sqlHour(TS)} AS hr, "value",
        |  first_value("value") OVER (PARTITION BY event_type, ${sqlHour(TS)}
        |    ORDER BY ts, event_id

@@ -39,11 +39,11 @@ object DedupOps {
         sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_docs"))
 
   private val d1Sql =
-    """SELECT sum(cnt) AS n_docs, count(*) AS n_unique,
-      | sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_clusters,
-      | sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS n_dup_docs
-      |FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-      |  count(*) AS cnt FROM documents GROUP BY 1)""".stripMargin
+    s"""SELECT ${sqlLsum("cnt")} AS n_docs, count(*) AS n_unique,
+       | ${sqlLsum("CASE WHEN cnt > 1 THEN 1 ELSE 0 END")} AS n_dup_clusters,
+       | ${sqlLsum("CASE WHEN cnt > 1 THEN cnt ELSE 0 END")} AS n_dup_docs
+       |FROM (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |  count(*) AS cnt FROM documents GROUP BY 1)""".stripMargin
 
   /** (doc_id, source, token) inverted index, distinct tokens per doc.
     * The blocking unit for all pairwise similarity below. */

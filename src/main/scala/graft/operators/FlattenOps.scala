@@ -24,12 +24,12 @@ object FlattenOps {
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsumOut(col("value")).as("sum_value"))
       .orderBy(col("k_bucket"))
 
   private val p3Sql =
     s"""SELECT CAST(floor(CAST(json_extract_string(props, '$$.k') AS INT) / 10.0) AS INT) AS k_bucket,
-       | count(*) AS n, ${sqlDsum("\"value\"")} AS sum_value
+       | count(*) AS n, ${sqlDsumOut("\"value\"")} AS sum_value
        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
   // P5 — noise suppression by section:method key
@@ -153,17 +153,17 @@ object FlattenOps {
       .agg(count(lit(1)).as("n_dims"),
         min(col("e").cast("double")).as("min_e"),
         max(col("e").cast("double")).as("max_e"),
-        sum(dec12(col("e").cast("double") * col("e").cast("double")))
-          .as("sum_sq"))
+        decOut(sum(dec12(col("e").cast("double") * col("e").cast("double"))),
+          9).as("sum_sq"))
       .orderBy(col("vec_id"))
 
   private val p8Sql =
-    """SELECT vec_id, count(*) AS n_dims,
-      | min(CAST(e AS DOUBLE)) AS min_e, max(CAST(e AS DOUBLE)) AS max_e,
-      | sum(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(38,12))) AS sum_sq
-      |FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings
-      | WHERE vec_id < 50)
-      |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    s"""SELECT vec_id, count(*) AS n_dims,
+       | min(CAST(e AS DOUBLE)) AS min_e, max(CAST(e AS DOUBLE)) AS max_e,
+       | ${sqlDecOut("sum(CAST(CAST(e AS DOUBLE) * CAST(e AS DOUBLE) AS DECIMAL(38,12)))", 9)} AS sum_sq
+       |FROM (SELECT vec_id, unnest(embedding) AS e FROM embeddings
+       | WHERE vec_id < 50)
+       |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_json_extract" -> (p3 _),

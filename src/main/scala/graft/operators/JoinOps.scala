@@ -160,13 +160,13 @@ object JoinOps {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-        dsum(col("c_acctbal")).as("sum_bal"))
+        dsumOut(col("c_acctbal")).as("sum_bal"))
       .orderBy(col("r_name"), col("n_name"))
 
   private val j6Sql =
-    """SELECT r_name, n_name, count(*) AS n_customers,
-      | sum(CAST(c_acctbal AS DECIMAL(38,6))) AS sum_bal
-      |FROM customer
+    s"""SELECT r_name, n_name, count(*) AS n_customers,
+       | ${sqlDsumOut("c_acctbal")} AS sum_bal
+       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
@@ -183,14 +183,14 @@ object JoinOps {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_lines"),
-        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        decOut(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
           .as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
 
   private val j8Sql =
-    """SELECT r_name, n_name, count(*) AS n_lines,
-      | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
-      |FROM lineitem
+    s"""SELECT r_name, n_name, count(*) AS n_lines,
+       | ${sqlDecOut("sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))")} AS revenue
+       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -201,9 +201,11 @@ object JoinOps {
   // (ref docs/StakingAnalytics.md:41-105: validators/nominators pipeline).
   private def j9(s: SparkSession, d: String): DataFrame = {
     val sup = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
-      .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("sup_bal"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsumOut(col("s_acctbal")).as("sup_bal"))
     val cust = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
-      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("cust_bal"))
+      .agg(count(lit(1)).as("n_customers"),
+        dsumOut(col("c_acctbal")).as("cust_bal"))
     broadcast(Tables.nation(s, d))
       .join(sup, col("n_nationkey") === sup("nk"), "left")
       .drop("nk")
@@ -218,10 +220,10 @@ object JoinOps {
   }
 
   private val j9Sql =
-    """WITH sup AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers,
-      |  sum(CAST(s_acctbal AS DECIMAL(38,6))) AS sup_bal FROM supplier GROUP BY 1),
-      |cust AS (SELECT c_nationkey AS nk, count(*) AS n_customers,
-      |  sum(CAST(c_acctbal AS DECIMAL(38,6))) AS cust_bal FROM customer GROUP BY 1)
+    s"""WITH sup AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers,
+       |  ${sqlDsumOut("s_acctbal")} AS sup_bal FROM supplier GROUP BY 1),
+       |cust AS (SELECT c_nationkey AS nk, count(*) AS n_customers,
+       |  ${sqlDsumOut("c_acctbal")} AS cust_bal FROM customer GROUP BY 1)
       |SELECT n_name, coalesce(sup.n_suppliers, 0) AS n_suppliers, sup.sup_bal,
       | coalesce(cust.n_customers, 0) AS n_customers, cust.cust_bal
       |FROM nation
@@ -302,10 +304,12 @@ object JoinOps {
   private def j14(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(dsum(col("o_totalprice")).as("day_total"))
+      .agg(dsumOut(col("o_totalprice")).as("day_total"))
     val w = Window.orderBy(col("dt"))
     daily
       .withColumn("prev_total", lag(col("day_total"), 1).over(w))
+      // day_total/prev_total are identical rounded doubles in both
+      // engines, so the single-op IEEE difference is too.
       .select(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"),
         col("day_total"), col("prev_total"),
         (col("day_total") - col("prev_total")).as("delta"))
@@ -313,14 +317,14 @@ object JoinOps {
   }
 
   private val j14Sql =
-    """SELECT strftime(dt, '%Y-%m-%d') AS log_dt, day_total, prev_total,
-      | day_total - prev_total AS delta
-      |FROM (SELECT CAST(o_orderdate AS DATE) AS dt,
-      |  sum(CAST(o_totalprice AS DECIMAL(38,6))) AS day_total,
-      |  lag(sum(CAST(o_totalprice AS DECIMAL(38,6)))) OVER (
-      |    ORDER BY CAST(o_orderdate AS DATE)) AS prev_total
-      | FROM orders GROUP BY 1)
-      |ORDER BY log_dt""".stripMargin
+    s"""SELECT strftime(dt, '%Y-%m-%d') AS log_dt, day_total, prev_total,
+       | day_total - prev_total AS delta
+       |FROM (SELECT dt, day_total,
+       |  lag(day_total) OVER (ORDER BY dt) AS prev_total
+       | FROM (SELECT CAST(o_orderdate AS DATE) AS dt,
+       |   ${sqlDsumOut("o_totalprice")} AS day_total
+       |  FROM orders GROUP BY 1))
+       |ORDER BY log_dt""".stripMargin
 
   // J16 — as-of join: last prior 'view' value for each purchase, per user
   // (ref assetManager.js:1392 computePriceUSD — nearest price at ts).

@@ -31,11 +31,11 @@ object MultimodalOps {
       .orderBy(col("source"))
 
   private val m1Sql =
-    """SELECT source, count(*) AS n_blobs,
-      | sum(octet_length(CAST(text AS BLOB))) AS total_bytes,
-      | count(DISTINCT sha256(text)) AS n_unique,
-      | min(sha256(text)) AS min_sha
-      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    s"""SELECT source, count(*) AS n_blobs,
+       | ${sqlLsum("octet_length(CAST(text AS BLOB))")} AS total_bytes,
+       | count(DISTINCT sha256(text)) AS n_unique,
+       | min(sha256(text)) AS min_sha
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   /** Decoded-media metadata row produced by the stub decoder. */
   case class MediaMeta(doc_id: Long, source: String, n_bytes: Int,

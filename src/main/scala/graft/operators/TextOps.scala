@@ -39,12 +39,12 @@ object TextOps {
       .orderBy(col("lang"))
 
   private val x1Sql =
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-      | sum(len(string_split_regex(trim(text), '\s+'))) AS sum_tokens,
-      | sum(len(list_distinct(string_split_regex(trim(text), '\s+')))) AS sum_distinct,
-      | round(CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
-      |   / count(*), 6) AS avg_tokens
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    s"""SELECT lang, count(*) AS n_docs, ${sqlLsum("n_chars")} AS sum_chars,
+       | ${sqlLsum("len(string_split_regex(trim(text), '\\s+'))")} AS sum_tokens,
+       | ${sqlLsum("len(list_distinct(string_split_regex(trim(text), '\\s+')))")} AS sum_distinct,
+       | round(CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |   / count(*), 6) AS avg_tokens
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // X2 — per-document quality score: length, stopword ratio, vocabulary
   // diversity (the classic pre-training quality heuristics).
@@ -101,9 +101,9 @@ object TextOps {
   }
 
   private val x3Sql =
-    """SELECT lang, count(*) AS n_docs,
-      | sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS n_match,
-      | count(DISTINCT pred_lang) AS n_pred_langs
+    s"""SELECT lang, count(*) AS n_docs,
+       | ${sqlLsum("CASE WHEN pred_lang = lang THEN 1 ELSE 0 END")} AS n_match,
+       | count(DISTINCT pred_lang) AS n_pred_langs
       |FROM (SELECT lang,
       |  CASE WHEN contains(text, ' el ') THEN 'es'
       |       WHEN contains(text, ' der ') THEN 'de'

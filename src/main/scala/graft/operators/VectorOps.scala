@@ -99,13 +99,13 @@ object VectorOps {
       .filter(col("rn") === 1)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
-        sum(dec12(col("sim"))).as("sum_sim"))
+        decOut(sum(dec12(col("sim")))).as("sum_sim"))
       .orderBy(col("cell"))
   }
 
   private val v2Sql =
     s"""SELECT cell, count(*) AS n_vectors,
-       | sum(CAST(sim AS DECIMAL(38,12))) AS sum_sim
+       | ${sqlDecOut("sum(CAST(sim AS DECIMAL(38,12)))")} AS sum_sim
        |FROM (SELECT e.vec_id, s.vec_id AS cell,
        |  round(${sqlCosine("e.embedding", "s.embedding")}, 6) AS sim,
        |  row_number() OVER (PARTITION BY e.vec_id

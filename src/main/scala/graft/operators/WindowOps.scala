@@ -179,12 +179,12 @@ object WindowOps {
     Tables.events(s, d)
       .filter(col("user_id").isin(1L, 2L, 3L, 5L, 8L))
       .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsumOut(col("value")).as("sum_value"))
       .orderBy(col("user_id"), col("event_type"))
 
   private val q3Sql =
     s"""SELECT user_id, event_type, count(*) AS n,
-       | ${sqlDsum("\"value\"")} AS sum_value
+       | ${sqlDsumOut("\"value\"")} AS sum_value
        |FROM events WHERE user_id IN (1, 2, 3, 5, 8)
        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
 
@@ -237,20 +237,22 @@ object WindowOps {
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_dt"))
-      .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .agg(decOut(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))))
         .as("revenue"))
+      // order by the ROUNDED revenue so both engines select the same top-10
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
   private val t2Sql =
-    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_dt,
-      | sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))) AS revenue
-      |FROM lineitem
-      |JOIN orders ON l_orderkey = o_orderkey
-      |JOIN customer ON o_custkey = c_custkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |GROUP BY l_orderkey, o_dt
-      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    s"""SELECT l_orderkey, o_dt, revenue FROM (
+       | SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_dt,
+       |  ${sqlDecOut("sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6)))")} AS revenue
+       | FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | WHERE c_mktsegment = 'BUILDING'
+       | GROUP BY l_orderkey, o_dt)
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),

@@ -26,6 +26,19 @@ package object operators {
   /** Exact decimal sum of a double column. */
   def dsum(c: Column): Column = sum(dec6(c))
 
+  /** Driver-hash-safe sum for FINAL projections: the exact decimal sum,
+    * rendered as a rounded double. Spark DECIMAL(38,6) and DuckDB DECIMAL
+    * hash differently at the driver gate even when numerically equal;
+    * a rounded double is bit-identical in both engines (the j13/a8/v3
+    * template). Use `dsum` for intermediate arithmetic, `dsumOut` at the
+    * query surface. */
+  def dsumOut(c: Column): Column = round(dsum(c).cast("double"), 6)
+
+  /** Final-projection rendering of an already-computed decimal aggregate
+    * (e.g. `sum(when(..., dec6(c)))`): rounded double, engine-identical. */
+  def decOut(c: Column, scale: Int = 6): Column =
+    round(c.cast("double"), scale)
+
   /** Deterministic mean from exact sums: double division is a single IEEE
     * op, identical in Spark and DuckDB. */
   def dmean(c: Column): Column =
@@ -62,6 +75,19 @@ package object operators {
     * like our `timestamp_micros(ts div 1000)` load path. */
   val TS = "CAST(ts AS TIMESTAMP)"
   def sqlDsum(x: String): String = s"sum(CAST($x AS DECIMAL(38,6)))"
+
+  /** Oracle twin of [[dsumOut]]. */
+  def sqlDsumOut(x: String): String =
+    s"round(CAST(${sqlDsum(x)} AS DOUBLE), 6)"
+
+  /** Oracle twin of [[decOut]] for an arbitrary decimal expression. */
+  def sqlDecOut(x: String, scale: Int = 6): String =
+    s"round(CAST($x AS DOUBLE), $scale)"
+
+  /** DuckDB `sum(BIGINT)` widens to HUGEINT (int128) while Spark stays
+    * BIGINT — the driver's value hash sees them as different. Pin the
+    * oracle's integer sums back to BIGINT. */
+  def sqlLsum(x: String): String = s"CAST(sum($x) AS BIGINT)"
   def sqlDmean(x: String): String =
     s"round(CAST(${sqlDsum(x)} AS DOUBLE) / count(*), 6)"
   def sqlDstd(x: String): String =

@@ -30,26 +30,26 @@ def rows_of(cols, names):
         [names[i] for i in order]
 
 def cmp_val(a, b):
+    # EXACT compare, mirroring the driver's value-hash gate: no float
+    # tolerance, no Decimal coercion (round-1 lesson: the 1e-9 tolerance
+    # masked 21 driver hash failures). A decimal/float/int type mismatch
+    # or a representation difference is a FAIL, exactly like the driver.
     a, b = norm(a), norm(b)
     if a is None and b is None:
         return True
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
+    if a is None or b is None:
+        return False
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        if fa == fb:
-            return True
-        return abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-    try:
-        import decimal
-        if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
-            return decimal.Decimal(str(a)) == decimal.Decimal(str(b))
-    except Exception:
-        pass
-    return str(a) == str(b)
+        return a == b
+    import decimal
+    if isinstance(a, decimal.Decimal) or isinstance(b, decimal.Decimal):
+        # exact string form must match — '1.5' vs '1.500000' is a FAIL
+        return type(a) is type(b) and str(a) == str(b)
+    if type(a) is not type(b):
+        return False
+    return a == b
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
