@@ -38,19 +38,30 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     Tables.events(spark, sfDir).select("ts").limit(1).count()
     val steal0 = stealTicks()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      // a failing query is reported as -1, never as a fast "pass"
+      val v = try math.min(once(), once()) catch {
+        case e: Throwable =>
+          errors(name) = e.getClass.getSimpleName
+          -1.0
+      }
+      name -> v
     }
     val stealDelta = stealTicks() - steal0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"steal_ticks":$stealDelta}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":2,"steal_ticks":$stealDelta$errJson}""")
     spark.stop()
   }
 }

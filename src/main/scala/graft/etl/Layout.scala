@@ -41,13 +41,26 @@ object Layout {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Aggregate functions that re-combine correctly from salted partials
+    * (count partials re-finish with sum; avg etc. would be WRONG). */
+  private val decomposable = Set("sum", "count", "min", "max")
+
   /** Salt a hot grouping key into `n` subkeys; aggregate partially on
     * (key, salt), then finish on key — two small shuffles instead of one
-    * skewed one. */
+    * skewed one. Only decomposable aggregates are accepted.
+    *
+    * The salt is a pure function of the row content (`hash` over all
+    * columns), so task retries/recomputation assign every row to the
+    * same salt group — results were already correct with a random salt
+    * (decomposable aggs), but a stable salt keeps skew diagnostics
+    * reproducible across runs. */
   def saltedAgg(df: DataFrame, key: String, n: Int,
       aggs: Seq[(String, String)]): DataFrame = {
+    require(aggs.nonEmpty && aggs.forall(a => decomposable(a._2)),
+      s"saltedAgg supports only ${decomposable.mkString("/")} " +
+        "(non-decomposable aggregates would re-finish incorrectly)")
     val salted = df.withColumn("_salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(n)))
+      pmod(hash(df.columns.map(col): _*), lit(n)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(aggs.head match { case (c, f) => expr(s"$f($c)").as(s"_p0") },
         aggs.tail.zipWithIndex.map { case ((c, f), i) =>

@@ -26,7 +26,15 @@ object CallFlatten {
       leaf: Boolean,
       fee: Option[Double])
 
+  // shared across executor threads: safe — readTree is the only use and
+  // ObjectMapper is thread-safe for read-only configuration
   private val mapper = new ObjectMapper()
+
+  /** Parsed call-tree node — the JSON-independent input to the flattener.
+    * The ETL path parses JSON into this; typed pipelines construct it
+    * directly and skip the serialize+parse round trip entirely. */
+  case class CallNode(section: String, method: String, args: String,
+      calls: Seq[CallNode])
 
   /** Default per-chain noise set (ref substrateetl.js:6446 suppress_call;
     * schema/dune-generaterecent.sql:3-6). */
@@ -41,27 +49,34 @@ object CallFlatten {
     * the call row entirely). The root is never suppressed.
     */
   def flatten(json: String, rootFee: Option[Double],
+      suppressed: Set[String] = DefaultSuppressed): Seq[FlatCall] =
+    flattenNode(toNode(mapper.readTree(json)), rootFee, suppressed)
+
+  /** Flatten a pre-parsed call tree (same recursion/suppression
+    * semantics as the JSON entry point). */
+  def flattenNode(root: CallNode, rootFee: Option[Double],
       suppressed: Set[String] = DefaultSuppressed): Seq[FlatCall] = {
-    val rootNode = mapper.readTree(json)
     val out = ArrayBuffer.empty[FlatCall]
 
-    def walk(node: JsonNode, path: String, isRoot: Boolean): Unit = {
-      val section = Option(node.get("section")).map(_.asText).getOrElse("")
-      val method = Option(node.get("method")).map(_.asText).getOrElse("")
-      if (!isRoot && suppressed.contains(s"$section:$method")) return
-      val children = Option(node.get("calls"))
-        .filter(_.isArray).map(_.elements().asScala.toSeq)
-        .getOrElse(Seq.empty)
-      val args = Option(node.get("args")).map(_.toString).getOrElse("{}")
-      out += FlatCall(path, section, method, args,
-        root = isRoot, leaf = children.isEmpty,
+    def walk(node: CallNode, path: String, isRoot: Boolean): Unit = {
+      if (!isRoot && suppressed.contains(s"${node.section}:${node.method}"))
+        return
+      out += FlatCall(path, node.section, node.method, node.args,
+        root = isRoot, leaf = node.calls.isEmpty,
         fee = if (isRoot) rootFee else None)
-      children.zipWithIndex.foreach { case (c, i) =>
+      node.calls.zipWithIndex.foreach { case (c, i) =>
         walk(c, s"${path}_$i", isRoot = false)
       }
     }
 
-    walk(rootNode, "0", isRoot = true)
+    walk(root, "0", isRoot = true)
     out.toSeq
   }
+
+  private def toNode(n: JsonNode): CallNode = CallNode(
+    Option(n.get("section")).map(_.asText).getOrElse(""),
+    Option(n.get("method")).map(_.asText).getOrElse(""),
+    Option(n.get("args")).map(_.toString).getOrElse("{}"),
+    Option(n.get("calls")).filter(_.isArray)
+      .map(_.elements().asScala.toSeq.map(toNode)).getOrElse(Seq.empty))
 }

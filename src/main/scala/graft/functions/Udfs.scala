@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   * deterministic and can collapse/reorder them. */
 object Udfs {
 
+  /** Guarded-null policy (same contract as compact_decode): these UDFs
+    * run on every row of Dump's projections, so malformed input (bad
+    * hex, wrong pubkey length, bad base58/checksum) yields NULL rather
+    * than killing the stage. */
+  private def guard[T >: Null](f: => T): T =
+    try f catch {
+      case _: IllegalArgumentException | _: NumberFormatException |
+           _: IndexOutOfBoundsException => null
+    }
+
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
 
@@ -16,10 +26,10 @@ object Udfs {
     // getAddress)
     u.register("ss58_encode", (pubkeyHex: String, network: Int) =>
       if (pubkeyHex == null) null
-      else Codec.ss58Encode(Codec.hexToBytes(pubkeyHex), network))
+      else guard(Codec.ss58Encode(Codec.hexToBytes(pubkeyHex), network)))
     u.register("ss58_pubkey", (address: String) =>
       if (address == null) null
-      else Codec.bytesToHex(Codec.ss58Decode(address)._2))
+      else guard(Codec.bytesToHex(Codec.ss58Decode(address)._2)))
 
     // crypto/encoding (ref paraTool.js:1785,1883)
     u.register("twox128_hex", (s: String) =>
@@ -27,14 +37,15 @@ object Udfs {
       else Codec.bytesToHex(Codec.twox128(s.getBytes("UTF-8")), prefix = false))
     u.register("blake2_256_hex", (hex: String) =>
       if (hex == null) null
-      else Codec.bytesToHex(Codec.blake2b256(Codec.hexToBytes(hex)), prefix = false))
+      else guard(
+        Codec.bytesToHex(Codec.blake2b256(Codec.hexToBytes(hex)), prefix = false)))
 
     // decimal scaling of raw chain amounts (ref paraTool.js:214
     // toBaseUnit; hex u128 → double at token decimals)
     u.register("to_base_unit", (rawHex: String, decimals: Int) =>
       if (rawHex == null) null
-      else java.lang.Double.valueOf(
-        Codec.toBaseUnit(BigInt(1, Codec.hexToBytes(rawHex)), decimals)))
+      else guard(java.lang.Double.valueOf(
+        Codec.toBaseUnit(BigInt(1, Codec.hexToBytes(rawHex)), decimals))))
 
     // composite keys (ref paraTool.js:1945)
     u.register("asset_chain", (asset: String, chainId: Int) =>

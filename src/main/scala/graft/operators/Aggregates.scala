@@ -328,21 +328,39 @@ object Aggregates {
        |FROM events GROUP BY 1 ORDER BY log_dt""".stripMargin
 
   // A14 — gap detection via LAG islands (ref substrateetl.js:1008-1013).
-  // Note: the global orderBy window is single-partition by design here
-  // (matches the reference's per-chain query); at scale, partition by
-  // chain_id first — see docs/COVERAGE.md.
-  private def a14(s: SparkSession, d: String): DataFrame = {
+  // Distributed form: LAG inside key-range buckets + a boundary stitch —
+  // equivalent to lag(key) OVER (ORDER BY key) but with no global
+  // single-partition window (round-1 scale fix).
+  /** Gaps in a unique integer key column, computed scalably:
+    *  1. lag within `key DIV bucketSize` buckets (hash-distributed);
+    *  2. per-bucket (min, max) rollup — one row per NONEMPTY bucket, a
+    *     pre-aggregated grain whose cardinality is keyspace/bucketSize,
+    *     so its tiny ordering window is safe at any data volume;
+    *  3. each bucket-min row takes prev = previous nonempty bucket's max
+    *     (broadcast join), which also stitches across EMPTY buckets.
+    */
+  def gapIslands(df: DataFrame, key: String,
+      bucketSize: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_orderkey"))
-      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
-      .filter(col("prev_key").isNotNull &&
-        col("o_orderkey") =!= col("prev_key") + 1)
-      .select(col("prev_key"), col("o_orderkey"),
-        (col("o_orderkey") - col("prev_key") - 1).as("gap_size"))
-      .orderBy(col("o_orderkey"))
+    val k = col(key)
+    val keys = df.select(k).withColumn("bkt", expr(s"$key DIV $bucketSize"))
+    val wIntra = Window.partitionBy(col("bkt")).orderBy(k)
+    val intra = keys.withColumn("prev_key", lag(k, 1).over(wIntra))
+    val wBkt = Window.orderBy(col("bkt"))
+    val bounds = keys.groupBy(col("bkt"))
+      .agg(min(k).as("bmin"), max(k).as("bmax"))
+      .withColumn("prev_bmax", lag(col("bmax"), 1).over(wBkt))
+      .select(col("bkt").as("b_bkt"), col("bmin"), col("prev_bmax"))
+    intra.join(broadcast(bounds), col("bkt") === col("b_bkt"))
+      .withColumn("prev_key", coalesce(col("prev_key"),
+        when(k === col("bmin"), col("prev_bmax"))))
+      .filter(col("prev_key").isNotNull && k =!= col("prev_key") + 1)
+      .select(col("prev_key"), k, (k - col("prev_key") - 1).as("gap_size"))
   }
+
+  private def a14(s: SparkSession, d: String): DataFrame =
+    gapIslands(Tables.orders(s, d), "o_orderkey", 8192L)
+      .orderBy(col("o_orderkey"))
 
   private val a14Sql =
     """SELECT prev_key, o_orderkey, o_orderkey - prev_key - 1 AS gap_size

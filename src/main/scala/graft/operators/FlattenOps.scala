@@ -5,6 +5,13 @@ import graft.functions.CallFlatten
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Typed rows for p4's tree Dataset (top-level: Spark encoders can't
+  * derive nested-struct schemas from inner classes). */
+case class P4Child(l_linenumber: Int, section: String, method: String,
+    qty: Double)
+case class P4Tree(o_orderkey: Long, o_totalprice: Double,
+    children: Seq[P4Child])
+
 /** Projection / filter / flatten family — SURVEY.md §2.2 (the decode
   * pipeline shapes): JSON extraction (P3), recursive call flatten (P4),
   * noise suppression (P5), posexplode flatten (P8).
@@ -59,31 +66,32 @@ object FlattenOps {
   // root = utility.batch carrying the order fee; children (in linenumber
   // order) = balances.transfer per line, except quantity-1 lines which
   // become system.remark — suppressed noise (P5) the flattener must drop.
+  // The tree goes to the flattener as typed structs → CallNode, NOT via
+  // to_json→re-parse (round-1's double round trip on the hottest query);
+  // the JSON entry point is exercised by CallFlattenSpec + the ETL path.
   private def p4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val trees = li
       .withColumn("child", struct(
+        col("l_linenumber").cast("int").as("l_linenumber"),
         when(col("l_quantity") < 2, "system").otherwise("balances")
           .as("section"),
         when(col("l_quantity") < 2, "remark").otherwise("transfer")
           .as("method"),
-        struct(col("l_quantity").as("qty")).as("args")))
+        col("l_quantity").as("qty")))
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("child"))))
-        .as("children"))
+      .agg(sort_array(collect_list(col("child"))).as("children"))
       .join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_orderkey"), col("o_totalprice"),
-        to_json(struct(
-          lit("utility").as("section"),
-          lit("batch").as("method"),
-          struct(lit(0).as("z")).as("args"),
-          col("children.child").as("calls"))).as("tree"))
-    trees.as[(Long, Double, String)].flatMap { case (okey, fee, json) =>
-      CallFlatten.flatten(json, Some(fee)).map { fc =>
-        (okey, fc.call_id, fc.call_section, fc.call_method,
+      .select(col("o_orderkey"), col("o_totalprice"), col("children"))
+    trees.as[P4Tree].flatMap { t =>
+      val kids = t.children.map(c => CallFlatten.CallNode(
+        c.section, c.method, s"""{"qty":${c.qty}}""", Seq.empty))
+      val root = CallFlatten.CallNode("utility", "batch", "{}", kids)
+      CallFlatten.flattenNode(root, Some(t.o_totalprice)).map { fc =>
+        (t.o_orderkey, fc.call_id, fc.call_section, fc.call_method,
           fc.root, fc.leaf, fc.fee)
       }
     }.toDF("o_orderkey", "call_id", "call_section", "call_method",

@@ -60,8 +60,10 @@ object WindowOps {
   private def w4(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+    // asc_nulls_last: Spark ASC is NULLS FIRST, DuckDB's is NULLS LAST —
+    // a props row missing '$.k' would silently diverge otherwise
     val w = Window.partitionBy(col("hr"))
-      .orderBy(col("k"), col("event_id"))
+      .orderBy(col("k").asc_nulls_last, col("event_id"))
     ev.withColumn("hr", hourKey(col("ts")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
@@ -74,7 +76,7 @@ object WindowOps {
        | SELECT ${sqlHour(TS)} AS hr, event_id,
        |  CAST(json_extract_string(props, '$$.k') AS INT) AS k,
        |  row_number() OVER (PARTITION BY ${sqlHour(TS)}
-       |    ORDER BY CAST(json_extract_string(props, '$$.k') AS INT), event_id) AS rn
+       |    ORDER BY CAST(json_extract_string(props, '$$.k') AS INT) NULLS LAST, event_id) AS rn
        | FROM events)
        |WHERE rn = 1 ORDER BY hr""".stripMargin
 

@@ -101,8 +101,26 @@ case class AsOfJoinExec(
       def advanceRight(): Unit =
         rHead = if (rIter.hasNext) rIter.next() else null
 
+      val nKeys = lKeysB.size
+      // SQL equi-join semantics: a NULL key never matches anything —
+      // RowOrdering would compare two null keys as equal, silently
+      // diverging from the DuckDB ASOF oracle (mirrors SortMergeJoin's
+      // null-key handling).
+      def keyHasNull(k: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKeys) {
+          if (k.isNullAt(i)) return true
+          i += 1
+        }
+        false
+      }
+
       lIter.map { lRow =>
         val k = lKeyProj(lRow)
+        if (keyHasNull(k)) {
+          // null-keyed left row: emit unmatched, leave merge state alone
+          outProj(joined(lRow, nullRight))
+        } else {
         if (curKey == null || keyOrd.compare(k, curKey) != 0) {
           curKey = k.copy()
           lastMatch = null
@@ -111,22 +129,27 @@ case class AsOfJoinExec(
         val lTimeVal = if (lt.isNullAt(0)) Long.MinValue else lt.getLong(0)
         var done = false
         while (!done && rHead != null) {
-          val c = keyOrd.compare(rKeyProj(rHead), curKey)
-          if (c < 0) advanceRight() // behind the current key: discard
-          else if (c > 0) done = true
+          val rk = rKeyProj(rHead)
+          if (keyHasNull(rk)) advanceRight() // null-keyed right row: skip
           else {
-            val rt = rTimeProj(rHead)
-            if (!rt.isNullAt(0) && rt.getLong(0) <= lTimeVal) {
-              lastMatch = rHead.copy()
-              lastMatchTime = rt.getLong(0)
-              advanceRight()
-            } else if (rt.isNullAt(0)) advanceRight() // null time: skip
-            else done = true
+            val c = keyOrd.compare(rk, curKey)
+            if (c < 0) advanceRight() // behind the current key: discard
+            else if (c > 0) done = true
+            else {
+              val rt = rTimeProj(rHead)
+              if (!rt.isNullAt(0) && rt.getLong(0) <= lTimeVal) {
+                lastMatch = rHead.copy()
+                lastMatchTime = rt.getLong(0)
+                advanceRight()
+              } else if (rt.isNullAt(0)) advanceRight() // null time: skip
+              else done = true
+            }
           }
         }
         val matched = lastMatch != null &&
           tol.forall(t => lTimeVal - lastMatchTime <= t)
         outProj(joined(lRow, if (matched) lastMatch else nullRight))
+        }
       }
     }
   }

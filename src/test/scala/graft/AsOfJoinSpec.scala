@@ -77,6 +77,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Seq(3.0)) // latest prior, not first, not future
   }
 
+  test("NULL join keys never match (SQL equi-join semantics)") {
+    val l = Seq((Option(1), 10L, ts(100)), (Option.empty[Int], 11L, ts(100)),
+        (Option(2), 12L, ts(100)))
+      .toDF("k", "id", "l_ts")
+    val r = Seq((Option(1), 1.5, ts(50)), (Option.empty[Int], 9.9, ts(50)),
+        (Option.empty[Int], 8.8, ts(60)))
+      .toDF("k", "v", "r_ts")
+    val out = AsOfJoin.asof(l, r, Seq("k"), "l_ts", "r_ts")
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // null-keyed left row matches nothing; null-keyed right rows are
+    // invisible (DuckDB ASOF equi-join never matches on NULL)
+    assert(out == Map(10L -> Some(1.5), 11L -> None, 12L -> None))
+  }
+
+  test("pre-partitioned key-subset input still agrees with window form") {
+    // Hazard: a child already hash-partitioned on a strict SUBSET of the
+    // join keys satisfies ClusteredDistribution without being
+    // co-partitioned with the other side — silent wrong answers if
+    // EnsureRequirements doesn't align both children.
+    val l = Seq((1, 1, 100L, ts(100)), (1, 2, 101L, ts(200)),
+        (2, 1, 102L, ts(300)), (2, 2, 103L, ts(400)))
+      .toDF("k1", "k2", "id", "l_ts")
+      .repartition(4, col("k1")) // subset of (k1, k2)!
+    val r = Seq((1, 1, 1.0, ts(50)), (1, 2, 2.0, ts(150)),
+        (2, 1, 3.0, ts(250)), (2, 2, 4.0, ts(350)),
+        (2, 2, 5.0, ts(401))) // future for id=103
+      .toDF("k1", "k2", "v", "r_ts")
+      // SAME partition count, DIFFERENT key subset: each side satisfies
+      // its ClusteredDistribution, so no exchange is forced — the exact
+      // configuration where misaligned children would silently mismatch
+      .repartition(4, col("k2"))
+    val native = AsOfJoin.asof(l, r, Seq("k1", "k2"), "l_ts", "r_ts")
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(native == Map(100L -> Some(1.0), 101L -> Some(2.0),
+      102L -> Some(3.0), 103L -> Some(4.0)))
+  }
+
   test("plans as a co-partitioned merge (no range explosion)") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val l = ev.select(col("user_id"), col("event_id"), col("ts"))
