@@ -28,7 +28,8 @@ object SparkEntry {
       DedupOps.queries ++
       VectorOps.queries ++
       MultimodalOps.queries ++
-      FlattenOps.queries
+      FlattenOps.queries ++
+      KeyOps.queries
 
   def oracleSql: Map[String, String] =
     Flagship.oracles ++
@@ -39,7 +40,8 @@ object SparkEntry {
       DedupOps.oracles ++
       VectorOps.oracles ++
       MultimodalOps.oracles ++
-      FlattenOps.oracles
+      FlattenOps.oracles ++
+      KeyOps.oracles
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

@@ -404,4 +404,44 @@ object Codec {
   /** Decimal scaling (ref paraTool.js:214 toBaseUnit / floatToInt). */
   def toBaseUnit(raw: BigInt, decimals: Int): Double =
     (BigDecimal(raw) / BigDecimal(10).pow(decimals)).toDouble
+
+  // ---------- derived account ids ----------
+
+  /** Multisig account id (ref paraTool.js:311 computeMultisig, tested by
+    * substrate/test/testMultisig.js; the pallet-utility/multisig
+    * `multi_account_id` derivation from the public Substrate spec):
+    * blake2_256("modlpy/utilisuba" ++ compact(n) ++ sorted 32-byte
+    * pubkeys ++ u16-LE threshold). Input pubkeys in any order; they are
+    * sorted bytewise here, as the runtime does. */
+  def multisigAccount(pubkeys: Seq[Array[Byte]], threshold: Int): Array[Byte] = {
+    require(pubkeys.nonEmpty && pubkeys.forall(_.length == 32),
+      "multisig signatories must be 32-byte pubkeys")
+    require(threshold >= 1 && threshold <= 0xffff, "bad threshold")
+    val sorted = pubkeys.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(a, b) < 0
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("modlpy/utilisuba".getBytes("US-ASCII"))
+    out.write(compactEncode(BigInt(sorted.size)))
+    sorted.foreach(out.write)
+    out.write(threshold & 0xff)
+    out.write((threshold >> 8) & 0xff)
+    blake2b256(out.toByteArray)
+  }
+
+  /** Parachain sovereign account (ref paraTool.js:889
+    * compute_sovereign_account; xcmmanager.js:933): the well-known
+    * TrailingZeroInput encoding — "para" (on the relay chain) or "sibl"
+    * (on sibling parachains) ++ u32-LE paraID, zero-padded to 32 bytes.
+    * No hashing despite the reference's comment. */
+  def sovereignAccount(paraId: Long, sibling: Boolean = false): Array[Byte] = {
+    require(paraId >= 0 && paraId <= 0xffffffffL, "bad paraId")
+    val out = new Array[Byte](32)
+    val prefix = (if (sibling) "sibl" else "para").getBytes("US-ASCII")
+    System.arraycopy(prefix, 0, out, 0, 4)
+    var i = 0
+    var v = paraId
+    while (i < 4) { out(4 + i) = (v & 0xff).toByte; v >>= 8; i += 1 }
+    out
+  }
 }

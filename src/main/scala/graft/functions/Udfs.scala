@@ -51,6 +51,15 @@ object Udfs {
     u.register("asset_chain", (asset: String, chainId: Int) =>
       if (asset == null) null else Codec.makeAssetChain(asset, chainId))
 
+    // derived account ids (ref paraTool.js:311 computeMultisig,
+    // paraTool.js:889 compute_sovereign_account)
+    u.register("multisig_account", (pubkeysHex: Seq[String], threshold: Int) =>
+      if (pubkeysHex == null) null
+      else guard(Codec.bytesToHex(
+        Codec.multisigAccount(pubkeysHex.map(Codec.hexToBytes), threshold))))
+    u.register("sovereign_account", (paraId: Long, sibling: Boolean) =>
+      guard(Codec.bytesToHex(Codec.sovereignAccount(paraId, sibling))))
+
     // SCALE compact decode (leading field of a storage value); null on
     // malformed input — one bad value must not fail the stage (reuses
     // the guarded TraceDecode path)

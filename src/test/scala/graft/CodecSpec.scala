@@ -162,6 +162,45 @@ class CodecSpec extends AnyFunSuite {
     assert(Codec.parseAssetChain(k) == (("""{"Token":"A~B"}""", 22000)))
   }
 
+  test("multisig account: reference golden vector, order-independent") {
+    // ref substrate/test/testMultisig.js: 5 signatories, threshold 3 →
+    // 0xd9a5ff2f… (the polkadot-js createKeyMulti expected value);
+    // independently recomputed from the public multi_account_id spec
+    // (blake2_256("modlpy/utilisuba" ++ compact(n) ++ sorted pubkeys ++
+    // u16-LE threshold)).
+    val pks = Seq(
+      "167786d637fe9977e2a2a20730cdc3a52938252a4938a700f98c2ace33078d77",
+      "249ba1d951e5a861be11421b51b02b7cbb6b1ca7ac77a5ba7d85d9cdd5b89c50",
+      "82dfe80393393d3b49d8434af052b88141325ca37ebc28905a2e6438a0839264",
+      "ac9dcf4418d2e4bc92eec081a02e685250d7e82c4061b418b4897ca5a2c93074",
+      "c018140d2c758a0afebfc62dab3cc964590a84ebb2e2ba551713ccb6114d325d"
+    ).map(Codec.hexToBytes)
+    val expect =
+      "d9a5ff2fdd0af1479d2bb66375caaacc48ca0cd736a90304fbb5a24f1522e747"
+    assert(hex(Codec.multisigAccount(pks, 3)) == expect)
+    // input order must not matter (the runtime sorts signatories)
+    assert(hex(Codec.multisigAccount(rnd.shuffle(pks), 3)) == expect)
+    // threshold participates in the digest
+    assert(hex(Codec.multisigAccount(pks, 2)) != expect)
+    intercept[IllegalArgumentException] {
+      Codec.multisigAccount(Seq(Array.fill[Byte](20)(1)), 1) // not 32 bytes
+    }
+  }
+
+  test("sovereign account: para/sibl prefixes, u32-LE, zero padding") {
+    // paraID 2000 → "para" ++ d0070000 ++ zeros (ref paraTool.js:889)
+    assert(hex(Codec.sovereignAccount(2000L)) ==
+      "70617261d0070000" + "0" * 48)
+    assert(hex(Codec.sovereignAccount(2000L, sibling = true)) ==
+      "7369626cd0070000" + "0" * 48)
+    // 4-byte little-endian: 0x01020304 → 04030201
+    assert(hex(Codec.sovereignAccount(0x01020304L)).startsWith(
+      "7061726104030201"))
+    intercept[IllegalArgumentException] {
+      Codec.sovereignAccount(-1L)
+    }
+  }
+
   test("toBaseUnit scales by decimals") {
     assert(Codec.toBaseUnit(BigInt("12345678901"), 10) == 1.2345678901)
   }
