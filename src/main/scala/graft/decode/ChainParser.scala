@@ -49,10 +49,39 @@ case class AcalaParser(chainId: Int) extends ChainParser {
   }
 }
 
+/** Moonbeam-style EVM parachain (AccountId20 chains): the ethereum
+  * pallet's Executed events are transfers, ERC-20 contract H160s are the
+  * asset keys, and substrate↔EVM account mapping goes through
+  * pubkeyToH160 / h160ToPubkey (ref chains/moonbeam.js — the 1.1 kLoC
+  * EVM-chain parser; paraTool.js:517,522). */
+case class MoonbeamParser(chainId: Int) extends ChainParser {
+  override def transferKind(section: String, method: String): Option[String] =
+    (section, method) match {
+      case ("ethereum", "Executed") => Some("evm")
+      case _ => super.transferKind(section, method)
+    }
+
+  /** ERC-20 asset ids are H160 contract addresses — canonicalized
+    * lowercase (ref chains/moonbeam.js asset handling). */
+  override def assetKey(currency: String): String = {
+    val norm =
+      if (currency.startsWith("0x") && currency.length == 42)
+        currency.toLowerCase
+      else currency
+    Codec.makeAssetChain(norm, chainId)
+  }
+
+  /** The chain-native address of a substrate pubkey on an AccountId20
+    * chain (ref paraTool.js:536 pubkey_to_evm_ss58's first step). */
+  def accountH160(pubkeyHex: String): String =
+    Codec.bytesToHex(Codec.pubkeyToH160(Codec.hexToBytes(pubkeyHex)))
+}
+
 object ChainParser {
   /** Dispatch (ref indexer.js:6697 setup_chainParser). */
   def forChain(chainId: Int): ChainParser = chainId match {
-    case 2000 | 22000 => AcalaParser(chainId) // Acala / Karura
+    case 2000 | 22000 => AcalaParser(chainId)    // Acala / Karura
+    case 2004 | 22023 => MoonbeamParser(chainId) // Moonbeam / Moonriver
     case id => GenericParser(id)
   }
 }

@@ -94,6 +94,104 @@ object XcmMatcher {
         col("handoff_chain"), col("p_ts"), col("c_ts"))
   }
 
+  /** J4 — multi-strategy destination search with prioritized fallback
+    * (ref xcmCleaner.js:846-873: the WATERFALL over dest candidates →
+    * substrate-etl deposit events → balance probes at the N closest
+    * blocks; :73 searchDestinationChainBalances, :360
+    * searchSubstrateETLEvents). Strategy tiers, lowest wins per transfer:
+    *
+    *   1 candidate-exact  dest candidate, received + fees == sent
+    *   2 events-exact     deposit event, exact amount, ts ∈ [s, s+180s)
+    *   3 candidate-fuzzy  confidence = 1 − |Δ|/sent, > 0.5
+    *   4 events-fuzzy     same confidence model on deposit events
+    *   5 balance-delta    positive balance change at a block with
+    *                      ts ∈ [s−30s, s+N·60s], confidence ≥ 0.75
+    *
+    * The reference runs the tiers as sequential lookups per transfer;
+    * here every tier is an equi-join on (chain_id_dest, dest_pubkey)
+    * with a bounded time window, unioned with a `priority` column, and
+    * ONE row_number window implements the waterfall — same first-
+    * non-null-wins semantics, no per-row driver round trips, and the
+    * winner carries its tier's confidence (inheritance).
+    *
+    * Inputs: `transfers(extrinsic_id, chain_id_dest, dest_pubkey,
+    * source_ts, amount_sent, xcm_teleport_fees)`;
+    * `candidates(chain_id_dest, dest_pubkey, event_id, dest_ts,
+    * amount_received, reaped)`; `events(chain_id, addr_pubkey, event_id,
+    * ts, amount)` (deposit-shaped); `balances(chain_id, addr_pubkey,
+    * block_number, block_ts, free)`.
+    */
+  def searchDestination(transfers: DataFrame, candidates: DataFrame,
+      events: DataFrame, balances: DataFrame, nBlocks: Int = 3): DataFrame = {
+    val t = transfers.select(col("extrinsic_id"), col("chain_id_dest"),
+      col("dest_pubkey"), col("source_ts"), col("amount_sent"),
+      col("xcm_teleport_fees"))
+
+    def fuzzyConf(recv: org.apache.spark.sql.Column) =
+      lit(1.0) - abs((recv - col("amount_sent")).cast("double")) /
+        col("amount_sent").cast("double")
+
+    // tiers 1/3 — dest candidates within [s−10s, s+120s]
+    val cand = t.join(candidates, Seq("chain_id_dest", "dest_pubkey"))
+      .filter(col("dest_ts") >= col("source_ts") - expr("INTERVAL 10 SECONDS") &&
+        col("dest_ts") <= col("source_ts") + expr("INTERVAL 120 SECONDS") &&
+        col("reaped") === 0)
+      .withColumn("recv_total", col("amount_received") + col("xcm_teleport_fees"))
+      .withColumn("confidence",
+        when(col("recv_total") === col("amount_sent"), lit(1.0))
+          .otherwise(fuzzyConf(col("recv_total"))))
+      .withColumn("priority",
+        when(col("confidence") === 1.0, lit(1)).otherwise(lit(3)))
+      .filter(col("confidence") > 0.5)
+      .select(col("extrinsic_id"), col("priority"), lit("candidate").as("strategy"),
+        col("event_id").as("matched_id"), col("recv_total").as("matched_amount"),
+        col("confidence"))
+
+    // tiers 2/4 — deposit events within [s, s+180s)
+    val ev = t.join(events,
+        col("chain_id_dest") === col("chain_id") &&
+          col("dest_pubkey") === col("addr_pubkey"))
+      .filter(col("ts") >= col("source_ts") &&
+        col("ts") < col("source_ts") + expr("INTERVAL 180 SECONDS"))
+      .withColumn("recv_total", col("amount") + col("xcm_teleport_fees"))
+      .withColumn("confidence",
+        when(col("amount") === col("amount_sent"), lit(1.0))
+          .otherwise(fuzzyConf(col("recv_total"))))
+      .withColumn("priority",
+        when(col("confidence") === 1.0, lit(2)).otherwise(lit(4)))
+      .filter(col("confidence") > 0.5)
+      .select(col("extrinsic_id"), col("priority"), lit("events").as("strategy"),
+        col("event_id").as("matched_id"), col("recv_total").as("matched_amount"),
+        col("confidence"))
+
+    // tier 5 — positive balance deltas at the N closest blocks
+    val wBal = Window.partitionBy(col("chain_id"), col("addr_pubkey"))
+      .orderBy(col("block_number"))
+    val deltas = balances
+      .withColumn("delta", col("free") - lag(col("free"), 1).over(wBal))
+      .filter(col("delta") > 0)
+    val bal = t.join(deltas,
+        col("chain_id_dest") === col("chain_id") &&
+          col("dest_pubkey") === col("addr_pubkey"))
+      .filter(col("block_ts") >= col("source_ts") - expr("INTERVAL 30 SECONDS") &&
+        col("block_ts") <= col("source_ts") +
+          expr(s"INTERVAL ${nBlocks * 60} SECONDS"))
+      .withColumn("confidence", fuzzyConf(col("delta")))
+      .filter(col("confidence") >= 0.75)
+      .select(col("extrinsic_id"), lit(5).as("priority"),
+        lit("balance").as("strategy"), col("block_number").as("matched_id"),
+        col("delta").as("matched_amount"), col("confidence"))
+
+    // the waterfall: lowest tier wins; within a tier, best confidence,
+    // then smallest id for determinism
+    val w = Window.partitionBy(col("extrinsic_id"))
+      .orderBy(col("priority"), col("confidence").desc, col("matched_id"))
+    cand.unionByName(ev).unionByName(bal)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("confidence", round(col("confidence"), 6))
+  }
+
   /** J3 — transfer → dest-candidate tolerance matching
     * (ref xcmCleaner.js:569-666): candidate window
     * `dest_ts ∈ [source_ts − 10 s, source_ts + 120 s]`, exact-amount

@@ -429,6 +429,22 @@ object Codec {
     blake2b256(out.toByteArray)
   }
 
+  /** Substrate pubkey → EVM H160 (ref paraTool.js:517 pubkey_to_h160;
+    * the polkadot-js `addressToEvm` mapping: the first 20 bytes of the
+    * 32-byte account id — how AccountId20 chains like Moonbeam embed
+    * substrate accounts). */
+  def pubkeyToH160(pubkey: Array[Byte]): Array[Byte] = {
+    require(pubkey.length == 32, "pubkey must be 32 bytes")
+    java.util.Arrays.copyOfRange(pubkey, 0, 20)
+  }
+
+  /** EVM H160 → substrate pubkey (ref paraTool.js:522 h160_to_pubkey;
+    * polkadot-js `evmToAddress`): blake2_256("evm:" ++ h160). */
+  def h160ToPubkey(h160: Array[Byte]): Array[Byte] = {
+    require(h160.length == 20, "h160 must be 20 bytes")
+    blake2b256("evm:".getBytes("US-ASCII") ++ h160)
+  }
+
   /** Parachain sovereign account (ref paraTool.js:889
     * compute_sovereign_account; xcmmanager.js:933): the well-known
     * TrailingZeroInput encoding — "para" (on the relay chain) or "sibl"

@@ -51,6 +51,16 @@ object Udfs {
     u.register("asset_chain", (asset: String, chainId: Int) =>
       if (asset == null) null else Codec.makeAssetChain(asset, chainId))
 
+    // substrate↔EVM account mapping (ref paraTool.js:517,522)
+    u.register("pubkey_to_h160", (pubkeyHex: String) =>
+      if (pubkeyHex == null) null
+      else guard(Codec.bytesToHex(
+        Codec.pubkeyToH160(Codec.hexToBytes(pubkeyHex)))))
+    u.register("h160_to_pubkey", (h160Hex: String) =>
+      if (h160Hex == null) null
+      else guard(Codec.bytesToHex(
+        Codec.h160ToPubkey(Codec.hexToBytes(h160Hex)))))
+
     // derived account ids (ref paraTool.js:311 computeMultisig,
     // paraTool.js:889 compute_sovereign_account)
     u.register("multisig_account", (pubkeysHex: Seq[String], threshold: Int) =>

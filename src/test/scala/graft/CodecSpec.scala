@@ -201,6 +201,39 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("pubkey↔H160 mapping (AccountId20 chains)") {
+    val pk = Codec.hexToBytes(
+      "167786d637fe9977e2a2a20730cdc3a52938252a4938a700f98c2ace33078d77")
+    // addressToEvm = 20-byte truncation
+    assert(hex(Codec.pubkeyToH160(pk)) ==
+      "167786d637fe9977e2a2a20730cdc3a52938252a")
+    // evmToAddress = blake2_256("evm:" ++ h160); golden value computed
+    // independently (python hashlib.blake2b) for the well-known Alith
+    // dev account 0xf24ff3a9…
+    val alith = Codec.hexToBytes("f24ff3a9cf04c71dbc94d0b566f7a27b94566cac")
+    assert(hex(Codec.h160ToPubkey(alith)) ==
+      "a02a00e549cb104f710d3fe6f2f83e91524d2a40c4ed831658a120883077f9a9")
+    intercept[IllegalArgumentException] { Codec.pubkeyToH160(alith) }
+    intercept[IllegalArgumentException] { Codec.h160ToPubkey(pk) }
+  }
+
+  test("chain parser dispatch: Moonbeam EVM specialization") {
+    import graft.decode.{ChainParser, MoonbeamParser}
+    val p = ChainParser.forChain(2004)
+    assert(p.isInstanceOf[MoonbeamParser])
+    assert(p.transferKind("ethereum", "Executed") == Some("evm"))
+    assert(p.transferKind("balances", "Transfer") == Some("native"))
+    // H160 asset ids canonicalize to lowercase; other ids pass through
+    assert(p.assetKey("0xF24FF3a9CF04c71Dbc94D0b566f7A27B94566cAc") ==
+      "0xf24ff3a9cf04c71dbc94d0b566f7a27b94566cac~2004")
+    assert(p.assetKey("GLMR") == "GLMR~2004")
+    assert(p.asInstanceOf[MoonbeamParser].accountH160(
+      "0x167786d637fe9977e2a2a20730cdc3a52938252a4938a700f98c2ace33078d77")
+      == "0x167786d637fe9977e2a2a20730cdc3a52938252a")
+    // generic chains keep the generic parser
+    assert(!ChainParser.forChain(0).isInstanceOf[MoonbeamParser])
+  }
+
   test("toBaseUnit scales by decimals") {
     assert(Codec.toBaseUnit(BigInt("12345678901"), 10) == 1.2345678901)
   }

@@ -101,6 +101,72 @@ class XcmMatcherSpec extends AnyFunSuite {
     assert(out == Set(("0xp1", "0xc1"), ("0xp2", "0xc4")))
   }
 
+  test("destination search: waterfall priority + confidence inheritance") {
+    // transfer A: exact dest candidate → tier 1, confidence 1.0
+    // transfer B: no candidate; exact deposit event → tier 2
+    // transfer C: fuzzy candidate only (conf 0.95) → tier 3, even though
+    //             a fuzzy event (tier 4) also matches
+    // transfer D: nothing but a balance delta at a close block → tier 5
+    // transfer E: no strategy matches → absent from output
+    val transfers = Seq(
+      ("A", 2, "0xk1", ts(1000), BigDecimal(1000), BigDecimal(10)),
+      ("B", 2, "0xk2", ts(2000), BigDecimal(500), BigDecimal(5)),
+      ("C", 2, "0xk3", ts(3000), BigDecimal(800), BigDecimal(0)),
+      ("D", 2, "0xk4", ts(4000), BigDecimal(400), BigDecimal(0)),
+      ("E", 2, "0xk5", ts(5000), BigDecimal(900), BigDecimal(0))
+    ).toDF("extrinsic_id", "chain_id_dest", "dest_pubkey", "source_ts",
+      "amount_sent", "xcm_teleport_fees")
+    val candidates = Seq(
+      (2, "0xk1", "c-A", ts(1030), BigDecimal(990), 0),  // exact w/ fees
+      (2, "0xk3", "c-C", ts(3030), BigDecimal(760), 0),  // conf 0.95
+      (2, "0xk4", "c-D", ts(4500), BigDecimal(400), 0)   // out of window
+    ).toDF("chain_id_dest", "dest_pubkey", "event_id", "dest_ts",
+      "amount_received", "reaped")
+    val events = Seq(
+      (2, "0xk2", "e-B", ts(2100), BigDecimal(500)),  // exact amount
+      (2, "0xk3", "e-C", ts(3050), BigDecimal(700))   // fuzzy (tier 4)
+    ).toDF("chain_id", "addr_pubkey", "event_id", "ts", "amount")
+    val balances = Seq(
+      (2, "0xk4", 100L, ts(3900), BigDecimal(50)),
+      (2, "0xk4", 101L, ts(4060), BigDecimal(445)),   // delta 395 ✓
+      (2, "0xk5", 200L, ts(4900), BigDecimal(10)),
+      (2, "0xk5", 201L, ts(5060), BigDecimal(110))    // delta 100 ≪ 900 ✗
+    ).toDF("chain_id", "addr_pubkey", "block_number", "block_ts", "free")
+
+    val out = XcmMatcher.searchDestination(transfers, candidates,
+        events, balances)
+      .select("extrinsic_id", "priority", "strategy", "confidence")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      "A" -> ((1, "candidate", 1.0)),
+      "B" -> ((2, "events", 1.0)),
+      "C" -> ((3, "candidate", 0.95)),
+      "D" -> ((5, "balance", 0.9875))))
+  }
+
+  test("destination search: within-tier best confidence wins") {
+    val transfers = Seq(
+      ("F", 2, "0xk9", ts(1000), BigDecimal(1000), BigDecimal(0))
+    ).toDF("extrinsic_id", "chain_id_dest", "dest_pubkey", "source_ts",
+      "amount_sent", "xcm_teleport_fees")
+    val candidates = Seq(
+      (2, "0xk9", "c-lo", ts(1010), BigDecimal(700), 0), // conf 0.7
+      (2, "0xk9", "c-hi", ts(1020), BigDecimal(900), 0)  // conf 0.9 ✓
+    ).toDF("chain_id_dest", "dest_pubkey", "event_id", "dest_ts",
+      "amount_received", "reaped")
+    val empty = Seq.empty[(Int, String, String, Timestamp, BigDecimal)]
+      .toDF("chain_id", "addr_pubkey", "event_id", "ts", "amount")
+    val emptyBal = Seq.empty[(Int, String, Long, Timestamp, BigDecimal)]
+      .toDF("chain_id", "addr_pubkey", "block_number", "block_ts", "free")
+    val out = XcmMatcher.searchDestination(transfers, candidates,
+        empty, emptyBal)
+      .select("matched_id", "confidence").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "c-hi" && out(0).getDouble(1) == 0.9)
+  }
+
   test("transfer matching: one candidate event consumed once") {
     val transfers = Seq(
       ("5-1", 0, 0, 1, 2, "DOT", BigDecimal(1000), ts(5000), "0xm1", 10L),
