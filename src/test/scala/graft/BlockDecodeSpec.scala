@@ -1,0 +1,186 @@
+package graft
+
+import graft.decode.BlockDecode
+import graft.decode.BlockDecode.{CallMeta, EventMeta, RuntimeMeta}
+import graft.etl.Dump
+import graft.functions.Codec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Raw SCALE block decode (P1 subset) → Dump end-to-end: the fixtures
+  * here are genuine SCALE bytes (compact ints, v4 envelopes, u128-LE
+  * event fields) ENCODED by the test and DECODED by BlockDecode — with
+  * a runtime upgrade mid-fixture that shifts the balances pallet index,
+  * so a correct decode is only possible through the spec-version as-of
+  * dimension. */
+class BlockDecodeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- test-side SCALE encoder ----
+  private def cp(v: BigInt): Array[Byte] = Codec.compactEncode(v)
+  private def cp(v: Long): Array[Byte] = Codec.compactEncode(BigInt(v))
+  private def u32le(v: Long): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def u128le(v: BigInt): Array[Byte] = {
+    val le = v.toByteArray.dropWhile(_ == 0).reverse
+    le ++ Array.fill[Byte](16 - le.length)(0)
+  }
+  private def b(xs: Array[Byte]*): Array[Byte] = xs.flatten.toArray
+
+  private val alice = Codec.hexToBytes(
+    "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d")
+  private val bob = Codec.hexToBytes(
+    "8eaf04151687736326c9fea17e25fc5287613693c912909cb226aa4794f26a48")
+  private val sig = Array.fill[Byte](64)(1)
+
+  // spec 100: balances at pallet 4; spec 101 (runtime upgrade): pallet 5
+  private def meta(spec: Int, balancesPallet: Int) = RuntimeMeta(spec, 10,
+    calls = Seq(
+      CallMeta(0, 1, "system", "remark"),
+      CallMeta(3, 0, "timestamp", "set"),
+      CallMeta(balancesPallet, 0, "balances", "transfer"),
+      CallMeta(16, 0, "utility", "batch")),
+    events = Seq(
+      EventMeta(0, 0, "system", "ExtrinsicSuccess"),
+      EventMeta(0, 1, "system", "ExtrinsicFailed"),
+      EventMeta(balancesPallet, 2, "balances", "Transfer"),
+      EventMeta(balancesPallet, 7, "balances", "Deposit")))
+  private val m100 = meta(100, 4)
+  private val m101 = meta(101, 5)
+
+  private def envelope(signed: Boolean, call: Array[Byte]): String = {
+    val body =
+      if (signed)
+        b(Array(0x84.toByte), Array(0.toByte), alice, sig,
+          Array(0.toByte) /* immortal era */, cp(7) /* nonce */,
+          cp(0) /* tip */, call)
+      else b(Array(0x04.toByte), call)
+    Codec.bytesToHex(b(cp(body.length), body))
+  }
+
+  private def tsSet(millis: Long) = b(Array(3.toByte, 0.toByte), cp(millis))
+  private def transfer(pallet: Int, to: Array[Byte], amt: Long) =
+    b(Array(pallet.toByte, 0.toByte), Array(0.toByte), to, cp(amt))
+
+  private def success(exIdx: Int) =
+    b(Array(0.toByte), u32le(exIdx), Array(0.toByte, 0.toByte),
+      cp(1000), cp(0), Array(0.toByte, 0.toByte), cp(0))
+  private def failed(exIdx: Int) =
+    b(Array(0.toByte), u32le(exIdx), Array(0.toByte, 1.toByte),
+      Array(3.toByte), Array(5.toByte), u32le(2),
+      cp(1000), cp(0), Array(0.toByte, 0.toByte), cp(0))
+  private def transferEv(exIdx: Int, pallet: Int, amt: BigInt) =
+    b(Array(0.toByte), u32le(exIdx), Array(pallet.toByte, 2.toByte),
+      alice, bob, u128le(amt), cp(0))
+  private def eventsHex(evs: Array[Byte]*): String =
+    Codec.bytesToHex(b(cp(evs.length.toLong) +: evs: _*))
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // block 1 @spec100, blocks 2-3 @spec101 (balances pallet moved 4→5)
+  private lazy val raw = Seq(
+    (0, 1L, "0xb1", "0xb0", ts("2024-03-01 10:00:00"), true, "0xaa",
+      Seq(envelope(signed = false, tsSet(1709287200000L)),
+        envelope(signed = true, transfer(4, bob, 10000000000L))),
+      eventsHex(success(0), transferEv(1, 4, BigInt(10000000000L)),
+        success(1))),
+    (0, 2L, "0xb2", "0xb1", ts("2024-03-01 11:00:00"), true, "0xaa",
+      Seq(envelope(signed = false, tsSet(1709290800000L)),
+        envelope(signed = true,
+          b(Array(16.toByte, 0.toByte), cp(2),
+            transfer(5, bob, 20000000000L),
+            b(Array(0.toByte, 1.toByte), cp(2),
+              "hi".getBytes("US-ASCII"))))),
+      eventsHex(success(0), transferEv(1, 5, BigInt(20000000000L)),
+        success(1))),
+    (0, 3L, "0xb3", "0xb2", ts("2024-03-01 12:00:00"), true, "0xaa",
+      Seq(envelope(signed = true, transfer(5, bob, 999L))),
+      eventsHex(failed(0)))
+  ).toDF("chain_id", "number", "hash", "parent_hash", "block_time",
+    "finalized", "author_pub", "extrinsics_hex", "events_hex")
+
+  private lazy val specVersions =
+    Seq((1L, 100), (2L, 101)).toDF("block_number", "spec_version")
+
+  private lazy val decoded =
+    BlockDecode.decodeBlocks(raw, specVersions, Seq(m100, m101))
+
+  private lazy val outRoot =
+    java.nio.file.Files.createTempDirectory("graft_rawdump").toString
+  private lazy val out = Dump.dumpDay(decoded.toDF(), "2024-03-01", outRoot)
+
+  test("spec-version as-of selects the right dispatch tables") {
+    val specs = decoded.collect().map(bk => bk.number -> bk.spec_version).toMap
+    assert(specs == Map(1L -> 100, 2L -> 101, 3L -> 101))
+    // block 2's bytes are NOT decodable under spec-100 tables: the
+    // balances pallet moved — proving the as-of join is load-bearing
+    intercept[IllegalArgumentException] {
+      BlockDecode.decodeExtrinsic(
+        envelope(signed = true, transfer(5, bob, 1L)), m100)
+    }
+  }
+
+  test("extrinsic envelope: signer, unsigned, hash = blake2_256(bytes)") {
+    val ex = decoded.filter(_.number == 1L).head().extrinsics
+    assert(!ex(0).signed && ex(0).section == "timestamp" &&
+      ex(0).method == "set")
+    assert(ex(1).signed &&
+      ex(1).signer_pub == Codec.bytesToHex(alice))
+    val rawHex = envelope(signed = true, transfer(4, bob, 10000000000L))
+    assert(ex(1).hash ==
+      Codec.bytesToHex(Codec.blake2b256(Codec.hexToBytes(rawHex))))
+  }
+
+  test("dump from raw bytes: extrinsic status from decoded events") {
+    val e = out("extrinsics").orderBy("extrinsic_id").collect()
+    val byId = e.map(r => r.getAs[String]("extrinsic_id") -> r).toMap
+    assert(byId.keySet == Set("1-0", "1-1", "2-0", "2-1", "3-0"))
+    assert(byId("1-1").getAs[Boolean]("status"))
+    assert(!byId("3-0").getAs[Boolean]("status")) // ExtrinsicFailed
+    assert(byId("1-0").getAs[String]("signer_ss58") == null)
+    assert(byId("1-1").getAs[String]("signer_ss58") != null)
+  }
+
+  test("dump from raw bytes: transfers decoded from u128-LE event fields") {
+    val t = out("transfers").orderBy("extrinsic_id").collect()
+    assert(t.map(_.getAs[Double]("amount")).toSeq == Seq(1.0, 2.0))
+    assert(t.map(_.getAs[String]("asset")).toSet == Set("native~0"))
+    assert(t(0).getAs[String]("from_ss58") ==
+      "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY") // Alice
+  }
+
+  test("dump from raw bytes: batch flattened, remark suppressed") {
+    val c = out("calls").filter(col("extrinsic_id") === "2-1")
+      .orderBy("call_id").collect()
+    assert(c.map(_.getAs[String]("call_id")).toSeq == Seq("0", "0_0"))
+    assert(c(0).getAs[String]("call_section") == "utility")
+    assert(c(1).getAs[String]("call_method") == "transfer")
+    // decoded compact arg survives into call_args JSON
+    assert(c(1).getAs[String]("call_args").contains("20000000000"))
+  }
+
+  test("System.Account storage value decode") {
+    val v = b(u32le(5), u32le(1), u32le(1), u32le(0),
+      u128le(BigInt("123456789012345678901")), u128le(BigInt(7)),
+      u128le(BigInt(0)), u128le(BigInt(0)))
+    val a = BlockDecode.decodeAccountInfo(Codec.bytesToHex(v))
+    assert(a.nonce == 5 && a.consumers == 1 && a.providers == 1)
+    assert(a.free == BigInt("123456789012345678901"))
+    assert(a.reserved == BigInt(7) && a.frozen == BigInt(0))
+  }
+
+  test("malformed input is rejected, not misdecoded") {
+    // truncated extrinsic: length prefix larger than payload
+    intercept[Exception] {
+      BlockDecode.decodeExtrinsic(Codec.bytesToHex(b(cp(99), Array(4.toByte))), m100)
+    }
+    // trailing garbage after the call
+    val good = Codec.hexToBytes(envelope(signed = false, tsSet(1L)))
+    val withTrailing = b(cp(good.length - 1 + 1), good.drop(1), Array(9.toByte))
+    intercept[Exception] {
+      BlockDecode.decodeExtrinsic(Codec.bytesToHex(withTrailing), m100)
+    }
+  }
+}
