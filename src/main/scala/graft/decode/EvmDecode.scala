@@ -1,20 +1,35 @@
 package graft.decode
 
 import graft.functions.{Codec, Keccak}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** EVM face — SURVEY P11 (ref indexer.js:5330
-  * combine_tx_with_receipt_status, 5113 crawl_erc_tokens; ethTool.js):
-  * transaction+receipt+status merge and ERC-20 transfer extraction from
-  * receipt logs, as the same declarative join/filter shapes the
-  * substrate face uses.
+  * combine_tx_with_receipt_status, 5113 crawl_erc_tokens; ethTool.js:
+  * the ABI decode surface at 247-310): transaction+receipt+status
+  * merge, ERC-20/721/1155 transfer extraction from receipt logs, and
+  * tx-input selector decode — all as the same declarative join/filter
+  * shapes the substrate face uses (the only UDFs are hex→uint256 and
+  * the ERC-1155 batch-array parse; everything else is codegen'd
+  * substring/when arithmetic).
   */
 object EvmDecode {
 
   /** keccak topic0 of the canonical ERC-20/721 Transfer event. */
   val TransferTopic: String =
     Keccak.topic("Transfer(address,address,uint256)")
+
+  /** ERC-1155 TransferSingle / TransferBatch topic0s (ref ethTool.js:310
+    * erc1155 ABI). */
+  val TransferSingleTopic: String =
+    Keccak.topic("TransferSingle(address,address,address,uint256,uint256)")
+  val TransferBatchTopic: String =
+    Keccak.topic("TransferBatch(address,address,address,uint256[],uint256[])")
+
+  /** 4-byte function selector of an ABI signature: first 4 bytes of the
+    * keccak hash (ref ethTool.js:247-310 func lists). */
+  def selector(signature: String): String =
+    Keccak.topic(signature).substring(0, 10)
 
   /** Merge transactions with their receipts; status resolved from the
     * receipt (ref indexer.js:5330). Left join: a tx with no receipt yet
@@ -31,26 +46,34 @@ object EvmDecode {
           col("effective_gas_price").cast("decimal(38,0)"))
       .withColumn("success", col("receipt_status") === 1)
 
+  // explicit DecimalType(38,0): the inferred type for a BigDecimal
+  // return is Decimal(38,18), whose integer range (<1e20) silently
+  // NULLs routine 18-decimal token amounts like 10^21. Java UDF API:
+  // Spark 4 rejects the untyped Scala udf(f, dataType) form.
+  private def hexToDec = udf(
+    new org.apache.spark.sql.api.java.UDF1[String, java.math.BigDecimal] {
+      override def call(h: String): java.math.BigDecimal =
+        if (h == null || h.isEmpty || h == "0x") java.math.BigDecimal.ZERO
+        else new java.math.BigDecimal(
+          BigInt(1, Codec.hexToBytes(h)).bigInteger)
+    },
+    org.apache.spark.sql.types.DecimalType(38, 0))
+
+  private def explodedLogs(txReceipts: DataFrame): DataFrame =
+    txReceipts
+      .select(col("transaction_hash"), col("block_number"),
+        posexplode(col("logs")).as(Seq("log_index", "lg")))
+
+  /** Low 20 bytes of a 32-byte topic word as an 0x address. */
+  private def topicAddr(t: Column): Column =
+    concat(lit("0x"), substring(t, 27, 40))
+
   /** ERC-20 transfers from receipt logs: topic0 = Transfer signature,
     * from/to = topics 1/2 (last 20 bytes), value = data as u256
     * (ref indexer.js:5113; ethTool ERC-20 handling). `logs` is an array
     * of structs (address, topics ARRAY<STRING>, data). */
-  def erc20Transfers(txReceipts: DataFrame): DataFrame = {
-    // explicit DecimalType(38,0): the inferred type for a BigDecimal
-    // return is Decimal(38,18), whose integer range (<1e20) silently
-    // NULLs routine 18-decimal token amounts like 10^21. Java UDF API:
-    // Spark 4 rejects the untyped Scala udf(f, dataType) form.
-    val hexToDec = udf(
-      new org.apache.spark.sql.api.java.UDF1[String, java.math.BigDecimal] {
-        override def call(h: String): java.math.BigDecimal =
-          if (h == null || h.isEmpty || h == "0x") java.math.BigDecimal.ZERO
-          else new java.math.BigDecimal(
-            BigInt(1, Codec.hexToBytes(h)).bigInteger)
-      },
-      org.apache.spark.sql.types.DecimalType(38, 0))
-    txReceipts
-      .select(col("transaction_hash"), col("block_number"),
-        posexplode(col("logs")).as(Seq("log_index", "lg")))
+  def erc20Transfers(txReceipts: DataFrame): DataFrame =
+    explodedLogs(txReceipts)
       .filter(size(col("lg.topics")) === 3 &&
         col("lg.topics")(0) === TransferTopic)
       .select(
@@ -59,10 +82,128 @@ object EvmDecode {
         col("log_index"),
         col("lg.address").as("token_address"),
         // topics are 32-byte words; the address is the low 20 bytes
-        concat(lit("0x"), substring(col("lg.topics")(1), 27, 40))
-          .as("from_address"),
-        concat(lit("0x"), substring(col("lg.topics")(2), 27, 40))
-          .as("to_address"),
+        topicAddr(col("lg.topics")(1)).as("from_address"),
+        topicAddr(col("lg.topics")(2)).as("to_address"),
         hexToDec(col("lg.data")).as("raw_value"))
+
+  /** ERC-721 transfers: the SAME Transfer signature as ERC-20, but the
+    * tokenId is indexed → 4 topics and empty data — the topic-count
+    * disambiguation ethTool's erc721ABI encodes (ref ethTool.js:120). */
+  def erc721Transfers(txReceipts: DataFrame): DataFrame =
+    explodedLogs(txReceipts)
+      .filter(size(col("lg.topics")) === 4 &&
+        col("lg.topics")(0) === TransferTopic)
+      .select(
+        col("transaction_hash"),
+        col("block_number"),
+        col("log_index"),
+        col("lg.address").as("token_address"),
+        topicAddr(col("lg.topics")(1)).as("from_address"),
+        topicAddr(col("lg.topics")(2)).as("to_address"),
+        hexToDec(col("lg.topics")(3)).as("token_id"))
+
+  /** ERC-1155 TransferSingle + TransferBatch, normalized to one row per
+    * (token_id, value) — batches are ABI dynamic uint256[] pairs in the
+    * data word-stream (offset, offset, len, elems…), parsed by a typed
+    * UDF and exploded (ref ethTool.js:122 erc1155 ABI). */
+  def erc1155Transfers(txReceipts: DataFrame): DataFrame = {
+    val logs = explodedLogs(txReceipts)
+    val base = Seq(
+      col("transaction_hash"), col("block_number"), col("log_index"),
+      col("lg.address").as("token_address"),
+      topicAddr(col("lg.topics")(1)).as("operator"),
+      topicAddr(col("lg.topics")(2)).as("from_address"),
+      topicAddr(col("lg.topics")(3)).as("to_address"))
+    val single = logs
+      .filter(size(col("lg.topics")) === 4 &&
+        col("lg.topics")(0) === TransferSingleTopic)
+      // data = two 32-byte words: id ‖ value
+      .select(base :+
+        hexToDec(substring(col("lg.data"), 3, 64)).as("token_id") :+
+        hexToDec(substring(col("lg.data"), 67, 64)).as("raw_value"): _*)
+    // returns decimal STRINGS: a java.math.BigDecimal return would be
+    // inferred as Decimal(38,18) and silently NULL ids/amounts ≥ 1e20
+    val parseBatch = udf((data: String) => {
+      if (data == null || data.length < 2 + 4 * 64)
+        Seq.empty[(String, String)]
+      else {
+        val hex = data.stripPrefix("0x")
+        def word(i: Int): BigInt =
+          BigInt(1, Codec.hexToBytes(hex.substring(i * 64, i * 64 + 64)))
+        // words 0/1: byte offsets of ids / values (÷32 → word index)
+        val idsAt = (word(0) / 32).toInt
+        val valsAt = (word(1) / 32).toInt
+        val n = word(idsAt).toInt
+        require(word(valsAt).toInt == n, "ids/values length mismatch")
+        (0 until n).map { i =>
+          (word(idsAt + 1 + i).toString, word(valsAt + 1 + i).toString)
+        }
+      }
+    })
+    val batch = logs
+      .filter(size(col("lg.topics")) === 4 &&
+        col("lg.topics")(0) === TransferBatchTopic)
+      .select(base :+ explode(parseBatch(col("lg.data"))).as("pair"): _*)
+      .select(col("transaction_hash"), col("block_number"),
+        col("log_index"), col("token_address"), col("operator"),
+        col("from_address"), col("to_address"),
+        col("pair._1").cast("decimal(38,0)").as("token_id"),
+        col("pair._2").cast("decimal(38,0)").as("raw_value"))
+    single.unionByName(batch)
+  }
+
+  // ---- tx input (calldata) ABI decode ----
+
+  /** The scoped selector table (ref ethTool.js:247-310 erc20/721/1155
+    * func lists). Args are static 32-byte words after the 4-byte
+    * selector; `a` = address (low 20 bytes), `u` = uint256. */
+  private val knownSelectors: Seq[(String, String, String)] = Seq(
+    ("transfer(address,uint256)", "transfer", "au"),
+    ("transferFrom(address,address,uint256)", "transferFrom", "aau"),
+    ("approve(address,uint256)", "approve", "au"),
+    ("safeTransferFrom(address,address,uint256)", "safeTransferFrom", "aau"),
+    ("safeTransferFrom(address,address,uint256,bytes)",
+      "safeTransferFrom", "aau"),
+    ("safeTransferFrom(address,address,uint256,uint256,bytes)",
+      "safeTransferFrom1155", "aauu"),
+    ("setApprovalForAll(address,bool)", "setApprovalForAll", "au"))
+
+  /** Decode the tx `input` column: 4-byte selector → method name +
+    * normalized (to_address, token_id/value) columns for the scoped
+    * token methods; unknown selectors keep method null (the reference
+    * stores the selector and moves on — decode, don't reject). Pure
+    * substring/when arithmetic: fully codegen'd, no UDF. */
+  def decodeInput(txs: DataFrame): DataFrame = {
+    val sel = lower(substring(col("input"), 1, 10))
+    def word(i: Int): Column = substring(col("input"), 11 + i * 64, 64)
+    def addrArg(i: Int): Column = concat(lit("0x"), substring(word(i), 25, 40))
+    val method = knownSelectors.foldLeft(lit(null).cast("string")) {
+      case (acc, (sig, name, _)) =>
+        when(sel === selector(sig), lit(name)).otherwise(acc)
+    }
+    // arg layout by shape: value = last uint word, to = last address word
+    val decoded = txs
+      .withColumn("selector", sel)
+      .withColumn("method", method)
+      .withColumn("arg_to",
+        when(col("method").isin("transfer", "approve", "setApprovalForAll"),
+          addrArg(0))
+          .when(col("method").isin("transferFrom", "safeTransferFrom",
+            "safeTransferFrom1155"), addrArg(1)))
+      .withColumn("arg_value_hex",
+        when(col("method").isin("transfer", "approve"), word(1))
+          .when(col("method").isin("transferFrom", "safeTransferFrom"),
+            word(2))
+          .when(col("method") === "safeTransferFrom1155", word(3)))
+      .withColumn("arg_token_id_hex",
+        when(col("method").isin("safeTransferFrom"), word(2))
+          .when(col("method") === "safeTransferFrom1155", word(2)))
+    decoded
+      .withColumn("arg_value",
+        when(col("arg_value_hex").isNotNull, hexToDec(col("arg_value_hex"))))
+      .withColumn("arg_token_id",
+        when(col("arg_token_id_hex").isNotNull,
+          hexToDec(col("arg_token_id_hex"))))
+      .drop("arg_value_hex", "arg_token_id_hex")
   }
 }

@@ -73,4 +73,87 @@ class EvmSpec extends AnyFunSuite {
     assert(r.getAs[java.math.BigDecimal]("raw_value")
       .toBigInteger.toString == "1000000000000000000000")
   }
+
+  private def word(v: BigInt): String = f"${v}%064x" // 32-byte hex word
+  private def wordOf(v: Long): String = word(BigInt(v))
+
+  test("ERC-721 transfer: 4-topic form with indexed tokenId") {
+    val from = "0x" + "aa" * 20
+    val to = "0x" + "bb" * 20
+    val logs = Seq(
+      EvmLog("0xnft",
+        Seq(EvmDecode.TransferTopic, pad32(from), pad32(to),
+          "0x" + wordOf(7777L)), ""),
+      // 3-topic ERC-20 form must NOT appear as a 721 transfer
+      EvmLog("0xtoken",
+        Seq(EvmDecode.TransferTopic, pad32(from), pad32(to)), "0x05"))
+    val df = Seq(("0xt1", 100L, logs))
+      .toDF("transaction_hash", "block_number", "logs")
+    val out = EvmDecode.erc721Transfers(df).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("token_address") == "0xnft")
+    assert(out(0).getAs[java.math.BigDecimal]("token_id")
+      .toBigInteger.intValue == 7777)
+    assert(EvmDecode.erc20Transfers(df).count() == 1) // the 3-topic one
+  }
+
+  test("ERC-1155 TransferSingle and TransferBatch extraction") {
+    val op = "0x" + "cc" * 20
+    val from = "0x" + "aa" * 20
+    val to = "0x" + "bb" * 20
+    val singleData = "0x" + wordOf(5L) + word(BigInt("1000000000000000000000"))
+    // batch: offsets 0x40/0xa0, ids [1,2], values [10,20]
+    val batchData = "0x" + wordOf(0x40L) + wordOf(0xa0L) +
+      wordOf(2L) + wordOf(1L) + wordOf(2L) +
+      wordOf(2L) + wordOf(10L) + wordOf(20L)
+    val logs = Seq(
+      EvmLog("0xmulti",
+        Seq(EvmDecode.TransferSingleTopic, pad32(op), pad32(from),
+          pad32(to)), singleData),
+      EvmLog("0xmulti",
+        Seq(EvmDecode.TransferBatchTopic, pad32(op), pad32(from),
+          pad32(to)), batchData))
+    val df = Seq(("0xt1", 100L, logs))
+      .toDF("transaction_hash", "block_number", "logs")
+    val out = EvmDecode.erc1155Transfers(df)
+      .orderBy("token_id").collect()
+      .map(r => (r.getAs[java.math.BigDecimal]("token_id").toBigInteger.intValue,
+        r.getAs[java.math.BigDecimal]("raw_value").toBigInteger.toString))
+    assert(out.toSeq == Seq(1 -> "10", 2 -> "20",
+      5 -> "1000000000000000000000"))
+  }
+
+  test("tx input ABI decode: selectors, args, unknown passthrough") {
+    val to = "bb" * 20
+    val xfer = EvmDecode.selector("transfer(address,uint256)") +
+      "0" * 24 + to + wordOf(123456L)
+    val xferFrom = EvmDecode.selector("transferFrom(address,address,uint256)") +
+      "0" * 24 + ("aa" * 20) + "0" * 24 + to + wordOf(99L)
+    val sfrom1155 =
+      EvmDecode.selector("safeTransferFrom(address,address,uint256,uint256,bytes)") +
+        "0" * 24 + ("aa" * 20) + "0" * 24 + to + wordOf(7L) + wordOf(3L) +
+        wordOf(0xa0L) + wordOf(0L)
+    val unknown = "0xdeadbeef" + wordOf(1L)
+    val df = Seq(("0xt1", xfer), ("0xt2", xferFrom), ("0xt3", sfrom1155),
+        ("0xt4", unknown))
+      .toDF("transaction_hash", "input")
+    val out = EvmDecode.decodeInput(df).collect()
+      .map(r => r.getAs[String]("transaction_hash") ->
+        ((r.getAs[String]("method"), r.getAs[String]("arg_to"),
+          Option(r.getAs[java.math.BigDecimal]("arg_value"))
+            .map(_.toBigInteger.longValue),
+          Option(r.getAs[java.math.BigDecimal]("arg_token_id"))
+            .map(_.toBigInteger.longValue)))).toMap
+    assert(out("0xt1") == (("transfer", "0x" + to, Some(123456L), None)))
+    assert(out("0xt2") == (("transferFrom", "0x" + to, Some(99L), None)))
+    assert(out("0xt3") ==
+      (("safeTransferFrom1155", "0x" + to, Some(3L), Some(7L))))
+    assert(out("0xt4")._1 == null &&
+      out("0xt4")._2 == null) // unknown selector: kept, not decoded
+    // the selector column itself survives for unknowns
+    val sel = EvmDecode.decodeInput(df)
+      .filter($"transaction_hash" === "0xt4")
+      .select("selector").head().getString(0)
+    assert(sel == "0xdeadbeef")
+  }
 }
