@@ -37,6 +37,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // rows-only manifest: every query WITHOUT an oracle, with the reason
+    // it is untestable in DuckDB — so `no_oracle` reads as a deliberate
+    // scope decision, not an untested query.
+    val rowsOnlyWhy = Map(
+      "a16b_approx_distinct" ->
+        "HLL sketch: Spark and DuckDB approx algorithms differ by design; exact twin a16 is oracle-checked",
+      "d3_minhash_lsh" ->
+        "MinHash signatures are engine-specific hash permutations; candidate pairs are exact-Jaccard verified in-query",
+      "d4_simhash" ->
+        "64-bit SimHash uses engine-specific hashing; blocking + Hamming verify are structural",
+      "m2_media_decode_stub" ->
+        "media decode is an honest stub (no codecs in container); Spark-side plumbing is spec-tested")
+    val manifest = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+      .toSeq.sorted
+      .map(k => s"${q(k)}: ${q(rowsOnlyWhy.getOrElse(k, "no DuckDB twin"))}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only_manifest.json"), manifest)
     spark.stop()
   }
 }
