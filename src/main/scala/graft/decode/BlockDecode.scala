@@ -15,8 +15,7 @@ case class RawHexBlock(
     finalized: Boolean,
     author_pub: String,
     extrinsics_hex: Seq[String],
-    events_hex: String,
-    spec_version: Int)
+    events_hex: String)
 
 /** Fixture-scoped raw SCALE block decode — the P1 subset (ref
   * indexer.js:6676 decodeRawBlock; spec-version resolution
@@ -60,6 +59,10 @@ object BlockDecode {
     var off: Int = 0
     def u8(): Int = { val v = bytes(off) & 0xff; off += 1; v }
     def take(n: Int): Array[Byte] = {
+      // copyOfRange would silently ZERO-PAD past end-of-buffer —
+      // truncated input must be an error, not fabricated zero balances
+      require(off + n <= bytes.length,
+        s"read of $n bytes at $off past end (${bytes.length})")
       val a = java.util.Arrays.copyOfRange(bytes, off, off + n); off += n; a
     }
     def u32(): Long = {
@@ -240,26 +243,45 @@ object BlockDecode {
     * raw bytes. Input columns: chain_id, number, hash, parent_hash,
     * block_time, finalized, author_pub, extrinsics_hex array<string>,
     * events_hex string; `specVersions(block_number, spec_version)` is
-    * the upgrade dimension resolved as-of each block. Decode runs as a
-    * typed map over the blocks (distributed; metadata broadcast via the
-    * closure — a handful of KB). */
+    * the upgrade dimension resolved as-of each block.
+    *
+    * Scale shape: the spec dimension is tiny (one row per runtime
+    * upgrade), so it is collected once and shipped through the closure;
+    * each block resolves its spec by binary search inside the
+    * distributed map — no global window over the (enormous) raw table,
+    * and `raw` is scanned exactly once. A block older than the first
+    * spec entry is an explicit error, not a null. */
   def decodeBlocks(raw: DataFrame, specVersions: DataFrame,
       metas: Seq[RuntimeMeta]): Dataset[RawBlock] = {
     val spark = raw.sparkSession
     import spark.implicits._
     val metaMap = metas.map(m => m.specVersion -> m).toMap
-    val sv = TraceDecode.withSpecVersion(
-      raw.select(col("number").as("block_number")), specVersions)
-    raw.join(sv, raw("number") === sv("block_number"))
-      .select(col("chain_id"), col("number"), col("hash"),
+    val specBounds = specVersions
+      .select(col("block_number").cast("long"),
+        col("spec_version").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    require(specBounds.nonEmpty, "specVersions dimension is empty")
+    def specFor(n: Long): Int = {
+      var lo = 0; var hi = specBounds.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (specBounds(mid)._1 <= n) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      if (ans < 0) throw new IllegalArgumentException(
+        s"block $n precedes the first spec-version entry " +
+          s"(${specBounds.head._1})")
+      specBounds(ans)._2
+    }
+    raw.select(col("chain_id"), col("number"), col("hash"),
         col("parent_hash"), col("block_time"), col("finalized"),
-        col("author_pub"), col("extrinsics_hex"), col("events_hex"),
-        col("spec_version"))
+        col("author_pub"), col("extrinsics_hex"), col("events_hex"))
       .as[RawHexBlock]
       .map { b =>
-        val meta = metaMap.getOrElse(b.spec_version,
+        val spec = specFor(b.number)
+        val meta = metaMap.getOrElse(spec,
           throw new IllegalArgumentException(
-            s"no runtime metadata for spec ${b.spec_version}"))
+            s"no runtime metadata for spec $spec"))
         val events = decodeEvents(b.events_hex, meta)
         val extrinsics = b.extrinsics_hex.zipWithIndex.map {
           case (exHex, i) =>
@@ -279,7 +301,7 @@ object BlockDecode {
               Codec.toBaseUnit(d.tip, meta.tokenDecimals), evs, transfers)
         }
         RawBlock(b.chain_id, b.number, b.hash, b.parent_hash,
-          b.block_time, b.spec_version, b.author_pub, b.finalized,
+          b.block_time, spec, b.author_pub, b.finalized,
           extrinsics, Seq.empty[RawLog])
       }
   }

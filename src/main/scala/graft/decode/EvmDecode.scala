@@ -54,8 +54,14 @@ object EvmDecode {
     new org.apache.spark.sql.api.java.UDF1[String, java.math.BigDecimal] {
       override def call(h: String): java.math.BigDecimal =
         if (h == null || h.isEmpty || h == "0x") java.math.BigDecimal.ZERO
-        else new java.math.BigDecimal(
+        else try new java.math.BigDecimal(
           BigInt(1, Codec.hexToBytes(h)).bigInteger)
+        catch {
+          // guarded-null policy: non-hex garbage in a log is malformed
+          // input, not a stage-killing error
+          case _: NumberFormatException | _: StringIndexOutOfBoundsException =>
+            null
+        }
     },
     org.apache.spark.sql.types.DecimalType(38, 0))
 
@@ -122,23 +128,27 @@ object EvmDecode {
         hexToDec(substring(col("lg.data"), 3, 64)).as("token_id") :+
         hexToDec(substring(col("lg.data"), 67, 64)).as("raw_value"): _*)
     // returns decimal STRINGS: a java.math.BigDecimal return would be
-    // inferred as Decimal(38,18) and silently NULL ids/amounts ≥ 1e20
+    // inferred as Decimal(38,18) and silently NULL ids/amounts ≥ 1e20.
+    // Guarded: any contract can emit a log with this topic0 and garbage
+    // data — malformed word-streams yield zero rows, not a dead stage.
     val parseBatch = udf((data: String) => {
-      if (data == null || data.length < 2 + 4 * 64)
-        Seq.empty[(String, String)]
-      else {
-        val hex = data.stripPrefix("0x")
-        def word(i: Int): BigInt =
-          BigInt(1, Codec.hexToBytes(hex.substring(i * 64, i * 64 + 64)))
-        // words 0/1: byte offsets of ids / values (÷32 → word index)
-        val idsAt = (word(0) / 32).toInt
-        val valsAt = (word(1) / 32).toInt
-        val n = word(idsAt).toInt
-        require(word(valsAt).toInt == n, "ids/values length mismatch")
-        (0 until n).map { i =>
-          (word(idsAt + 1 + i).toString, word(valsAt + 1 + i).toString)
+      try {
+        if (data == null || data.length < 2 + 4 * 64)
+          Seq.empty[(String, String)]
+        else {
+          val hex = data.stripPrefix("0x")
+          def word(i: Int): BigInt =
+            BigInt(1, Codec.hexToBytes(hex.substring(i * 64, i * 64 + 64)))
+          // words 0/1: byte offsets of ids / values (÷32 → word index)
+          val idsAt = (word(0) / 32).toInt
+          val valsAt = (word(1) / 32).toInt
+          val n = word(idsAt).toInt
+          require(word(valsAt).toInt == n, "ids/values length mismatch")
+          (0 until n).map { i =>
+            (word(idsAt + 1 + i).toString, word(valsAt + 1 + i).toString)
+          }
         }
-      }
+      } catch { case _: Exception => Seq.empty[(String, String)] }
     })
     val batch = logs
       .filter(size(col("lg.topics")) === 4 &&
@@ -190,13 +200,17 @@ object EvmDecode {
           addrArg(0))
           .when(col("method").isin("transferFrom", "safeTransferFrom",
             "safeTransferFrom1155"), addrArg(1)))
+      // safeTransferFrom(a,a,u) is ERC-721-only: its uint is a tokenId,
+      // never a value. transferFrom's uint stays in arg_value — the
+      // 0x23b872dd selector is genuinely shared between ERC-20 (amount)
+      // and ERC-721 (tokenId); disambiguating needs the contract's
+      // standard, which is a join away, not a calldata property.
       .withColumn("arg_value_hex",
         when(col("method").isin("transfer", "approve"), word(1))
-          .when(col("method").isin("transferFrom", "safeTransferFrom"),
-            word(2))
+          .when(col("method") === "transferFrom", word(2))
           .when(col("method") === "safeTransferFrom1155", word(3)))
       .withColumn("arg_token_id_hex",
-        when(col("method").isin("safeTransferFrom"), word(2))
+        when(col("method") === "safeTransferFrom", word(2))
           .when(col("method") === "safeTransferFrom1155", word(2)))
     decoded
       .withColumn("arg_value",

@@ -49,18 +49,28 @@ object Layout {
     * (key, salt), then finish on key — two small shuffles instead of one
     * skewed one. Only decomposable aggregates are accepted.
     *
-    * The salt is a pure function of the row content (`hash` over all
-    * columns), so task retries/recomputation assign every row to the
-    * same salt group — results were already correct with a random salt
-    * (decomposable aggs), but a stable salt keeps skew diagnostics
-    * reproducible across runs. */
+    * The salt is a pure function of row content (`hash` over
+    * `saltCols`, defaulting to every hashable column), so task
+    * retries/recomputation assign each row to the same salt group —
+    * results were already correct with a random salt (decomposable
+    * aggs), but a stable salt keeps skew diagnostics reproducible.
+    * CAVEAT: content-identical duplicate rows share a salt group; for
+    * duplicate-heavy skew pass `saltCols` naming a distinguishing
+    * attribute (an event id, a block number). Map-typed columns are
+    * excluded from the default (Spark's `hash` rejects MapType). */
   def saltedAgg(df: DataFrame, key: String, n: Int,
-      aggs: Seq[(String, String)]): DataFrame = {
+      aggs: Seq[(String, String)],
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(aggs.nonEmpty && aggs.forall(a => decomposable(a._2)),
       s"saltedAgg supports only ${decomposable.mkString("/")} " +
         "(non-decomposable aggregates would re-finish incorrectly)")
+    val hashCols =
+      if (saltCols.nonEmpty) saltCols
+      else df.schema.fields.filterNot(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(_.name).toSeq
     val salted = df.withColumn("_salt",
-      pmod(hash(df.columns.map(col): _*), lit(n)))
+      pmod(hash(hashCols.map(col): _*), lit(n)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(aggs.head match { case (c, f) => expr(s"$f($c)").as(s"_p0") },
         aggs.tail.zipWithIndex.map { case ((c, f), i) =>

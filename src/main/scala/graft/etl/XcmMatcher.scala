@@ -179,15 +179,26 @@ object XcmMatcher {
       .withColumn("confidence", fuzzyConf(col("delta")))
       .filter(col("confidence") >= 0.75)
       .select(col("extrinsic_id"), lit(5).as("priority"),
-        lit("balance").as("strategy"), col("block_number").as("matched_id"),
+        lit("balance").as("strategy"),
+        // zero-padded so the string-widened matched_id tie-break stays
+        // numeric, not lexicographic ("21" < "100")
+        format_string("%012d", col("block_number")).as("matched_id"),
         col("delta").as("matched_amount"), col("confidence"))
 
     // the waterfall: lowest tier wins; within a tier, best confidence,
     // then smallest id for determinism
     val w = Window.partitionBy(col("extrinsic_id"))
       .orderBy(col("priority"), col("confidence").desc, col("matched_id"))
-    cand.unionByName(ev).unionByName(bal)
+    val best = cand.unionByName(ev).unionByName(bal)
       .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // …then each physical match (deposit event / candidate / balance
+    // delta) is consumed by at most ONE transfer — first wins in the
+    // same order (the two-pass discipline of matchMessages/
+    // matchTransfers; the reference marks candidates consumed)
+    val perMatch = Window.partitionBy(col("strategy"), col("matched_id"))
+      .orderBy(col("priority"), col("confidence").desc, col("extrinsic_id"))
+    best.withColumn("rn", row_number().over(perMatch))
       .filter(col("rn") === 1).drop("rn")
       .withColumn("confidence", round(col("confidence"), 6))
   }

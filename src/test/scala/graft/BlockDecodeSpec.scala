@@ -171,6 +171,25 @@ class BlockDecodeSpec extends AnyFunSuite {
     assert(a.reserved == BigInt(7) && a.frozen == BigInt(0))
   }
 
+  test("block preceding the first spec entry is an error, not a null") {
+    val pre = Seq((0, 0L, "0xb0", "0x", ts("2024-03-01 09:00:00"), true,
+        "0xaa", Seq(envelope(signed = false, tsSet(1L))),
+        eventsHex(success(0))))
+      .toDF("chain_id", "number", "hash", "parent_hash", "block_time",
+        "finalized", "author_pub", "extrinsics_hex", "events_hex")
+    intercept[Exception] {
+      BlockDecode.decodeBlocks(pre, specVersions, Seq(m100, m101)).collect()
+    }
+  }
+
+  test("truncated System.Account value is rejected, not zero-padded") {
+    val full = b(u32le(5), u32le(1), u32le(1), u32le(0),
+      u128le(BigInt(100)), u128le(BigInt(0)), u128le(BigInt(0)))
+    intercept[IllegalArgumentException] {
+      BlockDecode.decodeAccountInfo(Codec.bytesToHex(full.take(40)))
+    }
+  }
+
   test("malformed input is rejected, not misdecoded") {
     // truncated extrinsic: length prefix larger than payload
     intercept[Exception] {

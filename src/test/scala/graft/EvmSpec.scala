@@ -133,9 +133,12 @@ class EvmSpec extends AnyFunSuite {
       EvmDecode.selector("safeTransferFrom(address,address,uint256,uint256,bytes)") +
         "0" * 24 + ("aa" * 20) + "0" * 24 + to + wordOf(7L) + wordOf(3L) +
         wordOf(0xa0L) + wordOf(0L)
+    val sfrom721 =
+      EvmDecode.selector("safeTransferFrom(address,address,uint256)") +
+        "0" * 24 + ("aa" * 20) + "0" * 24 + to + wordOf(555L)
     val unknown = "0xdeadbeef" + wordOf(1L)
     val df = Seq(("0xt1", xfer), ("0xt2", xferFrom), ("0xt3", sfrom1155),
-        ("0xt4", unknown))
+        ("0xt4", unknown), ("0xt5", sfrom721))
       .toDF("transaction_hash", "input")
     val out = EvmDecode.decodeInput(df).collect()
       .map(r => r.getAs[String]("transaction_hash") ->
@@ -150,6 +153,10 @@ class EvmSpec extends AnyFunSuite {
       (("safeTransferFrom1155", "0x" + to, Some(3L), Some(7L))))
     assert(out("0xt4")._1 == null &&
       out("0xt4")._2 == null) // unknown selector: kept, not decoded
+    // 721 safeTransferFrom: the uint is a tokenId, NEVER a value —
+    // token ids must not pollute value sums
+    assert(out("0xt5") ==
+      (("safeTransferFrom", "0x" + to, None, Some(555L))))
     // the selector column itself survives for unknowns
     val sel = EvmDecode.decodeInput(df)
       .filter($"transaction_hash" === "0xt4")

@@ -146,6 +146,29 @@ class XcmMatcherSpec extends AnyFunSuite {
       "D" -> ((5, "balance", 0.9875))))
   }
 
+  test("destination search: one physical match consumed once") {
+    // two identical transfers to the same destination, ONE deposit
+    // event: only the first (by extrinsic_id) may claim it — the same
+    // consumed-once discipline as matchMessages/matchTransfers
+    val transfers = Seq(
+      ("G1", 2, "0xk8", ts(1000), BigDecimal(500), BigDecimal(0)),
+      ("G2", 2, "0xk8", ts(1000), BigDecimal(500), BigDecimal(0))
+    ).toDF("extrinsic_id", "chain_id_dest", "dest_pubkey", "source_ts",
+      "amount_sent", "xcm_teleport_fees")
+    val noCand = Seq.empty[(Int, String, String, Timestamp, BigDecimal, Int)]
+      .toDF("chain_id_dest", "dest_pubkey", "event_id", "dest_ts",
+        "amount_received", "reaped")
+    val events = Seq(
+      (2, "0xk8", "e-G", ts(1100), BigDecimal(500))
+    ).toDF("chain_id", "addr_pubkey", "event_id", "ts", "amount")
+    val emptyBal = Seq.empty[(Int, String, Long, Timestamp, BigDecimal)]
+      .toDF("chain_id", "addr_pubkey", "block_number", "block_ts", "free")
+    val out = XcmMatcher.searchDestination(transfers, noCand,
+        events, emptyBal)
+      .select("extrinsic_id").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("G1"))
+  }
+
   test("destination search: within-tier best confidence wins") {
     val transfers = Seq(
       ("F", 2, "0xk9", ts(1000), BigDecimal(1000), BigDecimal(0))
