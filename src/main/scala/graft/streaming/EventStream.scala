@@ -113,6 +113,21 @@ object EventStream {
       .select(col("window.start").as("hr_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** S10/ST3 — file-landing ingest at the tip: stream NDJSON files from
+    * a landing directory with schema enforcement (the reference's
+    * sidecar-dump → object-store landing pattern, ref substrateetl.js
+    * dump → `bq load` flow). `maxFilesPerTrigger` bounds each
+    * micro-batch; with a checkpointed parquet sink the pipeline is
+    * exactly-once across restarts (each file processed exactly once —
+    * proven by FileStreamSpec's stop/append/restart case). */
+  def jsonFileSource(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** ST2/ST7 — stream-stream interval join with watermarks: the XCM
     * source↔dest correlation (ref xcmmanager.js:423: dest within
     * [source, source+120s]); state bounded by both watermarks + the
