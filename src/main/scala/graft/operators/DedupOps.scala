@@ -191,15 +191,102 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: each node takes the smallest label in its
+    * closed neighborhood until fixpoint. Rounds = label-propagation
+    * diameter; near-dup clusters are shallow, and every round is two
+    * distributed hash joins + an aggregate (no driver-side graph). The
+    * lineage is truncated every round with localCheckpoint so the plan
+    * stays flat across iterations. For adversarially deep graphs at 100 TB,
+    * swap in the O(log n)-round large-star/small-star contraction —
+    * same DataFrame shapes.
+    *
+    * This is the cluster-assignment step a training-data dedup pipeline
+    * runs AFTER pair generation (d2/d3/d4/v4): pairs → components →
+    * keep one canonical doc per cluster. */
+  def connectedComponents(edges: DataFrame, a: String, b: String,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nmin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels.join(nmin, col("node") === col("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("next_label"))
+        .localCheckpoint(true)
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("node"), col("next_label").as("label"))
+      iter += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  // D5 — near-dup cluster assignment: d2's Jaccard pairs → connected
+  // components → per-cluster stats. Oracle = DuckDB transitive closure
+  // (recursive CTE) over the identical pair set, so the component
+  // labels are verified cross-engine, not just row-counted.
+  private def d5(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2(s, d).select(col("da"), col("db"))
+    connectedComponents(pairs, "da", "db")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col("node")).as("max_doc"))
+      .orderBy(col("cluster_id"))
+  }
+
+  // d2's pair CTEs verbatim, feeding a reachability closure — component
+  // labels verified cross-engine via DuckDB's recursive CTE.
+  private val d5Sql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, source, unnest(list_distinct(
+      |    string_split_regex(trim(text), '\s+'))) AS w
+      |  FROM documents WHERE doc_id < 2000),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON sa.doc_id = da
+      |  JOIN sizes sb ON sb.doc_id = db
+      |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5),
+      |edges AS (
+      |  SELECT da AS a, db AS b FROM pairs
+      |  UNION SELECT db, da FROM pairs),
+      |reach AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |labels AS (
+      |  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+      |SELECT label AS cluster_id, count(*) AS cluster_size,
+      | max(node) AS max_doc
+      |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
     "d2_jaccard_pairs" -> (d2 _),
     "d3_minhash_lsh" -> (d3 _),
     "d4_simhash" -> (d4 _),
+    "d5_dup_clusters" -> (d5 _),
   )
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_jaccard_pairs" -> d2Sql,
+    "d5_dup_clusters" -> d5Sql,
   )
 }
