@@ -57,7 +57,10 @@ object DedupOps {
   // D2 — word-set Jaccard near-dup pairs, blocked by source. The doc_id
   // cap keeps the candidate space fixed across scale factors (a sampling
   // strategy; at 100 TB the block would be an LSH band instead — see d3).
-  private def d2(s: SparkSession, d: String): DataFrame = {
+  /** The unsorted pair set ≥ threshold — shared by d2 (user-facing,
+    * sorted) and d5 (component input, where ordering would just cost a
+    * range shuffle). */
+  private def d2Pairs(s: SparkSession, d: String): DataFrame = {
     val t = docTokens(s, d, 2000)
     val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
@@ -76,26 +79,20 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
 
+  private def d2(s: SparkSession, d: String): DataFrame =
+    d2Pairs(s, d).orderBy(col("da"), col("db"))
+
   private val d2Sql =
-    """WITH t AS (
-      |  SELECT doc_id, source, unnest(list_distinct(
-      |    string_split_regex(trim(text), '\s+'))) AS w
-      |  FROM documents WHERE doc_id < 2000),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
-      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT da, db,
-      | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = da
-      |JOIN sizes sb ON sb.doc_id = db
-      |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5
-      |ORDER BY da, db""".stripMargin
+    s"""WITH $pairCtes
+       |SELECT da, db,
+       | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5
+       |ORDER BY da, db""".stripMargin
 
   // D3 — MinHash + LSH near-dup candidates (no DuckDB oracle: hash
   // family is engine-specific → driver rows-only check).
@@ -191,15 +188,16 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: each node takes the smallest label in its
-    * closed neighborhood until fixpoint. Rounds = label-propagation
-    * diameter; near-dup clusters are shallow, and every round is two
-    * distributed hash joins + an aggregate (no driver-side graph). The
-    * lineage is truncated every round with localCheckpoint so the plan
-    * stays flat across iterations. For adversarially deep graphs at 100 TB,
-    * swap in the O(log n)-round large-star/small-star contraction —
-    * same DataFrame shapes.
+  /** Connected components over an undirected edge list: per round,
+    * (1) each node takes the smallest label in its closed neighborhood,
+    * then (2) pointer-jumps to its label's label — the path-halving
+    * step that makes convergence O(log diameter) rounds, so deep
+    * chain-shaped components (incrementally edited doc series) don't
+    * blow the iteration budget. Every round is three distributed hash
+    * joins + an aggregate (no driver-side graph); lineage is truncated
+    * per round with eager localCheckpoint, and the previous round's
+    * blocks are unpersisted, so plans stay flat and storage stays
+    * bounded in a long-lived session.
     *
     * This is the cluster-assignment step a training-data dedup pipeline
     * runs AFTER pair generation (d2/d3/d4/v4): pairs → components →
@@ -215,16 +213,32 @@ object DedupOps {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // (1) neighbor min
       val nmin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nmin"))
-      val next = labels.join(nmin, col("node") === col("src"), "left")
-        .select(col("node"), col("label"),
+      val stepped = labels.join(nmin, col("node") === col("src"), "left")
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      // (2) pointer jumping: node's label := its label's label — every
+      // label is itself a node, so one self-join halves propagation
+      // paths and convergence is O(log diameter), not O(diameter)
+      val lab2 = stepped
+        .select(col("node").as("jnode"), col("label").as("jlabel"))
+      val next = stepped.join(lab2, col("label") === col("jnode"), "left")
+        .select(col("node"), col("old_label"),
+          least(col("label"), coalesce(col("jlabel"), col("label")))
             .as("next_label"))
         .localCheckpoint(true)
-      changed = next.filter(col("next_label") < col("label")).count()
+      changed = next.filter(col("next_label") < col("old_label")).count()
+      val prev = labels
       labels = next.select(col("node"), col("next_label").as("label"))
+        .localCheckpoint(true)
+      // the round's intermediates are materialized; drop the old copies
+      // so a long session doesn't accumulate one block set per round
+      prev.unpersist()
+      next.unpersist()
       iter += 1
     }
     sym.unpersist()
@@ -237,8 +251,11 @@ object DedupOps {
   // components → per-cluster stats. Oracle = DuckDB transitive closure
   // (recursive CTE) over the identical pair set, so the component
   // labels are verified cross-engine, not just row-counted.
+  // Note: the iterative rounds execute EAGERLY (localCheckpoint), so a
+  // plan audit of this query sees only the final groupBy over the
+  // checkpointed labels — the pair-stage plan is audited via d2.
   private def d5(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2(s, d).select(col("da"), col("db"))
+    val pairs = d2Pairs(s, d).select(col("da"), col("db"))
     connectedComponents(pairs, "da", "db")
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -246,10 +263,12 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
-  // d2's pair CTEs verbatim, feeding a reachability closure — component
-  // labels verified cross-engine via DuckDB's recursive CTE.
-  private val d5Sql =
-    """WITH RECURSIVE t AS (
+  // ONE pair-CTE text shared by d2Sql and d5Sql so the two oracles
+  // cannot drift apart (cap / threshold / tokenization changes hit
+  // both). A def: d2Sql initializes earlier in the object than this
+  // definition site.
+  private def pairCtes: String =
+    """t AS (
       |  SELECT doc_id, source, unnest(list_distinct(
       |    string_split_regex(trim(text), '\s+'))) AS w
       |  FROM documents WHERE doc_id < 2000),
@@ -257,24 +276,29 @@ object DedupOps {
       |inter AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
       |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
-      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-      |pairs AS (
-      |  SELECT da, db FROM inter
-      |  JOIN sizes sa ON sa.doc_id = da
-      |  JOIN sizes sb ON sb.doc_id = db
-      |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5),
-      |edges AS (
-      |  SELECT da AS a, db AS b FROM pairs
-      |  UNION SELECT db, da FROM pairs),
-      |reach AS (
-      |  SELECT a, b FROM edges
-      |  UNION
-      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-      |labels AS (
-      |  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
-      |SELECT label AS cluster_id, count(*) AS cluster_size,
-      | max(node) AS max_doc
-      |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  // d2's pair CTEs feeding a reachability closure — component labels
+  // verified cross-engine via DuckDB's recursive CTE.
+  private val d5Sql =
+    s"""WITH RECURSIVE $pairCtes,
+       |pairs AS (
+       |  SELECT da, db FROM inter
+       |  JOIN sizes sa ON sa.doc_id = da
+       |  JOIN sizes sb ON sb.doc_id = db
+       |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5),
+       |edges AS (
+       |  SELECT da AS a, db AS b FROM pairs
+       |  UNION SELECT db, da FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+       |SELECT label AS cluster_id, count(*) AS cluster_size,
+       | max(node) AS max_doc
+       |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),

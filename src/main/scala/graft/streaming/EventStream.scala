@@ -121,8 +121,7 @@ object EventStream {
     * exactly-once across restarts (each file processed exactly once —
     * proven by FileStreamSpec's stop/append/restart case). */
   def jsonFileSource(spark: SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      maxFilesPerTrigger: Int = 10): DataFrame =
+      schema: StructType, maxFilesPerTrigger: Int = 10): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

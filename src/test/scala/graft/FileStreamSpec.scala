@@ -45,7 +45,9 @@ class FileStreamSpec extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      // AvailableNow terminates on its own; a false return means the
+      // batch timed out (steal storm) — fail HERE, not at a later count
+      assert(q.awaitTermination(120000), "streaming batch timed out")
       q.stop()
     }
 
