@@ -280,8 +280,10 @@ object DedupOps {
 
   // d2's pair CTEs feeding a reachability closure — component labels
   // verified cross-engine via DuckDB's recursive CTE.
-  private val d5Sql =
-    s"""WITH RECURSIVE $pairCtes,
+  /** Shared reachability-closure CTE chain (on top of [[pairCtes]]) —
+    * used by both d5 (cluster stats) and d6 (canonical-doc filter). */
+  private def closureCtes: String =
+    s"""$pairCtes,
        |pairs AS (
        |  SELECT da, db FROM inter
        |  JOIN sizes sa ON sa.doc_id = da
@@ -295,10 +297,37 @@ object DedupOps {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
        |labels AS (
-       |  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+       |  SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)""".stripMargin
+
+  private val d5Sql =
+    s"""WITH RECURSIVE $closureCtes
        |SELECT label AS cluster_id, count(*) AS cluster_size,
        | max(node) AS max_doc
        |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
+  // D6 — the dedup pipeline's FINAL artifact: drop every non-canonical
+  // cluster member (keep the min-doc_id representative), summarized per
+  // source. Anti-join against the component labels; oracle = the same
+  // closure in DuckDB.
+  private def d6(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2Pairs(s, d).select(col("da"), col("db"))
+    val dropped = connectedComponents(pairs, "da", "db")
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  private val d6Sql =
+    s"""WITH RECURSIVE $closureCtes
+       |SELECT source, count(*) AS n_kept
+       |FROM documents
+       |WHERE doc_id < 2000 AND doc_id NOT IN (
+       |  SELECT node FROM labels WHERE node <> label)
+       |GROUP BY source ORDER BY source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
@@ -306,11 +335,13 @@ object DedupOps {
     "d3_minhash_lsh" -> (d3 _),
     "d4_simhash" -> (d4 _),
     "d5_dup_clusters" -> (d5 _),
+    "d6_dedup_keep" -> (d6 _),
   )
 
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_jaccard_pairs" -> d2Sql,
     "d5_dup_clusters" -> d5Sql,
+    "d6_dedup_keep" -> d6Sql,
   )
 }
