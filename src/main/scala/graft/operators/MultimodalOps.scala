@@ -78,12 +78,45 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  // M3 — frame sampling: the video-frame selection a multimodal
+  // pipeline runs before feature extraction, as a pure Spark projection
+  // + explode. "Frame count" derives deterministically from the content
+  // digest (both engines compute the same sha-256 hex), so unlike the
+  // decode stub this one has a full cross-engine oracle: pick every
+  // ceil(n/4)-th frame of n.
+  private def m3(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 200)
+      .withColumn("sha", sha2(col("text").cast("binary"), 256))
+      .withColumn("n_frames", (ascii(col("sha")) % 16 + 1).cast("int"))
+      .withColumn("step",
+        ceil(col("n_frames") / lit(4.0)).cast("int"))
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(sequence(lit(0), col("n_frames") - 1, col("step")))
+          .as(Seq("sample_idx", "frame")))
+      .select(col("doc_id"), col("n_frames"), col("sample_idx"),
+        col("frame"))
+      .orderBy(col("doc_id"), col("sample_idx"))
+
+  private val m3Sql =
+    """SELECT doc_id, n_frames,
+      | CAST(unnest(generate_series(0, len(fr) - 1)) AS INT) AS sample_idx,
+      | CAST(unnest(fr) AS INT) AS frame
+      |FROM (SELECT doc_id, n_frames,
+      |  range(0, n_frames, CAST(ceil(n_frames / 4.0) AS INT)) AS fr
+      | FROM (SELECT doc_id,
+      |   CAST(ascii(sha256(text)) % 16 + 1 AS INT) AS n_frames
+      |  FROM documents WHERE doc_id < 200))
+      |ORDER BY doc_id, sample_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1 _),
     "m2_media_decode_stub" -> (m2 _),
+    "m3_frame_sample" -> (m3 _),
   )
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
+    "m3_frame_sample" -> m3Sql,
   )
 }
