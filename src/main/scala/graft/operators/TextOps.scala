@@ -133,11 +133,43 @@ object TextOps {
       | FROM documents)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // X5 — BPE-ish token counting: the subword-style segmentation a
+  // tokenizer-budget estimate uses (letter runs / digit runs / single
+  // punctuation marks — the pre-tokenization split GPT-style BPE
+  // applies before merges). Same regex class semantics in Java regex
+  // (Spark) and RE2 (DuckDB).
+  private val bpeClass = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
+
+  private def x5(s: SparkSession, d: String): DataFrame = {
+    val toks = expr(s"regexp_extract_all(text, '$bpeClass', 0)")
+    Tables.documents(s, d)
+      .withColumn("n_bpe", size(toks))
+      .withColumn("n_bpe_distinct", size(array_distinct(toks)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe").cast("long")).as("sum_bpe"),
+        sum(col("n_bpe_distinct").cast("long")).as("sum_bpe_distinct"),
+        round(sum(col("n_bpe").cast("long")).cast("double") /
+          count(lit(1)), 6).as("avg_bpe"))
+      .orderBy(col("lang"))
+  }
+
+  private val x5Sql = {
+    val re = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+    s"""SELECT lang, count(*) AS n_docs,
+       | ${sqlLsum(s"len(regexp_extract_all(text, '$re'))")} AS sum_bpe,
+       | ${sqlLsum(s"len(list_distinct(regexp_extract_all(text, '$re')))")} AS sum_bpe_distinct,
+       | round(CAST(sum(len(regexp_extract_all(text, '$re'))) AS DOUBLE)
+       |   / count(*), 6) AS avg_bpe
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats" -> (x1 _),
     "x2_quality_score" -> (x2 _),
     "x3_langid" -> (x3 _),
     "x4_fingerprint" -> (x4 _),
+    "x5_bpe_tokens" -> (x5 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +177,6 @@ object TextOps {
     "x2_quality_score" -> x2Sql,
     "x3_langid" -> x3Sql,
     "x4_fingerprint" -> x4Sql,
+    "x5_bpe_tokens" -> x5Sql,
   )
 }

@@ -215,12 +215,62 @@ object VectorOps {
        |WHERE round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.45
        |ORDER BY va, vb""".stripMargin
 
+  // V6 — multi-probe IVF near-dup: assign each vector to its TWO
+  // nearest cells (v5's single-probe misses boundary pairs by design;
+  // probing 2 cells recovers pairs that straddle a cell boundary at
+  // ~2× candidate cost — the standard IVF recall/cost dial). Pairs
+  // found in both shared cells are deduplicated before the exact
+  // verify.
+  private def v6(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val assigned = emb
+      .repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(cosine("embedding", "cv"), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2) // multi-probe: nearest + second cell
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+        round(cosine("ea", "eb"), 6).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .dropDuplicates("va", "vb") // same pair via both shared cells
+      .orderBy(col("va"), col("vb"))
+  }
+
+  private val v6Sql =
+    s"""WITH assigned AS (
+       | SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, s.vec_id AS cell,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${sqlCosine("e.embedding", "s.embedding")}, 6) DESC,
+       |     s.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN embeddings s
+       |  WHERE e.vec_id < 2000 AND s.vec_id < 8)
+       | WHERE rn <= 2)
+       |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
+       | round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM assigned a JOIN assigned b
+       | ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.45
+       |ORDER BY va, vb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_bruteforce" -> (v1 _),
     "v2_ivf_assign" -> (v2 _),
     "v3_centroid_stats" -> (v3 _),
     "v4_embedding_neardup" -> (v4 _),
     "v5_ivf_blocked_neardup" -> (v5 _),
+    "v6_ivf_multiprobe" -> (v6 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,5 +279,6 @@ object VectorOps {
     "v3_centroid_stats" -> v3Sql,
     "v4_embedding_neardup" -> v4Sql,
     "v5_ivf_blocked_neardup" -> v5Sql,
+    "v6_ivf_multiprobe" -> v6Sql,
   )
 }
