@@ -207,9 +207,12 @@ object DedupOps {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
+    // `ckpt` is always THE checkpointed frame of the current round —
+    // unpersist must target it, not a projection derived from it
+    var ckpt = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    var labels = ckpt
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -230,15 +233,14 @@ object DedupOps {
         .select(col("node"), col("old_label"),
           least(col("label"), coalesce(col("jlabel"), col("label")))
             .as("next_label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // the round's ONLY materialization
       changed = next.filter(col("next_label") < col("old_label")).count()
-      val prev = labels
+      // drop the previous round's blocks so a long session doesn't
+      // accumulate one checkpointed set per round; the new labels view
+      // is a trivial projection over the just-checkpointed `next`
+      ckpt.unpersist()
+      ckpt = next
       labels = next.select(col("node"), col("next_label").as("label"))
-        .localCheckpoint(true)
-      // the round's intermediates are materialized; drop the old copies
-      // so a long session doesn't accumulate one block set per round
-      prev.unpersist()
-      next.unpersist()
       iter += 1
     }
     sym.unpersist()
