@@ -188,6 +188,67 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
+  // D7 — w-shingling: 3-word-shingle Jaccard (the n-gram variant of
+  // d2's word-set similarity — shingles preserve local word ORDER, so
+  // reordered boilerplate no longer counts as near-duplicate). Same
+  // source-blocked inverted-index join; the shingle set is built with
+  // codegen'd higher-order functions, no UDF.
+  private def docShingles(s: SparkSession, d: String, cap: Int): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < cap)
+      .withColumn("t", expr("split(trim(text), '\\\\s+')"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))).as("w"))
+
+  private def d7(s: SparkSession, d: String): DataFrame = {
+    val t = docShingles(s, d, 2000)
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
+    val b = t.select(col("source"), col("doc_id").as("db"), col("w"))
+    val inter = a.join(b, Seq("source", "w"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.12)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // DuckDB lists are 1-indexed; range(1, len-1) yields i ∈ [1, len-2],
+  // so t[i]..t[i+2] are exactly the 3-shingles.
+  private val d7Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |    range(1, len(tk) - 1),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS w
+      |  FROM (SELECT doc_id, source,
+      |     string_split_regex(trim(text), '\s+') AS tk
+      |    FROM documents WHERE doc_id < 2000)
+      |  WHERE len(tk) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT da, db,
+      | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = da
+      |JOIN sizes sb ON sb.doc_id = db
+      |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.12
+      |ORDER BY da, db""".stripMargin
+
   /** Connected components over an undirected edge list: per round,
     * (1) each node takes the smallest label in its closed neighborhood,
     * then (2) pointer-jumps to its label's label — the path-halving
@@ -338,6 +399,7 @@ object DedupOps {
     "d4_simhash" -> (d4 _),
     "d5_dup_clusters" -> (d5 _),
     "d6_dedup_keep" -> (d6 _),
+    "d7_shingle_jaccard" -> (d7 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,5 +407,6 @@ object DedupOps {
     "d2_jaccard_pairs" -> d2Sql,
     "d5_dup_clusters" -> d5Sql,
     "d6_dedup_keep" -> d6Sql,
+    "d7_shingle_jaccard" -> d7Sql,
   )
 }
