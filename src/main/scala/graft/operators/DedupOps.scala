@@ -54,14 +54,10 @@ object DedupOps {
         explode(array_distinct(expr("split(trim(text), '\\\\s+')")))
           .as("w"))
 
-  // D2 — word-set Jaccard near-dup pairs, blocked by source. The doc_id
-  // cap keeps the candidate space fixed across scale factors (a sampling
-  // strategy; at 100 TB the block would be an LSH band instead — see d3).
-  /** The unsorted pair set ≥ threshold — shared by d2 (user-facing,
-    * sorted) and d5 (component input, where ordering would just cost a
-    * range shuffle). */
-  private def d2Pairs(s: SparkSession, d: String): DataFrame = {
-    val t = docTokens(s, d, 2000)
+  /** ONE source-blocked inverted-index Jaccard pair engine over any
+    * (doc_id, source, w) token frame — shared by d2 (word sets) and d7
+    * (3-shingles), so a tokenization or join fix hits both. */
+  private def jaccardPairs(t: DataFrame, threshold: Double): DataFrame = {
     val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
     val b = t.select(col("source"), col("doc_id").as("db"), col("w"))
@@ -77,22 +73,28 @@ object DedupOps {
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
   }
+
+  /** The shared thresholds — referenced by BOTH engines' sides so they
+    * cannot drift. */
+  private val WordSetThreshold = 0.5
+  private val ShingleThreshold = 0.12
+
+  // D2 — word-set Jaccard near-dup pairs, blocked by source. The doc_id
+  // cap keeps the candidate space fixed across scale factors (a sampling
+  // strategy; at 100 TB the block would be an LSH band instead — see d3).
+  /** The unsorted pair set ≥ threshold — shared by d2 (user-facing,
+    * sorted) and d5 (component input, where ordering would just cost a
+    * range shuffle). */
+  private def d2Pairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(docTokens(s, d, 2000), WordSetThreshold)
 
   private def d2(s: SparkSession, d: String): DataFrame =
     d2Pairs(s, d).orderBy(col("da"), col("db"))
 
-  private val d2Sql =
-    s"""WITH $pairCtes
-       |SELECT da, db,
-       | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = da
-       |JOIN sizes sb ON sb.doc_id = db
-       |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5
-       |ORDER BY da, db""".stripMargin
+  private val d2Sql = sqlJaccardQuery(wordTokensCte, WordSetThreshold)
 
   // D3 — MinHash + LSH near-dup candidates (no DuckDB oracle: hash
   // family is engine-specific → driver rows-only check).
@@ -203,51 +205,23 @@ object DedupOps {
           "transform(sequence(0, size(t) - 3), " +
             "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))).as("w"))
 
-  private def d7(s: SparkSession, d: String): DataFrame = {
-    val t = docShingles(s, d, 2000)
-    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
-    val b = t.select(col("source"), col("doc_id").as("db"), col("w"))
-    val inter = a.join(b, Seq("source", "w"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da")
-        .withColumnRenamed("n", "na"), Seq("da"))
-      .join(sizes.withColumnRenamed("doc_id", "db")
-        .withColumnRenamed("n", "nb"), Seq("db"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 4))
-      .filter(col("jaccard") >= 0.12)
-      .select(col("da"), col("db"), col("jaccard"))
+  private def d7(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(docShingles(s, d, 2000), ShingleThreshold)
       .orderBy(col("da"), col("db"))
-  }
 
   // DuckDB lists are 1-indexed; range(1, len-1) yields i ∈ [1, len-2],
-  // so t[i]..t[i+2] are exactly the 3-shingles.
-  private val d7Sql =
-    """WITH t AS (
+  // so tk[i]..tk[i+2] are exactly the 3-shingles.
+  private def shingleTokensCte: String =
+    """t AS (
       |  SELECT doc_id, source, unnest(list_distinct(list_transform(
       |    range(1, len(tk) - 1),
       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS w
       |  FROM (SELECT doc_id, source,
       |     string_split_regex(trim(text), '\s+') AS tk
       |    FROM documents WHERE doc_id < 2000)
-      |  WHERE len(tk) >= 3),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
-      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-      |SELECT da, db,
-      | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON sa.doc_id = da
-      |JOIN sizes sb ON sb.doc_id = db
-      |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.12
-      |ORDER BY da, db""".stripMargin
+      |  WHERE len(tk) >= 3)""".stripMargin
+
+  private val d7Sql = sqlJaccardQuery(shingleTokensCte, ShingleThreshold)
 
   /** Connected components over an undirected edge list: per round,
     * (1) each node takes the smallest label in its closed neighborhood,
@@ -326,32 +300,49 @@ object DedupOps {
       .orderBy(col("cluster_id"))
   }
 
-  // ONE pair-CTE text shared by d2Sql and d5Sql so the two oracles
-  // cannot drift apart (cap / threshold / tokenization changes hit
-  // both). A def: d2Sql initializes earlier in the object than this
-  // definition site.
-  private def pairCtes: String =
+  // ---- shared oracle CTE builders (defs: the *Sql vals above
+  // initialize earlier in the object than this definition site) ----
+
+  /** The word-set token CTE (d2/d5/d6's `t`). */
+  private def wordTokensCte: String =
     """t AS (
       |  SELECT doc_id, source, unnest(list_distinct(
       |    string_split_regex(trim(text), '\s+'))) AS w
-      |  FROM documents WHERE doc_id < 2000),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
-      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+      |  FROM documents WHERE doc_id < 2000)""".stripMargin
 
-  // d2's pair CTEs feeding a reachability closure — component labels
-  // verified cross-engine via DuckDB's recursive CTE.
-  /** Shared reachability-closure CTE chain (on top of [[pairCtes]]) —
-    * used by both d5 (cluster stats) and d6 (canonical-doc filter). */
+  /** ONE pair-CTE chain over any token CTE so the oracles (d2/d7 AND
+    * the d5/d6 closure) cannot drift apart — cap / threshold /
+    * tokenization changes hit every consumer. */
+  private def pairCtesOver(tokensCte: String): String =
+    s"""$tokensCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM t a JOIN t b ON a.source = b.source AND a.w = b.w
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Oracle twin of [[jaccardPairs]]: full query over a token CTE. */
+  private def sqlJaccardQuery(tokensCte: String,
+      threshold: Double): String =
+    s"""WITH ${pairCtesOver(tokensCte)}
+       |SELECT da, db,
+       | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= $threshold
+       |ORDER BY da, db""".stripMargin
+
+  /** Shared reachability-closure CTE chain (word-set pairs at the d2
+    * threshold) — used by both d5 (cluster stats) and d6
+    * (canonical-doc filter). */
   private def closureCtes: String =
-    s"""$pairCtes,
+    s"""${pairCtesOver(wordTokensCte)},
        |pairs AS (
        |  SELECT da, db FROM inter
        |  JOIN sizes sa ON sa.doc_id = da
        |  JOIN sizes sb ON sb.doc_id = db
-       |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5),
+       |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= $WordSetThreshold),
        |edges AS (
        |  SELECT da AS a, db AS b FROM pairs
        |  UNION SELECT db, da FROM pairs),

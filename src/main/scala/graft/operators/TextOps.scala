@@ -136,12 +136,12 @@ object TextOps {
   // X5 — BPE-ish token counting: the subword-style segmentation a
   // tokenizer-budget estimate uses (letter runs / digit runs / single
   // punctuation marks — the pre-tokenization split GPT-style BPE
-  // applies before merges). Same regex class semantics in Java regex
-  // (Spark) and RE2 (DuckDB).
-  private val bpeClass = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]"
-
+  // applies before merges). The whitespace class is spelled out
+  // explicitly ([ \t\n\f\r]) because Java's \s includes vertical tab
+  // while RE2's does not — the shorthand would silently diverge on \x0B.
   private def x5(s: SparkSession, d: String): DataFrame = {
-    val toks = expr(s"regexp_extract_all(text, '$bpeClass', 0)")
+    val toks = expr(
+      "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")
     Tables.documents(s, d)
       .withColumn("n_bpe", size(toks))
       .withColumn("n_bpe_distinct", size(array_distinct(toks)))
@@ -155,7 +155,7 @@ object TextOps {
   }
 
   private val x5Sql = {
-    val re = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+    val re = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]"""
     s"""SELECT lang, count(*) AS n_docs,
        | ${sqlLsum(s"len(regexp_extract_all(text, '$re'))")} AS sum_bpe,
        | ${sqlLsum(s"len(list_distinct(regexp_extract_all(text, '$re')))")} AS sum_bpe_distinct,

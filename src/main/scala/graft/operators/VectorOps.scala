@@ -173,7 +173,14 @@ object VectorOps {
   // (Boundary pairs straddling two cells are missed by design — the
   // recall/cost trade every IVF/LSH blocker makes; multi-probe raises
   // recall at scale.)
-  private def v5(s: SparkSession, d: String): DataFrame = {
+  /** Shared IVF blocker for v5/v6: assign each vector to its `probes`
+    * nearest codebook cells (broadcast codebook, map-side), then scan
+    * pairs only WITHIN a cell and exact-verify above the threshold.
+    * One implementation parameterized by probe count so the
+    * assignment tie-break / cap / threshold can never drift between
+    * the single- and multi-probe variants. */
+  private def ivfCellPairs(s: SparkSession, d: String,
+      probes: Int): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
     val seeds = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"), col("embedding").as("cv"))
@@ -185,7 +192,7 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("cell"),
         round(cosine("embedding", "cv"), 6).as("sim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= probes)
       .select(col("vec_id"), col("embedding"), col("cell"))
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("ea"))
@@ -195,11 +202,11 @@ object VectorOps {
       .select(col("cell"), col("va"), col("vb"),
         round(cosine("ea", "eb"), 6).as("sim"))
       .filter(col("sim") >= 0.45)
-      .orderBy(col("va"), col("vb"))
   }
 
-  private val v5Sql =
-    s"""WITH assigned AS (
+  /** Oracle twin of the `assigned` stage of [[ivfCellPairs]]. */
+  private def sqlAssignedCte(probes: Int): String =
+    s"""assigned AS (
        | SELECT vec_id, embedding, cell FROM (
        |  SELECT e.vec_id, e.embedding, s.vec_id AS cell,
        |   row_number() OVER (PARTITION BY e.vec_id
@@ -207,7 +214,14 @@ object VectorOps {
        |     s.vec_id) AS rn
        |  FROM embeddings e CROSS JOIN embeddings s
        |  WHERE e.vec_id < 2000 AND s.vec_id < 8)
-       | WHERE rn = 1)
+       | WHERE rn <= $probes)""".stripMargin
+
+  private def v5(s: SparkSession, d: String): DataFrame =
+    ivfCellPairs(s, d, probes = 1)
+      .orderBy(col("va"), col("vb"))
+
+  private val v5Sql =
+    s"""WITH ${sqlAssignedCte(1)}
        |SELECT a.cell, a.vec_id AS va, b.vec_id AS vb,
        | round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS sim
        |FROM assigned a JOIN assigned b
@@ -221,42 +235,14 @@ object VectorOps {
   // ~2× candidate cost — the standard IVF recall/cost dial). Pairs
   // found in both shared cells are deduplicated before the exact
   // verify.
-  private def v6(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-    val seeds = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    val assigned = emb
-      .repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"), col("cell"),
-        round(cosine("embedding", "cv"), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2) // multi-probe: nearest + second cell
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val a = assigned.select(col("cell"), col("vec_id").as("va"),
-      col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
-      col("embedding").as("eb"))
-    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-        round(cosine("ea", "eb"), 6).as("sim"))
-      .filter(col("sim") >= 0.45)
+  private def v6(s: SparkSession, d: String): DataFrame =
+    ivfCellPairs(s, d, probes = 2)
+      .drop("cell")
       .dropDuplicates("va", "vb") // same pair via both shared cells
       .orderBy(col("va"), col("vb"))
-  }
 
   private val v6Sql =
-    s"""WITH assigned AS (
-       | SELECT vec_id, embedding, cell FROM (
-       |  SELECT e.vec_id, e.embedding, s.vec_id AS cell,
-       |   row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY round(${sqlCosine("e.embedding", "s.embedding")}, 6) DESC,
-       |     s.vec_id) AS rn
-       |  FROM embeddings e CROSS JOIN embeddings s
-       |  WHERE e.vec_id < 2000 AND s.vec_id < 8)
-       | WHERE rn <= 2)
+    s"""WITH ${sqlAssignedCte(2)}
        |SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb,
        | round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS sim
        |FROM assigned a JOIN assigned b
