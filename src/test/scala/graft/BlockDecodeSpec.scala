@@ -171,6 +171,19 @@ class BlockDecodeSpec extends AnyFunSuite {
     assert(a.reserved == BigInt(7) && a.frozen == BigInt(0))
   }
 
+  test("mortal-era signed envelope decodes (two-byte era consumed)") {
+    // era = 0xc503 (a real two-byte mortal era; Codec.decodeMortalEra
+    // golden family) instead of the immortal 0x00
+    val call = transfer(4, bob, 777L)
+    val body = b(Array(0x84.toByte), Array(0.toByte), alice, sig,
+      Array(0xc5.toByte, 0x03.toByte), cp(7), cp(2) /* tip */, call)
+    val hexStr = Codec.bytesToHex(b(cp(body.length), body))
+    val d = BlockDecode.decodeExtrinsic(hexStr, m100)
+    assert(d.signed && d.tip == BigInt(2))
+    assert(d.call.method == "transfer" &&
+      d.call.args.contains("777"))
+  }
+
   test("block preceding the first spec entry is an error, not a null") {
     val pre = Seq((0, 0L, "0xb0", "0x", ts("2024-03-01 09:00:00"), true,
         "0xaa", Seq(envelope(signed = false, tsSet(1L))),

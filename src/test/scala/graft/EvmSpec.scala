@@ -163,4 +163,21 @@ class EvmSpec extends AnyFunSuite {
       .select("selector").head().getString(0)
     assert(sel == "0xdeadbeef")
   }
+
+  test("tx input decode: truncated/garbage calldata never throws") {
+    val truncated = EvmDecode.selector("transfer(address,uint256)") + "0012"
+    val garbage = EvmDecode.selector("transfer(address,uint256)") +
+      "zz" * 64 // non-hex arg words
+    val df = Seq(("0xs1", truncated), ("0xs2", garbage), ("0xs3", "0x"),
+        ("0xs4", null.asInstanceOf[String]))
+      .toDF("transaction_hash", "input")
+    val out = EvmDecode.decodeInput(df).collect()
+      .map(r => r.getAs[String]("transaction_hash") ->
+        Option(r.getAs[java.math.BigDecimal]("arg_value"))).toMap
+    // guarded-null policy: short/garbage args yield ZERO/null values,
+    // never a failed stage; all four rows survive
+    assert(out.size == 4)
+    assert(out("0xs2").isEmpty || out("0xs2").contains(
+      java.math.BigDecimal.ZERO)) // non-hex → guarded
+  }
 }

@@ -169,6 +169,23 @@ class XcmMatcherSpec extends AnyFunSuite {
     assert(out == Seq("G1"))
   }
 
+  test("destination search: reaped candidates are rejected") {
+    val transfers = Seq(
+      ("H1", 2, "0xkr", ts(1000), BigDecimal(500), BigDecimal(0))
+    ).toDF("extrinsic_id", "chain_id_dest", "dest_pubkey", "source_ts",
+      "amount_sent", "xcm_teleport_fees")
+    val candidates = Seq(
+      (2, "0xkr", "c-reaped", ts(1010), BigDecimal(500), 1) // reaped!
+    ).toDF("chain_id_dest", "dest_pubkey", "event_id", "dest_ts",
+      "amount_received", "reaped")
+    val noEv = Seq.empty[(Int, String, String, Timestamp, BigDecimal)]
+      .toDF("chain_id", "addr_pubkey", "event_id", "ts", "amount")
+    val noBal = Seq.empty[(Int, String, Long, Timestamp, BigDecimal)]
+      .toDF("chain_id", "addr_pubkey", "block_number", "block_ts", "free")
+    assert(XcmMatcher.searchDestination(transfers, candidates,
+      noEv, noBal).count() == 0)
+  }
+
   test("destination search: within-tier best confidence wins") {
     val transfers = Seq(
       ("F", 2, "0xk9", ts(1000), BigDecimal(1000), BigDecimal(0))
