@@ -129,19 +129,28 @@ object DedupOps {
     val bandRows = sigs
       .select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
-    // Hot-bucket cap: a bucket shared by k docs yields k²/2 candidate
-    // pairs; degenerate buckets (near-identical boilerplate — the
-    // stopword problem of LSH) are dropped, standard practice at scale.
-    val okBuckets = bandRows.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz").between(2, 50))
-      .select(col("band"), col("bucket"))
-    val pruned = bandRows.join(okBuckets, Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("da"))
-    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("db"))
-    val cand = a.join(b, Seq("band", "bucket"))
+    // Hot-bucket handling: a bucket shared by k docs yields k²/2
+    // candidate pairs. Small buckets emit all pairs; HOT buckets
+    // (k > 50 — giant duplicate clusters, exactly what dedup exists to
+    // catch) degrade to STAR edges against the bucket's min doc: k−1
+    // candidates instead of k²/2, and downstream connected components
+    // (d5) recover the identical clusters. Dropping hot buckets
+    // outright (round-1 behavior) silently lost the biggest clusters —
+    // cluster recall collapsed to 8% on the fixture's 254-doc cliques.
+    val sized = bandRows.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
+      .filter(col("bsz") >= 2)
+    val withSize = bandRows.join(sized, Seq("band", "bucket"))
+    val small = withSize.filter(col("bsz") <= 50)
+    val a = small.select(col("band"), col("bucket"), col("doc_id").as("da"))
+    val b = small.select(col("band"), col("bucket"), col("doc_id").as("db"))
+    val smallPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .select(col("da"), col("db"))
+    val starPairs = withSize
+      .filter(col("bsz") > 50 && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("da"), col("doc_id").as("db"))
+    val cand = smallPairs.unionByName(starPairs).distinct()
     // verify candidates with exact Jaccard (inner: a candidate pair with
     // no shared token can never reach 0.5)
     val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth properties for the rows-only LSH query (d3 has no
+  * DuckDB oracle because its hash family is engine-specific — these
+  * properties are what make "rows-only" trustworthy):
+  *  - PRECISION = 1.0 exactly: every emitted pair truly has word-set
+  *    Jaccard ≥ 0.5 (the in-query exact verify actually works);
+  *  - CLUSTER RECALL on strong pairs (Jaccard ≥ 0.8) is high: hot
+  *    buckets emit star edges rather than all k²/2 pairs, so the
+  *    correct downstream property is "both docs land in the same
+  *    connected component of the candidate graph" — with 8 bands × 4
+  *    rows, P[bucket hit] = 1−(1−s⁴)⁸ ≈ 0.99 at s = 0.8.
+  * Ground truth is computed exhaustively in-process (the doc cap keeps
+  * this a few hundred docs at test scale). This spec is what caught
+  * the round-1 hot-bucket DROP policy silently losing the biggest
+  * duplicate clusters (cluster recall was 8%). */
+class DedupPropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private lazy val docs: Seq[(Long, Set[String])] = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, SparkTestBase.sf)
+      .filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.split("\\s+").toSet))
+      .toSeq
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size
+
+  private lazy val truth: Map[(Long, Long), Double] = (for {
+    i <- docs.indices.iterator
+    j <- (i + 1) until docs.size
+    sim = jaccard(docs(i)._2, docs(j)._2)
+    if sim >= 0.5
+  } yield {
+    val (a, b) = (docs(i)._1, docs(j)._1)
+    (math.min(a, b), math.max(a, b)) -> sim
+  }).toMap
+
+  private lazy val lsh: Set[(Long, Long)] =
+    graft.operators.DedupOps.queries("d3_minhash_lsh")(
+        spark, SparkTestBase.sf)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("LSH precision is exactly 1.0 (every emitted pair is a true pair)") {
+    val falsePos = lsh.filterNot(truth.contains)
+    assert(falsePos.isEmpty, s"false positives: ${falsePos.take(5)}")
+    assert(lsh.nonEmpty) // the fixture does contain near-dups
+  }
+
+  test("LSH cluster recall on strong pairs (Jaccard ≥ 0.8) is ≥ 0.95") {
+    import spark.implicits._
+    val strong = truth.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty)
+    // component labels of the candidate graph
+    val label = graft.operators.DedupOps
+      .connectedComponents(lsh.toSeq.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sameCluster = strong.count { case (a, b) =>
+      label.get(a).exists(la => label.get(b).contains(la))
+    }
+    val recall = sameCluster.toDouble / strong.size
+    assert(recall >= 0.95, s"cluster recall $recall ($sameCluster/${strong.size})")
+  }
+}
