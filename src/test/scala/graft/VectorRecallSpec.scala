@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.VectorOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF blocking quality against exhaustive ground truth: v4 computes
+  * ALL pairs ≥ threshold among vec_id < 500 (oracle-checked), so
+  * restricting v5/v6 to the same id range gives exact precision/recall
+  * for the blocked variants — and pins the multi-probe gain (v6 must
+  * strictly beat single-probe v5 on recall, at perfect precision). */
+class VectorRecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def pairs(q: String): Set[(Long, Long)] =
+    VectorOps.queries(q)(spark, SparkTestBase.sf)
+      .select("va", "vb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 500 && b < 500 }
+      .toSet
+
+  test("blocked search precision is 1.0 and multi-probe beats single") {
+    val truth = pairs("v4_embedding_neardup")
+    val single = pairs("v5_ivf_blocked_neardup")
+    val multi = pairs("v6_ivf_multiprobe")
+    assert(truth.nonEmpty)
+    // precision: a blocked variant can only emit true pairs (exact
+    // verify runs in-query) — any false positive is a bug
+    assert(single.subsetOf(truth) && multi.subsetOf(truth))
+    // recall: multi-probe strictly dominates single-probe
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size,
+      s"multi-probe gained nothing: ${multi.size} vs ${single.size}")
+  }
+}
