@@ -250,6 +250,76 @@ object VectorOps {
        |WHERE round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.45
        |ORDER BY va, vb""".stripMargin
 
+  // V7 — IVF top-k SEARCH (the ANN serving path, complementing the
+  // dedup-flavored pair scans): every indexed vector sits in its ONE
+  // nearest cell; each query probes its TWO nearest cells and ranks
+  // only those candidates. At 100 TB the probed cells are the only
+  // partitions read. Recall vs the exact v1 top-k is pinned by
+  // VectorRecallSpec.
+  private def v7(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
+    def assign(src: DataFrame, idCol: String, vecCol: String,
+        probes: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("csim").desc, col("cell"))
+      src.crossJoin(broadcast(seeds))
+        .select(col(idCol), col(vecCol), col("cell"),
+          round(cosine(vecCol, "cv"), 6).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= probes)
+        .select(col(idCol), col(vecCol), col("cell"))
+    }
+    val index = assign(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .repartition(s.sparkContext.defaultParallelism),
+      "nid", "nv", probes = 1)
+    val queriesV = assign(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qid", "qv", probes = 2)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    queriesV.join(index, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine("qv", "nv"), 6).as("sim"))
+      .dropDuplicates("qid", "nid") // candidate seen via both probes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val v7Sql =
+    s"""WITH index_cells AS (
+       | SELECT vec_id AS nid, embedding AS nv, cell FROM (
+       |  SELECT e.vec_id, e.embedding, s.vec_id AS cell,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${sqlCosine("e.embedding", "s.embedding")}, 6) DESC,
+       |     s.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN embeddings s
+       |  WHERE e.vec_id < 2000 AND s.vec_id < 8)
+       | WHERE rn = 1),
+       |query_cells AS (
+       | SELECT vec_id AS qid, embedding AS qv, cell FROM (
+       |  SELECT e.vec_id, e.embedding, s.vec_id AS cell,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${sqlCosine("e.embedding", "s.embedding")}, 6) DESC,
+       |     s.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN embeddings s
+       |  WHERE e.vec_id < 10 AND s.vec_id < 8)
+       | WHERE rn <= 2)
+       |SELECT qid, rn, nid, sim FROM (
+       | SELECT qid, nid, sim, row_number() OVER (
+       |   PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       | FROM (SELECT DISTINCT q.qid, i.nid,
+       |    round(${sqlCosine("q.qv", "i.nv")}, 6) AS sim
+       |   FROM query_cells q JOIN index_cells i ON q.cell = i.cell
+       |   WHERE q.qid <> i.nid))
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_bruteforce" -> (v1 _),
     "v2_ivf_assign" -> (v2 _),
@@ -257,6 +327,7 @@ object VectorOps {
     "v4_embedding_neardup" -> (v4 _),
     "v5_ivf_blocked_neardup" -> (v5 _),
     "v6_ivf_multiprobe" -> (v6 _),
+    "v7_ivf_topk" -> (v7 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,5 +337,6 @@ object VectorOps {
     "v4_embedding_neardup" -> v4Sql,
     "v5_ivf_blocked_neardup" -> v5Sql,
     "v6_ivf_multiprobe" -> v6Sql,
+    "v7_ivf_topk" -> v7Sql,
   )
 }

@@ -18,6 +18,27 @@ class VectorRecallSpec extends AnyFunSuite {
       .filter { case (a, b) => a < 500 && b < 500 }
       .toSet
 
+  test("IVF top-k search overlaps the exact top-k") {
+    def topk(q: String): Map[Long, Seq[Long]] =
+      VectorOps.queries(q)(spark, SparkTestBase.sf)
+        .select("qid", "rn", "nid").collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        .toMap
+    val exact = topk("v1_knn_bruteforce")
+    val ivf = topk("v7_ivf_topk")
+    assert(exact.keySet == ivf.keySet) // every query answered
+    // mean overlap@5 — the standard ANN recall metric; the synthetic
+    // near-orthogonal vectors are a hard case for coarse quantization,
+    // so the bar is a sanity floor, not a production SLA
+    val overlap = exact.keys.toSeq.map { q =>
+      exact(q).toSet.intersect(ivf(q).toSet).size / 5.0
+    }
+    val mean = overlap.sum / overlap.size
+    assert(mean >= 0.2, s"mean overlap@5 = $mean")
+    assert(ivf.values.forall(_.size == 5)) // probed cells always fill k
+  }
+
   test("blocked search precision is 1.0 and multi-probe beats single") {
     val truth = pairs("v4_embedding_neardup")
     val single = pairs("v5_ivf_blocked_neardup")
