@@ -78,8 +78,6 @@ object Bench {
       name -> v
     }
     val stealDelta = stealTicks() - steal0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val errJson =
       if (errors.isEmpty) ""
@@ -88,7 +86,31 @@ object Bench {
     val stormyJson =
       if (stormy.isEmpty) ""
       else stormy.map("\"" + _ + "\"").mkString(",\"stormy\":[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$reps,"shuffle_partitions":$parts,"steal_ticks":$stealDelta$stormyJson$errJson}""")
+    // Full-precision diagnostics FIRST (may exceed the harness's output
+    // tail window), then the compact contract line LAST so it survives
+    // tail truncation: the harness keeps only the final ~2000 bytes of
+    // output, and sbt appends its own ~74-byte "[success]" trailer.
+    val detailQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"bench_detail","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","runs_per_query":$reps,"shuffle_partitions":$parts,"steal_ticks":$stealDelta$stormyJson$errJson}""")
+    println(renderContract(results.toSeq, total, sfDir))
     spark.stop()
+  }
+
+  /** The one-line JSON contract, sized to survive a 2000-byte output-tail
+    * capture alongside sbt's trailer: 2-decimal seconds normally, 1-decimal
+    * if the 73-query inventory ever pushes the line past the budget.
+    */
+  def renderContract(results: Seq[(String, Double)], total: Double,
+                     sfDir: String): String = {
+    def render(dec: Int): String = {
+      def num(v: Double) =
+        String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line = render(2)
+    if (line.length <= 1900) line else render(1)
   }
 }
