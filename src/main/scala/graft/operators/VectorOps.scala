@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *    side — a map-side cross product + per-partition top-k
   *    (TakeOrderedAndProject via rank window on the bounded query
   *    cardinality), never a shuffle of the full similarity matrix.
-  *  - The IVF path is the 100 TB design: assign once to a small
-  *    broadcast codebook (map-side), then search only within the probed
+  *  - The IVF path is the 100 TB design: assignment scores each row
+  *    against a COLLECTED, inlined codebook entirely map-side (zero
+  *    shuffle — `assignCells`), then search only within the probed
   *    cell — candidate sets shrink by ~|cells|×.
+  *  - Pair kernels carry pre-computed squared norms out of the scan, so
+  *    each candidate pair costs one fused dot product, not three.
   *  - Dot products run in double precision over the float arrays with a
   *    sequential left-to-right fold — bit-identical to the DuckDB oracle
   *    (`list_dot_product` over DOUBLE[]).
@@ -41,26 +44,66 @@ object VectorOps {
   private def sqlDot(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
-  /** cosine = dot / sqrt(|a|²·|b|²) — same formula both engines. */
-  private def cosine(a: String, b: String): Column =
-    expr(s"cosine_sim($a, $b)")
+  /** Pair cosine from PRE-COMPUTED squared norms: `dot_product` per pair
+    * plus two scalar reads, instead of re-accumulating |a|² and |b|² on
+    * every candidate. Arithmetic-identical to [[cosine]]: the norm column
+    * is `dot_product(v, v)` — the same index-ordered float64 fold the
+    * fused kernel runs — and the finish is the same `dot / sqrt(na·nb)`. */
+  private def cosineWithNorms(a: String, b: String, na: String,
+      nb: String): Column =
+    expr(s"dot_product($a, $b)") / sqrt(col(na) * col(nb))
 
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)})"
 
+  /** The bounded codebook, collected and inlined as a literal
+    * `array<struct<cell, cv>>` column so cell assignment is a pure
+    * map-side expression — zero shuffle, the way a real IVF broadcasts
+    * its codebook. At 100 TB a 64k-cell × 128-dim codebook is ~32 MB:
+    * still a literal/broadcast, never a join. */
+  private def codebookLit(emb: DataFrame, nCells: Int): Column = {
+    val seeds = emb.filter(col("vec_id") < nCells)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    array(seeds.map { case (cell, cv) =>
+      struct(lit(cell).as("cell"), lit(cv).as("cv"))
+    }: _*)
+  }
+
+  /** Map-side IVF assignment: score the row's vector against every
+    * codebook cell, keep the `probes` best. The struct sort key
+    * (−sim, cell) reproduces the previous window form's ordering
+    * (sim DESC, cell ASC) exactly, including the rounded-sim tie-break —
+    * but with no crossJoin and no row_number shuffle. */
+  private def assignCells(src: DataFrame, vecCol: String, cb: Column,
+      probes: Int): DataFrame =
+    src.withColumn("cb", cb)
+      .withColumn("cand", expr(
+        s"slice(array_sort(transform(cb, c -> named_struct(" +
+          s"'negsim', -round(cosine_sim($vecCol, c.cv), 6), " +
+          s"'cell', c.cell))), 1, $probes)"))
+      .withColumn("cc", explode(col("cand")))
+      .select(src.columns.map(col) :+ col("cc.cell").as("cell")
+        :+ (-col("cc.negsim")).as("csim"): _*)
+
   // V1 — brute-force cosine top-k: 5 nearest neighbors for each query
   // vector (vec_id < 10), ranked on the rounded similarity so ranking is
-  // robust to last-bit drift.
+  // robust to last-bit drift. Each side carries its squared norm out of
+  // the scan, so the pair kernel is one dot product.
   private def v1(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val n = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        dot("embedding", "embedding").as("qn"))
+    val n = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        dot("embedding", "embedding").as("nn"))
       .repartition(s.sparkContext.defaultParallelism)
     val sims = n.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine("qv", "nv"), 6).as("sim"))
+        round(cosineWithNorms("qv", "nv", "qn", "nn"), 6).as("sim"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rn", row_number().over(w))
@@ -82,24 +125,19 @@ object VectorOps {
 
   // V2 — IVF-style coarse assignment: nearest of 8 "centroid" seed
   // vectors (vec_id < 8) for every vector; per-cell population + mean
-  // similarity. The codebook is broadcast; assignment is map-side.
+  // similarity. The codebook is a collected literal; assignment is a
+  // genuinely map-side expression (no crossJoin, no window shuffle) —
+  // the only shuffle in the plan is the 8-group final aggregate.
   private def v2(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val seeds = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    val assigned = emb
-      .select(col("vec_id"), col("embedding"))
-      .repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cell"),
-        round(cosine("embedding", "cv"), 6).as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    assigned.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val cb = codebookLit(emb, 8)
+    assignCells(
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism),
+      "embedding", cb, probes = 1)
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"),
-        decOut(sum(dec12(col("sim")))).as("sum_sim"))
+        decOut(sum(dec12(col("csim")))).as("sum_sim"))
       .orderBy(col("cell"))
   }
 
@@ -146,12 +184,14 @@ object VectorOps {
     // parquet split, and a 1-partition cross join would run on a single
     // core; broadcast the other side (it's the candidate-block pattern —
     // at scale `b` is one LSH/IVF bucket, always broadcastable).
-    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        dot("embedding", "embedding").as("na"))
       .repartition(s.sparkContext.defaultParallelism)
-    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      dot("embedding", "embedding").as("nb"))
     a.crossJoin(broadcast(b)).filter(col("va") < col("vb"))
       .select(col("va"), col("vb"),
-        round(cosine("ea", "eb"), 6).as("sim"))
+        round(cosineWithNorms("ea", "eb", "na", "nb"), 6).as("sim"))
       .filter(col("sim") >= 0.45)
       .orderBy(col("va"), col("vb"))
   }
@@ -182,25 +222,24 @@ object VectorOps {
   private def ivfCellPairs(s: SparkSession, d: String,
       probes: Int): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-    val seeds = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    val assigned = emb
-      .repartition(s.sparkContext.defaultParallelism)
-      .crossJoin(broadcast(seeds))
+    val cb = codebookLit(emb, 8)
+    // map-side assignment (re-running it for both join sides is cheaper
+    // than materializing: it's a scan + |codebook| fused kernels per row,
+    // no shuffle); each row carries its squared norm into the pair join
+    // so the per-candidate kernel is ONE dot product.
+    val assigned = assignCells(
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism),
+      "embedding", cb, probes)
       .select(col("vec_id"), col("embedding"), col("cell"),
-        round(cosine("embedding", "cv"), 6).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= probes)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+        dot("embedding", "embedding").as("nrm"))
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
-      col("embedding").as("ea"))
+      col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("vb"),
-      col("embedding").as("eb"))
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, Seq("cell")).filter(col("va") < col("vb"))
       .select(col("cell"), col("va"), col("vb"),
-        round(cosine("ea", "eb"), 6).as("sim"))
+        round(cosineWithNorms("ea", "eb", "na", "nb"), 6).as("sim"))
       .filter(col("sim") >= 0.45)
   }
 
@@ -258,33 +297,25 @@ object VectorOps {
   // VectorRecallSpec.
   private def v7(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-    val seeds = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cell"), col("embedding").as("cv"))
-    def assign(src: DataFrame, idCol: String, vecCol: String,
-        probes: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("csim").desc, col("cell"))
-      src.crossJoin(broadcast(seeds))
-        .select(col(idCol), col(vecCol), col("cell"),
-          round(cosine(vecCol, "cv"), 6).as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= probes)
-        .select(col(idCol), col(vecCol), col("cell"))
-    }
-    val index = assign(
-      emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val cb = codebookLit(emb, 8)
+    val index = assignCells(
+      emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+          dot("embedding", "embedding").as("nn"))
         .repartition(s.sparkContext.defaultParallelism),
-      "nid", "nv", probes = 1)
-    val queriesV = assign(
+      "nv", cb, probes = 1)
+      .select(col("cell"), col("nid"), col("nv"), col("nn"))
+    val queriesV = assignCells(
       emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
-      "qid", "qv", probes = 2)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          dot("embedding", "embedding").as("qn")),
+      "qv", cb, probes = 2)
+      .select(col("cell"), col("qid"), col("qv"), col("qn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("sim").desc, col("nid"))
     queriesV.join(index, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        round(cosine("qv", "nv"), 6).as("sim"))
+        round(cosineWithNorms("qv", "nv", "qn", "nn"), 6).as("sim"))
       .dropDuplicates("qid", "nid") // candidate seen via both probes
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
