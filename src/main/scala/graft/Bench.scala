@@ -110,7 +110,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val line = render(2)
-    if (line.length <= 1900) line else render(1)
+    // progressive degradation: 2 decimals normally; coarser only if the
+    // whole inventory runs slow enough (3-digit seconds) that the line
+    // would overflow — at which point sub-second resolution is noise
+    Iterator(2, 1, 0).map(render).find(_.length <= 1900)
+      .getOrElse(render(0))
   }
 }

@@ -25,6 +25,7 @@ object SparkEntry {
       JoinOps.queries ++
       WindowOps.queries ++
       TextOps.queries ++
+      PipelineOps.queries ++
       DedupOps.queries ++
       VectorOps.queries ++
       MultimodalOps.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       JoinOps.oracles ++
       WindowOps.oracles ++
       TextOps.oracles ++
+      PipelineOps.oracles ++
       DedupOps.oracles ++
       VectorOps.oracles ++
       MultimodalOps.oracles ++

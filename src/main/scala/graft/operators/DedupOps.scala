@@ -392,6 +392,41 @@ object DedupOps {
        |  SELECT node FROM labels WHERE node <> label)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // C1 — benchmark decontamination: the eval-set n-gram overlap check a
+  // training pipeline runs before a corpus ships. The "benchmark" side is
+  // the deterministic doc_id % 100 == 0 slice; a training doc is
+  // contaminated if it shares ≥ 2 distinct 3-word shingles with any eval
+  // doc. The eval shingle set is tiny relative to the corpus — it
+  // BROADCASTS, so the scan side never shuffles: the 100 TB shape is one
+  // broadcast-hash semi-join per eval release, not an n×m shingle join.
+  private def c1(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d, 2000)
+    val ev = sh.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("eid"), col("w"))
+    val tr = sh.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("tid"), col("source"), col("w"))
+    tr.join(broadcast(ev), Seq("w"))
+      .groupBy(col("tid"), col("source"), col("eid"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("tid")).as("n_contaminated"),
+        count(lit(1)).as("n_pairs"),
+        max(col("n_shared")).as("max_overlap"))
+      .orderBy(col("source"))
+  }
+
+  private val c1Sql =
+    s"""WITH $shingleTokensCte,
+       |ev AS (SELECT doc_id AS eid, w FROM t WHERE doc_id % 100 = 0),
+       |tr AS (SELECT doc_id AS tid, source, w FROM t WHERE doc_id % 100 <> 0),
+       |ov AS (SELECT tid, source, eid, count(*) AS n_shared
+       |  FROM tr JOIN ev USING (w) GROUP BY 1, 2, 3
+       |  HAVING count(*) >= 2)
+       |SELECT source, count(DISTINCT tid) AS n_contaminated,
+       | count(*) AS n_pairs, max(n_shared) AS max_overlap
+       |FROM ov GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
     "d2_jaccard_pairs" -> (d2 _),
@@ -400,6 +435,7 @@ object DedupOps {
     "d5_dup_clusters" -> (d5 _),
     "d6_dedup_keep" -> (d6 _),
     "d7_shingle_jaccard" -> (d7 _),
+    "c1_decontam" -> (c1 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -408,5 +444,6 @@ object DedupOps {
     "d5_dup_clusters" -> d5Sql,
     "d6_dedup_keep" -> d6Sql,
     "d7_shingle_jaccard" -> d7Sql,
+    "c1_decontam" -> c1Sql,
   )
 }

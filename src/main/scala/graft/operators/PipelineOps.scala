@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for a training-data pipeline: deterministic
+  * train/val/test splitting and deterministic global shuffling. Both are
+  * pure functions of the data (md5 of a stable key), so any re-run — any
+  * partitioning, any cluster — reproduces the same assignment, and the
+  * DuckDB oracle can verify the exact split.
+  *
+  * Scale notes:
+  *  - The split is a per-row expression + a tiny aggregate: no shuffle of
+  *    the text, no sampling state, no RNG seeds to coordinate across
+  *    executors. This is how production corpora pin membership (hash of
+  *    content/id against fixed hex cut points), because `rand()`-based
+  *    sampling is irreproducible under retries and repartitioning.
+  *  - The shuffle-order query is top-k by hash: TakeOrderedAndProject
+  *    (per-partition heaps + driver merge of k rows), never a global
+  *    sort. A full training-epoch shuffle at 100 TB is the same idea as
+  *    a total-order sort by the hash key: range-partition on skey then
+  *    sort within partitions.
+  */
+object PipelineOps {
+
+  // S1 — deterministic corpus split on md5(text): first hex byte against
+  // fixed cut points — 'cc' = 204/256 ≈ 79.7 % train, 'e6' = 26/256
+  // ≈ 10.2 % val, rest test. Content-hash (not id-hash) keys mean exact
+  // duplicates land in the SAME split — no train/test leakage via dups.
+  private def splitCol =
+    when(substring(md5(col("text")), 1, 2) < "cc", "train")
+      .when(substring(md5(col("text")), 1, 2) < "e6", "val")
+      .otherwise("test")
+
+  private def s1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("split", splitCol)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("split"))
+
+  private val s1Sql =
+    s"""SELECT source,
+       | CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+       |      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+       |      ELSE 'test' END AS split,
+       | count(*) AS n_docs, ${sqlLsum("n_chars")} AS sum_chars
+       |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
+
+  // S2 — deterministic global shuffle order (epoch shuffling without
+  // RNG): order by md5("shuf:" || doc_id), take the head. The limit
+  // compiles to TakeOrderedAndProject; the rank is re-derived over the
+  // 20 surviving rows so the ORDER itself is oracle-verified, not just
+  // the membership.
+  private def s2(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(20)
+    keyed.withColumn("rn",
+      row_number().over(Window.orderBy(col("skey"), col("doc_id"))))
+      .select(col("rn"), col("doc_id"), col("skey"))
+  }
+
+  private val s2Sql =
+    """SELECT row_number() OVER (ORDER BY skey, doc_id) AS rn, doc_id, skey
+      |FROM (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
+      |  FROM documents ORDER BY skey, doc_id LIMIT 20)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_hash_split" -> (s1 _),
+    "s2_shuffle_order" -> (s2 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_hash_split" -> s1Sql,
+    "s2_shuffle_order" -> s2Sql,
+  )
+}

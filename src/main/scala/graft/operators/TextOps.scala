@@ -164,12 +164,70 @@ object TextOps {
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // X6 — repetition metrics (the Gopher/MassiveText repetition filters):
+  // duplicate-bigram fraction (how much of the doc is repeated local
+  // phrasing) and top-word fraction (most frequent word / total words),
+  // averaged per source, plus a count of docs over the repetition bar.
+  // The per-doc fractions are single double divisions (engine-identical);
+  // the per-source averages go through exact DECIMAL(38,12) sums.
+  private def x6(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .withColumn("w", toks)
+      .filter(size(col("w")) >= 2)
+    val b = t
+      .withColumn("nw", size(col("w")).cast("double"))
+      .withColumn("nb", (size(col("w")) - 1).cast("double"))
+      .withColumn("db", size(array_distinct(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")))
+        .cast("double"))
+    val topw = t.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).cast("double").as("topc"))
+    b.join(topw, Seq("doc_id"))
+      .withColumn("dup_bi", (col("nb") - col("db")) / col("nb"))
+      .withColumn("top_frac", col("topc") / col("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(dec12(col("dup_bi"))).cast("double") / count(lit(1)), 6)
+          .as("avg_dup_bigram"),
+        round(sum(dec12(col("top_frac"))).cast("double") / count(lit(1)), 6)
+          .as("avg_top_word"),
+        sum(when(col("dup_bi") > 0.05, 1L).otherwise(0L))
+          .as("n_repetitive"))
+      .orderBy(col("source"))
+  }
+
+  private val x6Sql =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  string_split_regex(trim(text), '\\s+') AS w FROM documents),
+       |b AS (SELECT doc_id, source,
+       |  CAST(len(w) AS DOUBLE) AS nw,
+       |  CAST(len(w) - 1 AS DOUBLE) AS nb,
+       |  CAST(len(list_distinct(list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) AS db
+       | FROM t WHERE len(w) >= 2),
+       |topw AS (SELECT doc_id, CAST(max(c) AS DOUBLE) AS topc FROM (
+       |  SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(w) AS tok FROM t) GROUP BY 1, 2)
+       | GROUP BY 1)
+       |SELECT source, count(*) AS n_docs,
+       | round(CAST(sum(CAST((nb - db) / nb AS DECIMAL(38,12))) AS DOUBLE)
+       |   / count(*), 6) AS avg_dup_bigram,
+       | round(CAST(sum(CAST(topc / nw AS DECIMAL(38,12))) AS DOUBLE)
+       |   / count(*), 6) AS avg_top_word,
+       | ${sqlLsum("CASE WHEN (nb - db) / nb > 0.05 THEN 1 ELSE 0 END")} AS n_repetitive
+       |FROM b JOIN topw USING (doc_id)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats" -> (x1 _),
     "x2_quality_score" -> (x2 _),
     "x3_langid" -> (x3 _),
     "x4_fingerprint" -> (x4 _),
     "x5_bpe_tokens" -> (x5 _),
+    "x6_repetition" -> (x6 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,5 +236,6 @@ object TextOps {
     "x3_langid" -> x3Sql,
     "x4_fingerprint" -> x4Sql,
     "x5_bpe_tokens" -> x5Sql,
+    "x6_repetition" -> x6Sql,
   )
 }
