@@ -256,11 +256,48 @@ object WindowOps {
        | GROUP BY l_orderkey, o_dt)
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // W6 — sessionization: Spark's native session_window (gap-merged
+  // event-time sessions), oracle-checked against the relational
+  // gaps-and-islands form (LAG ≥ gap → new island) in DuckDB. Session
+  // semantics: consecutive events of a user merge while the gap is
+  // STRICTLY under 6 h — identical to islands on `gap >= 6h` breaks.
+  // The same session_window call runs on a stream (EventStream
+  // .sessionize); StreamingSpec pins stream ≡ batch on shared input.
+  // At scale this is one shuffle on user_id; state in streaming mode is
+  // bounded by the watermark.
+  private def w6(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(us(col("ts"))).as("last_us"))
+      .select(col("user_id"),
+        us(col("session_window.start")).as("sess_start_us"),
+        col("last_us"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
+  private val w6Sql =
+    s"""WITH e AS (SELECT user_id, epoch_us($TS) AS us_ts FROM events
+       |  WHERE user_id < 50),
+       |g AS (SELECT user_id, us_ts,
+       |  CASE WHEN lag(us_ts) OVER (PARTITION BY user_id ORDER BY us_ts)
+       |        IS NULL
+       |       OR us_ts - lag(us_ts) OVER (PARTITION BY user_id
+       |        ORDER BY us_ts) >= CAST(21600000000 AS BIGINT)
+       |   THEN 1 ELSE 0 END AS brk FROM e),
+       |s AS (SELECT user_id, us_ts, sum(brk) OVER (PARTITION BY user_id
+       |  ORDER BY us_ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+       |SELECT user_id, min(us_ts) AS sess_start_us, max(us_ts) AS last_us,
+       | count(*) AS n_events
+       |FROM s GROUP BY user_id, sid
+       |ORDER BY user_id, sess_start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),
     "w3_top1_per_group" -> (w3 _),
     "w4_most_liquid" -> (w4 _),
     "w5_keyset_page" -> (w5 _),
+    "w6_sessionize" -> (w6 _),
     "t1_topn" -> (t1 _),
     "t2_shipping_priority" -> (t2 _),
     "t3_union_roles" -> (t3 _),
@@ -276,6 +313,7 @@ object WindowOps {
     "w3_top1_per_group" -> w3Sql,
     "w4_most_liquid" -> w4Sql,
     "w5_keyset_page" -> w5Sql,
+    "w6_sessionize" -> w6Sql,
     "t1_topn" -> t1Sql,
     "t2_shipping_priority" -> t2Sql,
     "t3_union_roles" -> t3Sql,

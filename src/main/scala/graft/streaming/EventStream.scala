@@ -113,6 +113,23 @@ object EventStream {
       .select(col("window.start").as("hr_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** ST6 variant — event-time SESSION windows (gap-merged user
+    * sessions): the same `session_window` call as the batch
+    * `w6_sessionize` query, so StreamingSpec can pin stream ≡ batch on
+    * shared input. State per (user, open session) is bounded by the
+    * watermark; sessions close and emit once the watermark passes their
+    * last event + gap (append mode), or continuously in complete mode. */
+  def sessionize(stream: DataFrame, gap: String = "6 hours",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("last_us"), col("n_events"))
+
   /** S10/ST3 — file-landing ingest at the tip: stream NDJSON files from
     * a landing directory with schema enforcement (the reference's
     * sidecar-dump → object-store landing pattern, ref substrateetl.js

@@ -79,6 +79,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionize equals the batch session_window form") {
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .filter(col("user_id") < 10)
+    val rows = ev.select(col("ts"), col("user_id"))
+      .as[(Timestamp, Long)].collect().toSeq
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val sessions = EventStream.sessionize(
+      input.toDS().toDF("ts", "user_id"))
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("complete").start()
+    try {
+      input.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.table("sessions_out")
+        .select("user_id", "sess_start_us", "last_us", "n_events")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = ev
+        .groupBy(session_window(col("ts"), "6 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(unix_micros(col("ts"))).as("last_us"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          col("last_us"), col("n_events"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // sessions are genuinely gap-merged: at least one multi-event
+      // session must exist in the fixture
+      assert(streamed.exists(_._4 > 1))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join bounds matches to the window") {
     val src = Seq((7L, 1L, ts(1000)), (8L, 2L, ts(2000)))
       .toDF("user_id", "event_id", "ts")
