@@ -221,6 +221,49 @@ object TextOps {
        |FROM b JOIN topw USING (doc_id)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // X7 — exact length quantiles per source (median + p90), computed by
+  // RANK SELECTION rather than an engine quantile function: Spark's
+  // percentile / DuckDB's quantile_cont interpolate differently, but
+  // "the value at row_number k of n" is pure integer arithmetic, so the
+  // result is engine-identical and oracle-checkable. One window + one
+  // aggregate per source; at 100 TB the same shape holds per partition
+  // key (or swap in a t-digest sketch when a global single-key quantile
+  // is needed — then it's rows-only like a16b).
+  private def x7(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    t.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        ((sum(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))
+          .otherwise(0L)) +
+          sum(when(col("rn") === expr("(n + 2) div 2"), col("n_chars"))
+            .otherwise(0L))) / 2.0).as("median_chars"),
+        sum(when(col("rn") === expr("(9 * n + 9) div 10"), col("n_chars"))
+          .otherwise(0L)).as("p90_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val x7Sql =
+    """WITH r AS (SELECT source, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |  count(*) OVER (PARTITION BY source) AS n
+      | FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      | (sum(CASE WHEN rn = (n + 1) // 2 THEN n_chars ELSE 0 END)
+      |  + sum(CASE WHEN rn = (n + 2) // 2 THEN n_chars ELSE 0 END)) / 2.0
+      |   AS median_chars,
+      | CAST(sum(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars ELSE 0 END)
+      |   AS BIGINT) AS p90_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats" -> (x1 _),
     "x2_quality_score" -> (x2 _),
@@ -228,6 +271,7 @@ object TextOps {
     "x4_fingerprint" -> (x4 _),
     "x5_bpe_tokens" -> (x5 _),
     "x6_repetition" -> (x6 _),
+    "x7_length_quantiles" -> (x7 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +281,6 @@ object TextOps {
     "x4_fingerprint" -> x4Sql,
     "x5_bpe_tokens" -> x5Sql,
     "x6_repetition" -> x6Sql,
+    "x7_length_quantiles" -> x7Sql,
   )
 }
