@@ -113,6 +113,20 @@ object EventStream {
       .select(col("window.start").as("hr_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** ST5 scale variant — state-bounded EXACT dedup on the full candidate
+    * identity via `dropDuplicatesWithinWatermark`: keeps the first
+    * arrival per (chain, block, hash) and expires the key's state once
+    * the watermark passes its event time, so redundant-crawler replays
+    * cost O(in-flight blocks) state instead of O(history). Complements
+    * [[dedupCandidates]] (finalized-preferred LATEST, a ranking) — this
+    * one is the raw at-least-once → effectively-once gate in front of
+    * bronze. */
+  def dedupExactStream(bronze: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    bronze.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("chain_id", "block_number",
+        "block_hash")
+
   /** ST6 variant — event-time SESSION windows (gap-merged user
     * sessions): the same `session_window` call as the batch
     * `w6_sessionize` query, so StreamingSpec can pin stream ≡ batch on

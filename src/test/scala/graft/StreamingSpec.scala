@@ -79,6 +79,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("watermarked exact dedup drops replays across micro-batches") {
+    implicit val s = spark
+    val input = MemoryStream[Candidate](spark)
+    val query = EventStream.dedupExactStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_exact_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Candidate(1, 100L, "0xa", finalized = false, ts(10)),
+        Candidate(1, 100L, "0xa", finalized = false, ts(10))) // same batch
+      query.processAllAvailable()
+      // replay of the same identity in a LATER micro-batch (the
+      // redundant-crawler model) must also be dropped while its state
+      // lives within the watermark
+      input.addData(Candidate(1, 100L, "0xa", finalized = true, ts(11)),
+        Candidate(1, 101L, "0xb", finalized = false, ts(12)))
+      query.processAllAvailable()
+      val out = spark.table("dedup_exact_out")
+        .select("chain_id", "block_number", "block_hash").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+      assert(out.length == 2)
+      assert(out.toSet == Set((1, 100L, "0xa"), (1, 101L, "0xb")))
+    } finally query.stop()
+  }
+
   test("streaming sessionize equals the batch session_window form") {
     val ev = Tables.events(spark, SparkTestBase.sf)
       .filter(col("user_id") < 10)
