@@ -204,15 +204,20 @@ object DedupOps {
   // reordered boilerplate no longer counts as near-duplicate). Same
   // source-blocked inverted-index join; the shingle set is built with
   // codegen'd higher-order functions, no UDF.
-  private def docShingles(s: SparkSession, d: String, cap: Int): DataFrame =
-    Tables.documents(s, d)
-      .filter(col("doc_id") < cap)
+  /** Distinct 3-word shingles of any (doc_id, source, text) frame —
+    * the blocking/overlap unit for d7 and the decontamination pass. */
+  def shingles3(docs: DataFrame): DataFrame =
+    docs
       .withColumn("t", expr("split(trim(text), '\\\\s+')"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(expr(
           "transform(sequence(0, size(t) - 3), " +
             "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))).as("w"))
+
+  private def docShingles(s: SparkSession, d: String, cap: Int): DataFrame =
+    shingles3(Tables.documents(s, d).filter(col("doc_id") < cap)
+      .select(col("doc_id"), col("source"), col("text")))
 
   private def d7(s: SparkSession, d: String): DataFrame =
     jaccardPairs(docShingles(s, d, 2000), ShingleThreshold)
@@ -399,22 +404,30 @@ object DedupOps {
   // doc. The eval shingle set is tiny relative to the corpus — it
   // BROADCASTS, so the scan side never shuffles: the 100 TB shape is one
   // broadcast-hash semi-join per eval release, not an n×m shingle join.
-  private def c1(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingles(s, d, 2000)
-    val ev = sh.filter(col("doc_id") % 100 === 0)
+  /** Decontamination core: (train doc, eval doc) pairs sharing at least
+    * `minShared` distinct shingles. `sh` is a shingle frame
+    * ([[shingles3]] shape); `isEval` selects the benchmark slice, which
+    * is assumed tiny relative to the corpus and is broadcast. */
+  def contaminatedPairs(sh: DataFrame, isEval: Column,
+      minShared: Int): DataFrame = {
+    val ev = sh.filter(isEval)
       .select(col("doc_id").as("eid"), col("w"))
-    val tr = sh.filter(col("doc_id") % 100 =!= 0)
+    val tr = sh.filter(!isEval)
       .select(col("doc_id").as("tid"), col("source"), col("w"))
     tr.join(broadcast(ev), Seq("w"))
       .groupBy(col("tid"), col("source"), col("eid"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 2)
+      .filter(col("n_shared") >= minShared)
+  }
+
+  private def c1(s: SparkSession, d: String): DataFrame =
+    contaminatedPairs(docShingles(s, d, 2000),
+      col("doc_id") % 100 === 0, minShared = 2)
       .groupBy(col("source"))
       .agg(countDistinct(col("tid")).as("n_contaminated"),
         count(lit(1)).as("n_pairs"),
         max(col("n_shared")).as("max_overlap"))
       .orderBy(col("source"))
-  }
 
   private val c1Sql =
     s"""WITH $shingleTokensCte,

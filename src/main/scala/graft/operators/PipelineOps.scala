@@ -29,14 +29,18 @@ object PipelineOps {
   // fixed cut points — 'cc' = 204/256 ≈ 79.7 % train, 'e6' = 26/256
   // ≈ 10.2 % val, rest test. Content-hash (not id-hash) keys mean exact
   // duplicates land in the SAME split — no train/test leakage via dups.
-  private def splitCol =
-    when(substring(md5(col("text")), 1, 2) < "cc", "train")
-      .when(substring(md5(col("text")), 1, 2) < "e6", "val")
-      .otherwise("test")
+  /** The deterministic split assignment as a reusable projection: a pure
+    * function of the keyed column, so membership is invariant under
+    * repartitioning, retries, and re-runs (PipelinePropertySpec pins
+    * this, plus the ~80/10/10 proportions). */
+  def withSplit(df: DataFrame, keyed: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn("split",
+      when(substring(md5(keyed), 1, 2) < "cc", "train")
+        .when(substring(md5(keyed), 1, 2) < "e6", "val")
+        .otherwise("test"))
 
   private def s1(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("split", splitCol)
+    withSplit(Tables.documents(s, d), col("text"))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"))

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{DedupOps, PipelineOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic ground truth for the dataset-assembly operators. The DuckDB
+  * oracle proves Spark and DuckDB agree; these specs prove the operators
+  * DO the thing they claim — a planted contaminated document is caught,
+  * split membership survives repartitioning, proportions land near the
+  * cut points (the round-2 lesson: engine agreement alone can't see a
+  * semantically wrong candidate policy).
+  */
+class PipelinePropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("decontamination catches a planted near-copy and spares the rest") {
+    val docs = Seq(
+      // doc 0 = the "benchmark" doc
+      (0L, "eval", "alpha beta gamma delta epsilon zeta eta theta"),
+      // doc 1 copies a 6-word benchmark span inside fresh text → ≥2
+      // shared 3-shingles → contaminated
+      (1L, "web", "intro words alpha beta gamma delta epsilon zeta closing"),
+      // doc 2 shares vocabulary but no 3-word span in benchmark ORDER
+      (2L, "web", "epsilon delta gamma beta alpha zeta reversed span here"),
+      // doc 3 entirely unrelated
+      (3L, "web", "completely different tokens about other topics entirely")
+    ).toDF("doc_id", "source", "text")
+    val pairs = DedupOps.contaminatedPairs(
+      DedupOps.shingles3(docs), col("doc_id") === 0L, minShared = 2)
+      .select(col("tid"), col("eid"), col("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(_._1).toSet == Set(1L), s"got $pairs")
+    assert(pairs.head._2 == 0L)
+    assert(pairs.head._3 >= 2)
+  }
+
+  test("hash split is invariant under repartitioning and re-runs") {
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+    val once = PipelineOps.withSplit(docs, col("text"))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val again = PipelineOps.withSplit(docs.repartition(7), col("text"))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(once == again)
+    assert(once.nonEmpty)
+  }
+
+  test("split proportions land near the 80/10/10 cut points") {
+    val counts = PipelineOps.withSplit(
+      Tables.documents(spark, SparkTestBase.sf), col("text"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") / n > 0.70 && counts("train") / n < 0.90)
+    assert(counts("val") / n > 0.03 && counts("val") / n < 0.20)
+    assert(counts("test") / n > 0.03 && counts("test") / n < 0.20)
+  }
+
+  test("exact duplicates always land in the same split") {
+    val dup = Seq(
+      (1L, "a", "same text body here"),
+      (2L, "b", "same text body here"),
+      (3L, "c", "other text body here")
+    ).toDF("doc_id", "source", "text")
+    val bySplit = PipelineOps.withSplit(dup, col("text"))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(bySplit(1L) == bySplit(2L))
+  }
+}
