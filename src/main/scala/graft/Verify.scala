@@ -48,7 +48,9 @@ object Verify {
       "d4_simhash" ->
         "64-bit SimHash uses engine-specific hashing; blocking + Hamming verify are structural",
       "m2_media_decode_stub" ->
-        "media decode is an honest stub (no codecs in container); Spark-side plumbing is spec-tested")
+        "media decode is an honest stub (no codecs in container); Spark-side plumbing is spec-tested",
+      "x8_approx_quantiles" ->
+        "approx_percentile sketch internals are engine-specific; TextPropertySpec bounds it against the exact x7 answers")
     val manifest = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
       .toSeq.sorted
       .map(k => s"${q(k)}: ${q(rowsOnlyWhy.getOrElse(k, "no DuckDB twin"))}")

@@ -264,6 +264,21 @@ object TextOps {
       |   AS BIGINT) AS p90_chars
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // X8 — sketch quantiles (the 100 TB path for x7): approx_percentile
+  // is a mergeable sketch — map-side partials, no per-source sort, and
+  // at fleet scale no requirement that any one key's rows fit a single
+  // window. Engine sketch internals differ, so this is rows-only for
+  // the driver; TextPropertySpec pins the sketch against x7's exact
+  // rank-selection answers instead (|approx − exact| within the
+  // sketch's accuracy bound).
+  private def x8(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("median_chars"),
+        expr("approx_percentile(n_chars, 0.9, 1000)").as("p90_chars"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats" -> (x1 _),
     "x2_quality_score" -> (x2 _),
@@ -272,6 +287,7 @@ object TextOps {
     "x5_bpe_tokens" -> (x5 _),
     "x6_repetition" -> (x6 _),
     "x7_length_quantiles" -> (x7 _),
+    "x8_approx_quantiles" -> (x8 _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -10,9 +10,9 @@ class OperatorSmokeSpec extends AnyFunSuite {
 
   test("every query in the inventory has an oracle or is marked rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // hash-family / stub queries are intentionally rows-only:
+    // hash/sketch-family / stub queries are intentionally rows-only:
     assert(noOracle == Set("a16b_approx_distinct", "d3_minhash_lsh",
-      "d4_simhash", "m2_media_decode_stub"))
+      "d4_simhash", "m2_media_decode_stub", "x8_approx_quantiles"))
   }
 
   test("entry returns rows") {
