@@ -353,7 +353,10 @@ object Codec {
       val period = 2L << (encoded & 0x0f)
       val quantizeFactor = math.max(period >> 12, 1L)
       val phase = (encoded >> 4) * quantizeFactor
-      Some((period, phase))
+      // substrate's Era decode rejects period < 4 and phase ≥ period
+      // (sp-runtime generic::Era::decode) — a malformed era must not
+      // yield a bogus lifetime window downstream
+      if (period >= 4 && phase < period) Some((period, phase)) else None
     }
   }
 
