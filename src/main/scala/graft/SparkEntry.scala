@@ -26,6 +26,7 @@ object SparkEntry {
       WindowOps.queries ++
       TextOps.queries ++
       PipelineOps.queries ++
+      GovOps.queries ++
       DedupOps.queries ++
       VectorOps.queries ++
       MultimodalOps.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       WindowOps.oracles ++
       TextOps.oracles ++
       PipelineOps.oracles ++
+      GovOps.oracles ++
       DedupOps.oracles ++
       VectorOps.oracles ++
       MultimodalOps.oracles ++

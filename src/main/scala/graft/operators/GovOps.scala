@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import graft.analytics.GovAnalytics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Governance (OpenGov conviction-voting) query face — the
+  * testConviction.js capability as a relational tally. The fixture set
+  * has no votes table, so the query derives a deterministic electorate
+  * from `events` (same derivation in the DuckDB oracle), which makes the
+  * ENTIRE pipeline — vote-byte decode, conviction weighting, delegation
+  * resolution, per-referendum tally — hash-verified cross-engine.
+  */
+object GovOps {
+
+  // G1 — conviction-vote tally with delegations.
+  // Electorate derivation (mirrored in SQL):
+  //  - users < 150 cast votes: track = user%4, poll = event%20,
+  //    kind = event%7 (<5 standard, 5 split, 6 splitAbstain),
+  //    vote byte = floor(|value|)%256, balance = |value|;
+  //    one vote per (voter, poll) — first event wins.
+  //  - users 150..199 delegate: target = user%150 on track = user%4,
+  //    weight byte = event%16 (0 → 0.1×), balance = |value|;
+  //    one delegation per (delegator, track) — first event wins.
+  private def g1(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), abs(col("value")).as("av"))
+    val votesRaw = ev.filter(col("user_id") < 150)
+      .select(col("user_id").as("voter"), (col("user_id") % 4).as("track"),
+        (col("event_id") % 20).as("poll"), (col("event_id") % 7).as("kind"),
+        (floor(col("av")).cast("long") % 256).as("vote_byte"),
+        col("av").as("balance"), col("event_id"))
+    val wv = Window.partitionBy(col("voter"), col("poll"))
+      .orderBy(col("event_id"))
+    val votes = votesRaw.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+    val standard = votes.filter(col("kind") < 5)
+      .select(col("voter"), col("track"), col("poll"), col("vote_byte"),
+        col("balance"))
+    val splits = votes.filter(col("kind") >= 5)
+      .select(col("voter"), col("track"), col("poll"),
+        col("balance").as("aye"), (col("balance") / 2).as("nay"),
+        when(col("kind") === 6, col("balance") / 4).otherwise(lit(0.0))
+          .as("abstain"))
+    val delRaw = ev.filter(col("user_id") >= 150 && col("user_id") < 200)
+      .select(col("user_id").as("delegator"),
+        (col("user_id") % 4).as("track"),
+        (col("user_id") % 150).as("target"),
+        when(col("event_id") % 16 === 0, lit(0.1))
+          .otherwise((col("event_id") % 16).cast("double")).as("weight"),
+        col("av").as("balance"), col("event_id"))
+    val wd = Window.partitionBy(col("delegator"), col("track"))
+      .orderBy(col("event_id"))
+    val delegations = delRaw.withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === 1)
+      .select(col("delegator"), col("track"), col("target"),
+        col("balance"), col("weight"))
+    GovAnalytics.tallyReferenda(standard, splits, delegations)
+      .select(col("track"), col("poll"), col("n_votes"),
+        decOut(col("ayes")).as("ayes"),
+        decOut(col("nays")).as("nays"),
+        decOut(col("abstains")).as("abstains"),
+        decOut(col("capital")).as("capital"),
+        decOut(col("delegated_votes")).as("delegated_votes"))
+      .orderBy(col("track"), col("poll"))
+  }
+
+  private val dec0 = "CAST(0.0 AS DECIMAL(38,6))"
+
+  private val g1Sql =
+    s"""WITH ev AS (SELECT user_id, event_id, abs("value") AS av FROM events),
+       |vr AS (SELECT user_id AS voter, user_id % 4 AS track,
+       |  event_id % 20 AS poll, event_id % 7 AS kind,
+       |  CAST(floor(av) AS BIGINT) % 256 AS vote_byte,
+       |  av AS balance, event_id FROM ev WHERE user_id < 150),
+       |v1 AS (SELECT * FROM (SELECT vr.*, row_number() OVER (
+       |   PARTITION BY voter, poll ORDER BY event_id) AS rn FROM vr)
+       |  WHERE rn = 1),
+       |std AS (SELECT voter, track, poll, vote_byte, balance FROM v1
+       |  WHERE kind < 5),
+       |spl AS (SELECT voter, track, poll, balance AS aye,
+       |  balance / 2 AS nay,
+       |  CASE WHEN kind = 6 THEN balance / 4 ELSE 0.0 END AS abstain
+       | FROM v1 WHERE kind >= 5),
+       |dr AS (SELECT user_id AS delegator, user_id % 4 AS track,
+       |  user_id % 150 AS target,
+       |  CASE WHEN event_id % 16 = 0 THEN 0.1
+       |       ELSE CAST(event_id % 16 AS DOUBLE) END AS weight,
+       |  av AS balance, event_id FROM ev
+       | WHERE user_id >= 150 AND user_id < 200),
+       |d1 AS (SELECT delegator, track, target, balance, weight FROM (
+       |  SELECT dr.*, row_number() OVER (PARTITION BY delegator, track
+       |   ORDER BY event_id) AS rn FROM dr) WHERE rn = 1),
+       |dp AS (SELECT track, target,
+       |  sum(CAST(balance * weight AS DECIMAL(38,6))) AS d_votes,
+       |  sum(CAST(balance AS DECIMAL(38,6))) AS d_capital
+       | FROM d1 GROUP BY 1, 2),
+       |contrib AS (
+       | SELECT s.track, s.poll,
+       |  CASE WHEN s.vote_byte >= 128 THEN
+       |    CAST(s.balance * (CASE WHEN s.vote_byte % 16 = 0 THEN 0.1
+       |      ELSE CAST(s.vote_byte % 16 AS DOUBLE) END) AS DECIMAL(38,6))
+       |    + coalesce(dp.d_votes, $dec0)
+       |   ELSE $dec0 END AS ayes,
+       |  CASE WHEN s.vote_byte < 128 THEN
+       |    CAST(s.balance * (CASE WHEN s.vote_byte % 16 = 0 THEN 0.1
+       |      ELSE CAST(s.vote_byte % 16 AS DOUBLE) END) AS DECIMAL(38,6))
+       |    + coalesce(dp.d_votes, $dec0)
+       |   ELSE $dec0 END AS nays,
+       |  $dec0 AS abstains,
+       |  CAST(s.balance AS DECIMAL(38,6))
+       |    + coalesce(dp.d_capital, $dec0) AS capital,
+       |  coalesce(dp.d_votes, $dec0) AS delegated_votes
+       | FROM std s LEFT JOIN dp
+       |  ON s.track = dp.track AND s.voter = dp.target
+       | UNION ALL
+       | SELECT track, poll, CAST(aye * 0.1 AS DECIMAL(38,6)),
+       |  CAST(nay * 0.1 AS DECIMAL(38,6)),
+       |  CAST(abstain * 0.1 AS DECIMAL(38,6)),
+       |  CAST(aye + nay + abstain AS DECIMAL(38,6)), $dec0 FROM spl)
+       |SELECT track, poll, count(*) AS n_votes,
+       | ${sqlDecOut("sum(ayes)")} AS ayes,
+       | ${sqlDecOut("sum(nays)")} AS nays,
+       | ${sqlDecOut("sum(abstains)")} AS abstains,
+       | ${sqlDecOut("sum(capital)")} AS capital,
+       | ${sqlDecOut("sum(delegated_votes)")} AS delegated_votes
+       |FROM contrib GROUP BY 1, 2 ORDER BY track, poll""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_conviction_tally" -> (g1 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g1_conviction_tally" -> g1Sql,
+  )
+}
