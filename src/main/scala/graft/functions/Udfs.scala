@@ -75,5 +75,18 @@ object Udfs {
     // the guarded TraceDecode path)
     u.register("compact_decode",
       graft.decode.TraceDecode.decodeCompactHex)
+
+    // XCM MultiLocation surface (ref paraTool.js:1237 interior keys,
+    // xcmmanager.js:986 descend-origin derivative) — both internally
+    // guarded (null on malformed keys/addresses)
+    u.register("xcm_loc_bytes",
+      (key: String) => XcmLocation.interiorKeyToBytesHex(key))
+    u.register("xcm_dest_para",
+      (key: String) => XcmLocation.destParaId(key))
+    u.register("xcm_derivative20", (paraId: Long, address: String) =>
+      if (address == null) null
+      else guard(Codec.bytesToHex(
+        XcmLocation.multilocationDerivative(Some(paraId),
+          Some(address))._1)))
   }
 }
