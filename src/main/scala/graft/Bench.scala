@@ -98,22 +98,27 @@ object Bench {
   }
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
-    * capture alongside sbt's trailer: 2-decimal seconds normally, 1-decimal
-    * if the 73-query inventory ever pushes the line past the budget.
+    * capture: the tail also holds sbt's ~74-byte "[success]" trailer plus
+    * two newlines, so the hard line budget is ~1925 bytes; we target
+    * ≤ 1920. Degradation ladder: 2-decimal seconds, then 1-decimal, then
+    * the sf basename instead of the full path, then 0 decimals — the
+    * coarser steps only trigger if the whole inventory runs at 3-digit
+    * seconds, where sub-second resolution is noise anyway.
     */
   def renderContract(results: Seq[(String, Double)], total: Double,
                      sfDir: String): String = {
-    def render(dec: Int): String = {
+    def render(dec: Int, sf: String): String = {
       def num(v: Double) =
         String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
-    // progressive degradation: 2 decimals normally; coarser only if the
-    // whole inventory runs slow enough (3-digit seconds) that the line
-    // would overflow — at which point sub-second resolution is noise
-    Iterator(2, 1, 0).map(render).find(_.length <= 1900)
-      .getOrElse(render(0))
+    val short = sfDir.split('/').filter(_.nonEmpty).lastOption
+      .getOrElse(sfDir)
+    Iterator((2, sfDir), (1, sfDir), (1, short), (0, short))
+      .map { case (dec, sf) => render(dec, sf) }
+      .find(_.length <= 1920)
+      .getOrElse(render(0, short))
   }
 }

@@ -27,6 +27,7 @@ object SparkEntry {
       TextOps.queries ++
       PipelineOps.queries ++
       GovOps.queries ++
+      DexOps.queries ++
       DedupOps.queries ++
       VectorOps.queries ++
       MultimodalOps.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       TextOps.oracles ++
       PipelineOps.oracles ++
       GovOps.oracles ++
+      DexOps.oracles ++
       DedupOps.oracles ++
       VectorOps.oracles ++
       MultimodalOps.oracles ++
