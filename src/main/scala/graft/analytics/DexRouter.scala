@@ -36,6 +36,19 @@ object DexRouter {
     fwd.unionByName(rev).filter(col("rs") > 0 && col("rd") > 0)
   }
 
+  /** Price a (large) holdings frame against the resolved price map —
+    * the scale-side consumer of [[bestQuotePath]]: the pool graph and
+    * its resolution are dimension-sized, so the price map BROADCASTS
+    * and the holdings scan never shuffles. Unpriced tokens keep null
+    * (the caller decides whether unpriced = drop or audit). */
+  def priceHoldings(holdings: DataFrame, pools: DataFrame,
+      quote: String): DataFrame = {
+    val prices = bestQuotePath(pools, quote)
+      .select(col("token"), col("price"))
+    holdings.join(broadcast(prices), Seq("token"), "left")
+      .withColumn("value_quote", col("amount") * col("price"))
+  }
+
   /** Best quote-asset price per token via ≤ 2 hops.
     * Returns (token, price, liquidity, hops, via). */
   def bestQuotePath(pools: DataFrame, quote: String): DataFrame = {

@@ -88,5 +88,11 @@ object Udfs {
       else guard(Codec.bytesToHex(
         XcmLocation.multilocationDerivative(Some(paraId),
           Some(address))._1)))
+
+    // EVM sender recovery (ref ethTool.js signature handling) —
+    // internally guarded: null on malformed hash/r/s or invalid point
+    u.register("ecrecover_address",
+      (msgHashHex: String, v: Int, rHex: String, sHex: String) =>
+        Secp256k1.recoverAddressHex(msgHashHex, v, rHex, sHex))
   }
 }

@@ -55,6 +55,22 @@ class DexRouterSpec extends AnyFunSuite {
     assert(out.getString(3) == "M")
   }
 
+  test("holdings valuation broadcasts the price map and keeps unpriced") {
+    val p = pools(("A", "USDC", 100.0, 200.0))
+    val holdings = Seq(("A", 5.0), ("Z", 7.0)).toDF("token", "amount")
+    val out = DexRouter.priceHoldings(holdings, p, "USDC")
+      .select("token", "value_quote").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("A").contains(10.0))
+    assert(out("Z").isEmpty) // unpriced survives as null, not dropped
+    // the price side must be broadcast: no shuffle of the holdings scan
+    val plan = DexRouter.priceHoldings(holdings, p, "USDC")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
   test("zero-reserve pools are excluded; unreachable tokens unpriced") {
     val p = pools(
       ("A", "USDC", 0.0, 100.0),  // dead pool
