@@ -23,6 +23,23 @@ object XcmMatcher {
     * wins per source; then each dest row may be consumed once (first
     * source wins, ordered the same way).
     */
+  /** Derive the matcher's (chain_id_dest, dest_pubkey) join keys from a
+    * raw XCM destination MultiLocation interior key (the form the
+    * message payload actually carries — ref xcmCleaner analyzeXCMDest):
+    * Parachain junction → chain_id_dest (−1 = relay), AccountId32 /
+    * AccountKey20 junction → dest_pubkey hex. Both guarded-null, so a
+    * malformed location flows to the unmatched audit instead of
+    * failing the stage. */
+  def resolveDestinations(transfers: DataFrame,
+      locCol: String = "dest_location"): DataFrame = {
+    val para = udf((k: String) => graft.functions.XcmLocation.destParaId(k))
+    val acct = udf((k: String) =>
+      graft.functions.XcmLocation.destAccountHex(k))
+    transfers
+      .withColumn("chain_id_dest", para(col(locCol)))
+      .withColumn("dest_pubkey", acct(col(locCol)))
+  }
+
   def matchMessages(messages: DataFrame): DataFrame = {
     val src = messages.filter(col("incoming") === 0)
       .select(col("msg_hash"), col("chain_id"), col("chain_id_dest"),

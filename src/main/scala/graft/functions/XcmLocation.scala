@@ -142,6 +142,19 @@ object XcmLocation {
       try Codec.bytesToHex(encode(1, parseInteriorKey(key)))
       catch { case _: Exception => null }
 
+  /** The beneficiary account a MultiLocation names, as 0x-hex: the
+    * AccountId32 id (a substrate pubkey) or the AccountKey20 key (an
+    * H160, matched raw on EVM chains). Null when the location has no
+    * account junction or is malformed. */
+  def destAccountHex(key: String): String =
+    if (key == null) null
+    else
+      try parseInteriorKey(key).collectFirst {
+        case AccountId32(_, id) => Codec.bytesToHex(id)
+        case AccountKey20(_, k) => Codec.bytesToHex(k)
+      }.orNull
+      catch { case _: Exception => null }
+
   /** The destination chain a MultiLocation names: the Parachain
     * junction's id, or -1 for the relay (`here` / no parachain). */
   def destParaId(key: String): java.lang.Long =

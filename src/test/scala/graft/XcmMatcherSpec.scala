@@ -15,6 +15,25 @@ class XcmMatcherSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
+  test("destination resolution from raw MultiLocation interior keys") {
+    val pk = "11" * 32
+    val raw = Seq(
+      (1L, s"""[{"parachain":2004},{"accountId32":{"id":"0x$pk"}}]"""),
+      (2L, s"""[{"parachain":1000},{"accountKey20":{"key":"0x${"22" * 20}"}}]"""),
+      (3L, "here"),            // relay dest, no account
+      (4L, "not a location")   // malformed → nulls, row survives
+    ).toDF("extrinsic_id", "dest_location")
+    val m = XcmMatcher.resolveDestinations(raw)
+      .select("extrinsic_id", "chain_id_dest", "dest_pubkey").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else Long.box(r.getLong(1)),
+          r.getString(2)))).toMap
+    assert(m(1L) == ((Long.box(2004L), "0x" + pk)))
+    assert(m(2L) == ((Long.box(1000L), "0x" + "22" * 20)))
+    assert(m(3L) == ((Long.box(-1L), null)))
+    assert(m(4L) == ((null, null)))
+  }
+
   test("message matching: window, closest-wins, dedup, orphan") {
     // (msg_hash, block_number, incoming, chain_id, chain_id_dest,
     //  sent_at, block_ts)
