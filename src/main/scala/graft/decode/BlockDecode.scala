@@ -108,6 +108,31 @@ object BlockDecode {
         val n = c.compact().toInt
         val kids = (0 until n).map(_ => decodeCall(c, meta))
         CallFlatten.CallNode(cm.section, cm.method, "{}", kids)
+      case ("proxy", "proxy") =>
+        // proxy(real: MultiAddress, force_proxy_type: Option<u8>, call)
+        // — the second recursive wrapper the flattener must see through
+        // (ref indexer.js call-tree handling of proxy.proxy)
+        val at = c.u8()
+        require(at == 0, s"unsupported MultiAddress variant $at")
+        val real = c.take(32)
+        val fpt = c.u8() match {
+          case 0 => "null"
+          case 1 => c.u8().toString
+          case v => throw new IllegalArgumentException(s"bad Option tag $v")
+        }
+        val inner = decodeCall(c, meta)
+        CallFlatten.CallNode(cm.section, cm.method,
+          s"""{"real":"${hx(real)}","forceProxyType":$fpt}""", Seq(inner))
+      case ("staking", "bond") =>
+        // bond(value: compact, payee: RewardDestination u8 (+ account
+        // for Account variant))
+        val value = c.compact()
+        val payeeTag = c.u8()
+        val payee =
+          if (payeeTag == 3) s""""account":"${hx(c.take(32))}""""
+          else s""""variant":$payeeTag"""
+        CallFlatten.CallNode(cm.section, cm.method,
+          s"""{"value":$value,"payee":{$payee}}""", Seq.empty)
       case other =>
         throw new IllegalArgumentException(s"unscoped call $other")
     }
@@ -199,6 +224,28 @@ object BlockDecode {
           } else s""""variant":$variant"""
           c.compact(); c.compact(); c.u8(); c.u8() // DispatchInfo
           (s"{$err}", None)
+        case ("staking", "Rewarded") =>
+          // classic (stash, amount) form — the reward-extraction P7
+          // input (ref substrateetl rewards export)
+          val stash = c.take(32); val amt = c.u128()
+          (s"""{"stash":"${hx(stash)}","amount":$amt}""", None)
+        case ("staking", "Bonded") =>
+          val stash = c.take(32); val amt = c.u128()
+          (s"""{"stash":"${hx(stash)}","amount":$amt}""", None)
+        case ("proxy", "ProxyExecuted") =>
+          // DispatchResult: 0x00 Ok | 0x01 ++ DispatchError (Module
+          // errors carry pallet + 4-byte code, same as ExtrinsicFailed)
+          val ok = c.u8()
+          val body =
+            if (ok == 0) """"result":"ok""""
+            else {
+              val variant = c.u8()
+              if (variant == 3) {
+                val p = c.u8(); val code = c.u32()
+                s""""result":"err","module":{"pallet":$p,"error":$code}"""
+              } else s""""result":"err","variant":$variant"""
+            }
+          (s"{$body}", None)
         case other =>
           throw new IllegalArgumentException(s"unscoped event $other")
       }

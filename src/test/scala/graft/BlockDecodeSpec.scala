@@ -111,6 +111,59 @@ class BlockDecodeSpec extends AnyFunSuite {
     java.nio.file.Files.createTempDirectory("graft_rawdump").toString
   private lazy val out = Dump.dumpDay(decoded.toDF(), "2024-03-01", outRoot)
 
+  test("proxy.proxy unwraps recursively; staking.bond payee variants") {
+    val mp = RuntimeMeta(100, 10,
+      calls = m100.calls ++ Seq(CallMeta(29, 0, "proxy", "proxy"),
+        CallMeta(6, 0, "staking", "bond")),
+      events = m100.events)
+    // proxy(real=bob, forceProxyType=Some(2), balances.transfer(bob, 5))
+    val call = b(Array(29.toByte, 0.toByte), Array(0.toByte), bob,
+      Array(1.toByte, 2.toByte),
+      Array(4.toByte, 0.toByte), Array(0.toByte), bob, cp(5))
+    val node = BlockDecode.decodeCall(
+      new BlockDecode.Cursor(call), mp)
+    assert(node.section == "proxy" && node.method == "proxy")
+    assert(node.args.contains("\"forceProxyType\":2"))
+    assert(node.args.contains(Codec.bytesToHex(bob)))
+    assert(node.calls.size == 1)
+    assert(node.calls.head.section == "balances")
+    assert(node.calls.head.args.contains("\"value\":5"))
+    // bond(value, payee=Account(bob)) and bond(value, payee=Staked)
+    val bondAcct = b(Array(6.toByte, 0.toByte), cp(1000),
+      Array(3.toByte), bob)
+    val n2 = BlockDecode.decodeCall(new BlockDecode.Cursor(bondAcct), mp)
+    assert(n2.args.contains("\"account\":\"" + Codec.bytesToHex(bob)))
+    val bondStaked = b(Array(6.toByte, 0.toByte), cp(1000),
+      Array(0.toByte))
+    val n3 = BlockDecode.decodeCall(new BlockDecode.Cursor(bondStaked), mp)
+    assert(n3.args.contains("\"variant\":0"))
+  }
+
+  test("staking and proxy events decode") {
+    val me = RuntimeMeta(100, 10, calls = m100.calls,
+      events = m100.events ++ Seq(
+        EventMeta(6, 1, "staking", "Rewarded"),
+        EventMeta(29, 1, "proxy", "ProxyExecuted")))
+    val events = b(cp(3),
+      // Rewarded(alice, 777) in extrinsic 0
+      Array(0.toByte), u32le(0), Array(6.toByte, 1.toByte), alice,
+      u128le(777), cp(0),
+      // ProxyExecuted(Ok) in extrinsic 0
+      Array(0.toByte), u32le(0), Array(29.toByte, 1.toByte),
+      Array(0.toByte), cp(0),
+      // ProxyExecuted(Err Module(pallet 5, code 3)) in extrinsic 1
+      Array(0.toByte), u32le(1), Array(29.toByte, 1.toByte),
+      Array(1.toByte, 3.toByte, 5.toByte), u32le(3), cp(0))
+    val out = BlockDecode.decodeEvents(Codec.bytesToHex(events), me)
+    assert(out.size == 3)
+    assert(out(0).section == "staking" && out(0).method == "Rewarded")
+    assert(out(0).data.contains("\"amount\":777"))
+    assert(out(0).data.contains(Codec.bytesToHex(alice)))
+    assert(out(1).data == """{"result":"ok"}""")
+    assert(out(2).data.contains("\"result\":\"err\""))
+    assert(out(2).data.contains("\"pallet\":5"))
+  }
+
   test("spec-version as-of selects the right dispatch tables") {
     val specs = decoded.collect().map(bk => bk.number -> bk.spec_version).toMap
     assert(specs == Map(1L -> 100, 2L -> 101, 3L -> 101))
