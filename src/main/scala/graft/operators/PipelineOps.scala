@@ -75,13 +75,62 @@ object PipelineOps {
       |FROM (SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS skey
       |  FROM documents ORDER BY skey, doc_id LIMIT 20)""".stripMargin
 
+  // S3 — training-mix weights: per-source sampling rates that equalize
+  // the token contribution of every source (the data-mixing step before
+  // a training run). target = total/|sources|; weight = min(1,
+  // target/source_tokens) — oversampling is disallowed, undersized
+  // sources keep weight 1. One aggregate + a broadcast single-row
+  // totals join; the weights then drive the deterministic s1-style
+  // hash sampling.
+  private def s3(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .withColumn("n_tokens",
+        size(expr("split(trim(text), '\\\\s+')")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("source_tokens"))
+    val totals = perSource.agg(
+      sum(col("source_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target",
+        col("total_tokens").cast("double") / col("n_sources"))
+      .select(col("source"), col("n_docs"), col("source_tokens"),
+        round(least(lit(1.0),
+          col("target") / col("source_tokens").cast("double")), 6)
+          .as("weight"),
+        floor(col("source_tokens").cast("double") *
+          least(lit(1.0),
+            col("target") / col("source_tokens").cast("double")))
+          .cast("long").as("expected_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val s3Sql =
+    s"""WITH per_source AS (
+       | SELECT source, count(*) AS n_docs,
+       |  ${sqlLsum("len(string_split_regex(trim(text), '\\s+'))")} AS source_tokens
+       | FROM documents GROUP BY source),
+       |totals AS (SELECT CAST(sum(source_tokens) AS DOUBLE) AS total_tokens,
+       |  count(*) AS n_sources FROM per_source)
+       |SELECT source, n_docs, source_tokens,
+       | round(least(1.0, (total_tokens / n_sources)
+       |   / CAST(source_tokens AS DOUBLE)), 6) AS weight,
+       | CAST(floor(CAST(source_tokens AS DOUBLE) * least(1.0,
+       |   (total_tokens / n_sources) / CAST(source_tokens AS DOUBLE)))
+       |  AS BIGINT) AS expected_tokens
+       |FROM per_source CROSS JOIN totals
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_hash_split" -> (s1 _),
     "s2_shuffle_order" -> (s2 _),
+    "s3_mix_weights" -> (s3 _),
   )
 
   val oracles: Map[String, String] = Map(
     "s1_hash_split" -> s1Sql,
     "s2_shuffle_order" -> s2Sql,
+    "s3_mix_weights" -> s3Sql,
   )
 }

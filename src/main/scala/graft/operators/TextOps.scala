@@ -279,6 +279,33 @@ object TextOps {
         expr("approx_percentile(n_chars, 0.9, 1000)").as("p90_chars"))
       .orderBy(col("source"))
 
+  // X9 — BPE vocabulary induction, first merge round: global
+  // within-word character-pair frequencies (the statistic BPE training
+  // recomputes every merge; one round is the relational core — explode
+  // words, explode adjacent offsets, count). Top pairs with a
+  // deterministic (freq desc, pair) order → TakeOrderedAndProject.
+  // substring is 1-based in BOTH engines, so the offsets line up.
+  private def x9(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(col("word"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  private val x9Sql =
+    """SELECT pair, count(*) AS n FROM (
+      | SELECT substr(word, i, 2) AS pair FROM (
+      |  SELECT word, unnest(range(1, len(word))) AS i FROM (
+      |   SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |   FROM documents)
+      |  WHERE len(word) >= 2))
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_stats" -> (x1 _),
     "x2_quality_score" -> (x2 _),
@@ -288,6 +315,7 @@ object TextOps {
     "x6_repetition" -> (x6 _),
     "x7_length_quantiles" -> (x7 _),
     "x8_approx_quantiles" -> (x8 _),
+    "x9_bpe_pairs" -> (x9 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -298,5 +326,6 @@ object TextOps {
     "x5_bpe_tokens" -> x5Sql,
     "x6_repetition" -> x6Sql,
     "x7_length_quantiles" -> x7Sql,
+    "x9_bpe_pairs" -> x9Sql,
   )
 }

@@ -3,12 +3,24 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver captures only the last ~2000 bytes of bench output, and sbt
-  * appends a ~74-byte "[success] Total time: …" trailer after our JSON.
-  * The contract line must therefore stay under 1900 bytes for the FULL
-  * query inventory, or the driver records `parsed: null` (rounds 1-2 both
-  * lost their bench numbers this way).
+  * appends a ~75-byte "[success] Total time: …" trailer after our JSON
+  * (the forked JVM's output — including shutdown hooks — flushes BEFORE
+  * that trailer, so the trailer always costs budget). The contract line
+  * must stay under 1900 bytes for the FULL query inventory, or the driver
+  * records `parsed: null` (rounds 1-2 both lost their bench numbers this
+  * way). Past ~80 queries full names alone exceed the window, so the
+  * renderer falls back to the inventory's name-prefix keys — whose
+  * uniqueness this spec also pins.
   */
 class BenchContractSpec extends AnyFunSuite {
+
+  test("query name prefixes are unique (the compact contract key space)") {
+    val names = SparkEntry.queries.keys.toSeq
+    val prefixes = names.map(_.split('_')(0))
+    val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys
+    assert(prefixes.distinct.size == names.size,
+      s"duplicate contract prefixes: ${dups.mkString(",")}")
+  }
 
   test("contract line fits the 2000-byte tail for the full inventory") {
     // worst-plausible widths: every query slow (3-digit seconds), negative
@@ -18,13 +30,22 @@ class BenchContractSpec extends AnyFunSuite {
     }
     val line = Bench.renderContract(results, 9876.543,
       "/root/testdata/sf0.1")
-    // hard budget: 2000-byte tail − 74-byte sbt trailer − 2 newlines
-    // ≈ 1925; assert against the renderer's 1920 target
-    assert(line.length <= 1920,
+    assert(line.length <= 1900,
       s"contract line is ${line.length} bytes; tail window is 2000 minus " +
         "sbt trailer")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(!line.contains("\n"))
+    // prefix-key mode must say so
+    if (line.contains("\"keys\":"))
+      assert(line.contains(""""keys":"query_name_prefix""""))
+  }
+
+  test("contract line keeps 2-decimal resolution for the real inventory") {
+    // realistic case: everything sub-second — resolution must survive
+    val results = SparkEntry.queries.keys.toSeq.map(_ -> 0.123456)
+    val line = Bench.renderContract(results, 29.8, "/root/testdata/sf0.1")
+    assert(line.length <= 1900)
+    assert(line.contains(":0.12"), "lost sub-second resolution")
   }
 
   test("contract line is valid JSON shape with per-query numbers") {
