@@ -264,6 +264,7 @@ object DedupOps {
     var labels = ckpt
     var changed = 1L
     var iter = 0
+    val spark = edges.sparkSession
     while (changed > 0 && iter < maxIter) {
       // (1) neighbor min
       val nmin = sym.join(labels, col("dst") === col("node"))
@@ -278,12 +279,22 @@ object DedupOps {
       // paths and convergence is O(log diameter), not O(diameter)
       val lab2 = stepped
         .select(col("node").as("jnode"), col("label").as("jlabel"))
+      // the convergence counter rides INSIDE the checkpoint job (an
+      // accumulator bumped per changed row) — no separate count job per
+      // round. A task retry can only over-count, which at worst buys one
+      // extra (no-op) round, never a premature stop.
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_$iter")
+      val bump = udf { changedRow: Boolean =>
+        if (changedRow) acc.add(1L)
+        changedRow
+      }.asNondeterministic()
       val next = stepped.join(lab2, col("label") === col("jnode"), "left")
         .select(col("node"), col("old_label"),
           least(col("label"), coalesce(col("jlabel"), col("label")))
             .as("next_label"))
-        .localCheckpoint(true) // the round's ONLY materialization
-      changed = next.filter(col("next_label") < col("old_label")).count()
+        .withColumn("ch", bump(col("next_label") < col("old_label")))
+        .localCheckpoint(true) // the round's ONLY materialization + count
+      changed = acc.value
       // drop the previous round's blocks so a long session doesn't
       // accumulate one checkpointed set per round; the new labels view
       // is a trivial projection over the just-checkpointed `next`
