@@ -58,6 +58,16 @@ object WasmDecode {
           out += v.toString
           true
         } catch { case _: Exception => false }
+      case "option_accountid" =>
+        // Option<AccountId>: 0x00 None | 0x01 ++ 32 bytes (the ink!
+        // ERC-20 Transfer event's from/to shape)
+        takeLE(1) match {
+          case Some(tag) if tag == 0 => out += "null"; true
+          case Some(tag) if tag == 1 && off + 32 <= bytes.length =>
+            out += Codec.bytesToHex(bytes.slice(off, off + 32))
+            off += 32; true
+          case _ => false
+        }
       case _ => false // unknown type tag
     }
     // trailing bytes = wrong message spec or corrupt data
@@ -67,6 +77,37 @@ object WasmDecode {
   /** The selector of a 0x-hex call payload, as a join key. */
   def selectorOf(dataHex: Column): Column =
     lower(substring(dataHex, 1, 10))
+
+  /** The event index (first byte) of a 0x-hex contract-event payload —
+    * ink! events dispatch on a leading index into the contract's event
+    * list, not a 4-byte selector (ref testWASMContractDecodeEvent.js
+    * decodeEvent). */
+  def eventIdxOf(dataHex: Column): Column =
+    expr("CAST(conv(substring(data, 3, 2), 16, 10) AS INT)")
+
+  /** Decode contract events against a broadcast event registry.
+    *
+    * `events`: rows with `code_hash` and `data` (0x-hex index+args).
+    * `specs`: (code_hash, event_idx, method, arg_types: array<string>).
+    * Same left-join keep-unknowns contract as [[decodeMessages]]. */
+  def decodeEvents(events: DataFrame, specs: DataFrame): DataFrame = {
+    val decode = udf { (dataHex: String, types: Seq[String]) =>
+      if (dataHex == null || types == null) null
+      else
+        try {
+          val bytes = Codec.hexToBytes(dataHex)
+          if (bytes.length < 1) null
+          else decodeArgs(bytes.drop(1), types).orNull
+        } catch { case _: IllegalArgumentException => null }
+    }
+    events
+      .withColumn("event_idx", eventIdxOf(col("data")))
+      .join(broadcast(specs), Seq("code_hash", "event_idx"), "left")
+      .withColumn("args",
+        when(col("arg_types").isNotNull,
+          decode(col("data"), col("arg_types"))))
+      .drop("arg_types")
+  }
 
   /** Decode contract calls against a broadcast message registry.
     *

@@ -43,6 +43,36 @@ class WasmSpec extends AnyFunSuite {
     assert(WasmDecode.decodeArgs(new Array[Byte](4), Seq("h256")).isEmpty)
   }
 
+  test("decodeEvents: ink! Transfer event shape (index + Option args)") {
+    val from = "aa" * 32
+    val to = "bb" * 32
+    // event idx 0 ++ Some(from) ++ Some(to) ++ u128-LE value 434
+    val transferData = "0x00" + "01" + from + "01" + to +
+      "b201" + "00" * 14
+    // idx 1: Approval(None owner — the mint-style edge)
+    val approvalData = "0x01" + "00" + "01" + to + "0a" + "00" * 15
+    val events = Seq(
+      ("0xc0de01", transferData),
+      ("0xc0de01", approvalData),
+      ("0xc0de01", "0x07" + "ff")  // unknown event index
+    ).toDF("code_hash", "data")
+    val specs = Seq(
+      ("0xc0de01", 0, "Transfer",
+        Seq("option_accountid", "option_accountid", "u128")),
+      ("0xc0de01", 1, "Approval",
+        Seq("option_accountid", "option_accountid", "u128"))
+    ).toDF("code_hash", "event_idx", "method", "arg_types")
+    val out = WasmDecode.decodeEvents(events, specs)
+      .select("event_idx", "method", "args").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.getSeq[String](2)).map(_.toSeq)))
+    assert(out.contains((0, "Transfer",
+      Some(Seq("0x" + from, "0x" + to, "434")))))
+    assert(out.contains((1, "Approval",
+      Some(Seq("null", "0x" + to, "10")))))
+    assert(out.contains((7, null, None)))
+  }
+
   test("decodeMessages joins the broadcast registry and keeps unknowns") {
     val calls = Seq(
       ("0xc0de01", "0x80999559" + acct),  // known: set_fee_to_setter
