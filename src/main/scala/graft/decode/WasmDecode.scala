@@ -83,7 +83,7 @@ object WasmDecode {
     * list, not a 4-byte selector (ref testWASMContractDecodeEvent.js
     * decodeEvent). */
   def eventIdxOf(dataHex: Column): Column =
-    expr("CAST(conv(substring(data, 3, 2), 16, 10) AS INT)")
+    conv(substring(dataHex, 3, 2), 16, 10).cast("int")
 
   /** Decode contract events against a broadcast event registry.
     *
