@@ -21,9 +21,10 @@ object GovOps {
   //    kind = event%7 (<5 standard, 5 split, 6 splitAbstain),
   //    vote byte = floor(|value|)%256, balance = |value|;
   //    one vote per (voter, poll) — first event wins.
-  //  - users 150..199 delegate: target = user%150 on track = user%4,
-  //    weight byte = event%16 (0 → 0.1×), balance = |value|;
-  //    one delegation per (delegator, track) — first event wins.
+  //  - users 150..199 delegate: target = user%150 on the TARGET's
+  //    track (user%150)%4, weight byte = event%16 (0 → 0.1×),
+  //    balance = |value|; one delegation per (delegator, track) —
+  //    first event wins.
   private def g1(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), abs(col("value")).as("av"))
@@ -46,7 +47,11 @@ object GovOps {
           .as("abstain"))
     val delRaw = ev.filter(col("user_id") >= 150 && col("user_id") < 200)
       .select(col("user_id").as("delegator"),
-        (col("user_id") % 4).as("track"),
+        // delegate on the TARGET's voting track ((user%150) % 4):
+        // deriving the track from the delegator (user % 4) would shift
+        // it by 150 % 4 = 2 and no delegation could ever land on a
+        // vote — leaving the delegation path vacuously "verified"
+        ((col("user_id") % 150) % 4).as("track"),
         (col("user_id") % 150).as("target"),
         when(col("event_id") % 16 === 0, lit(0.1))
           .otherwise((col("event_id") % 16).cast("double")).as("weight"),
@@ -84,7 +89,7 @@ object GovOps {
        |  balance / 2 AS nay,
        |  CASE WHEN kind = 6 THEN balance / 4 ELSE 0.0 END AS abstain
        | FROM v1 WHERE kind >= 5),
-       |dr AS (SELECT user_id AS delegator, user_id % 4 AS track,
+       |dr AS (SELECT user_id AS delegator, (user_id % 150) % 4 AS track,
        |  user_id % 150 AS target,
        |  CASE WHEN event_id % 16 = 0 THEN 0.1
        |       ELSE CAST(event_id % 16 AS DOUBLE) END AS weight,
