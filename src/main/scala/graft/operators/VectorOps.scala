@@ -67,6 +67,10 @@ object VectorOps {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    // array() of zero literals is NullType and breaks the transform
+    // lambda's field access downstream — fail loudly instead
+    require(seeds.nonEmpty,
+      s"IVF codebook is empty (no vec_id < $nCells in the input)")
     array(seeds.map { case (cell, cv) =>
       struct(lit(cell).as("cell"), lit(cv).as("cv"))
     }: _*)
@@ -75,18 +79,25 @@ object VectorOps {
   /** Map-side IVF assignment: score the row's vector against every
     * codebook cell, keep the `probes` best. The struct sort key
     * (−sim, cell) reproduces the previous window form's ordering
-    * (sim DESC, cell ASC) exactly, including the rounded-sim tie-break —
-    * but with no crossJoin and no row_number shuffle. */
+    * (sim DESC, cell ASC) exactly, including the rounded-sim tie-break
+    * AND the NaN placement: a zero-norm vector's NaN cosine ranked
+    * FIRST under the window's DESC sort (NaN compares largest in both
+    * Spark and DuckDB), so the negated key maps NaN → −∞ via nanvl to
+    * keep that ordering; the emitted `csim` stays the raw rounded
+    * cosine. No crossJoin, no row_number shuffle. */
   private def assignCells(src: DataFrame, vecCol: String, cb: Column,
       probes: Int): DataFrame =
     src.withColumn("cb", cb)
       .withColumn("cand", expr(
-        s"slice(array_sort(transform(cb, c -> named_struct(" +
-          s"'negsim', -round(cosine_sim($vecCol, c.cv), 6), " +
-          s"'cell', c.cell))), 1, $probes)"))
+        s"slice(array_sort(transform(" +
+          s"transform(cb, c -> named_struct(" +
+          s"'s', round(cosine_sim($vecCol, c.cv), 6), 'cell', c.cell)), " +
+          s"t -> named_struct(" +
+          s"'negsim', nanvl(-t.s, CAST('-Infinity' AS DOUBLE)), " +
+          s"'cell', t.cell, 'sim', t.s))), 1, $probes)"))
       .withColumn("cc", explode(col("cand")))
       .select(src.columns.map(col) :+ col("cc.cell").as("cell")
-        :+ (-col("cc.negsim")).as("csim"): _*)
+        :+ col("cc.sim").as("csim"): _*)
 
   // V1 — brute-force cosine top-k: 5 nearest neighbors for each query
   // vector (vec_id < 10), ranked on the rounded similarity so ranking is
