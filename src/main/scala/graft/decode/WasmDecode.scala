@@ -74,16 +74,23 @@ object WasmDecode {
     if (ok && off == bytes.length) Some(out.result()) else None
   }
 
-  /** The selector of a 0x-hex call payload, as a join key. */
-  def selectorOf(dataHex: Column): Column =
-    lower(substring(dataHex, 1, 10))
+  /** Strip an optional 0x prefix — Codec.hexToBytes accepts both forms,
+    * so the join keys must too or an unprefixed payload computes a
+    * silently wrong selector/index. */
+  private def stripped(dataHex: Column): Column =
+    lower(regexp_replace(dataHex, "^0x", ""))
 
-  /** The event index (first byte) of a 0x-hex contract-event payload —
+  /** The selector of a hex call payload (0x-prefixed or bare), as a
+    * 0x-prefixed lowercase join key. */
+  def selectorOf(dataHex: Column): Column =
+    concat(lit("0x"), substring(stripped(dataHex), 1, 8))
+
+  /** The event index (first byte) of a hex contract-event payload —
     * ink! events dispatch on a leading index into the contract's event
     * list, not a 4-byte selector (ref testWASMContractDecodeEvent.js
     * decodeEvent). */
   def eventIdxOf(dataHex: Column): Column =
-    conv(substring(dataHex, 3, 2), 16, 10).cast("int")
+    conv(substring(stripped(dataHex), 1, 2), 16, 10).cast("int")
 
   /** Decode contract events against a broadcast event registry.
     *
