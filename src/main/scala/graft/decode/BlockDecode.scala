@@ -128,6 +128,10 @@ object BlockDecode {
         // for Account variant))
         val value = c.compact()
         val payeeTag = c.u8()
+        // RewardDestination variants: Staked/Stash/Controller/
+        // Account(id)/None — anything else is corrupt, reject like
+        // every other unscoped shape (never a plausible wrong answer)
+        require(payeeTag <= 4, s"bad RewardDestination tag $payeeTag")
         val payee =
           if (payeeTag == 3) s""""account":"${hx(c.take(32))}""""
           else s""""variant":$payeeTag"""
@@ -236,6 +240,9 @@ object BlockDecode {
           // DispatchResult: 0x00 Ok | 0x01 ++ DispatchError (Module
           // errors carry pallet + 4-byte code, same as ExtrinsicFailed)
           val ok = c.u8()
+          // DispatchResult is exactly 0x00 Ok | 0x01 Err — any other
+          // tag is corrupt input, reject (don't fabricate an "err" row)
+          require(ok <= 1, s"bad DispatchResult tag $ok")
           val body =
             if (ok == 0) """"result":"ok""""
             else {
