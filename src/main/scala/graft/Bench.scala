@@ -93,17 +93,13 @@ object Bench {
     val detailQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"bench_detail","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","runs_per_query":$reps,"shuffle_partitions":$parts,"steal_ticks":$stealDelta$stormyJson$errJson}""")
-    val contract = renderContract(results.toSeq, total, sfDir)
-    println(contract)
-    // Re-print the contract from a JVM shutdown hook: when run under
-    // sbt, the hook fires AFTER sbt's "[success] Total time…" trailer,
-    // making this the true last line of the captured output — the full
-    // ~2000-byte tail window belongs to the contract line instead of
-    // losing ~75 bytes to the trailer.
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      System.out.println(contract)
-      System.out.flush()
-    }))
+    // the contract line goes LAST; under sbt the only output after it
+    // is sbt's own "[success]" trailer (a shutdown-hook re-print would
+    // NOT land after the trailer — the forked JVM, hooks included,
+    // exits before sbt prints it — and would race Spark's shutdown
+    // hooks, so the 1900-byte budget below already accounts for the
+    // trailer instead)
+    println(renderContract(results.toSeq, total, sfDir))
     spark.stop()
   }
 
