@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Udfs
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Derived-account-key operators — the §2.7/§2.8 scalar surface around
@@ -75,13 +76,51 @@ object KeyOps {
        | ON f.addr = d.addr
        |ORDER BY n_name""".stripMargin
 
+  // K3 — block-author attribution (ref substrate/test/testGetAuthor.js;
+  // indexer resolves the Aura/BABE PreRuntime digest to a validator:
+  // authorities[slot % |authorities|]). Here the digest slot is the
+  // event_id counter, the authority set is the 25-row nation dim
+  // (broadcast — exactly how a validator-session dimension joins at
+  // scale), and the output is the reference's block-production tally:
+  // blocks per author per day plus the author's share of the day.
+  private def k3(s: SparkSession, d: String): DataFrame = {
+    val slots = Tables.events(s, d)
+      .select((col("event_id") % 25).cast("int").as("author_idx"),
+        dayKey(col("ts")).as("day"))
+    val authors = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("int").as("author_idx"),
+        col("n_name").as("author"))
+    val dayW = Window.partitionBy(col("day"))
+    slots.join(broadcast(authors), Seq("author_idx"))
+      .groupBy(col("day"), col("author"))
+      .agg(count(lit(1)).as("n_blocks"))
+      .withColumn("day_share",
+        round(col("n_blocks").cast("double") /
+          sum(col("n_blocks")).over(dayW), 6))
+      .select(col("day"), col("author"), col("n_blocks"), col("day_share"))
+      .orderBy(col("day"), col("author"))
+  }
+
+  private val k3Sql =
+    s"""SELECT day, author, n_blocks,
+       | round(CAST(n_blocks AS DOUBLE) /
+       |   sum(n_blocks) OVER (PARTITION BY day), 6) AS day_share
+       |FROM (
+       | SELECT ${sqlDay(TS)} AS day, n_name AS author, count(*) AS n_blocks
+       | FROM events e JOIN nation n
+       |  ON CAST(e.event_id % 25 AS INT) = n.n_nationkey
+       | GROUP BY 1, 2)
+       |ORDER BY day, author""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
+    "k3_author_attribution" -> (k3 _),
   )
 
   val oracles: Map[String, String] = Map(
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
+    "k3_author_attribution" -> k3Sql,
   )
 }

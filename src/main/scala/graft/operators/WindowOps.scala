@@ -292,12 +292,71 @@ object WindowOps {
        |FROM s GROUP BY user_id, sid
        |ORDER BY user_id, sess_start_us""".stripMargin
 
+  // W7 — price-feed gap-fill: forward-fill sparse hourly observations
+  // onto a dense per-series hour spine. The reference serves the sparse
+  // assetpricelog rows as-is (ref query.js:2034-2101) and chart consumers
+  // carry the last price forward client-side; here the fill is engine-side
+  // — the shape every downstream as-of/valuation join wants. Spine =
+  // sequence(min,max) per series (no cross join against a calendar dim);
+  // fill = last(ignoreNulls) over an ever-increasing frame. At scale both
+  // the spine explode and the fill window partition by the series key, so
+  // state per task is one series' hour count (bounded: 24·365 rows/year),
+  // never the table.
+  private def w7(s: SparkSession, d: String): DataFrame = {
+    val obs = Tables.events(s, d)
+      .filter(col("value") >= 18) // sparse quote stream: ~15% of hours gap
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    // latest observation per (series, hour) wins — ts then event_id
+    val latestW = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = obs.withColumn("rn", row_number().over(latestW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bucket"),
+        col("value").as("obs_price"))
+    val spine = latest.groupBy(col("event_type"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("event_type"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour")))
+          .as("bucket"))
+    val fillW = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(latest, Seq("event_type", "bucket"), "left")
+      .withColumn("price",
+        last(col("obs_price"), ignoreNulls = true).over(fillW))
+      .select(col("event_type"), us(col("bucket")).as("bucket_us"),
+        col("price"), col("obs_price").isNotNull.as("observed"))
+      .orderBy(col("event_type"), col("bucket_us"))
+  }
+
+  private val w7Sql =
+    s"""WITH latest AS (
+       | SELECT event_type, bucket, "value" AS obs_price FROM (
+       |  SELECT event_type, date_trunc('hour', $TS) AS bucket, "value",
+       |   row_number() OVER (
+       |     PARTITION BY event_type, date_trunc('hour', $TS)
+       |     ORDER BY $TS DESC, event_id DESC) AS rn
+       |  FROM events WHERE "value" >= 18)
+       | WHERE rn = 1),
+       |spine AS (
+       | SELECT event_type,
+       |  unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+       | FROM (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+       |   FROM latest GROUP BY 1))
+       |SELECT s.event_type, epoch_us(s.bucket) AS bucket_us,
+       | last_value(l.obs_price IGNORE NULLS) OVER (
+       |   PARTITION BY s.event_type ORDER BY s.bucket) AS price,
+       | l.obs_price IS NOT NULL AS observed
+       |FROM spine s LEFT JOIN latest l
+       | ON s.event_type = l.event_type AND s.bucket = l.bucket
+       |ORDER BY s.event_type, bucket_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),
     "w3_top1_per_group" -> (w3 _),
     "w4_most_liquid" -> (w4 _),
     "w5_keyset_page" -> (w5 _),
     "w6_sessionize" -> (w6 _),
+    "w7_price_gapfill" -> (w7 _),
     "t1_topn" -> (t1 _),
     "t2_shipping_priority" -> (t2 _),
     "t3_union_roles" -> (t3 _),
@@ -314,6 +373,7 @@ object WindowOps {
     "w4_most_liquid" -> w4Sql,
     "w5_keyset_page" -> w5Sql,
     "w6_sessionize" -> w6Sql,
+    "w7_price_gapfill" -> w7Sql,
     "t1_topn" -> t1Sql,
     "t2_shipping_priority" -> t2Sql,
     "t3_union_roles" -> t3Sql,
