@@ -54,6 +54,8 @@ object Verify {
         "64-bit SimHash uses engine-specific hashing; blocking + Hamming verify are structural",
       "m2_media_decode_stub" ->
         "media decode is an honest stub (no codecs in container); Spark-side plumbing is spec-tested",
+      "v8_hyperplane_lsh" ->
+        "hyperplane signatures use engine-side Gaussian planes; pairs are exact-cosine verified in-query and HyperplaneLshSpec pins recall/precision",
       "x8_approx_quantiles" ->
         "approx_percentile sketch internals are engine-specific; TextPropertySpec bounds it against the exact x7 answers")
     val manifest = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)

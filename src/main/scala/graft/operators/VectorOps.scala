@@ -362,6 +362,65 @@ object VectorOps {
        |   WHERE q.qid <> i.nid))
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // V8 — random-hyperplane (signed-random-projection) LSH: the
+  // LSH-bucketed alternative to IVF blocking for embedding near-dup.
+  // Each vector gets an nPlanes-bit signature (sign of the projection
+  // onto fixed Gaussian hyperplanes); signatures split into bands and
+  // pairs are generated ONLY inside a (band, bucket) equi-join — the
+  // same band/bucket shape as d3's MinHash, but for cosine geometry:
+  // P[bit match] = 1 − θ/π. Survivors are exact-cosine verified, so
+  // precision is 1.0 by construction; recall is the banding curve
+  // (HyperplaneLshSpec pins ≥0.9 on planted near-dups). At scale the
+  // hyperplane matrix is a literal (nPlanes×dim doubles — 16×64 here,
+  // ~8 KB; a production 256×1024 is ~2 MB, still broadcast-class), the
+  // signature is one map-side pass, and the only shuffle is the bucket
+  // equi-join — candidate volume is Σ|bucket|² over REAL buckets, never
+  // N².
+  def hyperplaneLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int = 16, bandBits: Int = 4,
+      threshold: Double = 0.45): DataFrame = {
+    require(nPlanes % bandBits == 0, "bands must tile the signature")
+    val nBands = nPlanes / bandBits
+    // fixed seed: signatures are deterministic across runs/retries
+    val rnd = new scala.util.Random(20240812L)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val sigd = vectors
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        expr(s"dot_product($vecCol, $vecCol)").as("nrm"))
+      .withColumn("pl", typedLit(planes))
+      .withColumn("sig", expr(
+        "transform(pl, p -> aggregate(zip_with(p, v, " +
+          "(x, y) -> x * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+          "(a, z) -> a + z) >= CAST(0.0 AS DOUBLE))"))
+      .withColumn("bk", explode(expr(
+        s"transform(sequence(0, ${nBands - 1}), b -> struct(b AS band, " +
+          s"aggregate(sequence(0, ${bandBits - 1}), 0, " +
+          s"(acc, i) -> acc * 2 + IF(sig[b * $bandBits + i], 1, 0)) " +
+          "AS bucket))")))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("vid"), col("v"), col("nrm"))
+    val a = sigd.select(col("band"), col("bucket"), col("vid").as("va"),
+      col("v").as("ea"), col("nrm").as("na"))
+    val b = sigd.select(col("band"), col("bucket"), col("vid").as("vb"),
+      col("v").as("eb"), col("nrm").as("nb"))
+    a.join(b, Seq("band", "bucket")).filter(col("va") < col("vb"))
+      .dropDuplicates("va", "vb") // same pair via several bands
+      .select(col("va"), col("vb"),
+        round(cosineWithNorms("ea", "eb", "na", "nb"), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  // Rows-only by design: the signature depends on the engine-side
+  // Gaussian hyperplanes (no DuckDB twin); precision/recall are pinned
+  // by HyperplaneLshSpec against exact ground truth instead.
+  private def v8(s: SparkSession, d: String): DataFrame =
+    hyperplaneLshPairs(
+      Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism),
+      "vec_id", "embedding", dim = 64)
+      .orderBy(col("va"), col("vb"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_bruteforce" -> (v1 _),
     "v2_ivf_assign" -> (v2 _),
@@ -370,6 +429,7 @@ object VectorOps {
     "v5_ivf_blocked_neardup" -> (v5 _),
     "v6_ivf_multiprobe" -> (v6 _),
     "v7_ivf_topk" -> (v7 _),
+    "v8_hyperplane_lsh" -> (v8 _),
   )
 
   val oracles: Map[String, String] = Map(
