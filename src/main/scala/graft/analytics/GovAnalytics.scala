@@ -15,7 +15,7 @@ import graft.operators.dec6
   *    maps the raw `voteIdx % 16`, which this keeps);
   *  - split / splitAbstain votes carry no conviction (0.1×) and receive
   *    no delegations;
-  *  - a delegation (delegator, track, target, balance, conviction)
+  *  - a delegation (delegator, track, target, balance, weight)
   *    contributes balance×weight to WHATEVER standard vote its target
   *    casts on that track, per referendum (delegated capital counts
   *    toward turnout on those referenda too).

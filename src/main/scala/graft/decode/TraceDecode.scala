@@ -63,22 +63,26 @@ object TraceDecode {
 
   /** As-of spec-version selection: latest spec with
     * `spec.block_number <= block.block_number`
-    * (ref substrateetl.js:6290). Union+window as-of form. */
+    * (ref substrateetl.js:6290).
+    *
+    * The upgrade dimension is tiny (one row per runtime upgrade), so
+    * each spec becomes a half-open validity interval via `lead` over the
+    * DIM ONLY, and the block side flows through a broadcast range join
+    * — no window, no shuffle, no single-partition sort of the (enormous)
+    * block table. Intervals partition the number line, so the range
+    * predicate matches each block at most once. Blocks before the first
+    * upgrade keep a null spec_version (left join). */
   def withSpecVersion(blocks: DataFrame, specVersions: DataFrame): DataFrame = {
-    val specs = specVersions.select(
-      col("block_number"), lit(0).as("is_block"),
-      col("spec_version").as("sv"))
-    val blks = blocks.select(
-      col("block_number"), lit(1).as("is_block"),
-      lit(null).cast("int").as("sv"))
-    val w = Window.orderBy(col("block_number"), col("is_block"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    // Global window: the spec-version table is tiny (one row per runtime
-    // upgrade); at fleet scale partition by chain_id first.
-    specs.unionByName(blks)
-      .withColumn("spec_version",
-        last(col("sv"), ignoreNulls = true).over(w))
-      .filter(col("is_block") === 1)
-      .select(col("block_number"), col("spec_version"))
+    val w = Window.orderBy(col("sv_from")) // dim-only: rows = upgrades
+    val iv = specVersions
+      .select(col("block_number").as("sv_from"),
+        col("spec_version").as("sv"))
+      .withColumn("sv_to", lead(col("sv_from"), 1).over(w))
+    blocks.select(col("block_number"))
+      .join(broadcast(iv),
+        col("block_number") >= col("sv_from") &&
+          (col("sv_to").isNull || col("block_number") < col("sv_to")),
+        "left")
+      .select(col("block_number"), col("sv").as("spec_version"))
   }
 }

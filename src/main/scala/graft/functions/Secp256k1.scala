@@ -78,11 +78,16 @@ object Secp256k1 {
     Keccak.keccak256(encode(p)).drop(12)
 
   /** Recover the signing public key from (msgHash, v, r, s).
-    * `recId` accepts 0/1 or the Ethereum 27/28 form. None when the
+    * `recId` accepts 0/1 (typed-tx yParity), the Ethereum legacy 27/28
+    * form, and EIP-155 replay-protected values (35 + chainId·2 + parity
+    * — what every post-2016 legacy mainnet tx carries). None when the
     * inputs name no valid point (the guarded-null contract). */
   def recover(msgHash: Array[Byte], recId0: Int, r: BigInt,
       s: BigInt): Point = {
-    val recId = if (recId0 >= 27) recId0 - 27 else recId0
+    val recId =
+      if (recId0 >= 35) (recId0 - 35) % 2 // EIP-155: v = 35 + 2·chainId + p
+      else if (recId0 >= 27) recId0 - 27
+      else recId0
     if (recId < 0 || recId > 1 || r <= 0 || r >= N || s <= 0 || s >= N)
       return None
     val x = r // recId 2/3 (r + N overflow) not produced by EVM chains

@@ -49,6 +49,9 @@ class Secp256k1Spec extends AnyFunSuite {
     val addr = Codec.bytesToHex(S.ethAddress(S.mul(7, S.G)))
     assert(S.recoverAddressHex("0x" + "ab" * 32, recId + 27,
       f"${r}%064x", f"${s}%064x") == addr)
+    // EIP-155 replay-protected v: 35 + 2·chainId + parity (chainId 1)
+    assert(S.recoverAddressHex("0x" + "ab" * 32, recId + 35 + 2,
+      f"${r}%064x", f"${s}%064x") == addr)
     // r out of range → null, not an exception
     assert(S.recoverAddressHex("0x" + "ab" * 32, 27,
       "00" * 32, f"${s}%064x") == null)
