@@ -103,6 +103,35 @@ object WindowOps {
        |  SELECT max(${sqlUs(TS)}) FROM events WHERE user_id = 7)
        |ORDER BY ts_us DESC, event_id DESC LIMIT 25""".stripMargin
 
+  // Q10 — followed-accounts activity feed (ref testFollow.js
+  // getAccountFeed: the newest activity of every account the viewer
+  // follows, time-desc, page-limited). The follow edge set is a
+  // per-viewer dimension (tens..thousands of rows) → broadcast LEFT SEMI
+  // join against the event scan, then TakeOrderedAndProject for the
+  // page — the feed never shuffles the event table. Follow edges are
+  // derived deterministically here (viewer 3 follows user_id % 10 == 3,
+  // i.e. their "address book" bucket) so both engines build the same
+  // graph.
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    val follows = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 === 3)
+      .select((col("c_custkey") % 100).as("user_id"))
+      .distinct()
+    Tables.events(s, d)
+      .join(broadcast(follows), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"), us(col("ts")).as("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .limit(50)
+  }
+
+  private val q10Sql =
+    s"""SELECT user_id, event_id, ${sqlUs(TS)} AS ts_us, event_type, "value"
+       |FROM events
+       |WHERE user_id IN (SELECT DISTINCT c_custkey % 100 FROM customer
+       |  WHERE c_custkey % 10 = 3)
+       |ORDER BY ts_us DESC, event_id DESC LIMIT 50""".stripMargin
+
   // T1 — top-N by metric (ref query.js:4349-4427 addressTopN).
   // Compiles to TakeOrderedAndProject — no global sort at scale.
   private def t1(s: SparkSession, d: String): DataFrame =
@@ -365,6 +394,7 @@ object WindowOps {
     "q3_multi_account" -> (q3 _),
     "q4_search_union" -> (q4 _),
     "q9_latest_per_key" -> (q9 _),
+    "q10_follow_feed" -> (q10 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,5 +412,6 @@ object WindowOps {
     "q3_multi_account" -> q3Sql,
     "q4_search_union" -> q4Sql,
     "q9_latest_per_key" -> q9Sql,
+    "q10_follow_feed" -> q10Sql,
   )
 }
