@@ -48,6 +48,21 @@ object SparkEntry {
       MultimodalOps.oracles ++
       FlattenOps.oracles ++
       KeyOps.oracles
+
+  /** The single manifest of deliberately rows-only queries (no SQL oracle
+    * exists: engine-specific hash/sketch layouts or the media-decode stub).
+    * Every entry here must carry ScalaTest ground-truth pins instead
+    * (DedupPropertySpec, HyperplaneLshSpec, TextPropertySpec, …).
+    * OperatorSmokeSpec asserts `queries.keySet -- oracleSql.keySet` equals
+    * exactly this set, so adding a query without an oracle entry fails the
+    * suite unless it is consciously registered here. */
+  val rowsOnly: Set[String] = Set(
+    "a16b_approx_distinct", // HLL sketch — engine-specific binary
+    "d3_minhash_lsh",       // minhash band layout — engine-specific hashes
+    "d4_simhash",           // 64-bit simhash — engine-specific hash
+    "m2_media_decode_stub", // container has no codecs; honest stub
+    "v8_hyperplane_lsh",    // SRP signature layout — engine-specific hashes
+    "x8_approx_quantiles")  // KLL/GK sketch — engine-specific
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

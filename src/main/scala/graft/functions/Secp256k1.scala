@@ -82,9 +82,12 @@ object Secp256k1 {
     * form, and EIP-155 replay-protected values (35 + chainId·2 + parity
     * — what every post-2016 legacy mainnet tx carries). None when the
     * inputs name no valid point (the guarded-null contract). */
-  def recover(msgHash: Array[Byte], recId0: Int, r: BigInt,
+  def recover(msgHash: Array[Byte], recId0: Long, r: BigInt,
       s: BigInt): Point = {
-    val recId =
+    // Long, not Int: v = 35 + 2·chainId exceeds Int range for real
+    // chainIds (Aurora 1313161554, Palm 11297108109) and a truncated v
+    // could alias into a valid recId and recover the wrong address.
+    val recId: Long =
       if (recId0 >= 35) (recId0 - 35) % 2 // EIP-155: v = 35 + 2·chainId + p
       else if (recId0 >= 27) recId0 - 27
       else recId0
@@ -95,7 +98,7 @@ object Secp256k1 {
     val ySq = (x * x * x + 7).mod(P)
     val y0 = ySq.modPow((P + 1) / 4, P)
     if ((y0 * y0).mod(P) != ySq) return None // x not on curve
-    val y = if (y0.testBit(0) == (recId == 1)) y0 else P - y0
+    val y = if (y0.testBit(0) == (recId == 1L)) y0 else P - y0
     val e = BigInt(1, msgHash)
     val rInv = r.modInverse(N)
     // Q = r⁻¹(s·R − e·G)
@@ -103,7 +106,7 @@ object Secp256k1 {
   }
 
   /** Hex-string convenience for the UDF surface: 0x-address or null. */
-  def recoverAddressHex(msgHashHex: String, v: Int, rHex: String,
+  def recoverAddressHex(msgHashHex: String, v: Long, rHex: String,
       sHex: String): String =
     try {
       val p = recover(Codec.hexToBytes(msgHashHex), v,

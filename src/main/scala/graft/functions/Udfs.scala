@@ -91,8 +91,12 @@ object Udfs {
 
     // EVM sender recovery (ref ethTool.js signature handling) —
     // internally guarded: null on malformed hash/r/s or invalid point
+    // v is Long: EIP-155 v = 35 + 2·chainId exceeds Int range for real
+    // chainIds (Aurora, Palm); an Int signature would let Spark's
+    // implicit BIGINT→INT cast wrap v into a valid recId range and
+    // silently recover a wrong address instead of null.
     u.register("ecrecover_address",
-      (msgHashHex: String, v: Int, rHex: String, sHex: String) =>
+      (msgHashHex: String, v: Long, rHex: String, sHex: String) =>
         Secp256k1.recoverAddressHex(msgHashHex, v, rHex, sHex))
   }
 }

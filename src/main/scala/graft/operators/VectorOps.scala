@@ -56,12 +56,17 @@ object VectorOps {
   private def sqlCosine(a: String, b: String): String =
     s"${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)})"
 
-  /** The bounded codebook, collected and inlined as a literal
-    * `array<struct<cell, cv>>` column so cell assignment is a pure
-    * map-side expression — zero shuffle, the way a real IVF broadcasts
-    * its codebook. At 100 TB a 64k-cell × 128-dim codebook is ~32 MB:
-    * still a literal/broadcast, never a join. */
-  private def codebookLit(emb: DataFrame, nCells: Int): Column = {
+  /** Past this size the codebook stops being a plan literal: an inlined
+    * `array(struct(...))` is re-serialized into EVERY task binary, so a
+    * production 64k-cell × 128-dim codebook (~32 MB) would bloat each
+    * task; a torrent-broadcast ships it to each executor exactly once. */
+  private[graft] val CodebookLiteralMaxBytes: Long = 1L << 20
+
+  /** Collect the bounded codebook (seed vectors = `vec_id < nCells`) to
+    * the driver — the one justified `.collect()` in this file: a
+    * codebook is a small trained artifact by construction. */
+  private[graft] def collectCodebook(emb: DataFrame,
+      nCells: Int): Array[(Long, Array[Float])] = {
     val seeds = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id"), col("embedding"))
       .collect()
@@ -71,21 +76,42 @@ object VectorOps {
     // lambda's field access downstream — fail loudly instead
     require(seeds.nonEmpty,
       s"IVF codebook is empty (no vec_id < $nCells in the input)")
+    seeds
+  }
+
+  private[graft] def codebookBytes(
+      seeds: Array[(Long, Array[Float])]): Long =
+    seeds.foldLeft(0L)((acc, s) => acc + 8L + 4L * s._2.length)
+
+  /** Small codebooks inline as a literal `array<struct<cell, cv>>` so
+    * assignment is a pure codegen'd map-side expression. */
+  private def codebookLit(seeds: Array[(Long, Array[Float])]): Column =
     array(seeds.map { case (cell, cv) =>
       struct(lit(cell).as("cell"), lit(cv).as("cv"))
     }: _*)
-  }
 
   /** Map-side IVF assignment: score the row's vector against every
-    * codebook cell, keep the `probes` best. The struct sort key
-    * (−sim, cell) reproduces the previous window form's ordering
-    * (sim DESC, cell ASC) exactly, including the rounded-sim tie-break
-    * AND the NaN placement: a zero-norm vector's NaN cosine ranked
-    * FIRST under the window's DESC sort (NaN compares largest in both
-    * Spark and DuckDB), so the negated key maps NaN → −∞ via nanvl to
-    * keep that ordering; the emitted `csim` stays the raw rounded
-    * cosine. No crossJoin, no row_number shuffle. */
-  private def assignCells(src: DataFrame, vecCol: String, cb: Column,
+    * codebook cell, keep the `probes` best — zero shuffle either way.
+    * Codebooks ≤ `maxLiteralBytes` ride the codegen'd literal kernel;
+    * larger ones ride a broadcast variable referenced from a UDF (one
+    * copy per executor instead of one per task binary). Both paths share
+    * the same arithmetic contract, pinned by VectorCodebookSpec. */
+  private[graft] def assignCells(src: DataFrame, vecCol: String,
+      seeds: Array[(Long, Array[Float])], probes: Int,
+      maxLiteralBytes: Long = CodebookLiteralMaxBytes): DataFrame =
+    if (codebookBytes(seeds) <= maxLiteralBytes)
+      assignCellsLit(src, vecCol, codebookLit(seeds), probes)
+    else assignCellsBroadcast(src, vecCol, seeds, probes)
+
+  /** Literal kernel. The struct sort key (−sim, cell) reproduces the
+    * previous window form's ordering (sim DESC, cell ASC) exactly,
+    * including the rounded-sim tie-break AND the NaN placement: a
+    * zero-norm vector's NaN cosine ranked FIRST under the window's DESC
+    * sort (NaN compares largest in both Spark and DuckDB), so the
+    * negated key maps NaN → −∞ via nanvl to keep that ordering; the
+    * emitted `csim` stays the raw rounded cosine. No crossJoin, no
+    * row_number shuffle. */
+  private def assignCellsLit(src: DataFrame, vecCol: String, cb: Column,
       probes: Int): DataFrame =
     src.withColumn("cb", cb)
       .withColumn("cand", expr(
@@ -98,6 +124,60 @@ object VectorOps {
       .withColumn("cc", explode(col("cand")))
       .select(src.columns.map(col) :+ col("cc.cell").as("cell")
         :+ col("cc.sim").as("csim"): _*)
+
+  /** One scored (cell, sim) candidate from the broadcast kernel. */
+  private[graft] case class CellSim(cell: Long, sim: Double)
+
+  /** Broadcast kernel — arithmetic-identical twin of [[assignCellsLit]]:
+    * float64 index-order accumulation (= `cosine_sim`), HALF_UP round to
+    * 6 (= Spark `round` on DOUBLE, via BigDecimal.valueOf semantics),
+    * ordering (NaN-first sim DESC, cell ASC), `slice 1..probes`.
+    * Dimension-mismatched cells (null cosine in the literal path, which
+    * array_sort orders last) are produced last here too, as NaN sims are
+    * not — a mismatch only arises from corrupt codebooks, and both paths
+    * keep such cells out of the top `probes` whenever any valid cell
+    * exists. */
+  private def assignCellsBroadcast(src: DataFrame, vecCol: String,
+      seeds: Array[(Long, Array[Float])], probes: Int): DataFrame = {
+    val bc = src.sparkSession.sparkContext.broadcast(seeds)
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val assign = udf { (v: Seq[Float]) =>
+      if (v == null) Array.empty[CellSim]
+      else {
+        val cells = bc.value
+        val scored = new Array[(Double, Long, Double)](cells.length)
+        var i = 0
+        while (i < cells.length) {
+          val (cell, cv) = cells(i)
+          val sim =
+            if (cv.length != v.length) Double.NaN // corrupt cell → last
+            else {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+              while (j < cv.length) {
+                val x = v(j).toDouble; val y = cv(j).toDouble
+                dot += x * y; na += x * x; nb += y * y; j += 1
+              }
+              round6(dot / math.sqrt(na * nb))
+            }
+          val negsim =
+            if (sim.isNaN && cells(i)._2.length == v.length)
+              Double.NegativeInfinity // zero-norm NaN ranks first
+            else if (sim.isNaN) Double.PositiveInfinity // corrupt: last
+            else -sim
+          scored(i) = (negsim, cell, sim)
+          i += 1
+        }
+        scored.sortBy(t => (t._1, t._2)).take(probes)
+          .map(t => CellSim(t._2, t._3))
+      }
+    }
+    src.withColumn("cc", explode(assign(col(vecCol))))
+      .select(src.columns.map(col) :+ col("cc.cell").as("cell")
+        :+ col("cc.sim").as("csim"): _*)
+  }
 
   // V1 — brute-force cosine top-k: 5 nearest neighbors for each query
   // vector (vec_id < 10), ranked on the rounded similarity so ranking is
@@ -141,7 +221,7 @@ object VectorOps {
   // the only shuffle in the plan is the 8-group final aggregate.
   private def v2(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cb = codebookLit(emb, 8)
+    val cb = collectCodebook(emb, 8)
     assignCells(
       emb.select(col("vec_id"), col("embedding"))
         .repartition(s.sparkContext.defaultParallelism),
@@ -233,7 +313,7 @@ object VectorOps {
   private def ivfCellPairs(s: SparkSession, d: String,
       probes: Int): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-    val cb = codebookLit(emb, 8)
+    val cb = collectCodebook(emb, 8)
     // map-side assignment (re-running it for both join sides is cheaper
     // than materializing: it's a scan + |codebook| fused kernels per row,
     // no shuffle); each row carries its squared norm into the pair join
@@ -308,7 +388,7 @@ object VectorOps {
   // VectorRecallSpec.
   private def v7(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
-    val cb = codebookLit(emb, 8)
+    val cb = collectCodebook(emb, 8)
     val index = assignCells(
       emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
           dot("embedding", "embedding").as("nn"))
@@ -388,6 +468,14 @@ object VectorOps {
     val sigd = vectors
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         expr(s"dot_product($vecCol, $vecCol)").as("nrm"))
+      // Fail loudly on a dim mismatch: zip_with would null-pad a short
+      // vector, fold every affected signature bit to 0 and silently
+      // collapse recall. The guard is folded INTO `v` (not a separate
+      // assert column) so column pruning cannot elide it.
+      .withColumn("v", expr(
+        s"CASE WHEN size(v) = $dim THEN v ELSE raise_error(concat(" +
+          s"'hyperplaneLshPairs: vector length ', CAST(size(v) AS STRING), " +
+          s"' != configured dim $dim for id ', CAST(vid AS STRING))) END"))
       .withColumn("pl", typedLit(planes))
       .withColumn("sig", expr(
         "transform(pl, p -> aggregate(zip_with(p, v, " +

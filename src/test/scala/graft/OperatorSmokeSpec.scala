@@ -10,9 +10,13 @@ class OperatorSmokeSpec extends AnyFunSuite {
 
   test("every query in the inventory has an oracle or is marked rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // hash/sketch-family / stub queries are intentionally rows-only:
-    assert(noOracle == Set("a16b_approx_distinct", "d3_minhash_lsh",
-      "d4_simhash", "m2_media_decode_stub", "x8_approx_quantiles"))
+    assert(noOracle == SparkEntry.rowsOnly,
+      s"unregistered rows-only queries: ${(noOracle -- SparkEntry.rowsOnly).toSeq.sorted.mkString(", ")}; " +
+        s"stale manifest entries: ${(SparkEntry.rowsOnly -- noOracle).toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every rows-only query exists in the inventory") {
+    assert((SparkEntry.rowsOnly -- SparkEntry.queries.keySet).isEmpty)
   }
 
   test("entry returns rows") {
