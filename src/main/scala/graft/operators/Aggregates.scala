@@ -331,31 +331,102 @@ object Aggregates {
   // Distributed form: LAG inside key-range buckets + a boundary stitch —
   // equivalent to lag(key) OVER (ORDER BY key) but with no global
   // single-partition window (round-1 scale fix).
+  /** Hard cap on rows allowed through a single-partition ordering
+    * window: above this the grain recurses through another bucketed
+    * level instead. ~1M 24-byte rows ≈ 24 MB through one task — bounded
+    * by construction, never "trust me it's small". */
+  private[graft] val WindowGrainLimit: Long = 1L << 20
+
+  /** Above this many bucket-bound rows the stitch join stops hinting
+    * broadcast (~128k rows ≈ 3 MB serialized — safely under default
+    * autoBroadcast limits) and rides a shuffle join on `bkt`, which
+    * co-locates with the intra-window's existing hash partitioning. */
+  private[graft] val BroadcastGrainLimit: Long = 1L << 17
+
   /** Gaps in a unique integer key column, computed scalably:
     *  1. lag within `key DIV bucketSize` buckets (hash-distributed);
-    *  2. per-bucket (min, max) rollup — one row per NONEMPTY bucket, a
-    *     pre-aggregated grain whose cardinality is keyspace/bucketSize,
-    *     so its tiny ordering window is safe at any data volume;
-    *  3. each bucket-min row takes prev = previous nonempty bucket's max
-    *     (broadcast join), which also stitches across EMPTY buckets.
-    */
-  def gapIslands(df: DataFrame, key: String,
-      bucketSize: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    *  2. per-bucket (min, max) rollup — one row per NONEMPTY bucket;
+    *  3. each bucket-min row takes prev = previous nonempty bucket's max,
+    *     which also stitches across EMPTY buckets.
+    * The step-2 "previous nonempty bucket's max" is itself a running-max
+    * in bucket order — the same shape one level up — so it RECURSES
+    * through `bucketSize`-ary levels ([[prevNonemptyMax]]) until the
+    * grain provably fits [[WindowGrainLimit]]: a 10¹²-key space at
+    * bucketSize 8192 is level-0 grain ~1.2×10⁸ (hash-distributed lag),
+    * level-1 grain ~1.5×10⁴ (bounded window + broadcast stitch). No
+    * single-partition window over an unbounded grain anywhere; one tiny
+    * max(key) pre-job sizes the recursion. */
+  def gapIslands(df: DataFrame, key: String, bucketSize: Long,
+      windowGrainLimit: Long = WindowGrainLimit,
+      broadcastGrainLimit: Long = BroadcastGrainLimit): DataFrame = {
+    require(bucketSize >= 2, "bucketSize must collapse the grain")
     val k = col(key)
     val keys = df.select(k).withColumn("bkt", expr(s"$key DIV $bucketSize"))
+    import org.apache.spark.sql.expressions.Window
     val wIntra = Window.partitionBy(col("bkt")).orderBy(k)
     val intra = keys.withColumn("prev_key", lag(k, 1).over(wIntra))
-    val wBkt = Window.orderBy(col("bkt"))
+    // Sizes the recursion + picks the stitch-join strategy. An empty
+    // input short-circuits (no gaps by definition).
+    val maxKey = df.agg(max(k)).head().get(0)
+    if (maxKey == null) return df.sparkSession.emptyDataFrame
+      .withColumn("prev_key", lit(null).cast("long"))
+      .withColumn(key, lit(null).cast("long"))
+      .withColumn("gap_size", lit(null).cast("long"))
+      .select(col("prev_key"), col(key), col("gap_size"))
+    val grainUpper =
+      maxKey.toString.toLong / bucketSize + 1 // nonempty buckets ≤ this
     val bounds = keys.groupBy(col("bkt"))
       .agg(min(k).as("bmin"), max(k).as("bmax"))
-      .withColumn("prev_bmax", lag(col("bmax"), 1).over(wBkt))
+    val stitched = prevNonemptyMax(bounds, bucketSize, grainUpper,
+        windowGrainLimit, broadcastGrainLimit)
       .select(col("bkt").as("b_bkt"), col("bmin"), col("prev_bmax"))
-    intra.join(broadcast(bounds), col("bkt") === col("b_bkt"))
+    val withBounds =
+      if (grainUpper <= broadcastGrainLimit)
+        intra.join(broadcast(stitched), col("bkt") === col("b_bkt"))
+      else intra.join(stitched, col("bkt") === col("b_bkt"))
+    withBounds
       .withColumn("prev_key", coalesce(col("prev_key"),
         when(k === col("bmin"), col("prev_bmax"))))
       .filter(col("prev_key").isNotNull && k =!= col("prev_key") + 1)
       .select(col("prev_key"), k, (k - col("prev_key") - 1).as("gap_size"))
+  }
+
+  /** For each nonempty bucket (`bkt`, with per-bucket aggregates incl.
+    * `bmax`), attach `prev_bmax` = the bmax of the immediately preceding
+    * NONEMPTY bucket. Correctness rests on bmax being strictly
+    * increasing across buckets (bucket b only holds keys in
+    * [b·size, (b+1)·size)), so "previous nonempty bucket's bmax" =
+    * running max = lag in nonempty-bucket order. Small grains take one
+    * bounded single-partition lag; large grains recurse: lag within
+    * super-buckets (hash-distributed), and the first nonempty bucket of
+    * each super-bucket inherits from the recursion one level up. */
+  private def prevNonemptyMax(bounds: DataFrame, bucketSize: Long,
+      grainUpper: Long, windowGrainLimit: Long,
+      broadcastGrainLimit: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (grainUpper <= windowGrainLimit) {
+      bounds.withColumn("prev_bmax",
+        lag(col("bmax"), 1).over(Window.orderBy(col("bkt"))))
+    } else {
+      val superGrain = grainUpper / bucketSize + 1
+      val sb = bounds.withColumn("sbkt", expr(s"bkt DIV $bucketSize"))
+      val wIntra = Window.partitionBy(col("sbkt")).orderBy(col("bkt"))
+      val intra = sb.withColumn("prev_in_s",
+        lag(col("bmax"), 1).over(wIntra))
+      val superBounds = sb.groupBy(col("sbkt"))
+        .agg(max(col("bmax")).as("bmax"))
+        .withColumnRenamed("sbkt", "bkt")
+      val superPrev = prevNonemptyMax(superBounds, bucketSize, superGrain,
+          windowGrainLimit, broadcastGrainLimit)
+        .select(col("bkt").as("s_bkt"), col("prev_bmax").as("s_prev"))
+      val joined =
+        if (superGrain <= broadcastGrainLimit)
+          intra.join(broadcast(superPrev), col("sbkt") === col("s_bkt"))
+        else intra.join(superPrev, col("sbkt") === col("s_bkt"))
+      joined
+        .withColumn("prev_bmax", coalesce(col("prev_in_s"), col("s_prev")))
+        .drop("sbkt", "s_bkt", "prev_in_s", "s_prev")
+    }
   }
 
   private def a14(s: SparkSession, d: String): DataFrame =

@@ -62,6 +62,38 @@ class GapIslandsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("adversarially large keyspace: multi-level recursion equals global") {
+    // Sparse keys across a ~2^40 keyspace with tiny limits force the
+    // stitch through MANY recursion levels (grain 2^37 → 2^34 → … at
+    // bucketSize 8) and through the non-broadcast join path — the shape
+    // a 10^12-key production run takes. Planted contiguous runs provide
+    // non-gap adjacencies that must survive every level.
+    val rnd = new scala.util.Random(42)
+    val sparse = Seq.fill(300)(math.abs(rnd.nextLong()) % (1L << 40))
+    val runs = (1000000L to 1000020L) ++ ((1L << 39) to (1L << 39) + 10L)
+    val all = (sparse ++ runs).distinct
+    val got = Aggregates.gapIslands(all.toDF("k"), "k", 8L,
+        windowGrainLimit = 16L, broadcastGrainLimit = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == globalForm(all))
+    assert(got.nonEmpty)
+  }
+
+  test("recursion path with default limits and a wide keyspace") {
+    // bucketSize 4 over keys up to ~8.4M → level-0 grain ~2.1M exceeds
+    // the 1M window cap exactly once: one distributed level + one
+    // bounded final window.
+    val keys = (0L until 2000L).map(i => i * 4219L) :+ 8400000L
+    val got = Aggregates.gapIslands(keys.toDF("k"), "k", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == globalForm(keys))
+  }
+
+  test("empty input yields no gaps") {
+    val empty = Seq.empty[Long]
+    assert(bucketedForm(empty, 8L) == Set.empty)
+  }
+
   test("plan has no full-data single-partition window") {
     // the only unpartitioned window allowed is over the per-bucket
     // rollup (one row per nonempty bucket), which sits above an Aggregate
