@@ -45,8 +45,15 @@ object BlockDecode {
   case class CallMeta(pallet: Int, call: Int, section: String, method: String)
   case class EventMeta(pallet: Int, event: Int, section: String, method: String)
 
+  /** Per-spec-version dispatch. `pallets` is the metadata-driven tier:
+    * any (pallet, call/event) index NOT in the hand tables falls back to
+    * [[MetaDecode]]'s generic type-shape interpreter, so new pallets
+    * decode from a metadata definition alone (P1 ceiling raise — ref
+    * indexer.js:6676 registry-driven decodeRawBlock). Hand tables win
+    * where both exist, keeping the fixture corpus golden. */
   case class RuntimeMeta(specVersion: Int, tokenDecimals: Int,
-      calls: Seq[CallMeta], events: Seq[EventMeta]) {
+      calls: Seq[CallMeta], events: Seq[EventMeta],
+      pallets: Seq[MetaDecode.PalletDef] = Seq.empty) {
     @transient lazy val callIdx: Map[(Int, Int), CallMeta] =
       calls.map(c => (c.pallet, c.call) -> c).toMap
     @transient lazy val eventIdx: Map[(Int, Int), EventMeta] =
@@ -83,12 +90,24 @@ object BlockDecode {
 
   // ---- calls ----
 
-  /** Recursive call decode → CallFlatten.CallNode (args as JSON). */
+  /** Recursive call decode → CallFlatten.CallNode (args as JSON).
+    * Hand-table entries decode through the scoped cases below; anything
+    * else resolves through the metadata tier ([[MetaDecode]]) before
+    * being rejected as unknown. */
   def decodeCall(c: Cursor, meta: RuntimeMeta): CallFlatten.CallNode = {
     val pallet = c.u8(); val call = c.u8()
-    val cm = meta.callIdx.getOrElse((pallet, call),
-      throw new IllegalArgumentException(
-        s"unknown call index ($pallet,$call) at spec ${meta.specVersion}"))
+    val cm = meta.callIdx.get((pallet, call)) match {
+      case Some(m) => m
+      case None =>
+        MetaDecode.findCall(meta.pallets, pallet, call) match {
+          case Some((pd, cd)) =>
+            val (json, kids) = MetaDecode.decodeFields(c, cd.fields,
+              cc => decodeCall(cc, meta))
+            return CallFlatten.CallNode(pd.name, cd.name, json, kids)
+          case None => throw new IllegalArgumentException(
+            s"unknown call index ($pallet,$call) at spec ${meta.specVersion}")
+        }
+    }
     (cm.section, cm.method) match {
       case ("timestamp", "set") =>
         CallFlatten.CallNode("timestamp", "set",
@@ -202,9 +221,24 @@ object BlockDecode {
         case p => throw new IllegalArgumentException(s"bad phase $p")
       }
       val pallet = c.u8(); val ev = c.u8()
-      val em = meta.eventIdx.getOrElse((pallet, ev),
-        throw new IllegalArgumentException(
-          s"unknown event index ($pallet,$ev) at spec ${meta.specVersion}"))
+      // hand table first (keeps transfer extraction + golden fixtures);
+      // metadata tier decodes any other (pallet, event) by field shape
+      val metaTier = meta.eventIdx.get((pallet, ev)) match {
+        case Some(_) => None
+        case None =>
+          val (pd, ed) = MetaDecode.findEvent(meta.pallets, pallet, ev)
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown event index ($pallet,$ev) at spec ${meta.specVersion}"))
+          val (json, _) = MetaDecode.decodeFields(c, ed.fields,
+            cc => decodeCall(cc, meta))
+          Some(DecodedEvent(exIdx, pd.name, ed.name, json, None))
+      }
+      if (metaTier.isDefined) {
+        val topics = c.compact().toInt
+        require(topics == 0, "topics are out of scope")
+        metaTier.get
+      } else {
+      val em = meta.eventIdx((pallet, ev))
       val (data, transfer) = (em.section, em.method) match {
         case ("balances", "Transfer") =>
           val from = c.take(32); val to = c.take(32); val amt = c.u128()
@@ -259,6 +293,7 @@ object BlockDecode {
       val topics = c.compact().toInt
       require(topics == 0, "topics are out of scope")
       DecodedEvent(exIdx, em.section, em.method, data, transfer)
+      }
     }
     require(c.remaining == 0, s"${c.remaining} trailing bytes after events")
     out

@@ -1,0 +1,166 @@
+package graft.decode
+
+import graft.decode.BlockDecode.Cursor
+import graft.functions.{CallFlatten, Codec}
+
+/** Metadata-driven SCALE decode — the P1 ceiling raise (ref
+  * indexer.js:6676-6807 decodeRawBlock, which resolves ANY pallet
+  * through the @polkadot/api type registry built from on-chain
+  * metadata). This is the Spark-side equivalent for the common type
+  * shapes substrate metadata v14 expresses: primitives, compact,
+  * AccountId/MultiAddress, length-prefixed bytes/strings, Vec, Option,
+  * tuples, named structs, tagged enums, and nested calls.
+  *
+  * A pallet described here needs NO hand-written dispatch table: the
+  * decoder interprets the field layout directly, so onboarding a new
+  * chain's pallet is a metadata definition, not Scala code
+  * (BlockDecodeSpec proves a table-free pallet decodes end-to-end).
+  * Hand tables keep priority where both exist — the fixture corpus
+  * stays golden.
+  *
+  * Scale shape: the metadata rides inside [[BlockDecode.RuntimeMeta]]
+  * through the task closure exactly like the hand tables — a few KB per
+  * spec version, decoded per-row map-side, no shuffle impact.
+  */
+object MetaDecode {
+
+  /** The SCALE type shapes the generic decoder interprets. */
+  sealed trait SType
+  case object U8 extends SType
+  case object U16 extends SType
+  case object U32 extends SType
+  case object U64 extends SType
+  case object U128 extends SType // fixed 16-byte LE
+  case object Bool extends SType
+  case object CompactInt extends SType // compact-encoded integer
+  case object AccountId extends SType // 32 raw bytes → 0x-hex
+  case object MultiAddress extends SType // variant 0x00 = Id(AccountId)
+  case object Bytes extends SType // compact len ‖ raw bytes → 0x-hex
+  case object Str extends SType // compact len ‖ utf8 → JSON string
+  case object CallType extends SType // one nested call
+  final case class Vec(elem: SType) extends SType
+  final case class Opt(elem: SType) extends SType
+  final case class Tup(elems: Seq[SType]) extends SType
+  final case class Struct(fields: Seq[(String, SType)]) extends SType
+  /** Tagged union: variant index = position; fields may be empty
+    * (unit variant). */
+  final case class Enum(variants: Seq[(String, Seq[(String, SType)])])
+      extends SType
+
+  /** One callable item; `index` is the variant index within the
+    * pallet's call (or event) enum — explicit, because runtime
+    * upgrades leave holes. */
+  final case class ItemDef(index: Int, name: String,
+      fields: Seq[(String, SType)])
+
+  /** One pallet as metadata describes it. */
+  final case class PalletDef(index: Int, name: String,
+      calls: Seq[ItemDef] = Seq.empty, events: Seq[ItemDef] = Seq.empty)
+
+  def findCall(pallets: Seq[PalletDef], pallet: Int,
+      call: Int): Option[(PalletDef, ItemDef)] =
+    for {
+      pd <- pallets.find(_.index == pallet)
+      cd <- pd.calls.find(_.index == call)
+    } yield (pd, cd)
+
+  def findEvent(pallets: Seq[PalletDef], pallet: Int,
+      event: Int): Option[(PalletDef, ItemDef)] =
+    for {
+      pd <- pallets.find(_.index == pallet)
+      ed <- pd.events.find(_.index == event)
+    } yield (pd, ed)
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def hx(b: Array[Byte]): String = Codec.bytesToHex(b)
+
+  /** Decode one value of shape `t` from the cursor into a JSON
+    * fragment. Nested calls are decoded through `decodeCall` (supplied
+    * by BlockDecode so hand tables and metadata pallets compose) and
+    * accumulated into `kids` — the call TREE stays structural for the
+    * P4 flattener while the JSON carries a reference. */
+  def decodeValue(c: Cursor, t: SType,
+      decodeCall: Cursor => CallFlatten.CallNode,
+      kids: scala.collection.mutable.Buffer[CallFlatten.CallNode]): String =
+    t match {
+      case U8 => c.u8().toString
+      case U16 => (c.u8() | (c.u8() << 8)).toString
+      case U32 => c.u32().toString
+      case U64 =>
+        // two u32 LE halves — BigInt keeps the unsigned top bit honest
+        val lo = c.u32(); val hi = c.u32()
+        ((BigInt(hi) << 32) | BigInt(lo)).toString
+      case U128 => c.u128().toString
+      case Bool => c.u8() match {
+        case 0 => "false"
+        case 1 => "true"
+        case v => throw new IllegalArgumentException(s"bad bool $v")
+      }
+      case CompactInt => c.compact().toString
+      case AccountId => s""""${hx(c.take(32))}""""
+      case MultiAddress =>
+        val at = c.u8()
+        require(at == 0, s"unsupported MultiAddress variant $at")
+        s""""${hx(c.take(32))}""""
+      case Bytes =>
+        val len = c.compact().toInt
+        s""""${hx(c.take(len))}""""
+      case Str =>
+        val len = c.compact().toInt
+        s""""${jsonEscape(new String(c.take(len), "UTF-8"))}""""
+      case CallType =>
+        val node = decodeCall(c)
+        kids += node
+        s""""<call:${node.section}.${node.method}>""""
+      case Vec(elem) =>
+        val n = c.compact().toInt
+        (0 until n).map(_ => decodeValue(c, elem, decodeCall, kids))
+          .mkString("[", ",", "]")
+      case Opt(elem) => c.u8() match {
+        case 0 => "null"
+        case 1 => decodeValue(c, elem, decodeCall, kids)
+        case v => throw new IllegalArgumentException(s"bad Option tag $v")
+      }
+      case Tup(elems) =>
+        elems.map(e => decodeValue(c, e, decodeCall, kids))
+          .mkString("[", ",", "]")
+      case Struct(fields) =>
+        fields.map { case (name, ft) =>
+          s""""$name":${decodeValue(c, ft, decodeCall, kids)}"""
+        }.mkString("{", ",", "}")
+      case Enum(variants) =>
+        val tag = c.u8()
+        require(tag < variants.length,
+          s"enum tag $tag out of range (${variants.length} variants)")
+        val (vname, vfields) = variants(tag)
+        if (vfields.isEmpty) s"""{"variant":"${jsonEscape(vname)}"}"""
+        else {
+          val body = vfields.map { case (name, ft) =>
+            s""""$name":${decodeValue(c, ft, decodeCall, kids)}"""
+          }.mkString(",")
+          s"""{"variant":"${jsonEscape(vname)}",$body}"""
+        }
+    }
+
+  /** Decode a full field list (call args or event fields) → (JSON
+    * object, nested call children). */
+  def decodeFields(c: Cursor, fields: Seq[(String, SType)],
+      decodeCall: Cursor => CallFlatten.CallNode)
+      : (String, Seq[CallFlatten.CallNode]) = {
+    val kids = scala.collection.mutable.Buffer.empty[CallFlatten.CallNode]
+    val json = fields.map { case (name, ft) =>
+      s""""$name":${decodeValue(c, ft, decodeCall, kids)}"""
+    }.mkString("{", ",", "}")
+    (json, kids.toSeq)
+  }
+}

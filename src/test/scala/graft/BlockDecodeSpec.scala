@@ -256,6 +256,121 @@ class BlockDecodeSpec extends AnyFunSuite {
     }
   }
 
+  // ---- metadata-driven tier: pallets with NO hand dispatch table ----
+
+  private def u16le(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private lazy val metaPallets = {
+    import graft.decode.MetaDecode._
+    Seq(
+      PalletDef(30, "multisig", calls = Seq(
+        ItemDef(1, "asMulti", Seq(
+          "threshold" -> U16,
+          "otherSignatories" -> Vec(AccountId),
+          "maybeTimepoint" -> Opt(Struct(Seq(
+            "height" -> U32, "index" -> U32))),
+          "call" -> CallType,
+          "maxWeight" -> CompactInt)))),
+      PalletDef(28, "identity", calls = Seq(
+        ItemDef(1, "setIdentity", Seq(
+          "display" -> Str, "legal" -> Opt(Str), "web" -> Opt(Str),
+          "extra" -> Vec(Tup(Seq(Str, Bytes)))))),
+        events = Seq(
+          ItemDef(0, "IdentitySet", Seq("who" -> AccountId)),
+          ItemDef(2, "JudgementGiven", Seq(
+            "target" -> AccountId, "registrarIndex" -> U32,
+            "judgement" -> Enum(Seq(
+              "Unknown" -> Seq.empty, "FeePaid" -> Seq("fee" -> U128),
+              "Reasonable" -> Seq.empty, "KnownGood" -> Seq.empty,
+              "OutOfDate" -> Seq.empty, "LowQuality" -> Seq.empty,
+              "Erroneous" -> Seq.empty)))))),
+      PalletDef(29, "proxy", calls = Seq(
+        ItemDef(1, "addProxy", Seq(
+          "delegate" -> MultiAddress,
+          "proxyType" -> Enum(Seq("Any" -> Seq.empty,
+            "NonTransfer" -> Seq.empty, "Governance" -> Seq.empty,
+            "Staking" -> Seq.empty)),
+          "delay" -> U32))),
+        events = Seq(
+          ItemDef(2, "ProxyAdded", Seq(
+            "delegator" -> AccountId, "delegatee" -> AccountId,
+            "proxyType" -> Enum(Seq("Any" -> Seq.empty,
+              "NonTransfer" -> Seq.empty, "Governance" -> Seq.empty,
+              "Staking" -> Seq.empty)),
+            "delay" -> U32)))))
+  }
+
+  private lazy val mMeta = RuntimeMeta(100, 10, calls = m100.calls,
+    events = m100.events, pallets = metaPallets)
+
+  test("metadata-only pallet decodes a call with no hand-written table") {
+    // identity.setIdentity("alice", Some("Alice A"), None,
+    //   [("twitter", 0xbeef)])
+    def str(s: String) = b(cp(s.length.toLong), s.getBytes("UTF-8"))
+    val call = b(Array(28.toByte, 1.toByte),
+      str("alice"), Array(1.toByte), str("Alice A"), Array(0.toByte),
+      cp(1), str("twitter"), cp(2), Array(0xbe.toByte, 0xef.toByte))
+    val node = BlockDecode.decodeCall(new BlockDecode.Cursor(call), mMeta)
+    assert(node.section == "identity" && node.method == "setIdentity")
+    assert(node.args == """{"display":"alice","legal":"Alice A",""" +
+      """"web":null,"extra":[["twitter","0xbeef"]]}""")
+    assert(node.calls.isEmpty)
+  }
+
+  test("metadata tier recurses into hand-table nested calls") {
+    // multisig.asMulti(2, [bob], Some((7, 1)), balances.transfer(bob, 5),
+    //   maxWeight=1000) — the inner call decodes through the HAND table
+    val call = b(Array(30.toByte, 1.toByte),
+      u16le(2), cp(1), bob,
+      Array(1.toByte), u32le(7), u32le(1),
+      b(Array(4.toByte, 0.toByte), Array(0.toByte), bob, cp(5)),
+      cp(1000))
+    val node = BlockDecode.decodeCall(new BlockDecode.Cursor(call), mMeta)
+    assert(node.section == "multisig" && node.method == "asMulti")
+    assert(node.args.contains(""""threshold":2"""))
+    assert(node.args.contains(
+      s""""otherSignatories":["${Codec.bytesToHex(bob)}"]"""))
+    assert(node.args.contains(""""maybeTimepoint":{"height":7,"index":1}"""))
+    assert(node.args.contains(""""call":"<call:balances.transfer>""""))
+    assert(node.calls.size == 1)
+    assert(node.calls.head.section == "balances" &&
+      node.calls.head.args.contains(""""value":5"""))
+  }
+
+  test("metadata-only events decode, incl. enum variants") {
+    val events = b(cp(3),
+      // IdentitySet(alice) in extrinsic 0
+      Array(0.toByte), u32le(0), Array(28.toByte, 0.toByte), alice, cp(0),
+      // JudgementGiven(bob, 4, FeePaid(123)) in extrinsic 0
+      Array(0.toByte), u32le(0), Array(28.toByte, 2.toByte), bob,
+      u32le(4), Array(1.toByte), u128le(BigInt(123)), cp(0),
+      // ProxyAdded(alice, bob, Staking, delay=0) in extrinsic 1
+      Array(0.toByte), u32le(1), Array(29.toByte, 2.toByte), alice, bob,
+      Array(3.toByte), u32le(0), cp(0))
+    val out = BlockDecode.decodeEvents(Codec.bytesToHex(events), mMeta)
+    assert(out.size == 3)
+    assert(out(0).section == "identity" && out(0).method == "IdentitySet")
+    assert(out(0).data == s"""{"who":"${Codec.bytesToHex(alice)}"}""")
+    assert(out(1).data.contains(""""variant":"FeePaid","fee":123"""))
+    assert(out(2).section == "proxy" && out(2).method == "ProxyAdded")
+    assert(out(2).data.contains(""""variant":"Staking""""))
+    assert(out(2).transfer.isEmpty)
+  }
+
+  test("metadata tier rejects unknown indices and bad enum tags") {
+    intercept[IllegalArgumentException] {
+      BlockDecode.decodeCall(
+        new BlockDecode.Cursor(Array(99.toByte, 0.toByte)), mMeta)
+    }
+    // proxy.addProxy with enum tag 9 (only 4 variants) must reject
+    val bad = b(Array(29.toByte, 1.toByte), Array(0.toByte), bob,
+      Array(9.toByte), u32le(0))
+    intercept[IllegalArgumentException] {
+      BlockDecode.decodeCall(new BlockDecode.Cursor(bad), mMeta)
+    }
+  }
+
   test("malformed input is rejected, not misdecoded") {
     // truncated extrinsic: length prefix larger than payload
     intercept[Exception] {
