@@ -112,15 +112,74 @@ object KeyOps {
        | GROUP BY 1, 2)
        |ORDER BY day, author""".stripMargin
 
+  // K4 — account-relation table build + related-accounts lookup (ref
+  // polkaholic.sql:3736 proxyaccount maintenance; serve query.js:3542
+  // getRelated; library face etl/AccountRelations over real decoded
+  // calls). Synthetic edges: each event is an add (event_id%5≠0) or
+  // remove (%5=0) of a (delegator=user_id, delegate) relation; the
+  // LATEST action per edge wins (argmax window keyed on the edge —
+  // hash-distributed, the same shape proxyAccounts uses), live edges
+  // then serve a both-directions related lookup for accounts < 30.
+  private def k4(s: SparkSession, d: String): DataFrame = {
+    val actions = Tables.events(s, d).select(
+      col("user_id").cast("long").as("delegator"),
+      ((col("user_id") + 1 + col("event_id") % 7) % 2000).cast("long")
+        .as("delegate"),
+      (col("event_id") % 5 =!= 0).as("is_add"),
+      us(col("ts")).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("delegator"), col("delegate"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val live = actions.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_add"))
+      .select(col("delegator"), col("delegate"))
+    val out = live.filter(col("delegator") < 30)
+      .select(col("delegator").as("account"),
+        col("delegate").as("related"), lit("out").as("dir"))
+    val in = live.filter(col("delegate") < 30)
+      .select(col("delegate").as("account"),
+        col("delegator").as("related"), lit("in").as("dir"))
+    out.unionByName(in).distinct()
+      .groupBy(col("account"))
+      .agg(count(lit(1)).as("n_related"),
+        array_join(sort_array(collect_set(
+          concat(col("dir"), lit(":"), col("related").cast("string")))),
+          ",").as("related_csv"))
+      .orderBy(col("account"))
+  }
+
+  private val k4Sql =
+    """WITH actions AS (
+      | SELECT user_id AS delegator,
+      |  (user_id + 1 + event_id % 7) % 2000 AS delegate,
+      |  (event_id % 5 <> 0) AS is_add, ts, event_id,
+      |  row_number() OVER (
+      |    PARTITION BY user_id, (user_id + 1 + event_id % 7) % 2000
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events),
+      |live AS (
+      | SELECT delegator, delegate FROM actions WHERE rn = 1 AND is_add),
+      |rel AS (
+      | SELECT delegator AS account, delegate AS related, 'out' AS dir
+      | FROM live WHERE delegator < 30
+      | UNION
+      | SELECT delegate AS account, delegator AS related, 'in' AS dir
+      | FROM live WHERE delegate < 30)
+      |SELECT account, count(*) AS n_related,
+      | array_to_string(list_sort(list(dir || ':' ||
+      |   CAST(related AS VARCHAR))), ',') AS related_csv
+      |FROM rel GROUP BY account ORDER BY account""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
+    "k4_related_accounts" -> (k4 _),
   )
 
   val oracles: Map[String, String] = Map(
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,
+    "k4_related_accounts" -> k4Sql,
   )
 }
