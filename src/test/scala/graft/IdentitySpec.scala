@@ -1,0 +1,146 @@
+package graft
+
+import graft.decode.BlockDecode
+import graft.decode.BlockDecode.{CallMeta, EventMeta, RuntimeMeta}
+import graft.decode.MetaDecode._
+import graft.etl.{Dump, Identity}
+import graft.functions.{Codec, Udfs}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Identity registrar face end-to-end from raw bytes (ref
+  * identityManager.js:40 dump_identity): setIdentity/clearIdentity/
+  * addSub calls and JudgementGiven events decode through the metadata
+  * tier, and the dimension resolves latest-wins identity state,
+  * sub-identity edges, and judgement verification. */
+class IdentitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def cp(v: Long): Array[Byte] = Codec.compactEncode(BigInt(v))
+  private def u32le(v: Long): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def u128le(v: BigInt): Array[Byte] = {
+    val le = v.toByteArray.dropWhile(_ == 0).reverse
+    le ++ Array.fill[Byte](16 - le.length)(0)
+  }
+  private def b(xs: Array[Byte]*): Array[Byte] = xs.flatten.toArray
+  private def str(s: String) = b(cp(s.length.toLong), s.getBytes("UTF-8"))
+
+  private val alice = Codec.hexToBytes(
+    "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d")
+  private val bob = Codec.hexToBytes(
+    "8eaf04151687736326c9fea17e25fc5287613693c912909cb226aa4794f26a48")
+  private val charlie = Codec.hexToBytes(
+    "90b5ab205c6974c9ea841be688864633dc9ca8a357843eeacf2314649965fe22")
+  private val sig = Array.fill[Byte](64)(1)
+  private def hx(a: Array[Byte]) = Codec.bytesToHex(a)
+
+  private val judgementEnum = Enum(Seq(
+    "Unknown" -> Seq.empty, "FeePaid" -> Seq("fee" -> U128),
+    "Reasonable" -> Seq.empty, "KnownGood" -> Seq.empty,
+    "OutOfDate" -> Seq.empty, "LowQuality" -> Seq.empty,
+    "Erroneous" -> Seq.empty))
+
+  private val meta = RuntimeMeta(100, 10,
+    calls = Seq(CallMeta(4, 0, "balances", "transfer")),
+    events = Seq(
+      EventMeta(0, 0, "system", "ExtrinsicSuccess"),
+      EventMeta(0, 1, "system", "ExtrinsicFailed")),
+    pallets = Seq(
+      PalletDef(28, "identity",
+        calls = Seq(
+          ItemDef(1, "setIdentity", Seq("display" -> Str,
+            "legal" -> Opt(Str), "web" -> Opt(Str))),
+          ItemDef(3, "clearIdentity", Seq.empty),
+          ItemDef(12, "addSub", Seq("sub" -> MultiAddress,
+            "name" -> Str))),
+        events = Seq(
+          ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
+            "registrarIndex" -> U32, "judgement" -> judgementEnum))))))
+
+  private def envelope(signer: Array[Byte], call: Array[Byte]): String = {
+    val body = b(Array(0x84.toByte), Array(0.toByte), signer, sig,
+      Array(0.toByte), cp(7), cp(0), call)
+    Codec.bytesToHex(b(cp(body.length), body))
+  }
+
+  private def success(exIdx: Int) =
+    b(Array(0.toByte), u32le(exIdx), Array(0.toByte, 0.toByte),
+      cp(1000), cp(0), Array(0.toByte, 0.toByte), cp(0))
+  private def judgement(exIdx: Int, target: Array[Byte], registrar: Long,
+      variant: Int, fee: Option[BigInt] = None) =
+    b(Array(0.toByte), u32le(exIdx), Array(28.toByte, 2.toByte), target,
+      u32le(registrar), Array(variant.toByte),
+      fee.map(u128le).getOrElse(Array.empty[Byte]), cp(0))
+  private def eventsHex(evs: Array[Byte]*): String =
+    Codec.bytesToHex(b(cp(evs.length.toLong) +: evs: _*))
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val raw = Seq(
+    (0, 1L, "0xb1", "0xb0", ts("2024-03-01 10:00:00"), true, "0xaa",
+      Seq(
+        envelope(alice, b(Array(28.toByte, 1.toByte), str("alice"),
+          Array(1.toByte), str("Alice A"), Array(0.toByte))),
+        envelope(bob, b(Array(28.toByte, 1.toByte), str("bobby"),
+          Array(0.toByte), Array(0.toByte)))),
+      eventsHex(success(0), success(1),
+        judgement(0, alice, 0, 1, Some(BigInt(500))), // FeePaid(500)
+        judgement(1, bob, 1, 2))), // Reasonable
+    (0, 2L, "0xb2", "0xb1", ts("2024-03-01 11:00:00"), true, "0xaa",
+      Seq(
+        envelope(bob, Array(28.toByte, 3.toByte)), // clearIdentity
+        envelope(alice, b(Array(28.toByte, 12.toByte), Array(0.toByte),
+          charlie, str("alice/hot")))),
+      eventsHex(success(0), success(1),
+        judgement(0, alice, 0, 3))) // KnownGood supersedes FeePaid
+  ).toDF("chain_id", "number", "hash", "parent_hash", "block_time",
+    "finalized", "author_pub", "extrinsics_hex", "events_hex")
+
+  private lazy val dim = {
+    Udfs.register(spark)
+    val decoded = BlockDecode.decodeBlocks(raw,
+      Seq((1L, 100)).toDF("block_number", "spec_version"), Seq(meta)).toDF()
+    Identity.identities(
+      Dump.calls(decoded, "2024-03-01"),
+      Dump.extrinsics(decoded, "2024-03-01"),
+      Dump.events(decoded, "2024-03-01"))
+  }
+
+  test("identity dimension: latest-wins info, subs, judgements") {
+    val rows = dim.collect()
+      .map(r => r.getAs[String]("pubkey") -> r).toMap
+    assert(rows.keySet == Set(hx(alice), hx(bob), hx(charlie)))
+    val a = rows(hx(alice))
+    assert(a.getAs[String]("display") == "alice")
+    assert(a.getAs[String]("legal") == "Alice A")
+    assert(a.getAs[Boolean]("verified")) // registrar 0: FeePaid→KnownGood
+    assert(a.getAs[Long]("n_judgements") == 1)
+    assert(!a.getAs[Boolean]("is_subidentity"))
+    // bob cleared his identity but keeps his Reasonable judgement
+    val bo = rows(hx(bob))
+    assert(bo.getAs[String]("display") == null)
+    assert(bo.getAs[Boolean]("verified"))
+    // charlie exists only as alice's sub-identity
+    val c = rows(hx(charlie))
+    assert(c.getAs[Boolean]("is_subidentity"))
+    assert(c.getAs[String]("parent_pub") == hx(alice))
+    assert(c.getAs[String]("subname") == "alice/hot")
+    assert(!c.getAs[Boolean]("verified"))
+    // ss58 decoration present (Alice's well-known polkadot address)
+    assert(a.getAs[String]("polkadot_ss58") ==
+      "15oF4uVJwmo4TdGW7VfQxNLavjCXviqxT9S1MgbjMNHr6Sp5")
+  }
+
+  test("decorate joins display + verified onto an account-keyed result") {
+    val res = Seq(hx(alice), hx(charlie), hx(bob)).toDF("account_pub")
+    val dec = Identity.decorate(res, dim, "account_pub")
+      .collect()
+      .map(r => r.getAs[String]("account_pub") ->
+        ((r.getAs[String]("identity_display"),
+          r.getAs[Boolean]("identity_verified")))).toMap
+    assert(dec(hx(alice)) == (("alice", true)))
+    assert(dec(hx(charlie)) == ((null, false)))
+    assert(dec(hx(bob)) == ((null, true)))
+  }
+}
