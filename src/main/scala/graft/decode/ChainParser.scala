@@ -33,6 +33,11 @@ trait ChainParser extends Serializable {
   /** Whether a call is per-chain noise (ref substrateetl.js:6446). */
   def suppressCall(section: String, method: String): Boolean =
     graft.functions.CallFlatten.DefaultSuppressed.contains(s"$section:$method")
+
+  /** Whether an asset symbol denotes an AMM liquidity-pair token
+    * (ref chains/parallel.js:1187 isParallelLiquidityPair; generic
+    * chains have no LP convention). */
+  def isLiquidityPair(symbol: String): Boolean = false
 }
 
 /** Generic substrate parser — the default for every chain. */
@@ -77,11 +82,46 @@ case class MoonbeamParser(chainId: Int) extends ChainParser {
     Codec.bytesToHex(Codec.pubkeyToH160(Codec.hexToBytes(pubkeyHex)))
 }
 
+/** Parallel-style money-market parachain (ref chains/parallel.js — the
+  * 1.2 kLoC loans/AMM/liquid-staking parser). Distinctives kept:
+  * numeric currency ids (possibly digit-grouped, parallel.js:14
+  * tokenID_to_string) canonicalize to `{"Token":"<id>"}` asset keys
+  * (parallel.js:1195 getAssetByCurrencyID); `LP-` symbols mark AMM
+  * liquidity-pair assets (parallel.js:1187); loans positions normalize
+  * by 1e18 fixed-point indices (parallel.js:340-346 borrowIndex,
+  * :120-121 exchangeRate). */
+case class ParallelParser(chainId: Int) extends ChainParser {
+  override def assetKey(currency: String): String = {
+    val cleaned = currency.replace(",", "")
+    val norm =
+      if (cleaned.nonEmpty && cleaned.forall(_.isDigit))
+        s"""{"Token":"$cleaned"}"""
+      else currency
+    Codec.makeAssetChain(norm, chainId)
+  }
+
+  override def isLiquidityPair(symbol: String): Boolean =
+    symbol.contains("LP-")
+
+  /** True borrowed balance of a loans position: the stored principal
+    * adjusted by the 1e18 fixed-point borrow index; zero once repaid
+    * (ref parallel.js:340-346 getLoanBorrowedVal). */
+  def adjustedPrincipal(principal: BigInt, borrowIndex: BigInt): Double =
+    if (principal <= 0 || borrowIndex <= 0) 0.0
+    else principal.toDouble / (borrowIndex.toDouble / 1e18)
+
+  /** Underlying amount of a voucher (cToken-style) balance at the 1e18
+    * exchange rate (ref parallel.js:120-121 loan deposit valuation). */
+  def voucherToUnderlying(voucher: BigInt, exchangeRate: BigInt): Double =
+    voucher.toDouble * (exchangeRate.toDouble / 1e18)
+}
+
 object ChainParser {
   /** Dispatch (ref indexer.js:6697 setup_chainParser). */
   def forChain(chainId: Int): ChainParser = chainId match {
     case 2000 | 22000 => AcalaParser(chainId)    // Acala / Karura
     case 2004 | 22023 => MoonbeamParser(chainId) // Moonbeam / Moonriver
+    case 2012 | 22085 => ParallelParser(chainId) // Parallel / Heiko
     case id => GenericParser(id)
   }
 }

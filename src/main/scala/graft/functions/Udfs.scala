@@ -47,9 +47,14 @@ object Udfs {
       else guard(java.lang.Double.valueOf(
         Codec.toBaseUnit(BigInt(1, Codec.hexToBytes(rawHex)), decimals))))
 
-    // composite keys (ref paraTool.js:1945)
+    // composite keys, dispatched through the per-chain parser seam so
+    // chain-specific asset canonicalization (Acala token JSON, Moonbeam
+    // H160 lowercase, Parallel numeric ids) applies inside Dump's
+    // transfers projection (ref paraTool.js:1945 makeAssetChain +
+    // indexer.js:6697 setup_chainParser)
     u.register("asset_chain", (asset: String, chainId: Int) =>
-      if (asset == null) null else Codec.makeAssetChain(asset, chainId))
+      if (asset == null) null
+      else graft.decode.ChainParser.forChain(chainId).assetKey(asset))
 
     // substrate↔EVM account mapping (ref paraTool.js:517,522)
     u.register("pubkey_to_h160", (pubkeyHex: String) =>

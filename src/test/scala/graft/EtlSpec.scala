@@ -1,7 +1,8 @@
 package graft
 
-import graft.decode.{AcalaParser, ChainParser, GenericParser}
-import graft.etl.Writers
+import graft.decode.{AcalaParser, ChainParser, GenericParser, ParallelParser}
+import graft.etl.{Dump, Writers}
+import graft.model._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Writer semantics (S7 dynamic partition overwrite, S9 upsert) and the
@@ -47,5 +48,51 @@ class EtlSpec extends AnyFunSuite {
       .contains("native"))
     assert(GenericParser(0).transferKind("system", "Remarked").isEmpty)
     assert(GenericParser(0).suppressCall("timestamp", "set"))
+  }
+
+  test("Parallel parser: numeric ids, LP symbols, 1e18 indices") {
+    assert(ChainParser.forChain(2012) == ParallelParser(2012))
+    assert(ChainParser.forChain(22085) == ParallelParser(22085))
+    val p = ParallelParser(2012)
+    // digit-grouped currency ids canonicalize (parallel.js:14)
+    assert(p.assetKey("6,003") == """{"Token":"6003"}~2012""")
+    assert(p.assetKey("101") == """{"Token":"101"}~2012""")
+    assert(p.assetKey("PARA") == "PARA~2012") // symbols pass through
+    assert(p.isLiquidityPair("LP-DOT/sDOT"))
+    assert(!p.isLiquidityPair("sDOT"))
+    assert(!GenericParser(0).isLiquidityPair("LP-DOT/sDOT"))
+    // loans normalization: principal / (borrowIndex / 1e18)
+    assert(p.adjustedPrincipal(BigInt("203021433150092"),
+      BigInt("1001598143276266837")) ==
+      203021433150092.0 / (1001598143276266837.0 / 1e18))
+    assert(p.adjustedPrincipal(BigInt(0), BigInt(0)) == 0.0)
+    assert(p.voucherToUnderlying(BigInt(1000), BigInt("2000000000000000000"))
+      == 2000.0)
+  }
+
+  test("parser asset-key override reaches Dump's transfers projection") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val alicePub =
+      "0xd43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+    val bobPub =
+      "0x8eaf04151687736326c9fea17e25fc5287613693c912909cb226aa4794f26a48"
+    def block(chainId: Int, asset: String) = RawBlock(chainId, 1L, "0xb1",
+      "0xb0", ts, 100, "0xaa", finalized = true,
+      extrinsics = Seq(RawExtrinsic(0, "0xe0", "balances", "transfer",
+        """{"section":"balances","method":"transfer","args":{}}""",
+        signed = true, alicePub, 0.1,
+        events = Seq(RawEvent(0, "system", "ExtrinsicSuccess", "{}")),
+        transfers = Seq(RawTransfer(alicePub, bobPub, asset, "0x0de0b6b3a7640000", 12)))),
+      logs = Seq.empty)
+    // same raw shape, three chains: the asset key must go through each
+    // chain's parser inside the asset_chain UDF
+    val raw = Seq(block(2012, "6,003"), block(2000, "ACA"),
+      block(7, "DOT")).toDF()
+    val t = Dump.transfers(raw, "2024-03-01")
+      .select("chain_id", "asset").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(t(2012) == """{"Token":"6003"}~2012""") // Parallel numeric id
+    assert(t(2000) == """{"Token":"ACA"}~2000""")  // Acala token JSON
+    assert(t(7) == "DOT~7")                        // generic passthrough
   }
 }
