@@ -116,12 +116,30 @@ case class ParallelParser(chainId: Int) extends ChainParser {
     voucher.toDouble * (exchangeRate.toDouble / 1e18)
 }
 
+/** Interlay-style ORML-tokens parachain (ref chains/interlay.js):
+  * token symbols normalize to the ORML `{"Token":…}` JSON like Acala,
+  * and a 2-element JSON-array asset denotes a DexShare liquidity pair
+  * (interlay.js processTokensTotalIssuance's Array.isArray branch). */
+case class InterlayParser(chainId: Int) extends ChainParser {
+  override def assetKey(currency: String): String = {
+    val norm =
+      if (currency.startsWith("{") || currency.startsWith("["))
+        currency // token JSON or DexShare pair array
+      else s"""{"Token":"$currency"}"""
+    Codec.makeAssetChain(norm, chainId)
+  }
+
+  override def isLiquidityPair(symbol: String): Boolean =
+    symbol.trim.startsWith("[") // DexShare pair = 2-element array asset
+}
+
 object ChainParser {
   /** Dispatch (ref indexer.js:6697 setup_chainParser). */
   def forChain(chainId: Int): ChainParser = chainId match {
     case 2000 | 22000 => AcalaParser(chainId)    // Acala / Karura
     case 2004 | 22023 => MoonbeamParser(chainId) // Moonbeam / Moonriver
     case 2012 | 22085 => ParallelParser(chainId) // Parallel / Heiko
+    case 2032 | 22092 => InterlayParser(chainId) // Interlay / Kintsugi
     case id => GenericParser(id)
   }
 }

@@ -163,4 +163,85 @@ object MetaDecode {
     }.mkString("{", ",", "}")
     (json, kids.toSeq)
   }
+
+  /** Ready-made definitions for the common relation/identity pallets —
+    * a chain onboards them by supplying its pallet INDEX (indices shift
+    * per runtime; item indices below are the mainstream polkadot
+    * runtime's). These are the canonical shapes AccountRelations /
+    * Identity consume, so the decode→relation pipeline works with zero
+    * per-chain Scala. */
+  object StandardPallets {
+
+    val ProxyType: SType = Enum(Seq("Any" -> Seq.empty,
+      "NonTransfer" -> Seq.empty, "Governance" -> Seq.empty,
+      "Staking" -> Seq.empty, "IdentityJudgement" -> Seq.empty,
+      "CancelProxy" -> Seq.empty, "Auction" -> Seq.empty))
+
+    def proxy(index: Int): PalletDef = PalletDef(index, "proxy",
+      calls = Seq(
+        ItemDef(1, "addProxy", Seq("delegate" -> MultiAddress,
+          "proxyType" -> ProxyType, "delay" -> U32)),
+        ItemDef(2, "removeProxy", Seq("delegate" -> MultiAddress,
+          "proxyType" -> ProxyType, "delay" -> U32))),
+      events = Seq(
+        ItemDef(2, "ProxyAdded", Seq("delegator" -> AccountId,
+          "delegatee" -> AccountId, "proxyType" -> ProxyType,
+          "delay" -> U32)),
+        ItemDef(4, "ProxyRemoved", Seq("delegator" -> AccountId,
+          "delegatee" -> AccountId, "proxyType" -> ProxyType,
+          "delay" -> U32))))
+
+    val Timepoint: SType = Struct(Seq("height" -> U32, "index" -> U32))
+
+    def multisig(index: Int): PalletDef = PalletDef(index, "multisig",
+      calls = Seq(
+        ItemDef(1, "asMulti", Seq(
+          "threshold" -> U16,
+          "otherSignatories" -> Vec(AccountId),
+          "maybeTimepoint" -> Opt(Timepoint),
+          "call" -> CallType,
+          "maxWeight" -> CompactInt)),
+        ItemDef(2, "approveAsMulti", Seq(
+          "threshold" -> U16,
+          "otherSignatories" -> Vec(AccountId),
+          "maybeTimepoint" -> Opt(Timepoint),
+          "callHash" -> Bytes,
+          "maxWeight" -> CompactInt))))
+
+    val Judgement: SType = Enum(Seq(
+      "Unknown" -> Seq.empty, "FeePaid" -> Seq("fee" -> U128),
+      "Reasonable" -> Seq.empty, "KnownGood" -> Seq.empty,
+      "OutOfDate" -> Seq.empty, "LowQuality" -> Seq.empty,
+      "Erroneous" -> Seq.empty))
+
+    /** Simplified IdentityInfo: the pallet's `Data` enum (None/Raw0-32/
+      * hash forms) is flattened to plain strings here — the shape the
+      * Identity dimension consumes. */
+    def identity(index: Int): PalletDef = PalletDef(index, "identity",
+      calls = Seq(
+        ItemDef(1, "setIdentity", Seq("display" -> Str,
+          "legal" -> Opt(Str), "web" -> Opt(Str))),
+        ItemDef(3, "clearIdentity", Seq.empty),
+        ItemDef(12, "addSub", Seq("sub" -> MultiAddress,
+          "name" -> Str)),
+        ItemDef(14, "removeSub", Seq("sub" -> MultiAddress))),
+      events = Seq(
+        ItemDef(0, "IdentitySet", Seq("who" -> AccountId)),
+        ItemDef(1, "IdentityCleared", Seq("who" -> AccountId,
+          "deposit" -> U128)),
+        ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
+          "registrarIndex" -> U32, "judgement" -> Judgement))))
+
+    def vesting(index: Int): PalletDef = PalletDef(index, "vesting",
+      calls = Seq(
+        ItemDef(0, "vest", Seq.empty),
+        ItemDef(1, "vestOther", Seq("target" -> MultiAddress)),
+        ItemDef(2, "vestedTransfer", Seq("target" -> MultiAddress,
+          "schedule" -> Struct(Seq("locked" -> U128,
+            "perBlock" -> U128, "startingBlock" -> U32))))),
+      events = Seq(
+        ItemDef(0, "VestingUpdated", Seq("account" -> AccountId,
+          "unvested" -> U128)),
+        ItemDef(1, "VestingCompleted", Seq("account" -> AccountId))))
+  }
 }

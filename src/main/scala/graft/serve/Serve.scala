@@ -107,4 +107,18 @@ object Serve {
         col("m.extrinsic_id").as("last_extrinsic_id"),
         col("m.direction").as("last_direction"),
         col("m.amount").as("last_amount"))
+
+  /** Related-accounts lookup with identity decoration (ref
+    * query.js:3542 getRelated; the UI joins registrar identities onto
+    * every related account): proxy edges in both directions + multisig
+    * relations from AccountRelations, each decorated with the related
+    * account's display name + verification from the identity
+    * dimension. */
+  def relatedAccounts(proxy: DataFrame, multisig: DataFrame,
+      identities: DataFrame, pubkey: String): DataFrame =
+    graft.etl.Identity.decorate(
+        graft.etl.AccountRelations.relatedAccounts(proxy, multisig,
+          pubkey),
+        identities, "related_pub")
+      .orderBy(col("relation"), col("related_pub"))
 }

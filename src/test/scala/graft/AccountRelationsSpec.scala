@@ -33,29 +33,15 @@ class AccountRelationsSpec extends AnyFunSuite {
   private val sig = Array.fill[Byte](64)(1)
   private def hx(a: Array[Byte]) = Codec.bytesToHex(a)
 
-  private val proxyTypeEnum = Enum(Seq("Any" -> Seq.empty,
-    "NonTransfer" -> Seq.empty, "Governance" -> Seq.empty,
-    "Staking" -> Seq.empty))
-
+  // the SHIPPED standard definitions, onboarded by pallet index alone —
+  // proving the library defaults drive the relation pipeline, not
+  // test-local type shapes
   private val meta = RuntimeMeta(100, 10,
     calls = Seq(CallMeta(4, 0, "balances", "transfer")),
     events = Seq(
       EventMeta(0, 0, "system", "ExtrinsicSuccess"),
       EventMeta(0, 1, "system", "ExtrinsicFailed")),
-    pallets = Seq(
-      PalletDef(29, "proxy", calls = Seq(
-        ItemDef(1, "addProxy", Seq("delegate" -> MultiAddress,
-          "proxyType" -> proxyTypeEnum, "delay" -> U32)),
-        ItemDef(2, "removeProxy", Seq("delegate" -> MultiAddress,
-          "proxyType" -> proxyTypeEnum, "delay" -> U32)))),
-      PalletDef(30, "multisig", calls = Seq(
-        ItemDef(1, "asMulti", Seq(
-          "threshold" -> U16,
-          "otherSignatories" -> Vec(AccountId),
-          "maybeTimepoint" -> Opt(Struct(Seq(
-            "height" -> U32, "index" -> U32))),
-          "call" -> CallType,
-          "maxWeight" -> CompactInt))))))
+    pallets = Seq(StandardPallets.proxy(29), StandardPallets.multisig(30)))
 
   private def envelope(signer: Array[Byte], call: Array[Byte]): String = {
     val body = b(Array(0x84.toByte), Array(0.toByte), signer, sig,

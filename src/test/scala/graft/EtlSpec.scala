@@ -1,6 +1,6 @@
 package graft
 
-import graft.decode.{AcalaParser, ChainParser, GenericParser, ParallelParser}
+import graft.decode.{AcalaParser, ChainParser, GenericParser, InterlayParser, ParallelParser}
 import graft.etl.{Dump, Writers}
 import graft.model._
 import org.scalatest.funsuite.AnyFunSuite
@@ -68,6 +68,20 @@ class EtlSpec extends AnyFunSuite {
     assert(p.adjustedPrincipal(BigInt(0), BigInt(0)) == 0.0)
     assert(p.voucherToUnderlying(BigInt(1000), BigInt("2000000000000000000"))
       == 2000.0)
+  }
+
+  test("Interlay parser: ORML token JSON and DexShare pair detection") {
+    assert(ChainParser.forChain(2032) == InterlayParser(2032))
+    assert(ChainParser.forChain(22092) == InterlayParser(22092))
+    val p = InterlayParser(2032)
+    assert(p.assetKey("INTR") == """{"Token":"INTR"}~2032""")
+    assert(p.assetKey("""{"ForeignAsset":"1"}""") ==
+      """{"ForeignAsset":"1"}~2032""")
+    // DexShare pairs are 2-element array assets — passed through, LP
+    assert(p.assetKey("""[{"Token":"DOT"},{"Token":"INTR"}]""") ==
+      """[{"Token":"DOT"},{"Token":"INTR"}]~2032""")
+    assert(p.isLiquidityPair("""[{"Token":"DOT"},{"Token":"INTR"}]"""))
+    assert(!p.isLiquidityPair("INTR"))
   }
 
   test("parser asset-key override reaches Dump's transfers projection") {

@@ -36,28 +36,13 @@ class IdentitySpec extends AnyFunSuite {
   private val sig = Array.fill[Byte](64)(1)
   private def hx(a: Array[Byte]) = Codec.bytesToHex(a)
 
-  private val judgementEnum = Enum(Seq(
-    "Unknown" -> Seq.empty, "FeePaid" -> Seq("fee" -> U128),
-    "Reasonable" -> Seq.empty, "KnownGood" -> Seq.empty,
-    "OutOfDate" -> Seq.empty, "LowQuality" -> Seq.empty,
-    "Erroneous" -> Seq.empty))
-
+  // the SHIPPED standard identity definition, onboarded by index alone
   private val meta = RuntimeMeta(100, 10,
     calls = Seq(CallMeta(4, 0, "balances", "transfer")),
     events = Seq(
       EventMeta(0, 0, "system", "ExtrinsicSuccess"),
       EventMeta(0, 1, "system", "ExtrinsicFailed")),
-    pallets = Seq(
-      PalletDef(28, "identity",
-        calls = Seq(
-          ItemDef(1, "setIdentity", Seq("display" -> Str,
-            "legal" -> Opt(Str), "web" -> Opt(Str))),
-          ItemDef(3, "clearIdentity", Seq.empty),
-          ItemDef(12, "addSub", Seq("sub" -> MultiAddress,
-            "name" -> Str))),
-        events = Seq(
-          ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
-            "registrarIndex" -> U32, "judgement" -> judgementEnum))))))
+    pallets = Seq(StandardPallets.identity(28)))
 
   private def envelope(signer: Array[Byte], call: Array[Byte]): String = {
     val body = b(Array(0x84.toByte), Array(0.toByte), signer, sig,

@@ -83,4 +83,25 @@ class ServeSpec extends AnyFunSuite {
     assert(out("b") == ("99-0", "out"))
     assert(out("c") == ("7-0", "in"))
   }
+
+  test("relatedAccounts serve face decorates relations with identity") {
+    val proxy = Seq((0, "0xaa", "0xbb", "Staking", 0L, 5L))
+      .toDF("chain_id", "delegator_pub", "delegate_pub", "proxy_type",
+        "delay", "since_block")
+    val multisig = Seq((0, "0xms", 2, "0xaa"), (0, "0xms", 2, "0xcc"))
+      .toDF("chain_id", "multisig_pub", "threshold", "member_pub")
+    val identities = Seq(
+      ("0xbb", "warm-wallet", true), ("0xcc", "cosigner", false))
+      .toDF("pubkey", "display", "verified")
+    val out = Serve.relatedAccounts(proxy, multisig, identities, "0xaa")
+      .collect()
+      .map(r => (r.getAs[String]("relation"),
+        r.getAs[String]("related_pub"),
+        r.getAs[String]("identity_display"),
+        r.getAs[Boolean]("identity_verified"))).toSet
+    assert(out == Set(
+      ("proxy_delegate", "0xbb", "warm-wallet", true),
+      ("multisig_account", "0xms", null, false),
+      ("multisig_comember", "0xcc", "cosigner", false)))
+  }
 }
