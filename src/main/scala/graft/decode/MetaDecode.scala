@@ -36,6 +36,8 @@ object MetaDecode {
   case object AccountId extends SType // 32 raw bytes → 0x-hex
   case object MultiAddress extends SType // variant 0x00 = Id(AccountId)
   case object Bytes extends SType // compact len ‖ raw bytes → 0x-hex
+  /** Fixed-width byte array ([u8; n] — hashes, keys) → 0x-hex. */
+  final case class FixedBytes(n: Int) extends SType
   case object Str extends SType // compact len ‖ utf8 → JSON string
   case object CallType extends SType // one nested call
   final case class Vec(elem: SType) extends SType
@@ -115,6 +117,7 @@ object MetaDecode {
       case Bytes =>
         val len = c.compact().toInt
         s""""${hx(c.take(len))}""""
+      case FixedBytes(n) => s""""${hx(c.take(n))}""""
       case Str =>
         val len = c.compact().toInt
         s""""${jsonEscape(new String(c.take(len), "UTF-8"))}""""
@@ -205,7 +208,7 @@ object MetaDecode {
           "threshold" -> U16,
           "otherSignatories" -> Vec(AccountId),
           "maybeTimepoint" -> Opt(Timepoint),
-          "callHash" -> Bytes,
+          "callHash" -> FixedBytes(32),
           "maxWeight" -> CompactInt))))
 
     val Judgement: SType = Enum(Seq(

@@ -57,17 +57,18 @@ object AccountRelations {
   }
 
   /** Multisig membership edges: one row per (multisig account, member)
-    * seen in a `multisig.asMulti` call — the signer plus every other
-    * signatory, with the account id derived from the full sorted set +
-    * threshold (ref paraTool.js:311 computeMultisig). Distinct edges:
-    * repeated approvals of the same multisig add nothing. */
+    * seen in a `multisig.asMulti` / `approveAsMulti` call — the signer
+    * plus every other signatory, with the account id derived from the
+    * full sorted set + threshold (ref paraTool.js:311 computeMultisig;
+    * the reference records the relation on any multisig call). Distinct
+    * edges: repeated approvals of the same multisig add nothing. */
   def multisigAccounts(calls: DataFrame,
       extrinsics: DataFrame): DataFrame = {
     val signerByEx = extrinsics
       .select(col("extrinsic_id"), col("signer_pub_key"))
     calls
       .filter(col("call_section") === "multisig" &&
-        col("call_method") === "asMulti")
+        col("call_method").isin("asMulti", "approveAsMulti"))
       .join(signerByEx, Seq("extrinsic_id"))
       .select(
         col("chain_id"),

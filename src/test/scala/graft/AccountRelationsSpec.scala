@@ -60,6 +60,12 @@ class AccountRelationsSpec extends AnyFunSuite {
       b(cp(others.size.toLong) +: others: _*), Array(0.toByte),
       inner, cp(1000))
 
+  private def approveAsMulti(threshold: Int, others: Seq[Array[Byte]],
+      callHash: Array[Byte]) =
+    b(Array(30.toByte, 2.toByte), u16le(threshold),
+      b(cp(others.size.toLong) +: others: _*), Array(0.toByte),
+      callHash, cp(1000))
+
   private def success(exIdx: Int) =
     b(Array(0.toByte), u32le(exIdx), Array(0.toByte, 0.toByte),
       cp(1000), cp(0), Array(0.toByte, 0.toByte), cp(0))
@@ -77,8 +83,11 @@ class AccountRelationsSpec extends AnyFunSuite {
       Seq(
         envelope(alice, proxyCall(2, bob, 0, 0)), // removeProxy(bob, Any)
         envelope(alice, asMulti(2, Seq(bob),
-          b(Array(4.toByte, 0.toByte), Array(0.toByte), charlie, cp(5))))),
-      eventsHex(success(0), success(1)))
+          b(Array(4.toByte, 0.toByte), Array(0.toByte), charlie, cp(5)))),
+        // approveAsMulti records membership too (fixed 32-byte hash)
+        envelope(charlie, approveAsMulti(2, Seq(alice),
+          Array.fill[Byte](32)(0x11)))),
+      eventsHex(success(0), success(1), success(2)))
   ).toDF("chain_id", "number", "hash", "parent_hash", "block_time",
     "finalized", "author_pub", "extrinsics_hex", "events_hex")
 
@@ -106,10 +115,15 @@ class AccountRelationsSpec extends AnyFunSuite {
 
   test("multisigAccounts derive the pallet multisig id per member") {
     val ms = AccountRelations.multisigAccounts(callsDf, exDf).collect()
-    val expectedId = hx(Codec.multisigAccount(Seq(alice, bob), 2))
-    assert(ms.map(_.getAs[String]("multisig_pub")).toSet == Set(expectedId))
-    assert(ms.map(_.getAs[String]("member_pub")).toSet ==
-      Set(hx(alice), hx(bob)))
+    val msAB = hx(Codec.multisigAccount(Seq(alice, bob), 2))
+    val msAC = hx(Codec.multisigAccount(Seq(alice, charlie), 2))
+    val edges = ms.map(r => (r.getAs[String]("multisig_pub"),
+      r.getAs[String]("member_pub"))).toSet
+    // asMulti by alice → {alice,bob}; approveAsMulti by charlie →
+    // {charlie,alice} — both calls record membership
+    assert(edges == Set(
+      (msAB, hx(alice)), (msAB, hx(bob)),
+      (msAC, hx(alice)), (msAC, hx(charlie))))
     assert(ms.map(_.getAs[Int]("threshold")).toSet == Set(2))
   }
 
@@ -121,17 +135,23 @@ class AccountRelationsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getAs[String]("relation"), r.getAs[String]("related_pub")))
       .toSet
-    val msId = hx(Codec.multisigAccount(Seq(alice, bob), 2))
+    val msAB = hx(Codec.multisigAccount(Seq(alice, bob), 2))
+    val msAC = hx(Codec.multisigAccount(Seq(alice, charlie), 2))
     assert(related == Set(
       ("proxy_delegate", hx(charlie)),
-      ("multisig_account", msId),
-      ("multisig_comember", hx(bob))))
-    // charlie sees the reverse proxy direction
+      ("multisig_account", msAB),
+      ("multisig_account", msAC),
+      ("multisig_comember", hx(bob)),
+      ("multisig_comember", hx(charlie))))
+    // charlie sees the reverse proxy direction + his own multisig
     val rev = AccountRelations
       .relatedAccounts(proxy, multisig, hx(charlie))
       .collect()
       .map(r => (r.getAs[String]("relation"), r.getAs[String]("related_pub")))
       .toSet
-    assert(rev == Set(("proxy_delegator", hx(alice))))
+    assert(rev == Set(
+      ("proxy_delegator", hx(alice)),
+      ("multisig_account", msAC),
+      ("multisig_comember", hx(alice))))
   }
 }
