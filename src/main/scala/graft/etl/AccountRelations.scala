@@ -108,8 +108,11 @@ object AccountRelations {
       .select(col("multisig_pub").as("related_pub"),
         lit("multisig_account").as("relation"),
         col("threshold").cast("string").as("detail"))
+    // `mine` is ONE account's multisig set — broadcast it so the
+    // co-member lookup is a map-side semi-join over the edge table
     val coMembers = multisig
-      .join(mine.select(col("multisig_pub")), Seq("multisig_pub"))
+      .join(broadcast(mine.select(col("multisig_pub"))),
+        Seq("multisig_pub"))
       .filter(col("member_pub") =!= p)
       .select(col("member_pub").as("related_pub"),
         lit("multisig_comember").as("relation"),

@@ -114,13 +114,16 @@ object Identity {
 
   /** Serve-face decoration: left-join identity display/verified onto
     * any account-keyed result (the reference decorates related-account
-    * and extrinsic lookups the same way, query.js identity joins). */
+    * and extrinsic lookups the same way, query.js identity joins).
+    * No broadcast hint: the identity dimension is usually small but can
+    * reach millions of rows fleet-wide — AQE broadcasts it when it
+    * fits and falls back to a shuffle join when it doesn't. */
   def decorate(df: DataFrame, identities: DataFrame,
       pubkeyCol: String): DataFrame =
     df.join(
-      broadcast(identities.select(col("pubkey").as(pubkeyCol),
+      identities.select(col("pubkey").as(pubkeyCol),
         col("display").as("identity_display"),
-        col("verified").as("identity_verified"))),
+        col("verified").as("identity_verified")),
       Seq(pubkeyCol), "left")
       .withColumn("identity_verified",
         coalesce(col("identity_verified"), lit(false)))
