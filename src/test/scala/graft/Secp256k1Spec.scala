@@ -57,4 +57,23 @@ class Secp256k1Spec extends AnyFunSuite {
       "00" * 32, f"${s}%064x") == null)
     assert(S.recoverAddressHex("not hex", 27, "0x01", "0x01") == null)
   }
+
+  test("EIP-155 v beyond Int range (Palm/Aurora-class chainIds)") {
+    val h = Codec.hexToBytes("0x" + "ab" * 32)
+    val (recId, r, s) = S.signWithNonce(h, BigInt(7), BigInt(13))
+    val addr = Codec.bytesToHex(S.ethAddress(S.mul(7, S.G)))
+    // Palm chainId 11297108109 → v = 2·chainId + 35 + parity ≈ 2.26e10,
+    // far past Int.MaxValue; an Int v would wrap and either alias into
+    // a valid recId (wrong address) or flip parity
+    val chainId = 11297108109L
+    val v = 2L * chainId + 35L + recId
+    assert(v > Int.MaxValue)
+    assert(S.recoverAddressHex("0x" + "ab" * 32, v,
+      f"${r}%064x", f"${s}%064x") == addr)
+    // the WRONG parity at the same chainId recovers a different (or no)
+    // address — proving parity is computed from the full Long v
+    val wrong = S.recoverAddressHex("0x" + "ab" * 32, v + 1,
+      f"${r}%064x", f"${s}%064x")
+    assert(wrong != addr)
+  }
 }
