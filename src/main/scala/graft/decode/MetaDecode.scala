@@ -167,6 +167,31 @@ object MetaDecode {
     (json, kids.toSeq)
   }
 
+  /** Decode a STORAGE value of shape `t` from raw hex — the third byte
+    * surface next to calls and events (ref indexer.js storage decode via
+    * the same registry). Trailing bytes are an error: a storage value is
+    * exactly one SCALE value, and silent truncation would fabricate
+    * plausible numbers from corrupt input. Nested-call shapes are not
+    * valid storage. */
+  def decodeStorageValue(hexStr: String, t: SType): String = {
+    val c = new Cursor(Codec.hexToBytes(hexStr))
+    val json = decodeValue(c, t,
+      _ => throw new IllegalArgumentException(
+        "storage values cannot contain calls"),
+      scala.collection.mutable.Buffer.empty)
+    require(c.remaining == 0,
+      s"${c.remaining} trailing bytes after storage value")
+    json
+  }
+
+  /** System.Account's AccountInfo shape as metadata (the storage twin of
+    * BlockDecode.decodeAccountInfo). */
+  val AccountInfoShape: SType = Struct(Seq(
+    "nonce" -> U32, "consumers" -> U32, "providers" -> U32,
+    "sufficients" -> U32,
+    "data" -> Struct(Seq("free" -> U128, "reserved" -> U128,
+      "frozen" -> U128, "flags" -> U128))))
+
   /** Ready-made definitions for the common relation/identity pallets —
     * a chain onboards them by supplying its pallet INDEX (indices shift
     * per runtime; item indices below are the mainstream polkadot

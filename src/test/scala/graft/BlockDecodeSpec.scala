@@ -358,6 +358,30 @@ class BlockDecodeSpec extends AnyFunSuite {
     assert(out(2).transfer.isEmpty)
   }
 
+  test("metadata-driven storage value decode matches the hand decoder") {
+    import graft.decode.MetaDecode
+    val v = b(u32le(5), u32le(1), u32le(1), u32le(0),
+      u128le(BigInt("123456789012345678901")), u128le(BigInt(7)),
+      u128le(BigInt(0)), u128le(BigInt(0)))
+    val json = MetaDecode.decodeStorageValue(
+      Codec.bytesToHex(v), MetaDecode.AccountInfoShape)
+    assert(json == """{"nonce":5,"consumers":1,"providers":1,""" +
+      """"sufficients":0,"data":{"free":123456789012345678901,""" +
+      """"reserved":7,"frozen":0,"flags":0}}""")
+    // agreement with the hand decoder on the same bytes
+    val hand = BlockDecode.decodeAccountInfo(Codec.bytesToHex(v))
+    assert(hand.nonce == 5 && hand.free == BigInt("123456789012345678901"))
+    // a plain u128 storage value (tokens.totalIssuance shape)
+    assert(MetaDecode.decodeStorageValue(
+      Codec.bytesToHex(u128le(BigInt(42))), MetaDecode.U128) == "42")
+    // trailing bytes are rejected, not truncated
+    intercept[IllegalArgumentException] {
+      MetaDecode.decodeStorageValue(
+        Codec.bytesToHex(b(v, Array(1.toByte))),
+        MetaDecode.AccountInfoShape)
+    }
+  }
+
   test("metadata tier rejects unknown indices and bad enum tags") {
     intercept[IllegalArgumentException] {
       BlockDecode.decodeCall(
