@@ -169,11 +169,74 @@ object KeyOps {
       |   CAST(related AS VARCHAR))), ',') AS related_csv
       |FROM rel GROUP BY account ORDER BY account""".stripMargin
 
+  // K5 — identity-state dimension build (the etl/Identity shape with a
+  // synthetic oracle, ref identityManager.js:40 dump_identity): set/
+  // clear actions resolve latest-wins per account, judgements resolve
+  // latest-wins per (account, registrar) then roll up to a verified
+  // flag, and the dimension is the FULL OUTER union of accounts with an
+  // identity or a judgement — the three keyed windows + outer join the
+  // real pipeline runs, hash-verified end-to-end.
+  private def k5(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("user_id").cast("long").as("account"),
+      (col("event_id") % 3).as("kind"), // 0=set 1=clear 2=judgement
+      (col("event_id") % 5).cast("int").as("registrar"),
+      (col("value") > 50).as("good"),
+      us(col("ts")).as("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("account"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val info = ev.filter(col("kind") < 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("kind") === 0)
+      .select(col("account"),
+        concat(lit("name-"), col("account")).as("display"))
+    val wj = Window.partitionBy(col("account"), col("registrar"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val judg = ev.filter(col("kind") === 2)
+      .withColumn("rn", row_number().over(wj)).filter(col("rn") === 1)
+      .groupBy(col("account"))
+      .agg(count(lit(1)).as("n_judgements"),
+        max(col("good")).as("verified"))
+    info.join(judg, Seq("account"), "full_outer")
+      .withColumn("verified", coalesce(col("verified"), lit(false)))
+      .withColumn("n_judgements", coalesce(col("n_judgements"), lit(0L)))
+      .filter(col("account") < 50)
+      .select(col("account"), col("display"), col("n_judgements"),
+        col("verified"))
+      .orderBy(col("account"))
+  }
+
+  private val k5Sql =
+    """WITH ev AS (
+      | SELECT user_id AS account, event_id % 3 AS kind,
+      |  CAST(event_id % 5 AS INT) AS registrar, ("value" > 50) AS good,
+      |  ts, event_id FROM events),
+      |info AS (
+      | SELECT account, 'name-' || CAST(account AS VARCHAR) AS display
+      | FROM (SELECT account, kind, row_number() OVER (
+      |    PARTITION BY account ORDER BY ts DESC, event_id DESC) AS rn
+      |   FROM ev WHERE kind < 2)
+      | WHERE rn = 1 AND kind = 0),
+      |judg AS (
+      | SELECT account, count(*) AS n_judgements, max(good) AS verified
+      | FROM (SELECT account, registrar, good, row_number() OVER (
+      |    PARTITION BY account, registrar
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |   FROM ev WHERE kind = 2)
+      | WHERE rn = 1 GROUP BY account)
+      |SELECT COALESCE(i.account, j.account) AS account, display,
+      | COALESCE(n_judgements, 0) AS n_judgements,
+      | COALESCE(verified, false) AS verified
+      |FROM info i FULL OUTER JOIN judg j ON i.account = j.account
+      |WHERE COALESCE(i.account, j.account) < 50
+      |ORDER BY account""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
     "k4_related_accounts" -> (k4 _),
+    "k5_identity_state" -> (k5 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -181,5 +244,6 @@ object KeyOps {
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,
     "k4_related_accounts" -> k4Sql,
+    "k5_identity_state" -> k5Sql,
   )
 }
