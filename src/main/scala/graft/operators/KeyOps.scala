@@ -132,13 +132,16 @@ object KeyOps {
     val live = actions.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("is_add"))
       .select(col("delegator"), col("delegate"))
-    val out = live.filter(col("delegator") < 30)
-      .select(col("delegator").as("account"),
-        col("delegate").as("related"), lit("out").as("dir"))
-    val in = live.filter(col("delegate") < 30)
-      .select(col("delegate").as("account"),
-        col("delegator").as("related"), lit("in").as("dir"))
-    out.unionByName(in).distinct()
+    // both directions from ONE pass over the live edges (a two-branch
+    // union would scan + re-run the argmax window twice)
+    live.select(explode(array(
+        struct(col("delegator").as("account"),
+          col("delegate").as("related"), lit("out").as("dir")),
+        struct(col("delegate").as("account"),
+          col("delegator").as("related"), lit("in").as("dir")))).as("e"))
+      .select(col("e.account"), col("e.related"), col("e.dir"))
+      .filter(col("account") < 30)
+      .distinct()
       .groupBy(col("account"))
       .agg(count(lit(1)).as("n_related"),
         array_join(sort_array(collect_set(
