@@ -220,4 +220,37 @@ object EvmDecode {
           hexToDec(col("arg_token_id_hex"))))
       .drop("arg_value_hex", "arg_token_id_hex")
   }
+
+  // ---- contract-standard classification ----
+
+  /** Required function selectors per token standard (ref
+    * ethTool.js:255 detectERC20, :283 detectERC721, :312 detectERC1155
+    * — the reference classifies a contract by whether its code exposes
+    * every required selector). */
+  private val Erc20Required = Seq("0x18160ddd", "0x70a08231",
+    "0xa9059cbb", "0x23b872dd", "0x095ea7b3", "0xdd62ed3e")
+  private val Erc721Required = Seq("0x70a08231", "0x6352211e",
+    "0x42842e0e", "0xb88d4fde", "0x23b872dd", "0x095ea7b3",
+    "0x081812fc", "0xa22cb465", "0xe985e9c5")
+  private val Erc1155Required = Seq("0x00fdd58e", "0x4e1273f4",
+    "0xa22cb465", "0xe985e9c5", "0xf242432a", "0x2eb2c2d6")
+
+  /** Classify contracts by required-selector subset: `standard` =
+    * erc1155/erc721/erc20/unknown from the contract's selector set
+    * (an `array<string>` column of 4-byte selectors, as extracted from
+    * code metadata). Pure array_contains conjunctions — codegen'd, no
+    * UDF; most-specific standard first (the 721 and 20 lists share
+    * balanceOf/transferFrom/approve but each has members the other
+    * lacks, so the order only matters for nonconforming hybrids). */
+  def classifyContracts(contracts: DataFrame,
+      selectorsCol: String = "selectors"): DataFrame = {
+    def hasAll(sels: Seq[String]): Column =
+      sels.map(s => array_contains(col(selectorsCol), s))
+        .reduce(_ && _)
+    contracts.withColumn("standard",
+      when(hasAll(Erc1155Required), "erc1155")
+        .when(hasAll(Erc721Required), "erc721")
+        .when(hasAll(Erc20Required), "erc20")
+        .otherwise("unknown"))
+  }
 }

@@ -180,4 +180,25 @@ class EvmSpec extends AnyFunSuite {
     assert(out("0xs2").isEmpty || out("0xs2").contains(
       java.math.BigDecimal.ZERO)) // non-hex → guarded
   }
+
+  test("contract classification by required-selector subset") {
+    val erc20 = Seq("0x18160ddd", "0x70a08231", "0xa9059cbb",
+      "0x23b872dd", "0x095ea7b3", "0xdd62ed3e", "0x06fdde03")
+    val erc721 = Seq("0x70a08231", "0x6352211e", "0x42842e0e",
+      "0xb88d4fde", "0x23b872dd", "0x095ea7b3", "0x081812fc",
+      "0xa22cb465", "0xe985e9c5")
+    val erc1155 = Seq("0x00fdd58e", "0x4e1273f4", "0xa22cb465",
+      "0xe985e9c5", "0xf242432a", "0x2eb2c2d6")
+    val df = Seq(
+      ("0xc20", erc20), ("0xc721", erc721), ("0xc1155", erc1155),
+      ("0xpartial", erc20.drop(1)), // missing totalSupply
+      ("0xempty", Seq.empty[String]))
+      .toDF("address", "selectors")
+    val out = EvmDecode.classifyContracts(df).collect()
+      .map(r => r.getAs[String]("address") ->
+        r.getAs[String]("standard")).toMap
+    assert(out == Map("0xc20" -> "erc20", "0xc721" -> "erc721",
+      "0xc1155" -> "erc1155", "0xpartial" -> "unknown",
+      "0xempty" -> "unknown"))
+  }
 }
