@@ -260,6 +260,20 @@ object MetaDecode {
         ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
           "registrarIndex" -> U32, "judgement" -> Judgement))))
 
+    /** Crowdloan pallet — the P7 reward/crowdloan extraction input
+      * (ref substrateetl crowdloan export). */
+    def crowdloan(index: Int): PalletDef = PalletDef(index, "crowdloan",
+      calls = Seq(
+        ItemDef(1, "contribute", Seq("index" -> CompactInt,
+          "value" -> CompactInt, "signature" -> Opt(Bytes))),
+        ItemDef(5, "withdraw", Seq("who" -> MultiAddress,
+          "index" -> CompactInt))),
+      events = Seq(
+        ItemDef(2, "Contributed", Seq("who" -> AccountId,
+          "fundIndex" -> U32, "amount" -> U128)),
+        ItemDef(3, "Withdrew", Seq("who" -> AccountId,
+          "fundIndex" -> U32, "amount" -> U128))))
+
     def vesting(index: Int): PalletDef = PalletDef(index, "vesting",
       calls = Seq(
         ItemDef(0, "vest", Seq.empty),

@@ -87,6 +87,22 @@ object AccountRelations {
       .distinct()
   }
 
+  /** Materialize the relation tables as chain-partitioned parquet (the
+    * reference keeps `proxyaccount`/`multisigaccount` as physical MySQL
+    * tables; here each run is a full deterministic rebuild from the
+    * decoded day tables — replay-idempotent, partition-overwrite per
+    * chain like the date dumps). */
+  def writeTables(calls: DataFrame, extrinsics: DataFrame,
+      outRoot: String): Map[String, DataFrame] = {
+    val tables = Map(
+      "proxyaccount" -> proxyAccounts(calls, extrinsics),
+      "multisigaccount" -> multisigAccounts(calls, extrinsics))
+    tables.foreach { case (name, df) =>
+      Writers.overwritePartitions(df, s"$outRoot/$name", Seq("chain_id"))
+    }
+    tables
+  }
+
   /** Related-accounts lookup (ref query.js:3542): every account related
     * to `accountPub` with the relation kind — proxies in both
     * directions plus co-members of any shared multisig (and the

@@ -127,6 +127,50 @@ class AccountRelationsSpec extends AnyFunSuite {
     assert(ms.map(_.getAs[Int]("threshold")).toSet == Set(2))
   }
 
+  test("writeTables materializes chain-partitioned relation tables") {
+    val outRoot =
+      java.nio.file.Files.createTempDirectory("graft_rel").toString
+    AccountRelations.writeTables(callsDf, exDf, outRoot)
+    val proxy = spark.read.parquet(s"$outRoot/proxyaccount")
+    assert(proxy.count() == 1) // only the surviving (alice, charlie) edge
+    assert(proxy.columns.contains("chain_id"))
+    val ms = spark.read.parquet(s"$outRoot/multisigaccount")
+    assert(ms.count() == 4)
+    // idempotent re-dump: same content, no duplication
+    AccountRelations.writeTables(callsDf, exDf, outRoot)
+    assert(spark.read.parquet(s"$outRoot/proxyaccount").count() == 1)
+    assert(spark.read.parquet(s"$outRoot/multisigaccount").count() == 4)
+  }
+
+  test("crowdloan standard pallet decodes contribute calls and events") {
+    val cMeta = RuntimeMeta(100, 10,
+      calls = Seq(CallMeta(4, 0, "balances", "transfer")),
+      events = Seq(
+        EventMeta(0, 0, "system", "ExtrinsicSuccess"),
+        EventMeta(0, 1, "system", "ExtrinsicFailed")),
+      pallets = Seq(StandardPallets.crowdloan(73)))
+    // contribute(index=2013, value=7e12, signature=None)
+    val call = b(Array(73.toByte, 1.toByte), cp(2013), cp(7000000000000L),
+      Array(0.toByte))
+    val node = BlockDecode.decodeCall(new BlockDecode.Cursor(call), cMeta)
+    assert(node.section == "crowdloan" && node.method == "contribute")
+    assert(node.args ==
+      """{"index":2013,"value":7000000000000,"signature":null}""")
+    // Contributed(alice, 2013, 7e12)
+    val ev = b(cp(1), Array(0.toByte), u32le(0),
+      Array(73.toByte, 2.toByte), alice, u32le(2013),
+      b(cp(0).take(0), {
+        val le = BigInt(7000000000000L).toByteArray
+          .dropWhile(_ == 0).reverse
+        le ++ Array.fill[Byte](16 - le.length)(0)
+      }), cp(0))
+    val out = BlockDecode.decodeEvents(Codec.bytesToHex(ev), cMeta)
+    assert(out.head.section == "crowdloan" &&
+      out.head.method == "Contributed")
+    assert(out.head.data.contains(""""fundIndex":2013"""))
+    assert(out.head.data.contains(""""amount":7000000000000"""))
+  }
+
   test("relatedAccounts unions proxy directions and multisig relations") {
     val proxy = AccountRelations.proxyAccounts(callsDf, exDf)
     val multisig = AccountRelations.multisigAccounts(callsDf, exDf)
