@@ -57,6 +57,37 @@ object StakingAnalytics {
         explode(from_json(col("targets"), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)))
           .as("validator"))
 
+  /** The call-side twin of [[nominatorEdges]]: nominator→validator
+    * edges from decoded `staking.nominate`/`chill` calls (metadata tier
+    * — MetaDecode.StandardPallets.staking). A nominate REPLACES the
+    * nominator's whole target set and a chill clears it, so the latest
+    * action per (chain, nominator) wins before the winning target array
+    * explodes into edges — same latest-wins argmax shape as the
+    * proxy/identity relation builds. */
+  def nominationEdgesFromCalls(calls: DataFrame,
+      extrinsics: DataFrame): DataFrame = {
+    val signer = extrinsics
+      .select(col("extrinsic_id"), col("signer_pub_key"))
+    val acts = calls
+      .filter(col("call_section") === "staking" &&
+        col("call_method").isin("nominate", "chill"))
+      .join(signer, Seq("extrinsic_id"))
+      .select(col("chain_id"),
+        col("signer_pub_key").as("nominator_pub"),
+        (col("call_method") === "nominate").as("is_nominate"),
+        from_json(get_json_object(col("call_args"), "$.targets"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)).as("targets"),
+        col("block_number"), col("extrinsic_id"))
+    val w = Window.partitionBy(col("chain_id"), col("nominator_pub"))
+      .orderBy(col("block_number").desc, col("extrinsic_id").desc)
+    acts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("is_nominate"))
+      .select(col("chain_id"), col("nominator_pub"),
+        explode(col("targets")).as("validator_pub"),
+        col("block_number").as("since_block"))
+  }
+
   /** Nominators joined to their validators' augmented rows
     * (ref StakingAnalytics.md:120-240: nominator APR via the validator's
     * share). Estimated nominator reward =

@@ -260,6 +260,19 @@ object MetaDecode {
         ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
           "registrarIndex" -> U32, "judgement" -> Judgement))))
 
+    /** Staking pallet subset — `nominate` is the input of the
+      * nominator→validator edge build (ref docs/StakingAnalytics.md:
+      * stakings rows with `targets` arrays, exploded in SQL). The
+      * `bond` call stays in the hand tables (BlockDecode). */
+    def staking(index: Int): PalletDef = PalletDef(index, "staking",
+      calls = Seq(
+        ItemDef(5, "nominate", Seq("targets" -> Vec(MultiAddress))),
+        ItemDef(6, "chill", Seq.empty),
+        ItemDef(2, "unbond", Seq("value" -> CompactInt))),
+      events = Seq(
+        ItemDef(3, "Unbonded", Seq("stash" -> AccountId,
+          "amount" -> U128))))
+
     /** Crowdloan pallet — the P7 reward/crowdloan extraction input
       * (ref substrateetl crowdloan export). */
     def crowdloan(index: Int): PalletDef = PalletDef(index, "crowdloan",

@@ -171,6 +171,43 @@ class AccountRelationsSpec extends AnyFunSuite {
     assert(out.head.data.contains(""""amount":7000000000000"""))
   }
 
+  test("nomination edges from raw nominate/chill bytes, latest-wins") {
+    val sMeta = RuntimeMeta(100, 10,
+      calls = Seq(CallMeta(4, 0, "balances", "transfer")),
+      events = Seq(
+        EventMeta(0, 0, "system", "ExtrinsicSuccess"),
+        EventMeta(0, 1, "system", "ExtrinsicFailed")),
+      pallets = Seq(StandardPallets.staking(6)))
+    def nominate(targets: Seq[Array[Byte]]) =
+      b(Array(6.toByte, 5.toByte), cp(targets.size.toLong),
+        b(targets.map(t => b(Array(0.toByte), t)): _*))
+    val chill = Array(6.toByte, 6.toByte)
+    val rawS = Seq(
+      (0, 1L, "0xb1", "0xb0", ts("2024-03-01 10:00:00"), true, "0xaa",
+        Seq(
+          envelope(alice, nominate(Seq(bob, charlie))), // replaced below
+          envelope(bob, nominate(Seq(charlie)))),       // chilled below
+        eventsHex(success(0), success(1))),
+      (0, 2L, "0xb2", "0xb1", ts("2024-03-01 11:00:00"), true, "0xaa",
+        Seq(
+          envelope(alice, nominate(Seq(charlie))), // replaces block-1 set
+          envelope(bob, chill)),                   // clears bob entirely
+        eventsHex(success(0), success(1)))
+    ).toDF("chain_id", "number", "hash", "parent_hash", "block_time",
+      "finalized", "author_pub", "extrinsics_hex", "events_hex")
+    val decoded = BlockDecode.decodeBlocks(rawS, specVersions,
+      Seq(sMeta)).toDF()
+    val edges = graft.analytics.StakingAnalytics.nominationEdgesFromCalls(
+        Dump.calls(decoded, "2024-03-01"),
+        Dump.extrinsics(decoded, "2024-03-01"))
+      .collect()
+      .map(r => (r.getAs[String]("nominator_pub"),
+        r.getAs[String]("validator_pub"))).toSet
+    // alice's block-2 nominate REPLACED {bob,charlie} with {charlie};
+    // bob's chill removed him entirely
+    assert(edges == Set((hx(alice), hx(charlie))))
+  }
+
   test("relatedAccounts unions proxy directions and multisig relations") {
     val proxy = AccountRelations.proxyAccounts(callsDf, exDf)
     val multisig = AccountRelations.multisigAccounts(callsDf, exDf)
