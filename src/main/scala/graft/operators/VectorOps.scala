@@ -509,6 +509,43 @@ object VectorOps {
       "vec_id", "embedding", dim = 64)
       .orderBy(col("va"), col("vb"))
 
+  // V9 — semantic dedup END-TO-END at the embedding level: IVF-blocked
+  // near-dup pairs (v5) → distributed connected components → per-cluster
+  // stats. The same pipeline d5 runs on word-set pairs, here on cosine
+  // geometry — IVF blocking bounds candidates, min-label + pointer
+  // jumping clusters them in O(log diameter) rounds, and the DuckDB
+  // oracle recomputes the closure with a recursive CTE so cluster
+  // LABELS (not just counts) are verified cross-engine.
+  private def v9(s: SparkSession, d: String): DataFrame = {
+    val pairs = ivfCellPairs(s, d, probes = 1)
+      .select(col("va"), col("vb"))
+    DedupOps.connectedComponents(pairs, "va", "vb")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col("node")).as("max_vec"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val v9Sql =
+    s"""WITH RECURSIVE ${sqlAssignedCte(1)},
+       |pairs AS (
+       | SELECT a.vec_id AS va, b.vec_id AS vb
+       | FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       | WHERE round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.45),
+       |edges AS (
+       | SELECT va AS a, vb AS b FROM pairs
+       | UNION SELECT vb, va FROM pairs),
+       |reach AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       | SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+       |SELECT label AS cluster_id, count(*) AS cluster_size,
+       | max(node) AS max_vec
+       |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v1_knn_bruteforce" -> (v1 _),
     "v2_ivf_assign" -> (v2 _),
@@ -518,6 +555,7 @@ object VectorOps {
     "v6_ivf_multiprobe" -> (v6 _),
     "v7_ivf_topk" -> (v7 _),
     "v8_hyperplane_lsh" -> (v8 _),
+    "v9_embedding_clusters" -> (v9 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -528,5 +566,6 @@ object VectorOps {
     "v5_ivf_blocked_neardup" -> v5Sql,
     "v6_ivf_multiprobe" -> v6Sql,
     "v7_ivf_topk" -> v7Sql,
+    "v9_embedding_clusters" -> v9Sql,
   )
 }
