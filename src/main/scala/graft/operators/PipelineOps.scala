@@ -122,15 +122,62 @@ object PipelineOps {
        |FROM per_source CROSS JOIN totals
        |ORDER BY source""".stripMargin
 
+  // S4 — temperature-scaled mixture sampling: source probability
+  // ∝ tokens^τ with τ = 0.5 (√-scaling upweights small sources — the
+  // standard multinomial-temperature data-mixing move for multilingual /
+  // multi-source corpora). sqrt is IEEE correctly-rounded in BOTH
+  // engines (unlike pow), and the normalizer sums the per-source sqrt
+  // terms through DECIMAL(38,12) so the result is independent of
+  // partition/summation order — same determinism contract as every
+  // money sum in this repo.
+  private def s4(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .withColumn("n_tokens",
+        size(expr("split(trim(text), '\\\\s+')")).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("source_tokens"))
+      .withColumn("w", sqrt(col("source_tokens").cast("double")))
+    val totals = perSource.agg(
+      decOut(sum(dec12(col("w")))).as("sum_w"),
+      sum(col("source_tokens")).as("total_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("temp_prob",
+        round(col("w") / col("sum_w").cast("double"), 6))
+      .select(col("source"), col("source_tokens"), col("temp_prob"),
+        floor(col("total_tokens").cast("double") *
+          (col("w") / col("sum_w").cast("double"))).cast("long")
+          .as("effective_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val s4Sql =
+    s"""WITH per_source AS (
+       | SELECT source,
+       |  ${sqlLsum("len(string_split_regex(trim(text), '\\s+'))")} AS source_tokens
+       | FROM documents GROUP BY source),
+       |scaled AS (SELECT source, source_tokens,
+       |  sqrt(CAST(source_tokens AS DOUBLE)) AS w FROM per_source),
+       |totals AS (SELECT
+       |  ${sqlDecOut("sum(CAST(w AS DECIMAL(38,12)))")} AS sum_w,
+       |  sum(source_tokens) AS total_tokens FROM scaled)
+       |SELECT source, source_tokens,
+       | round(w / CAST(sum_w AS DOUBLE), 6) AS temp_prob,
+       | CAST(floor(CAST(total_tokens AS DOUBLE)
+       |   * (w / CAST(sum_w AS DOUBLE))) AS BIGINT) AS effective_tokens
+       |FROM scaled CROSS JOIN totals
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_hash_split" -> (s1 _),
     "s2_shuffle_order" -> (s2 _),
     "s3_mix_weights" -> (s3 _),
+    "s4_temperature_mix" -> (s4 _),
   )
 
   val oracles: Map[String, String] = Map(
     "s1_hash_split" -> s1Sql,
     "s2_shuffle_order" -> s2Sql,
     "s3_mix_weights" -> s3Sql,
+    "s4_temperature_mix" -> s4Sql,
   )
 }
