@@ -234,12 +234,48 @@ object KeyOps {
       |WHERE COALESCE(i.account, j.account) < 50
       |ORDER BY account""".stripMargin
 
+  // K6 — AccountId20 (H160) derivation join: both sides derive the EVM
+  // address of a synthetic 32-byte account id (two md5 halves — md5 is
+  // identical cross-engine) through `pubkey_to_h160`, whose
+  // first-20-bytes semantics DuckDB reproduces as a substring — so the
+  // Moonbeam-class address normalization (P12, ref paraTool.js:517) is
+  // verified under the hash gate, not just by golden vectors.
+  private def k6(s: SparkSession, d: String): DataFrame = {
+    Udfs.register(s)
+    def pubkey(key: String) =
+      s"concat('0x', md5(CAST($key AS STRING)), " +
+        s"md5(concat(CAST($key AS STRING), 'x')))"
+    val dim = Tables.nation(s, d)
+      .selectExpr("n_name",
+        s"pubkey_to_h160(${pubkey("n_nationkey")}) AS h160")
+    val fact = Tables.supplier(s, d)
+      .selectExpr(s"pubkey_to_h160(${pubkey("s_nationkey")}) AS h160")
+      .groupBy(col("h160"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    fact.join(broadcast(dim), Seq("h160"))
+      .select(col("n_name"), col("h160"), col("n_suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  private val k6Sql = {
+    def h160(key: String) =
+      s"'0x' || substr(md5(CAST($key AS VARCHAR)) || " +
+        s"md5(CAST($key AS VARCHAR) || 'x'), 1, 40)"
+    s"""SELECT n_name, f.h160, n_suppliers
+       |FROM (SELECT ${h160("s_nationkey")} AS h160,
+       |   count(*) AS n_suppliers FROM supplier GROUP BY 1) f
+       |JOIN (SELECT n_name, ${h160("n_nationkey")} AS h160
+       |  FROM nation) d ON f.h160 = d.h160
+       |ORDER BY n_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
     "k4_related_accounts" -> (k4 _),
     "k5_identity_state" -> (k5 _),
+    "k6_h160_join" -> (k6 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,5 +284,6 @@ object KeyOps {
     "k3_author_attribution" -> k3Sql,
     "k4_related_accounts" -> k4Sql,
     "k5_identity_state" -> k5Sql,
+    "k6_h160_join" -> k6Sql,
   )
 }
