@@ -379,6 +379,38 @@ object WindowOps {
        | ON s.event_type = l.event_type AND s.bucket = l.bucket
        |ORDER BY s.event_type, bucket_us""".stripMargin
 
+  // W8 — daily VWAP per series (ref priceManager.js price aggregation:
+  // the reference weights price points by traded volume when rolling
+  // OHLCV into daily series). Synthetic volume derives from event_id
+  // identically in both engines; the Σ(p·v) and Σ(v) accumulators ride
+  // DECIMAL(38,6) so the quotient is partition-order-independent — one
+  // map-side-combined hash aggregate, no window, no shuffle beyond the
+  // (type, day) group keys.
+  private def w8(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("vol", (col("event_id") % 100 + 1).cast("double"))
+      .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+      .agg(
+        decOut(sum(dec6(col("value") * col("vol")))).as("pv_sum"),
+        decOut(sum(dec6(col("vol")))).as("volume"),
+        count(lit(1)).as("n_trades"))
+      .withColumn("vwap", round(
+        col("pv_sum").cast("double") / col("volume").cast("double"), 6))
+      .select(col("event_type"), col("day"), col("vwap"), col("volume"),
+        col("n_trades"))
+      .orderBy(col("event_type"), col("day"))
+
+  private val w8Sql =
+    s"""SELECT event_type, day,
+       | round(CAST(pv_sum AS DOUBLE) / CAST(volume AS DOUBLE), 6) AS vwap,
+       | volume, n_trades
+       |FROM (SELECT event_type, ${sqlDay(TS)} AS day,
+       |  ${sqlDecOut("sum(CAST(\"value\" * (event_id % 100 + 1) AS DECIMAL(38,6)))")} AS pv_sum,
+       |  ${sqlDecOut("sum(CAST(CAST(event_id % 100 + 1 AS DOUBLE) AS DECIMAL(38,6)))")} AS volume,
+       |  count(*) AS n_trades
+       | FROM events GROUP BY 1, 2)
+       |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),
     "w3_top1_per_group" -> (w3 _),
@@ -386,6 +418,7 @@ object WindowOps {
     "w5_keyset_page" -> (w5 _),
     "w6_sessionize" -> (w6 _),
     "w7_price_gapfill" -> (w7 _),
+    "w8_vwap" -> (w8 _),
     "t1_topn" -> (t1 _),
     "t2_shipping_priority" -> (t2 _),
     "t3_union_roles" -> (t3 _),
@@ -404,6 +437,7 @@ object WindowOps {
     "w5_keyset_page" -> w5Sql,
     "w6_sessionize" -> w6Sql,
     "w7_price_gapfill" -> w7Sql,
+    "w8_vwap" -> w8Sql,
     "t1_topn" -> t1Sql,
     "t2_shipping_priority" -> t2Sql,
     "t3_union_roles" -> t3Sql,
