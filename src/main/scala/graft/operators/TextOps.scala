@@ -306,7 +306,45 @@ object TextOps {
       |  WHERE len(word) >= 2))
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // X10 — scrub-audit statistics: per-source counts of PII-ish patterns
+  // (email-like tokens, URL-like tokens) — the audit a pre-training
+  // scrub pass reports before/after redaction. Patterns stay inside the
+  // regex subset Java and RE2/DuckDB agree on (character classes, `+`,
+  // literal dot — no lookaround, no `\w`-class dialect drift), the same
+  // parity discipline x5's pre-tokenizer established. Pure per-row
+  // regexp_extract_all + one hash aggregate.
+  private val EmailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+  private val UrlPat = "https?://[a-z0-9./_-]+"
+
+  private def x10(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(expr(s"regexp_extract_all(lower(text), '$EmailPat', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(lower(text), '$UrlPat', 0)"))
+          .cast("long").as("n_urls"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("total_emails"),
+        sum((col("n_emails") > 0).cast("long")).as("docs_with_email"),
+        sum(col("n_urls")).as("total_urls"),
+        sum((col("n_urls") > 0).cast("long")).as("docs_with_url"))
+      .orderBy(col("source"))
+
+  private val x10Sql =
+    s"""SELECT source, count(*) AS n_docs,
+       | sum(n_emails) AS total_emails,
+       | sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+       | sum(n_urls) AS total_urls,
+       | sum(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END) AS docs_with_url
+       |FROM (SELECT source,
+       |  len(regexp_extract_all(lower(text), '$EmailPat')) AS n_emails,
+       |  len(regexp_extract_all(lower(text), '$UrlPat')) AS n_urls
+       | FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_scrub_stats" -> (x10 _),
     "x1_text_stats" -> (x1 _),
     "x2_quality_score" -> (x2 _),
     "x3_langid" -> (x3 _),
@@ -327,5 +365,6 @@ object TextOps {
     "x6_repetition" -> x6Sql,
     "x7_length_quantiles" -> x7Sql,
     "x9_bpe_pairs" -> x9Sql,
+    "x10_scrub_stats" -> x10Sql,
   )
 }
