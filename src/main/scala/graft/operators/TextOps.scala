@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -306,15 +306,20 @@ object TextOps {
       |  WHERE len(word) >= 2))
       |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
-  // X10 — scrub-audit statistics: per-source counts of PII-ish patterns
-  // (email-like tokens, URL-like tokens) — the audit a pre-training
-  // scrub pass reports before/after redaction. Patterns stay inside the
-  // regex subset Java and RE2/DuckDB agree on (character classes, `+`,
-  // literal dot — no lookaround, no `\w`-class dialect drift), the same
-  // parity discipline x5's pre-tokenizer established. Pure per-row
+  // X10 — scrub-audit statistics: per-source counts of scrub-target
+  // patterns (email-like tokens, URL-like tokens, blocklisted terms) —
+  // the audit a pre-training scrub pass reports before redaction.
+  // Patterns stay inside the regex subset Java and RE2/DuckDB agree on
+  // (character classes, `+`, alternation, literal dot — no lookaround,
+  // no `\w`-class dialect drift), the same parity discipline x5's
+  // pre-tokenizer established. The synthetic corpus contains no
+  // emails/URLs, so those paths are additionally pinned on planted
+  // strings by TextPropertySpec; the blocklist term exercises the
+  // machinery with real rows under the hash gate. Pure per-row
   // regexp_extract_all + one hash aggregate.
-  private val EmailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
-  private val UrlPat = "https?://[a-z0-9./_-]+"
+  private[operators] val EmailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+  private[operators] val UrlPat = "https?://[a-z0-9./_-]+"
+  private[operators] val BlockPat = "customer|supplier"
 
   private def x10(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -322,13 +327,16 @@ object TextOps {
         size(expr(s"regexp_extract_all(lower(text), '$EmailPat', 0)"))
           .cast("long").as("n_emails"),
         size(expr(s"regexp_extract_all(lower(text), '$UrlPat', 0)"))
-          .cast("long").as("n_urls"))
+          .cast("long").as("n_urls"),
+        size(expr(s"regexp_extract_all(lower(text), '$BlockPat', 0)"))
+          .cast("long").as("n_blocked"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_emails")).as("total_emails"),
         sum((col("n_emails") > 0).cast("long")).as("docs_with_email"),
         sum(col("n_urls")).as("total_urls"),
-        sum((col("n_urls") > 0).cast("long")).as("docs_with_url"))
+        sum(col("n_blocked")).as("total_blocked"),
+        sum((col("n_blocked") > 0).cast("long")).as("docs_with_blocked"))
       .orderBy(col("source"))
 
   private val x10Sql =
@@ -336,15 +344,50 @@ object TextOps {
        | sum(n_emails) AS total_emails,
        | sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS docs_with_email,
        | sum(n_urls) AS total_urls,
-       | sum(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END) AS docs_with_url
+       | sum(n_blocked) AS total_blocked,
+       | sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS docs_with_blocked
        |FROM (SELECT source,
        |  len(regexp_extract_all(lower(text), '$EmailPat')) AS n_emails,
-       |  len(regexp_extract_all(lower(text), '$UrlPat')) AS n_urls
+       |  len(regexp_extract_all(lower(text), '$UrlPat')) AS n_urls,
+       |  len(regexp_extract_all(lower(text), '$BlockPat')) AS n_blocked
        | FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // X11 — the operative scrub: redact email/URL/blocklist tokens to
+  // placeholder tags (what the pipeline actually ships after x10's
+  // audit). The redacted TEXT itself is hash-verified cross-engine —
+  // DuckDB's regexp_replace needs the 'g' flag to match Spark's
+  // replace-all semantics. Bounded to doc_id < 300 so the gate hashes
+  // whole redacted documents without dominating verify time.
+  /** Replace-all scrub shared by the query and the serve/spec paths. */
+  def scrub(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(textCol), EmailPat, "<EMAIL>"),
+        UrlPat, "<URL>"),
+      BlockPat, "<ENTITY>")
+
+  private def x11(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .withColumn("redacted", scrub(col("text")))
+      .filter(col("redacted") =!= lower(col("text")))
+      .select(col("doc_id"), col("source"), col("redacted"))
+      .orderBy(col("doc_id"))
+
+  private val x11Sql = {
+    val redact = s"""regexp_replace(regexp_replace(regexp_replace(
+       |   lower(text), '$EmailPat', '<EMAIL>', 'g'),
+       |   '$UrlPat', '<URL>', 'g'), '$BlockPat', '<ENTITY>', 'g')"""
+    s"""SELECT doc_id, source, $redact AS redacted
+       |FROM documents
+       |WHERE doc_id < 300 AND $redact <> lower(text)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x10_scrub_stats" -> (x10 _),
+    "x11_redact" -> (x11 _),
     "x1_text_stats" -> (x1 _),
     "x2_quality_score" -> (x2 _),
     "x3_langid" -> (x3 _),
@@ -366,5 +409,6 @@ object TextOps {
     "x7_length_quantiles" -> x7Sql,
     "x9_bpe_pairs" -> x9Sql,
     "x10_scrub_stats" -> x10Sql,
+    "x11_redact" -> x11Sql,
   )
 }

@@ -32,4 +32,22 @@ class TextPropertySpec extends AnyFunSuite {
         s"$src p90: sketch $p90Ap vs exact $p90Ex")
     }
   }
+
+  test("scrub redacts planted emails/URLs/blocklist terms") {
+    // the synthetic corpus has no emails/URLs (x10's blocklist term is
+    // what the oracle exercises), so the email/URL paths are pinned here
+    // on planted strings
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "Contact bob1@example.com or see https://docs.example.org/a_b now",
+      "the customer met a supplier yesterday",
+      "nothing sensitive here").toDF("text")
+      .select(graft.operators.TextOps.scrub(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "contact <EMAIL> or see <URL> now")
+    assert(rows(1) == "the <ENTITY> met a <ENTITY> yesterday")
+    assert(rows(2) == "nothing sensitive here")
+  }
 }
