@@ -38,6 +38,11 @@ trait ChainParser extends Serializable {
     * (ref chains/parallel.js:1187 isParallelLiquidityPair; generic
     * chains have no LP convention). */
   def isLiquidityPair(symbol: String): Boolean = false
+
+  /** Whether an event feeds the reward extraction (ref
+    * chainparser.js rewardFilter; astar.js:880 widens it). */
+  def isRewardEvent(section: String, method: String): Boolean =
+    section == "staking" && method == "Rewarded"
 }
 
 /** Generic substrate parser — the default for every chain. */
@@ -133,11 +138,46 @@ case class InterlayParser(chainId: Int) extends ChainParser {
     symbol.trim.startsWith("[") // DexShare pair = 2-element array asset
 }
 
+/** Astar-style EVM+WASM hybrid (ref chains/astar.js): dappsStaking
+  * Reward events join the reward feed (astar.js:880 rewardFilter), and
+  * each reward names a smart contract as an Evm(H160)/Wasm(AccountId)
+  * enum (astar.js:889 prepareFeedReward) — the extraction projects the
+  * variant into (kind, key) columns from the metadata-tier JSON
+  * (StandardPallets.dappsStaking). */
+case class AstarParser(chainId: Int) extends ChainParser {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  override def isRewardEvent(section: String, method: String): Boolean =
+    (section == "dappsStaking" && method == "Reward") ||
+      super.isRewardEvent(section, method)
+
+  /** dApp-staking reward rows from the decoded events table:
+    * (account, contract kind evm|wasm, contract key, era, amount). */
+  def dappRewards(events: DataFrame): DataFrame =
+    events
+      .filter(col("section") === "dappsStaking" &&
+        col("method") === "Reward")
+      .select(
+        col("event_id"),
+        get_json_object(col("data"), "$.account").as("account_pub"),
+        lower(get_json_object(col("data"), "$.contract.variant"))
+          .as("contract_kind"),
+        coalesce(
+          get_json_object(col("data"), "$.contract.address"),
+          get_json_object(col("data"), "$.contract.account"))
+          .as("contract_key"),
+        get_json_object(col("data"), "$.era").cast("long").as("era"),
+        get_json_object(col("data"), "$.amount").cast("decimal(38,0)")
+          .as("amount"))
+}
+
 object ChainParser {
   /** Dispatch (ref indexer.js:6697 setup_chainParser). */
   def forChain(chainId: Int): ChainParser = chainId match {
     case 2000 | 22000 => AcalaParser(chainId)    // Acala / Karura
     case 2004 | 22023 => MoonbeamParser(chainId) // Moonbeam / Moonriver
+    case 2006 | 22007 => AstarParser(chainId)    // Astar / Shiden
     case 2012 | 22085 => ParallelParser(chainId) // Parallel / Heiko
     case 2032 | 22092 => InterlayParser(chainId) // Interlay / Kintsugi
     case id => GenericParser(id)

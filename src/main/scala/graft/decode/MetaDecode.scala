@@ -260,6 +260,26 @@ object MetaDecode {
         ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
           "registrarIndex" -> U32, "judgement" -> Judgement))))
 
+    /** Astar-style dApp-staking pallet (ref chains/astar.js:889):
+      * the Reward event names its smart contract as an Evm(H160) /
+      * Wasm(AccountId32) enum. */
+    def dappsStaking(index: Int): PalletDef = PalletDef(index,
+      "dappsStaking",
+      calls = Seq(
+        ItemDef(3, "bondAndStake", Seq(
+          "contract" -> Enum(Seq(
+            "Evm" -> Seq("address" -> FixedBytes(20)),
+            "Wasm" -> Seq("account" -> AccountId))),
+          "value" -> CompactInt))),
+      events = Seq(
+        ItemDef(5, "Reward", Seq(
+          "account" -> AccountId,
+          "contract" -> Enum(Seq(
+            "Evm" -> Seq("address" -> FixedBytes(20)),
+            "Wasm" -> Seq("account" -> AccountId))),
+          "era" -> U32,
+          "amount" -> U128))))
+
     /** Staking pallet subset — `nominate` is the input of the
       * nominator→validator edge build (ref docs/StakingAnalytics.md:
       * stakings rows with `targets` arrays, exploded in SQL). The

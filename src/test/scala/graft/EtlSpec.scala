@@ -84,6 +84,50 @@ class EtlSpec extends AnyFunSuite {
     assert(!p.isLiquidityPair("INTR"))
   }
 
+  test("Astar parser: dappsStaking rewards from metadata-tier bytes") {
+    import graft.decode.{AstarParser, BlockDecode}
+    import graft.decode.BlockDecode.{EventMeta, RuntimeMeta}
+    import graft.decode.MetaDecode.StandardPallets
+    import graft.functions.Codec
+    assert(ChainParser.forChain(2006) == AstarParser(2006))
+    val p = AstarParser(2006)
+    assert(p.isRewardEvent("dappsStaking", "Reward"))
+    assert(p.isRewardEvent("staking", "Rewarded"))
+    assert(!GenericParser(0).isRewardEvent("dappsStaking", "Reward"))
+    // raw SCALE: Reward(alice, Evm(0xcd..20 bytes), era 68, 7e12)
+    val alice = Codec.hexToBytes(
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d")
+    val h160 = Array.tabulate[Byte](20)(i => (0xb0 + i).toByte)
+    def u32le(v: Long) =
+      Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+    val amtLe = {
+      val le = BigInt(7000000000000L).toByteArray.dropWhile(_ == 0).reverse
+      le ++ Array.fill[Byte](16 - le.length)(0)
+    }
+    val ev = (Codec.compactEncode(BigInt(1)) ++ Array(0.toByte) ++
+      u32le(0) ++ Array(34.toByte, 5.toByte) ++ alice ++
+      Array(0.toByte) ++ h160 ++ u32le(68) ++ amtLe ++
+      Codec.compactEncode(BigInt(0))).toArray
+    val meta = RuntimeMeta(100, 18,
+      calls = Seq.empty,
+      events = Seq(EventMeta(0, 0, "system", "ExtrinsicSuccess")),
+      pallets = Seq(StandardPallets.dappsStaking(34)))
+    val decoded = BlockDecode.decodeEvents(Codec.bytesToHex(ev), meta)
+    assert(decoded.head.section == "dappsStaking" &&
+      decoded.head.method == "Reward")
+    // extraction over the decoded-events table shape
+    val events = Seq(("1-0-0", decoded.head.section, decoded.head.method,
+        decoded.head.data))
+      .toDF("event_id", "section", "method", "data")
+    val r = p.dappRewards(events).collect().head
+    assert(r.getAs[String]("account_pub") == Codec.bytesToHex(alice))
+    assert(r.getAs[String]("contract_kind") == "evm")
+    assert(r.getAs[String]("contract_key") == Codec.bytesToHex(h160))
+    assert(r.getAs[Long]("era") == 68L)
+    assert(r.getAs[java.math.BigDecimal]("amount").longValueExact
+      == 7000000000000L)
+  }
+
   test("parser asset-key override reaches Dump's transfers projection") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
     val alicePub =
