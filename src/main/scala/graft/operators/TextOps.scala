@@ -341,11 +341,11 @@ object TextOps {
 
   private val x10Sql =
     s"""SELECT source, count(*) AS n_docs,
-       | sum(n_emails) AS total_emails,
-       | sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS docs_with_email,
-       | sum(n_urls) AS total_urls,
-       | sum(n_blocked) AS total_blocked,
-       | sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS docs_with_blocked
+       | ${sqlLsum("n_emails")} AS total_emails,
+       | ${sqlLsum("CASE WHEN n_emails > 0 THEN 1 ELSE 0 END")} AS docs_with_email,
+       | ${sqlLsum("n_urls")} AS total_urls,
+       | ${sqlLsum("n_blocked")} AS total_blocked,
+       | ${sqlLsum("CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END")} AS docs_with_blocked
        |FROM (SELECT source,
        |  len(regexp_extract_all(lower(text), '$EmailPat')) AS n_emails,
        |  len(regexp_extract_all(lower(text), '$UrlPat')) AS n_urls,
