@@ -80,7 +80,8 @@ object StakingAnalytics {
             org.apache.spark.sql.types.StringType)).as("targets"),
         col("block_number"), col("extrinsic_id"))
     val w = Window.partitionBy(col("chain_id"), col("nominator_pub"))
-      .orderBy(col("block_number").desc, col("extrinsic_id").desc)
+      .orderBy(col("block_number").desc,
+        graft.etl.idIdx(col("extrinsic_id")).desc)
     acts.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("is_nominate"))
       .select(col("chain_id"), col("nominator_pub"),

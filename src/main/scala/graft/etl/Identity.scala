@@ -27,7 +27,7 @@ object Identity {
 
   private def latestWins(df: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("block_number").desc, col("extrinsic_id").desc)
+      .orderBy(col("block_number").desc, idIdx(col("extrinsic_id")).desc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
   }
@@ -63,7 +63,11 @@ object Identity {
         (col("call_method") === "addSub").as("is_add"),
         get_json_object(col("call_args"), "$.name").as("subname"),
         col("block_number"), col("extrinsic_id"))
-    latestWins(actions, Seq("parent_pub", "sub_pub"))
+    // Latest-wins per sub_pub ALONE: the pallet's SuperOf mapping is one
+    // parent per sub, so a later addSub by a different parent replaces
+    // the old edge — keying by (parent, sub) kept both and duplicated
+    // the sub's row in the dimension (fanning out decorate's join).
+    latestWins(actions, Seq("sub_pub"))
       .filter(col("is_add"))
       .select(col("sub_pub"), col("parent_pub"), col("subname"))
   }
@@ -82,7 +86,7 @@ object Identity {
           .as("judgement"),
         col("block_number"), col("event_id"))
     val w = Window.partitionBy(col("pubkey"), col("registrar"))
-      .orderBy(col("block_number").desc, col("event_id").desc)
+      .orderBy(col("block_number").desc, idIdx(col("event_id")).desc)
     j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("pubkey"))
       .agg(count(lit(1)).as("n_judgements"),

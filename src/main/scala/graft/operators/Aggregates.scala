@@ -368,11 +368,17 @@ object Aggregates {
     // Sizes the recursion + picks the stitch-join strategy. An empty
     // input short-circuits (no gaps by definition).
     val maxKey = df.agg(max(k)).head().get(0)
-    if (maxKey == null) return df.sparkSession.emptyDataFrame
-      .withColumn("prev_key", lit(null).cast("long"))
-      .withColumn(key, lit(null).cast("long"))
-      .withColumn("gap_size", lit(null).cast("long"))
-      .select(col("prev_key"), col(key), col("gap_size"))
+    if (maxKey == null) {
+      // Empty-input schema must match the nonempty plan's exactly (same
+      // key type, not a hardcoded long) or downstream unions/writes that
+      // see both shapes break.
+      val kt = df.schema(key).dataType
+      return df.sparkSession.emptyDataFrame
+        .withColumn("prev_key", lit(null).cast(kt))
+        .withColumn(key, lit(null).cast(kt))
+        .withColumn("gap_size", lit(null).cast(kt))
+        .select(col("prev_key"), col(key), col("gap_size"))
+    }
     val grainUpper =
       maxKey.toString.toLong / bucketSize + 1 // nonempty buckets ≤ this
     val bounds = keys.groupBy(col("bkt"))
