@@ -1,0 +1,220 @@
+package graft
+
+import graft.decode.{BlockDecode, MetaDecode, MetadataV14}
+import graft.decode.BlockDecode.RuntimeMeta
+import graft.decode.MetaDecode._
+import graft.functions.Codec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata v14 blob → PalletDef registry → raw byte decode, end to
+  * end: the fixture below is a genuine v14-format blob (magic, portable
+  * type registry, pallets with storage/constants to skip over) ENCODED
+  * by the test and PARSED by MetadataV14 — then a raw `proxy.addProxy`
+  * extrinsic decodes through the PARSED registry (no hand-written
+  * PalletDef anywhere), closing the P1 "onboard a chain from its
+  * metadata hex" step (ref crawler.js:1621-1628, indexer.js:6676). */
+class MetadataV14Spec extends AnyFunSuite {
+
+  // ---- test-side SCALE encoder ----
+  private def cp(v: Long): Array[Byte] = Codec.compactEncode(BigInt(v))
+  private def u8(v: Int): Array[Byte] = Array(v.toByte)
+  private def u32le(v: Long): Array[Byte] =
+    Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte)
+  private def b(xs: Array[Byte]*): Array[Byte] = xs.flatten.toArray
+  private def str(x: String): Array[Byte] =
+    b(cp(x.length.toLong), x.getBytes("UTF-8"))
+  private def vecOf(items: Array[Byte]*): Array[Byte] =
+    b(cp(items.length.toLong) +: items: _*)
+  private val none = u8(0)
+  private def some(x: Array[Byte]) = b(u8(1), x)
+
+  private def field(name: Option[String], ty: Long): Array[Byte] =
+    b(name.map(n => some(str(n))).getOrElse(none), cp(ty),
+      none /* type_name */, vecOf() /* docs */)
+
+  private def variant(name: String, fields: Seq[Array[Byte]],
+      idx: Int): Array[Byte] =
+    b(str(name), vecOf(fields: _*), u8(idx), vecOf() /* docs */)
+
+  /** One registry entry: id ‖ Si1Type{path, params, def, docs}. */
+  private def typ(id: Long, path: Seq[String],
+      defBytes: Array[Byte]): Array[Byte] =
+    b(cp(id), vecOf(path.map(str): _*), vecOf() /* type_params */,
+      defBytes, vecOf() /* docs */)
+
+  private def composite(fields: Array[Byte]*) = b(u8(0), vecOf(fields: _*))
+  private def variants(vs: Array[Byte]*) = b(u8(1), vecOf(vs: _*))
+  private def sequence(elem: Long) = b(u8(2), cp(elem))
+  private def array(len: Int, elem: Long) = b(u8(3), u32le(len), cp(elem))
+  private def primitive(p: Int) = b(u8(5), u8(p))
+  private def compactOf(elem: Long) = b(u8(6), cp(elem))
+
+  // ---- the fixture registry ----
+  // ids: 0=u8 1=u32 2=u128 3=AccountId32 4=[u8;32] 5=MultiAddress
+  // 6=ProxyType(holey) 7=Compact<u128> 8=Vec<AccountId32>
+  // 9=Option<Timepoint> 10=Timepoint 11=RuntimeCall 12=u16 13=str
+  // 14=proxy Call 15=multisig Call 16=proxy Event
+  private val registry = vecOf(
+    typ(0, Seq.empty, primitive(3)),
+    typ(1, Seq.empty, primitive(5)),
+    typ(2, Seq.empty, primitive(7)),
+    typ(3, Seq("sp_core", "crypto", "AccountId32"),
+      composite(field(None, 4))),
+    typ(4, Seq.empty, array(32, 0)),
+    typ(5, Seq("sp_runtime", "multiaddress", "MultiAddress"),
+      variants(variant("Id", Seq(field(None, 3)), 0))),
+    // deliberate HOLE at index 1 (a retired variant): Any=0, Governance=2
+    typ(6, Seq("runtime", "ProxyType"),
+      variants(variant("Any", Seq.empty, 0),
+        variant("Governance", Seq.empty, 2),
+        variant("Staking", Seq.empty, 3))),
+    typ(7, Seq.empty, compactOf(2)),
+    typ(8, Seq.empty, sequence(3)),
+    typ(9, Seq("Option"),
+      variants(variant("None", Seq.empty, 0),
+        variant("Some", Seq(field(None, 10)), 1))),
+    typ(10, Seq("pallet_multisig", "Timepoint"),
+      composite(field(Some("height"), 1), field(Some("index"), 1))),
+    // self-referential runtime call enum — resolve() must break the
+    // cycle via the path, never read this def as a field type
+    typ(11, Seq("runtime", "RuntimeCall"),
+      variants(variant("Proxy", Seq(field(None, 14)), 29))),
+    typ(12, Seq.empty, primitive(4)),
+    typ(13, Seq.empty, primitive(2)),
+    typ(14, Seq("pallet_proxy", "pallet", "Call"),
+      variants(
+        variant("add_proxy", Seq(field(Some("delegate"), 5),
+          field(Some("proxy_type"), 6), field(Some("delay"), 1)), 1),
+        variant("remove_proxy", Seq(field(Some("delegate"), 5),
+          field(Some("proxy_type"), 6), field(Some("delay"), 1)), 2))),
+    typ(15, Seq("pallet_multisig", "pallet", "Call"),
+      variants(
+        variant("as_multi", Seq(field(Some("threshold"), 12),
+          field(Some("other_signatories"), 8),
+          field(Some("maybe_timepoint"), 9),
+          field(Some("call"), 11), field(Some("max_weight"), 7)), 1))),
+    typ(16, Seq("pallet_proxy", "pallet", "Event"),
+      variants(variant("ProxyAdded", Seq(field(Some("delegator"), 3),
+        field(Some("delegatee"), 3), field(Some("proxy_type"), 6),
+        field(Some("delay"), 1)), 2))))
+
+  // storage + constants content is structurally consumed, never
+  // interpreted — give Proxy both so the parser must skip them right
+  private val proxyStorage = some(b(str("Proxy"), vecOf(
+    b(str("Proxies"), u8(0) /* modifier */,
+      u8(1) /* Map */, vecOf(u8(2) /* hasher */), cp(3), cp(8),
+      b(cp(1), u8(0)) /* default bytes */, vecOf() /* docs */),
+    b(str("Announcements"), u8(1), u8(0) /* Plain */, cp(1),
+      b(cp(4), u8(1), u8(2), u8(3), u8(4)), vecOf()))))
+
+  private val proxyConstants = vecOf(
+    b(str("ProxyDepositBase"), cp(2), b(cp(16),
+      Array.fill[Byte](16)(7)), vecOf()))
+
+  private def palletBytes(name: String, storage: Array[Byte],
+      callsTy: Option[Long], eventTy: Option[Long],
+      constants: Array[Byte], errorTy: Option[Long],
+      index: Int): Array[Byte] =
+    b(str(name), storage,
+      callsTy.map(t => some(cp(t))).getOrElse(none),
+      eventTy.map(t => some(cp(t))).getOrElse(none),
+      constants,
+      errorTy.map(t => some(cp(t))).getOrElse(none),
+      u8(index))
+
+  private val blob = b(
+    Array[Byte](0x6d, 0x65, 0x74, 0x61), // "meta"
+    u8(14),
+    registry,
+    vecOf(
+      palletBytes("Proxy", proxyStorage, Some(14L), Some(16L),
+        proxyConstants, Some(13L), 29),
+      palletBytes("Multisig", none, Some(15L), None, vecOf(),
+        None, 30)),
+    // extrinsic meta + runtime type id (unread tail)
+    b(cp(11), u8(4), vecOf(), cp(11)))
+
+  private lazy val parsed = MetadataV14.parse(blob)
+
+  test("parses pallets, item indices, and name conventions") {
+    assert(parsed.map(_.name) == Seq("proxy", "multisig"))
+    val proxy = parsed.find(_.name == "proxy").get
+    assert(proxy.index == 29)
+    val add = proxy.calls.find(_.name == "addProxy").get
+    assert(add.index == 1)
+    assert(add.fields.map(_._1) == Seq("delegate", "proxyType", "delay"))
+    assert(add.fields.map(_._2) == Seq(MultiAddress,
+      Enum(Seq("Any" -> Seq.empty, "__unused1" -> Seq.empty,
+        "Governance" -> Seq.empty, "Staking" -> Seq.empty)), U32))
+    assert(proxy.events ==
+      Seq(ItemDef(2, "ProxyAdded", Seq("delegator" -> AccountId,
+        "delegatee" -> AccountId, "proxyType" -> add.fields(1)._2,
+        "delay" -> U32))))
+  }
+
+  test("resolves nested/option/vec/compact shapes for multisig") {
+    val ms = parsed.find(_.name == "multisig").get
+    assert(ms.index == 30)
+    assert(ms.calls == Seq(ItemDef(1, "asMulti", Seq(
+      "threshold" -> U16,
+      "otherSignatories" -> Vec(AccountId),
+      "maybeTimepoint" -> Opt(Struct(Seq("height" -> U32,
+        "index" -> U32))),
+      "call" -> CallType,
+      "maxWeight" -> CompactInt))))
+  }
+
+  // ---- raw bytes through the PARSED registry ----
+
+  private val alice = Codec.hexToBytes(
+    "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d")
+  private val bob = Codec.hexToBytes(
+    "8eaf04151687736326c9fea17e25fc5287613693c912909cb226aa4794f26a48")
+
+  private lazy val meta = RuntimeMeta(100, 10, calls = Seq.empty,
+    events = Seq.empty, pallets = parsed)
+
+  test("decodes a raw addProxy call through the parsed registry") {
+    // pallet 29 ‖ call 1 ‖ MultiAddress::Id(bob) ‖ ProxyType tag 2 ‖
+    // delay u32
+    val call = b(u8(29), u8(1), u8(0), bob, u8(2), u32le(5))
+    val node = BlockDecode.decodeCall(new BlockDecode.Cursor(call), meta)
+    assert(node.section == "proxy" && node.method == "addProxy")
+    assert(node.args ==
+      s"""{"delegate":"${Codec.bytesToHex(bob)}",""" +
+        """"proxyType":{"variant":"Governance"},"delay":5}""")
+  }
+
+  test("decodes a nested asMulti (CallType recursion) with Option") {
+    val inner = b(u8(29), u8(1), u8(0), bob, u8(0), u32le(0))
+    val call = b(u8(30), u8(1),
+      Array.tabulate(2)(i => (i + 1).toByte).take(2), // u16 threshold LE
+      cp(1), alice, // other_signatories: Vec[1]
+      u8(1), u32le(77), u32le(3), // Some(Timepoint{77,3})
+      inner,
+      cp(42)) // max_weight
+    val node = BlockDecode.decodeCall(new BlockDecode.Cursor(call), meta)
+    assert(node.section == "multisig" && node.method == "asMulti")
+    assert(node.calls.map(c => (c.section, c.method)) ==
+      Seq(("proxy", "addProxy")))
+    assert(node.args.contains(""""threshold":513"""))
+    assert(node.args.contains(
+      s""""otherSignatories":["${Codec.bytesToHex(alice)}"]"""))
+    assert(node.args.contains(
+      """"maybeTimepoint":{"height":77,"index":3}"""))
+    assert(node.args.contains(""""maxWeight":42"""))
+  }
+
+  test("rejects bad magic and non-v14 versions") {
+    val badMagic = blob.clone(); badMagic(0) = 0x00
+    assertThrows[IllegalArgumentException](MetadataV14.parse(badMagic))
+    val badVer = blob.clone(); badVer(4) = 13
+    assertThrows[IllegalArgumentException](MetadataV14.parse(badVer))
+  }
+
+  test("name conventions: lowerCamel pallet, snake_case items") {
+    assert(MetadataV14.lowerCamel("DappsStaking") == "dappsStaking")
+    assert(MetadataV14.snakeToCamel("bond_and_stake") == "bondAndStake")
+    assert(MetadataV14.snakeToCamel("nominate") == "nominate")
+  }
+}
