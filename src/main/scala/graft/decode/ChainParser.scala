@@ -172,6 +172,58 @@ case class AstarParser(chainId: Int) extends ChainParser {
           .as("amount"))
 }
 
+/** Bifrost-style liquid-staking parachain (ref chains/bifrost.js, whose
+  * behavior lives in the base chainparser.js bifrost branches:89-109 —
+  * native/stable/vsToken currency normalization; substrateetl.js:
+  * 1070-1080 VSBond digit-group cleanup; chainparser.js:5346-5351 the
+  * VS symbol prefix; xcmgarlib3.js:539 VToken voucher symbols). The
+  * ORML currency enum's liquid-staking variants normalize into the
+  * canonical registry key space:
+  *  - `{"native":X}` / `{"stable":X}` → `{"Token":X}`;
+  *  - `{"vsToken":X}` (voucher slot) → `{"Token":"VSX"}`;
+  *  - `{"vToken":X}` (voucher) → `{"VToken":X}`, symbol `vX`;
+  *  - VSBond values drop digit-grouping commas
+  *    (`"02,000,6,13"` → `"02000613"`). */
+case class BifrostParser(chainId: Int) extends ChainParser {
+
+  /** Single-key ORML currency object, e.g. `{"vsToken":"KSM"}`. */
+  private val KeyVal =
+    """\{\s*"([A-Za-z0-9]+)"\s*:\s*(.+?)\s*\}""".r
+
+  private def unq(v: String): String = v.stripPrefix("\"").stripSuffix("\"")
+  private def q(v: String): String = s""""$v""""
+
+  override def assetKey(currency: String): String = {
+    val trimmed = currency.trim
+    val norm = trimmed match {
+      case KeyVal(k, v) => k.toLowerCase match {
+        case "native" | "stable" | "token" => s"""{"Token":${q(unq(v))}}"""
+        case "vstoken" => s"""{"Token":"VS${unq(v)}"}"""
+        case "vtoken" => s"""{"VToken":${q(unq(v))}}"""
+        case "vtoken2" => s"""{"VToken2":${q(unq(v))}}"""
+        case "token2" => s"""{"Token2":${q(unq(v))}}"""
+        case kb if kb.startsWith("vsbond") =>
+          // strip digit-grouping commas only (between digits), keeping
+          // JSON array separators intact: ["2,000","6"] → ["2000","6"]
+          s"""{"VSBond2":${v.replaceAll("(?<=\\d),(?=\\d)", "")}}"""
+        case _ => trimmed // unknown currency shape: pass through
+      }
+      case j if j.startsWith("{") || j.startsWith("[") => trimmed
+      case sym => s"""{"Token":"$sym"}"""
+    }
+    Codec.makeAssetChain(norm, chainId)
+  }
+
+  /** Registry symbol for a voucher token (xcmgarlib3.js:539 vBNC/vKSM). */
+  def voucherSymbol(sym: String): String = s"v$sym"
+
+  /** Registry symbol/name for a voucher-SLOT token — the "erroneous/
+    * ambiguous symbol representation" fixup (chainparser.js:5346-5351):
+    * symbol gains `VS`, name gains the Bifrost Voucher Slot prefix. */
+  def voucherSlot(sym: String, name: String): (String, String) =
+    (s"VS$sym", s"Bifrost Voucher Slot $name")
+}
+
 object ChainParser {
   /** Dispatch (ref indexer.js:6697 setup_chainParser). */
   def forChain(chainId: Int): ChainParser = chainId match {
@@ -179,6 +231,7 @@ object ChainParser {
     case 2004 | 22023 => MoonbeamParser(chainId) // Moonbeam / Moonriver
     case 2006 | 22007 => AstarParser(chainId)    // Astar / Shiden
     case 2012 | 22085 => ParallelParser(chainId) // Parallel / Heiko
+    case 2030 | 22001 => BifrostParser(chainId)  // Bifrost DOT / KSM
     case 2032 | 22092 => InterlayParser(chainId) // Interlay / Kintsugi
     case id => GenericParser(id)
   }

@@ -128,6 +128,35 @@ class EtlSpec extends AnyFunSuite {
       == 7000000000000L)
   }
 
+  test("Bifrost parser: liquid-staking currency normalization") {
+    import graft.decode.BifrostParser
+    assert(ChainParser.forChain(2030) == BifrostParser(2030))
+    assert(ChainParser.forChain(22001) == BifrostParser(22001))
+    val p = BifrostParser(2030)
+    // bare symbol and ORML variants (chainparser.js:89-109)
+    assert(p.assetKey("BNC") == """{"Token":"BNC"}~2030""")
+    assert(p.assetKey("""{"native":"BNC"}""") == """{"Token":"BNC"}~2030""")
+    assert(p.assetKey("""{"stable":"KUSD"}""") ==
+      """{"Token":"KUSD"}~2030""")
+    assert(p.assetKey("""{"vsToken":"KSM"}""") ==
+      """{"Token":"VSKSM"}~2030""")
+    assert(p.assetKey("""{"vToken":"KSM"}""") ==
+      """{"VToken":"KSM"}~2030""")
+    assert(p.assetKey("""{"Token2":"0"}""") == """{"Token2":"0"}~2030""")
+    // VSBond digit-group cleanup (substrateetl.js:1073-1079)
+    assert(p.assetKey("""{"vsBond":"02,000,6,13"}""") ==
+      """{"VSBond2":"02000613"}~2030""")
+    assert(p.assetKey("""{"VSBond2":["2,000","6","13"]}""") ==
+      """{"VSBond2":["2000","6","13"]}~2030""")
+    // unknown shapes pass through untouched
+    assert(p.assetKey("""{"ForeignAsset":"1"}""") ==
+      """{"ForeignAsset":"1"}~2030""")
+    // registry symbol conventions
+    assert(p.voucherSymbol("KSM") == "vKSM")
+    assert(p.voucherSlot("KSM", "Kusama") ==
+      ("VSKSM", "Bifrost Voucher Slot Kusama"))
+  }
+
   test("parser asset-key override reaches Dump's transfers projection") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
     val alicePub =
@@ -145,12 +174,13 @@ class EtlSpec extends AnyFunSuite {
     // same raw shape, three chains: the asset key must go through each
     // chain's parser inside the asset_chain UDF
     val raw = Seq(block(2012, "6,003"), block(2000, "ACA"),
-      block(7, "DOT")).toDF()
+      block(2030, """{"vToken":"KSM"}"""), block(7, "DOT")).toDF()
     val t = Dump.transfers(raw, "2024-03-01")
       .select("chain_id", "asset").collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(t(2012) == """{"Token":"6003"}~2012""") // Parallel numeric id
     assert(t(2000) == """{"Token":"ACA"}~2000""")  // Acala token JSON
+    assert(t(2030) == """{"VToken":"KSM"}~2030""") // Bifrost voucher
     assert(t(7) == "DOT~7")                        // generic passthrough
   }
 }
