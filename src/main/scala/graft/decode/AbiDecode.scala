@@ -1,0 +1,194 @@
+package graft.decode
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.functions.{Codec, Keccak}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** ABI-JSON-driven EVM event decode — the generic tier above
+  * [[EvmDecode]]'s hand ERC selector tables (ref tools/udfs.sql:19-64
+  * parse_UniswapV3Pool_event_Swap, which instantiates an ethers.js
+  * Interface from an ABI fragment per row-batch; ethTool.js:1624
+  * parseAbiSignature). Given one event's ABI JSON, ANY matching log
+  * decodes into typed columns.
+  *
+  * Spark-first shape: the ABI is known at PLAN time, so the decoder
+  * emits per-parameter `Column`s — static params are constant-offset
+  * `substring`/`conv` expressions (whole-stage codegen'd, no UDF);
+  * only u/int wider than 64 bits (decimal string render) and the
+  * 256-bit two's complement touch a scalar UDF, and dynamic
+  * string/bytes tails use data-dependent `Column.substr`. The
+  * reference pays a JS engine + ABI parse per batch instead.
+  *
+  * Conventions mirror the reference UDF: addresses lowercase; an
+  * INDEXED dynamic param is represented by its topic hash (udfs.sql:48
+  * `isIndexed → value.hash`); ints render as decimal strings when they
+  * can exceed a long.
+  */
+object AbiDecode {
+
+  final case class AbiParam(name: String, typ: String, indexed: Boolean,
+      components: Seq[AbiParam])
+  final case class AbiEvent(name: String, inputs: Seq[AbiParam],
+      anonymous: Boolean)
+
+  private val mapper = new ObjectMapper
+
+  /** Parse one event ABI fragment, e.g.
+    * `{"name":"Swap","type":"event","inputs":[{"indexed":true,
+    * "name":"sender","type":"address"}, ...]}`. */
+  def parseEvent(json: String): AbiEvent = {
+    val n = mapper.readTree(json)
+    require(n.path("type").asText("event") == "event",
+      s"not an event ABI: ${n.path("type").asText}")
+    AbiEvent(n.path("name").asText,
+      param(n.path("inputs")), n.path("anonymous").asBoolean(false))
+  }
+
+  private def param(inputs: JsonNode): Seq[AbiParam] = {
+    import scala.jdk.CollectionConverters._
+    inputs.elements.asScala.map { p =>
+      AbiParam(p.path("name").asText, p.path("type").asText,
+        p.path("indexed").asBoolean(false),
+        if (p.has("components")) param(p.path("components")) else Seq.empty)
+    }.toSeq
+  }
+
+  /** Canonical signature → keccak topic0 (tuples expand to component
+    * lists, per the ABI spec). */
+  def signature(e: AbiEvent): String =
+    s"${e.name}(${e.inputs.map(canonType).mkString(",")})"
+
+  private def canonType(p: AbiParam): String =
+    if (p.typ.startsWith("tuple"))
+      s"(${p.components.map(canonType).mkString(",")})" +
+        p.typ.stripPrefix("tuple")
+    else p.typ
+
+  def topic0(e: AbiEvent): String = Keccak.topic(signature(e))
+
+  // ---- word decoders (a "word" is 64 hex chars; `data` is 0x-hex) ----
+
+  private def intBits(typ: String, prefix: String): Option[Int] =
+    if (!typ.startsWith(prefix)) None
+    else typ.stripPrefix(prefix) match {
+      case "" => Some(256)
+      case d if d.forall(_.isDigit) => Some(d.toInt)
+      case _ => None
+    }
+
+  /** Unsigned > 64-bit: decimal string via BigInt (Decimal(38) cannot
+    * hold a full u256 — sqrtPriceX96-class values overflow it). */
+  private val uintBig = udf(
+    new org.apache.spark.sql.api.java.UDF1[String, String] {
+      override def call(w: String): String =
+        if (w == null) null
+        else BigInt(1, Codec.hexToBytes(w)).toString
+    }, DataTypes.StringType)
+
+  /** Signed: ABI sign-extends intN to 256 bits, so two's complement at
+    * 256 bits is correct for every declared width. */
+  private val intBig = udf(
+    new org.apache.spark.sql.api.java.UDF1[String, String] {
+      override def call(w: String): String =
+        if (w == null) null
+        else {
+          val v = BigInt(1, Codec.hexToBytes(w))
+          (if (v.testBit(255)) v - (BigInt(1) << 256) else v).toString
+        }
+    }, DataTypes.StringType)
+
+  /** Decode one 32-byte word column to its ABI type. */
+  private def wordValue(word: Column, typ: String,
+      components: Seq[AbiParam]): Column = typ match {
+    case "address" => concat(lit("0x"), lower(substring(word, 25, 40)))
+    case "bool" => conv(substring(word, 63, 2), 16, 10) === "1"
+    case t if t.startsWith("bytes") && t.length > 5 =>
+      val n = t.stripPrefix("bytes").toInt
+      concat(lit("0x"), lower(substring(word, 1, 2 * n)))
+    case t => (intBits(t, "uint"), intBits(t, "int")) match {
+      case (Some(b), _) if b <= 63 => conv(word, 16, 10).cast("long")
+      case (Some(_), _) => uintBig(word)
+      case (_, Some(b)) if b < 64 =>
+        // small signed: sign-extended word's low bits via two's
+        // complement at the declared width, still codegen arithmetic
+        val raw = conv(substring(word, 49, 16), 16, 10).cast("decimal(20,0)")
+        val width = BigInt(1) << 64
+        when(conv(substring(word, 1, 1), 16, 10).cast("int") >= 8,
+          (raw - lit(width.toString).cast("decimal(21,0)")).cast("long"))
+          .otherwise(raw.cast("long"))
+      case (_, Some(_)) => intBig(word)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported ABI type $typ")
+    }
+  }
+
+  private def isDynamic(p: AbiParam): Boolean =
+    p.typ == "string" || p.typ == "bytes" || p.typ.endsWith("]") ||
+      (p.typ.startsWith("tuple") && p.components.exists(isDynamic))
+
+  /** Words a static param occupies (static tuples flatten). */
+  private def staticSlots(p: AbiParam): Int =
+    if (p.typ.startsWith("tuple")) p.components.map(staticSlots).sum else 1
+
+  /** Decoded (name, Column) pairs for one log's `topics` (array of
+    * 0x-hex words) and `data` (0x-hex). */
+  def decodedColumns(e: AbiEvent, topics: Column,
+      data: Column): Seq[(String, Column)] = {
+    var topicIdx = if (e.anonymous) 0 else 1
+    var slot = 0
+    def dataWord(k: Int): Column = substring(data, 3 + 64 * k, 64)
+    e.inputs.map { p =>
+      if (p.indexed) {
+        val t = topics(topicIdx); topicIdx += 1
+        val c =
+          if (isDynamic(p)) t // topic IS the hash of the value
+          else wordValue(regexp_replace(t, "^0x", ""), p.typ, p.components)
+        p.name -> c
+      } else if (p.typ.startsWith("tuple") && !isDynamic(p)) {
+        val fields = p.components.map { cp =>
+          val c = wordValue(dataWord(slot), cp.typ, cp.components)
+          slot += staticSlots(cp)
+          c.as(cp.name)
+        }
+        p.name -> struct(fields: _*)
+      } else if (isDynamic(p)) {
+        // head slot holds the byte offset of [len ‖ payload]
+        val headSlot = slot; slot += 1
+        val offChars = conv(dataWord(headSlot), 16, 10).cast("long") * 2
+        val lenChars =
+          conv(data.substr((offChars + 3).cast("int"), lit(64)), 16, 10)
+            .cast("long") * 2
+        val payload = data.substr((offChars + 3 + 64).cast("int"),
+          lenChars.cast("int"))
+        val c = p.typ match {
+          case "string" => decode(unhex(payload), "UTF-8")
+          case "bytes" => concat(lit("0x"), lower(payload))
+          case t => throw new IllegalArgumentException(
+            s"unsupported dynamic ABI type $t (arrays: explode " +
+              "upstream or extend here)")
+        }
+        p.name -> c
+      } else {
+        val c = wordValue(dataWord(slot), p.typ, p.components)
+        slot += staticSlots(p)
+        p.name -> c
+      }
+    }
+  }
+
+  /** Filter+decode a logs frame on one ABI event: keeps rows whose
+    * topic0 matches the ABI signature and appends a `decoded` struct.
+    * `logs` needs `topics` (array<string>) and `data` columns. */
+  def decodeLogs(logs: DataFrame, abiJson: String,
+      topicsCol: String = "topics", dataCol: String = "data"): DataFrame = {
+    val e = parseEvent(abiJson)
+    val matched =
+      if (e.anonymous) logs
+      else logs.filter(col(topicsCol)(0) === topic0(e))
+    val cols = decodedColumns(e, col(topicsCol), col(dataCol))
+      .map { case (n, c) => c.as(n) }
+    matched.withColumn("decoded", struct(cols: _*))
+  }
+}

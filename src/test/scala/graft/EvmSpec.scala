@@ -201,4 +201,75 @@ class EvmSpec extends AnyFunSuite {
       "0xc1155" -> "erc1155", "0xpartial" -> "unknown",
       "0xempty" -> "unknown"))
   }
+
+  // ---- ABI-JSON-driven decode (ref tools/udfs.sql:19-64) ----
+
+  /** 64-hex two's-complement word of a (possibly negative) BigInt. */
+  private def tcWord(v: BigInt): String =
+    word(if (v < 0) v + (BigInt(1) << 256) else v)
+
+  // the public UniswapV3Pool Swap fragment the reference UDF embeds
+  private val swapAbi =
+    """{"anonymous":false,"name":"Swap","type":"event","inputs":[
+      |{"indexed":true,"internalType":"address","name":"sender","type":"address"},
+      |{"indexed":true,"internalType":"address","name":"recipient","type":"address"},
+      |{"indexed":false,"internalType":"int256","name":"amount0","type":"int256"},
+      |{"indexed":false,"internalType":"int256","name":"amount1","type":"int256"},
+      |{"indexed":false,"internalType":"uint160","name":"sqrtPriceX96","type":"uint160"},
+      |{"indexed":false,"internalType":"uint128","name":"liquidity","type":"uint128"},
+      |{"indexed":false,"internalType":"int24","name":"tick","type":"int24"}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("ABI decode: UniswapV3 Swap from its ABI fragment alone") {
+    import graft.decode.AbiDecode
+    val e = AbiDecode.parseEvent(swapAbi)
+    assert(AbiDecode.signature(e) ==
+      "Swap(address,address,int256,int256,uint160,uint128,int24)")
+    // the well-known public topic0 of UniswapV3 Swap
+    assert(AbiDecode.topic0(e) ==
+      "0xc42079f94a6350d7e6235f29174924f928cc2ac818eb64fed8004e115fbcca67")
+    val sender = "0x" + "a1" * 20
+    val recipient = "0x" + "b2" * 20
+    val sqrtPrice = BigInt("79228162514264337593543950336") // 2^96
+    val data = "0x" + tcWord(BigInt(-1500000)) + tcWord(BigInt(2750000)) +
+      tcWord(sqrtPrice) + tcWord(BigInt(123456789L)) + tcWord(BigInt(-887272))
+    val logs = Seq(
+      (Seq(AbiDecode.topic0(e), pad32(sender), pad32(recipient)), data),
+      (Seq(EvmDecode.TransferTopic, pad32(sender), pad32(recipient)),
+        "0x" + tcWord(BigInt(7)))) // non-Swap row must filter out
+      .toDF("topics", "data")
+    val out = AbiDecode.decodeLogs(logs, swapAbi).select("decoded.*")
+    val r = out.collect()
+    assert(r.length == 1) // topic0 filter dropped the Transfer log
+    val d = r.head
+    assert(d.getAs[String]("sender") == sender)
+    assert(d.getAs[String]("recipient") == recipient)
+    assert(d.getAs[String]("amount0") == "-1500000")
+    assert(d.getAs[String]("amount1") == "2750000")
+    assert(d.getAs[String]("sqrtPriceX96") == sqrtPrice.toString)
+    assert(d.getAs[String]("liquidity") == "123456789")
+    assert(d.getAs[Long]("tick") == -887272L)
+  }
+
+  test("ABI decode: dynamic string param (ERC-1155 URI shape)") {
+    import graft.decode.AbiDecode
+    val uriAbi =
+      """{"name":"URI","type":"event","inputs":[
+        |{"indexed":false,"name":"value","type":"string"},
+        |{"indexed":true,"name":"id","type":"uint256"}]}"""
+        .stripMargin.replace("\n", "")
+    val e = AbiDecode.parseEvent(uriAbi)
+    assert(AbiDecode.signature(e) == "URI(string,uint256)")
+    val s = "ipfs://QmHash/{id}.json"
+    val payload = s.getBytes("UTF-8").map("%02x".format(_)).mkString
+    // head offset word ‖ length word ‖ payload right-padded to a word
+    val padded = payload + "0" * ((64 - payload.length % 64) % 64)
+    val data = "0x" + tcWord(BigInt(0x20)) + tcWord(BigInt(s.length)) + padded
+    val logs = Seq((Seq(AbiDecode.topic0(e), tcWord(BigInt(42))), data))
+      .toDF("topics", "data")
+    val d = AbiDecode.decodeLogs(logs, uriAbi)
+      .select("decoded.*").collect().head
+    assert(d.getAs[String]("value") == s)
+    assert(d.getAs[String]("id") == "42")
+  }
 }

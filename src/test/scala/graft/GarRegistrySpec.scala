@@ -1,0 +1,117 @@
+package graft
+
+import graft.etl.GarRegistry
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** GAR build: per-chain registry JSON payloads → the global xcmasset
+  * dimension (ref gar/xcmgar.js:613-624 merge, schema/xcmassets.json
+  * shape). Fixtures are JsonFeed-style fetched files; the assertions
+  * pin origin-wins conflict resolution, confidence counting, currency
+  * id / EVM precompile maps, and the precompile golden vector the
+  * reference documents (gar/xcmgarTool.js:99: id
+  * 42259045809535163221576417993425387648 ↔
+  * 0xFfFFfFff1FcaCBd218EDc0EbA20Fc2308C778080 — Moonbeam's public
+  * xcDOT contract). */
+class GarRegistrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val dotKey = "here~polkadot"
+  private val bncKey =
+    """[{"parachain":2030},{"generalKey":"0x0001"}]~polkadot"""
+  private val orphanKey =
+    """[{"parachain":2090},{"generalIndex":7}]~polkadot"""
+
+  private def row(para: Int, asset: String, name: String, symbol: String,
+      decimals: Int, currency: String, key: String,
+      evm: Boolean = false): String = {
+    val cur = Option(currency).map(c => s""""$c"""").getOrElse("null")
+    s"""{"para_id":$para,"chain_name":"chain$para","asset":"$asset",
+       |"name":"$name","symbol":"$symbol","decimals":$decimals,
+       |"currency_id":$cur,"xcm_interior_key":"${key.replace("\"", "\\\"")}",
+       |"is_evm":$evm}""".stripMargin.replace("\n", "")
+  }
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("gar").toFile
+    d.deleteOnExit()
+    // relay (origin of DOT), decimals 10
+    Files.write(d.toPath.resolve("polkadot_0_assets.json"),
+      s"""[${row(0, "DOT", "Polkadot", "DOT", 10, null, dotKey)}]"""
+        .getBytes("UTF-8"))
+    // acala publishes DOT with WRONG decimals (origin must win) + the
+    // orphan asset
+    Files.write(d.toPath.resolve("polkadot_2000_assets.json"),
+      s"""[${row(2000, """{\"Token\":\"DOT\"}""", "Polkadot", "DOT", 12,
+          "0", dotKey)},
+         |${row(2000, """{\"ForeignAsset\":\"7\"}""", "Orphan", "ORF", 8,
+          "7", orphanKey)}]""".stripMargin.replace("\n", "")
+        .getBytes("UTF-8"))
+    // moonbeam (EVM) publishes DOT with a precompile-able id + orphan
+    Files.write(d.toPath.resolve("polkadot_2004_assets.json"),
+      s"""[${row(2004, "xcDOT", "xcDOT", "xcDOT", 10,
+          "42259045809535163221576417993425387648", dotKey, evm = true)},
+         |${row(2004, "xcORF", "Orphan2", "ORF2", 9, "99", orphanKey,
+          evm = true)}]""".stripMargin.replace("\n", "")
+        .getBytes("UTF-8"))
+    // bifrost publishes DOT + its own BNC-pool asset (sole source)
+    Files.write(d.toPath.resolve("polkadot_2030_assets.json"),
+      s"""[${row(2030, """{\"Token2\":\"0\"}""", "Polkadot", "DOT", 10,
+          "Token2:0", dotKey)},
+         |${row(2030, """{\"Token\":\"BNC\"}""", "Bifrost", "BNC", 12,
+          null, bncKey)}]""".stripMargin.replace("\n", "")
+        .getBytes("UTF-8"))
+    d.getAbsolutePath
+  }
+
+  private lazy val built = GarRegistry.buildXcmAssets(
+      GarRegistry.readChainAssets(spark, s"$dir/*.json"))
+    .collect().map(r => r.getAs[String]("xcm_interior_key") -> r).toMap
+
+  test("origin chain wins conflict resolution; confidence counts others") {
+    val dot = built(dotKey)
+    assert(dot.getAs[Int]("para_id") == 0)
+    assert(dot.getAs[String]("symbol") == "DOT")
+    assert(dot.getAs[Int]("decimals") == 10) // NOT acala's wrong 12
+    assert(dot.getAs[Int]("confidence") == 3) // 2000, 2004, 2030
+    assert(dot.getAs[scala.collection.Seq[Int]]("sources").toSeq ==
+      Seq(0, 2000, 2004, 2030))
+    assert(dot.getAs[Int]("interior_type") == 1)
+  }
+
+  test("currency-id and EVM precompile maps collect per para") {
+    val dot = built(dotKey)
+    assert(dot.getAs[Map[Int, String]]("xc_currency_ids") ==
+      Map(2000 -> "0",
+        2004 -> "42259045809535163221576417993425387648",
+        2030 -> "Token2:0"))
+    assert(dot.getAs[Map[Int, String]]("xc_contract_addresses") ==
+      Map(2004 -> "0xFfFFfFff1FcaCBd218EDc0EbA20Fc2308C778080"))
+  }
+
+  test("sole-source origin asset: confidence 0, origin metadata") {
+    val bnc = built(bncKey)
+    assert(bnc.getAs[Int]("para_id") == 2030)
+    assert(bnc.getAs[Int]("confidence") == 0)
+    assert(bnc.getAs[String]("symbol") == "BNC" &&
+      bnc.getAs[Int]("decimals") == 12)
+    assert(bnc.getAs[Int]("interior_type") == 2)
+  }
+
+  test("orphan key (origin never published): smallest para_id wins") {
+    val orf = built(orphanKey)
+    assert(orf.getAs[Int]("para_id") == 2090) // origin BY KEY
+    assert(orf.getAs[String]("symbol") == "ORF") // 2000 < 2004
+    assert(orf.getAs[Int]("confidence") == 2)
+  }
+
+  test("precompile golden vector (ref xcmgarTool.js:99)") {
+    assert(GarRegistry.xcContractAddress(
+      "42259045809535163221576417993425387648") ==
+      "0xFfFFfFff1FcaCBd218EDc0EbA20Fc2308C778080")
+    // digit-grouped ids clean first
+    assert(GarRegistry.xcContractAddress("340,282,366,920,938,463,463," +
+      "374,607,431,768,211,455") ==
+      "0xFFfFfFffFFfffFFfFFfFFFFFffFFFffffFfFFFfF")
+  }
+}
