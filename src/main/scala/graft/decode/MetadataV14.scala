@@ -49,8 +49,15 @@ object MetadataV14 {
   private final case class DBitSeq(store: Long, order: Long) extends RawDef
   private final case class RawType(path: Seq[String], d: RawDef)
 
+  private final case class RawStorage(name: String, valueTy: Long)
   private final case class RawPallet(name: String, callsTy: Option[Long],
-      eventTy: Option[Long], index: Int)
+      eventTy: Option[Long], storage: Seq[RawStorage], index: Int)
+
+  /** Parsed registry plus the storage VALUE shapes (entry → SType),
+    * the input of [[MetaDecode.decodeStorageValue]] — so storage
+    * decode, like call/event decode, needs only the metadata hex. */
+  final case class ParsedMetadata(pallets: Seq[PalletDef],
+      storageShapes: Map[(String, String), SType])
 
   // ---- SCALE readers over the shared Cursor ----
 
@@ -102,29 +109,31 @@ object MetadataV14 {
     RawType(path, d)
   }
 
-  /** Structurally consume one storage entry (we only need to get PAST
-    * storage to reach calls/events; storage VALUE shapes are resolved
-    * separately via [[palletStorageValueType]] consumers if needed). */
-  private def storageEntry(c: Cursor): Unit = {
-    str(c) // name
+  /** One storage entry: keep (name, value-type id) — the VALUE shape is
+    * what [[MetaDecode.decodeStorageValue]] interprets; hashers/keys
+    * are consumed structurally (key decode is the storage-KEY surface,
+    * out of scope here like in TraceDecode). */
+  private def storageEntry(c: Cursor): RawStorage = {
+    val name = str(c)
     c.u8() // modifier
-    c.u8() match { // ty
-      case 0 => c.compact() // Plain(type)
+    val valueTy = c.u8() match { // ty
+      case 0 => c.compact().toLong // Plain(type)
       case 1 => // Map { hashers, key, value }
-        vec(c)(c.u8()); c.compact(); c.compact()
+        vec(c)(c.u8()); c.compact(); c.compact().toLong
       case v => throw new IllegalArgumentException(s"bad storage ty $v")
     }
     val defLen = c.compact().toInt // default bytes
     c.take(defLen)
     vec(c)(str(c)) // docs
+    RawStorage(name, valueTy)
   }
 
   private def pallet(c: Cursor): RawPallet = {
     val name = str(c)
-    opt(c) { // storage
+    val storage = opt(c) { // storage
       str(c) // prefix
       vec(c)(storageEntry(c))
-    }
+    }.getOrElse(Seq.empty)
     val callsTy = opt(c)(c.compact().toLong)
     val eventTy = opt(c)(c.compact().toLong)
     vec(c) { // constants
@@ -133,7 +142,7 @@ object MetadataV14 {
       vec(c)(str(c))
     }
     opt(c)(c.compact()) // error
-    RawPallet(name, callsTy, eventTy, c.u8())
+    RawPallet(name, callsTy, eventTy, storage, c.u8())
   }
 
   // ---- name conventions ----
@@ -236,8 +245,9 @@ object MetadataV14 {
 
   // ---- entry points ----
 
-  /** Parse a full metadata v14 blob into the PalletDef registry. */
-  def parse(bytes: Array[Byte]): Seq[PalletDef] = {
+  /** Parse a full metadata v14 blob: PalletDef registry + storage
+    * value shapes. */
+  def parseAll(bytes: Array[Byte]): ParsedMetadata = {
     val c = new Cursor(bytes)
     val magic = c.u32()
     require(magic == 0x6174656dL,
@@ -251,12 +261,24 @@ object MetadataV14 {
     val pallets = vec(c)(pallet(c))
     // extrinsic meta + runtime type id follow; nothing below needs them
     val r = new Resolver(types)
-    pallets.map { p =>
+    val defs = pallets.map { p =>
       PalletDef(p.index, lowerCamel(p.name),
         calls = p.callsTy.map(r.items).getOrElse(Seq.empty),
         events = p.eventTy.map(r.items).getOrElse(Seq.empty))
     }
+    // lenient: a storage value outside the supported shape set (e.g.
+    // BitSequence) drops ITS entry, not the whole chain's registry —
+    // calls/events stay strict because items() is the decode contract
+    val shapes = pallets.flatMap { p =>
+      p.storage.flatMap(s =>
+        scala.util.Try(r.resolve(s.valueTy)).toOption
+          .map(t => (lowerCamel(p.name), s.name) -> t))
+    }.toMap
+    ParsedMetadata(defs, shapes)
   }
+
+  /** Parse a metadata v14 blob into the PalletDef registry. */
+  def parse(bytes: Array[Byte]): Seq[PalletDef] = parseAll(bytes).pallets
 
   /** Parse from the 0x-hex form chain RPCs return
     * (`state_getMetadata`). */

@@ -205,6 +205,24 @@ class MetadataV14Spec extends AnyFunSuite {
     assert(node.args.contains(""""maxWeight":42"""))
   }
 
+  test("storage value shapes parse and drive decodeStorageValue") {
+    val shapes = MetadataV14.parseAll(blob).storageShapes
+    // Proxies is a Map whose VALUE is Vec<AccountId> (type 8);
+    // Announcements is Plain u32 (type 1)
+    assert(shapes(("proxy", "Proxies")) == Vec(AccountId))
+    assert(shapes(("proxy", "Announcements")) == U32)
+    assert(!shapes.contains(("multisig", "anything")))
+    // raw storage bytes decode through the PARSED shape alone
+    val raw = Codec.bytesToHex(
+      b(Codec.compactEncode(BigInt(2)), alice, bob))
+    assert(MetaDecode.decodeStorageValue(raw,
+      shapes(("proxy", "Proxies"))) ==
+      s"""["${Codec.bytesToHex(alice)}","${Codec.bytesToHex(bob)}"]""")
+    assert(MetaDecode.decodeStorageValue(
+      Codec.bytesToHex(u32le(4100)), shapes(("proxy", "Announcements")))
+      == "4100")
+  }
+
   test("rejects bad magic and non-v14 versions") {
     val badMagic = blob.clone(); badMagic(0) = 0x00
     assertThrows[IllegalArgumentException](MetadataV14.parse(badMagic))
