@@ -124,6 +124,22 @@ object AbiDecode {
     }
   }
 
+  /** Spark SQL type a static ABI type decodes to (for empty-array
+    * casts). */
+  private def sqlType(typ: String): String = typ match {
+    case "address" => "STRING"
+    case "bool" => "BOOLEAN"
+    case t if t.startsWith("bytes") && t.length > 5 => "STRING"
+    case t => (intBits(t, "uint"), intBits(t, "int")) match {
+      case (Some(b), _) if b <= 63 => "BIGINT"
+      case (Some(_), _) => "STRING"
+      case (_, Some(b)) if b < 64 => "BIGINT"
+      case (_, Some(_)) => "STRING"
+      case _ => throw new IllegalArgumentException(
+        s"unsupported ABI element type $typ")
+    }
+  }
+
   private def isDynamic(p: AbiParam): Boolean =
     p.typ == "string" || p.typ == "bytes" || p.typ.endsWith("]") ||
       (p.typ.startsWith("tuple") && p.components.exists(isDynamic))
@@ -165,9 +181,23 @@ object AbiDecode {
         val c = p.typ match {
           case "string" => decode(unhex(payload), "UTF-8")
           case "bytes" => concat(lit("0x"), lower(payload))
+          case t if t.endsWith("[]") =>
+            // dynamic array of STATIC elements (uint256[]/address[] —
+            // the TransferBatch shape): len elements follow the length
+            // word; each is one word decoded by the element type
+            val elemTyp = t.stripSuffix("[]")
+            val len = conv(data.substr((offChars + 3).cast("int"),
+              lit(64)), 16, 10).cast("int")
+            val elems = transform(sequence(lit(0), len - 1), i =>
+              wordValue(data.substr(
+                (offChars + 3 + 64 + i.cast("long") * 64).cast("int"),
+                lit(64)), elemTyp, p.components))
+            // sequence(0, -1) would DESCEND — empty arrays need a guard
+            when(len === 0, array().cast(s"ARRAY<${sqlType(elemTyp)}>"))
+              .otherwise(elems)
           case t => throw new IllegalArgumentException(
-            s"unsupported dynamic ABI type $t (arrays: explode " +
-              "upstream or extend here)")
+            s"unsupported dynamic ABI type $t (nested dynamic arrays: " +
+              "extend here)")
         }
         p.name -> c
       } else {

@@ -272,4 +272,48 @@ class EvmSpec extends AnyFunSuite {
     assert(d.getAs[String]("value") == s)
     assert(d.getAs[String]("id") == "42")
   }
+
+  test("ABI decode: dynamic uint256[] arrays (ERC-1155 TransferBatch)") {
+    import graft.decode.AbiDecode
+    val batchAbi =
+      """{"name":"TransferBatch","type":"event","inputs":[
+        |{"indexed":true,"name":"operator","type":"address"},
+        |{"indexed":true,"name":"from","type":"address"},
+        |{"indexed":true,"name":"to","type":"address"},
+        |{"indexed":false,"name":"ids","type":"uint256[]"},
+        |{"indexed":false,"name":"values","type":"uint256[]"}]}"""
+        .stripMargin.replace("\n", "")
+    val e = AbiDecode.parseEvent(batchAbi)
+    // signature must agree with the hand table's topic constant
+    assert(AbiDecode.topic0(e) == EvmDecode.TransferBatchTopic)
+    val op = "0x" + "cc" * 20
+    val from = "0x" + "aa" * 20
+    val to = "0x" + "bb" * 20
+    // offsets 0x40/0xa0, ids [1,2], values [10,20] — the exact word
+    // stream the hand extractor's spec uses
+    val data = "0x" + tcWord(BigInt(0x40)) + tcWord(BigInt(0xa0)) +
+      tcWord(BigInt(2)) + tcWord(BigInt(1)) + tcWord(BigInt(2)) +
+      tcWord(BigInt(2)) + tcWord(BigInt(10)) + tcWord(BigInt(20))
+    val emptyData = "0x" + tcWord(BigInt(0x40)) + tcWord(BigInt(0x60)) +
+      tcWord(BigInt(0)) + tcWord(BigInt(0))
+    val logs = Seq(
+      (Seq(AbiDecode.topic0(e), pad32(op), pad32(from), pad32(to)), data),
+      (Seq(AbiDecode.topic0(e), pad32(op), pad32(from), pad32(to)),
+        emptyData))
+      .toDF("topics", "data")
+    val rows = AbiDecode.decodeLogs(logs, batchAbi)
+      .select("decoded.*").collect()
+    val full = rows.find(_.getAs[scala.collection.Seq[String]]("ids")
+      .nonEmpty).get
+    assert(full.getAs[String]("operator") == op)
+    assert(full.getAs[String]("from") == from &&
+      full.getAs[String]("to") == to)
+    assert(full.getAs[scala.collection.Seq[String]]("ids").toSeq ==
+      Seq("1", "2"))
+    assert(full.getAs[scala.collection.Seq[String]]("values").toSeq ==
+      Seq("10", "20"))
+    val empty = rows.find(
+      _.getAs[scala.collection.Seq[String]]("ids").isEmpty).get
+    assert(empty.getAs[scala.collection.Seq[String]]("values").isEmpty)
+  }
 }
