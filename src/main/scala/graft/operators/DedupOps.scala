@@ -429,6 +429,53 @@ object DedupOps {
        |  SELECT node FROM labels WHERE node <> label)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // D8 — chunk-level exact dedup audit: non-overlapping 16-word chunks,
+  // per-source counts of chunk instances whose text repeats anywhere in
+  // the corpus — the boilerplate-removal audit a pretraining pipeline
+  // runs BELOW document granularity (whole-doc dedup misses repeated
+  // headers/footers inside otherwise-distinct docs). Scale shape: one
+  // hash aggregation keyed on the chunk text (at 100 TB the group key
+  // would be xxhash64(chunk) to shuffle 8 bytes instead of strings —
+  // kept as text here for cross-engine oracle parity; the plan is the
+  // same single shuffle either way).
+  private val ChunkWords = 16
+
+  private def d8(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("split(trim(text), '\\\\s+')").as("tk"))
+      .withColumn("nc", (size(col("tk")) / ChunkWords).cast("int"))
+      .filter(col("nc") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"transform(sequence(0, nc - 1), " +
+          s"i -> concat_ws(' ', slice(tk, i * $ChunkWords + 1, " +
+          s"$ChunkWords)))")).as("chunk"))
+    val freq = chunks.groupBy(col("chunk"))
+      .agg(count(lit(1)).as("freq"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("freq") > 1, 1L).otherwise(0L))
+          .as("n_dup_instances"),
+        countDistinct(col("chunk")).as("n_distinct_chunks"))
+      .orderBy(col("source"))
+  }
+
+  private val d8Sql =
+    s"""WITH ch AS (
+       |  SELECT doc_id, source,
+       |    array_to_string(tk[(i*$ChunkWords+1):(i*$ChunkWords+$ChunkWords)], ' ') AS chunk
+       |  FROM (SELECT doc_id, source,
+       |     string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       |   unnest(range(0, len(tk)//$ChunkWords)) AS t(i)
+       |  WHERE len(tk) >= $ChunkWords),
+       |freq AS (SELECT chunk, count(*) AS freq FROM ch GROUP BY 1)
+       |SELECT source, count(*) AS n_chunks,
+       | ${sqlLsum("CASE WHEN freq > 1 THEN 1 ELSE 0 END")} AS n_dup_instances,
+       | count(DISTINCT chunk) AS n_distinct_chunks
+       |FROM ch JOIN freq USING (chunk)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // C1 — benchmark decontamination: the eval-set n-gram overlap check a
   // training pipeline runs before a corpus ships. The "benchmark" side is
   // the deterministic doc_id % 100 == 0 slice; a training doc is
@@ -480,6 +527,7 @@ object DedupOps {
     "d5_dup_clusters" -> (d5 _),
     "d6_dedup_keep" -> (d6 _),
     "d7_shingle_jaccard" -> (d7 _),
+    "d8_chunk_dedup" -> (d8 _),
     "c1_decontam" -> (c1 _),
   )
 
@@ -489,6 +537,7 @@ object DedupOps {
     "d5_dup_clusters" -> d5Sql,
     "d6_dedup_keep" -> d6Sql,
     "d7_shingle_jaccard" -> d7Sql,
+    "d8_chunk_dedup" -> d8Sql,
     "c1_decontam" -> c1Sql,
   )
 }
