@@ -78,10 +78,11 @@ object StakingAnalytics {
         from_json(get_json_object(col("call_args"), "$.targets"),
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.StringType)).as("targets"),
-        col("block_number"), col("extrinsic_id"))
+        col("block_number"), col("extrinsic_id"), col("call_id"))
     val w = Window.partitionBy(col("chain_id"), col("nominator_pub"))
       .orderBy(col("block_number").desc,
-        graft.etl.idIdx(col("extrinsic_id")).desc)
+        graft.etl.idKey(col("extrinsic_id")).desc,
+        graft.etl.callPathKey(col("call_id")).desc)
     acts.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("is_nominate"))
       .select(col("chain_id"), col("nominator_pub"),

@@ -64,7 +64,23 @@ object AbiDecode {
     if (p.typ.startsWith("tuple"))
       s"(${p.components.map(canonType).mkString(",")})" +
         p.typ.stripPrefix("tuple")
-    else p.typ
+    else canonAlias(p.typ)
+
+  /** Solidity aliases canonicalize before hashing (`uint` → `uint256`,
+    * `int` → `int256`, incl. array suffixes) — ethers.js does the same;
+    * skipping it yields a wrong topic0 that silently matches nothing. */
+  private def canonAlias(t: String): String = {
+    val (base, suffix) = t.indexOf('[') match {
+      case -1 => (t, "")
+      case i => (t.substring(0, i), t.substring(i))
+    }
+    val canon = base match {
+      case "uint" => "uint256"
+      case "int" => "int256"
+      case b => b
+    }
+    canon + suffix
+  }
 
   def topic0(e: AbiEvent): String = Keccak.topic(signature(e))
 
@@ -140,13 +156,40 @@ object AbiDecode {
     }
   }
 
-  private def isDynamic(p: AbiParam): Boolean =
-    p.typ == "string" || p.typ == "bytes" || p.typ.endsWith("]") ||
-      (p.typ.startsWith("tuple") && p.components.exists(isDynamic))
+  /** Fixed-size array form `T[k]` → (T, k). */
+  private def fixedArray(typ: String): Option[(String, Int)] = {
+    val m = "^(.*)\\[(\\d+)\\]$".r
+    typ match {
+      case m(elem, k) => Some((elem, k.toInt))
+      case _ => None
+    }
+  }
 
-  /** Words a static param occupies (static tuples flatten). */
+  private def isDynamic(p: AbiParam): Boolean = p.typ match {
+    case "string" | "bytes" => true
+    case t if t.endsWith("[]") => true
+    case t => fixedArray(t) match {
+      // per the ABI spec T[k] is STATIC iff T is static
+      case Some((elem, _)) => isDynamic(p.copy(typ = elem))
+      case None =>
+        p.typ.startsWith("tuple") && p.components.exists(isDynamic)
+    }
+  }
+
+  /** Whether a type is an ABI VALUE type — an indexed param of any
+    * other (reference) type is stored as its keccak hash in the topic,
+    * not as a decodable word. */
+  private def isValueType(p: AbiParam): Boolean =
+    !p.typ.startsWith("tuple") && !p.typ.contains("[") &&
+      p.typ != "string" && p.typ != "bytes"
+
+  /** Words a static param occupies (static tuples/arrays flatten). */
   private def staticSlots(p: AbiParam): Int =
-    if (p.typ.startsWith("tuple")) p.components.map(staticSlots).sum else 1
+    if (p.typ.startsWith("tuple")) p.components.map(staticSlots).sum
+    else fixedArray(p.typ) match {
+      case Some((elem, k)) => k * staticSlots(p.copy(typ = elem))
+      case None => 1
+    }
 
   /** Decoded (name, Column) pairs for one log's `topics` (array of
     * 0x-hex words) and `data` (0x-hex). */
@@ -155,20 +198,32 @@ object AbiDecode {
     var topicIdx = if (e.anonymous) 0 else 1
     var slot = 0
     def dataWord(k: Int): Column = substring(data, 3 + 64 * k, 64)
+    /** Static value rooted at `base`: tuples → structs, fixed arrays →
+      * arrays, scalars → one decoded word (all constant offsets). */
+    def staticValue(p: AbiParam, base: Int): Column =
+      fixedArray(p.typ) match {
+        case Some((elemT, k)) =>
+          val ep = p.copy(typ = elemT)
+          val es = staticSlots(ep)
+          array((0 until k).map(i => staticValue(ep, base + i * es)): _*)
+        case None if p.typ.startsWith("tuple") =>
+          var off = base
+          struct(p.components.map { cp =>
+            val c = staticValue(cp, off).as(cp.name)
+            off += staticSlots(cp)
+            c
+          }: _*)
+        case None => wordValue(dataWord(base), p.typ, p.components)
+      }
     e.inputs.map { p =>
       if (p.indexed) {
         val t = topics(topicIdx); topicIdx += 1
         val c =
-          if (isDynamic(p)) t // topic IS the hash of the value
+          // an indexed REFERENCE type (tuple/array/string/bytes) is
+          // stored as its keccak hash — the topic IS the value
+          if (!isValueType(p)) t
           else wordValue(regexp_replace(t, "^0x", ""), p.typ, p.components)
         p.name -> c
-      } else if (p.typ.startsWith("tuple") && !isDynamic(p)) {
-        val fields = p.components.map { cp =>
-          val c = wordValue(dataWord(slot), cp.typ, cp.components)
-          slot += staticSlots(cp)
-          c.as(cp.name)
-        }
-        p.name -> struct(fields: _*)
       } else if (isDynamic(p)) {
         // head slot holds the byte offset of [len ‖ payload]
         val headSlot = slot; slot += 1
@@ -201,7 +256,7 @@ object AbiDecode {
         }
         p.name -> c
       } else {
-        val c = wordValue(dataWord(slot), p.typ, p.components)
+        val c = staticValue(p, slot)
         slot += staticSlots(p)
         p.name -> c
       }

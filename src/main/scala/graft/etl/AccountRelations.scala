@@ -47,7 +47,7 @@ object AccountRelations {
     val w = Window
       .partitionBy(col("chain_id"), col("delegator_pub"),
         col("delegate_pub"), col("proxy_type"))
-      .orderBy(col("block_number").desc, idIdx(col("extrinsic_id")).desc,
+      .orderBy(col("block_number").desc, idKey(col("extrinsic_id")).desc,
         callPathKey(col("call_id")).desc)
     actions.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("is_add"))

@@ -38,10 +38,20 @@ object GarRegistry {
         "xcm_interior_key STRING, is_evm BOOLEAN")
       .option("multiLine", "true").json(path)
 
-  /** Parachain the interior key itself names — `"here"` (the relay
+  /** Interior portion of the `<interior>~<relay>` key. */
+  private def interior(key: Column): Column =
+    regexp_extract(key, "^([^~]+)", 1)
+
+  /** Whether the key is the relay's own asset. EXACT match on the
+    * interior — a substring test would also hit any key containing
+    * "ethereum" (et-HERE-um), e.g. globalConsensus bridge assets. */
+  private def isHere(key: Column): Column =
+    interior(key).isin("here", "\"here\"")
+
+  /** Parachain the interior key itself names — `here` (the relay
     * asset) is para 0. */
   private def originPara(key: Column): Column =
-    when(key.contains("here"), lit(0))
+    when(isHere(key), lit(0))
       .otherwise(get_json_object(key, "$[0].parachain").cast("int"))
 
   /** EVM precompile address of an xc-asset id:
@@ -64,14 +74,25 @@ object GarRegistry {
     }.mkString
   }
 
+  // guarded-null: an undecodable id (empty, non-numeric, beyond u128)
+  // yields null, never an executor-killing exception — registries are
+  // scraped data and DO contain garbage rows
   private val xcContractUdf = udf { currencyId: String =>
-    if (currencyId == null ||
-      !currencyId.replace(",", "").trim.forall(_.isDigit)) null
-    else xcContractAddress(currencyId)
+    val cleaned = Option(currencyId).map(_.replace(",", "").trim)
+    cleaned match {
+      case Some(c) if c.nonEmpty && c.length <= 39 && c.forall(_.isDigit)
+          && BigInt(c) < (BigInt(1) << 128) =>
+        xcContractAddress(c)
+      case _ => null
+    }
   }
 
   /** Aggregate per-chain registry rows into the global `xcmasset`
-    * dimension (one row per xcm_interior_key). */
+    * dimension (one row per xcm_interior_key). Two-stage: per
+    * (key, para) first — real registries contain duplicate rows for one
+    * para, and a single-stage map_from_entries would die on the
+    * duplicate map key — then the global merge. Both stages are
+    * map-side-combinable hash aggregations on a tiny dimension. */
   def buildXcmAssets(chainAssets: DataFrame): DataFrame = {
     val keyed = chainAssets
       .filter(col("xcm_interior_key").isNotNull)
@@ -83,7 +104,14 @@ object GarRegistry {
           .as("non_origin"),
         col("para_id"),
         struct(col("symbol"), col("name"), col("decimals")).as("meta")))
-    keyed
+    val perPara = keyed
+      .groupBy(col("xcm_interior_key"), col("para_id"))
+      .agg(
+        first(col("origin_para_id")).as("origin_para_id"),
+        min(col("rank")).as("rank"),
+        min(col("currency_id")).as("currency_id"), // deterministic pick
+        max(coalesce(col("is_evm"), lit(false))).as("is_evm"))
+    perPara
       .groupBy(col("xcm_interior_key"))
       .agg(
         first(col("origin_para_id")).as("para_id"),
@@ -91,20 +119,19 @@ object GarRegistry {
         sort_array(collect_set(col("para_id"))).as("sources"),
         count_distinct(when(col("para_id") =!= col("origin_para_id"),
           col("para_id"))).cast("int").as("confidence"),
-        map_from_entries(sort_array(collect_set(
+        map_from_entries(sort_array(collect_list(
           when(col("currency_id").isNotNull,
             struct(col("para_id"), col("currency_id"))))))
           .as("xc_currency_ids"),
-        map_from_entries(sort_array(collect_set(
+        map_from_entries(sort_array(collect_list(
           when(col("is_evm") && col("currency_id").isNotNull,
             struct(col("para_id"),
               xcContractUdf(col("currency_id")))))))
           .as("xc_contract_addresses"))
       .select(
         col("xcm_interior_key"),
-        when(col("xcm_interior_key").contains("here"), lit(1))
-          .otherwise(json_array_length(
-            regexp_extract(col("xcm_interior_key"), "^([^~]+)", 1)))
+        when(isHere(col("xcm_interior_key")), lit(1))
+          .otherwise(json_array_length(interior(col("xcm_interior_key"))))
           .as("interior_type"),
         col("winner.meta.symbol").as("symbol"),
         col("winner.meta.name").as("name"),

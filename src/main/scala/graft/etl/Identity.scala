@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions._
   * every stage shuffles on the account key once; no driver state. */
 object Identity {
 
+  // full numeric ordering incl. the call path: two identity calls in
+  // ONE batch extrinsic share (block, extrinsic idx) and only the call
+  // path breaks the tie deterministically
   private def latestWins(df: DataFrame, keys: Seq[String]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("block_number").desc, idIdx(col("extrinsic_id")).desc)
+      .orderBy(col("block_number").desc, idKey(col("extrinsic_id")).desc,
+        callPathKey(col("call_id")).desc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn")
   }
@@ -45,7 +49,7 @@ object Identity {
         get_json_object(col("call_args"), "$.display").as("display"),
         get_json_object(col("call_args"), "$.legal").as("legal"),
         get_json_object(col("call_args"), "$.web").as("web"),
-        col("block_number"), col("extrinsic_id"))
+        col("block_number"), col("extrinsic_id"), col("call_id"))
     latestWins(actions, Seq("pubkey")).filter(col("is_set"))
       .select(col("pubkey"), col("display"), col("legal"), col("web"))
   }
@@ -62,7 +66,7 @@ object Identity {
         get_json_object(col("call_args"), "$.sub").as("sub_pub"),
         (col("call_method") === "addSub").as("is_add"),
         get_json_object(col("call_args"), "$.name").as("subname"),
-        col("block_number"), col("extrinsic_id"))
+        col("block_number"), col("extrinsic_id"), col("call_id"))
     // Latest-wins per sub_pub ALONE: the pallet's SuperOf mapping is one
     // parent per sub, so a later addSub by a different parent replaces
     // the old edge — keying by (parent, sub) kept both and duplicated
@@ -86,7 +90,7 @@ object Identity {
           .as("judgement"),
         col("block_number"), col("event_id"))
     val w = Window.partitionBy(col("pubkey"), col("registrar"))
-      .orderBy(col("block_number").desc, idIdx(col("event_id")).desc)
+      .orderBy(col("block_number").desc, idKey(col("event_id")).desc)
     j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .groupBy(col("pubkey"))
       .agg(count(lit(1)).as("n_judgements"),

@@ -5,12 +5,16 @@ import org.apache.spark.sql.functions._
 
 package object etl {
 
-  /** Numeric extrinsic/event index from a `"block-idx"` id string.
-    * Latest-wins windows MUST tie-break on this, never the raw string:
+  /** Numeric ordering key for the `-`-joined id strings
+    * (`extrinsic_id` = `"block-ext"`, `event_id` = `"block-ext-event"`):
+    * every part cast to long, compared element-wise as an array.
+    * Latest-wins windows MUST tie-break on this, never the raw string —
     * lexicographically `"5-9" > "5-10"`, so a stale `addProxy` at
     * extrinsic 9 would beat a later `removeProxy` at extrinsic 10 in
-    * the same block. */
-  def idIdx(id: Column): Column = split(id, "-").getItem(1).cast("long")
+    * the same block. Taking only part 1 would be just as wrong for
+    * three-part event ids (two events of one extrinsic would tie). */
+  def idKey(id: Column): Column =
+    transform(split(id, "-"), x => x.cast("long"))
 
   /** Call path `"0_1_10"` as an int array: Spark orders array columns
     * element-wise, which is exactly numeric document order, whereas the

@@ -316,4 +316,36 @@ class EvmSpec extends AnyFunSuite {
       _.getAs[scala.collection.Seq[String]]("ids").isEmpty).get
     assert(empty.getAs[scala.collection.Seq[String]]("values").isEmpty)
   }
+
+  test("ABI decode: alias canonicalization and static fixed arrays") {
+    import graft.decode.AbiDecode
+    // "uint"/"int" must canonicalize before hashing (ethers.js does) —
+    // Transfer(address,address,uint) must hash as uint256
+    val aliasAbi =
+      """{"name":"Transfer","type":"event","inputs":[
+        |{"indexed":true,"name":"from","type":"address"},
+        |{"indexed":true,"name":"to","type":"address"},
+        |{"indexed":false,"name":"value","type":"uint"}]}"""
+        .stripMargin.replace("\n", "")
+    val ae = AbiDecode.parseEvent(aliasAbi)
+    assert(AbiDecode.signature(ae) ==
+      "Transfer(address,address,uint256)")
+    assert(AbiDecode.topic0(ae) == EvmDecode.TransferTopic)
+    // uint256[2] is STATIC (inline words, no offset indirection)
+    val fixedAbi =
+      """{"name":"Pair","type":"event","inputs":[
+        |{"indexed":false,"name":"reserves","type":"uint32[2]"},
+        |{"indexed":false,"name":"who","type":"address"}]}"""
+        .stripMargin.replace("\n", "")
+    val fe = AbiDecode.parseEvent(fixedAbi)
+    val who = "0x" + "d4" * 20
+    val data = "0x" + tcWord(BigInt(11)) + tcWord(BigInt(22)) +
+      "0" * 24 + "d4" * 20
+    val logs = Seq((Seq(AbiDecode.topic0(fe)), data)).toDF("topics", "data")
+    val d = AbiDecode.decodeLogs(logs, fixedAbi)
+      .select("decoded.*").collect().head
+    assert(d.getAs[scala.collection.Seq[Long]]("reserves").toSeq ==
+      Seq(11L, 22L))
+    assert(d.getAs[String]("who") == who)
+  }
 }

@@ -105,6 +105,48 @@ class GarRegistrySpec extends AnyFunSuite {
     assert(orf.getAs[Int]("confidence") == 2)
   }
 
+  test("ethereum-bearing keys are not the relay asset; dup rows merge") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("para_id", IntegerType), StructField("chain_name", StringType),
+      StructField("asset", StringType), StructField("name", StringType),
+      StructField("symbol", StringType), StructField("decimals", IntegerType),
+      StructField("currency_id", StringType),
+      StructField("xcm_interior_key", StringType),
+      StructField("is_evm", BooleanType)))
+    val ethKey =
+      """[{"globalConsensus":{"ethereum":{"chainId":1}}},""" +
+        """{"accountKey20":"0xc02a"}]~polkadot"""
+    val rows = Seq(
+      // "ethereum" contains "here" as a substring — must NOT be relay
+      Row(2004, "moonbeam", "xcWETH", "Wrapped Ether", "WETH", 18,
+        "5", ethKey, true),
+      Row(1000, "statemint", "WETH", "Wrapped Ether (bridged)", "WETH.e",
+        18, "9", ethKey, false),
+      // duplicate rows for ONE para with conflicting currency ids —
+      // must merge deterministically, not throw on the map key
+      Row(2000, "acala", "A", "Dup", "DUP", 8, "3", bncKey, false),
+      Row(2000, "acala", "A", "Dup", "DUP", 8, "1", bncKey, false),
+      // garbage currency ids must not kill the precompile UDF
+      Row(2004, "moonbeam", "G", "Garbage", "G", 0, "", bncKey, true),
+      Row(2006, "astar", "G2", "Garbage2", "G2", 0,
+        "9" * 45, bncKey, true))
+    val df = GarRegistry.buildXcmAssets(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+      .collect().map(r => r.getAs[String]("xcm_interior_key") -> r).toMap
+    val eth = df(ethKey)
+    // no publisher is the (nonexistent para) origin → smallest para wins
+    assert(eth.getAs[Int]("interior_type") == 2) // NOT the here-shape 1
+    assert(eth.getAs[String]("symbol") == "WETH.e") // para 1000 < 2004
+    val dup = df(bncKey)
+    assert(dup.getAs[Map[Int, String]]("xc_currency_ids")(2000) == "1")
+    // garbage ids survive as null contract entries, no crash
+    val contracts = dup.getAs[Map[Int, String]]("xc_contract_addresses")
+    assert(contracts.get(2004).flatMap(Option(_)).isEmpty &&
+      contracts.get(2006).flatMap(Option(_)).isEmpty)
+  }
+
   test("precompile golden vector (ref xcmgarTool.js:99)") {
     assert(GarRegistry.xcContractAddress(
       "42259045809535163221576417993425387648") ==

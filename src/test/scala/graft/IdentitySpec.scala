@@ -117,6 +117,38 @@ class IdentitySpec extends AnyFunSuite {
       "15oF4uVJwmo4TdGW7VfQxNLavjCXviqxT9S1MgbjMNHr6Sp5")
   }
 
+  test("batch extrinsic: call path breaks latest-wins ties") {
+    // setIdentity then clearIdentity INSIDE ONE utility.batch — same
+    // (block, extrinsic), only the call path orders them; the tombstone
+    // must win. The reversed batch must leave the identity set.
+    Udfs.register(spark)
+    val metaB = meta.copy(calls =
+      meta.calls :+ CallMeta(16, 0, "utility", "batch"))
+    val setId = b(Array(28.toByte, 1.toByte), str("dave"),
+      Array(0.toByte), Array(0.toByte))
+    val clearId = Array(28.toByte, 3.toByte)
+    def block(calls: Seq[Array[Byte]]) = Seq(
+      (0, 5L, "0xb5", "0xb4", ts("2024-03-02 10:00:00"), true, "0xaa",
+        Seq(envelope(charlie,
+          b((Array(16.toByte, 0.toByte) +: cp(calls.length.toLong) +:
+            calls): _*))),
+        eventsHex(success(0))))
+      .toDF("chain_id", "number", "hash", "parent_hash", "block_time",
+        "finalized", "author_pub", "extrinsics_hex", "events_hex")
+    def infoOf(calls: Seq[Array[Byte]]) = {
+      val decoded = BlockDecode.decodeBlocks(block(calls),
+        Seq((1L, 100)).toDF("block_number", "spec_version"),
+        Seq(metaB)).toDF()
+      Identity.identityInfo(
+        Dump.calls(decoded, "2024-03-02"),
+        Dump.extrinsics(decoded, "2024-03-02")).collect()
+    }
+    assert(infoOf(Seq(setId, clearId)).isEmpty) // clear is later → wins
+    val set = infoOf(Seq(clearId, setId)) // set is later → survives
+    assert(set.length == 1 &&
+      set.head.getAs[String]("display") == "dave")
+  }
+
   test("decorate joins display + verified onto an account-keyed result") {
     val res = Seq(hx(alice), hx(charlie), hx(bob)).toDF("account_pub")
     val dec = Identity.decorate(res, dim, "account_pub")

@@ -38,25 +38,43 @@ def main():
         sys.exit(__doc__)
     old_q, old_total = load(args[0])
     new_q, new_total = load(args[1])
-    # bench keys may be prefixes of verify names (j16 vs j16_asof) in one
-    # file and full names in the other; match on the shared prefix form
+    # bench keys may be prefixes of verify names (j16 vs j16_asof) in
+    # one file and full names in the other; normalize BOTH sides to the
+    # first-underscore prefix when that stays collision-free per side
     def keyed(q):
-        return {k.split("_")[0] if "_" in k and k.split("_")[0] in
-                {x.split("_")[0] for x in q} else k: v for k, v in q.items()}
+        pref = {k: k.split("_")[0] for k in q}
+        counts = {}
+        for p in pref.values():
+            counts[p] = counts.get(p, 0) + 1
+        return {pref[k] if counts[pref[k]] == 1 else k: v
+                for k, v in q.items()}
+    if not (set(old_q) & set(new_q)):
+        old_q, new_q = keyed(old_q), keyed(new_q)
+    if not (set(old_q) & set(new_q)):
+        sys.exit("ERROR: no overlapping query keys between the two "
+                 "files — refusing to report 'no regressions' on a "
+                 "vacuous comparison")
     regressions, improved, new_only = [], [], []
     for k, nv in sorted(new_q.items()):
         ov = old_q.get(k)
         if ov is None:
             new_only.append((k, nv))
             continue
-        if nv > floor and nv > factor * ov:
+        if nv < 0 and ov >= 0:
+            # Bench reports a THROWING query as -1 — that is the worst
+            # regression there is, never a fast pass
             regressions.append((k, ov, nv))
-        elif ov > floor and ov > factor * nv:
+        elif nv > floor and ov >= 0 and nv > factor * ov:
+            regressions.append((k, ov, nv))
+        elif ov > floor and 0 <= nv and ov > factor * nv:
             improved.append((k, ov, nv))
     print(f"total: {old_total:.2f}s -> {new_total:.2f}s "
           f"({len(new_q)} queries, {len(new_only)} new)")
     for k, ov, nv in regressions:
-        print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s (x{nv/ov:.1f})")
+        if nv < 0:
+            print(f"REGRESSION {k}: {ov:.2f}s -> FAILED (-1)")
+        else:
+            print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s (x{nv/ov:.1f})")
     for k, ov, nv in improved:
         print(f"improved   {k}: {ov:.2f}s -> {nv:.2f}s")
     for k, nv in new_only:
