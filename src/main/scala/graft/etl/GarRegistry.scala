@@ -139,4 +139,18 @@ object GarRegistry {
         col("para_id"), col("confidence"), col("sources"),
         col("xc_currency_ids"), col("xc_contract_addresses"))
   }
+
+  /** Decorate an interior-keyed frame with the built registry's
+    * symbol/decimals — the `asset LEFT JOIN xcmasset` serve shape
+    * (ref query.js:2214). The registry is the broadcast side by
+    * construction: it is 10³-10⁴ rows however big the fact side is. */
+  def decorate(df: DataFrame, xcmAssets: DataFrame,
+      keyCol: String): DataFrame =
+    df.join(
+      broadcast(xcmAssets.select(
+        col("xcm_interior_key").as(keyCol),
+        col("symbol").as("asset_symbol"),
+        col("decimals").as("asset_decimals"),
+        col("confidence").as("asset_confidence"))),
+      Seq(keyCol), "left")
 }

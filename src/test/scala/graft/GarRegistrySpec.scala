@@ -147,6 +147,21 @@ class GarRegistrySpec extends AnyFunSuite {
       contracts.get(2006).flatMap(Option(_)).isEmpty)
   }
 
+  test("decorate: broadcast left join onto an interior-keyed frame") {
+    import spark.implicits._
+    val facts = Seq((dotKey, 100L), (bncKey, 7L), ("unknown~polkadot", 1L))
+      .toDF("xcm_interior_key", "amount")
+    val reg = GarRegistry.buildXcmAssets(
+      GarRegistry.readChainAssets(spark, s"$dir/*.json"))
+    val out = GarRegistry.decorate(facts, reg, "xcm_interior_key")
+      .collect().map(r => r.getAs[String]("xcm_interior_key") ->
+        ((r.getAs[String]("asset_symbol"),
+          Option(r.get(r.fieldIndex("asset_decimals")))))).toMap
+    assert(out(dotKey) == (("DOT", Some(10))))
+    assert(out(bncKey) == (("BNC", Some(12))))
+    assert(out("unknown~polkadot") == ((null, None))) // left join keeps
+  }
+
   test("precompile golden vector (ref xcmgarTool.js:99)") {
     assert(GarRegistry.xcContractAddress(
       "42259045809535163221576417993425387648") ==
