@@ -167,11 +167,56 @@ object PipelineOps {
        |FROM scaled CROSS JOIN totals
        |ORDER BY source""".stripMargin
 
+  // S5 — quality-weighted deterministic resampling: acceptance rate ∝
+  // lexical richness (distinct-word count, capped at 1.0 by 80 words),
+  // membership decided by an id-keyed md5 uniform — the rejection-
+  // sampling mix step a pipeline runs AFTER quality scoring, with
+  // s1's replay-idempotence contract (re-runs and late data keep the
+  // same docs; no RNG state anywhere). Both sides of the accept
+  // comparison are IEEE doubles derived identically in both engines:
+  // uniform = first-8-hex-digits / 2³², rate = distinct/80. Pure
+  // per-row expressions + one aggregate — nothing shuffles but the
+  // per-source rollup.
+  private def s5(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("tk", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("rate", least(lit(1.0),
+        size(array_distinct(col("tk"))).cast("double") / 80.0))
+      .withColumn("u",
+        conv(substring(md5(concat(lit("qr:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0)
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("u") < col("rate"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val s5Sql =
+    s"""WITH d AS (
+       | SELECT source,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |  least(1.0, CAST(len(list_distinct(
+       |    string_split_regex(trim(text), '\\s+'))) AS DOUBLE) / 80.0)
+       |    AS rate,
+       |  CAST(CAST('0x' || substr(md5('qr:' || CAST(doc_id AS VARCHAR)),
+       |    1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+       | FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       | ${sqlLsum("CASE WHEN u < rate THEN 1 ELSE 0 END")} AS n_kept,
+       | ${sqlLsum("CASE WHEN u < rate THEN n_tokens ELSE 0 END")} AS kept_tokens
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_hash_split" -> (s1 _),
     "s2_shuffle_order" -> (s2 _),
     "s3_mix_weights" -> (s3 _),
     "s4_temperature_mix" -> (s4 _),
+    "s5_quality_resample" -> (s5 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -179,5 +224,6 @@ object PipelineOps {
     "s2_shuffle_order" -> s2Sql,
     "s3_mix_weights" -> s3Sql,
     "s4_temperature_mix" -> s4Sql,
+    "s5_quality_resample" -> s5Sql,
   )
 }
