@@ -183,11 +183,15 @@ object AbiDecode {
     !p.typ.startsWith("tuple") && !p.typ.contains("[") &&
       p.typ != "string" && p.typ != "bytes"
 
-  /** Words a static param occupies (static tuples/arrays flatten). */
+  /** Words a static param occupies (static tuples/arrays flatten).
+    * Fixed-array form checks FIRST — `tuple[k]` starts with "tuple"
+    * but occupies k × the component sum, and staticValue advances by
+    * this count, so the two must agree on the same precedence. */
   private def staticSlots(p: AbiParam): Int =
-    if (p.typ.startsWith("tuple")) p.components.map(staticSlots).sum
-    else fixedArray(p.typ) match {
+    fixedArray(p.typ) match {
       case Some((elem, k)) => k * staticSlots(p.copy(typ = elem))
+      case None if p.typ.startsWith("tuple") =>
+        p.components.map(staticSlots).sum
       case None => 1
     }
 

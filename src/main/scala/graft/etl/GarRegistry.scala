@@ -104,13 +104,24 @@ object GarRegistry {
           .as("non_origin"),
         col("para_id"),
         struct(col("symbol"), col("name"), col("decimals")).as("meta")))
+    // ONE representative row per (key, para): currency_id and is_evm
+    // must come from the SAME row (a per-field min/max could pair a
+    // non-EVM row's currency with another row's evm flag and fabricate
+    // a precompile address). Prefer rows WITH a currency id, then the
+    // lexicographically smallest id — deterministic, documented.
     val perPara = keyed
+      .withColumn("pick", struct(
+        col("currency_id").isNull.cast("int").as("no_cur"),
+        coalesce(col("currency_id"), lit("")).as("cur"),
+        coalesce(col("is_evm"), lit(false)).as("evm")))
       .groupBy(col("xcm_interior_key"), col("para_id"))
       .agg(
         first(col("origin_para_id")).as("origin_para_id"),
         min(col("rank")).as("rank"),
-        min(col("currency_id")).as("currency_id"), // deterministic pick
-        max(coalesce(col("is_evm"), lit(false))).as("is_evm"))
+        min(col("pick")).as("pick"))
+      .withColumn("currency_id",
+        when(col("pick.no_cur") === 1, lit(null)).otherwise(col("pick.cur")))
+      .withColumn("is_evm", col("pick.evm"))
     perPara
       .groupBy(col("xcm_interior_key"))
       .agg(

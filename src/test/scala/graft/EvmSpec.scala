@@ -348,4 +348,28 @@ class EvmSpec extends AnyFunSuite {
       Seq(11L, 22L))
     assert(d.getAs[String]("who") == who)
   }
+
+  test("ABI decode: tuple[k] slot accounting (array of static tuples)") {
+    import graft.decode.AbiDecode
+    // (uint32,uint32)[2] occupies FOUR words; the param after it must
+    // decode from word 4, not word 2
+    val abi =
+      """{"name":"Pairs","type":"event","inputs":[
+        |{"indexed":false,"name":"pts","type":"tuple[2]","components":[
+        |  {"name":"x","type":"uint32"},{"name":"y","type":"uint32"}]},
+        |{"indexed":false,"name":"who","type":"address"}]}"""
+        .stripMargin.replace("\n", "")
+    val e = AbiDecode.parseEvent(abi)
+    val who = "0x" + "e5" * 20
+    val data = "0x" + tcWord(BigInt(1)) + tcWord(BigInt(2)) +
+      tcWord(BigInt(3)) + tcWord(BigInt(4)) + "0" * 24 + "e5" * 20
+    val logs = Seq((Seq(AbiDecode.topic0(e)), data)).toDF("topics", "data")
+    val d = AbiDecode.decodeLogs(logs, abi).select("decoded.*")
+      .collect().head
+    val pts = d.getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("pts")
+    assert(pts.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 4L)))
+    assert(d.getAs[String]("who") == who) // word 4, not pair[1].x
+  }
 }

@@ -147,6 +147,30 @@ class GarRegistrySpec extends AnyFunSuite {
       contracts.get(2006).flatMap(Option(_)).isEmpty)
   }
 
+  test("per-para pick keeps currency_id and is_evm from ONE row") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("para_id", IntegerType), StructField("chain_name", StringType),
+      StructField("asset", StringType), StructField("name", StringType),
+      StructField("symbol", StringType), StructField("decimals", IntegerType),
+      StructField("currency_id", StringType),
+      StructField("xcm_interior_key", StringType),
+      StructField("is_evm", BooleanType)))
+    // para 2004 publishes an EVM row (cur 5) AND a non-EVM row (cur 3)
+    // for ONE key: a per-field min/max merge would fabricate a
+    // precompile for cur 3; the row pick must keep (3, false) together
+    val rows = Seq(
+      Row(2004, "m", "A", "Asset", "AST", 10, "5", bncKey, true),
+      Row(2004, "m", "A", "Asset", "AST", 10, "3", bncKey, false))
+    val out = GarRegistry.buildXcmAssets(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+      .collect().head
+    assert(out.getAs[Map[Int, String]]("xc_currency_ids") ==
+      Map(2004 -> "3"))
+    assert(out.getAs[Map[Int, String]]("xc_contract_addresses").isEmpty)
+  }
+
   test("decorate: broadcast left join onto an interior-keyed frame") {
     import spark.implicits._
     val facts = Seq((dotKey, 100L), (bncKey, 7L), ("unknown~polkadot", 1L))

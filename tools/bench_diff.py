@@ -48,8 +48,11 @@ def main():
             counts[p] = counts.get(p, 0) + 1
         return {pref[k] if counts[pref[k]] == 1 else k: v
                 for k, v in q.items()}
-    if not (set(old_q) & set(new_q)):
-        old_q, new_q = keyed(old_q), keyed(new_q)
+    # normalize BOTH sides unconditionally: prefix-keyed files (the
+    # driver's BENCH_r*.json) are already prefixes (identity), and
+    # full-name files collapse to their unique prefixes, so files that
+    # MIX the two forms still line up key by key
+    old_q, new_q = keyed(old_q), keyed(new_q)
     if not (set(old_q) & set(new_q)):
         sys.exit("ERROR: no overlapping query keys between the two "
                  "files — refusing to report 'no regressions' on a "
@@ -58,7 +61,12 @@ def main():
     for k, nv in sorted(new_q.items()):
         ov = old_q.get(k)
         if ov is None:
-            new_only.append((k, nv))
+            if nv < 0:
+                # a BRAND-NEW query that already fails (-1 sentinel) is
+                # a regression, not an informational "new" row
+                regressions.append((k, None, nv))
+            else:
+                new_only.append((k, nv))
             continue
         if nv < 0 and ov >= 0:
             # Bench reports a THROWING query as -1 — that is the worst
@@ -72,7 +80,8 @@ def main():
           f"({len(new_q)} queries, {len(new_only)} new)")
     for k, ov, nv in regressions:
         if nv < 0:
-            print(f"REGRESSION {k}: {ov:.2f}s -> FAILED (-1)")
+            was = "NEW" if ov is None else f"{ov:.2f}s"
+            print(f"REGRESSION {k}: {was} -> FAILED (-1)")
         else:
             print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s (x{nv/ov:.1f})")
     for k, ov, nv in improved:
