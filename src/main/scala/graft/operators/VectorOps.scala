@@ -546,7 +546,107 @@ object VectorOps {
        | max(node) AS max_vec
        |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  // V10 — product quantization + ADC search: the MEMORY-bounded ANN
+  // tier (IVF bounds compute; PQ bounds storage — a 64-dim float
+  // vector is 256 B, its PQ code is 4 B, a 16× index shrink even at
+  // this toy size; at 100 TB the codes table is what fits in executor
+  // memory when the vectors don't). m=4 subspaces × 16 dims, 16
+  // centroids per subspace (seed vectors, like the IVF codebook):
+  //  1. ENCODE: each vector's subvector → nearest centroid per
+  //     subspace (argmin of exact L2², deterministic (round, cidx)
+  //     tie-break) — one map-side pass against the broadcast codebook,
+  //     materialized once per corpus.
+  //  2. SEARCH: per query, a 4×16 lookup table of subspace distances;
+  //     approximate distance = Σ_s lut[s][code_s] — the ADC sum never
+  //     touches the original vectors, only the 4-byte codes.
+  // Determinism: every distance term is the fused float64 dot kernel
+  // (dot(a,a)−2dot(a,b)+dot(b,b)), rounded to 6, and the 4-term ADC
+  // sum runs through DECIMAL(38,6) — order-independent, so the oracle
+  // hash-matches (the repo's money-sum contract applied to distances).
+  private val PqSubspaces = 4
+  private val PqSubDim = 16
+  private val PqCentroids = 16
+
+  private def pqL2(a: String, b: String): Column = {
+    def sl(c: String) = s"slice($c, s * $PqSubDim + 1, $PqSubDim)"
+    expr(s"round(dot_product(${sl(a)}, ${sl(a)}) " +
+      s"- 2 * dot_product(${sl(a)}, ${sl(b)}) " +
+      s"+ dot_product(${sl(b)}, ${sl(b)}), 6)")
+  }
+
+  private def sqlPqL2(a: String, b: String): String = {
+    def sl(c: String) = s"$c[s*$PqSubDim+1:s*$PqSubDim+$PqSubDim]"
+    def dp(x: String, y: String) =
+      s"list_dot_product(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[]))"
+    s"round(${dp(sl(a), sl(a))} - 2*${dp(sl(a), sl(b))} " +
+      s"+ ${dp(sl(b), sl(b))}, 6)"
+  }
+
+  private def v10(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = emb.filter(col("vec_id") < PqCentroids)
+      .select(col("vec_id").as("cidx"), col("embedding").as("cv"))
+    val vecs = emb.filter(col("vec_id") < 2000)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val subs = s.range(0, PqSubspaces)
+      .select(col("id").cast("int").as("s"))
+    val wCode = Window.partitionBy(col("nid"), col("s"))
+      .orderBy(col("dist"), col("cidx"))
+    val codes = vecs
+      .crossJoin(broadcast(subs)).crossJoin(broadcast(cb))
+      .withColumn("dist", pqL2("nv", "cv"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("nid"), col("s"), col("cidx").as("code"))
+    val lut = qs
+      .crossJoin(broadcast(subs)).crossJoin(broadcast(cb))
+      .select(col("qid"), col("s"), col("cidx"), pqL2("qv", "cv").as("d"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("nid"))
+    codes
+      .join(broadcast(lut), col("code") === col("cidx") &&
+        codes("s") === lut("s"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(dsumOut(col("d")).as("adc"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("rn"), col("nid"), col("adc"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val v10Sql =
+    s"""WITH cb AS (SELECT vec_id AS cidx, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $PqCentroids),
+       |vecs AS (SELECT vec_id AS nid, embedding AS nv
+       |  FROM embeddings WHERE vec_id < 2000),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |subs AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |codes AS (
+       | SELECT nid, s, cidx AS code FROM (
+       |  SELECT v.nid, subs.s, cb.cidx,
+       |   row_number() OVER (PARTITION BY v.nid, subs.s
+       |    ORDER BY ${sqlPqL2("v.nv", "cb.cv")}, cb.cidx) AS rn
+       |  FROM vecs v CROSS JOIN subs CROSS JOIN cb)
+       | WHERE rn = 1),
+       |lut AS (
+       | SELECT qid, s, cidx, ${sqlPqL2("q.qv", "cb.cv")} AS d
+       | FROM qs q CROSS JOIN subs CROSS JOIN cb),
+       |adc AS (
+       | SELECT qid, nid, ${sqlDsumOut("d")} AS adc
+       | FROM codes JOIN lut ON lut.s = codes.s AND lut.cidx = codes.code
+       | WHERE qid <> nid GROUP BY qid, nid)
+       |SELECT qid, rn, nid, adc FROM (
+       | SELECT qid, nid, adc,
+       |  row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn
+       | FROM adc)
+       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_pq_adc_topk" -> (v10 _),
     "v1_knn_bruteforce" -> (v1 _),
     "v2_ivf_assign" -> (v2 _),
     "v3_centroid_stats" -> (v3 _),
@@ -559,6 +659,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "v10_pq_adc_topk" -> v10Sql,
     "v1_knn_bruteforce" -> v1Sql,
     "v2_ivf_assign" -> v2Sql,
     "v3_centroid_stats" -> v3Sql,
