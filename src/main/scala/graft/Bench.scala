@@ -51,6 +51,18 @@ object Bench {
       .groupBy("l_returnflag").count().count()
     Tables.events(spark, sfDir).select("ts").limit(1).count()
     val steal0 = stealTicks()
+    // Shared-stage accounting: d5/d6 consume ONE memoized pairs→CC
+    // labels stage. Under min-of-reps the stage's one-time cost would
+    // appear in NO per-query number (rep 1 pays, reps 2-3 hit the memo)
+    // — so measure the stage cold, report it as its own line below, and
+    // let d5/d6 keep their memo-warm per-query meaning. A regression in
+    // the CC stage itself is then trend-guard-visible.
+    operators.DedupOps.resetWordSetLabels()
+    val stage0 = System.nanoTime()
+    val stageSec = try {
+      operators.DedupOps.warmWordSetLabels(spark, sfDir)
+      (System.nanoTime() - stage0) / 1e9
+    } catch { case _: Throwable => -1.0 }
     val reps = 3
     // a rep is "stormy" if the steal counter moved more than this many
     // ticks while it ran (idle machines show ~0; storms show hundreds)
@@ -78,7 +90,11 @@ object Bench {
       name -> v
     }
     val stealDelta = stealTicks() - steal0
-    val total = results.values.filter(_ >= 0).sum
+    // the shared stage rides in the same per-"query" map (unique
+    // prefix "stage:dedup") so both bench_detail and the contract line
+    // carry it and the trend guard can compare it round over round
+    val all = results.toSeq :+ ("stage:dedup_cc_labels" -> stageSec)
+    val total = all.map(_._2).filter(_ >= 0).sum
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
@@ -90,7 +106,7 @@ object Bench {
     // tail window), then the compact contract line LAST so it survives
     // tail truncation: the harness keeps only the final ~2000 bytes of
     // output, and sbt appends its own ~74-byte "[success]" trailer.
-    val detailQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val detailQs = all.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"bench_detail","value":$total,"unit":"sec","queries":$detailQs,"sf":"$sfDir","runs_per_query":$reps,"shuffle_partitions":$parts,"steal_ticks":$stealDelta$stormyJson$errJson}""")
     // the contract line goes LAST; under sbt the only output after it
@@ -99,7 +115,7 @@ object Bench {
     // exits before sbt prints it — and would race Spark's shutdown
     // hooks, so the 1900-byte budget below already accounts for the
     // trailer instead)
-    println(renderContract(results.toSeq, total, sfDir))
+    println(renderContract(all, total, sfDir))
     spark.stop()
   }
 
@@ -131,5 +147,93 @@ object Bench {
       .map { case (dec, sf, pk) => render(dec, sf, pk) }
       .find(_.length <= 1900)
       .getOrElse(render(1, short, prefixKeys = true))
+  }
+}
+
+/** Round-over-round bench comparison, storm-aware.
+  *
+  * The driver's bench host suffers multi-minute hypervisor CPU-steal
+  * storms (BENCH_r05: steal_ticks 30 225 vs 21 the round before; every
+  * "regressed" query untouched and normal on a clean rerun). A trend
+  * guard that reads only the per-query seconds turns `sbt test` red on
+  * any noisy driver run with zero code change — so this comparator also
+  * reads the annotations `graft.Bench` writes into the same file:
+  *
+  *  - a query in the newer bench's `stormy` list (every rep storm-hit)
+  *    is never a hard regression — it is reported as storm-exempt;
+  *  - a newer bench whose whole-run `steal_ticks` exceeds
+  *    [[BenchTrend.StormRunTicks]] is storm-contaminated end to end:
+  *    slow-downs become "suspect, re-measure locally" instead of
+  *    failures (`tools/dev.sh graft.Bench` is the clean re-measure);
+  *  - a query that THREW (-1 sentinel) is a hard regression regardless
+  *    of storms — steal makes queries slow, not wrong.
+  *
+  * The flag rule matches tools/bench_diff.py exactly — `new > floor
+  * AND new > factor×old` — closing the old spec's `old ≥ 0.5 s` arming
+  * blind band (a 0.3 s → 10 s regression must not pass).
+  */
+object BenchTrend {
+  /** Whole-run steal above this = the run itself is storm-contaminated
+    * (idle rounds measure ~20-70 ticks; the r05 storm run hit 30 225). */
+  val StormRunTicks = 500L
+
+  final case class Trend(
+      regressions: Seq[String], // hard failures (clean-run slowdowns, throws)
+      stormExempt: Seq[String], // slowdowns excused by storm annotations
+      stealTicks: Long)
+
+  private def pfx(k: String): String = k.split('_')(0)
+
+  /** First "queries" map in the file — the driver's `parsed` contract
+    * object, or the bench_detail line of raw `graft.Bench` output.
+    * (Escaped quotes inside the driver file's "tail" string cannot
+    * match, so the tail's embedded copies are skipped naturally.) */
+  def queryTimes(txt: String): Map[String, Double] = {
+    val q = """"queries"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    val raw = """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(q)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // normalize to the contract's unique-prefix keys when collision-free
+    // so full-name files and prefix-keyed driver files line up
+    val counts = raw.keys.groupBy(pfx).map { case (p, ks) => p -> ks.size }
+    raw.map { case (k, v) =>
+      (if (counts(pfx(k)) == 1) pfx(k) else k) -> v
+    }
+  }
+
+  /** Whole-run steal ticks; matches both raw (`"steal_ticks":N`) and
+    * the escaped copy inside a driver file's "tail" string
+    * (`\"steal_ticks\":N`). Max over matches = the run-level figure. */
+  def stealTicksOf(txt: String): Long = {
+    val ms = """steal_ticks\\?"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+      .map(_.group(1).toLong).toSeq
+    if (ms.isEmpty) 0L else ms.max
+  }
+
+  /** Storm-marked query names from the newer bench, prefix-normalized. */
+  def stormyOf(txt: String): Set[String] =
+    """stormy\\?"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(txt)
+      .flatMap(m => """[A-Za-z0-9_]+""".r.findAllIn(m.group(1)))
+      .map(pfx).toSet
+
+  def compare(prevTxt: String, currTxt: String, factor: Double = 3.0,
+              floor: Double = 0.3): Trend = {
+    val prev = queryTimes(prevTxt)
+    val curr = queryTimes(currTxt)
+    val stormySet = stormyOf(currTxt)
+    val ticks = stealTicksOf(currTxt)
+    val stormRun = ticks > StormRunTicks
+    val hard = scala.collection.mutable.ArrayBuffer[String]()
+    val soft = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, p) <- prev.toSeq.sortBy(_._1); c <- curr.get(name)) {
+      if (c < 0 && p >= 0)
+        hard += f"$name: $p%.2f s -> FAILED (-1)"
+      else if (c > floor && p >= 0 && c > factor * p) {
+        val line = f"$name: $p%.2f s -> $c%.2f s (x${c / math.max(p, 1e-9)}%.1f)"
+        if (stormySet.contains(pfx(name)) || stormRun) soft += line
+        else hard += line
+      }
+    }
+    Trend(hard.toSeq, soft.toSeq, ticks)
   }
 }

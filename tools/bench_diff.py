@@ -13,31 +13,60 @@ map lives under "parsed"->"queries") or a raw one-line JSON from
 A query REGRESSES when new_time > floor AND new_time > factor*old_time
 (defaults: factor 3.0, floor 0.3s — sub-floor times are noise-class on
 local[32]). New queries (absent in old) are listed informationally.
-Exit 1 on any regression.
+
+STORM-AWARE (round-5 lesson: BENCH_r05 ran under hypervisor steal
+storms, steal_ticks 30225 vs 21, and every "regression" was clean on a
+local rerun): the newer bench's own annotations demote slowdowns —
+  - a query in its `stormy` list (every rep storm-hit) is SUSPECT;
+  - a whole run with steal_ticks > 500 is storm-contaminated, so ALL
+    slowdowns are SUSPECT — re-measure with `tools/dev.sh graft.Bench`;
+  - a query that THREW (-1) stays a hard regression regardless (steal
+    makes queries slow, not wrong).
+Exit 1 only on hard regressions.
 """
-import sys, json
+import argparse
+import json
+import re
+import sys
+
+STORM_RUN_TICKS = 500
 
 
 def load(path):
+    """-> (query_times, total, steal_ticks, stormy_prefixes)."""
     with open(path) as f:
-        d = json.load(f)
+        txt = f.read()
+    d = json.loads(txt)
+    # annotations live on the bench_detail line: top-level in raw
+    # output, inside the escaped "tail" string in a driver file — regex
+    # over the raw text catches both (max = the run-level figure)
+    ticks = max((int(m) for m in
+                 re.findall(r'steal_ticks\\?"\s*:\s*(\d+)', txt)),
+                default=0)
+    stormy = set()
+    for grp in re.findall(r'stormy\\?"\s*:\s*\[([^\]]*)\]', txt):
+        stormy.update(w.split("_")[0] for w in re.findall(r"\w+", grp))
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
     q = d.get("queries")
     if not isinstance(q, dict) or not q:
         sys.exit(f"ERROR: no per-query map in {path}")
-    return {k: float(v) for k, v in q.items()}, float(d.get("value", 0))
+    return ({k: float(v) for k, v in q.items()},
+            float(d.get("value", 0)), ticks, stormy)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = sys.argv[1:]
-    factor = float(opts[opts.index("--factor") + 1]) if "--factor" in opts else 3.0
-    floor = float(opts[opts.index("--floor") + 1]) if "--floor" in opts else 0.3
-    if len(args) != 2:
-        sys.exit(__doc__)
-    old_q, old_total = load(args[0])
-    new_q, new_total = load(args[1])
+    ap = argparse.ArgumentParser(
+        description="bench trend diff (see module docstring)")
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--factor", type=float, default=3.0)
+    ap.add_argument("--floor", type=float, default=0.3)
+    ns = ap.parse_args()
+    factor, floor = ns.factor, ns.floor
+    old_q, old_total, _, _ = load(ns.old)
+    new_q, new_total, ticks, stormy = load(ns.new)
+    storm_run = ticks > STORM_RUN_TICKS
     # bench keys may be prefixes of verify names (j16 vs j16_asof) in
     # one file and full names in the other; normalize BOTH sides to the
     # first-underscore prefix when that stays collision-free per side
@@ -48,16 +77,12 @@ def main():
             counts[p] = counts.get(p, 0) + 1
         return {pref[k] if counts[pref[k]] == 1 else k: v
                 for k, v in q.items()}
-    # normalize BOTH sides unconditionally: prefix-keyed files (the
-    # driver's BENCH_r*.json) are already prefixes (identity), and
-    # full-name files collapse to their unique prefixes, so files that
-    # MIX the two forms still line up key by key
     old_q, new_q = keyed(old_q), keyed(new_q)
     if not (set(old_q) & set(new_q)):
         sys.exit("ERROR: no overlapping query keys between the two "
                  "files — refusing to report 'no regressions' on a "
                  "vacuous comparison")
-    regressions, improved, new_only = [], [], []
+    regressions, suspects, improved, new_only = [], [], [], []
     for k, nv in sorted(new_q.items()):
         ov = old_q.get(k)
         if ov is None:
@@ -70,20 +95,29 @@ def main():
             continue
         if nv < 0 and ov >= 0:
             # Bench reports a THROWING query as -1 — that is the worst
-            # regression there is, never a fast pass
+            # regression there is, never a fast pass (and never
+            # storm-excusable)
             regressions.append((k, ov, nv))
         elif nv > floor and ov >= 0 and nv > factor * ov:
-            regressions.append((k, ov, nv))
+            if storm_run or k in stormy:
+                suspects.append((k, ov, nv))
+            else:
+                regressions.append((k, ov, nv))
         elif ov > floor and 0 <= nv and ov > factor * nv:
             improved.append((k, ov, nv))
     print(f"total: {old_total:.2f}s -> {new_total:.2f}s "
-          f"({len(new_q)} queries, {len(new_only)} new)")
+          f"({len(new_q)} queries, {len(new_only)} new, "
+          f"newer steal_ticks={ticks})")
     for k, ov, nv in regressions:
         if nv < 0:
             was = "NEW" if ov is None else f"{ov:.2f}s"
             print(f"REGRESSION {k}: {was} -> FAILED (-1)")
         else:
             print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s (x{nv/ov:.1f})")
+    for k, ov, nv in suspects:
+        why = "storm-contaminated run" if storm_run else "stormy-marked"
+        print(f"SUSPECT    {k}: {ov:.2f}s -> {nv:.2f}s (x{nv/ov:.1f}) "
+              f"[{why}; re-measure: tools/dev.sh graft.Bench]")
     for k, ov, nv in improved:
         print(f"improved   {k}: {ov:.2f}s -> {nv:.2f}s")
     for k, nv in new_only:
@@ -91,6 +125,10 @@ def main():
     if regressions:
         print(f"== {len(regressions)} regression(s) over factor {factor} ==")
         sys.exit(1)
+    if suspects:
+        print(f"== no hard regressions; {len(suspects)} storm-suspect "
+              "slowdown(s) need a clean local re-measure ==")
+        return
     print("== no regressions ==")
 
 
