@@ -31,6 +31,18 @@ object MetaDecode {
   case object U32 extends SType
   case object U64 extends SType
   case object U128 extends SType // fixed 16-byte LE
+  case object U256 extends SType // fixed 32-byte LE
+  // signed fixed-width LE two's complement (scale-info primitives 9-14;
+  // one signed arg anywhere in a chain's call/event graph used to make
+  // the whole registry throw — chains DO use them, e.g. pooled staking
+  // deltas and EVM chain-id fields)
+  case object I8 extends SType
+  case object I16 extends SType
+  case object I32 extends SType
+  case object I64 extends SType
+  case object I128 extends SType
+  case object I256 extends SType
+  case object CharT extends SType // u32 Unicode scalar
   case object Bool extends SType
   case object CompactInt extends SType // compact-encoded integer
   case object AccountId extends SType // 32 raw bytes → 0x-hex
@@ -48,6 +60,13 @@ object MetaDecode {
     * (unit variant). */
   final case class Enum(variants: Seq[(String, Seq[(String, SType)])])
       extends SType
+  /** BitSequence (`BitVec<Store, Order>`): compact bit-length ‖ store
+    * words, decoded to the raw byte payload (availability bitfields
+    * and vote bitmaps are consumed as opaque bytes downstream —
+    * bit-order interpretation is the reader's concern, like in
+    * polkadot-js's Raw-to-hex rendering). `wordBytes` sizes the padded
+    * tail: ceil(bits / (8·wordBytes)) store words. */
+  final case class BitSeq(wordBytes: Int) extends SType
 
   /** One callable item; `index` is the variant index within the
     * pallet's call (or event) enum — explicit, because runtime
@@ -103,6 +122,18 @@ object MetaDecode {
         val lo = c.u32(); val hi = c.u32()
         ((BigInt(hi) << 32) | BigInt(lo)).toString
       case U128 => c.u128().toString
+      case U256 => BigInt(1, c.take(32).reverse).toString
+      case I8 => c.u8().toByte.toString
+      case I16 => (c.u8() | (c.u8() << 8)).toShort.toString
+      case I32 => c.u32().toInt.toString
+      case I64 =>
+        val lo = c.u32(); val hi = c.u32()
+        ((hi.toInt.toLong << 32) | lo).toString
+      case I128 => BigInt(c.take(16).reverse).toString // BE 2's-compl ctor
+      case I256 => BigInt(c.take(32).reverse).toString
+      case CharT =>
+        val cp = c.u32().toInt
+        s""""${jsonEscape(new String(Character.toChars(cp)))}""""
       case Bool => c.u8() match {
         case 0 => "false"
         case 1 => "true"
@@ -141,6 +172,10 @@ object MetaDecode {
         fields.map { case (name, ft) =>
           s""""$name":${decodeValue(c, ft, decodeCall, kids)}"""
         }.mkString("{", ",", "}")
+      case BitSeq(wordBytes) =>
+        val bits = c.compact().toInt
+        val words = (bits + 8 * wordBytes - 1) / (8 * wordBytes)
+        s"""{"bits":$bits,"value":"${hx(c.take(words * wordBytes))}"}"""
       case Enum(variants) =>
         val tag = c.u8()
         require(tag < variants.length,

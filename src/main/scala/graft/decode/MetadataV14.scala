@@ -13,7 +13,7 @@ import graft.functions.Codec
   * resolves all pallets through it).
   *
   * Format (public: the frame-metadata / scale-info crates):
-  * `"meta"` magic (u32 LE) ‖ version u8 (14) ‖
+  * `"meta"` magic (u32 LE) ‖ version u8 (14 or 15) ‖
   * `types` portable registry (Vec of {id: Compact, Si1Type}) ‖
   * `pallets` (Vec of {name, storage?, calls?, event?, constants,
   * error?, index: u8}) ‖ extrinsic meta ‖ runtime type id.
@@ -128,7 +128,7 @@ object MetadataV14 {
     RawStorage(name, valueTy)
   }
 
-  private def pallet(c: Cursor): RawPallet = {
+  private def pallet(c: Cursor, v15: Boolean): RawPallet = {
     val name = str(c)
     val storage = opt(c) { // storage
       str(c) // prefix
@@ -142,7 +142,9 @@ object MetadataV14 {
       vec(c)(str(c))
     }
     opt(c)(c.compact()) // error
-    RawPallet(name, callsTy, eventTy, storage, c.u8())
+    val index = c.u8()
+    if (v15) vec(c)(str(c)) // v15 appends pallet docs
+    RawPallet(name, callsTy, eventTy, storage, index)
   }
 
   // ---- name conventions ----
@@ -159,8 +161,12 @@ object MetadataV14 {
 
   // ---- typeId → SType resolution ----
 
+  /** scale-info Si1TypeDefPrimitive, full vocabulary: 0 bool, 1 char,
+    * 2 str, 3-8 u8..u256, 9-14 i8..i256. */
   private val Primitives: Map[Int, SType] = Map(
-    0 -> Bool, 2 -> Str, 3 -> U8, 4 -> U16, 5 -> U32, 6 -> U64, 7 -> U128)
+    0 -> Bool, 1 -> CharT, 2 -> Str, 3 -> U8, 4 -> U16, 5 -> U32,
+    6 -> U64, 7 -> U128, 8 -> U256, 9 -> I8, 10 -> I16, 11 -> I32,
+    12 -> I64, 13 -> I128, 14 -> I256)
 
   private final class Resolver(types: Map[Long, RawType]) {
     private val memo = scala.collection.mutable.Map.empty[Long, SType]
@@ -203,7 +209,10 @@ object MetadataV14 {
         case other => Tup(Seq.fill(n)(other))
       }
       case DTuple(es) => Tup(es.map(resolve))
-      case DComposite(Seq(one)) => resolve(one.ty) // newtype unwraps
+      // newtype unwrap is conventional ONLY for the unnamed single
+      // field (struct X(T)); a named one-field struct {who: T} keeps
+      // its Struct shape, matching the polkadot-js JSON rendering
+      case DComposite(Seq(one)) if one.name.isEmpty => resolve(one.ty)
       case DComposite(fs) if fs.forall(_.name.isDefined) =>
         Struct(named(fs))
       case DComposite(fs) => Tup(fs.map(f => resolve(f.ty)))
@@ -212,8 +221,18 @@ object MetadataV14 {
             vs.map(_.name).sorted == Seq("None", "Some") =>
         Opt(resolve(vs.find(_.name == "Some").get.fields.head.ty))
       case DVariant(vs) => denseEnum(vs)
-      case DBitSeq(_, _) => throw new IllegalArgumentException(
-        s"BitSequence unsupported (${t.path.mkString("::")})")
+      // availability bitfields / vote bitmaps: keep the raw payload,
+      // sized by the store word (order only affects bit reading, not
+      // the byte layout)
+      case DBitSeq(store, _) => resolve(store) match {
+        case U8 => BitSeq(1)
+        case U16 => BitSeq(2)
+        case U32 => BitSeq(4)
+        case U64 => BitSeq(8)
+        case other => throw new IllegalArgumentException(
+          s"BitSequence store must be u8/u16/u32/u64, got $other " +
+            s"(${t.path.mkString("::")})")
+      }
     }
 
     /** [[MetaDecode.Enum]] decodes the tag POSITIONALLY, while metadata
@@ -253,13 +272,21 @@ object MetadataV14 {
     require(magic == 0x6174656dL,
       f"bad metadata magic 0x$magic%08x (want 0x6174656d 'meta')")
     val version = c.u8()
-    require(version == 14, s"unsupported metadata version $version")
+    // v15 (what current Polkadot runtimes serve — ref crawler.js
+    // follows whatever the runtime returns across upgrades) keeps the
+    // same type-registry and pallet layout as v14 except pallets gain
+    // a trailing docs vec; its extra sections (new-shape extrinsic
+    // meta, runtime APIs, outer enums, custom values) all sit AFTER
+    // the pallets, where this parser stops reading anyway.
+    require(version == 14 || version == 15,
+      s"unsupported metadata version $version (v14/v15 supported)")
     val types = vec(c) {
       val id = c.compact().toLong
       id -> si1Type(c)
     }.toMap
-    val pallets = vec(c)(pallet(c))
-    // extrinsic meta + runtime type id follow; nothing below needs them
+    val pallets = vec(c)(pallet(c, version == 15))
+    // extrinsic meta + runtime type id (+ v15's apis/outer-enums/
+    // custom sections) follow; nothing below needs them
     val r = new Resolver(types)
     val defs = pallets.map { p =>
       PalletDef(p.index, lowerCamel(p.name),

@@ -96,7 +96,16 @@ class MetadataV14Spec extends AnyFunSuite {
     typ(16, Seq("pallet_proxy", "pallet", "Event"),
       variants(variant("ProxyAdded", Seq(field(Some("delegator"), 3),
         field(Some("delegatee"), 3), field(Some("proxy_type"), 6),
-        field(Some("delay"), 1)), 2))))
+        field(Some("delay"), 1)), 2))),
+    // 17 = BitVec<u8, Lsb0> (store type id 0 = u8; order never read)
+    typ(17, Seq("bitvec", "BitVec"), b(u8(7), cp(0), cp(0))),
+    typ(18, Seq.empty, primitive(11)), // i32
+    typ(19, Seq.empty, primitive(13)), // i128
+    // 20 = a NAMED single-field struct — must stay Struct, not unwrap
+    typ(20, Seq("runtime", "Target"), composite(field(Some("who"), 3))),
+    typ(21, Seq("pallet_tester", "pallet", "Call"),
+      variants(variant("set_delta", Seq(field(Some("delta"), 18),
+        field(Some("big"), 19), field(Some("target"), 20)), 0))))
 
   // storage + constants content is structurally consumed, never
   // interpreted — give Proxy both so the parser must skip them right
@@ -105,7 +114,9 @@ class MetadataV14Spec extends AnyFunSuite {
       u8(1) /* Map */, vecOf(u8(2) /* hasher */), cp(3), cp(8),
       b(cp(1), u8(0)) /* default bytes */, vecOf() /* docs */),
     b(str("Announcements"), u8(1), u8(0) /* Plain */, cp(1),
-      b(cp(4), u8(1), u8(2), u8(3), u8(4)), vecOf()))))
+      b(cp(4), u8(1), u8(2), u8(3), u8(4)), vecOf()),
+    b(str("Bitfields"), u8(0), u8(0) /* Plain */, cp(17),
+      b(cp(1), u8(0)), vecOf()))))
 
   private val proxyConstants = vecOf(
     b(str("ProxyDepositBase"), cp(2), b(cp(16),
@@ -114,30 +125,50 @@ class MetadataV14Spec extends AnyFunSuite {
   private def palletBytes(name: String, storage: Array[Byte],
       callsTy: Option[Long], eventTy: Option[Long],
       constants: Array[Byte], errorTy: Option[Long],
-      index: Int): Array[Byte] =
+      index: Int, v15Docs: Option[Seq[String]] = None): Array[Byte] =
     b(str(name), storage,
       callsTy.map(t => some(cp(t))).getOrElse(none),
       eventTy.map(t => some(cp(t))).getOrElse(none),
       constants,
       errorTy.map(t => some(cp(t))).getOrElse(none),
-      u8(index))
+      u8(index),
+      v15Docs.map(ds => vecOf(ds.map(str): _*)).getOrElse(Array.empty))
+
+  private def palletsVec(v15Docs: Option[Seq[String]]) = vecOf(
+    palletBytes("Proxy", proxyStorage, Some(14L), Some(16L),
+      proxyConstants, Some(13L), 29, v15Docs),
+    palletBytes("Multisig", none, Some(15L), None, vecOf(),
+      None, 30, v15Docs),
+    palletBytes("Tester", none, Some(21L), None, vecOf(),
+      None, 40, v15Docs))
 
   private val blob = b(
     Array[Byte](0x6d, 0x65, 0x74, 0x61), // "meta"
     u8(14),
     registry,
-    vecOf(
-      palletBytes("Proxy", proxyStorage, Some(14L), Some(16L),
-        proxyConstants, Some(13L), 29),
-      palletBytes("Multisig", none, Some(15L), None, vecOf(),
-        None, 30)),
+    palletsVec(None),
     // extrinsic meta + runtime type id (unread tail)
     b(cp(11), u8(4), vecOf(), cp(11)))
+
+  /** The SAME registry + pallets re-encoded at v15: pallets carry the
+    * appended docs vec; the tail is v15's new-shape extrinsic meta +
+    * runtime ty + apis + outer enums + custom — all after the point
+    * the parser stops reading. */
+  private val blob15 = b(
+    Array[Byte](0x6d, 0x65, 0x74, 0x61),
+    u8(15),
+    registry,
+    palletsVec(Some(Seq("pallet docs", "second line"))),
+    b(u8(4), cp(5), cp(11), cp(4), cp(10), vecOf(), // extrinsic meta
+      cp(11), // runtime ty
+      vecOf(), // apis
+      cp(11), cp(16), cp(13), // outer enums (call/event/error)
+      vecOf())) // custom
 
   private lazy val parsed = MetadataV14.parse(blob)
 
   test("parses pallets, item indices, and name conventions") {
-    assert(parsed.map(_.name) == Seq("proxy", "multisig"))
+    assert(parsed.map(_.name) == Seq("proxy", "multisig", "tester"))
     val proxy = parsed.find(_.name == "proxy").get
     assert(proxy.index == 29)
     val add = proxy.calls.find(_.name == "addProxy").get
@@ -223,7 +254,36 @@ class MetadataV14Spec extends AnyFunSuite {
       == "4100")
   }
 
-  test("rejects bad magic and non-v14 versions") {
+  test("v15 envelope parses to the SAME PalletDefs and storage shapes") {
+    assert(MetadataV14.parse(blob15) == parsed)
+    assert(MetadataV14.parseAll(blob15).storageShapes ==
+      MetadataV14.parseAll(blob).storageShapes)
+  }
+
+  test("BitSequence storage value resolves to its raw byte payload") {
+    val shapes = MetadataV14.parseAll(blob).storageShapes
+    assert(shapes(("proxy", "Bitfields")) == BitSeq(1))
+    // 10 bits ‖ 2 store bytes (LSB-first payload stays opaque)
+    val raw = Codec.bytesToHex(b(cp(10), u8(0x0f), u8(0x03)))
+    assert(MetaDecode.decodeStorageValue(raw, BitSeq(1)) ==
+      """{"bits":10,"value":"0x0f03"}""")
+  }
+
+  test("signed ints decode and a NAMED one-field struct stays a Struct") {
+    val tester = parsed.find(_.name == "tester").get
+    assert(tester.calls == Seq(ItemDef(0, "setDelta", Seq(
+      "delta" -> I32, "big" -> I128,
+      "target" -> Struct(Seq("who" -> AccountId))))))
+    // pallet 40 ‖ call 0 ‖ i32 -5 ‖ i128 -1 ‖ Target{who: alice}
+    val call = b(u8(40), u8(0), u32le(0xfffffffbL),
+      Array.fill[Byte](16)(-1), alice)
+    val node = BlockDecode.decodeCall(new BlockDecode.Cursor(call), meta)
+    assert(node.section == "tester" && node.method == "setDelta")
+    assert(node.args == s"""{"delta":-5,"big":-1,""" +
+      s""""target":{"who":"${Codec.bytesToHex(alice)}"}}""")
+  }
+
+  test("rejects bad magic and pre-v14 versions") {
     val badMagic = blob.clone(); badMagic(0) = 0x00
     assertThrows[IllegalArgumentException](MetadataV14.parse(badMagic))
     val badVer = blob.clone(); badVer(4) = 13
