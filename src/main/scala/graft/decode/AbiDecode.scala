@@ -146,6 +146,7 @@ object AbiDecode {
     case "address" => "STRING"
     case "bool" => "BOOLEAN"
     case t if t.startsWith("bytes") && t.length > 5 => "STRING"
+    case "string" | "bytes" => "STRING"
     case t => (intBits(t, "uint"), intBits(t, "int")) match {
       case (Some(b), _) if b <= 63 => "BIGINT"
       case (Some(_), _) => "STRING"
@@ -241,22 +242,45 @@ object AbiDecode {
           case "string" => decode(unhex(payload), "UTF-8")
           case "bytes" => concat(lit("0x"), lower(payload))
           case t if t.endsWith("[]") =>
-            // dynamic array of STATIC elements (uint256[]/address[] —
-            // the TransferBatch shape): len elements follow the length
-            // word; each is one word decoded by the element type
             val elemTyp = t.stripSuffix("[]")
             val len = conv(data.substr((offChars + 3).cast("int"),
               lit(64)), 16, 10).cast("int")
-            val elems = transform(sequence(lit(0), len - 1), i =>
-              wordValue(data.substr(
-                (offChars + 3 + 64 + i.cast("long") * 64).cast("int"),
-                lit(64)), elemTyp, p.components))
+            // element area starts after the length word; dynamic
+            // element offsets are relative to THIS base, not to data
+            val elemsBase = offChars + 64
+            val elems = elemTyp match {
+              case "string" | "bytes" =>
+                // dynamic elements (the ERC-4337 / multicall shape):
+                // offset-of-offsets — element i's head word points at
+                // its own [len ‖ payload] within the element area
+                transform(sequence(lit(0), len - 1), i => {
+                  val eOff = conv(data.substr(
+                    (elemsBase + 3 + i.cast("long") * 64).cast("int"),
+                    lit(64)), 16, 10).cast("long") * 2
+                  val eLen = conv(data.substr(
+                    (elemsBase + 3 + eOff).cast("int"), lit(64)),
+                    16, 10).cast("long") * 2
+                  val pay = data.substr(
+                    (elemsBase + 3 + eOff + 64).cast("int"),
+                    eLen.cast("int"))
+                  if (elemTyp == "string") decode(unhex(pay), "UTF-8")
+                  else concat(lit("0x"), lower(pay))
+                })
+              case et =>
+                // static elements (uint256[]/address[] — the
+                // TransferBatch shape): len one-word values follow the
+                // length word directly
+                transform(sequence(lit(0), len - 1), i =>
+                  wordValue(data.substr(
+                    (elemsBase + 3 + i.cast("long") * 64).cast("int"),
+                    lit(64)), et, p.components))
+            }
             // sequence(0, -1) would DESCEND — empty arrays need a guard
             when(len === 0, array().cast(s"ARRAY<${sqlType(elemTyp)}>"))
               .otherwise(elems)
           case t => throw new IllegalArgumentException(
-            s"unsupported dynamic ABI type $t (nested dynamic arrays: " +
-              "extend here)")
+            s"unsupported dynamic ABI type $t (tuple[] / nested " +
+              "array-of-array shapes: extend here)")
         }
         p.name -> c
       } else {

@@ -317,6 +317,52 @@ class EvmSpec extends AnyFunSuite {
     assert(empty.getAs[scala.collection.Seq[String]]("values").isEmpty)
   }
 
+  test("ABI decode: bytes[] and string[] — dynamic elements via " +
+      "offset-of-offsets") {
+    import graft.decode.AbiDecode
+    // the ERC-4337 / multicall log shape: array elements are THEMSELVES
+    // dynamic, so each element's head word is an offset relative to the
+    // element area (after the length word), pointing at [len ‖ payload]
+    val abi =
+      """{"name":"Exec","type":"event","inputs":[
+        |{"indexed":false,"name":"id","type":"uint256"},
+        |{"indexed":false,"name":"payloads","type":"bytes[]"},
+        |{"indexed":false,"name":"notes","type":"string[]"}]}"""
+        .stripMargin.replace("\n", "")
+    val e = AbiDecode.parseEvent(abi)
+    assert(AbiDecode.signature(e) == "Exec(uint256,bytes[],string[])")
+    def pw(hex: String) = hex + "0" * (64 - hex.length) // padded payload
+    val longBytes = "11" * 32 + "2233" // 34 bytes — spans two words
+    val data = "0x" +
+      tcWord(BigInt(7)) + // id
+      tcWord(BigInt(0x60)) + // payloads offset (after 3 head words)
+      tcWord(BigInt(0x160)) + // notes offset
+      // payloads: N=2; elem offsets rel to 0x80; [3‖abcdef]; [34‖…]
+      tcWord(BigInt(2)) + tcWord(BigInt(0x40)) + tcWord(BigInt(0x80)) +
+      tcWord(BigInt(3)) + pw("abcdef") +
+      tcWord(BigInt(34)) + ("11" * 32) + pw("2233") +
+      // notes: N=2; elem offsets rel to 0x180; [2‖"hi"]; [0‖] empty
+      tcWord(BigInt(2)) + tcWord(BigInt(0x40)) + tcWord(BigInt(0x80)) +
+      tcWord(BigInt(2)) + pw("6869") +
+      tcWord(BigInt(0))
+    // empty arrays still need the cast guard on the dynamic-elem path
+    val emptyData = "0x" + tcWord(BigInt(9)) + tcWord(BigInt(0x60)) +
+      tcWord(BigInt(0x80)) + tcWord(BigInt(0)) + tcWord(BigInt(0))
+    val logs = Seq(
+      (Seq(AbiDecode.topic0(e)), data),
+      (Seq(AbiDecode.topic0(e)), emptyData)).toDF("topics", "data")
+    val rows = AbiDecode.decodeLogs(logs, abi).select("decoded.*")
+      .collect()
+    val full = rows.find(_.getAs[String]("id") == "7").get
+    assert(full.getAs[scala.collection.Seq[String]]("payloads").toSeq ==
+      Seq("0xabcdef", "0x" + longBytes))
+    assert(full.getAs[scala.collection.Seq[String]]("notes").toSeq ==
+      Seq("hi", ""))
+    val empty = rows.find(_.getAs[String]("id") == "9").get
+    assert(empty.getAs[scala.collection.Seq[String]]("payloads").isEmpty)
+    assert(empty.getAs[scala.collection.Seq[String]]("notes").isEmpty)
+  }
+
   test("ABI decode: alias canonicalization and static fixed arrays") {
     import graft.decode.AbiDecode
     // "uint"/"int" must canonicalize before hashing (ethers.js does) —
