@@ -220,6 +220,72 @@ object XcmMatcher {
       .withColumn("confidence", round(col("confidence"), 6))
   }
 
+  /** J18 — multi-hop trace/span assembly (ref xcmtracer.js:73-160:
+    * `generate_span_trace/extrinsic/dest` + `submitleg` build one
+    * traceId per origin extrinsic and hang the origination span, each
+    * message-leg span, and the destination span under it). The repo's
+    * matchers (J1-J5) produce PAIRWISE legs; this chains them into
+    * origin→hop→dest traces:
+    *
+    *  - a leg is a trace ROOT when no other leg of the same msg_hash
+    *    arrives at its origin chain within the forwarding window
+    *    (`s_sent_at ∈ [pred.d_sent_at, pred.d_sent_at + slack]`) — so
+    *    window-broken orphan legs surface as their own 1-leg traces
+    *    instead of disappearing;
+    *  - hop h+1 is the leg whose origin chain is hop h's destination,
+    *    same msg_hash, sent within the window after h's arrival (the
+    *    multi-hop msg_hash-reuse chain noted at matchMessages);
+    *  - the trace's deepest assembled hop is its destination span
+    *    (`is_terminal`), mirroring generate_span_dest.
+    *
+    * Scale shape: the WHOLE assembly is one lazy plan — a left-anti
+    * root filter plus `maxHops−1` equi-joins keyed on (msg_hash,
+    * chain), each a shuffled hash join with the time window as a
+    * post-join filter; depth is bounded by construction (XCM routes
+    * are ≤ a few hops), so no iterate-to-fixpoint and no driver-side
+    * recursion over data.
+    *
+    * Input legs need `msg_hash, chain_id, chain_id_dest, s_sent_at,
+    * d_sent_at` (the matchMessages output shape). */
+  def assembleTraces(legs: DataFrame, maxHops: Int = 4,
+      slack: Long = 4): DataFrame = {
+    val l = legs.select(col("msg_hash"), col("chain_id"),
+      col("chain_id_dest"), col("s_sent_at").cast("long").as("s_sent_at"),
+      col("d_sent_at").cast("long").as("d_sent_at"))
+    val pred = l.select(col("msg_hash").as("p_hash"),
+      col("chain_id_dest").as("p_dest"), col("d_sent_at").as("p_arr"))
+    val cols = Seq("trace_id", "hop", "msg_hash", "chain_id",
+      "chain_id_dest", "s_sent_at", "d_sent_at").map(col)
+    val roots = l.join(pred,
+        col("msg_hash") === col("p_hash") &&
+          col("chain_id") === col("p_dest") &&
+          col("s_sent_at") >= col("p_arr") &&
+          col("s_sent_at") <= col("p_arr") + slack,
+        "left_anti")
+      .withColumn("trace_id", concat_ws(":", col("msg_hash"),
+        col("chain_id"), col("s_sent_at")))
+      .withColumn("hop", lit(0))
+      .select(cols: _*)
+    var frontier = roots
+    var out = roots
+    for (h <- 1 until maxHops) {
+      val f = frontier.select(col("trace_id"),
+        col("msg_hash").as("f_hash"), col("chain_id_dest").as("f_dest"),
+        col("d_sent_at").as("f_arr"))
+      val next = f.join(l,
+          col("f_hash") === col("msg_hash") &&
+            col("f_dest") === col("chain_id") &&
+            col("s_sent_at") >= col("f_arr") &&
+            col("s_sent_at") <= col("f_arr") + slack)
+        .withColumn("hop", lit(h))
+        .select(cols: _*)
+      out = out.unionByName(next)
+      frontier = next
+    }
+    val w = Window.partitionBy(col("trace_id"))
+    out.withColumn("is_terminal", col("hop") === max(col("hop")).over(w))
+  }
+
   /** J3 — transfer → dest-candidate tolerance matching
     * (ref xcmCleaner.js:569-666): candidate window
     * `dest_ts ∈ [source_ts − 10 s, source_ts + 120 s]`, exact-amount

@@ -407,7 +407,53 @@ object JoinOps {
        | FROM events GROUP BY 1)
        |ORDER BY hr""".stripMargin
 
+  // J18 — multi-hop XCM trace/span assembly (ref xcmtracer.js:73-160):
+  // the lineitem rows of one order model a message's chained legs —
+  // leg h goes chain h → h+1, forwarded inside the 4-tick window — so
+  // every order assembles into one origin→hop→dest trace, bounded at
+  // 4 hops. The DuckDB twin is a recursive CTE over the same leg set.
+  private def j18(s: SparkSession, d: String): DataFrame = {
+    val legs = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey").as("msg_hash"),
+        col("l_linenumber").as("chain_id"),
+        (col("l_linenumber") + 1).as("chain_id_dest"),
+        (col("l_linenumber") * 6).cast("long").as("s_sent_at"),
+        (col("l_linenumber") * 6 + 3).cast("long").as("d_sent_at"))
+    graft.etl.XcmMatcher.assembleTraces(legs, maxHops = 4, slack = 4)
+      .orderBy(col("trace_id"), col("hop"))
+  }
+
+  private val j18Sql =
+    """WITH RECURSIVE legs AS (
+      | SELECT l_orderkey AS msg_hash, l_linenumber AS chain_id,
+      |  l_linenumber + 1 AS chain_id_dest,
+      |  CAST(l_linenumber * 6 AS BIGINT) AS s_sent_at,
+      |  CAST(l_linenumber * 6 + 3 AS BIGINT) AS d_sent_at
+      | FROM lineitem WHERE l_orderkey < 2000),
+      |roots AS (
+      | SELECT * FROM legs l WHERE NOT EXISTS (
+      |  SELECT 1 FROM legs p WHERE p.msg_hash = l.msg_hash
+      |   AND p.chain_id_dest = l.chain_id
+      |   AND l.s_sent_at BETWEEN p.d_sent_at AND p.d_sent_at + 4)),
+      |trace AS (
+      | SELECT msg_hash || ':' || chain_id || ':' || s_sent_at AS trace_id,
+      |  0 AS hop, msg_hash, chain_id, chain_id_dest, s_sent_at, d_sent_at
+      | FROM roots
+      | UNION ALL
+      | SELECT t.trace_id, t.hop + 1, n.msg_hash, n.chain_id,
+      |  n.chain_id_dest, n.s_sent_at, n.d_sent_at
+      | FROM trace t JOIN legs n ON n.msg_hash = t.msg_hash
+      |  AND n.chain_id = t.chain_id_dest
+      |  AND n.s_sent_at BETWEEN t.d_sent_at AND t.d_sent_at + 4
+      | WHERE t.hop < 3)
+      |SELECT trace_id, hop, msg_hash, chain_id, chain_id_dest,
+      | s_sent_at, d_sent_at,
+      | hop = max(hop) OVER (PARTITION BY trace_id) AS is_terminal
+      |FROM trace ORDER BY trace_id, hop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j18_trace_spans" -> (j18 _),
     "j1_interval_match" -> (j1 _),
     "j2_dedup_match" -> (j2 _),
     "j3_tolerance_match" -> (j3 _),
@@ -424,6 +470,7 @@ object JoinOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "j18_trace_spans" -> j18Sql,
     "j16b_asof_native" -> j16bSql,
     "j1_interval_match" -> j1Sql,
     "j2_dedup_match" -> j2Sql,

@@ -243,4 +243,46 @@ class XcmMatcherSpec extends AnyFunSuite {
       .select("transfer_index").collect().map(_.getInt(0)).toSeq
     assert(out == Seq(0)) // transfer_index 0 wins the shared candidate
   }
+
+  test("trace assembly: 3-leg origin->hop->dest chain with decoys") {
+    // msg "0xaa" hops 1 → 2 → 3 → 4 (three legs, forwarded inside the
+    // 4-tick window); a same-hash decoy leg 2 → 3 sent OUTSIDE the
+    // window becomes its own orphan trace; msg "0xbb" is a 1-leg trace
+    val legs = Seq(
+      ("0xaa", 1, 2, 10L, 12L), // hop 0 (root: nothing arrives at 1)
+      ("0xaa", 2, 3, 14L, 17L), // hop 1 (12 <= 14 <= 16)
+      ("0xaa", 3, 4, 20L, 22L), // hop 2 (17 <= 20 <= 21) — terminal
+      ("0xaa", 2, 3, 40L, 42L), // decoy: window-broken → own root
+      ("0xbb", 7, 8, 10L, 11L)  // other message, single leg
+    ).toDF("msg_hash", "chain_id", "chain_id_dest", "s_sent_at",
+      "d_sent_at")
+    val out = XcmMatcher.assembleTraces(legs, maxHops = 4, slack = 4)
+      .select("trace_id", "hop", "chain_id", "chain_id_dest",
+        "is_terminal")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getBoolean(4))).toSet
+    assert(out == Set(
+      ("0xaa:1:10", 0, 1, 2, false),
+      ("0xaa:1:10", 1, 2, 3, false),
+      ("0xaa:1:10", 2, 3, 4, true), // destination span
+      ("0xaa:2:40", 0, 2, 3, true), // orphaned forward = own trace
+      ("0xbb:7:10", 0, 7, 8, true)))
+  }
+
+  test("trace assembly: depth bound truncates, window gates the chain") {
+    // a 6-leg chain under maxHops=4 keeps hops 0..3 only; hop 3 is the
+    // deepest ASSEMBLED leg so it carries the terminal flag
+    val legs = (1 to 6).map(h =>
+      ("0xcc", h, h + 1, h * 6L, h * 6L + 3L))
+      .toDF("msg_hash", "chain_id", "chain_id_dest", "s_sent_at",
+        "d_sent_at")
+    val out = XcmMatcher.assembleTraces(legs, maxHops = 4, slack = 4)
+      .select("hop", "chain_id", "is_terminal")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2)))
+      .toSet
+    assert(out == Set((0, 1, false), (1, 2, false), (2, 3, false),
+      (3, 4, true)))
+    // legs 5/6 were dropped by the depth bound, and they do NOT appear
+    // as roots (their predecessors arrive in-window)
+  }
 }
