@@ -259,6 +259,26 @@ object WindowOps {
        | FROM events)
        |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // B1 — snapshot-at-block state reconstruction (ref
+  // snapshot/snapshotter.js:1-264: point-in-time account state at a
+  // named block): latest update per key with ordinal <= B, via ONE
+  // argmax aggregation (graft.etl.Snapshot.stateAt). q9 is "latest
+  // ever"; this is "latest AS OF block B" — the state a re-org-safe
+  // backfill materializes per snapshot block.
+  private def b1(s: SparkSession, d: String): DataFrame =
+    graft.etl.Snapshot.stateAt(Tables.events(s, d),
+      keyCols = Seq("user_id"), ordCol = "event_id", atOrd = 600L,
+      valueCols = Seq("event_type", "value"))
+      .orderBy(col("user_id"))
+
+  private val b1Sql =
+    """SELECT user_id, event_id, event_type, "value",
+      | CAST(600 AS BIGINT) AS snapshot_at
+      |FROM (SELECT *, row_number() OVER (
+      |  PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      | FROM events WHERE event_id <= 600)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // TPC-H Q3-shaped shipping-priority top-k (bench headline; T2 order by +
   // limit over a 3-way join).
   private def t2(s: SparkSession, d: String): DataFrame =
@@ -428,6 +448,7 @@ object WindowOps {
     "q4_search_union" -> (q4 _),
     "q9_latest_per_key" -> (q9 _),
     "q10_follow_feed" -> (q10 _),
+    "b1_snapshot_at_block" -> (b1 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,5 +468,6 @@ object WindowOps {
     "q4_search_union" -> q4Sql,
     "q9_latest_per_key" -> q9Sql,
     "q10_follow_feed" -> q10Sql,
+    "b1_snapshot_at_block" -> b1Sql,
   )
 }

@@ -27,6 +27,34 @@ class EtlSpec extends AnyFunSuite {
     assert(out == Set(("2024-01-01", 1L), ("2024-01-02", 3L)))
   }
 
+  test("snapshot-at-block: as-of argmax + idempotent partition rewrite") {
+    import graft.etl.Snapshot
+    // account 1 updates at blocks 10/20/30; account 2 at 25 only
+    val updates = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 150.0), (1L, 30L, 90.0),
+      (2L, 25L, 55.0))
+      .toDF("account", "block", "free")
+    def snap(at: Long) = Snapshot.stateAt(updates, Seq("account"),
+      "block", at, Seq("free"))
+    // as-of block 22: account 1 shows the block-20 state (NOT block 30),
+    // account 2 has no state yet
+    assert(snap(22L).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ==
+      Set((1L, 20L, 150.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    Snapshot.writeSnapshot(snap(22L), dir)
+    Snapshot.writeSnapshot(snap(30L), dir)
+    // re-running snapshot 30 must replace ONLY its own partition
+    Snapshot.writeSnapshot(snap(30L), dir)
+    val out = spark.read.parquet(dir)
+      .select("snapshot_at", "account", "block", "free")
+      .collect().map(r => (r.get(0).toString.toLong, r.getLong(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      (22L, 1L, 20L, 150.0),
+      (30L, 1L, 30L, 90.0), (30L, 2L, 25L, 55.0)))
+  }
+
   test("upsert: updates win on key, inserts appended") {
     val base = Seq((1L, "old", 1L), (2L, "keep", 1L))
       .toDF("k", "v", "ver")
