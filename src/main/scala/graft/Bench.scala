@@ -180,7 +180,12 @@ object BenchTrend {
   final case class Trend(
       regressions: Seq[String], // hard failures (clean-run slowdowns, throws)
       stormExempt: Seq[String], // slowdowns excused by storm annotations
-      stealTicks: Long)
+      stealTicks: Long,
+      /** No overlapping query keys — e.g. the newer file is a driver
+        * `parsed: null` capture failure (rounds 1-2 lost their numbers
+        * exactly this way). An empty comparison must be an ERROR, not
+        * a green "no regressions" (bench_diff.py exits the same way). */
+      vacuous: Boolean)
 
   private def pfx(k: String): String = k.split('_')(0)
 
@@ -191,8 +196,13 @@ object BenchTrend {
   def queryTimes(txt: String): Map[String, Double] = {
     val q = """"queries"\s*:\s*\{([^}]*)\}""".r
       .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-    val raw = """"([^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(q)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // E-notation matters: bench_detail writes raw Double.toString,
+    // which renders sub-millisecond times as 9.5E-4 — a mantissa-only
+    // parse would inflate them ~1000x into phantom regressions
+    val raw =
+      """"([^"]+)"\s*:\s*(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)""".r
+        .findAllMatchIn(q)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
     // normalize to the contract's unique-prefix keys when collision-free
     // so full-name files and prefix-keyed driver files line up
     val counts = raw.keys.groupBy(pfx).map { case (p, ks) => p -> ks.size }
@@ -234,6 +244,7 @@ object BenchTrend {
         else hard += line
       }
     }
-    Trend(hard.toSeq, soft.toSeq, ticks)
+    Trend(hard.toSeq, soft.toSeq, ticks,
+      vacuous = (prev.keySet & curr.keySet).isEmpty)
   }
 }

@@ -249,6 +249,13 @@ object AbiDecode {
             // element offsets are relative to THIS base, not to data
             val elemsBase = offChars + 64
             val elems = elemTyp match {
+              case et if et.startsWith("tuple") || et.contains("[") =>
+                // route these HERE (they end with "[]" so they reach
+                // this branch, never the outer catch-all) so the
+                // extension-point message actually fires for them
+                throw new IllegalArgumentException(
+                  s"unsupported dynamic ABI type $t (tuple[] / nested " +
+                    "array-of-array shapes: extend here)")
               case "string" | "bytes" =>
                 // dynamic elements (the ERC-4337 / multicall shape):
                 // offset-of-offsets — element i's head word points at
@@ -279,8 +286,8 @@ object AbiDecode {
             when(len === 0, array().cast(s"ARRAY<${sqlType(elemTyp)}>"))
               .otherwise(elems)
           case t => throw new IllegalArgumentException(
-            s"unsupported dynamic ABI type $t (tuple[] / nested " +
-              "array-of-array shapes: extend here)")
+            s"unsupported dynamic ABI type $t (dynamic tuples / fixed " +
+              "arrays of dynamic elements: extend here)")
         }
         p.name -> c
       } else {

@@ -82,6 +82,10 @@ class BenchContractSpec extends AnyFunSuite {
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val prevF = benches(benches.length - 2)
       val t = BenchTrend.compare(txt(prevF), txt(benches.last))
+      assert(!t.vacuous,
+        s"no overlapping query keys between ${prevF.getName} and " +
+          s"${benches.last.getName} — a 'parsed: null' capture failure " +
+          "must be an error, never a green no-regressions")
       if (t.stormExempt.nonEmpty) {
         info(s"storm-exempt slowdowns (newer run steal_ticks=" +
           s"${t.stealTicks}; re-measure with `tools/dev.sh graft.Bench` " +
@@ -136,6 +140,24 @@ class BenchContractSpec extends AnyFunSuite {
     val t = BenchTrend.compare(cleanOld, stormFail)
     assert(t.regressions.exists(_.contains("FAILED")),
       s"steal makes queries slow, not wrong: $t")
+  }
+
+  test("trend guard: an unparseable newer bench is vacuous, not green") {
+    // the rounds-1/2 failure mode: driver records "parsed": null and no
+    // unescaped queries map exists anywhere in the file
+    val t = BenchTrend.compare(cleanOld, """{"n":6,"parsed":null}""")
+    assert(t.vacuous && t.regressions.isEmpty)
+    assert(!BenchTrend.compare(cleanOld, cleanOld).vacuous)
+  }
+
+  test("trend guard: E-notation times parse whole, not mantissa-only") {
+    // bench_detail writes raw Double.toString — 9.5E-4 must read as
+    // ~0.001s, not 9.5s (a phantom 19x regression vs cleanOld's w2)
+    val q = BenchTrend.queryTimes("""{"queries":{"w2":9.5E-4,"a1":0.5}}""")
+    assert(math.abs(q("w2") - 0.00095) < 1e-9)
+    val t = BenchTrend.compare(cleanOld,
+      """{"queries":{"a1":0.50,"w2":9.5E-4,"q9":0.14},"steal_ticks":45}""")
+    assert(t.regressions.isEmpty, s"$t")
   }
 
   test("trend guard: reads annotations through a driver file's escaped tail") {

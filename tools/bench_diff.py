@@ -108,15 +108,20 @@ def main():
     print(f"total: {old_total:.2f}s -> {new_total:.2f}s "
           f"({len(new_q)} queries, {len(new_only)} new, "
           f"newer steal_ticks={ticks})")
+    def ratio(nv, ov):
+        # driver maps are 2-decimal rounded, so ov can be exactly 0.00
+        return nv / max(ov, 1e-9)
     for k, ov, nv in regressions:
         if nv < 0:
             was = "NEW" if ov is None else f"{ov:.2f}s"
             print(f"REGRESSION {k}: {was} -> FAILED (-1)")
         else:
-            print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s (x{nv/ov:.1f})")
+            print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s "
+                  f"(x{ratio(nv, ov):.1f})")
     for k, ov, nv in suspects:
         why = "storm-contaminated run" if storm_run else "stormy-marked"
-        print(f"SUSPECT    {k}: {ov:.2f}s -> {nv:.2f}s (x{nv/ov:.1f}) "
+        print(f"SUSPECT    {k}: {ov:.2f}s -> {nv:.2f}s "
+              f"(x{ratio(nv, ov):.1f}) "
               f"[{why}; re-measure: tools/dev.sh graft.Bench]")
     for k, ov, nv in improved:
         print(f"improved   {k}: {ov:.2f}s -> {nv:.2f}s")
