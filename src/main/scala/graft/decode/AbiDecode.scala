@@ -17,9 +17,12 @@ import org.apache.spark.sql.types.DataTypes
   * emits per-parameter `Column`s — static params are constant-offset
   * `substring`/`conv` expressions (whole-stage codegen'd, no UDF);
   * only u/int wider than 64 bits (decimal string render) and the
-  * 256-bit two's complement touch a scalar UDF, and dynamic
-  * string/bytes tails use data-dependent `Column.substr`. The
-  * reference pays a JS engine + ABI parse per batch instead.
+  * 256-bit two's complement touch a scalar UDF. Dynamic values of ANY
+  * composition (string/bytes, T[], T[k], tuples, arbitrarily nested —
+  * `bytes[][]`, `(uint32,uint32)[]`, tuples with string members)
+  * decode through [[valueAt]]'s recursive Column-offset arithmetic
+  * over `substr`/`conv`, still inside codegen. The reference pays a
+  * JS engine + ABI parse per batch instead.
   *
   * Conventions mirror the reference UDF: addresses lowercase; an
   * INDEXED dynamic param is represented by its topic hash (udfs.sql:48
@@ -196,6 +199,115 @@ object AbiDecode {
       case None => 1
     }
 
+  /** Head slots a param occupies in its enclosing tuple/array: any
+    * dynamic type takes ONE offset word; static types inline. */
+  private def headSlots(p: AbiParam): Int =
+    if (isDynamic(p)) 1 else staticSlots(p)
+
+  private def fieldName(p: AbiParam, i: Int): String =
+    if (p.name.isEmpty) s"_$i" else p.name
+
+  /** Spark DDL type of any decodable param — the empty-array cast for
+    * arbitrarily nested shapes. */
+  private def sqlTypeOf(p: AbiParam): String =
+    if (p.typ == "string" || p.typ == "bytes") "STRING"
+    else if (p.typ.endsWith("[]"))
+      s"ARRAY<${sqlTypeOf(p.copy(typ = p.typ.dropRight(2)))}>"
+    else fixedArray(p.typ) match {
+      case Some((e, _)) => s"ARRAY<${sqlTypeOf(p.copy(typ = e))}>"
+      case None if p.typ.startsWith("tuple") =>
+        p.components.zipWithIndex
+          .map { case (c, i) => s"`${fieldName(c, i)}`: ${sqlTypeOf(c)}" }
+          .mkString("STRUCT<", ", ", ">")
+      case None => sqlType(p.typ)
+    }
+
+  /** Static decode rooted at a DATA-DEPENDENT char offset `base` —
+    * the twin of the constant-offset `staticValue` fast path, for
+    * static values living inside dynamic regions (e.g. the elements
+    * of a `(uint32,uint32)[]`). */
+  private def staticValueAt(p: AbiParam, base: Column,
+      data: Column): Column =
+    fixedArray(p.typ) match {
+      case Some((et, k)) =>
+        val ep = p.copy(typ = et)
+        val es = staticSlots(ep)
+        array((0 until k).map(i =>
+          staticValueAt(ep, base + i.toLong * 64 * es, data)): _*)
+      case None if p.typ.startsWith("tuple") =>
+        var off = 0L
+        struct(p.components.zipWithIndex.map { case (cp, i) =>
+          val c = staticValueAt(cp, base + off * 64, data)
+            .as(fieldName(cp, i))
+          off += staticSlots(cp)
+          c
+        }: _*)
+      case None =>
+        wordValue(data.substr((base + 3).cast("int"), lit(64)), p.typ,
+          p.components)
+    }
+
+  /** Fully general decode of `p` whose ABI encoding starts at 0-based
+    * char offset `base` within `data`'s hex body. Implements the
+    * spec's recursive layout — a dynamic value is [its own heads ‖
+    * tails] with offsets relative to ITS start:
+    *   string/bytes  len ‖ payload
+    *   T[]           len ‖ enc(T[len])  (element offsets rel. to
+    *                 after-length when T is dynamic; inline strides of
+    *                 staticSlots(T) words when static)
+    *   T[k], dyn T   k offset words rel. to base ‖ tails
+    *   tuple, dyn    component heads (offsets rel. to base) ‖ tails
+    * Every offset is Column arithmetic over substr/conv, so the whole
+    * tree stays inside whole-stage codegen — no UDF, no JSON hop. */
+  private def valueAt(p: AbiParam, base: Column, data: Column): Column = {
+    def uintAt(off: Column): Column =
+      conv(data.substr((off + 3).cast("int"), lit(64)), 16, 10)
+        .cast("long")
+    if (!isDynamic(p)) staticValueAt(p, base, data)
+    else p.typ match {
+      case "string" | "bytes" =>
+        val lenChars = uintAt(base) * 2
+        val pay = data.substr((base + 3 + 64).cast("int"),
+          lenChars.cast("int"))
+        if (p.typ == "string") decode(unhex(pay), "UTF-8")
+        else concat(lit("0x"), lower(pay))
+      case t if t.endsWith("[]") =>
+        val ep = p.copy(typ = t.dropRight(2))
+        val len = uintAt(base).cast("int")
+        val elems = base + 64
+        val arr = transform(sequence(lit(0), len - 1), i => {
+          val iL = i.cast("long")
+          val eBase =
+            if (isDynamic(ep)) elems + uintAt(elems + iL * 64) * 2
+            else elems + iL * (64L * staticSlots(ep))
+          valueAt(ep, eBase, data)
+        })
+        // sequence(0, -1) would DESCEND — empty arrays need a guard
+        when(len === 0, array().cast(s"ARRAY<${sqlTypeOf(ep)}>"))
+          .otherwise(arr)
+      case t => fixedArray(t) match {
+        case Some((et, k)) =>
+          // T[k] with dynamic T encodes like a k-tuple of T: k offset
+          // words relative to base, tails after
+          val ep = p.copy(typ = et)
+          array((0 until k).map(i =>
+            valueAt(ep, base + uintAt(base + i.toLong * 64) * 2,
+              data)): _*)
+        case None => // tuple with >=1 dynamic component
+          var slot = 0L
+          struct(p.components.zipWithIndex.map { case (cp, i) =>
+            val hOff = base + slot * 64
+            slot += headSlots(cp)
+            val c =
+              if (isDynamic(cp))
+                valueAt(cp, base + uintAt(hOff) * 2, data)
+              else staticValueAt(cp, hOff, data)
+            c.as(fieldName(cp, i))
+          }: _*)
+      }
+    }
+  }
+
   /** Decoded (name, Column) pairs for one log's `topics` (array of
     * 0x-hex words) and `data` (0x-hex). */
   def decodedColumns(e: AbiEvent, topics: Column,
@@ -230,66 +342,12 @@ object AbiDecode {
           else wordValue(regexp_replace(t, "^0x", ""), p.typ, p.components)
         p.name -> c
       } else if (isDynamic(p)) {
-        // head slot holds the byte offset of [len ‖ payload]
+        // head slot holds the byte offset of the value's own encoding
+        // (relative to the data start at top level); everything at and
+        // below that offset is the fully general recursive layout
         val headSlot = slot; slot += 1
         val offChars = conv(dataWord(headSlot), 16, 10).cast("long") * 2
-        val lenChars =
-          conv(data.substr((offChars + 3).cast("int"), lit(64)), 16, 10)
-            .cast("long") * 2
-        val payload = data.substr((offChars + 3 + 64).cast("int"),
-          lenChars.cast("int"))
-        val c = p.typ match {
-          case "string" => decode(unhex(payload), "UTF-8")
-          case "bytes" => concat(lit("0x"), lower(payload))
-          case t if t.endsWith("[]") =>
-            val elemTyp = t.stripSuffix("[]")
-            val len = conv(data.substr((offChars + 3).cast("int"),
-              lit(64)), 16, 10).cast("int")
-            // element area starts after the length word; dynamic
-            // element offsets are relative to THIS base, not to data
-            val elemsBase = offChars + 64
-            val elems = elemTyp match {
-              case et if et.startsWith("tuple") || et.contains("[") =>
-                // route these HERE (they end with "[]" so they reach
-                // this branch, never the outer catch-all) so the
-                // extension-point message actually fires for them
-                throw new IllegalArgumentException(
-                  s"unsupported dynamic ABI type $t (tuple[] / nested " +
-                    "array-of-array shapes: extend here)")
-              case "string" | "bytes" =>
-                // dynamic elements (the ERC-4337 / multicall shape):
-                // offset-of-offsets — element i's head word points at
-                // its own [len ‖ payload] within the element area
-                transform(sequence(lit(0), len - 1), i => {
-                  val eOff = conv(data.substr(
-                    (elemsBase + 3 + i.cast("long") * 64).cast("int"),
-                    lit(64)), 16, 10).cast("long") * 2
-                  val eLen = conv(data.substr(
-                    (elemsBase + 3 + eOff).cast("int"), lit(64)),
-                    16, 10).cast("long") * 2
-                  val pay = data.substr(
-                    (elemsBase + 3 + eOff + 64).cast("int"),
-                    eLen.cast("int"))
-                  if (elemTyp == "string") decode(unhex(pay), "UTF-8")
-                  else concat(lit("0x"), lower(pay))
-                })
-              case et =>
-                // static elements (uint256[]/address[] — the
-                // TransferBatch shape): len one-word values follow the
-                // length word directly
-                transform(sequence(lit(0), len - 1), i =>
-                  wordValue(data.substr(
-                    (elemsBase + 3 + i.cast("long") * 64).cast("int"),
-                    lit(64)), et, p.components))
-            }
-            // sequence(0, -1) would DESCEND — empty arrays need a guard
-            when(len === 0, array().cast(s"ARRAY<${sqlType(elemTyp)}>"))
-              .otherwise(elems)
-          case t => throw new IllegalArgumentException(
-            s"unsupported dynamic ABI type $t (dynamic tuples / fixed " +
-              "arrays of dynamic elements: extend here)")
-        }
-        p.name -> c
+        p.name -> valueAt(p, offChars, data)
       } else {
         val c = staticValue(p, slot)
         slot += staticSlots(p)

@@ -363,6 +363,80 @@ class EvmSpec extends AnyFunSuite {
     assert(empty.getAs[scala.collection.Seq[String]]("notes").isEmpty)
   }
 
+  test("ABI decode: general dynamic composition — tuple[], string[k], " +
+      "dynamic tuples, bytes[][]") {
+    import graft.decode.AbiDecode
+    val abi =
+      """{"name":"Mixed","type":"event","inputs":[
+        |{"indexed":false,"name":"pts","type":"tuple[]","components":[
+        |  {"name":"x","type":"uint32"},{"name":"y","type":"uint32"}]},
+        |{"indexed":false,"name":"pair","type":"string[2]"},
+        |{"indexed":false,"name":"info","type":"tuple","components":[
+        |  {"name":"id","type":"uint64"},{"name":"note","type":"string"}]},
+        |{"indexed":false,"name":"blobs","type":"bytes[][]"},
+        |{"indexed":false,"name":"tail","type":"address"}]}"""
+        .stripMargin.replace("\n", "")
+    val e = AbiDecode.parseEvent(abi)
+    // canonical signature expands tuples per the ABI spec
+    assert(AbiDecode.signature(e) ==
+      "Mixed((uint32,uint32)[],string[2],(uint64,string),bytes[][],address)")
+    def pw(hex: String) = hex + "0" * (64 - hex.length)
+    val tailAddr = "0x" + "f6" * 20
+    // 5 head words; dynamic regions laid out in declaration order
+    val data = "0x" +
+      tcWord(BigInt(0xa0)) + tcWord(BigInt(0x140)) +
+      tcWord(BigInt(0x1e0)) + tcWord(BigInt(0x260)) +
+      "0" * 24 + "f6" * 20 +
+      // pts: len=2, inline static tuples (1,2),(3,4)
+      tcWord(BigInt(2)) + tcWord(BigInt(1)) + tcWord(BigInt(2)) +
+      tcWord(BigInt(3)) + tcWord(BigInt(4)) +
+      // pair (string[2]): 2 offsets rel base; "ab"; ""
+      tcWord(BigInt(0x40)) + tcWord(BigInt(0x80)) +
+      tcWord(BigInt(2)) + pw("6162") + tcWord(BigInt(0)) +
+      // info (uint64,string): id=9; note offset rel tuple base; "xyz"
+      tcWord(BigInt(9)) + tcWord(BigInt(0x40)) +
+      tcWord(BigInt(3)) + pw("78797a") +
+      // blobs (bytes[][]): outer len=2; elem offsets rel after-length;
+      // elem0 = ["0xaa"], elem1 = []
+      tcWord(BigInt(2)) + tcWord(BigInt(0x40)) + tcWord(BigInt(0xc0)) +
+      tcWord(BigInt(1)) + tcWord(BigInt(0x20)) +
+      tcWord(BigInt(1)) + pw("aa") +
+      tcWord(BigInt(0))
+    val logs = Seq((Seq(AbiDecode.topic0(e)), data)).toDF("topics", "data")
+    val d = AbiDecode.decodeLogs(logs, abi).select("decoded.*")
+      .collect().head
+    val pts = d.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("pts")
+    assert(pts.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 4L)))
+    assert(d.getAs[scala.collection.Seq[String]]("pair").toSeq ==
+      Seq("ab", ""))
+    val info = d.getAs[org.apache.spark.sql.Row]("info")
+    // uint64 renders as a decimal string (can exceed a signed long)
+    assert(info.getString(0) == "9" && info.getString(1) == "xyz")
+    val blobs = d.getAs[scala.collection.Seq[
+      scala.collection.Seq[String]]]("blobs")
+    assert(blobs.map(_.toSeq).toSeq == Seq(Seq("0xaa"), Seq.empty))
+    assert(d.getAs[String]("tail") == tailAddr)
+  }
+
+  test("ABI decode: empty nested dynamics keep their full types") {
+    import graft.decode.AbiDecode
+    val abi =
+      """{"name":"Mixed","type":"event","inputs":[
+        |{"indexed":false,"name":"pts","type":"tuple[]","components":[
+        |  {"name":"x","type":"uint32"},{"name":"y","type":"uint32"}]},
+        |{"indexed":false,"name":"blobs","type":"bytes[][]"}]}"""
+        .stripMargin.replace("\n", "")
+    val e = AbiDecode.parseEvent(abi)
+    val data = "0x" + tcWord(BigInt(0x40)) + tcWord(BigInt(0x60)) +
+      tcWord(BigInt(0)) + tcWord(BigInt(0))
+    val logs = Seq((Seq(AbiDecode.topic0(e)), data)).toDF("topics", "data")
+    val d = AbiDecode.decodeLogs(logs, abi).select("decoded.*")
+      .collect().head
+    assert(d.getAs[scala.collection.Seq[Any]]("pts").isEmpty)
+    assert(d.getAs[scala.collection.Seq[Any]]("blobs").isEmpty)
+  }
+
   test("ABI decode: alias canonicalization and static fixed arrays") {
     import graft.decode.AbiDecode
     // "uint"/"int" must canonicalize before hashing (ethers.js does) —
