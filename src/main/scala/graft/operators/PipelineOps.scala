@@ -211,7 +211,60 @@ object PipelineOps {
        | ${sqlLsum("CASE WHEN u < rate THEN n_tokens ELSE 0 END")} AS kept_tokens
        |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // S6 — concat-and-chunk sequence packing: the step that turns a
+  // tokenized corpus into fixed-length training contexts. Documents
+  // concatenate in deterministic (source, doc_id) order into one token
+  // stream per source; each doc's span [start_off, start_off+n_tokens)
+  // maps to the context windows (size 512 here) it lands in — the
+  // doc→chunk index a packing dataloader materializes up front.
+  //
+  // Scale shape: ONE window (running sum of token counts) partitioned
+  // by source — the same per-key cumulative pattern as w2/q9, no
+  // global ordering. At 100 TB the stream is per (source, shard) and
+  // shard base offsets stitch with one tiny per-shard-totals broadcast
+  // (the gapIslands boundary-stitch trick); chunk ids are pure integer
+  // arithmetic on the offsets, so packing never touches the text.
+  private def s6(s: SparkSession, d: String): DataFrame = {
+    val chunk = 512
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long")
+          .as("n_tokens"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      // integer division (`div`) keeps both engines in exact int math
+      .withColumn("chunk_first", expr(s"start_off div $chunk"))
+      .withColumn("chunk_last", expr(s"(end_off - 1) div $chunk"))
+      .withColumn("n_chunks",
+        col("chunk_last") - col("chunk_first") + lit(1L))
+      .select(col("source"), col("doc_id"), col("start_off"),
+        col("n_tokens"), col("chunk_first"), col("chunk_last"),
+        col("n_chunks"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val s6Sql =
+    """WITH t AS (
+      | SELECT source, doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |   AS n_tokens
+      | FROM documents),
+      |c AS (
+      | SELECT source, doc_id, n_tokens,
+      |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS end_off
+      | FROM t)
+      |SELECT source, doc_id, end_off - n_tokens AS start_off, n_tokens,
+      | (end_off - n_tokens) // 512 AS chunk_first,
+      | (end_off - 1) // 512 AS chunk_last,
+      | (end_off - 1) // 512 - (end_off - n_tokens) // 512 + 1
+      |  AS n_chunks
+      |FROM c ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s6_concat_chunk" -> (s6 _),
     "s1_hash_split" -> (s1 _),
     "s2_shuffle_order" -> (s2 _),
     "s3_mix_weights" -> (s3 _),
@@ -220,6 +273,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s6_concat_chunk" -> s6Sql,
     "s1_hash_split" -> s1Sql,
     "s2_shuffle_order" -> s2Sql,
     "s3_mix_weights" -> s3Sql,

@@ -36,6 +36,34 @@ class PipelinePropertySpec extends AnyFunSuite {
     assert(pairs.head._3 >= 2)
   }
 
+  test("concat-chunk packing tiles each source stream exactly") {
+    val out = PipelineOps.queries("s6_concat_chunk")(
+      spark, SparkTestBase.sf)
+      .select("source", "doc_id", "start_off", "n_tokens",
+        "chunk_first", "chunk_last", "n_chunks")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      // spans PARTITION the stream: contiguous, gap-free, from zero
+      assert(sorted.head._3 == 0L, s"$src stream must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 == b._3,
+            s"$src: doc ${b._2} must start where doc ${a._2} ends")
+        case _ =>
+      }
+      // chunk ids are the exact 512-token tiling of each span
+      sorted.foreach { case (_, id, start, n, cf, cl, nc) =>
+        assert(cf == start / 512 && cl == (start + n - 1) / 512,
+          s"doc $id chunk bounds")
+        assert(nc == cl - cf + 1 && nc >= 1, s"doc $id chunk count")
+      }
+    }
+  }
+
   test("hash split is invariant under repartitioning and re-runs") {
     val docs = Tables.documents(spark, SparkTestBase.sf)
     val once = PipelineOps.withSplit(docs, col("text"))
