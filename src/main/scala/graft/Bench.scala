@@ -50,6 +50,23 @@ object Bench {
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().count()
     Tables.events(spark, sfDir).select("ts").limit(1).count()
+    // …and the join + window + checkpoint paths, because the FIRST
+    // timed consumer below is the shared CC stage (joins + per-round
+    // localCheckpoint) — without this its line absorbs their codegen
+    // cost and overstates the stage by seconds
+    locally {
+      import org.apache.spark.sql.functions._
+      val wd = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source")).limit(200)
+      val warmed = wd
+        .join(wd.withColumnRenamed("doc_id", "doc_id2"), Seq("source"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("doc_id"))))
+        .localCheckpoint(true)
+      warmed.count()
+      warmed.unpersist()
+    }
     val steal0 = stealTicks()
     // Shared-stage accounting: d5/d6 consume ONE memoized pairs→CC
     // labels stage. Under min-of-reps the stage's one-time cost would
