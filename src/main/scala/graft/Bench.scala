@@ -64,8 +64,9 @@ object Bench {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("source")).orderBy(col("doc_id"))))
         .localCheckpoint(true)
+      // (no unpersist: checkpoint blocks aren't CacheManager entries, so
+      // Dataset.unpersist would be a no-op — the 200-row blocks just age out)
       warmed.count()
-      warmed.unpersist()
     }
     val steal0 = stealTicks()
     // Shared-stage accounting: d5/d6 consume ONE memoized pairs→CC

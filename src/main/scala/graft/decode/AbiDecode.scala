@@ -315,23 +315,6 @@ object AbiDecode {
     var topicIdx = if (e.anonymous) 0 else 1
     var slot = 0
     def dataWord(k: Int): Column = substring(data, 3 + 64 * k, 64)
-    /** Static value rooted at `base`: tuples → structs, fixed arrays →
-      * arrays, scalars → one decoded word (all constant offsets). */
-    def staticValue(p: AbiParam, base: Int): Column =
-      fixedArray(p.typ) match {
-        case Some((elemT, k)) =>
-          val ep = p.copy(typ = elemT)
-          val es = staticSlots(ep)
-          array((0 until k).map(i => staticValue(ep, base + i * es)): _*)
-        case None if p.typ.startsWith("tuple") =>
-          var off = base
-          struct(p.components.map { cp =>
-            val c = staticValue(cp, off).as(cp.name)
-            off += staticSlots(cp)
-            c
-          }: _*)
-        case None => wordValue(dataWord(base), p.typ, p.components)
-      }
     e.inputs.map { p =>
       if (p.indexed) {
         val t = topics(topicIdx); topicIdx += 1
@@ -349,7 +332,9 @@ object AbiDecode {
         val offChars = conv(dataWord(headSlot), 16, 10).cast("long") * 2
         p.name -> valueAt(p, offChars, data)
       } else {
-        val c = staticValue(p, slot)
+        // the literal offset constant-folds, so this stays the same
+        // constant-offset substring/conv codegen as the old local path
+        val c = staticValueAt(p, lit(64L * slot), data)
         slot += staticSlots(p)
         p.name -> c
       }

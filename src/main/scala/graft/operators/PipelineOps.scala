@@ -226,8 +226,15 @@ object PipelineOps {
   // arithmetic on the offsets, so packing never touches the text.
   private def s6(s: SparkSession, d: String): DataFrame = {
     val chunk = 512
+    // ROWS frame pinned explicitly: the default RANGE frame would sum
+    // over order-by peers, breaking the tiling on tied doc_ids
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, d)
+      // empty/whitespace docs contribute no tokens — split("") yields
+      // [""] (size 1) on BOTH engines, a phantom token that would shift
+      // every later doc's offsets, so they are excluded from the index
+      .filter(trim(col("text")) =!= "")
       .select(col("source"), col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long")
           .as("n_tokens"))
@@ -249,7 +256,7 @@ object PipelineOps {
       | SELECT source, doc_id,
       |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
       |   AS n_tokens
-      | FROM documents),
+      | FROM documents WHERE trim(text) <> ''),
       |c AS (
       | SELECT source, doc_id, n_tokens,
       |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
