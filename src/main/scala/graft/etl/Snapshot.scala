@@ -35,6 +35,34 @@ object Snapshot {
       .withColumn("snapshot_at", lit(atOrd))
   }
 
+  /** What changed between two snapshots (ref snapshotter.js re-runs a
+    * full walk per block and diffs files downstream): keys whose state
+    * at `toOrd` differs from their state at `fromOrd`, plus keys that
+    * first appeared in between. ONE shuffle — both snapshots come out
+    * of a single grouped pass (`max(when(ord ≤ from, m))` beside
+    * `max(m)` under the ord ≤ to scan filter), not two state jobs and
+    * a join, so the cost at 100 TB is the same single key shuffle as
+    * `stateAt` with partition pruning on ord ≤ toOrd. Value comparison
+    * is null-safe per column. */
+  def stateDiff(updates: DataFrame, keyCols: Seq[String], ordCol: String,
+      fromOrd: Long, toOrd: Long, valueCols: Seq[String]): DataFrame = {
+    require(fromOrd <= toOrd, s"fromOrd $fromOrd > toOrd $toOrd")
+    val m = struct((ordCol +: valueCols).map(col): _*)
+    val changed = valueCols
+      .map(c => !(col(s"mo.$c") <=> col(s"mn.$c")))
+      .reduce(_ || _)
+    updates.filter(col(ordCol) <= toOrd)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(when(col(ordCol) <= fromOrd, m)).as("mo"), max(m).as("mn"))
+      .filter(col("mo").isNull || changed)
+      .select(keyCols.map(col) ++ Seq(
+        when(col("mo").isNull, lit("new")).otherwise(lit("changed"))
+          .as("change")) ++
+        valueCols.map(c => col(s"mo.$c").as(s"old_$c")) ++
+        valueCols.map(c => col(s"mn.$c").as(c)) ++ Seq(
+        lit(fromOrd).as("from_ord"), lit(toOrd).as("to_ord")): _*)
+  }
+
   /** Idempotent snapshot write: partitioned by `snapshot_at`, dynamic
     * partition overwrite — re-running a snapshot replaces exactly its
     * own partition and leaves every other block's snapshot untouched

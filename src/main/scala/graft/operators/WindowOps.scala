@@ -279,6 +279,38 @@ object WindowOps {
       | FROM events WHERE event_id <= 600)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // B2 — snapshot diff: which keys' state changed between block 600
+  // and block 1200, with old/new values (the snapshotter's downstream
+  // "diff two snapshot files" face, as one grouped pass — see
+  // Snapshot.stateDiff for the single-shuffle shape).
+  private def b2(s: SparkSession, d: String): DataFrame =
+    graft.etl.Snapshot.stateDiff(Tables.events(s, d),
+      keyCols = Seq("user_id"), ordCol = "event_id",
+      fromOrd = 600L, toOrd = 1200L,
+      valueCols = Seq("event_type", "value"))
+      .orderBy(col("user_id"))
+
+  private val b2Sql =
+    """WITH o AS (SELECT user_id, event_type, "value" FROM (
+      |  SELECT *, row_number() OVER (
+      |   PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_id <= 600) WHERE rn = 1),
+      |n AS (SELECT user_id, event_type, "value" FROM (
+      |  SELECT *, row_number() OVER (
+      |   PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_id <= 1200) WHERE rn = 1)
+      |SELECT n.user_id,
+      | CASE WHEN o.user_id IS NULL THEN 'new' ELSE 'changed' END
+      |  AS change,
+      | o.event_type AS old_event_type, o."value" AS old_value,
+      | n.event_type, n."value",
+      | CAST(600 AS BIGINT) AS from_ord, CAST(1200 AS BIGINT) AS to_ord
+      |FROM n LEFT JOIN o ON n.user_id = o.user_id
+      |WHERE o.user_id IS NULL
+      | OR (o.event_type IS DISTINCT FROM n.event_type)
+      | OR (o."value" IS DISTINCT FROM n."value")
+      |ORDER BY n.user_id""".stripMargin
+
   // TPC-H Q3-shaped shipping-priority top-k (bench headline; T2 order by +
   // limit over a 3-way join).
   private def t2(s: SparkSession, d: String): DataFrame =
@@ -449,6 +481,7 @@ object WindowOps {
     "q9_latest_per_key" -> (q9 _),
     "q10_follow_feed" -> (q10 _),
     "b1_snapshot_at_block" -> (b1 _),
+    "b2_snapshot_diff" -> (b2 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -469,5 +502,6 @@ object WindowOps {
     "q9_latest_per_key" -> q9Sql,
     "q10_follow_feed" -> q10Sql,
     "b1_snapshot_at_block" -> b1Sql,
+    "b2_snapshot_diff" -> b2Sql,
   )
 }

@@ -55,6 +55,25 @@ class EtlSpec extends AnyFunSuite {
       (30L, 1L, 30L, 90.0), (30L, 2L, 25L, 55.0)))
   }
 
+  test("snapshot diff: new vs changed keys, unchanged filtered") {
+    import graft.etl.Snapshot
+    // acct 1 changes between 22 and 30 (150→90); acct 2 appears; acct 3
+    // has state at both cuts but the VALUE is unchanged (re-set at 28)
+    val updates = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 150.0), (1L, 30L, 90.0),
+      (2L, 25L, 55.0),
+      (3L, 15L, 70.0), (3L, 28L, 70.0))
+      .toDF("account", "block", "free")
+    val out = Snapshot.stateDiff(updates, Seq("account"), "block",
+      fromOrd = 22L, toOrd = 30L, valueCols = Seq("free"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      (1L, "changed", Some(150.0), 90.0),
+      (2L, "new", None, 55.0)))
+  }
+
   test("upsert: updates win on key, inserts appended") {
     val base = Seq((1L, "old", 1L), (2L, "keep", 1L))
       .toDF("k", "v", "ver")
