@@ -62,7 +62,10 @@ object SparkEntry {
     "d4_simhash",           // 64-bit simhash — engine-specific hash
     "m2_media_decode_stub", // container has no codecs; honest stub
     "v8_hyperplane_lsh",    // SRP signature layout — engine-specific hashes
-    "x8_approx_quantiles")  // KLL/GK sketch — engine-specific
+    "x8_approx_quantiles",  // KLL/GK sketch — engine-specific
+    "x12_bpe_merges")       // iterative argmax loop — not SQL-expressible;
+                            // TextPropertySpec pins it to a sequential
+                            // reference BPE trainer
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

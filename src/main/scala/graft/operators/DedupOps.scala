@@ -297,8 +297,10 @@ object DedupOps {
       changed = acc.value
       // drop the previous round's blocks so a long session doesn't
       // accumulate one checkpointed set per round; the new labels view
-      // is a trivial projection over the just-checkpointed `next`
-      ckpt.unpersist()
+      // is a trivial projection over the just-checkpointed `next`.
+      // (releaseCheckpoint, not Dataset.unpersist: checkpoint blocks
+      // live on the plan's LogicalRDD, outside the CacheManager)
+      releaseCheckpoint(ckpt)
       ckpt = next
       labels = next.select(col("node"), col("next_label").as("label"))
       iter += 1
@@ -325,7 +327,7 @@ object DedupOps {
     * result: the labels frame is a projection over a localCheckpoint'd
     * plan, so `df.unpersist()` would miss the cached RDD — the blocks
     * live on the LogicalRDD node(s) inside the analyzed plan. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(false))

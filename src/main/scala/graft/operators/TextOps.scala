@@ -385,7 +385,87 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // X12 — BPE vocabulary induction: the merge LOOP that x5 (pre-
+  // tokenization) and x9 (pair statistics) lead up to — learn the top-K
+  // merge rules over the corpus, the algorithm a tokenizer trainer runs
+  // (Sennrich et al. 2016; the GPT-2 trainer is the same loop).
+  //
+  // Distributed shape: the corpus is read ONCE into a (word, freq)
+  // vocab table (pre-tokenize → explode → one groupBy); every round of
+  // the loop then runs on that vocab table only — orders of magnitude
+  // smaller than the corpus (the 100-TB corpus has a ~100M-row word
+  // vocab), and shrinking further each round as fully-merged words
+  // leave the active set. Per round: one pair-count aggregation
+  // (shuffle keyed on the symbol pair) and ONE driver-side row — the
+  // argmax pair, a bounded scalar in the same legitimacy class as the
+  // CC loop's convergence counter. The merge application is a per-row
+  // left fold (functions.aggregate) over each word's symbol array —
+  // greedy left-to-right BPE exactly (the folded token l+r is strictly
+  // longer than l, so a just-created token can never re-match as `l`
+  // within the same pass). Lineage is flattened with an eager
+  // localCheckpoint per round (the CC pattern), so plan depth stays
+  // constant across K rounds.
+  def bpeMerges(s: SparkSession, d: String, k: Int): DataFrame = {
+    import s.implicits._
+    val pretok = expr(
+      "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")
+    var vocab = Tables.documents(s, d)
+      .select(explode(pretok).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(split(col("word"), "").as("syms"), col("freq"))
+      .filter(size(col("syms")) > 1)
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val top = vocab
+        .select(explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i+1] AS r))"))
+          .as("p"), col("freq"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        // deterministic argmax: count desc, then lexicographic pair
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val rr = top(0).getString(1)
+        merges += ((r, l, rr, top(0).getLong(2)))
+        val next = vocab.select(
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, x) =>
+              // && short-circuits, so element_at never sees an empty
+              // array (ANSI mode would throw on it)
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(rr),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(l + rr))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+          col("freq"))
+          .filter(size(col("syms")) > 1)
+          .localCheckpoint(true)
+        // checkpoint blocks live outside the CacheManager — release via
+        // the plan's LogicalRDD (Dataset.unpersist would be a no-op)
+        DedupOps.releaseCheckpoint(vocab)
+        vocab = next
+        r += 1
+      }
+    }
+    DedupOps.releaseCheckpoint(vocab)
+    merges.toSeq.toDF("rank", "left", "right", "freq")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select(col("rank"), col("left"), col("right"), col("merged"),
+        col("freq"))
+      .orderBy(col("rank"))
+  }
+
+  private def x12(s: SparkSession, d: String): DataFrame =
+    bpeMerges(s, d, k = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_bpe_merges" -> (x12 _),
     "x10_scrub_stats" -> (x10 _),
     "x11_redact" -> (x11 _),
     "x1_text_stats" -> (x1 _),

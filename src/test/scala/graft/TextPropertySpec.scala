@@ -33,6 +33,57 @@ class TextPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("x12 distributed BPE merges equal a sequential reference trainer") {
+    // Reference implementation: the textbook sequential BPE trainer
+    // (Sennrich et al. 2016) over a (word -> freq) vocab, with x12's
+    // tie-break (max count, then lexicographic pair). Greedy
+    // left-to-right merge application, non-overlapping.
+    def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = words
+        .groupMapReduce(w => w._1.map(_.toString).toVector)(_._2)(_ + _)
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      for (_ <- 1 to k) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val acc = scala.collection.mutable.ArrayBuffer[String]()
+            syms.foreach { x =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc(acc.length - 1) = l + r
+              else acc += x
+            }
+            acc.toVector
+          }(_._2)(_ + _)
+        }
+      }
+      out.toSeq
+    }
+    // the spark side's vocab, rebuilt with the operator's exact
+    // pre-tokenizer expression (same escaping, same regex)
+    val pretok = org.apache.spark.sql.functions.expr(
+      "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")
+    val words = SparkTestBase.spark.read
+      .parquet(s"${SparkTestBase.sf}/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(pretok).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refBpe(words, 16)
+    val got = operators.TextOps.bpeMerges(SparkTestBase.spark,
+      SparkTestBase.sf, 16)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    assert(got.size == 16)
+  }
+
   test("scrub redacts planted emails/URLs/blocklist terms") {
     // the synthetic corpus has no emails/URLs (x10's blocklist term is
     // what the oracle exercises), so the email/URL paths are pinned here
