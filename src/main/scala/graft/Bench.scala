@@ -70,17 +70,20 @@ object Bench {
     }
     val steal0 = stealTicks()
     // Shared-stage accounting: d5/d6 consume ONE memoized pairs→CC
-    // labels stage. Under min-of-reps the stage's one-time cost would
-    // appear in NO per-query number (rep 1 pays, reps 2-3 hit the memo)
-    // — so measure the stage cold, report it as its own line below, and
-    // let d5/d6 keep their memo-warm per-query meaning. A regression in
-    // the CC stage itself is then trend-guard-visible.
+    // labels stage, and x12/x13 one memoized BPE training stage. Under
+    // min-of-reps a stage's one-time cost would appear in NO per-query
+    // number (rep 1 pays, later reps hit the memo) — so measure each
+    // stage cold, report it as its own line below, and let the
+    // consumers keep their memo-warm per-query meaning. A regression in
+    // a stage itself is then trend-guard-visible.
     operators.DedupOps.resetWordSetLabels()
-    val stage0 = System.nanoTime()
-    val stageSec = try {
-      operators.DedupOps.warmWordSetLabels(spark, sfDir)
-      (System.nanoTime() - stage0) / 1e9
-    } catch { case _: Throwable => -1.0 }
+    operators.TextOps.resetBpeMerges()
+    val stageResults = Bench.stages.map { case (nm, f) =>
+      val t0 = System.nanoTime()
+      val v = try { f(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      nm -> v
+    }
     val reps = 3
     // a rep is "stormy" if the steal counter moved more than this many
     // ticks while it ran (idle machines show ~0; storms show hundreds)
@@ -108,10 +111,11 @@ object Bench {
       name -> v
     }
     val stealDelta = stealTicks() - steal0
-    // the shared stage rides in the same per-"query" map (unique
-    // prefix "stage:dedup") so both bench_detail and the contract line
-    // carry it and the trend guard can compare it round over round
-    val all = results.toSeq :+ ("stage:dedup_cc_labels" -> stageSec)
+    // the shared stages ride in the same per-"query" map (unique
+    // prefixes "stage:dedup"/"stage:bpe") so both bench_detail and the
+    // contract line carry them and the trend guard can compare them
+    // round over round
+    val all = results.toSeq ++ stageResults
     val total = all.map(_._2).filter(_ >= 0).sum
     val errJson =
       if (errors.isEmpty) ""
@@ -136,6 +140,15 @@ object Bench {
     println(renderContract(all, total, sfDir))
     spark.stop()
   }
+
+  /** Memoized shared stages measured as their own bench lines; the
+    * contract-line prefix of each (text before the first '_') must stay
+    * unique across the whole inventory (BenchContractSpec pins it). */
+  val stages: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "stage:dedup_cc_labels" ->
+      ((s, d) => operators.DedupOps.warmWordSetLabels(s, d)),
+    "stage:bpe_merges" ->
+      ((s, d) => operators.TextOps.warmBpeMerges(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

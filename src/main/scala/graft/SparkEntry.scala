@@ -63,9 +63,12 @@ object SparkEntry {
     "m2_media_decode_stub", // container has no codecs; honest stub
     "v8_hyperplane_lsh",    // SRP signature layout — engine-specific hashes
     "x8_approx_quantiles",  // KLL/GK sketch — engine-specific
-    "x12_bpe_merges")       // iterative argmax loop — not SQL-expressible;
+    "x12_bpe_merges",       // iterative argmax loop — not SQL-expressible;
                             // TextPropertySpec pins it to a sequential
                             // reference BPE trainer
+    "x13_bpe_encode")       // BPE encode replay — not SQL-expressible;
+                            // TextPropertySpec pins encode counts to the
+                            // reference trainer's segmentation
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

@@ -407,6 +407,45 @@ object TextOps {
   // constant across K rounds.
   def bpeMerges(s: SparkSession, d: String, k: Int): DataFrame = {
     import s.implicits._
+    trainedMerges(s, d, k).toDF("rank", "left", "right", "freq")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select(col("rank"), col("left"), col("right"), col("merged"),
+        col("freq"))
+      .orderBy(col("rank"))
+  }
+
+  /** The trained merge list, memoized one slot per (session, sfDir, k):
+    * x12 (report the vocab) and x13 (encode the corpus) are two
+    * consumers of ONE training stage — a real pipeline trains once and
+    * both inspects and applies the result. The memo holds the K-row
+    * driver-side list, not a DataFrame; the loop releases its own
+    * checkpoint blocks. Bench resets + times the stage as its own line
+    * (`stage:bpe_merges`), the d5/d6 CC-labels accounting pattern. */
+  @volatile private var mergesMemo: Option[((SparkSession, String, Int),
+    Seq[(Int, String, String, Long)])] = None
+
+  /** Bench/test hook: forget the trained merges so the next consumer
+    * pays the full training cost. */
+  def resetBpeMerges(): Unit = synchronized { mergesMemo = None }
+
+  /** Bench hook: train + memoize the shared merge stage for (s, d). */
+  def warmBpeMerges(s: SparkSession, d: String): Unit = {
+    trainedMerges(s, d, 16); ()
+  }
+
+  def trainedMerges(s: SparkSession, d: String,
+      k: Int): Seq[(Int, String, String, Long)] = synchronized {
+    mergesMemo match {
+      case Some((key, m)) if key == ((s, d, k)) => m
+      case _ =>
+        val m = runMergeLoop(s, d, k)
+        mergesMemo = Some(((s, d, k), m))
+        m
+    }
+  }
+
+  private def runMergeLoop(s: SparkSession, d: String,
+      k: Int): Seq[(Int, String, String, Long)] = {
     val pretok = expr(
       "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")
     var vocab = Tables.documents(s, d)
@@ -454,18 +493,87 @@ object TextOps {
       }
     }
     DedupOps.releaseCheckpoint(vocab)
-    merges.toSeq.toDF("rank", "left", "right", "freq")
-      .withColumn("merged", concat(col("left"), col("right")))
-      .select(col("rank"), col("left"), col("right"), col("merged"),
-        col("freq"))
-      .orderBy(col("rank"))
+    merges.toSeq
   }
 
   private def x12(s: SparkSession, d: String): DataFrame =
     bpeMerges(s, d, k = 16)
 
+  /** Greedy BPE encode of one word: replay the trained merges in rank
+    * order, each as one non-overlapping left-to-right pass — the same
+    * fold the trainer applies, so encode(corpus) reproduces the
+    * trainer's final segmentation exactly. Pure JVM function used
+    * inside the x13 mapPartitions (genuine per-row imperative logic —
+    * the p4 typed-flatMap tier, not a SQL-expression UDF). */
+  private[graft] def encodeWord(word: String,
+      merges: Seq[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.split("").filter(_.nonEmpty)
+    merges.foreach { case (l, r) =>
+      // tokens are contiguous substrings of the word, so a merge can
+      // only apply if the word contains l+r — skip the pass otherwise
+      if (syms.length > 1 && word.contains(l + r)) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == l && x == r)
+            out(out.length - 1) = l + r
+          else out += x
+        }
+        syms = out.toArray
+      }
+    }
+    syms
+  }
+
+  // X13 — corpus tokenization with the trained vocab: the APPLY side of
+  // x12, and the operation a 100-TB pipeline actually spends its time
+  // on (tokenize everything once per vocab release). The K-row merge
+  // list is collected once (bounded driver value, memoized with x12)
+  // and broadcast; each partition encodes its documents with a local
+  // word→token-count cache (word frequencies are Zipfian, so the cache
+  // hit rate is high; capped so a pathological partition can't OOM).
+  // No shuffle touches the text — only the per-(lang) rollup shuffles,
+  // carrying three longs per doc.
+  private def x13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val merges = trainedMerges(s, d, 16).map(m => (m._2, m._3))
+    val bc = s.sparkContext.broadcast(merges)
+    Tables.documents(s, d)
+      .select(col("lang"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val pat = java.util.regex.Pattern.compile(
+          "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]")
+        val ms = bc.value
+        val cache = new java.util.HashMap[String, Integer]()
+        it.map { case (lang, text) =>
+          val m = pat.matcher(text)
+          var words = 0L
+          var toks = 0L
+          while (m.find()) {
+            val w = m.group()
+            words += 1
+            var n = cache.get(w)
+            if (n == null) {
+              n = Integer.valueOf(encodeWord(w, ms).length)
+              if (cache.size < (1 << 20)) cache.put(w, n)
+            }
+            toks += n.intValue()
+          }
+          (lang, words, toks)
+        }
+      }
+      .toDF("lang", "n_words", "n_tokens")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        round(sum(col("n_tokens")).cast("double") /
+          sum(col("n_words")), 6).as("tok_per_word"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_bpe_merges" -> (x12 _),
+    "x13_bpe_encode" -> (x13 _),
     "x10_scrub_stats" -> (x10 _),
     "x11_redact" -> (x11 _),
     "x1_text_stats" -> (x1 _),

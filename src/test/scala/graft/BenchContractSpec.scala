@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchContractSpec extends AnyFunSuite {
 
   test("query name prefixes are unique (the compact contract key space)") {
-    val names = SparkEntry.queries.keys.toSeq
+    val names = SparkEntry.queries.keys.toSeq ++ Bench.stages.map(_._1)
     val prefixes = names.map(_.split('_')(0))
     val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys
     assert(prefixes.distinct.size == names.size,
@@ -25,7 +25,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("contract line fits the 2000-byte tail for the full inventory") {
     // worst-plausible widths: every query slow (3-digit seconds), negative
     // error sentinel mixed in
-    val results = (SparkEntry.queries.keys.toSeq :+ "stage:dedup_cc_labels")
+    val results = (SparkEntry.queries.keys.toSeq ++ Bench.stages.map(_._1))
       .zipWithIndex.map {
         case (name, i) => name -> (if (i % 7 == 0) -1.0 else 123.456789)
       }
@@ -43,7 +43,7 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("contract line keeps 2-decimal resolution for the real inventory") {
     // realistic case: everything sub-second — resolution must survive
-    val results = (SparkEntry.queries.keys.toSeq :+ "stage:dedup_cc_labels")
+    val results = (SparkEntry.queries.keys.toSeq ++ Bench.stages.map(_._1))
       .map(_ -> 0.123456)
     val line = Bench.renderContract(results, 29.8, "/root/testdata/sf0.1")
     assert(line.length <= 1900)

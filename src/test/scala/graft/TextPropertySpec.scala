@@ -84,6 +84,52 @@ class TextPropertySpec extends AnyFunSuite {
     assert(got.size == 16)
   }
 
+  test("x13 encode counts equal the reference trainer's segmentation") {
+    import org.apache.spark.sql.functions.{explode, expr}
+    val s = SparkTestBase.spark
+    val merges = operators.TextOps.trainedMerges(s, SparkTestBase.sf, 16)
+      .map(m => (m._2, m._3))
+    // reference encode: replay merges in rank order, each a greedy
+    // non-overlapping left-to-right pass
+    def refEncode(word: String): Int = {
+      var syms = word.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        if (syms.length > 1) {
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc(acc.length - 1) = l + r
+            else acc += x
+          }
+          syms = acc.toVector
+        }
+      }
+      syms.length
+    }
+    // expected per-lang (sum_words, sum_tokens) computed driver-side
+    // over the same pre-tokenization
+    val pretok = expr(
+      "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")
+    val words = s.read.parquet(s"${SparkTestBase.sf}/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("lang"),
+        explode(pretok).as("w"))
+      .groupBy("lang", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = words.groupBy(_._1).view.mapValues { ws =>
+      (ws.map(_._3).sum, ws.map(t => t._3 * refEncode(t._2)).sum)
+    }.toMap
+    val got = SparkEntry.queries("x13_bpe_encode")(s, SparkTestBase.sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // every encodeWord call agrees with the reference fold, word by word
+    words.foreach { case (_, w, _) =>
+      assert(operators.TextOps.encodeWord(w, merges).length == refEncode(w),
+        s"encodeWord mismatch on '$w'")
+    }
+  }
+
   test("scrub redacts planted emails/URLs/blocklist terms") {
     // the synthetic corpus has no emails/URLs (x10's blocklist term is
     // what the oracle exercises), so the email/URL paths are pinned here
