@@ -1,0 +1,221 @@
+package graft.decode
+
+import graft.decode.BlockDecode.Cursor
+import graft.decode.MetaDecode._
+
+/** Historical metadata v12/v13 blob parser — the pre-scale-info format
+  * early-era blocks were authored under (ref crawler.js:1621-1628
+  * follows whatever version `state_getMetadata` returns; a backfill of
+  * 2020-2021 block ranges gets v12/v13 answers). Unlike v14+ there is
+  * no type registry: every call argument, event field and storage
+  * value carries a Rust TYPE NAME string ("Compact<T::Balance>",
+  * "Vec<(AccountId, Balance)>"), so the resolver here is a small
+  * type-name grammar over the public substrate alias vocabulary
+  * instead of an id graph walk.
+  *
+  * Resolution is per-ITEM lenient: one exotic type name drops that
+  * call/event (its index simply stays undecodable, as it would be for
+  * a truly unknown pallet), never the chain. Storage entries are
+  * lenient the same way, mirroring the v14 path.
+  */
+object MetadataLegacy {
+
+  // ---- SCALE readers (same shapes as MetadataV14's) ----
+  private def str(c: Cursor): String =
+    new String(c.take(c.compact().toInt), "UTF-8")
+  private def vec[A](c: Cursor)(read: => A): Seq[A] =
+    Seq.fill(c.compact().toInt)(read)
+  private def opt[A](c: Cursor)(read: => A): Option[A] = c.u8() match {
+    case 0 => None
+    case 1 => Some(read)
+    case x => throw new IllegalArgumentException(s"bad Option tag $x")
+  }
+  private def skipBytes(c: Cursor): Unit = { c.take(c.compact().toInt); () }
+  private def docs(c: Cursor): Unit = { vec(c)(str(c)); () }
+
+  private final case class RawFn(name: String, args: Seq[(String, String)])
+  private final case class RawEv(name: String, args: Seq[String])
+  private final case class RawStore(name: String, valueTy: String)
+  private final case class RawModule(name: String, storage: Seq[RawStore],
+      calls: Option[Seq[RawFn]], events: Option[Seq[RawEv]], index: Int)
+
+  private def storageEntry(c: Cursor, v13: Boolean): RawStore = {
+    val name = str(c)
+    c.u8() // modifier (Optional/Default)
+    val value = c.u8() match {
+      case 0 => str(c) // Plain(value)
+      case 1 => // Map { hasher, key, value, unused }
+        c.u8(); str(c); val v = str(c); c.u8(); v
+      case 2 => // DoubleMap { hasher, key1, key2, value, key2_hasher }
+        c.u8(); str(c); str(c); val v = str(c); c.u8(); v
+      case 3 if v13 => // NMap { keys, hashers, value }
+        vec(c)(str(c)); vec(c)(c.u8()); str(c)
+      case x => throw new IllegalArgumentException(
+        s"storage entry type tag $x (v13=$v13)")
+    }
+    skipBytes(c) // default value bytes
+    docs(c)
+    RawStore(name, value)
+  }
+
+  private def module(c: Cursor, v13: Boolean): RawModule = {
+    val name = str(c)
+    val storage = opt(c) {
+      str(c) // prefix
+      vec(c)(storageEntry(c, v13))
+    }.getOrElse(Seq.empty)
+    val calls = opt(c)(vec(c) {
+      val n = str(c)
+      val args = vec(c) { val an = str(c); val ty = str(c); (an, ty) }
+      docs(c)
+      RawFn(n, args)
+    })
+    val events = opt(c)(vec(c) {
+      val n = str(c)
+      val args = vec(c)(str(c))
+      docs(c)
+      RawEv(n, args)
+    })
+    vec(c) { str(c); str(c); skipBytes(c); docs(c) } // constants
+    vec(c) { str(c); docs(c) } // errors
+    val index = c.u8()
+    RawModule(name, storage, calls, events, index)
+  }
+
+  // ---- the type-name grammar ----
+
+  /** Split `s` on commas at nesting depth 0 of any of `<( [`. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' | '[' => depth += 1
+        case '>' | ')' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    val last = s.substring(start)
+    if (last.trim.nonEmpty || out.nonEmpty) out += last
+    out.toSeq.map(_.trim)
+  }
+
+  /** The public-substrate alias vocabulary for plain (non-generic)
+    * names; the last `::`-path segment is what arrives here, so
+    * "T::AccountId" and "<T::Lookup as StaticLookup>::Source" resolve
+    * by their tails. */
+  private val aliases: Map[String, SType] = Map(
+    "u8" -> U8, "u16" -> U16, "u32" -> U32, "u64" -> U64,
+    "u128" -> U128, "u256" -> U256,
+    "i8" -> I8, "i16" -> I16, "i32" -> I32, "i64" -> I64,
+    "i128" -> I128, "i256" -> I256,
+    "bool" -> Bool, "char" -> CharT,
+    "Text" -> Str, "String" -> Str, "str" -> Str,
+    "AccountId" -> AccountId, "AccountId32" -> AccountId,
+    "Address" -> MultiAddress, "LookupSource" -> MultiAddress,
+    "Source" -> MultiAddress, "MultiAddress" -> MultiAddress,
+    "Balance" -> U128, "BalanceOf" -> U128, "Amount" -> U128,
+    "AssetBalance" -> U128,
+    "BlockNumber" -> U32, "AccountIndex" -> U32, "Index" -> U32,
+    "Nonce" -> U32, "EraIndex" -> U32, "SessionIndex" -> U32,
+    "ParaId" -> U32, "MemberCount" -> U32, "ProposalIndex" -> U32,
+    "PropIndex" -> U32, "ReferendumIndex" -> U32,
+    "RegistrarIndex" -> U32, "AuctionIndex" -> U32, "LeasePeriod" -> U32,
+    "Perbill" -> U32, "Permill" -> U32,
+    "Percent" -> U8, "Perquintill" -> U64,
+    "Moment" -> U64, "Weight" -> U64, "Timestamp" -> U64,
+    "Hash" -> FixedBytes(32), "H256" -> FixedBytes(32),
+    "H160" -> FixedBytes(20), "H512" -> FixedBytes(64),
+    "Bytes" -> Bytes, "Key" -> Bytes,
+    "KeyValue" -> Tup(Seq(Bytes, Bytes)),
+    "Call" -> CallType, "Proposal" -> CallType,
+    "()" -> Tup(Seq.empty))
+
+  /** Parse one v12-era type-name string into the SType vocabulary.
+    * Throws on names outside it (callers are per-item lenient). */
+  private[graft] def parseTypeName(t0: String): SType = {
+    val t = t0.trim
+    if (t.isEmpty) throw new IllegalArgumentException("empty type name")
+    if (t.startsWith("(")) {
+      require(t.endsWith(")"), s"unbalanced tuple '$t0'")
+      val inner = t.substring(1, t.length - 1).trim
+      if (inner.isEmpty) Tup(Seq.empty)
+      else Tup(splitTop(inner).map(parseTypeName))
+    } else if (t.startsWith("[")) {
+      require(t.endsWith("]"), s"unbalanced array '$t0'")
+      val inner = t.substring(1, t.length - 1)
+      val cut = inner.lastIndexOf(';')
+      require(cut > 0, s"fixed array without length '$t0'")
+      val elem = inner.substring(0, cut).trim
+      val n = inner.substring(cut + 1).trim.toInt
+      if (elem == "u8") FixedBytes(n)
+      else Tup(Seq.fill(n)(parseTypeName(elem)))
+    } else if (t.contains('<') && t.endsWith(">")) {
+      val lt = t.indexOf('<')
+      val name = tail(t.substring(0, lt))
+      val args = splitTop(t.substring(lt + 1, t.length - 1))
+      name match {
+        case "Vec" | "BoundedVec" | "WeakBoundedVec" =>
+          Vec(parseTypeName(args.head))
+        case "Option" => Opt(parseTypeName(args.head))
+        // every Compact<integer-ish> wire shape is one compact int
+        case "Compact" => CompactInt
+        case "Box" => parseTypeName(args.head)
+        case "PhantomData" => Tup(Seq.empty)
+        case "BalanceOf" => U128
+        case _ => throw new IllegalArgumentException(
+          s"unknown legacy generic '$t0'")
+      }
+    } else {
+      val name = tail(t)
+      aliases.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown legacy type name '$t0'"))
+    }
+  }
+
+  /** Last `::`-path segment ("T::AccountId" → "AccountId",
+    * "<T::Lookup as StaticLookup>::Source" → "Source"). */
+  private def tail(s: String): String = {
+    val x = s.trim
+    val i = x.lastIndexOf("::")
+    (if (i >= 0) x.substring(i + 2) else x).trim
+  }
+
+  /** Parse a v12/v13 body (cursor positioned AFTER magic+version; the
+    * [[MetadataV14.parseAll]] front door dispatches here). */
+  private[decode] def parseFrom(c: Cursor,
+      version: Int): MetadataV14.ParsedMetadata = {
+    val v13 = version == 13
+    val modules = vec(c)(module(c, v13))
+    // extrinsic metadata (version u8 + signed extension names) follows;
+    // nothing below needs it
+    val defs = modules.map { m =>
+      val calls = m.calls.getOrElse(Seq.empty).zipWithIndex.flatMap {
+        case (f, i) =>
+          scala.util.Try(ItemDef(i, MetadataV14.snakeToCamel(f.name),
+            f.args.map { case (an, ty) =>
+              MetadataV14.snakeToCamel(an) -> parseTypeName(ty)
+            })).toOption
+      }
+      val events = m.events.getOrElse(Seq.empty).zipWithIndex.flatMap {
+        case (e, i) =>
+          scala.util.Try(ItemDef(i, e.name,
+            e.args.zipWithIndex.map { case (ty, j) =>
+              s"_$j" -> parseTypeName(ty)
+            })).toOption
+      }
+      PalletDef(m.index, MetadataV14.lowerCamel(m.name), calls, events)
+    }
+    val shapes = modules.flatMap { m =>
+      m.storage.flatMap(s =>
+        scala.util.Try(parseTypeName(s.valueTy)).toOption
+          .map(t => (MetadataV14.lowerCamel(m.name), s.name) -> t))
+    }.toMap
+    MetadataV14.ParsedMetadata(defs, shapes)
+  }
+}

@@ -283,11 +283,16 @@ class MetadataV14Spec extends AnyFunSuite {
       s""""target":{"who":"${Codec.bytesToHex(alice)}"}}""")
   }
 
-  test("rejects bad magic and pre-v14 versions") {
+  test("rejects bad magic, unsupported versions, malformed bodies") {
     val badMagic = blob.clone(); badMagic(0) = 0x00
     assertThrows[IllegalArgumentException](MetadataV14.parse(badMagic))
-    val badVer = blob.clone(); badVer(4) = 13
+    // v11 predates the supported v12-v15 window
+    val badVer = blob.clone(); badVer(4) = 11
     assertThrows[IllegalArgumentException](MetadataV14.parse(badVer))
+    // a v14-shaped body misdeclared as v13 routes to the legacy parser
+    // and must fail as malformed, not decode to nonsense
+    val misdeclared = blob.clone(); misdeclared(4) = 13
+    assertThrows[Exception](MetadataV14.parse(misdeclared))
   }
 
   test("name conventions: lowerCamel pallet, snake_case items") {
