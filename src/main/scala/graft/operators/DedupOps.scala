@@ -252,10 +252,48 @@ object DedupOps {
     * runs AFTER pair generation (d2/d3/d4/v4): pairs → components →
     * keep one canonical doc per cluster. */
   def connectedComponents(edges: DataFrame, a: String, b: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, edgeCap: Long = 200_000L): DataFrame = {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
       .persist()
+    // Size dispatch (the IVF-codebook literal-vs-broadcast pattern):
+    // a graph under `edgeCap` symmetric edges (~3 MB of long pairs)
+    // labels in milliseconds with driver union-find instead of paying
+    // ~10 distributed rounds of fixed job overhead; both paths produce
+    // the SAME min-node-per-component labels (ComponentsSpec pins them
+    // equal on random graphs), so crossing the threshold can never
+    // change results. The count is free — it materializes the persisted
+    // `sym` that round 1 would materialize anyway. Long-typed nodes
+    // only; anything else takes the distributed loop.
+    val longNodes = Seq("src", "dst").forall(n =>
+      sym.schema(n).dataType ==
+        org.apache.spark.sql.types.LongType)
+    if (longNodes && sym.count() <= edgeCap) {
+      import edges.sparkSession.implicits._
+      val es = sym.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (s2, d2) =>
+        parent.getOrElseUpdate(s2, s2)
+        parent.getOrElseUpdate(d2, d2)
+        val (rs, rd) = (find(s2), find(d2))
+        if (rs != rd) parent(rs) = rd
+      }
+      val minOf = scala.collection.mutable.Map[Long, Long]()
+      parent.keys.foreach { n =>
+        val r = find(n)
+        minOf(r) = math.min(minOf.getOrElse(r, n), n)
+      }
+      val out = parent.keys.toSeq.map(n => (n, minOf(find(n))))
+      sym.unpersist()
+      return out.toDF("node", "label")
+    }
     // `ckpt` is always THE checkpointed frame of the current round —
     // unpersist must target it, not a projection derived from it
     var ckpt = sym.select(col("src").as("node")).distinct()

@@ -27,6 +27,33 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out.size == 10)
   }
 
+  test("small-graph union-find path equals the distributed loop") {
+    // the existing cases all run the fast path (default edgeCap);
+    // here both paths run on the SAME random graphs and must agree
+    // exactly — the size dispatch may never change results
+    val rnd = new scala.util.Random(42)
+    (1 to 8).foreach { trial =>
+      val n = 5 + rnd.nextInt(40)
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val df = edges.toDF("a", "b")
+      val fast = DedupOps.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = DedupOps.connectedComponents(df, "a", "b", edgeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"trial $trial: $edges")
+    }
+  }
+
+  test("distributed loop handles the propagation-depth chain too") {
+    // pin the loop itself (edgeCap = 0) on the worst-diameter shape
+    val edges = (10L until 25L).map(i => (i + 1, i))
+    val out = DedupOps.connectedComponents(edges.toDF("a", "b"),
+      "a", "b", edgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 25L).forall(out(_) == 10L))
+  }
+
   test("long chain with the min at the far end (propagation depth)") {
     // 50→49→…→1: the label 1 must walk the whole chain
     val edges = (1L until 50L).map(i => (i + 1, i))
