@@ -20,16 +20,9 @@ import graft.decode.MetaDecode._
   */
 object MetadataLegacy {
 
-  // ---- SCALE readers (same shapes as MetadataV14's) ----
-  private def str(c: Cursor): String =
-    new String(c.take(c.compact().toInt), "UTF-8")
-  private def vec[A](c: Cursor)(read: => A): Seq[A] =
-    Seq.fill(c.compact().toInt)(read)
-  private def opt[A](c: Cursor)(read: => A): Option[A] = c.u8() match {
-    case 0 => None
-    case 1 => Some(read)
-    case x => throw new IllegalArgumentException(s"bad Option tag $x")
-  }
+  // SCALE primitive readers are shared with MetadataV14 (one layer)
+  import MetadataV14.{str, vec, opt}
+
   private def skipBytes(c: Cursor): Unit = { c.take(c.compact().toInt); () }
   private def docs(c: Cursor): Unit = { vec(c)(str(c)); () }
 
@@ -161,7 +154,13 @@ object MetadataLegacy {
       val args = splitTop(t.substring(lt + 1, t.length - 1))
       name match {
         case "Vec" | "BoundedVec" | "WeakBoundedVec" =>
-          Vec(parseTypeName(args.head))
+          // same normalization as the v14 path's DSequence(u8) → Bytes:
+          // byte blobs decode as one hex string, not a per-byte array,
+          // so args-JSON is identical across the v13/v14 upgrade
+          parseTypeName(args.head) match {
+            case U8 => Bytes
+            case e => Vec(e)
+          }
         case "Option" => Opt(parseTypeName(args.head))
         // every Compact<integer-ish> wire shape is one compact int
         case "Compact" => CompactInt

@@ -59,19 +59,21 @@ object MetadataV14 {
   final case class ParsedMetadata(pallets: Seq[PalletDef],
       storageShapes: Map[(String, String), SType])
 
-  // ---- SCALE readers over the shared Cursor ----
+  // ---- SCALE readers over the shared Cursor (shared with the
+  // legacy v12/v13 parser — one primitive layer, not two copies) ----
 
-  private def str(c: Cursor): String =
+  private[decode] def str(c: Cursor): String =
     new String(c.take(c.compact().toInt), "UTF-8")
 
-  private def vec[A](c: Cursor)(read: => A): Seq[A] =
+  private[decode] def vec[A](c: Cursor)(read: => A): Seq[A] =
     Seq.fill(c.compact().toInt)(read)
 
-  private def opt[A](c: Cursor)(read: => A): Option[A] = c.u8() match {
-    case 0 => None
-    case 1 => Some(read)
-    case v => throw new IllegalArgumentException(s"bad Option tag $v")
-  }
+  private[decode] def opt[A](c: Cursor)(read: => A): Option[A] =
+    c.u8() match {
+      case 0 => None
+      case 1 => Some(read)
+      case v => throw new IllegalArgumentException(s"bad Option tag $v")
+    }
 
   private def field(c: Cursor): RawField = {
     val name = opt(c)(str(c))

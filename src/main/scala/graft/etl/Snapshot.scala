@@ -48,9 +48,12 @@ object Snapshot {
       fromOrd: Long, toOrd: Long, valueCols: Seq[String]): DataFrame = {
     require(fromOrd <= toOrd, s"fromOrd $fromOrd > toOrd $toOrd")
     val m = struct((ordCol +: valueCols).map(col): _*)
-    val changed = valueCols
-      .map(c => !(col(s"mo.$c") <=> col(s"mn.$c")))
-      .reduce(_ || _)
+    // no value columns → a pure "which keys appeared" diff: nothing
+    // can count as changed, only as new
+    val changed =
+      if (valueCols.isEmpty) lit(false)
+      else valueCols.map(c => !(col(s"mo.$c") <=> col(s"mn.$c")))
+        .reduce(_ || _)
     updates.filter(col(ordCol) <= toOrd)
       .groupBy(keyCols.map(col): _*)
       .agg(max(when(col(ordCol) <= fromOrd, m)).as("mo"), max(m).as("mn"))

@@ -118,7 +118,9 @@ class MetadataLegacySpec extends AnyFunSuite {
     // 0) drops, NewAccount keeps its ORIGINAL index 1
     assert(sys.events.map(e => (e.index, e.name)) == Seq(1 -> "NewAccount"))
     assert(sys.calls.map(_.name) == Seq("fillBlock", "remark"))
-    assert(sys.calls(1).fields == Seq("remark" -> Vec(U8)))
+    // Vec<u8> normalizes to Bytes exactly like the v14 DSequence(u8)
+    // path, so args-JSON is stable across the v13→v14 upgrade
+    assert(sys.calls(1).fields == Seq("remark" -> Bytes))
   }
 
   test("storage value shapes resolve leniently from type names") {
@@ -164,7 +166,8 @@ class MetadataLegacySpec extends AnyFunSuite {
       Vec(Tup(Seq(U32, Opt(Tup(Seq(AccountId, Bool)))))))
     assert(parseTypeName("Box<T::Call>") == CallType)
     assert(parseTypeName("()") == Tup(Seq.empty))
-    assert(parseTypeName("BoundedVec<u8, MaxLen>") == Vec(U8))
+    assert(parseTypeName("BoundedVec<u8, MaxLen>") == Bytes)
+    assert(parseTypeName("Vec<u32>") == Vec(U32))
     intercept[IllegalArgumentException](parseTypeName("Weird<T>"))
   }
 }

@@ -38,9 +38,14 @@ class TextPropertySpec extends AnyFunSuite {
     // (Sennrich et al. 2016) over a (word -> freq) vocab, with x12's
     // tie-break (max count, then lexicographic pair). Greedy
     // left-to-right merge application, non-overlapping.
+    // code-POINT split, matching production's Java-regex split("")
+    // which never cuts inside a surrogate pair
+    def chars(w: String): Vector[String] =
+      w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
     def refBpe(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
       var vocab: Map[Vector[String], Long] = words
-        .groupMapReduce(w => w._1.map(_.toString).toVector)(_._2)(_ + _)
+        .groupMapReduce(w => chars(w._1))(_._2)(_ + _)
       val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
       for (_ <- 1 to k) {
         val counts = scala.collection.mutable.Map[(String, String), Long]()
@@ -92,7 +97,9 @@ class TextPropertySpec extends AnyFunSuite {
     // reference encode: replay merges in rank order, each a greedy
     // non-overlapping left-to-right pass
     def refEncode(word: String): Int = {
-      var syms = word.map(_.toString).toVector
+      // code-point split, matching production (see the x12 spec note)
+      var syms = word.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
       merges.foreach { case (l, r) =>
         if (syms.length > 1) {
           val acc = scala.collection.mutable.ArrayBuffer[String]()
