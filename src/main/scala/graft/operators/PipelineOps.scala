@@ -54,6 +54,36 @@ object PipelineOps {
        | count(*) AS n_docs, ${sqlLsum("n_chars")} AS sum_chars
        |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
+  // S7 — stratified exact-quota sampling: exactly N docs per source,
+  // membership by hashed rank (md5 of the id, no RNG state) — the
+  // fixed-size eval-set extraction a corpus pipeline runs per release.
+  // Replay-idempotent: any re-run, any partitioning reproduces the
+  // same sample. One row_number window per source stratum — a single
+  // hash shuffle on source; at extreme stratum sizes the same quota is
+  // computable with a two-pass rank-threshold refinement, but the
+  // window form is the plan Spark executes well into the billions of
+  // rows per stratum.
+  private def s7(s: SparkSession, d: String): DataFrame = {
+    val n = 10
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(concat(lit("ss:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val s7Sql =
+    """SELECT source, rk, doc_id FROM (
+      | SELECT source, doc_id, row_number() OVER (
+      |  PARTITION BY source
+      |  ORDER BY md5('ss:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      | FROM documents)
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
   // S2 — deterministic global shuffle order (epoch shuffling without
   // RNG): order by md5("shuf:" || doc_id), take the head. The limit
   // compiles to TakeOrderedAndProject; the rank is re-derived over the
@@ -277,6 +307,7 @@ object PipelineOps {
     "s3_mix_weights" -> (s3 _),
     "s4_temperature_mix" -> (s4 _),
     "s5_quality_resample" -> (s5 _),
+    "s7_stratified_sample" -> (s7 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +317,6 @@ object PipelineOps {
     "s3_mix_weights" -> s3Sql,
     "s4_temperature_mix" -> s4Sql,
     "s5_quality_resample" -> s5Sql,
+    "s7_stratified_sample" -> s7Sql,
   )
 }

@@ -571,9 +571,62 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // X14 — per-source distinctive terms by tf-idf: tf = token count in
+  // the source, idf = ln(n_sources / n_sources_containing), top-5 per
+  // source. The corpus-profiling face ("what makes this source
+  // different"), and a shape that stays two hash aggregations + one
+  // bounded window at any scale: (source, token) counts, token →
+  // source-df join (broadcastable — df table is vocab-sized), then a
+  // per-source top-k. Scores order by exact integer tf × one of
+  // n_sources distinct log values, so ranking is engine-stable; ties
+  // break on the token string.
+  private def x14(s: SparkSession, d: String): DataFrame = {
+    val nSrc = Tables.documents(s, d)
+      .select(countDistinct(col("source"))).first().getLong(0)
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(countDistinct(col("source")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok")
+      .withColumn("score",
+        col("tf").cast("double") * log(lit(nSrc.toDouble) / col("df")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("tok"),
+        col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val x14Sql =
+    """WITH tf AS (
+      | SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+      | FROM (SELECT source,
+      |        unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |       FROM documents)
+      | GROUP BY source, tok),
+      |df AS (SELECT tok, CAST(count(DISTINCT source) AS BIGINT) AS df
+      |       FROM tf GROUP BY tok),
+      |ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n
+      |       FROM documents),
+      |scored AS (
+      | SELECT tf.source, tf.tok, tf.tf, df.df,
+      |  CAST(tf.tf AS DOUBLE) * ln(ns.n / df.df) AS score
+      | FROM tf JOIN df USING (tok) CROSS JOIN ns)
+      |SELECT source, rk, tok, tf, df, round(score, 6) AS tfidf FROM (
+      | SELECT *, row_number() OVER (
+      |  PARTITION BY source ORDER BY score DESC, tok) AS rk
+      | FROM scored)
+      |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_bpe_merges" -> (x12 _),
     "x13_bpe_encode" -> (x13 _),
+    "x14_tfidf_terms" -> (x14 _),
     "x10_scrub_stats" -> (x10 _),
     "x11_redact" -> (x11 _),
     "x1_text_stats" -> (x1 _),
@@ -598,5 +651,6 @@ object TextOps {
     "x9_bpe_pairs" -> x9Sql,
     "x10_scrub_stats" -> x10Sql,
     "x11_redact" -> x11Sql,
+    "x14_tfidf_terms" -> x14Sql,
   )
 }
