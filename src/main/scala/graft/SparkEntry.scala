@@ -66,9 +66,13 @@ object SparkEntry {
     "x12_bpe_merges",       // iterative argmax loop — not SQL-expressible;
                             // TextPropertySpec pins it to a sequential
                             // reference BPE trainer
-    "x13_bpe_encode")       // BPE encode replay — not SQL-expressible;
+    "x13_bpe_encode",       // BPE encode replay — not SQL-expressible;
                             // TextPropertySpec pins encode counts to the
                             // reference trainer's segmentation
+    "v11_kmeans_train")     // iterative Lloyd rounds — not
+                            // SQL-expressible; VectorKmeansSpec pins the
+                            // centroids to a sequential BigDecimal
+                            // reference
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

@@ -645,7 +645,60 @@ object VectorOps {
        | FROM adc)
        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
 
+  // V11 — Lloyd's k-means training (spherical: cosine assignment,
+  // arithmetic-mean update): the trainer that PRODUCES the codebook
+  // v2-v7/v10 consume as a given, closing the train → assign → search
+  // loop. Per round: one map-side assignment over the broadcast/literal
+  // kernel (the SAME pinned kernel the IVF queries use, so training and
+  // serving can never disagree on the metric), then one (cell, dim)
+  // aggregation whose k×dim result — the next codebook, a bounded
+  // artifact by construction — is the round's only collect. Centroid
+  // means go through exact DECIMAL(38,12) sums, so the update is
+  // order-independent across any partitioning: training is
+  // deterministic at any parallelism, pinned by VectorKmeansSpec
+  // against a sequential BigDecimal reference.
+  private[graft] def kmeansCentroids(s: SparkSession, d: String,
+      k: Int, iters: Int): Array[(Long, Array[Float])] = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    // init = the same deterministic seed rule the IVF queries use
+    var cents = collectCodebook(emb, k)
+    for (_ <- 1 to iters) {
+      val sums = assignCells(emb, "embedding", cents, probes = 1)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast("decimal(38,12)")).as("sv"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getLong(0))
+      cents = cents.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val nv = old.clone()
+            rows.foreach { r =>
+              nv(r.getInt(1)) =
+                (r.getDecimal(2).doubleValue() / r.getLong(3)).toFloat
+            }
+            (cell, nv)
+          case None => (cell, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  private def v11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansCentroids(s, d, k = 8, iters = 4)
+      .flatMap { case (cell, cv) =>
+        cv.zipWithIndex.map { case (x, i) => (cell, i, x.toDouble) }
+      }.toSeq.toDF("cell", "pos", "cv")
+      .withColumn("cv", round(col("cv"), 6))
+      .orderBy(col("cell"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_kmeans_train" -> (v11 _),
     "v10_pq_adc_topk" -> (v10 _),
     "v1_knn_bruteforce" -> (v1 _),
     "v2_ivf_assign" -> (v2 _),

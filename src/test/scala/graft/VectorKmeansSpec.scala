@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** v11 k-means training is pinned to a sequential reference that
+  * replicates the arithmetic contracts exactly: the pinned cosine
+  * kernel (float64 index-order accumulation, `dot / sqrt(na*nb)`,
+  * HALF_UP round-6, NaN-first/cell-asc candidate order) and the
+  * DECIMAL(38,12) centroid sums — so the distributed trainer must
+  * produce bit-identical centroids at any parallelism. */
+class VectorKmeansSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  test("distributed Lloyd rounds equal the sequential reference") {
+    val vecs = spark.read
+      .parquet(s"${SparkTestBase.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val k = 8; val iters = 4
+    var cents: Seq[(Long, Array[Float])] =
+      vecs.filter(_._1 < k).toSeq
+    for (_ <- 1 to iters) {
+      // assignment: best (rounded sim DESC with NaN first, cell ASC)
+      val assigned = vecs.map { case (_, v) =>
+        val best = cents.map { case (cell, cv) =>
+          val s = r6(cos(v, cv))
+          val neg = if (s.isNaN) Double.NegativeInfinity else -s
+          (neg, cell)
+        }.min
+        (best._2, v)
+      }
+      // update: exact decimal sums per (cell, dim), then double mean
+      cents = cents.map { case (cell, old) =>
+        val mine = assigned.filter(_._1 == cell).map(_._2)
+        if (mine.isEmpty) (cell, old)
+        else {
+          val dim = old.length
+          val nv = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            var acc = java.math.BigDecimal.ZERO
+            mine.foreach { v =>
+              acc = acc.add(java.math.BigDecimal.valueOf(v(j).toDouble)
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+            }
+            nv(j) = (acc.doubleValue() / mine.length).toFloat
+            j += 1
+          }
+          (cell, nv)
+        }
+      }
+    }
+    val expected = cents.flatMap { case (cell, cv) =>
+      cv.zipWithIndex.map { case (x, i) => (cell, i, r6(x.toDouble)) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("v11_kmeans_train")(
+      spark, SparkTestBase.sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected)
+    // training actually moved the centroids off the seed init
+    val init = vecs.filter(_._1 < k).flatMap { case (cell, cv) =>
+      cv.zipWithIndex.map { case (x, i) => (cell, i, r6(x.toDouble)) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got != init)
+  }
+}
