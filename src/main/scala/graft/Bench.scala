@@ -78,6 +78,7 @@ object Bench {
     // a stage itself is then trend-guard-visible.
     operators.DedupOps.resetWordSetLabels()
     operators.TextOps.resetBpeMerges()
+    operators.VectorOps.resetKmeans()
     val stageResults = Bench.stages.map { case (nm, f) =>
       val t0 = System.nanoTime()
       val v = try { f(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
@@ -148,7 +149,9 @@ object Bench {
     "stage:dedup_cc_labels" ->
       ((s, d) => operators.DedupOps.warmWordSetLabels(s, d)),
     "stage:bpe_merges" ->
-      ((s, d) => operators.TextOps.warmBpeMerges(s, d)))
+      ((s, d) => operators.TextOps.warmBpeMerges(s, d)),
+    "stage:kmeans_train" ->
+      ((s, d) => operators.VectorOps.warmKmeans(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

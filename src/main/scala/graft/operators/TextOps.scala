@@ -577,12 +577,14 @@ object TextOps {
   // different"), and a shape that stays two hash aggregations + one
   // bounded window at any scale: (source, token) counts, token →
   // source-df join (broadcastable — df table is vocab-sized), then a
-  // per-source top-k. Scores order by exact integer tf × one of
-  // n_sources distinct log values, so ranking is engine-stable; ties
-  // break on the token string.
+  // per-source top-k. n_sources folds in lazily as a broadcast 1-row
+  // cross join (no eager scan at plan-build time), and the window
+  // ranks on the ROUNDED score (repo convention, see v1) so ranking
+  // is robust to last-bit ln() drift between engines; ties break on
+  // the token string.
   private def x14(s: SparkSession, d: String): DataFrame = {
-    val nSrc = Tables.documents(s, d)
-      .select(countDistinct(col("source"))).first().getLong(0)
+    val ns = Tables.documents(s, d)
+      .agg(countDistinct(col("source")).cast("double").as("n"))
     val tf = Tables.documents(s, d)
       .select(col("source"), explode(toks).as("tok"))
       .groupBy(col("source"), col("tok"))
@@ -591,14 +593,15 @@ object TextOps {
       .agg(countDistinct(col("source")).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
-      .orderBy(col("score").desc, col("tok"))
+      .orderBy(col("tfidf").desc, col("tok"))
     tf.join(df, "tok")
-      .withColumn("score",
-        col("tf").cast("double") * log(lit(nSrc.toDouble) / col("df")))
+      .crossJoin(broadcast(ns))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(col("n") / col("df")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("source"), col("rk"), col("tok"),
-        col("tf"), col("df"), round(col("score"), 6).as("tfidf"))
+        col("tf"), col("df"), col("tfidf"))
       .orderBy(col("source"), col("rk"))
   }
 
@@ -615,11 +618,11 @@ object TextOps {
       |       FROM documents),
       |scored AS (
       | SELECT tf.source, tf.tok, tf.tf, df.df,
-      |  CAST(tf.tf AS DOUBLE) * ln(ns.n / df.df) AS score
+      |  round(CAST(tf.tf AS DOUBLE) * ln(ns.n / df.df), 6) AS tfidf
       | FROM tf JOIN df USING (tok) CROSS JOIN ns)
-      |SELECT source, rk, tok, tf, df, round(score, 6) AS tfidf FROM (
+      |SELECT source, rk, tok, tf, df, tfidf FROM (
       | SELECT *, row_number() OVER (
-      |  PARTITION BY source ORDER BY score DESC, tok) AS rk
+      |  PARTITION BY source ORDER BY tfidf DESC, tok) AS rk
       | FROM scored)
       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 

@@ -657,10 +657,48 @@ object VectorOps {
   // order-independent across any partitioning: training is
   // deterministic at any parallelism, pinned by VectorKmeansSpec
   // against a sequential BigDecimal reference.
+  /** Trained centroids, memoized one slot per (session, sfDir, k,
+    * iters) — the x12/d5 shared-stage pattern: a real pipeline trains
+    * once and every consumer reuses the artifact, and Bench resets +
+    * times the training as its own line (`stage:kmeans_train`) so the
+    * cost is trend-guard-visible instead of hiding behind min-of-reps. */
+  @volatile private var kmeansMemo: Option[((SparkSession, String, Int,
+    Int), Array[(Long, Array[Float])])] = None
+
+  /** Bench/test hook: forget the trained centroids so the next consumer
+    * pays the full training cost. */
+  def resetKmeans(): Unit = synchronized { kmeansMemo = None }
+
+  /** Bench hook: train + memoize the shared k-means stage for (s, d). */
+  def warmKmeans(s: SparkSession, d: String): Unit = {
+    kmeansCentroids(s, d, 8, 4); ()
+  }
+
   private[graft] def kmeansCentroids(s: SparkSession, d: String,
+      k: Int, iters: Int): Array[(Long, Array[Float])] = synchronized {
+    kmeansMemo match {
+      case Some((key, m)) if key == ((s, d, k, iters)) => m
+      case _ =>
+        val m = runKmeans(s, d, k, iters)
+        kmeansMemo = Some(((s, d, k, iters), m))
+        m
+    }
+  }
+
+  private def runKmeans(s: SparkSession, d: String,
       k: Int, iters: Int): Array[(Long, Array[Float])] = {
+    // cache the one input the loop re-scans (seed collect + one
+    // assignment per round would otherwise re-read the parquet
+    // iters+1 times)
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding")).persist()
+    try {
+      runKmeansRounds(emb, k, iters)
+    } finally { emb.unpersist(false); () }
+  }
+
+  private def runKmeansRounds(emb: DataFrame, k: Int,
+      iters: Int): Array[(Long, Array[Float])] = {
     // init = the same deterministic seed rule the IVF queries use
     var cents = collectCodebook(emb, k)
     for (_ <- 1 to iters) {

@@ -21,7 +21,11 @@ class VectorKmeansSpec extends AnyFunSuite {
     dot / math.sqrt(na * nb)
   }
   private def r6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    // same NaN/Inf guard as the production round6 kernel — a zero-norm
+    // vector's NaN cosine must reach the NaN-first ordering branch, not
+    // throw in BigDecimal.valueOf
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   test("distributed Lloyd rounds equal the sequential reference") {
