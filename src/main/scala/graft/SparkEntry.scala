@@ -69,10 +69,14 @@ object SparkEntry {
     "x13_bpe_encode",       // BPE encode replay — not SQL-expressible;
                             // TextPropertySpec pins encode counts to the
                             // reference trainer's segmentation
-    "v11_kmeans_train")     // iterative Lloyd rounds — not
+    "v11_kmeans_train",     // iterative Lloyd rounds — not
                             // SQL-expressible; VectorKmeansSpec pins the
                             // centroids to a sequential BigDecimal
                             // reference
+    "v12_trained_assign")   // serves the trained (non-SQL-expressible)
+                            // codebook; VectorKmeansSpec pins per-cell
+                            // counts + sim mass to the sequential
+                            // reference assignment
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

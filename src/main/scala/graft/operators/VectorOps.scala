@@ -735,8 +735,34 @@ object VectorOps {
       .orderBy(col("cell"), col("pos"))
   }
 
+  // V12 — serve the TRAINED codebook: assign every vector to its
+  // nearest trained centroid (the memoized v11 artifact — same
+  // size-dispatched map-side kernel v2-v7 use on the seed codebook)
+  // and report per-cell population + exact-decimal similarity mass.
+  // This is the consumer that closes the train → assign → serve loop:
+  // the IVF oracle queries keep the seed codebook so DuckDB can
+  // reproduce them, and v12 demonstrates the trained artifact flowing
+  // back into the serving kernel. Rows-only: four Lloyd rounds are not
+  // SQL-expressible; VectorKmeansSpec pins the distributed per-cell
+  // counts and sim mass bit-identical to the sequential reference.
+  private def v12(s: SparkSession, d: String): DataFrame = {
+    val cents = kmeansCentroids(s, d, k = 8, iters = 4)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    assignCells(emb, "embedding", cents, probes = 1)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"),
+        // NaN cosines (zero-norm vectors) contribute 0 mass — a NaN
+        // would poison the DECIMAL sum
+        dsumOut(nanvl(col("csim"), lit(0.0))).as("sim_mass"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v11_kmeans_train" -> (v11 _),
+    "v12_trained_assign" -> (v12 _),
     "v10_pq_adc_topk" -> (v10 _),
     "v1_knn_bruteforce" -> (v1 _),
     "v2_ivf_assign" -> (v2 _),
