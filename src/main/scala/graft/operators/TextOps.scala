@@ -605,6 +605,85 @@ object TextOps {
       .orderBy(col("source"), col("rk"))
   }
 
+  // X15 — BM25 retrieval scoring (k1 = 1.2, b = 0.75, the standard
+  // Robertson/Sparck-Jones constants with the +1 idf floor): score
+  // every document against a deterministic query set (the 8 highest-df
+  // tokens — derivable identically in both engines, no fixture terms)
+  // and keep the global top-20. The retrieval face of a training-data
+  // pipeline (query-relevance subsetting); shape at scale: the doc
+  // length RIDES the (doc_id, tok) aggregation key (functionally
+  // dependent on doc_id — no separate doclen aggregation or join),
+  // corpus stats are a shuffle-free 1-row scan broadcast in, query
+  // terms a vocab-sized broadcast, and the top-k is one window. The
+  // tokenize+tf subtree is still planned twice (df derivation + the
+  // scoring join) — at 100 TB materialize tf once and feed both, the
+  // x12 shared-stage pattern. Per-term scores go through
+  // DECIMAL(38,6) before summing so the per-doc total is
+  // partition-order-independent, and the top-20 ranks on the ROUNDED
+  // total (repo convention) with doc_id tie-break.
+  private def x15(s: SparkSession, d: String): DataFrame = {
+    // len is projected BEFORE the explode — selecting size(toks) and
+    // explode(toks) in one projection would re-evaluate the split per
+    // EXPLODED row (~tokens-per-doc times), measured 5x slower
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).as("len"), toks.as("ts"))
+      .select(col("doc_id"), col("len"), explode(col("ts")).as("tok"))
+      .groupBy(col("doc_id"), col("len"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = Tables.documents(s, d).agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avg_len"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.orderBy(col("df").desc, col("tok")).limit(8)
+    val byDoc = tf
+      .join(broadcast(qterms), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("sc", col("idf") * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75)
+          + lit(0.75) * col("len") / col("avg_len"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), dsumOut(col("sc")).as("bm25"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    byDoc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("rk"), col("doc_id"), col("n_terms"), col("bm25"))
+      .orderBy(col("rk"))
+  }
+
+  private val x15Sql =
+    s"""WITH tf AS (
+       | SELECT doc_id, len, tok, CAST(count(*) AS BIGINT) AS tf
+       | FROM (SELECT doc_id,
+       |        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |          AS len,
+       |        unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |       FROM documents)
+       | GROUP BY doc_id, len, tok),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+       |    / count(*) AS avg_len FROM documents),
+       |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |       FROM tf GROUP BY tok),
+       |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 8),
+       |sc AS (
+       | SELECT tf.doc_id,
+       |  ln((s.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+       |   * tf.tf * 2.2 / (tf.tf + 1.2 * (1.0 - 0.75
+       |     + 0.75 * tf.len / s.avg_len)) AS sc
+       | FROM tf JOIN q USING (tok)
+       | CROSS JOIN stats s),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  ${sqlDsumOut("sc")} AS bm25
+       | FROM sc GROUP BY doc_id)
+       |SELECT rk, doc_id, n_terms, bm25 FROM (
+       | SELECT *, row_number() OVER (
+       |  ORDER BY bm25 DESC, doc_id) AS rk FROM agg)
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   private val x14Sql =
     """WITH tf AS (
       | SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
@@ -630,6 +709,7 @@ object TextOps {
     "x12_bpe_merges" -> (x12 _),
     "x13_bpe_encode" -> (x13 _),
     "x14_tfidf_terms" -> (x14 _),
+    "x15_bm25" -> (x15 _),
     "x10_scrub_stats" -> (x10 _),
     "x11_redact" -> (x11 _),
     "x1_text_stats" -> (x1 _),
@@ -655,5 +735,6 @@ object TextOps {
     "x10_scrub_stats" -> x10Sql,
     "x11_redact" -> x11Sql,
     "x14_tfidf_terms" -> x14Sql,
+    "x15_bm25" -> x15Sql,
   )
 }
