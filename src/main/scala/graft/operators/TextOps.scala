@@ -444,11 +444,23 @@ object TextOps {
     }
   }
 
+  /** Spread a skinny scan across the scheduler before a CPU-bound
+    * stage: a sub-128 MB parquet arrives as ONE input partition, so a
+    * tokenize/encode pass over it runs single-threaded (measured 7× at
+    * sf0.1 and 24× at ×10 slower than spread). Repartitions ONLY when
+    * the scan's parallelism is below the session default — at real
+    * scale the file count already provides parallelism and this adds
+    * no shuffle. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   private def runMergeLoop(s: SparkSession, d: String,
       k: Int): Seq[(Int, String, String, Long)] = {
     val pretok = expr(
       "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")
-    var vocab = Tables.documents(s, d)
+    var vocab = spread(Tables.documents(s, d))
       .select(explode(pretok).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(split(col("word"), "").as("syms"), col("freq"))
@@ -537,7 +549,7 @@ object TextOps {
     import s.implicits._
     val merges = trainedMerges(s, d, 16).map(m => (m._2, m._3))
     val bc = s.sparkContext.broadcast(merges)
-    Tables.documents(s, d)
+    spread(Tables.documents(s, d))
       .select(col("lang"), col("text")).as[(String, String)]
       .mapPartitions { it =>
         val pat = java.util.regex.Pattern.compile(
