@@ -48,8 +48,7 @@ object DedupOps {
   /** (doc_id, source, token) inverted index, distinct tokens per doc.
     * The blocking unit for all pairwise similarity below. */
   private def docTokens(s: SparkSession, d: String, cap: Int): DataFrame =
-    Tables.documents(s, d)
-      .filter(col("doc_id") < cap)
+    spread(Tables.documents(s, d).filter(col("doc_id") < cap))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(expr("split(trim(text), '\\\\s+')")))
           .as("w"))
@@ -216,8 +215,8 @@ object DedupOps {
             "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))).as("w"))
 
   private def docShingles(s: SparkSession, d: String, cap: Int): DataFrame =
-    shingles3(Tables.documents(s, d).filter(col("doc_id") < cap)
-      .select(col("doc_id"), col("source"), col("text")))
+    shingles3(spread(Tables.documents(s, d).filter(col("doc_id") < cap)
+      .select(col("doc_id"), col("source"), col("text"))))
 
   private def d7(s: SparkSession, d: String): DataFrame =
     jaccardPairs(docShingles(s, d, 2000), ShingleThreshold)
@@ -507,7 +506,7 @@ object DedupOps {
   private val ChunkWords = 16
 
   private def d8(s: SparkSession, d: String): DataFrame = {
-    val chunks = Tables.documents(s, d)
+    val chunks = spread(Tables.documents(s, d))
       .select(col("doc_id"), col("source"),
         expr("split(trim(text), '\\\\s+')").as("tk"))
       .withColumn("nc", (size(col("tk")) / ChunkWords).cast("int"))

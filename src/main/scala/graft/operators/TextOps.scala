@@ -444,20 +444,82 @@ object TextOps {
     }
   }
 
-  /** Spread a skinny scan across the scheduler before a CPU-bound
-    * stage: a sub-128 MB parquet arrives as ONE input partition, so a
-    * tokenize/encode pass over it runs single-threaded (measured 7× at
-    * sf0.1 and 24× at ×10 slower than spread). Repartitions ONLY when
-    * the scan's parallelism is below the session default — at real
-    * scale the file count already provides parallelism and this adds
-    * no shuffle. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  /** Vocab row cap under which the merge rounds run driver-side: word
+    * types with their symbol arrays, ~tens of MB at the cap. */
+  private val VocabCap = 100_000L
+
+  /** Spark StringType orders by UTF-8 bytes; Scala String compareTo
+    * orders by UTF-16 code units — they disagree above U+FFFF vs
+    * [U+E000, U+FFFF], so the driver-side argmax compares UTF-8 bytes
+    * to stay bit-identical with the distributed `orderBy`. */
+  private def u8lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
-  private def runMergeLoop(s: SparkSession, d: String,
+  /** One non-overlapping left-to-right merge pass — the driver twin of
+    * the distributed `aggregate` fold (and of [[encodeWord]]'s inner
+    * pass). */
+  private def mergePass(ss: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](ss.length)
+    ss.foreach { x =>
+      if (out.nonEmpty && out.last == l && x == r)
+        out(out.length - 1) = l + r
+      else out += x
+    }
+    out.toArray
+  }
+
+  /** Driver-side merge rounds over a collected vocab — same argmax
+    * contract (count DESC, then UTF-8-byte lexicographic (l, r)) and
+    * same fold as the distributed loop, so crossing the dispatch
+    * threshold can never change results (TextPropertySpec pins both
+    * against the sequential reference). */
+  private def driverMergeLoop(words0: Array[(Array[String], Long)],
       k: Int): Seq[(Int, String, String, Long)] = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (ss, f) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          val key = (ss(i), ss(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { case (p, c) =>
+          if (best == null || c > best._2 ||
+            (c == best._2 && (u8lt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && u8lt(p._2, best._1._2)))))
+            best = (p, c)
+        }
+        val ((l, rr), c) = best
+        merges += ((r, l, rr, c))
+        words = words.map { case (ss, f) => (mergePass(ss, l, rr), f) }
+          .filter(_._1.length > 1)
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private[graft] def runMergeLoop(s: SparkSession, d: String,
+      k: Int, vocabCap: Long = VocabCap): Seq[(Int, String, String, Long)] = {
     val pretok = expr(
       "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\\\t\\\\n\\\\f\\\\r]', 0)")
     var vocab = spread(Tables.documents(s, d))
@@ -466,6 +528,21 @@ object TextOps {
       .select(split(col("word"), "").as("syms"), col("freq"))
       .filter(size(col("syms")) > 1)
       .localCheckpoint(true)
+    // Size dispatch (the connectedComponents driver-union-find /
+    // IVF-codebook pattern): a vocab under VocabCap word types runs
+    // the k merge rounds driver-side in microseconds instead of paying
+    // k rounds of distributed fixed job overhead (pair agg + sort +
+    // checkpoint, ~0.2-0.3 s each locally). The count is free — it
+    // reads the checkpoint that round 1 would read anyway. Above the
+    // cap (real-corpus vocabs), the distributed loop below carries the
+    // same contract at any size.
+    if (vocab.count() <= vocabCap) {
+      import s.implicits._
+      val collected = vocab.as[(Seq[String], Long)].collect()
+        .map { case (ss, f) => (ss.toArray, f) }
+      DedupOps.releaseCheckpoint(vocab)
+      return driverMergeLoop(collected, k)
+    }
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var exhausted = false
@@ -637,12 +714,12 @@ object TextOps {
     // len is projected BEFORE the explode — selecting size(toks) and
     // explode(toks) in one projection would re-evaluate the split per
     // EXPLODED row (~tokens-per-doc times), measured 5x slower
-    val tf = Tables.documents(s, d)
+    val tf = spread(Tables.documents(s, d))
       .select(col("doc_id"), size(toks).as("len"), toks.as("ts"))
       .select(col("doc_id"), col("len"), explode(col("ts")).as("tok"))
       .groupBy(col("doc_id"), col("len"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val stats = Tables.documents(s, d).agg(
+    val stats = spread(Tables.documents(s, d)).agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(size(toks)).cast("double") / count(lit(1))).as("avg_len"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -685,16 +685,89 @@ object VectorOps {
     }
   }
 
-  private def runKmeans(s: SparkSession, d: String,
-      k: Int, iters: Int): Array[(Long, Array[Float])] = {
+  /** Vector count cap under which the Lloyd rounds run driver-side
+    * (~50 MB of float64 at the cap for 64-dim). */
+  private val KmeansDriverCap = 100_000L
+
+  private[graft] def runKmeans(s: SparkSession, d: String,
+      k: Int, iters: Int,
+      cap: Long = KmeansDriverCap): Array[(Long, Array[Float])] = {
     // cache the one input the loop re-scans (seed collect + one
     // assignment per round would otherwise re-read the parquet
     // iters+1 times)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding")).persist()
     try {
-      runKmeansRounds(emb, k, iters)
+      // Size dispatch (the connectedComponents / BPE pattern): under
+      // the cap the 4 rounds run driver-side with the SAME pinned
+      // arithmetic (float64 index-order cosine, HALF_UP round-6,
+      // NaN-first/cell-asc, DECIMAL(38,12) sums) instead of paying
+      // iters × (distributed assignment + (cell, dim) agg + collect)
+      // of fixed job overhead; VectorKmeansSpec pins both paths equal,
+      // so crossing the threshold can never change centroids. The
+      // count materializes the persist the loop would pay anyway.
+      if (emb.count() <= cap) {
+        import s.implicits._
+        val vecs = emb.as[(Long, Seq[Float])].collect()
+          .map { case (id, v) => (id, v.toArray) }.sortBy(_._1)
+        driverKmeans(vecs, k, iters)
+      } else runKmeansRounds(emb, k, iters)
     } finally { emb.unpersist(false); () }
+  }
+
+  /** Driver twin of [[runKmeansRounds]] — same kernel contract as the
+    * broadcast/literal assignment (round6 guard included) and the same
+    * exact-decimal centroid update. */
+  private def driverKmeans(vecs: Array[(Long, Array[Float])], k: Int,
+      iters: Int): Array[(Long, Array[Float])] = {
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    var cents = vecs.filter(_._1 < k)
+    require(cents.nonEmpty, s"k-means seed is empty (no vec_id < $k)")
+    for (_ <- 1 to iters) {
+      val assigned = vecs.map { case (_, v) =>
+        var bestCell = -1L; var bestNeg = Double.PositiveInfinity
+        cents.foreach { case (cell, cv) =>
+          val s0 = round6(cos(v, cv))
+          val neg = if (s0.isNaN) Double.NegativeInfinity else -s0
+          if (neg < bestNeg || (neg == bestNeg && cell < bestCell)) {
+            bestNeg = neg; bestCell = cell
+          }
+        }
+        (bestCell, v)
+      }
+      cents = cents.map { case (cell, old) =>
+        val mine = assigned.collect { case (c, v) if c == cell => v }
+        if (mine.isEmpty) (cell, old)
+        else {
+          val dim = old.length
+          val nv = new Array[Float](dim)
+          var j = 0
+          while (j < dim) {
+            var acc = java.math.BigDecimal.ZERO
+            mine.foreach { v =>
+              acc = acc.add(java.math.BigDecimal.valueOf(v(j).toDouble)
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+            }
+            nv(j) = (acc.doubleValue() / mine.length).toFloat
+            j += 1
+          }
+          (cell, nv)
+        }
+      }
+    }
+    cents
   }
 
   private def runKmeansRounds(emb: DataFrame, k: Int,

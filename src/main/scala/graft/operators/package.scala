@@ -23,6 +23,20 @@ package object operators {
   /** Higher-scale variant for tiny magnitudes (vector components, ratios). */
   def dec12(c: Column): Column = c.cast("decimal(38,12)")
 
+  /** Spread a skinny scan across the scheduler before a CPU-bound
+    * per-row stage (tokenize/shingle/hash): a sub-128 MB parquet
+    * arrives as ONE input partition, so such a pass runs
+    * single-threaded regardless of cores (measured 7× at sf0.1 and
+    * 24× at ×10 on the BPE tokenize). Repartitions ONLY when the
+    * plan's parallelism is below the session default — at real scale
+    * the file count already provides parallelism and this adds no
+    * shuffle. Apply AFTER pushed-down filters so pruning still reaches
+    * the scan. */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact decimal sum of a double column. */
   def dsum(c: Column): Column = sum(dec6(c))
 

@@ -89,6 +89,18 @@ class TextPropertySpec extends AnyFunSuite {
     assert(got.size == 16)
   }
 
+  test("x12 size dispatch: distributed and driver merge loops agree") {
+    // the ComponentsSpec pattern: crossing the dispatch threshold must
+    // never change results — force the distributed loop (cap 0) and
+    // compare against the driver loop on the same corpus
+    val s = SparkTestBase.spark
+    val dist = operators.TextOps.runMergeLoop(s, SparkTestBase.sf, 16,
+      vocabCap = 0L)
+    val drv = operators.TextOps.runMergeLoop(s, SparkTestBase.sf, 16)
+    assert(dist == drv)
+    assert(dist.size == 16)
+  }
+
   test("x13 encode counts equal the reference trainer's segmentation") {
     import org.apache.spark.sql.functions.{explode, expr}
     val s = SparkTestBase.spark

@@ -99,6 +99,18 @@ class VectorKmeansSpec extends AnyFunSuite {
     assert(got != init)
   }
 
+  test("kmeans size dispatch: distributed and driver loops agree") {
+    // crossing the dispatch threshold must never change centroids —
+    // force the distributed rounds (cap 0) and compare bit-identical
+    val s = SparkTestBase.spark
+    val dist = operators.VectorOps.runKmeans(s, SparkTestBase.sf, 8, 4,
+      cap = 0L)
+    val drv = operators.VectorOps.runKmeans(s, SparkTestBase.sf, 8, 4)
+    assert(dist.map(_._1).toSeq == drv.map(_._1).toSeq)
+    assert(dist.zip(drv).forall { case ((_, a), (_, b)) =>
+      a.sameElements(b) })
+  }
+
   test("v12 trained assignment equals the sequential reference") {
     val vecs = loadVecs()
     val cents = refCentroids(vecs, k = 8, iters = 4)
