@@ -600,15 +600,8 @@ object TextOps {
     merges.foreach { case (l, r) =>
       // tokens are contiguous substrings of the word, so a merge can
       // only apply if the word contains l+r — skip the pass otherwise
-      if (syms.length > 1 && word.contains(l + r)) {
-        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
-        syms.foreach { x =>
-          if (out.nonEmpty && out.last == l && x == r)
-            out(out.length - 1) = l + r
-          else out += x
-        }
-        syms = out.toArray
-      }
+      if (syms.length > 1 && word.contains(l + r))
+        syms = mergePass(syms, l, r)
     }
     syms
   }
@@ -735,10 +728,14 @@ object TextOps {
           + lit(0.75) * col("len") / col("avg_len"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), dsumOut(col("sc")).as("bm25"))
+    // top-20 via orderBy+limit (plans as a parallel
+    // TakeOrderedAndProject), NOT an unpartitioned row_number window
+    // that would funnel every doc through one task; the rank window
+    // then runs over the already-bounded 20 rows
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bm25").desc, col("doc_id"))
-    byDoc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 20)
+    byDoc.orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("rk", row_number().over(w))
       .select(col("rk"), col("doc_id"), col("n_terms"), col("bm25"))
       .orderBy(col("rk"))
   }

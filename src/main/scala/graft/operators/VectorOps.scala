@@ -5,6 +5,30 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** The pinned scalar kernel arithmetic shared by every tier — the
+  * broadcast UDF, the driver k-means loop (the literal-expression tier
+  * expresses the same contract in Catalyst `round`/`cosine_sim`). ONE
+  * body so the tiers cannot silently diverge; Serializable so UDF
+  * closures can reference it from executors. */
+private[graft] object VectorKernel extends Serializable {
+  /** HALF_UP to 6 decimals, NaN/Inf pass through. */
+  def round6d(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  /** Float64 index-order cosine accumulation. */
+  def cosF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+}
+
 /** Similarity search over the `embeddings` table (Array[Float] column):
   * brute-force cosine top-k as the exact baseline, IVF-style coarse
   * quantization as the scale path, per-label centroid statistics, and a
@@ -140,10 +164,7 @@ object VectorOps {
   private def assignCellsBroadcast(src: DataFrame, vecCol: String,
       seeds: Array[(Long, Array[Float])], probes: Int): DataFrame = {
     val bc = src.sparkSession.sparkContext.broadcast(seeds)
-    def round6(x: Double): Double =
-      if (x.isNaN || x.isInfinite) x
-      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+    def round6(x: Double): Double = VectorKernel.round6d(x)
     val assign = udf { (v: Seq[Float]) =>
       if (v == null) Array.empty[CellSim]
       else {
@@ -694,9 +715,13 @@ object VectorOps {
       cap: Long = KmeansDriverCap): Array[(Long, Array[Float])] = {
     // cache the one input the loop re-scans (seed collect + one
     // assignment per round would otherwise re-read the parquet
-    // iters+1 times)
+    // iters+1 times). Null embeddings are excluded from TRAINING
+    // explicitly — the distributed kernels drop them from assignment
+    // anyway (empty candidate array / null cosine), and the driver
+    // path must see the same population
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding")).persist()
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull).persist()
     try {
       // Size dispatch (the connectedComponents / BPE pattern): under
       // the cap the 4 rounds run driver-side with the SAME pinned
@@ -720,19 +745,9 @@ object VectorOps {
     * exact-decimal centroid update. */
   private def driverKmeans(vecs: Array[(Long, Array[Float])], k: Int,
       iters: Int): Array[(Long, Array[Float])] = {
-    def round6(x: Double): Double =
-      if (x.isNaN || x.isInfinite) x
-      else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < a.length) {
-        val xi = a(i).toDouble; val yi = b(i).toDouble
-        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
-      }
-      dot / math.sqrt(na * nb)
-    }
+    def round6(x: Double): Double = VectorKernel.round6d(x)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      VectorKernel.cosF(a, b)
     var cents = vecs.filter(_._1 < k)
     require(cents.nonEmpty, s"k-means seed is empty (no vec_id < $k)")
     for (_ <- 1 to iters) {
