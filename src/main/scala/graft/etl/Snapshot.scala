@@ -66,6 +66,44 @@ object Snapshot {
         lit(fromOrd).as("from_ord"), lit(toOrd).as("to_ord")): _*)
   }
 
+  /** State at EVERY checkpoint of a grid in one job (the snapshotter's
+    * scheduled mode: a snapshot per block interval, ref
+    * snapshot/snapshotter.js run per named block over a range).
+    *
+    * Scale shape — the fan-out is bounded by the GRID, never by the
+    * updates: (1) each update is assigned to its first checkpoint ≥
+    * ord and argmax-aggregated per (key, bucket) — one key shuffle
+    * with map-side combine, same as [[stateAt]]; (2) each of the ≤
+    * |keys|×G bucket rows explodes to the grid points it can serve
+    * (carry-forward) and a second argmax picks the latest per (key,
+    * checkpoint). A naive updates×grid join would fan out every
+    * UPDATE row G ways; this fans out only the already-aggregated
+    * bucket rows, so 100 TB of updates still pays fan-out only on
+    * keys×G. Keys appear at a checkpoint only once they have state
+    * (no null-padding rows). */
+  def stateSeries(updates: DataFrame, keyCols: Seq[String],
+      ordCol: String, grid: Seq[Long],
+      valueCols: Seq[String]): DataFrame = {
+    require(grid.nonEmpty && grid == grid.sorted &&
+      grid.distinct.size == grid.size,
+      s"grid must be sorted distinct, got $grid")
+    val gridArr = array(grid.map(lit): _*)
+    val m = struct((ordCol +: valueCols).map(col): _*)
+    val perBucket = updates.filter(col(ordCol) <= grid.max)
+      .withColumn("cp",
+        element_at(filter(gridArr, g => g >= col(ordCol)), 1))
+      .groupBy(keyCols.map(col) :+ col("cp"): _*)
+      .agg(max(m).as("m"))
+    perBucket
+      .select(keyCols.map(col) ++ Seq(col("m"),
+        explode(filter(gridArr, g => g >= col("cp")))
+          .as("snapshot_at")): _*)
+      .groupBy(keyCols.map(col) :+ col("snapshot_at"): _*)
+      .agg(max(col("m")).as("m"))
+      .select(keyCols.map(col) ++ Seq(col("snapshot_at")) ++
+        (ordCol +: valueCols).map(c => col(s"m.$c").as(c)): _*)
+  }
+
   /** Idempotent snapshot write: partitioned by `snapshot_at`, dynamic
     * partition overwrite — re-running a snapshot replaces exactly its
     * own partition and leaves every other block's snapshot untouched

@@ -311,6 +311,28 @@ object WindowOps {
       | OR (o."value" IS DISTINCT FROM n."value")
       |ORDER BY n.user_id""".stripMargin
 
+  // B3 — snapshot series: state at EVERY checkpoint of a block grid in
+  // one job (the snapshotter's scheduled per-interval mode). The
+  // Spark side uses Snapshot.stateSeries's bucketed carry-forward
+  // (fan-out bounded by the grid, never by updates); the oracle uses
+  // the naive updates×grid join — same semantics, different plan, so
+  // the hash match also certifies the carry-forward rewrite.
+  private def b3(s: SparkSession, d: String): DataFrame =
+    graft.etl.Snapshot.stateSeries(Tables.events(s, d),
+      keyCols = Seq("user_id"), ordCol = "event_id",
+      grid = Seq(300L, 600L, 900L, 1200L),
+      valueCols = Seq("event_type", "value"))
+      .orderBy(col("snapshot_at"), col("user_id"))
+
+  private val b3Sql =
+    """WITH grid AS (SELECT CAST(unnest([300, 600, 900, 1200]) AS BIGINT) AS cp)
+      |SELECT user_id, cp AS snapshot_at, event_id, event_type, "value"
+      |FROM (SELECT g.cp, e.user_id, e.event_id, e.event_type, e."value",
+      |  row_number() OVER (PARTITION BY g.cp, e.user_id
+      |   ORDER BY e.event_id DESC, e.event_type DESC, e."value" DESC) AS rn
+      | FROM events e JOIN grid g ON e.event_id <= g.cp)
+      |WHERE rn = 1 ORDER BY snapshot_at, user_id""".stripMargin
+
   // TPC-H Q3-shaped shipping-priority top-k (bench headline; T2 order by +
   // limit over a 3-way join).
   private def t2(s: SparkSession, d: String): DataFrame =
@@ -482,6 +504,7 @@ object WindowOps {
     "q10_follow_feed" -> (q10 _),
     "b1_snapshot_at_block" -> (b1 _),
     "b2_snapshot_diff" -> (b2 _),
+    "b3_snapshot_series" -> (b3 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -503,5 +526,6 @@ object WindowOps {
     "q10_follow_feed" -> q10Sql,
     "b1_snapshot_at_block" -> b1Sql,
     "b2_snapshot_diff" -> b2Sql,
+    "b3_snapshot_series" -> b3Sql,
   )
 }

@@ -74,6 +74,33 @@ class EtlSpec extends AnyFunSuite {
       (2L, "new", None, 55.0)))
   }
 
+  test("snapshot series: carry-forward across empty intervals") {
+    import graft.etl.Snapshot
+    // acct 1 updates at 10/20/30; acct 2 appears at 25 (absent from the
+    // grid-10 snapshot); acct 1 has NO update in (20, 25] so its
+    // checkpoint-25 state must carry the block-20 value forward;
+    // updates past the last checkpoint (block 99) are ignored
+    val updates = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 150.0), (1L, 30L, 90.0),
+      (2L, 25L, 55.0), (1L, 99L, 1.0))
+      .toDF("account", "block", "free")
+    val out = Snapshot.stateSeries(updates, Seq("account"), "block",
+      grid = Seq(10L, 25L, 40L), valueCols = Seq("free"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set(
+      (10L, 1L, 10L, 100.0),
+      (25L, 1L, 20L, 150.0), (25L, 2L, 25L, 55.0),
+      (40L, 1L, 30L, 90.0), (40L, 2L, 25L, 55.0)))
+    // matches the naive per-checkpoint stateAt on every grid point
+    val naive = Seq(10L, 25L, 40L).flatMap { cp =>
+      Snapshot.stateAt(updates, Seq("account"), "block", cp, Seq("free"))
+        .collect().map(r => (cp, r.getLong(0), r.getLong(1),
+          r.getDouble(2)))
+    }.toSet
+    assert(out == naive)
+  }
+
   test("upsert: updates win on key, inserts appended") {
     val base = Seq((1L, "old", 1L), (2L, "keep", 1L))
       .toDF("k", "v", "ver")
