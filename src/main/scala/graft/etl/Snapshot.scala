@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  /** Internal working columns — caller key/ord/value columns may not
+    * collide with them: `withColumn` would silently overwrite the
+    * caller's data before the lazy struct/groupBy expressions resolve
+    * (fail loudly instead). */
+  private val Reserved = Set("m", "mo", "mn", "cp", "snapshot_at")
+  private def checkNames(cols: Seq[String]): Unit = {
+    val clash = cols.filter(Reserved)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with Snapshot's " +
+        s"internal working columns (${Reserved.mkString(", ")}) — rename " +
+        "the input column(s)")
+  }
+
   /** Latest-per-key state as of `atOrd` (block number or any monotonic
     * id): argmax of (ordCol, valueCols…) per keyCols over updates with
     * ordCol ≤ atOrd. Ties on the ordinal break on the value tuple, so
@@ -26,6 +39,7 @@ object Snapshot {
     * coexist in one partitioned table. */
   def stateAt(updates: DataFrame, keyCols: Seq[String], ordCol: String,
       atOrd: Long, valueCols: Seq[String]): DataFrame = {
+    checkNames(keyCols ++ (ordCol +: valueCols))
     val m = struct((ordCol +: valueCols).map(col): _*)
     updates.filter(col(ordCol) <= atOrd)
       .groupBy(keyCols.map(col): _*)
@@ -47,6 +61,7 @@ object Snapshot {
   def stateDiff(updates: DataFrame, keyCols: Seq[String], ordCol: String,
       fromOrd: Long, toOrd: Long, valueCols: Seq[String]): DataFrame = {
     require(fromOrd <= toOrd, s"fromOrd $fromOrd > toOrd $toOrd")
+    checkNames(keyCols ++ (ordCol +: valueCols))
     val m = struct((ordCol +: valueCols).map(col): _*)
     // no value columns → a pure "which keys appeared" diff: nothing
     // can count as changed, only as new
@@ -87,6 +102,7 @@ object Snapshot {
     require(grid.nonEmpty && grid == grid.sorted &&
       grid.distinct.size == grid.size,
       s"grid must be sorted distinct, got $grid")
+    checkNames(keyCols ++ (ordCol +: valueCols))
     val gridArr = array(grid.map(lit): _*)
     val m = struct((ordCol +: valueCols).map(col): _*)
     val perBucket = updates.filter(col(ordCol) <= grid.max)
