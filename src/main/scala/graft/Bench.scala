@@ -79,17 +79,23 @@ object Bench {
     operators.DedupOps.resetWordSetLabels()
     operators.TextOps.resetBpeMerges()
     operators.VectorOps.resetKmeans()
+    // a failing stage goes into the SAME errors map as a failing query —
+    // the -1 sentinel alone made stage failures near-undiagnosable from
+    // captured bench output
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val stageResults = Bench.stages.map { case (nm, f) =>
       val t0 = System.nanoTime()
       val v = try { f(spark, sfDir); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        catch { case e: Throwable =>
+          errors(nm) = e.getClass.getSimpleName
+          -1.0
+        }
       nm -> v
     }
     val reps = 3
     // a rep is "stormy" if the steal counter moved more than this many
     // ticks while it ran (idle machines show ~0; storms show hundreds)
     val stormTicks = 20L
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val stormy = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       def rep(): (Double, Long) = {
@@ -151,7 +157,20 @@ object Bench {
     "stage:bpe_merges" ->
       ((s, d) => operators.TextOps.warmBpeMerges(s, d)),
     "stage:kmeans_train" ->
-      ((s, d) => operators.VectorOps.warmKmeans(s, d)))
+      ((s, d) => operators.VectorOps.warmKmeans(s, d)),
+    // Forced-DISTRIBUTED twins (cap = 0): size dispatch routes every
+    // test-SF run of the three trainers driver-side, so without these
+    // lines a perf regression in the distributed CC loop / BPE rounds /
+    // Lloyd rounds — the code path real above-cap corpora take — would
+    // be invisible to the bench and the trend guard. Timed after the
+    // dispatched stages (memos untouched; consumers stay memo-warm).
+    // Names keep the unique-first-underscore-prefix contract.
+    "stage:ccdist_labels" ->
+      ((s, d) => operators.DedupOps.warmWordSetLabelsDistributed(s, d)),
+    "stage:bpedist_merges" ->
+      ((s, d) => operators.TextOps.warmBpeMergesDistributed(s, d)),
+    "stage:kmeansdist_train" ->
+      ((s, d) => operators.VectorOps.warmKmeansDistributed(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget
@@ -254,10 +273,14 @@ object BenchTrend {
     if (ms.isEmpty) 0L else ms.max
   }
 
-  /** Storm-marked query names from the newer bench, prefix-normalized. */
+  /** Storm-marked query names from the newer bench, prefix-normalized.
+    * The token class includes ':' so a stage key ("stage:ccdist_labels")
+    * survives tokenization whole and prefix-normalizes to the same
+    * "stage:ccdist" that pfx() yields — without it a storm-marked stage
+    * line could never match the exemption set. */
   def stormyOf(txt: String): Set[String] =
     """stormy\\?"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(txt)
-      .flatMap(m => """[A-Za-z0-9_]+""".r.findAllIn(m.group(1)))
+      .flatMap(m => """[A-Za-z0-9_:]+""".r.findAllIn(m.group(1)))
       .map(pfx).toSet
 
   def compare(prevTxt: String, currTxt: String, factor: Double = 3.0,

@@ -23,12 +23,14 @@ object Snapshot {
     * caller's data before the lazy struct/groupBy expressions resolve
     * (fail loudly instead). */
   private val Reserved = Set("m", "mo", "mn", "cp", "snapshot_at")
-  private def checkNames(cols: Seq[String]): Unit = {
-    val clash = cols.filter(Reserved)
+  private def checkNames(cols: Seq[String],
+      extraReserved: Set[String] = Set.empty): Unit = {
+    val reserved = Reserved ++ extraReserved
+    val clash = cols.filter(reserved)
     require(clash.isEmpty,
       s"column name(s) ${clash.mkString(", ")} collide with Snapshot's " +
-        s"internal working columns (${Reserved.mkString(", ")}) — rename " +
-        "the input column(s)")
+        s"internal or output columns (${reserved.mkString(", ")}) — " +
+        "rename the input column(s)")
   }
 
   /** Latest-per-key state as of `atOrd` (block number or any monotonic
@@ -61,7 +63,11 @@ object Snapshot {
   def stateDiff(updates: DataFrame, keyCols: Seq[String], ordCol: String,
       fromOrd: Long, toOrd: Long, valueCols: Seq[String]): DataFrame = {
     require(fromOrd <= toOrd, s"fromOrd $fromOrd > toOrd $toOrd")
-    checkNames(keyCols ++ (ordCol +: valueCols))
+    // stateDiff also FABRICATES output columns — a caller column with one
+    // of those names would silently duplicate in the output schema
+    checkNames(keyCols ++ (ordCol +: valueCols),
+      extraReserved = Set("change", "from_ord", "to_ord") ++
+        valueCols.map("old_" + _))
     val m = struct((ordCol +: valueCols).map(col): _*)
     // no value columns → a pure "which keys appeared" diff: nothing
     // can count as changed, only as new

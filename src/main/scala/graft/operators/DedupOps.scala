@@ -383,6 +383,19 @@ object DedupOps {
     wordSetLabels(s, d); ()
   }
 
+  /** Bench hook: the forced-DISTRIBUTED twin of [[warmWordSetLabels]].
+    * Size dispatch routes every test-SF corpus through the driver
+    * union-find, which would leave a regression in the pointer-jumping
+    * loop (the path real above-cap corpora take) invisible to the bench
+    * trend guard — so the bench times this stage with `edgeCap = 0`
+    * as its own line. Not memoized: the query consumers keep their
+    * dispatched artifact, and the checkpoint blocks are released here. */
+  def warmWordSetLabelsDistributed(s: SparkSession, d: String): Unit = {
+    val pairs = d2Pairs(s, d).select(col("da"), col("db"))
+    val labels = connectedComponents(pairs, "da", "db", edgeCap = 0L)
+    releaseCheckpoint(labels)
+  }
+
   private def wordSetLabels(s: SparkSession, d: String): DataFrame =
     synchronized {
       labelsMemo match {

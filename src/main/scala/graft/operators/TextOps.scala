@@ -433,6 +433,15 @@ object TextOps {
     trainedMerges(s, d, 16); ()
   }
 
+  /** Bench hook: the forced-DISTRIBUTED twin of [[warmBpeMerges]] —
+    * `vocabCap = 0` routes the same k merge rounds through the
+    * distributed pair-agg/fold loop that real above-cap vocabs take, so
+    * a regression there stays trend-guard-visible even though size
+    * dispatch sends test SFs driver-side. Not memoized. */
+  def warmBpeMergesDistributed(s: SparkSession, d: String): Unit = {
+    runMergeLoop(s, d, 16, vocabCap = 0L); ()
+  }
+
   def trainedMerges(s: SparkSession, d: String,
       k: Int): Seq[(Int, String, String, Long)] = synchronized {
     mergesMemo match {

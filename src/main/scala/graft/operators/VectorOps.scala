@@ -695,6 +695,15 @@ object VectorOps {
     kmeansCentroids(s, d, 8, 4); ()
   }
 
+  /** Bench hook: the forced-DISTRIBUTED twin of [[warmKmeans]] —
+    * `cap = 0` routes the same Lloyd rounds through the distributed
+    * assignment + (cell, dim) aggregation that real above-cap corpora
+    * take, so a regression there stays trend-guard-visible even though
+    * size dispatch sends test SFs driver-side. Not memoized. */
+  def warmKmeansDistributed(s: SparkSession, d: String): Unit = {
+    runKmeans(s, d, 8, 4, cap = 0L); ()
+  }
+
   private[graft] def kmeansCentroids(s: SparkSession, d: String,
       k: Int, iters: Int): Array[(Long, Array[Float])] = synchronized {
     kmeansMemo match {

@@ -275,7 +275,8 @@ object WindowOps {
     """SELECT user_id, event_id, event_type, "value",
       | CAST(600 AS BIGINT) AS snapshot_at
       |FROM (SELECT *, row_number() OVER (
-      |  PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |  PARTITION BY user_id
+      |  ORDER BY event_id DESC, event_type DESC, "value" DESC) AS rn
       | FROM events WHERE event_id <= 600)
       |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
@@ -293,11 +294,13 @@ object WindowOps {
   private val b2Sql =
     """WITH o AS (SELECT user_id, event_type, "value" FROM (
       |  SELECT *, row_number() OVER (
-      |   PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |   PARTITION BY user_id
+      |   ORDER BY event_id DESC, event_type DESC, "value" DESC) AS rn
       |  FROM events WHERE event_id <= 600) WHERE rn = 1),
       |n AS (SELECT user_id, event_type, "value" FROM (
       |  SELECT *, row_number() OVER (
-      |   PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      |   PARTITION BY user_id
+      |   ORDER BY event_id DESC, event_type DESC, "value" DESC) AS rn
       |  FROM events WHERE event_id <= 1200) WHERE rn = 1)
       |SELECT n.user_id,
       | CASE WHEN o.user_id IS NULL THEN 'new' ELSE 'changed' END

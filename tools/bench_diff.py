@@ -44,8 +44,10 @@ def load(path):
                  re.findall(r'steal_ticks\\?"\s*:\s*(\d+)', txt)),
                 default=0)
     stormy = set()
+    # token class includes ':' so stage keys ("stage:ccdist_labels")
+    # tokenize whole and prefix-normalize like everything else
     for grp in re.findall(r'stormy\\?"\s*:\s*\[([^\]]*)\]', txt):
-        stormy.update(w.split("_")[0] for w in re.findall(r"\w+", grp))
+        stormy.update(w.split("_")[0] for w in re.findall(r"[\w:]+", grp))
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
     q = d.get("queries")
