@@ -47,6 +47,11 @@ object MetaDecode {
   case object CompactInt extends SType // compact-encoded integer
   case object AccountId extends SType // 32 raw bytes → 0x-hex
   case object MultiAddress extends SType // variant 0x00 = Id(AccountId)
+  /** Pre-MultiAddress indices `Address<AccountId, AccountIndex>` wire
+    * form (the dest type every v9-v11-era extrinsic carries): leading
+    * byte 0x00-0xef IS a 1-byte account index; 0xfc/0xfd/0xfe prefix a
+    * u16/u32/u64 index; 0xff prefixes a raw 32-byte AccountId. */
+  case object LegacyAddress extends SType
   case object Bytes extends SType // compact len ‖ raw bytes → 0x-hex
   /** Fixed-width byte array ([u8; n] — hashes, keys) → 0x-hex. */
   final case class FixedBytes(n: Int) extends SType
@@ -145,6 +150,20 @@ object MetaDecode {
         val at = c.u8()
         require(at == 0, s"unsupported MultiAddress variant $at")
         s""""${hx(c.take(32))}""""
+      case LegacyAddress => c.u8() match {
+        // account-id form normalizes to the same 0x-hex string as
+        // MultiAddress::Id, so args-JSON is stable across the
+        // indices-Address → MultiAddress runtime upgrade
+        case 0xff => s""""${hx(c.take(32))}""""
+        case 0xfc => (c.u8() | (c.u8() << 8)).toString
+        case 0xfd => c.u32().toString
+        case 0xfe =>
+          val lo = c.u32(); val hi = c.u32()
+          ((BigInt(hi) << 32) | BigInt(lo)).toString
+        case i if i <= 0xef => i.toString // the byte IS the index
+        case v => throw new IllegalArgumentException(
+          f"bad legacy Address discriminator 0x$v%02x")
+      }
       case Bytes =>
         val len = c.compact().toInt
         s""""${hx(c.take(len))}""""

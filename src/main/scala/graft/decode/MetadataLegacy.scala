@@ -3,15 +3,27 @@ package graft.decode
 import graft.decode.BlockDecode.Cursor
 import graft.decode.MetaDecode._
 
-/** Historical metadata v12/v13 blob parser — the pre-scale-info format
+/** Historical metadata v9-v13 blob parser — the pre-scale-info formats
   * early-era blocks were authored under (ref crawler.js:1621-1628
   * follows whatever version `state_getMetadata` returns; a backfill of
-  * 2020-2021 block ranges gets v12/v13 answers). Unlike v14+ there is
+  * 2019-2021 block ranges gets v9-v13 answers — Polkadot's first ~5M
+  * blocks serve v11-and-earlier). Unlike v14+ there is
   * no type registry: every call argument, event field and storage
   * value carries a Rust TYPE NAME string ("Compact<T::Balance>",
   * "Vec<(AccountId, Balance)>"), so the resolver here is a small
   * type-name grammar over the public substrate alias vocabulary
   * instead of an id graph walk.
+  *
+  * Wire differences across the family, all handled here:
+  *   - v9/v10/v11: NO explicit module index byte — a module's dispatch
+  *     index is its POSITION in the modules vec (v12 made it explicit);
+  *   - v9/v10/v11: `Address`-family type names mean the old indices
+  *     `Address<AccountId, AccountIndex>` codec
+  *     ([[MetaDecode.LegacyAddress]]: 0xff ‖ AccountId32, or a
+  *     compact-family index form), not the MultiAddress enum;
+  *   - v13 added NMap storage entries;
+  *   - hasher enums grew across v9→v11 (Twox64Concat, Identity) but
+  *     stay one byte on the wire, so no shape change.
   *
   * Resolution is per-ITEM lenient: one exotic type name drops that
   * call/event (its index simply stays undecodable, as it would be for
@@ -51,7 +63,8 @@ object MetadataLegacy {
     RawStore(name, value)
   }
 
-  private def module(c: Cursor, v13: Boolean): RawModule = {
+  private def module(c: Cursor, v13: Boolean,
+      explicitIndex: Boolean): RawModule = {
     val name = str(c)
     val storage = opt(c) {
       str(c) // prefix
@@ -71,7 +84,10 @@ object MetadataLegacy {
     })
     vec(c) { str(c); str(c); skipBytes(c); docs(c) } // constants
     vec(c) { str(c); docs(c) } // errors
-    val index = c.u8()
+    // v12+ carries the dispatch index explicitly (runtimes had begun
+    // retiring pallets, leaving holes); pre-v12 the POSITION is the
+    // index — parseFrom assigns it after the vec read
+    val index = if (explicitIndex) c.u8() else -1
     RawModule(name, storage, calls, events, index)
   }
 
@@ -112,6 +128,7 @@ object MetadataLegacy {
     "AccountId" -> AccountId, "AccountId32" -> AccountId,
     "Address" -> MultiAddress, "LookupSource" -> MultiAddress,
     "Source" -> MultiAddress, "MultiAddress" -> MultiAddress,
+    // overridden to LegacyAddress for v9-v11 blobs (see parseTypeName)
     "Balance" -> U128, "BalanceOf" -> U128, "Amount" -> U128,
     "AssetBalance" -> U128,
     "BlockNumber" -> U32, "AccountIndex" -> U32, "Index" -> U32,
@@ -129,16 +146,25 @@ object MetadataLegacy {
     "Call" -> CallType, "Proposal" -> CallType,
     "()" -> Tup(Seq.empty))
 
-  /** Parse one v12-era type-name string into the SType vocabulary.
-    * Throws on names outside it (callers are per-item lenient). */
-  private[graft] def parseTypeName(t0: String): SType = {
+  /** The alias names that meant the old indices Address codec before
+    * the MultiAddress runtime upgrade (pre-v12 metadata era). */
+  private val addressNames = Set("Address", "LookupSource", "Source")
+
+  /** Parse one legacy type-name string into the SType vocabulary.
+    * Throws on names outside it (callers are per-item lenient).
+    * `legacyAddr` (v9-v11 blobs) routes the Address-family names to the
+    * indices [[LegacyAddress]] wire codec instead of MultiAddress —
+    * polkadot-js does the same via spec-version-gated registry
+    * overrides (ref crawler.js:1621-1628 just delegates there). */
+  private[graft] def parseTypeName(t0: String,
+      legacyAddr: Boolean = false): SType = {
     val t = t0.trim
     if (t.isEmpty) throw new IllegalArgumentException("empty type name")
     if (t.startsWith("(")) {
       require(t.endsWith(")"), s"unbalanced tuple '$t0'")
       val inner = t.substring(1, t.length - 1).trim
       if (inner.isEmpty) Tup(Seq.empty)
-      else Tup(splitTop(inner).map(parseTypeName))
+      else Tup(splitTop(inner).map(parseTypeName(_, legacyAddr)))
     } else if (t.startsWith("[")) {
       require(t.endsWith("]"), s"unbalanced array '$t0'")
       val inner = t.substring(1, t.length - 1)
@@ -147,7 +173,7 @@ object MetadataLegacy {
       val elem = inner.substring(0, cut).trim
       val n = inner.substring(cut + 1).trim.toInt
       if (elem == "u8") FixedBytes(n)
-      else Tup(Seq.fill(n)(parseTypeName(elem)))
+      else Tup(Seq.fill(n)(parseTypeName(elem, legacyAddr)))
     } else if (t.contains('<') && t.endsWith(">")) {
       val lt = t.indexOf('<')
       val name = tail(t.substring(0, lt))
@@ -157,14 +183,14 @@ object MetadataLegacy {
           // same normalization as the v14 path's DSequence(u8) → Bytes:
           // byte blobs decode as one hex string, not a per-byte array,
           // so args-JSON is identical across the v13/v14 upgrade
-          parseTypeName(args.head) match {
+          parseTypeName(args.head, legacyAddr) match {
             case U8 => Bytes
             case e => Vec(e)
           }
-        case "Option" => Opt(parseTypeName(args.head))
+        case "Option" => Opt(parseTypeName(args.head, legacyAddr))
         // every Compact<integer-ish> wire shape is one compact int
         case "Compact" => CompactInt
-        case "Box" => parseTypeName(args.head)
+        case "Box" => parseTypeName(args.head, legacyAddr)
         case "PhantomData" => Tup(Seq.empty)
         case "BalanceOf" => U128
         case _ => throw new IllegalArgumentException(
@@ -172,7 +198,8 @@ object MetadataLegacy {
       }
     } else {
       val name = tail(t)
-      aliases.getOrElse(name, throw new IllegalArgumentException(
+      if (legacyAddr && addressNames(name)) LegacyAddress
+      else aliases.getOrElse(name, throw new IllegalArgumentException(
         s"unknown legacy type name '$t0'"))
     }
   }
@@ -185,34 +212,41 @@ object MetadataLegacy {
     (if (i >= 0) x.substring(i + 2) else x).trim
   }
 
-  /** Parse a v12/v13 body (cursor positioned AFTER magic+version; the
+  /** Parse a v9-v13 body (cursor positioned AFTER magic+version; the
     * [[MetadataV14.parseAll]] front door dispatches here). */
   private[decode] def parseFrom(c: Cursor,
       version: Int): MetadataV14.ParsedMetadata = {
+    require(version >= 9 && version <= 13,
+      s"legacy parser handles v9-v13, got v$version")
     val v13 = version == 13
-    val modules = vec(c)(module(c, v13))
-    // extrinsic metadata (version u8 + signed extension names) follows;
-    // nothing below needs it
+    val explicitIndex = version >= 12
+    val legacyAddr = version <= 11
+    val modules0 = vec(c)(module(c, v13, explicitIndex))
+    val modules =
+      if (explicitIndex) modules0
+      else modules0.zipWithIndex.map { case (m, i) => m.copy(index = i) }
+    // v11+ extrinsic metadata (version u8 + signed extension names)
+    // follows; nothing below needs it
     val defs = modules.map { m =>
       val calls = m.calls.getOrElse(Seq.empty).zipWithIndex.flatMap {
         case (f, i) =>
           scala.util.Try(ItemDef(i, MetadataV14.snakeToCamel(f.name),
             f.args.map { case (an, ty) =>
-              MetadataV14.snakeToCamel(an) -> parseTypeName(ty)
+              MetadataV14.snakeToCamel(an) -> parseTypeName(ty, legacyAddr)
             })).toOption
       }
       val events = m.events.getOrElse(Seq.empty).zipWithIndex.flatMap {
         case (e, i) =>
           scala.util.Try(ItemDef(i, e.name,
             e.args.zipWithIndex.map { case (ty, j) =>
-              s"_$j" -> parseTypeName(ty)
+              s"_$j" -> parseTypeName(ty, legacyAddr)
             })).toOption
       }
       PalletDef(m.index, MetadataV14.lowerCamel(m.name), calls, events)
     }
     val shapes = modules.flatMap { m =>
       m.storage.flatMap(s =>
-        scala.util.Try(parseTypeName(s.valueTy)).toOption
+        scala.util.Try(parseTypeName(s.valueTy, legacyAddr)).toOption
           .map(t => (MetadataV14.lowerCamel(m.name), s.name) -> t))
     }.toMap
     MetadataV14.ParsedMetadata(defs, shapes)

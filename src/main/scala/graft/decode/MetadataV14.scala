@@ -280,12 +280,15 @@ object MetadataV14 {
     // a trailing docs vec; its extra sections (new-shape extrinsic
     // meta, runtime APIs, outer enums, custom values) all sit AFTER
     // the pallets, where this parser stops reading anyway.
-    // historical v12/v13 blobs (pre-scale-info: type NAMES, no
-    // registry) route to the legacy grammar parser — same output model
-    if (version == 12 || version == 13)
+    // historical v9-v13 blobs (pre-scale-info: type NAMES, no
+    // registry) route to the legacy grammar parser — same output model.
+    // v9-v11 (Polkadot's first ~5M blocks) differ from v12/v13 by
+    // position-implicit module indices and the pre-MultiAddress
+    // indices Address codec; MetadataLegacy handles all of it.
+    if (version >= 9 && version <= 13)
       return MetadataLegacy.parseFrom(c, version)
     require(version == 14 || version == 15,
-      s"unsupported metadata version $version (v12-v15 supported)")
+      s"unsupported metadata version $version (v9-v15 supported)")
     val types = vec(c) {
       val id = c.compact().toLong
       id -> si1Type(c)

@@ -156,6 +156,112 @@ class MetadataLegacySpec extends AnyFunSuite {
     assert(p13.pallets.map(_.name) == Seq("system", "staking"))
   }
 
+  // ---- pre-v12 (v9-v11): position-implicit module indices + the old
+  // indices Address codec ----
+
+  private def moduleNoIndex(name: String,
+      storage: Option[(String, Seq[Array[Byte]])],
+      calls: Option[Seq[Array[Byte]]],
+      events: Option[Seq[Array[Byte]]],
+      constants: Seq[Array[Byte]] = Seq.empty,
+      errors: Seq[Array[Byte]] = Seq.empty): Array[Byte] =
+    b(str(name),
+      storage.map { case (p, es) => some(b(str(p), vecOf(es: _*))) }
+        .getOrElse(none),
+      calls.map(cs => some(vecOf(cs: _*))).getOrElse(none),
+      events.map(es => some(vecOf(es: _*))).getOrElse(none),
+      vecOf(constants: _*), vecOf(errors: _*)) // NO trailing index byte
+
+  private def blobPre12(version: Int,
+      modules: Array[Byte]*): Array[Byte] =
+    b(u32le(0x6174656dL), u8(version), vecOf(modules: _*),
+      // v11 appends extrinsic metadata; v9/v10 end at the modules vec —
+      // either way the parser stops reading after the modules
+      if (version >= 11)
+        b(u8(4), vecOf(str("CheckSpecVersion"))) else Array.empty[Byte])
+
+  private val systemV11 = moduleNoIndex("System",
+    storage = Some("System" -> Seq(
+      plainEntry("Number", "T::BlockNumber"))),
+    calls = Some(Seq(fn("remark", "remark" -> "Vec<u8>"))),
+    events = Some(Seq(ev("NewAccount", "T::AccountId"))))
+
+  private val indicesV11 = moduleNoIndex("Indices",
+    storage = None, calls = None, events = None)
+
+  private val balancesV11 = moduleNoIndex("Balances",
+    storage = Some("Balances" -> Seq(
+      plainEntry("TotalIssuance", "T::Balance"))),
+    calls = Some(Seq(
+      fn("transfer",
+        "dest" -> "<T::Lookup as StaticLookup>::Source",
+        "value" -> "Compact<T::Balance>"),
+      fn("force_transfer",
+        "source" -> "T::Address",
+        "dest" -> "T::Address",
+        "value" -> "Compact<T::Balance>"))),
+    events = Some(Seq(
+      ev("Transfer", "T::AccountId", "T::AccountId", "T::Balance"))))
+
+  private lazy val parsedV11 =
+    MetadataV14.parseAll(blobPre12(11, systemV11, indicesV11, balancesV11))
+
+  test("v11 modules parse with POSITION-implicit indices") {
+    assert(parsedV11.pallets.map(p => (p.index, p.name)) ==
+      Seq(0 -> "system", 1 -> "indices", 2 -> "balances"))
+    val bal = parsedV11.pallets.find(_.name == "balances").get
+    // Address-family names resolve to the indices codec pre-v12
+    assert(bal.calls.head ==
+      ItemDef(0, "transfer",
+        Seq("dest" -> LegacyAddress, "value" -> CompactInt)))
+    assert(bal.calls(1).fields.map(_._2) ==
+      Seq(LegacyAddress, LegacyAddress, CompactInt))
+    assert(parsedV11.storageShapes(("balances", "TotalIssuance")) == U128)
+  }
+
+  test("v9/v10 parse identically (no extrinsic trailer)") {
+    for (v <- Seq(9, 10)) {
+      val p = MetadataV14.parseAll(blobPre12(v, systemV11, balancesV11))
+      assert(p.pallets.map(x => (x.index, x.name)) ==
+        Seq(0 -> "system", 1 -> "balances"), s"v$v")
+      assert(p.pallets(1).calls.head.fields.head._2 == LegacyAddress)
+    }
+  }
+
+  test("decodes a v11-era transfer: 0xff AccountId dest form") {
+    val bob = Array.tabulate(32)(i => (i + 1).toByte)
+    // pallet index 2 = position of Balances; call 0 = transfer;
+    // dest = 0xff ‖ AccountId32; value compact
+    val call = b(u8(2), u8(0), u8(0xff), bob, cp(987654L))
+    val meta = RuntimeMeta(5, 1, calls = Seq.empty,
+      events = Seq.empty, pallets = parsedV11.pallets)
+    val node = BlockDecode.decodeCall(new BlockDecode.Cursor(call), meta)
+    assert(node.section == "balances" && node.method == "transfer")
+    // the 0xff form normalizes to the same 0x-hex as MultiAddress::Id
+    assert(node.args ==
+      s"""{"dest":"${Codec.bytesToHex(bob)}","value":987654}""")
+  }
+
+  test("decodes the legacy Address index forms") {
+    val meta = RuntimeMeta(5, 1, calls = Seq.empty,
+      events = Seq.empty, pallets = parsedV11.pallets)
+    // 1-byte form: the discriminator byte IS the index (0x00-0xef)
+    val oneByte = b(u8(2), u8(0), u8(0x2a), cp(7L))
+    val n1 = BlockDecode.decodeCall(new BlockDecode.Cursor(oneByte), meta)
+    assert(n1.args == """{"dest":42,"value":7}""")
+    // 0xfd form: u32 LE index follows
+    val u32Form = b(u8(2), u8(0), u8(0xfd), u32le(1000000L), cp(8L))
+    val n2 = BlockDecode.decodeCall(new BlockDecode.Cursor(u32Form), meta)
+    assert(n2.args == """{"dest":1000000,"value":8}""")
+  }
+
+  test("v12 keeps MultiAddress semantics for the same type names") {
+    // the SAME type-name string means a different wire codec across the
+    // v11→v12 boundary; the version byte decides
+    val bal12 = parsed.pallets.find(_.name == "balances").get
+    assert(bal12.calls.head.fields.head._2 == MultiAddress)
+  }
+
   test("type-name grammar corners: tuples, arrays, nesting") {
     import MetadataLegacy.parseTypeName
     assert(parseTypeName("(T::AccountId, Balance)") ==
