@@ -286,6 +286,57 @@ object XcmMatcher {
     out.withColumn("is_terminal", col("hop") === max(col("hop")).over(w))
   }
 
+  /** J19 — XCM `Transact` inner-call decode → `remoteexecution` spans
+    * (ref xcmtransact.js:889-1055: `index_origination_extrinsic` stores
+    * the call carried by a Transact instruction at origination,
+    * `indexDestinationChainBlock` matches its execution on the
+    * destination chain; xcmtracer.js:83 hangs the result under the
+    * trace as a remote-execution span).
+    *
+    * `transacts(msg_hash, transact_call)` carries the SCALE-encoded
+    * inner call as hex; it decodes through the SAME metadata tier as
+    * block decode ([[graft.decode.MetaDecode]] via
+    * [[graft.decode.BlockDecode.decodeCall]]), so any pallet a chain's
+    * metadata describes — including v9-v11 legacy-Address-era shapes —
+    * resolves with zero per-chain code. The spans attach to each
+    * trace's TERMINAL leg (that hop's destination is the executing
+    * chain), `kind = remoteexecution`, `hop = terminal hop + 1` —
+    * mirroring generate_span_dest.
+    *
+    * Scale shape: the PalletDef registry is a few KB riding the task
+    * closure (same as RuntimeMeta in the dump path); decode is per-row
+    * map-side; the only shuffle is the (msg_hash) equi-join of terminal
+    * legs against transact payloads. Undecodable payloads drop their
+    * row (per-item leniency, like the registry itself) instead of
+    * failing the stage.
+    *
+    * `traces` is [[assembleTraces]] output (needs trace_id, hop,
+    * msg_hash, chain_id_dest, is_terminal). */
+  def transactSpans(traces: DataFrame, transacts: DataFrame,
+      pallets: Seq[graft.decode.MetaDecode.PalletDef]): DataFrame = {
+    import graft.decode.BlockDecode
+    val meta = BlockDecode.RuntimeMeta(0, 0, calls = Seq.empty,
+      events = Seq.empty, pallets = pallets)
+    val decode = udf((hex: String) =>
+      scala.util.Try {
+        val n = BlockDecode.decodeCall(
+          new BlockDecode.Cursor(graft.functions.Codec.hexToBytes(hex)),
+          meta)
+        (n.section, n.method, n.args)
+      }.toOption)
+    traces.filter(col("is_terminal"))
+      .select(col("trace_id"), col("hop"), col("msg_hash"),
+        col("chain_id_dest").as("exec_chain"))
+      .join(transacts, Seq("msg_hash"))
+      .withColumn("dec", decode(col("transact_call")))
+      .filter(col("dec").isNotNull)
+      .select(col("trace_id"), (col("hop") + 1).as("hop"),
+        col("msg_hash"), col("exec_chain"),
+        lit("remoteexecution").as("kind"),
+        col("dec._1").as("section"), col("dec._2").as("method"),
+        col("dec._3").as("args_json"))
+  }
+
   /** J3 — transfer → dest-candidate tolerance matching
     * (ref xcmCleaner.js:569-666): candidate window
     * `dest_ts ∈ [source_ts − 10 s, source_ts + 120 s]`, exact-amount

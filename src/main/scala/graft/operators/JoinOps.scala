@@ -452,8 +452,101 @@ object JoinOps {
       | hop = max(hop) OVER (PARTITION BY trace_id) AS is_terminal
       |FROM trace ORDER BY trace_id, hop""".stripMargin
 
+  // J19 — Transact inner-call decode → remoteexecution spans (ref
+  // xcmtransact.js:889-1055 index_origination_extrinsic /
+  // indexDestinationChainBlock; xcmtracer.js:83). Legs as in j18; each
+  // message additionally carries a SCALE-encoded balances.transfer
+  // inside its Transact instruction — encoded with the REAL wire codec
+  // (compact value; v11-era legacy indices Address dest in BOTH its
+  // 0xff-account and 0xfd-u32-index forms) and decoded back through
+  // the metadata tier. The DuckDB twin recomputes the decoded fields
+  // arithmetically, so a mis-decoded compact or address discriminator
+  // hash-mismatches.
+  private val j19Pallets = Seq(graft.decode.MetaDecode.PalletDef(5,
+    "balances", calls = Seq(graft.decode.MetaDecode.ItemDef(0, "transfer",
+      Seq("dest" -> graft.decode.MetaDecode.LegacyAddress,
+        "value" -> graft.decode.MetaDecode.CompactInt)))))
+
+  private def j19(s: SparkSession, d: String): DataFrame = {
+    val legs = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 2000)
+      .select(col("l_orderkey").as("msg_hash"),
+        col("l_linenumber").as("chain_id"),
+        (col("l_linenumber") + 1).as("chain_id_dest"),
+        (col("l_linenumber") * 6).cast("long").as("s_sent_at"),
+        (col("l_linenumber") * 6 + 3).cast("long").as("d_sent_at"))
+    val enc = udf((custkey: Long, orderkey: Long) => {
+      val out = scala.collection.mutable.ArrayBuffer[Byte](
+        5.toByte, 0.toByte) // pallet 5, call 0
+      if (custkey % 4 == 0) { // legacy Address, u32-index form
+        out += 0xfd.toByte
+        var i = 0
+        while (i < 4) { out += ((custkey >> (8 * i)) & 0xff).toByte; i += 1 }
+      } else { // legacy Address, 0xff AccountId form
+        out += 0xff.toByte
+        out ++= Array.fill(32)((custkey % 256).toByte)
+      }
+      out ++= graft.functions.Codec.compactEncode(BigInt(orderkey))
+      graft.functions.Codec.bytesToHex(out.toArray)
+    })
+    val transacts = Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey").as("msg_hash"),
+        enc(col("o_custkey").cast("long"),
+          col("o_orderkey").cast("long")).as("transact_call"))
+    val traces = graft.etl.XcmMatcher.assembleTraces(legs, maxHops = 4,
+      slack = 4)
+    graft.etl.XcmMatcher.transactSpans(traces, transacts, j19Pallets)
+      .select(col("trace_id"), col("hop"), col("msg_hash"),
+        col("exec_chain"), col("kind"), col("section"), col("method"),
+        get_json_object(col("args_json"), "$.dest").as("dest_addr"),
+        get_json_object(col("args_json"), "$.value").cast("bigint")
+          .as("xfer_value"))
+      .orderBy(col("msg_hash"))
+  }
+
+  private val j19Sql =
+    """WITH RECURSIVE legs AS (
+      | SELECT l_orderkey AS msg_hash, l_linenumber AS chain_id,
+      |  l_linenumber + 1 AS chain_id_dest,
+      |  CAST(l_linenumber * 6 AS BIGINT) AS s_sent_at,
+      |  CAST(l_linenumber * 6 + 3 AS BIGINT) AS d_sent_at
+      | FROM lineitem WHERE l_orderkey < 2000),
+      |roots AS (
+      | SELECT * FROM legs l WHERE NOT EXISTS (
+      |  SELECT 1 FROM legs p WHERE p.msg_hash = l.msg_hash
+      |   AND p.chain_id_dest = l.chain_id
+      |   AND l.s_sent_at BETWEEN p.d_sent_at AND p.d_sent_at + 4)),
+      |trace AS (
+      | SELECT msg_hash || ':' || chain_id || ':' || s_sent_at AS trace_id,
+      |  0 AS hop, msg_hash, chain_id, chain_id_dest, s_sent_at, d_sent_at
+      | FROM roots
+      | UNION ALL
+      | SELECT t.trace_id, t.hop + 1, n.msg_hash, n.chain_id,
+      |  n.chain_id_dest, n.s_sent_at, n.d_sent_at
+      | FROM trace t JOIN legs n ON n.msg_hash = t.msg_hash
+      |  AND n.chain_id = t.chain_id_dest
+      |  AND n.s_sent_at BETWEEN t.d_sent_at AND t.d_sent_at + 4
+      | WHERE t.hop < 3),
+      |term AS (
+      | SELECT trace_id, hop, msg_hash, chain_id_dest FROM (
+      |  SELECT trace_id, hop, msg_hash, chain_id_dest,
+      |   hop = max(hop) OVER (PARTITION BY trace_id) AS is_term
+      |  FROM trace) WHERE is_term)
+      |SELECT t.trace_id, t.hop + 1 AS hop, t.msg_hash,
+      | t.chain_id_dest AS exec_chain,
+      | 'remoteexecution' AS kind, 'balances' AS section,
+      | 'transfer' AS method,
+      | CASE WHEN o.o_custkey % 4 = 0 THEN CAST(o.o_custkey AS VARCHAR)
+      |  ELSE '0x' || repeat(printf('%02x', o.o_custkey % 256), 32)
+      | END AS dest_addr,
+      | CAST(o.o_orderkey AS BIGINT) AS xfer_value
+      |FROM term t JOIN orders o ON o.o_orderkey = t.msg_hash
+      |ORDER BY t.msg_hash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),
+    "j19_transact_spans" -> (j19 _),
     "j1_interval_match" -> (j1 _),
     "j2_dedup_match" -> (j2 _),
     "j3_tolerance_match" -> (j3 _),
@@ -471,6 +564,7 @@ object JoinOps {
 
   val oracles: Map[String, String] = Map(
     "j18_trace_spans" -> j18Sql,
+    "j19_transact_spans" -> j19Sql,
     "j16b_asof_native" -> j16bSql,
     "j1_interval_match" -> j1Sql,
     "j2_dedup_match" -> j2Sql,

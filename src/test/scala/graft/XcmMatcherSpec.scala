@@ -285,4 +285,45 @@ class XcmMatcherSpec extends AnyFunSuite {
     // legs 5/6 were dropped by the depth bound, and they do NOT appear
     // as roots (their predecessors arrive in-window)
   }
+
+  test("transact spans: origination call -> terminal remoteexecution") {
+    import graft.decode.MetaDecode._
+    import graft.functions.Codec
+    // golden: origination extrinsic carries a Transact whose inner call
+    // is balances.transfer (v11-era legacy Address); the span must hang
+    // off the trace's TERMINAL leg on the executing chain
+    val legs = Seq(
+      ("0xaa", 1, 2, 10L, 12L), // hop 0
+      ("0xaa", 2, 3, 14L, 17L), // hop 1 — terminal: executes on chain 3
+      ("0xbb", 7, 8, 10L, 11L), // 1-leg trace, index-form dest
+      ("0xcc", 5, 6, 10L, 11L)  // carries an undecodable payload
+    ).toDF("msg_hash", "chain_id", "chain_id_dest", "s_sent_at",
+      "d_sent_at")
+    val bob = Array.tabulate(32)(i => (i + 7).toByte)
+    val callAcct = Codec.bytesToHex(
+      Array[Byte](5, 0, 0xff.toByte) ++ bob ++
+        Codec.compactEncode(BigInt(123456)))
+    val callIdx = Codec.bytesToHex(
+      Array[Byte](5, 0, 0x2a) ++ Codec.compactEncode(BigInt(9)))
+    val transacts = Seq(
+      ("0xaa", callAcct),
+      ("0xbb", callIdx),
+      ("0xcc", "0x99ff") // unknown pallet → row drops, stage survives
+    ).toDF("msg_hash", "transact_call")
+    val pallets = Seq(PalletDef(5, "balances", calls = Seq(
+      ItemDef(0, "transfer",
+        Seq("dest" -> LegacyAddress, "value" -> CompactInt)))))
+    val traces = XcmMatcher.assembleTraces(legs, maxHops = 4, slack = 4)
+    val out = XcmMatcher.transactSpans(traces, transacts, pallets)
+      .select("trace_id", "hop", "exec_chain", "kind", "section",
+        "method", "args_json")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6)))
+      .toSet
+    assert(out == Set(
+      ("0xaa:1:10", 2, 3, "remoteexecution", "balances", "transfer",
+        s"""{"dest":"${Codec.bytesToHex(bob)}","value":123456}"""),
+      ("0xbb:7:10", 1, 8, "remoteexecution", "balances", "transfer",
+        """{"dest":42,"value":9}""")))
+  }
 }
