@@ -544,9 +544,47 @@ object JoinOps {
       |FROM term t JOIN orders o ON o.o_orderkey = t.msg_hash
       |ORDER BY t.msg_hash""".stripMargin
 
+  // J20 — XCM instruction weight/fee estimation (ref
+  // xcmInstructions.js:1-253): each message's instruction list joins
+  // the 32-row published weight dimension (broadcast — no shuffle on
+  // the fact side) and rolls up refTime + db-op weight per message.
+  // The lineitem rows of one order model the message's instruction
+  // sequence; the instruction is selected by l_partkey so both engines
+  // derive identical lists. The SQL twin's VALUES dim is GENERATED
+  // from the same Scala Seq, so model drift is impossible.
+  private def j20(s: SparkSession, d: String): DataFrame = {
+    val n = graft.etl.XcmWeights.model.size
+    val msgs = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 3000)
+      .select(col("l_orderkey").as("msg_hash"),
+        (col("l_partkey") % n).cast("int").as("instr_idx"))
+    graft.etl.XcmWeights.estimateFees(s, msgs)
+      .orderBy(col("msg_hash"))
+  }
+
+  private def j20Sql: String = {
+    val n = graft.etl.XcmWeights.model.size
+    s"""WITH dim(instr_idx, instruction, ref_time, reads, writes) AS (
+       | VALUES ${graft.etl.XcmWeights.dimSqlValues}),
+       |msgs AS (
+       | SELECT l_orderkey AS msg_hash,
+       |  CAST(l_partkey % $n AS INT) AS instr_idx
+       | FROM lineitem WHERE l_orderkey < 3000)
+       |SELECT m.msg_hash, count(*) AS n_instr,
+       | CAST(sum(ref_time) AS BIGINT) AS total_ref_time,
+       | CAST(sum(reads) AS BIGINT) AS total_reads,
+       | CAST(sum(writes) AS BIGINT) AS total_writes,
+       | CAST(sum(ref_time + reads * ${graft.etl.XcmWeights.ReadWeight}
+       |  + writes * ${graft.etl.XcmWeights.WriteWeight}) AS BIGINT)
+       |  AS est_weight
+       |FROM msgs m JOIN dim d ON d.instr_idx = m.instr_idx
+       |GROUP BY m.msg_hash ORDER BY m.msg_hash""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),
     "j19_transact_spans" -> (j19 _),
+    "j20_xcm_fee_model" -> (j20 _),
     "j1_interval_match" -> (j1 _),
     "j2_dedup_match" -> (j2 _),
     "j3_tolerance_match" -> (j3 _),
@@ -565,6 +603,7 @@ object JoinOps {
   val oracles: Map[String, String] = Map(
     "j18_trace_spans" -> j18Sql,
     "j19_transact_spans" -> j19Sql,
+    "j20_xcm_fee_model" -> j20Sql,
     "j16b_asof_native" -> j16bSql,
     "j1_interval_match" -> j1Sql,
     "j2_dedup_match" -> j2Sql,
