@@ -52,8 +52,6 @@ object Verify {
         "MinHash signatures are engine-specific hash permutations; candidate pairs are exact-Jaccard verified in-query",
       "d4_simhash" ->
         "64-bit SimHash uses engine-specific hashing; blocking + Hamming verify are structural",
-      "m2_media_decode_stub" ->
-        "media decode is an honest stub (no codecs in container); Spark-side plumbing is spec-tested",
       "v8_hyperplane_lsh" ->
         "hyperplane signatures use engine-side Gaussian planes; pairs are exact-cosine verified in-query and HyperplaneLshSpec pins recall/precision",
       "x8_approx_quantiles" ->

@@ -5,14 +5,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
-  * batch "decode"/feature-extract over partitions.
+  * batch decode/feature-extract over partitions.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (see [[MultimodalOps.stubDecode]]) —
-  * but the Spark-side shape is real: binary column in, typed struct of
-  * metadata out, decoder state initialized once per partition (the
-  * mapPartitions pattern you'd use for a JNI codec or an ONNX session,
-  * mirroring the reference's per-batch decoder reuse, indexer.js:6999).
+  * The decode step is a REAL pure-JVM container-header parse
+  * ([[graft.functions.MediaHeader]]: PNG IHDR, GIF screen descriptor,
+  * JPEG SOF marker scan) — no codec libraries needed for
+  * format/width/height, which is what corpus filtering actually keys
+  * on. The Spark-side shape is the production one: binary column in,
+  * typed struct of metadata out, decoder state initialized once per
+  * partition (the mapPartitions pattern you'd use for a JNI pixel
+  * codec or an ONNX session, mirroring the reference's per-batch
+  * decoder reuse, indexer.js:6999). Payloads are synthesized
+  * deterministically from doc_id so the DuckDB twin can recompute the
+  * expected parse output arithmetically — a mis-read endianness or
+  * offset hash-mismatches.
   */
 object MultimodalOps {
 
@@ -37,46 +43,81 @@ object MultimodalOps {
        | min(sha256(text)) AS min_sha
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  /** Decoded-media metadata row produced by the stub decoder. */
+  /** Decoded-media metadata row produced by the header decoder.
+    * format/width/height are null for unparseable payloads (the
+    * quarantine route). */
   case class MediaMeta(doc_id: Long, source: String, n_bytes: Int,
-      width: Int, height: Int, n_frames: Int, feat0: Double)
+      format: Option[String], width: Option[Int], height: Option[Int])
 
-  /** STUB decoder: derives fake-but-deterministic "media" properties from
-    * the payload digest. A real deployment swaps `decodeOne` for a codec
-    * call; everything around it (per-partition init, batch iteration,
-    * typed output schema) is the production shape. */
-  def stubDecode(payload: Array[Byte], digest: Array[Byte]): (Int, Int, Int, Double) = {
-    // ??? real codec goes here; deterministic fake derived from digest:
-    val w = 16 + (digest(0) & 0x3f) * 16
-    val h = 16 + (digest(1) & 0x3f) * 16
-    val f = 1 + (digest(2) & 0x0f)
-    val feat = ((digest(3) & 0xff) << 8 | (digest(4) & 0xff)).toDouble / 65535.0
-    (w, h, f, feat)
+  /** Deterministic media payload for `doc_id`: a REAL container header
+    * (doc_id % 4 → PNG / GIF89a / JPEG / non-media garbage) carrying
+    * width `1 + doc_id % 4093` and height `1 + 7·doc_id % 4093` in the
+    * format's own wire encoding — PNG u32 big-endian, GIF u16
+    * little-endian, JPEG SOF0 u16 big-endian behind an APP0 segment.
+    * Stands in for reading real blobs from an object store; the parse
+    * step downstream is the production code path. */
+  def synthPayload(docId: Long): Array[Byte] = {
+    val w = (1 + docId % 4093).toInt
+    val h = (1 + (docId * 7) % 4093).toInt
+    def u16be(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32be(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    (docId % 4) match {
+      case 0 => // PNG: sig ‖ IHDR(len=13) ‖ w,h BE ‖ depth/color/etc ‖ crc
+        Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+          u32be(13) ++ "IHDR".getBytes ++ u32be(w) ++ u32be(h) ++
+          Array[Byte](8, 6, 0, 0, 0) ++ u32be(0)
+      case 1 => // GIF89a: screen descriptor, u16 LE
+        "GIF89a".getBytes ++
+          Array((w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+            (h & 0xff).toByte, ((h >> 8) & 0xff).toByte) ++
+          Array[Byte](0, 0, 0)
+      case 2 => // JPEG: SOI ‖ APP0(JFIF) ‖ SOF0(precision, H, W, 1 comp)
+        Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++ u16be(16) ++
+          "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+          Array(0xff, 0xc0).map(_.toByte) ++ u16be(11) ++
+          Array[Byte](8) ++ u16be(h) ++ u16be(w) ++ Array[Byte](1, 0x11, 0)
+      case _ => // not a media container → parser must return None
+        "NOTMEDIA".getBytes ++ Array((docId % 256).toByte)
+    }
   }
 
-  // M2 — partitioned decode/feature-extract (rows-only check; the stub's
-  // outputs are engine-specific by construction).
+  // M2 — partitioned media header decode: synthesize the payload, then
+  // parse it back through the real header parser. Oracle: DuckDB
+  // recomputes format/dims/len arithmetically from doc_id.
   private def m2(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = Tables.documents(s, d)
       // filter BEFORE the typed mapPartitions barrier: Catalyst can't
       // push predicates through it, and the decode step is the expensive
       // part being gated
-      .filter(col("doc_id") < 200)
-      .select(col("doc_id"), col("source"), col("text").cast("binary").as("payload"))
-      .as[(Long, String, Array[Byte])]
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)]
     src.mapPartitions { it =>
-      // per-partition decoder init (codec/session handle goes here)
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      it.map { case (id, source, payload) =>
-        md.reset()
-        val digest = md.digest(payload)
-        val (w, h, f, feat) = stubDecode(payload, digest)
-        MediaMeta(id, source, payload.length, w, h, f, feat)
+      // per-partition decoder init (a pixel codec/session handle would
+      // initialize here; header parsing itself is stateless)
+      it.map { case (id, source) =>
+        val payload = synthPayload(id)
+        val info = graft.functions.MediaHeader.parse(payload)
+        MediaMeta(id, source, payload.length, info.map(_.format),
+          info.map(_.width), info.map(_.height))
       }
     }.toDF()
       .orderBy(col("doc_id"))
   }
+
+  private val m2Sql =
+    """SELECT doc_id, source,
+      | CASE doc_id % 4 WHEN 0 THEN 33 WHEN 1 THEN 13 WHEN 2 THEN 32
+      |  ELSE 9 END AS n_bytes,
+      | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+      |  WHEN 2 THEN 'jpeg' END AS format,
+      | CASE WHEN doc_id % 4 < 3
+      |  THEN CAST(1 + doc_id % 4093 AS INT) END AS width,
+      | CASE WHEN doc_id % 4 < 3
+      |  THEN CAST(1 + (doc_id * 7) % 4093 AS INT) END AS height
+      |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin
 
   // M3 — frame sampling: the video-frame selection a multimodal
   // pipeline runs before feature extraction, as a pure Spark projection
@@ -111,12 +152,13 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1 _),
-    "m2_media_decode_stub" -> (m2 _),
+    "m2_media_decode" -> (m2 _),
     "m3_frame_sample" -> (m3 _),
   )
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
+    "m2_media_decode" -> m2Sql,
     "m3_frame_sample" -> m3Sql,
   )
 }

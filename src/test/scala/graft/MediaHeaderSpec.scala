@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.MediaHeader
+import graft.functions.MediaHeader.MediaInfo
+import graft.operators.MultimodalOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden header vectors for the pure-JVM media parser (M2's decode
+  * step), independent of the query path's synthesized payloads —
+  * including the canonical 1×1 PNG every image library ships as a test
+  * vector, progressive JPEG, and the corruption corners. */
+class MediaHeaderSpec extends AnyFunSuite {
+
+  private def hex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("PNG: canonical 1x1 header + larger dims, big-endian") {
+    // the standard minimal 1×1 RGBA PNG prefix (sig + IHDR)
+    val onePx = hex(
+      "89504e470d0a1a0a 0000000d 49484452 00000001 00000001 0806000000 1f15c489")
+    assert(MediaHeader.parse(onePx).contains(MediaInfo("png", 1, 1)))
+    // 640×480: width/height are u32 BE at offsets 16/20
+    val vga = hex(
+      "89504e470d0a1a0a 0000000d 49484452 00000280 000001e0 0802000000 00000000")
+    assert(MediaHeader.parse(vga).contains(MediaInfo("png", 640, 480)))
+  }
+
+  test("GIF: 87a and 89a, little-endian screen descriptor") {
+    val g87 = "GIF87a".getBytes ++ hex("0201 0300 000000") // LE: 258 × 3
+    assert(MediaHeader.parse(g87).contains(MediaInfo("gif", 258, 3)))
+    val g89 = "GIF89a".getBytes ++ hex("1000 2000 f70000") // 16 × 32
+    assert(MediaHeader.parse(g89).contains(MediaInfo("gif", 16, 32)))
+  }
+
+  test("JPEG: SOF behind APP/comment segments; DHT is not a SOF") {
+    // SOI ‖ APP0 (JFIF, len 16) ‖ COM (len 4) ‖ DHT (len 4) ‖
+    // SOF2 progressive (len 11): 8-bit, h=0x0100=256, w=0x0180=384
+    val jpg = hex("ffd8" +
+      "ffe0 0010 4a46494600 0101 0000010001 0000" +
+      "fffe 0004 abcd" +
+      "ffc4 0004 0000" +
+      "ffc2 000b 08 0100 0180 01 11 00")
+    assert(MediaHeader.parse(jpg).contains(MediaInfo("jpeg", 384, 256)))
+  }
+
+  test("unparseable payloads quarantine as None, never throw") {
+    assert(MediaHeader.parse("NOTMEDIA!".getBytes).isEmpty)
+    assert(MediaHeader.parse(Array.empty[Byte]).isEmpty)
+    // truncated PNG (sig only)
+    assert(MediaHeader.parse(hex("89504e470d0a1a0a")).isEmpty)
+    // JPEG that hits SOS before any SOF
+    assert(MediaHeader.parse(hex("ffd8 ffda 0002")).isEmpty)
+    // JPEG with a lost-sync byte between segments
+    assert(MediaHeader.parse(hex("ffd8 00ff 0004 0000")).isEmpty)
+    // PNG with zero width
+    assert(MediaHeader.parse(hex(
+      "89504e470d0a1a0a 0000000d 49484452 00000000 00000001 0806000000 00000000"))
+      .isEmpty)
+  }
+
+  test("synthesized payloads round-trip through the real parser") {
+    for (id <- 0L until 100L) {
+      val info = MediaHeader.parse(MultimodalOps.synthPayload(id))
+      val w = (1 + id % 4093).toInt
+      val h = (1 + (id * 7) % 4093).toInt
+      (id % 4) match {
+        case 0 => assert(info.contains(MediaInfo("png", w, h)), s"id=$id")
+        case 1 => assert(info.contains(MediaInfo("gif", w, h)), s"id=$id")
+        case 2 => assert(info.contains(MediaInfo("jpeg", w, h)), s"id=$id")
+        case _ => assert(info.isEmpty, s"id=$id")
+      }
+    }
+  }
+}
