@@ -195,17 +195,48 @@ object Dump {
     val day = dayBlocks(raw, logDT)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tables = Map(
-        "blocks" -> blocksOf(day, logDT),
-        "extrinsics" -> extrinsicsOf(day, logDT),
-        "events" -> eventsOf(day, logDT),
-        "transfers" -> transfersOf(day, logDT),
-        "calls" -> callsOf(day, logDT),
-        "logs" -> logsOf(day, logDT))
+      val tables = projections(day, logDT)
       tables.foreach { case (name, df) =>
         Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
       }
       tables
+    } finally day.unpersist()
+  }
+
+  /** The six entity projections over an already-day-filtered frame. */
+  private def projections(day: DataFrame,
+      logDT: String): Map[String, DataFrame] = Map(
+    "blocks" -> blocksOf(day, logDT),
+    "extrinsics" -> extrinsicsOf(day, logDT),
+    "events" -> eventsOf(day, logDT),
+    "transfers" -> transfersOf(day, logDT),
+    "calls" -> callsOf(day, logDT),
+    "logs" -> logsOf(day, logDT))
+
+  /** Streaming twin of [[dumpDay]] — the ST end-to-end face: the SAME
+    * day filter and six projections applied to ONE micro-batch of raw
+    * candidate blocks, APPENDED into the same date-partitioned layout.
+    * Drive it from `foreachBatch` over the candidate stream:
+    *
+    * {{{
+    * rawStream.writeStream.foreachBatch { (b, _) =>
+    *   Dump.dumpMicroBatch(b, logDT, outRoot) }
+    * }}}
+    *
+    * The batch path's partition-replace idempotency is carried instead
+    * by the stream checkpoint's exactly-once source tracking
+    * (FileStreamSpec proves the stop→append→restart case). Every
+    * projection is row-wise per raw block — no cross-block state — so
+    * micro-batching commutes with the batch plan and stream output ≡
+    * batch output on the same corpus (StreamingParitySpec pins all six
+    * tables frame-equal). */
+  def dumpMicroBatch(raw: DataFrame, logDT: String, outRoot: String): Unit = {
+    Udfs.register(raw.sparkSession)
+    val day = dayBlocks(raw, logDT)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try projections(day, logDT).foreach { case (name, df) =>
+      df.write.mode("append").partitionBy("log_dt")
+        .parquet(s"$outRoot/$name")
     } finally day.unpersist()
   }
 }

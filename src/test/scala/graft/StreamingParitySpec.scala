@@ -1,0 +1,131 @@
+package graft
+
+import graft.etl.Dump
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** ST end-to-end parity: the candidate stream drives `Dump`'s six
+  * entity projections through `foreachBatch` (micro-batched file
+  * source, checkpointed), and the result is pinned FRAME-EQUAL to the
+  * batch `dumpDay` over the same raw corpus — including the
+  * fork-candidate and out-of-day rows both paths must reject. This is
+  * the whole §3.2 pipeline run as a stream, not per-operator evidence.
+  */
+class StreamingParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val alice =
+    "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+  private val bob =
+    "8eaf04151687736326c9fea17e25fc5287613693c912909cb226aa4794f26a48"
+
+  private val ok = Seq(
+    RawEvent(0, "system", "ExtrinsicSuccess", """{"weight":1}"""),
+    RawEvent(1, "balances", "Transfer", """{"amount":"0x2540be400"}"""))
+  private val fail = Seq(
+    RawEvent(0, "system", "ExtrinsicFailed", """{"err":"BadOrigin"}"""))
+  private val xfer = RawTransfer(alice, bob, "DOT", "0x2540be400", 10)
+
+  private val batchParams =
+    """{"section":"utility","method":"batch","args":{},
+      |"calls":[{"section":"balances","method":"transfer","args":{"v":1}},
+      |         {"section":"system","method":"remark","args":{}}]}"""
+      .stripMargin
+  private def leafParams(section: String, method: String) =
+    s"""{"section":"$section","method":"$method","args":{"v":7}}"""
+
+  /** 3 in-day finalized blocks (batch call, failure, duplicate transfer
+    * emit, digest logs), an unfinalized fork of 101, an out-of-day
+    * block — the corpus both paths must project identically. */
+  private def corpus: Seq[RawBlock] = Seq(
+    RawBlock(0, 100L, "0xb100", "0xb099", ts("2024-03-01 10:00:00"), 100,
+      alice, finalized = true,
+      extrinsics = Seq(
+        RawExtrinsic(0, "0xe0", "timestamp", "set",
+          leafParams("timestamp", "set"), signed = false, null, 0.0,
+          ok.take(1), Seq.empty),
+        RawExtrinsic(1, "0xe1", "utility", "batch", batchParams,
+          signed = true, alice, 0.25, ok, Seq(xfer, xfer))), // dup emit
+      logs = Seq(RawLog("PreRuntime", "0xaa"), RawLog("Seal", "0xbb"))),
+    RawBlock(0, 101L, "0xb101", "0xb100", ts("2024-03-01 11:00:00"), 100,
+      bob, finalized = true,
+      extrinsics = Seq(
+        RawExtrinsic(0, "0xe2", "balances", "transfer",
+          leafParams("balances", "transfer"), signed = true, bob, 0.5,
+          fail, Seq.empty)),
+      logs = Seq(RawLog("Seal", "0xcc"))),
+    // fork candidate for 101 — unfinalized, must be dropped by BOTH paths
+    RawBlock(0, 101L, "0xdead", "0xb100", ts("2024-03-01 11:00:02"), 100,
+      bob, finalized = false,
+      extrinsics = Seq(
+        RawExtrinsic(0, "0xdead0", "balances", "transfer",
+          leafParams("balances", "transfer"), signed = true, bob, 0.5,
+          ok, Seq(xfer))),
+      logs = Seq.empty),
+    RawBlock(1, 500L, "0xc500", "0xc499", ts("2024-03-01 12:00:00"), 200,
+      alice, finalized = true,
+      extrinsics = Seq(
+        RawExtrinsic(0, "0xe5", "staking", "nominate",
+          leafParams("staking", "nominate"), signed = true, alice, 0.1,
+          ok, Seq(xfer))),
+      logs = Seq(RawLog("PreRuntime", "0xdd"))),
+    // out-of-day — dropped by the day filter in both paths
+    RawBlock(0, 102L, "0xb102", "0xb101", ts("2024-03-02 00:10:00"), 100,
+      alice, finalized = true,
+      extrinsics = Seq(
+        RawExtrinsic(0, "0xe6", "balances", "transfer",
+          leafParams("balances", "transfer"), signed = true, alice, 0.2,
+          ok, Seq(xfer))),
+      logs = Seq.empty))
+
+  private val tables =
+    Seq("blocks", "extrinsics", "events", "transfers", "calls", "logs")
+
+  test("dumpDay through foreachBatch == batch dumpDay, all six tables") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_parity").toString
+    val landing = s"$root/landing"
+    val batchRoot = s"$root/batch"; val streamRoot = s"$root/stream"
+
+    // land the corpus as 3 separate parquet files → 3 micro-batches
+    // (maxFilesPerTrigger=1), blocks arriving interleaved across them
+    val ds = corpus.toDS()
+    corpus.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      g.toDS().coalesce(1).write.parquet(s"$landing/part$i")
+    }
+
+    // batch truth over the whole corpus
+    Dump.dumpDay(ds.toDF(), "2024-03-01", batchRoot)
+
+    // stream: file source over the landed files, foreachBatch → the
+    // SAME projections, append + checkpoint
+    val q = spark.readStream
+      .schema(ds.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(landing)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Dump.dumpMicroBatch(b, "2024-03-01", streamRoot)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "streaming batches timed out")
+    q.stop()
+
+    def frame(dir: String): Seq[String] = {
+      val df = spark.read.parquet(dir)
+      df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    for (t <- tables) {
+      val b = frame(s"$batchRoot/$t"); val s = frame(s"$streamRoot/$t")
+      assert(b.nonEmpty, s"$t: batch output empty")
+      assert(b == s, s"$t: stream output != batch output")
+    }
+  }
+}
