@@ -800,7 +800,75 @@ object TextOps {
       | FROM scored)
       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  // X16 — n-gram LM perplexity scoring (the CCNet-style quality
+  // filter: score every document under a language model trained on the
+  // corpus, filter on the score). The model here is an add-one-smoothed
+  // BIGRAM model whose parameters ARE DataFrames — context counts
+  // c1(w1), bigram counts c2(w1,w2), vocabulary size V — and scoring is
+  // relational: doc bigrams ⋈ c2 ⋈ c1, p(w2|w1) = (c2+1)/(c1+V),
+  // per-doc mean negative log-prob. Scale shape: bigram extraction is a
+  // per-row ARRAY transform (no token-explode shuffle before the count
+  // aggs); both count tables are map-side-combined aggregations bounded
+  // by the observed vocabulary, reusable across every scoring run (the
+  // offline-KenLM analogue); V is a 1-row broadcast; scoring shuffles
+  // only on the (w1[,w2]) join keys. nll values go through
+  // DECIMAL(38,6) before the per-doc sum (order-independent), mean
+  // rounded at 6 (repo convention, same as tfidf/bm25's ln discipline).
+  private def x16(s: SparkSession, d: String): DataFrame = {
+    val bi = spread(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), explode(expr(
+        "filter(transform(ts, (t, i) -> " +
+          "struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
+          "p -> p.w2 IS NOT NULL)")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = spread(Tables.documents(s, d))
+      .select(explode(toks).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll",
+        -log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), dsum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_nll").cast("double") / col("n_bigrams"), 6)
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val x16Sql =
+    s"""WITH tokens AS (
+       | SELECT doc_id, generate_subscripts(ts, 1) AS pos,
+       |  unnest(ts) AS w1
+       | FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+       |       FROM documents)),
+       |bi AS (
+       | SELECT doc_id, w1, w2 FROM (
+       |  SELECT doc_id, w1,
+       |   lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tokens) WHERE w2 IS NOT NULL),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       |       FROM bi GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+       |       FROM bi GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w1) AS DOUBLE) AS v FROM tokens),
+       |sc AS (
+       | SELECT b.doc_id, -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nll
+       | FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       | CROSS JOIN v),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  ${sqlDsum("nll")} AS sum_nll
+       | FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       | round(CAST(sum_nll AS DOUBLE) / n_bigrams, 6) AS avg_nll
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_bigram_ppl" -> (x16 _),
     "x12_bpe_merges" -> (x12 _),
     "x13_bpe_encode" -> (x13 _),
     "x14_tfidf_terms" -> (x14 _),
@@ -831,5 +899,6 @@ object TextOps {
     "x11_redact" -> x11Sql,
     "x14_tfidf_terms" -> x14Sql,
     "x15_bm25" -> x15Sql,
+    "x16_bigram_ppl" -> x16Sql,
   )
 }
