@@ -857,7 +857,66 @@ object VectorOps {
       .orderBy(col("cell"))
   }
 
+  // V13 — int8 scalar quantization (SQ8) with reconstruction audit:
+  // the storage-compression step a 100 TB vector store runs before
+  // anything else (4× memory cut). Per-DIMENSION corpus min/max (a
+  // dims-sized agg, broadcast back), code = floor((x−mn)/range·256)
+  // clamped to 255 — floor, not round, so there is no rounding-mode
+  // drift between engines — dequant at the cell midpoint, and the
+  // per-vector squared reconstruction error is the audit output.
+  // All arithmetic in double (float inputs cast exactly); err² values
+  // are ~1e-5 so they go through DECIMAL(38,12) before the per-vector
+  // sum (order-independent at that scale, same as x6's dup fractions).
+  // Scale shape: one bounded dims-agg + one broadcast join + one
+  // per-vector agg — the quantize itself is embarrassingly map-side.
+  private def v13(s: SparkSession, d: String): DataFrame = {
+    val dims = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val stats = dims.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    dims.join(broadcast(stats), Seq("dim"))
+      .withColumn("rng", col("mx") - col("mn"))
+      .withColumn("code", when(col("rng") > 0,
+          least(floor((col("x") - col("mn")) / col("rng") * 256), lit(255.0)))
+        .otherwise(lit(0.0)))
+      .withColumn("deq",
+        col("mn") + (col("code") + lit(0.5)) * col("rng") / 256)
+      .withColumn("err2",
+        (col("x") - col("deq")) * (col("x") - col("deq")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(dec12(col("err2"))).as("sse12"))
+      .select(col("vec_id"), col("n_dims"),
+        round(col("sse12").cast("double") / col("n_dims"), 9).as("mse"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val v13Sql =
+    """WITH dims AS (
+      | SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      |  CAST(unnest(embedding) AS DOUBLE) AS x
+      | FROM embeddings),
+      |stats AS (SELECT dim, min(x) AS mn, max(x) AS mx
+      |          FROM dims GROUP BY dim),
+      |q AS (
+      | SELECT vec_id, x, mn, mx - mn AS rng,
+      |  CASE WHEN mx - mn > 0
+      |   THEN least(floor((x - mn) / (mx - mn) * 256), 255)
+      |   ELSE 0 END AS code
+      | FROM dims JOIN stats USING (dim)),
+      |e AS (
+      | SELECT vec_id,
+      |  (x - (mn + (code + 0.5) * rng / 256))
+      |   * (x - (mn + (code + 0.5) * rng / 256)) AS err2
+      | FROM q)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+      | round(CAST(sum(CAST(err2 AS DECIMAL(38,12))) AS DOUBLE)
+      |  / count(*), 9) AS mse
+      |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_sq8_quantize" -> (v13 _),
     "v11_kmeans_train" -> (v11 _),
     "v12_trained_assign" -> (v12 _),
     "v10_pq_adc_topk" -> (v10 _),
@@ -873,6 +932,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "v13_sq8_quantize" -> v13Sql,
     "v10_pq_adc_topk" -> v10Sql,
     "v1_knn_bruteforce" -> v1Sql,
     "v2_ivf_assign" -> v2Sql,
