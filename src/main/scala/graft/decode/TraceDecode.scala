@@ -61,6 +61,49 @@ object TraceDecode {
       .withColumn("decoded_value", compactUdf(col("v")))
   }
 
+  /** Storage-KEY component dimension: like [[prefixDim]] but each entry
+    * also carries its map hasher and raw-key byte width, so
+    * [[extractKeyComponents]] can recover the key itself. Only the
+    * `*_concat` hashers and `identity` append the raw key after the
+    * hash — non-concat hashers (twox128/twox256/blake2_256) are
+    * one-way and yield no component (ref paraTool.js:2025
+    * parseStorageKey does the same dispatch). */
+  def keyedPrefixDim(spark: SparkSession,
+      entries: Seq[(String, String, String, Int)]): DataFrame = {
+    import spark.implicits._
+    entries.map { case (section, storage, hasher, keyBytes) =>
+      val p = Codec.bytesToHex(
+        Codec.twox128(section.getBytes("UTF-8")) ++
+          Codec.twox128(storage.getBytes("UTF-8")), prefix = false)
+      val hashChars = hasher match {
+        case "blake2_128concat" => 32 // 16-byte hash ‖ raw key
+        case "twox64concat" => 16 // 8-byte hash ‖ raw key
+        case "identity" => 0 // raw key only
+        case h => throw new IllegalArgumentException(
+          s"hasher $h does not preserve the raw key")
+      }
+      (p, section, storage, hasher, hashChars, keyBytes)
+    }.toDF("prefix", "section", "storage", "hasher", "hash_chars",
+      "key_bytes")
+  }
+
+  /** Recover the raw map key from concat-hashed storage keys: match the
+    * 32-byte prefix pair against the broadcast dimension, then slice
+    * the raw key at its hasher-determined offset. Pure codegen'd
+    * substring arithmetic — no UDF, no shuffle beyond the broadcast.
+    * Keys whose prefix is unknown keep null components (left join),
+    * mirroring decodeTraces' leniency. */
+  def extractKeyComponents(traces: DataFrame, dim: DataFrame): DataFrame =
+    traces
+      .withColumn("prefix",
+        lower(regexp_replace(substring(col("k"), 1, 66), "^0x", "")))
+      .join(broadcast(dim), Seq("prefix"), "left")
+      // char 67 = first char after "0x" + 64 prefix chars
+      .withColumn("raw_key",
+        when(col("hasher").isNotNull,
+          substring(col("k"), lit(67) + col("hash_chars"),
+            col("key_bytes") * 2)))
+
   /** As-of spec-version selection: latest spec with
     * `spec.block_number <= block.block_number`
     * (ref substrateetl.js:6290).

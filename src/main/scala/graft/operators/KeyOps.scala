@@ -269,7 +269,64 @@ object KeyOps {
        |ORDER BY n_name""".stripMargin
   }
 
+  // K7 — storage-key component extraction (ref paraTool.js:2025
+  // parseStorageKey): recover the raw map key from concat-hashed
+  // storage keys via the broadcast keyed prefix dimension + pure
+  // codegen'd substring arithmetic (graft.decode.TraceDecode
+  // .extractKeyComponents — no UDF in the hot path). Keys are
+  // synthesized from events columns with the REAL twox128 prefix pair
+  // (computed once in Scala and embedded as the same literal in both
+  // engines) and a deterministic filler hash segment; extraction is
+  // position-based so the DuckDB twin recomputes the expected
+  // component arithmetically, and the twox64concat branch round-trips
+  // the extracted hex back to its source number.
+  private def k7Pfx(sec: String, sto: String): String =
+    graft.functions.Codec.bytesToHex(
+      graft.functions.Codec.twox128(sec.getBytes("UTF-8")) ++
+        graft.functions.Codec.twox128(sto.getBytes("UTF-8")),
+      prefix = false)
+
+  private def k7(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.decode.TraceDecode.keyedPrefixDim(s, Seq(
+      ("System", "Account", "blake2_128concat", 32),
+      ("Balances", "Locks", "twox64concat", 8)))
+    val keys = Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("k",
+        when(col("event_id") % 2 === 0,
+          concat(lit("0x" + k7Pfx("System", "Account")),
+            lit("ab" * 16), // filler "hash" — extraction is positional
+            repeat(format_string("%02x", col("user_id") % 256), 32)))
+          .otherwise(
+            concat(lit("0x" + k7Pfx("Balances", "Locks")),
+              lit("cd" * 8),
+              format_string("%016x", col("event_id")))))
+    graft.decode.TraceDecode.extractKeyComponents(keys, dim)
+      .select(col("event_id"), col("section"), col("storage"),
+        col("hasher"), col("raw_key"),
+        when(col("hasher") === "twox64concat",
+          conv(col("raw_key"), 16, 10).cast("long")).as("key_num"))
+      .orderBy(col("event_id"))
+  }
+
+  private val k7Sql =
+    """SELECT event_id,
+      | CASE WHEN event_id % 2 = 0 THEN 'System' ELSE 'Balances' END
+      |  AS section,
+      | CASE WHEN event_id % 2 = 0 THEN 'Account' ELSE 'Locks' END
+      |  AS storage,
+      | CASE WHEN event_id % 2 = 0 THEN 'blake2_128concat'
+      |  ELSE 'twox64concat' END AS hasher,
+      | CASE WHEN event_id % 2 = 0
+      |  THEN repeat(printf('%02x', user_id % 256), 32)
+      |  ELSE printf('%016x', event_id) END AS raw_key,
+      | CASE WHEN event_id % 2 = 1 THEN CAST(event_id AS BIGINT) END
+      |  AS key_num
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k7_storage_key_extract" -> (k7 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -279,6 +336,7 @@ object KeyOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "k7_storage_key_extract" -> k7Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,

@@ -56,6 +56,39 @@ class TraceDecodeSpec extends AnyFunSuite {
     assert(out(4).isNullAt(0) && out(4).getDouble(2) == 1.0)
   }
 
+  test("key components recover from REAL concat-hashed storage keys") {
+    // genuine wire-format keys: prefix ‖ hasher(key) ‖ raw key, with
+    // the hash segment computed by the real blake2b-128 / twox64 —
+    // extraction must land exactly past it
+    val dim = TraceDecode.keyedPrefixDim(spark, Seq(
+      ("System", "Account", "blake2_128concat", 32),
+      ("Session", "KeyOwner", "twox64concat", 8),
+      ("Sudo", "Key", "identity", 4)))
+    def pfx(sec: String, sto: String) = Codec.bytesToHex(
+      Codec.twox128(sec.getBytes) ++ Codec.twox128(sto.getBytes),
+      prefix = false)
+    val acct = Array.tabulate(32)(i => (i + 3).toByte)
+    val acctKey = "0x" + pfx("System", "Account") +
+      Codec.bytesToHex(Codec.blake2b(acct, 16), prefix = false) +
+      Codec.bytesToHex(acct, prefix = false)
+    val idBytes = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val sessKey = "0x" + pfx("Session", "KeyOwner") +
+      Codec.bytesToHex(Codec.twox64(idBytes), prefix = false) +
+      Codec.bytesToHex(idBytes, prefix = false)
+    val sudoKey = "0x" + pfx("Sudo", "Key") + "cafebabe"
+    val unknown = "0x" + "00" * 40
+    val out = TraceDecode.extractKeyComponents(
+        Seq(acctKey, sessKey, sudoKey, unknown).toDF("k"), dim)
+      .select("section", "storage", "raw_key")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(out == Set(
+      ("System", "Account", Codec.bytesToHex(acct, prefix = false)),
+      ("Session", "KeyOwner", "0102030405060708"),
+      ("Sudo", "Key", "cafebabe"),
+      (null, null, null)))
+  }
+
   test("as-of spec-version selection per block") {
     val specs = Seq((0L, 100), (1000L, 101), (5000L, 102))
       .toDF("block_number", "spec_version")
