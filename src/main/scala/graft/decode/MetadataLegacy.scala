@@ -41,8 +41,11 @@ object MetadataLegacy {
   private final case class RawFn(name: String, args: Seq[(String, String)])
   private final case class RawEv(name: String, args: Seq[String])
   private final case class RawStore(name: String, valueTy: String)
+  private final case class RawConst(name: String, ty: String,
+      value: Array[Byte])
   private final case class RawModule(name: String, storage: Seq[RawStore],
-      calls: Option[Seq[RawFn]], events: Option[Seq[RawEv]], index: Int)
+      calls: Option[Seq[RawFn]], events: Option[Seq[RawEv]],
+      consts: Seq[RawConst], index: Int)
 
   private def storageEntry(c: Cursor, v13: Boolean): RawStore = {
     val name = str(c)
@@ -82,13 +85,18 @@ object MetadataLegacy {
       docs(c)
       RawEv(n, args)
     })
-    vec(c) { str(c); str(c); skipBytes(c); docs(c) } // constants
+    val consts = vec(c) { // constants: name ‖ type name ‖ value bytes
+      val cn = str(c); val ty = str(c)
+      val value = c.take(c.compact().toInt)
+      docs(c)
+      RawConst(cn, ty, value)
+    }
     vec(c) { str(c); docs(c) } // errors
     // v12+ carries the dispatch index explicitly (runtimes had begun
     // retiring pallets, leaving holes); pre-v12 the POSITION is the
     // index — parseFrom assigns it after the vec read
     val index = if (explicitIndex) c.u8() else -1
-    RawModule(name, storage, calls, events, index)
+    RawModule(name, storage, calls, events, consts, index)
   }
 
   // ---- the type-name grammar ----
@@ -249,6 +257,15 @@ object MetadataLegacy {
         scala.util.Try(parseTypeName(s.valueTy, legacyAddr)).toOption
           .map(t => (MetadataV14.lowerCamel(m.name), s.name) -> t))
     }.toMap
-    MetadataV14.ParsedMetadata(defs, shapes)
+    val consts = modules.flatMap { m =>
+      m.consts.flatMap(k =>
+        scala.util.Try {
+          val json = MetaDecode.decodeStorageValue(
+            graft.functions.Codec.bytesToHex(k.value),
+            parseTypeName(k.ty, legacyAddr))
+          (MetadataV14.lowerCamel(m.name), k.name) -> json
+        }.toOption)
+    }.toMap
+    MetadataV14.ParsedMetadata(defs, shapes, consts)
   }
 }

@@ -50,14 +50,24 @@ object MetadataV14 {
   private final case class RawType(path: Seq[String], d: RawDef)
 
   private final case class RawStorage(name: String, valueTy: Long)
+  private final case class RawConst(name: String, ty: Long,
+      value: Array[Byte])
   private final case class RawPallet(name: String, callsTy: Option[Long],
-      eventTy: Option[Long], storage: Seq[RawStorage], index: Int)
+      eventTy: Option[Long], storage: Seq[RawStorage],
+      consts: Seq[RawConst], index: Int)
 
   /** Parsed registry plus the storage VALUE shapes (entry → SType),
     * the input of [[MetaDecode.decodeStorageValue]] — so storage
-    * decode, like call/event decode, needs only the metadata hex. */
+    * decode, like call/event decode, needs only the metadata hex —
+    * plus the pallet CONSTANTS decoded to JSON ((pallet, name) →
+    * value): existentialDeposit, ss58Prefix, expectedBlockTime etc.
+    * are chain parameters the reference reads off `api.consts`; here
+    * they come out of the same metadata blob, no RPC. Lenient like
+    * storage shapes: a constant with an unsupported type drops ITS
+    * entry only. */
   final case class ParsedMetadata(pallets: Seq[PalletDef],
-      storageShapes: Map[(String, String), SType])
+      storageShapes: Map[(String, String), SType],
+      constants: Map[(String, String), String] = Map.empty)
 
   // ---- SCALE readers over the shared Cursor (shared with the
   // legacy v12/v13 parser — one primitive layer, not two copies) ----
@@ -138,15 +148,16 @@ object MetadataV14 {
     }.getOrElse(Seq.empty)
     val callsTy = opt(c)(c.compact().toLong)
     val eventTy = opt(c)(c.compact().toLong)
-    vec(c) { // constants
-      str(c); c.compact()
-      c.take(c.compact().toInt)
-      vec(c)(str(c))
+    val consts = vec(c) { // constants: name ‖ type id ‖ value bytes
+      val cn = str(c); val ty = c.compact().toLong
+      val value = c.take(c.compact().toInt)
+      vec(c)(str(c)) // docs
+      RawConst(cn, ty, value)
     }
     opt(c)(c.compact()) // error
     val index = c.u8()
     if (v15) vec(c)(str(c)) // v15 appends pallet docs
-    RawPallet(name, callsTy, eventTy, storage, index)
+    RawPallet(name, callsTy, eventTy, storage, consts, index)
   }
 
   // ---- name conventions ----
@@ -310,7 +321,15 @@ object MetadataV14 {
         scala.util.Try(r.resolve(s.valueTy)).toOption
           .map(t => (lowerCamel(p.name), s.name) -> t))
     }.toMap
-    ParsedMetadata(defs, shapes)
+    val consts = pallets.flatMap { p =>
+      p.consts.flatMap(k =>
+        scala.util.Try {
+          val json = MetaDecode.decodeStorageValue(
+            Codec.bytesToHex(k.value), r.resolve(k.ty))
+          (lowerCamel(p.name), k.name) -> json
+        }.toOption)
+    }.toMap
+    ParsedMetadata(defs, shapes, consts)
   }
 
   /** Parse a metadata v14 blob into the PalletDef registry. */

@@ -123,6 +123,12 @@ class MetadataLegacySpec extends AnyFunSuite {
     assert(sys.calls(1).fields == Seq("remark" -> Bytes))
   }
 
+  test("pallet constants decode from the legacy blob") {
+    // BlockHashCount: T::BlockNumber (u32) with value bytes 01 02 03 04
+    // = 0x04030201 LE — the api.consts face, straight off the metadata
+    assert(parsed.constants(("system", "BlockHashCount")) == "67305985")
+  }
+
   test("storage value shapes resolve leniently from type names") {
     assert(parsed.storageShapes(("system", "Number")) == U32)
     assert(parsed.storageShapes(("balances", "TotalIssuance")) == U128)

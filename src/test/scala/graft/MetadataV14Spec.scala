@@ -236,6 +236,13 @@ class MetadataV14Spec extends AnyFunSuite {
     assert(node.args.contains(""""maxWeight":42"""))
   }
 
+  test("pallet constants decode to JSON (the api.consts face)") {
+    // ProxyDepositBase: type 2 = u128, value = sixteen 0x07 bytes LE
+    val parsed = MetadataV14.parseAll(blob)
+    assert(parsed.constants(("proxy", "ProxyDepositBase")) ==
+      "9341084582143408800955381380479911687")
+  }
+
   test("storage value shapes parse and drive decodeStorageValue") {
     val shapes = MetadataV14.parseAll(blob).storageShapes
     // Proxies is a Map whose VALUE is Vec<AccountId> (type 8);
