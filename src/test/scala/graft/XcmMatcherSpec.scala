@@ -326,4 +326,35 @@ class XcmMatcherSpec extends AnyFunSuite {
       ("0xbb:7:10", 1, 8, "remoteexecution", "balances", "transfer",
         """{"dest":42,"value":9}""")))
   }
+
+  test("transact spans: nested utility.batch inner call recurses") {
+    import graft.decode.MetaDecode._
+    import graft.functions.Codec
+    // the reference notes Transact calls often arrive wrapped in
+    // proxy/multisig/utility batches (xcmtransact.js:941) — the
+    // metadata tier's CallType recursion must see through that
+    val legs = Seq(("0xdd", 1, 2, 10L, 12L))
+      .toDF("msg_hash", "chain_id", "chain_id_dest", "s_sent_at",
+        "d_sent_at")
+    val inner = Array[Byte](5, 0, 0x2a) ++ Codec.compactEncode(BigInt(3))
+    // utility(40).batch(calls: Vec<Call>) with 2 inner transfers
+    val batch = Codec.bytesToHex(
+      Array[Byte](40, 0) ++ Codec.compactEncode(BigInt(2)) ++
+        inner ++ inner)
+    val transacts = Seq(("0xdd", batch)).toDF("msg_hash", "transact_call")
+    val pallets = Seq(
+      PalletDef(5, "balances", calls = Seq(ItemDef(0, "transfer",
+        Seq("dest" -> LegacyAddress, "value" -> CompactInt)))),
+      PalletDef(40, "utility", calls = Seq(ItemDef(0, "batch",
+        Seq("calls" -> Vec(CallType))))))
+    val traces = XcmMatcher.assembleTraces(legs, maxHops = 4, slack = 4)
+    val out = XcmMatcher.transactSpans(traces, transacts, pallets)
+      .select("section", "method", "args_json").collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "utility" &&
+      out(0).getString(1) == "batch")
+    // the args JSON references both recursively-decoded children
+    assert(out(0).getString(2) ==
+      """{"calls":["<call:balances.transfer>","<call:balances.transfer>"]}""")
+  }
 }
