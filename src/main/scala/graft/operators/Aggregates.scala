@@ -488,7 +488,39 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("log_dt"))
 
+  // A17 — salted aggregation under the oracle gate: the hot-key skew
+  // mitigation (etl/Layout.saltedAgg — partial agg on (key, salt),
+  // re-finish on key; ref polkaholic's bn % nmax shard split) run over
+  // a deliberately skewed grouping (l_returnflag: 3 hot keys across
+  // the whole table) and hash-compared against DuckDB's PLAIN GROUP
+  // BY. Decomposability is the entire correctness claim of salting —
+  // this query makes the driver's gate assert it every round instead
+  // of only LayoutSpec. The salt column is content-derived (stable
+  // across retries); two small shuffles replace one skewed one.
+  private def a17(s: SparkSession, d: String): DataFrame =
+    graft.etl.Layout.saltedAgg(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity").cast("long").as("qty")),
+        key = "l_returnflag", n = 16,
+        aggs = Seq("qty" -> "sum", "qty" -> "count",
+          "l_orderkey" -> "max", "l_linenumber" -> "min"),
+        saltCols = Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_returnflag"), col("sum_qty"),
+        col("count_qty"), col("max_l_orderkey"),
+        col("min_l_linenumber"))
+      .orderBy(col("l_returnflag"))
+
+  private val a17Sql =
+    s"""SELECT l_returnflag,
+       | ${sqlLsum("CAST(l_quantity AS BIGINT)")} AS sum_qty,
+       | count(l_quantity) AS count_qty,
+       | max(l_orderkey) AS max_l_orderkey,
+       | min(l_linenumber) AS min_l_linenumber
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a17_salted_agg" -> (a17 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -510,6 +542,7 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "a17_salted_agg" -> a17Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,
