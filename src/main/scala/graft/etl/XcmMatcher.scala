@@ -337,6 +337,31 @@ object XcmMatcher {
         col("dec._3").as("args_json"))
   }
 
+  /** The unified trace document (ref xcmtracer.js:83-160 emits ONE
+    * span list per trace: origination, message legs, destination /
+    * remote execution): every [[assembleTraces]] leg becomes a
+    * `message` span and every decoded Transact execution a
+    * `remoteexecution` span, in one frame ordered by (trace_id, hop).
+    * Columns are the union — message spans carry the leg chain pair
+    * and times, execution spans carry the decoded call. */
+  def fullTrace(traces: DataFrame, transacts: DataFrame,
+      pallets: Seq[graft.decode.MetaDecode.PalletDef]): DataFrame = {
+    val msg = traces.select(col("trace_id"), col("hop"), col("msg_hash"),
+      lit("message").as("kind"), col("chain_id"), col("chain_id_dest"),
+      col("s_sent_at"), col("d_sent_at"),
+      lit(null).cast("string").as("section"),
+      lit(null).cast("string").as("method"),
+      lit(null).cast("string").as("args_json"))
+    val exec = transactSpans(traces, transacts, pallets)
+      .select(col("trace_id"), col("hop"), col("msg_hash"), col("kind"),
+        lit(null).cast(msg.schema("chain_id").dataType).as("chain_id"),
+        col("exec_chain").as("chain_id_dest"),
+        lit(null).cast("long").as("s_sent_at"),
+        lit(null).cast("long").as("d_sent_at"),
+        col("section"), col("method"), col("args_json"))
+    msg.unionByName(exec).orderBy(col("trace_id"), col("hop"))
+  }
+
   /** J3 — transfer → dest-candidate tolerance matching
     * (ref xcmCleaner.js:569-666): candidate window
     * `dest_ts ∈ [source_ts − 10 s, source_ts + 120 s]`, exact-amount

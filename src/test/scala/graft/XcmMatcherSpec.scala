@@ -327,6 +327,33 @@ class XcmMatcherSpec extends AnyFunSuite {
         """{"dest":42,"value":9}""")))
   }
 
+  test("full trace: message + remoteexecution spans in one document") {
+    import graft.decode.MetaDecode._
+    import graft.functions.Codec
+    val legs = Seq(
+      ("0xaa", 1, 2, 10L, 12L),
+      ("0xaa", 2, 3, 14L, 17L)
+    ).toDF("msg_hash", "chain_id", "chain_id_dest", "s_sent_at",
+      "d_sent_at")
+    val call = Codec.bytesToHex(
+      Array[Byte](5, 0, 0x2a) ++ Codec.compactEncode(BigInt(3)))
+    val transacts = Seq(("0xaa", call)).toDF("msg_hash", "transact_call")
+    val pallets = Seq(PalletDef(5, "balances", calls = Seq(
+      ItemDef(0, "transfer",
+        Seq("dest" -> LegacyAddress, "value" -> CompactInt)))))
+    val traces = XcmMatcher.assembleTraces(legs, maxHops = 4, slack = 4)
+    val out = XcmMatcher.fullTrace(traces, transacts, pallets)
+      .select("trace_id", "hop", "kind", "chain_id_dest", "method")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getString(4)))
+    // one document: both message legs then the execution span, in hop
+    // order, all under the same trace id
+    assert(out.toSeq == Seq(
+      ("0xaa:1:10", 0, "message", 2, null),
+      ("0xaa:1:10", 1, "message", 3, null),
+      ("0xaa:1:10", 2, "remoteexecution", 3, "transfer")))
+  }
+
   test("transact spans: nested utility.batch inner call recurses") {
     import graft.decode.MetaDecode._
     import graft.functions.Codec
