@@ -50,15 +50,18 @@ object TraceDecode {
   }
 
   /** Resolve (section, storage) for raw storage keys via the broadcast
-    * prefix dimension and decode the leading compact value. */
+    * prefix dimension and decode the leading compact value — through
+    * the NATIVE `compact_decode` expression
+    * ([[graft.plans.CompactDecode]]), not a UDF, so the whole
+    * resolve+decode projection stays inside one WholeStageCodegen
+    * pipeline at scale. */
   def decodeTraces(traces: DataFrame, dim: DataFrame): DataFrame = {
-    val spark = traces.sparkSession
-    val compactUdf = udf(decodeCompactHex)
+    graft.plans.CodecExpressions.register(traces.sparkSession)
     traces
       .withColumn("prefix",
         lower(regexp_replace(substring(col("k"), 1, 66), "^0x", "")))
       .join(broadcast(dim), Seq("prefix"), "left")
-      .withColumn("decoded_value", compactUdf(col("v")))
+      .withColumn("decoded_value", expr("compact_decode(v)"))
   }
 
   /** Storage-KEY component dimension: like [[prefixDim]] but each entry
