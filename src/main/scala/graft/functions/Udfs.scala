@@ -1,70 +1,81 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 
 /** SQL-registered scalar functions — the Spark twin of the reference's
   * BigQuery JS UDF surface (ref substrate/tools/udfs.sql; SURVEY §2.8)
   * plus the paraTool conversions used on every exported row
   * (ref substrateetl.js:6301,6396). All pure → Catalyst treats them as
-  * deterministic and can collapse/reorder them. */
+  * deterministic and can collapse/reorder them.
+  *
+  * The per-row string kernels (address render, decimal scaling, asset
+  * canonicalization, hex hashing) register as `StaticInvoke`
+  * expressions over [[graft.plans.CodecKernels]] rather than Scala
+  * UDFs: a UDF is a codegen barrier with per-row catalyst↔scala
+  * conversion, and these run on EVERY row of Dump's six projections.
+  * StaticInvoke compiles to a direct static call inside whole-stage
+  * codegen. Functions over arrays/structs (multisig) and the rarely-
+  * per-row ones stay plain UDFs. */
 object Udfs {
 
-  /** Guarded-null policy (same contract as compact_decode): these UDFs
-    * run on every row of Dump's projections, so malformed input (bad
-    * hex, wrong pubkey length, bad base58/checksum) yields NULL rather
-    * than killing the stage. */
+  /** Guarded-null policy (same contract as compact_decode): these
+    * functions run on every row of Dump's projections, so malformed
+    * input (bad hex, wrong pubkey length, bad base58/checksum) yields
+    * NULL rather than killing the stage. */
   private def guard[T >: Null](f: => T): T =
     try f catch {
       case _: IllegalArgumentException | _: NumberFormatException |
            _: IndexOutOfBoundsException => null
     }
 
+  /** Register `name` as a StaticInvoke of CodecKernels.`method`. */
+  private def native(spark: SparkSession, name: String, method: String,
+      out: DataType, in: Seq[DataType]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      (exprs: Seq[Expression]) => StaticInvoke(
+        classOf[graft.plans.CodecKernels.type],
+        out, method, exprs, inputTypes = in,
+        propagateNull = true, returnNullable = true),
+      "scala_udf")
+
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
 
     // P12 — address normalization (ref paraTool.js:1666 getPubKey /
     // getAddress)
-    u.register("ss58_encode", (pubkeyHex: String, network: Int) =>
-      if (pubkeyHex == null) null
-      else guard(Codec.ss58Encode(Codec.hexToBytes(pubkeyHex), network)))
-    u.register("ss58_pubkey", (address: String) =>
-      if (address == null) null
-      else guard(Codec.bytesToHex(Codec.ss58Decode(address)._2)))
+    native(spark, "ss58_encode", "ss58Encode", StringType,
+      Seq(StringType, IntegerType))
+    native(spark, "ss58_pubkey", "ss58Pubkey", StringType,
+      Seq(StringType))
 
     // crypto/encoding (ref paraTool.js:1785,1883)
-    u.register("twox128_hex", (s: String) =>
-      if (s == null) null
-      else Codec.bytesToHex(Codec.twox128(s.getBytes("UTF-8")), prefix = false))
-    u.register("blake2_256_hex", (hex: String) =>
-      if (hex == null) null
-      else guard(
-        Codec.bytesToHex(Codec.blake2b256(Codec.hexToBytes(hex)), prefix = false)))
+    native(spark, "twox128_hex", "twox128Hex", StringType,
+      Seq(StringType))
+    native(spark, "blake2_256_hex", "blake2b256Hex", StringType,
+      Seq(StringType))
 
     // decimal scaling of raw chain amounts (ref paraTool.js:214
     // toBaseUnit; hex u128 → double at token decimals)
-    u.register("to_base_unit", (rawHex: String, decimals: Int) =>
-      if (rawHex == null) null
-      else guard(java.lang.Double.valueOf(
-        Codec.toBaseUnit(BigInt(1, Codec.hexToBytes(rawHex)), decimals))))
+    native(spark, "to_base_unit", "toBaseUnit", DoubleType,
+      Seq(StringType, IntegerType))
 
     // composite keys, dispatched through the per-chain parser seam so
     // chain-specific asset canonicalization (Acala token JSON, Moonbeam
     // H160 lowercase, Parallel numeric ids) applies inside Dump's
     // transfers projection (ref paraTool.js:1945 makeAssetChain +
     // indexer.js:6697 setup_chainParser)
-    u.register("asset_chain", (asset: String, chainId: Int) =>
-      if (asset == null) null
-      else graft.decode.ChainParser.forChain(chainId).assetKey(asset))
+    native(spark, "asset_chain", "assetChain", StringType,
+      Seq(StringType, IntegerType))
 
     // substrate↔EVM account mapping (ref paraTool.js:517,522)
-    u.register("pubkey_to_h160", (pubkeyHex: String) =>
-      if (pubkeyHex == null) null
-      else guard(Codec.bytesToHex(
-        Codec.pubkeyToH160(Codec.hexToBytes(pubkeyHex)))))
-    u.register("h160_to_pubkey", (h160Hex: String) =>
-      if (h160Hex == null) null
-      else guard(Codec.bytesToHex(
-        Codec.h160ToPubkey(Codec.hexToBytes(h160Hex)))))
+    native(spark, "pubkey_to_h160", "pubkeyToH160", StringType,
+      Seq(StringType))
+    native(spark, "h160_to_pubkey", "h160ToPubkey", StringType,
+      Seq(StringType))
 
     // derived account ids (ref paraTool.js:311 computeMultisig,
     // paraTool.js:889 compute_sovereign_account)
@@ -76,16 +87,17 @@ object Udfs {
       guard(Codec.bytesToHex(Codec.sovereignAccount(paraId, sibling))))
 
     // SCALE compact decode (leading field of a storage value); null on
-    // malformed input — one bad value must not fail the stage (reuses
-    // the guarded TraceDecode path)
-    u.register("compact_decode",
-      graft.decode.TraceDecode.decodeCompactHex)
+    // malformed input — one bad value must not fail the stage. The
+    // NATIVE expression, and registered HERE too so the two
+    // registration paths can never shadow each other with different
+    // implementations under one name.
+    graft.plans.CodecExpressions.register(spark)
 
     // XCM MultiLocation surface (ref paraTool.js:1237 interior keys,
     // xcmmanager.js:986 descend-origin derivative) — both internally
     // guarded (null on malformed keys/addresses)
-    u.register("xcm_loc_bytes",
-      (key: String) => XcmLocation.interiorKeyToBytesHex(key))
+    native(spark, "xcm_loc_bytes", "xcmLocBytes", StringType,
+      Seq(StringType))
     u.register("xcm_dest_para",
       (key: String) => XcmLocation.destParaId(key))
     u.register("xcm_derivative20", (paraId: Long, address: String) =>

@@ -50,6 +50,36 @@ class CodecExprSpec extends AnyFunSuite {
     assert(viaCodegen == viaInterp)
   }
 
+  test("StaticInvoke scalar surface: codegen placement + null guards") {
+    graft.functions.Udfs.register(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_codegen_udf").toString
+    val pk = "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a" +
+      "5684e7a56da27d"
+    Seq(
+      (pk, "0x2540be400"),
+      ("zz-not-hex", "zz"), // malformed → nulls, stage survives
+      (null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("pk", "amt").write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir).selectExpr("pk",
+      "ss58_encode(pk, 42) AS addr", "to_base_unit(amt, 10) AS v")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), Option(r.get(2))))
+    val byPk = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byPk(pk)._1 != null && byPk(pk)._1.startsWith("5"))
+    assert(byPk(pk)._2.contains(1.0)) // 10^10 raw at 10 decimals
+    assert(byPk("zz-not-hex") == ((null, None)))
+    assert(byPk(null) == ((null, None)))
+    // both functions must plan INSIDE WholeStageCodegen (`*(n)`) —
+    // the point of replacing the UDFs
+    val plan = out.queryExecution.executedPlan.toString
+    val line = plan.linesIterator
+      .find(l => l.contains("ss58Encode") || l.contains("ss58_encode"))
+      .getOrElse("")
+    assert(line.contains("*("),
+      s"scalar surface fell out of codegen:\n$plan")
+  }
+
   test("decodeTraces projection stays inside WholeStageCodegen") {
     val dim = TraceDecode.prefixDim(spark, Seq(("System", "Account")))
     val sysPrefix = "0x" +
