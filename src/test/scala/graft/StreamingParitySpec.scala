@@ -128,4 +128,45 @@ class StreamingParitySpec extends AnyFunSuite {
       assert(b == s, s"$t: stream output != batch output")
     }
   }
+
+  test("parity survives stop -> more files land -> restart") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_parity_rs").toString
+    val landing = s"$root/landing"
+    val batchRoot = s"$root/batch"; val streamRoot = s"$root/stream"
+    val (first, second) = corpus.splitAt(2)
+
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema(corpus.toDS().schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(landing)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Dump.dumpMicroBatch(b, "2024-03-01", streamRoot)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "streaming batches timed out")
+      q.stop()
+    }
+
+    first.toDS().coalesce(1).write.parquet(s"$landing/w0")
+    run() // processes wave 0, then the query is DOWN
+    second.toDS().coalesce(1).write.parquet(s"$landing/w1")
+    run() // restart: checkpoint must admit ONLY wave 1 — a re-append
+          // of wave 0 would duplicate rows and break frame equality
+    Dump.dumpDay(corpus.toDS().toDF(), "2024-03-01", batchRoot)
+
+    def frame(dir: String): Seq[String] = {
+      val df = spark.read.parquet(dir)
+      df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    for (t <- tables)
+      assert(frame(s"$batchRoot/$t") == frame(s"$streamRoot/$t"),
+        s"$t: restart broke stream/batch parity")
+  }
 }
