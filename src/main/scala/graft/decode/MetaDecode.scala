@@ -83,6 +83,27 @@ object MetaDecode {
   final case class PalletDef(index: Int, name: String,
       calls: Seq[ItemDef] = Seq.empty, events: Seq[ItemDef] = Seq.empty)
 
+  /** Fixed wire width in BYTES of a shape, when it has one — the input
+    * of storage-key offset derivation (variable-width shapes return
+    * None). */
+  def fixedWidth(t: SType): Option[Int] = t match {
+    case U8 | I8 | Bool => Some(1)
+    case U16 | I16 => Some(2)
+    case U32 | I32 | CharT => Some(4)
+    case U64 | I64 => Some(8)
+    case U128 | I128 => Some(16)
+    case U256 | I256 => Some(32)
+    case AccountId => Some(32)
+    case FixedBytes(n) => Some(n)
+    case Tup(elems) =>
+      val ws = elems.map(fixedWidth)
+      if (ws.forall(_.isDefined)) Some(ws.flatten.sum) else None
+    case Struct(fields) =>
+      val ws = fields.map(f => fixedWidth(f._2))
+      if (ws.forall(_.isDefined)) Some(ws.flatten.sum) else None
+    case _ => None // compact/bytes/str/vec/opt/enum/call: variable
+  }
+
   def findCall(pallets: Seq[PalletDef], pallet: Int,
       call: Int): Option[(PalletDef, ItemDef)] =
     for {

@@ -40,7 +40,8 @@ object MetadataLegacy {
 
   private final case class RawFn(name: String, args: Seq[(String, String)])
   private final case class RawEv(name: String, args: Seq[String])
-  private final case class RawStore(name: String, valueTy: String)
+  private final case class RawStore(name: String, valueTy: String,
+      keys: Seq[(Int, String)] = Seq.empty) // (hasher enum, key type name)
   private final case class RawConst(name: String, ty: String,
       value: Array[Byte])
   private final case class RawModule(name: String, storage: Seq[RawStore],
@@ -50,21 +51,44 @@ object MetadataLegacy {
   private def storageEntry(c: Cursor, v13: Boolean): RawStore = {
     val name = str(c)
     c.u8() // modifier (Optional/Default)
-    val value = c.u8() match {
-      case 0 => str(c) // Plain(value)
+    val entry = c.u8() match {
+      case 0 => RawStore(name, str(c)) // Plain(value)
       case 1 => // Map { hasher, key, value, unused }
-        c.u8(); str(c); val v = str(c); c.u8(); v
+        val h = c.u8(); val k = str(c); val v = str(c); c.u8()
+        RawStore(name, v, Seq(h -> k))
       case 2 => // DoubleMap { hasher, key1, key2, value, key2_hasher }
-        c.u8(); str(c); str(c); val v = str(c); c.u8(); v
+        val h1 = c.u8(); val k1 = str(c); val k2 = str(c)
+        val v = str(c); val h2 = c.u8()
+        RawStore(name, v, Seq(h1 -> k1, h2 -> k2))
       case 3 if v13 => // NMap { keys, hashers, value }
-        vec(c)(str(c)); vec(c)(c.u8()); str(c)
+        val ks = vec(c)(str(c)); val hs = vec(c)(c.u8())
+        RawStore(name, str(c), hs.zip(ks))
       case x => throw new IllegalArgumentException(
         s"storage entry type tag $x (v13=$v13)")
     }
     skipBytes(c) // default value bytes
     docs(c)
-    RawStore(name, value)
+    entry
   }
+
+  /** Version-correct StorageHasher enums: the table GREW across
+    * upgrades (v10 inserted Blake2_128Concat at 2, v11 appended
+    * Identity), so the same byte means different hashers per version. */
+  private def hasherName(version: Int, tag: Int): String =
+    if (version <= 9) tag match {
+      case 0 => "blake2_128"; case 1 => "blake2_256"
+      case 2 => "twox128"; case 3 => "twox256"
+      case 4 => "twox64concat"
+      case t => throw new IllegalArgumentException(s"v9 hasher $t")
+    }
+    else if (version == 10) tag match {
+      case 0 => "blake2_128"; case 1 => "blake2_256"
+      case 2 => "blake2_128concat"; case 3 => "twox128"
+      case 4 => "twox256"; case 5 => "twox64concat"
+      case t => throw new IllegalArgumentException(s"v10 hasher $t")
+    }
+    else MetadataV14.HasherNames.getOrElse(tag,
+      throw new IllegalArgumentException(s"v$version hasher $tag"))
 
   private def module(c: Cursor, v13: Boolean,
       explicitIndex: Boolean): RawModule = {
@@ -266,6 +290,15 @@ object MetadataLegacy {
           (MetadataV14.lowerCamel(m.name), k.name) -> json
         }.toOption)
     }.toMap
-    MetadataV14.ParsedMetadata(defs, shapes, consts)
+    val keys = modules.flatMap { m =>
+      m.storage.filter(_.keys.nonEmpty).flatMap(s =>
+        scala.util.Try {
+          (MetadataV14.lowerCamel(m.name), s.name) ->
+            s.keys.map { case (h, kt) =>
+              (hasherName(version, h), parseTypeName(kt, legacyAddr))
+            }
+        }.toOption)
+    }.toMap
+    MetadataV14.ParsedMetadata(defs, shapes, consts, keys)
   }
 }

@@ -49,7 +49,8 @@ object MetadataV14 {
   private final case class DBitSeq(store: Long, order: Long) extends RawDef
   private final case class RawType(path: Seq[String], d: RawDef)
 
-  private final case class RawStorage(name: String, valueTy: Long)
+  private final case class RawStorage(name: String, valueTy: Long,
+      hashers: Seq[Int] = Seq.empty, keyTy: Option[Long] = None)
   private final case class RawConst(name: String, ty: Long,
       value: Array[Byte])
   private final case class RawPallet(name: String, callsTy: Option[Long],
@@ -67,7 +68,22 @@ object MetadataV14 {
     * entry only. */
   final case class ParsedMetadata(pallets: Seq[PalletDef],
       storageShapes: Map[(String, String), SType],
-      constants: Map[(String, String), String] = Map.empty)
+      constants: Map[(String, String), String] = Map.empty,
+      /** Map-entry KEY layouts ((pallet, entry) → per-component
+        * (hasher name, key SType)) — the input of
+        * [[TraceDecode.keyedPrefixDimFromMetadata]], so storage-key
+        * component extraction auto-onboards from the metadata blob
+        * like calls/events/values/constants do. Multi-key maps (v14
+        * folds NMap in) zip hashers with tuple elements; a single
+        * hasher spans the whole key. */
+      storageKeys: Map[(String, String), Seq[(String, SType)]] = Map.empty)
+
+  /** The shared v11+/v14 StorageHasher enum (pre-v11 blobs use shorter
+    * tables — see MetadataLegacy). */
+  private[decode] val HasherNames: Map[Int, String] = Map(
+    0 -> "blake2_128", 1 -> "blake2_256", 2 -> "blake2_128concat",
+    3 -> "twox128", 4 -> "twox256", 5 -> "twox64concat",
+    6 -> "identity")
 
   // ---- SCALE readers over the shared Cursor (shared with the
   // legacy v12/v13 parser — one primitive layer, not two copies) ----
@@ -128,16 +144,18 @@ object MetadataV14 {
   private def storageEntry(c: Cursor): RawStorage = {
     val name = str(c)
     c.u8() // modifier
-    val valueTy = c.u8() match { // ty
-      case 0 => c.compact().toLong // Plain(type)
+    val entry = c.u8() match { // ty
+      case 0 => RawStorage(name, c.compact().toLong) // Plain(type)
       case 1 => // Map { hashers, key, value }
-        vec(c)(c.u8()); c.compact(); c.compact().toLong
+        val hashers = vec(c)(c.u8())
+        val keyTy = c.compact().toLong
+        RawStorage(name, c.compact().toLong, hashers, Some(keyTy))
       case v => throw new IllegalArgumentException(s"bad storage ty $v")
     }
     val defLen = c.compact().toInt // default bytes
     c.take(defLen)
     vec(c)(str(c)) // docs
-    RawStorage(name, valueTy)
+    entry
   }
 
   private def pallet(c: Cursor, v15: Boolean): RawPallet = {
@@ -329,7 +347,21 @@ object MetadataV14 {
           (lowerCamel(p.name), k.name) -> json
         }.toOption)
     }.toMap
-    ParsedMetadata(defs, shapes, consts)
+    val keys = pallets.flatMap { p =>
+      p.storage.flatMap(s => s.keyTy.flatMap(kt =>
+        scala.util.Try {
+          val names = s.hashers.map(HasherNames)
+          val comps = r.resolve(kt) match {
+            // one hasher per tuple element when counts line up;
+            // otherwise a single hasher spans the whole (tuple) key
+            case Tup(elems) if elems.size == names.size =>
+              names.zip(elems)
+            case whole => Seq((names.head, whole))
+          }
+          (lowerCamel(p.name), s.name) -> comps
+        }.toOption))
+    }.toMap
+    ParsedMetadata(defs, shapes, consts, keys)
   }
 
   /** Parse a metadata v14 blob into the PalletDef registry. */

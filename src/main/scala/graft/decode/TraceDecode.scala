@@ -90,6 +90,81 @@ object TraceDecode {
       "key_bytes")
   }
 
+  /** Hex chars a hasher occupies BEFORE any recoverable raw key; None
+    * marks the `*_concat`/identity family whose raw key follows. */
+  private val hashChars: Map[String, Int] = Map(
+    "blake2_128" -> 32, "blake2_256" -> 64,
+    "twox128" -> 32, "twox256" -> 64,
+    "blake2_128concat" -> 32, "twox64concat" -> 16, "identity" -> 0)
+  private val concatFamily =
+    Set("blake2_128concat", "twox64concat", "identity")
+
+  /** Build the per-COMPONENT key-extraction dimension straight from
+    * parsed metadata — the auto-onboarding closure of
+    * [[keyedPrefixDim]]: every map entry's hashers and key types come
+    * from [[MetadataV14.ParsedMetadata.storageKeys]] (any metadata
+    * version, v9-v15), and each RECOVERABLE component gets its
+    * absolute hex offset precomputed HERE, dim-side, so the extraction
+    * join stays constant-arithmetic per row.
+    *
+    * Layout walk per entry (offsets start after "0x" + two twox128
+    * prefixes = char 67): a one-way hasher advances by its hash width
+    * (component not emitted — the key is unrecoverable by design); a
+    * concat/identity hasher emits (offset, len) when its key type has
+    * fixed width, or len = −1 ("rest of key") when variable-width AND
+    * last; a variable-width component that is not last ends the walk
+    * (everything after it has unknowable offsets). */
+  def keyedPrefixDimFromMetadata(spark: SparkSession,
+      parsed: MetadataV14.ParsedMetadata): DataFrame = {
+    import spark.implicits._
+    val rows = parsed.storageKeys.toSeq.flatMap {
+      case ((pallet, entry), comps) =>
+        val p = Codec.bytesToHex(
+          Codec.twox128(pallet.getBytes("UTF-8")) ++
+            Codec.twox128(entry.getBytes("UTF-8")), prefix = false)
+        var off = 67
+        var halted = false
+        comps.zipWithIndex.flatMap { case ((hasher, kt), idx) =>
+          if (halted || !hashChars.contains(hasher)) { halted = true; Nil }
+          else {
+            val hc = hashChars(hasher)
+            val w = MetaDecode.fixedWidth(kt)
+            val recoverable = concatFamily(hasher)
+            val isLast = idx == comps.size - 1
+            val out =
+              if (!recoverable) Nil
+              else w match {
+                case Some(bytes) =>
+                  Seq((p, pallet, entry, idx, hasher, off + hc, 2 * bytes))
+                case None if isLast =>
+                  Seq((p, pallet, entry, idx, hasher, off + hc, -1))
+                case None => halted = true; Nil
+              }
+            off += hc + (if (recoverable) w.map(_ * 2).getOrElse(0) else 0)
+            out
+          }
+        }
+    }
+    rows.toDF("prefix", "section", "storage", "component_idx", "hasher",
+      "off_chars", "len_chars")
+  }
+
+  /** Metadata-driven storage-key component extraction: one OUTPUT row
+    * per (trace key, recoverable component), raw keys sliced at the
+    * dim-precomputed offsets — pure codegen'd substring arithmetic
+    * after a broadcast join, like [[extractKeyComponents]] but
+    * multi-key and derived from the blob instead of hand entries. */
+  def extractKeyComponentsMeta(traces: DataFrame,
+      dim: DataFrame): DataFrame =
+    traces
+      .withColumn("prefix",
+        lower(regexp_replace(substring(col("k"), 1, 66), "^0x", "")))
+      .join(broadcast(dim), Seq("prefix"))
+      .withColumn("raw_key",
+        when(col("len_chars") >= 0,
+          expr("substring(k, off_chars, len_chars)"))
+          .otherwise(expr("substring(k, off_chars)")))
+
   /** Recover the raw map key from concat-hashed storage keys: match the
     * 32-byte prefix pair against the broadcast dimension, then slice
     * the raw key at its hasher-determined offset. Pure codegen'd

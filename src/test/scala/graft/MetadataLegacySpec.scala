@@ -123,6 +123,24 @@ class MetadataLegacySpec extends AnyFunSuite {
     assert(sys.calls(1).fields == Seq("remark" -> Bytes))
   }
 
+  test("storage-key layouts: version-correct hasher tables") {
+    // v12 mapEntry writes hasher byte 5 → twox64concat on the v11+
+    // table
+    assert(parsed.storageKeys(("balances", "Account")) ==
+      Seq(("twox64concat", AccountId)))
+    // the SAME byte means different hashers pre-v10: v9's table has
+    // twox64concat at 4 (and no Blake2_128Concat at all)
+    val v9blob = blobPre12(9, moduleNoIndex("Staking",
+      storage = Some("Staking" -> Seq(
+        b(str("Bonded"), u8(0), u8(1) /* Map */, u8(4) /* v9 tag 4 */,
+          str("T::AccountId"), str("T::AccountId"), u8(0),
+          bytesOf(0), vecOf()))),
+      calls = None, events = None))
+    val p9 = MetadataV14.parseAll(v9blob)
+    assert(p9.storageKeys(("staking", "Bonded")) ==
+      Seq(("twox64concat", AccountId)))
+  }
+
   test("pallet constants decode from the legacy blob") {
     // BlockHashCount: T::BlockNumber (u32) with value bytes 01 02 03 04
     // = 0x04030201 LE — the api.consts face, straight off the metadata

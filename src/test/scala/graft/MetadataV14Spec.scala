@@ -236,6 +236,16 @@ class MetadataV14Spec extends AnyFunSuite {
     assert(node.args.contains(""""maxWeight":42"""))
   }
 
+  test("storage-key layouts surface from the blob (hashers + key types)") {
+    // Proxies: Map { hashers = [2 = blake2_128concat], key = type 3
+    // (AccountId32), value = type 8 }
+    val parsed = MetadataV14.parseAll(blob)
+    assert(parsed.storageKeys(("proxy", "Proxies")) ==
+      Seq(("blake2_128concat", AccountId)))
+    // Plain entries carry no key layout
+    assert(!parsed.storageKeys.contains(("proxy", "Announcements")))
+  }
+
   test("pallet constants decode to JSON (the api.consts face)") {
     // ProxyDepositBase: type 2 = u128, value = sixteen 0x07 bytes LE
     val parsed = MetadataV14.parseAll(blob)

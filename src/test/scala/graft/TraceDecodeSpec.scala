@@ -89,6 +89,49 @@ class TraceDecodeSpec extends AnyFunSuite {
       (null, null, null)))
   }
 
+  test("metadata-driven key dim: multi-key offsets, one-way, rest-of-key") {
+    import graft.decode.MetadataV14.ParsedMetadata
+    import graft.decode.MetaDecode._
+    val parsed = ParsedMetadata(Seq.empty, Map.empty, Map.empty, Map(
+      ("system", "Account") ->
+        Seq(("blake2_128concat", AccountId)),
+      // double map: twox64concat(u32) ‖ blake2_128concat(AccountId)
+      ("staking", "ErasStakers") ->
+        Seq(("twox64concat", U32), ("blake2_128concat", AccountId)),
+      // one-way hasher: nothing recoverable, entry emits no rows
+      ("session", "KeyOwner") ->
+        Seq(("blake2_128", FixedBytes(4))),
+      // variable-width identity key in last position → rest-of-key
+      ("system", "EventTopics") ->
+        Seq(("identity", Bytes))))
+    val dim = TraceDecode.keyedPrefixDimFromMetadata(spark, parsed)
+
+    def pfx(sec: String, sto: String) = Codec.bytesToHex(
+      Codec.twox128(sec.getBytes) ++ Codec.twox128(sto.getBytes),
+      prefix = false)
+    val acct = Array.tabulate(32)(i => (i + 9).toByte)
+    val eraLe = Array[Byte](0x2a, 0, 0, 0) // era 42, u32 LE
+    val stakersKey = "0x" + pfx("staking", "ErasStakers") +
+      Codec.bytesToHex(Codec.twox64(eraLe), prefix = false) +
+      Codec.bytesToHex(eraLe, prefix = false) +
+      Codec.bytesToHex(Codec.blake2b(acct, 16), prefix = false) +
+      Codec.bytesToHex(acct, prefix = false)
+    val topicsKey = "0x" + pfx("system", "EventTopics") + "deadbeef0102"
+    val ownerKey = "0x" + pfx("session", "KeyOwner") + "00112233"
+
+    val out = TraceDecode.extractKeyComponentsMeta(
+        Seq(stakersKey, topicsKey, ownerKey).toDF("k"), dim)
+      .select("section", "storage", "component_idx", "raw_key")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      ("staking", "ErasStakers", 0, "2a000000"),
+      ("staking", "ErasStakers", 1,
+        Codec.bytesToHex(acct, prefix = false)),
+      ("system", "EventTopics", 0, "deadbeef0102")))
+    // KeyOwner's one-way hash correctly yields nothing
+  }
+
   test("as-of spec-version selection per block") {
     val specs = Seq((0L, 100), (1000L, 101), (5000L, 102))
       .toDF("block_number", "spec_version")
