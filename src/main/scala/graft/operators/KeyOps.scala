@@ -325,8 +325,63 @@ object KeyOps {
       |  AS key_num
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin
 
+  // K8 — METADATA-DERIVED key extraction under the oracle: the same
+  // positional slicing as k7, but the dimension (components, hashers,
+  // absolute offsets) comes from a ParsedMetadata.storageKeys layout
+  // through TraceDecode.keyedPrefixDimFromMetadata — including a
+  // DOUBLE map (one-way-advance + two recoverable components) and a
+  // variable-width identity key sliced as rest-of-key. The DuckDB
+  // twin recomputes each component row arithmetically, so a wrong
+  // offset walk (hash widths, concat advance, rest-of-key) is a hash
+  // mismatch, not just a spec failure.
+  private def k8(s: SparkSession, d: String): DataFrame = {
+    import graft.decode.MetaDecode._
+    val parsed = graft.decode.MetadataV14.ParsedMetadata(
+      Seq.empty, Map.empty, Map.empty, Map(
+        ("staking", "ErasStakers") ->
+          Seq(("twox64concat", U32), ("blake2_128concat", AccountId)),
+        ("system", "EventTopics") -> Seq(("identity", Bytes))))
+    val dim = graft.decode.TraceDecode.keyedPrefixDimFromMetadata(s, parsed)
+    val pS = k7Pfx("staking", "ErasStakers")
+    val pT = k7Pfx("system", "EventTopics")
+    val keys = Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("k",
+        when(col("event_id") % 2 === 0,
+          concat(lit("0x" + pS),
+            lit("cd" * 8), // filler twox64 — extraction is positional
+            format_string("%02x000000", col("event_id") % 256),
+            lit("ab" * 16), // filler blake2-128
+            repeat(format_string("%02x", col("user_id") % 256), 32)))
+          .otherwise(
+            concat(lit("0x" + pT), format_string("%08x", col("event_id")))))
+    graft.decode.TraceDecode.extractKeyComponentsMeta(keys, dim)
+      .select(col("event_id"), col("section"), col("storage"),
+        col("component_idx"), col("hasher"), col("raw_key"))
+      .orderBy(col("event_id"), col("component_idx"))
+  }
+
+  private val k8Sql =
+    """SELECT event_id, section, storage, component_idx, hasher, raw_key
+      |FROM (
+      | SELECT event_id, 'staking' AS section, 'ErasStakers' AS storage,
+      |  0 AS component_idx, 'twox64concat' AS hasher,
+      |  printf('%02x000000', event_id % 256) AS raw_key
+      | FROM events WHERE event_id < 2000 AND event_id % 2 = 0
+      | UNION ALL
+      | SELECT event_id, 'staking', 'ErasStakers', 1,
+      |  'blake2_128concat', repeat(printf('%02x', user_id % 256), 32)
+      | FROM events WHERE event_id < 2000 AND event_id % 2 = 0
+      | UNION ALL
+      | SELECT event_id, 'system', 'EventTopics', 0, 'identity',
+      |  printf('%08x', event_id)
+      | FROM events WHERE event_id < 2000 AND event_id % 2 = 1)
+      |ORDER BY event_id, component_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k7_storage_key_extract" -> (k7 _),
+    "k8_metadata_key_extract" -> (k8 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -337,6 +392,7 @@ object KeyOps {
 
   val oracles: Map[String, String] = Map(
     "k7_storage_key_extract" -> k7Sql,
+    "k8_metadata_key_extract" -> k8Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,
