@@ -95,39 +95,67 @@ object DedupOps {
 
   private val d2Sql = sqlJaccardQuery(wordTokensCte, WordSetThreshold)
 
-  // D3 — MinHash + LSH near-dup candidates (no DuckDB oracle: hash
-  // family is engine-specific → driver rows-only check).
+  // D3 — MinHash + LSH near-dup candidates.
   //
-  // 32 permutations h_i(w) = (a_i * xxhash64(w) + b_i) via odd multipliers
-  // (bijective mod 2^64); signature = column-wise min; 8 bands × 4 rows;
-  // candidates = docs sharing a band bucket; verified with exact word-set
-  // Jaccard ≥ 0.5. This is the scale path for d2: candidate generation is
-  // an equi-join on (band, bucket-hash), never a cross join.
+  // Round 9 made the whole band layout CROSS-ENGINE DETERMINISTIC so the
+  // query graduates from rows-only to the full DuckDB hash gate: the
+  // token hash is the first 32 bits of md5(w) (both engines agree on the
+  // hex digest byte-for-byte — the d1 precedent), the 32 permutations
+  // are universal hashes h_i(t) = (a_i·t + b_i) mod P over the Mersenne
+  // prime P = 2^31−1 (t < 2^32 and a_i < 2^31 keep every product inside
+  // a signed 64-bit lane, which matters because DuckDB's BIGINT
+  // arithmetic is overflow-CHECKED, not wrapping), and the band bucket
+  // key is the signature 4-tuple ITSELF instead of a second
+  // engine-specific hash. The (a_i, b_i) constants come from one fixed
+  // LCG that also generates the oracle SQL's literals (the j20 pattern),
+  // so the two engines cannot drift. Signature = column-wise min;
+  // 8 bands × 4 rows; candidates = docs sharing a band bucket; verified
+  // with exact word-set Jaccard ≥ 0.5. This is the scale path for d2:
+  // candidate generation is an equi-join on the (band, sig-tuple) key,
+  // never a cross join.
   private val NPerm = 32
   private val Bands = 8
   private val RowsPerBand = NPerm / Bands
+  private val MinhashP = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  /** (a_i, b_i) universal-hash constants from a fixed LCG — the single
+    * source for BOTH the Spark plan's literals and the generated oracle
+    * SQL, so the hash family cannot drift between engines. */
+  private val MinhashParams: IndexedSeq[(Long, Long)] = {
+    var x = 0x5DEECE66DL
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x >>> 33 // 31 bits → every value < P + 1
+    }
+    (0 until NPerm).map { _ =>
+      ((next() % (MinhashP - 1)) + 1, next() % MinhashP)
+    }
+  }
+
+  /** 32-bit token hash both engines can recompute: hex window of the
+    * md5 digest parsed as an integer (1-based `off`, 8 hex chars). */
+  private def h32(c: Column, off: Int): Column =
+    conv(substring(md5(c), off, 8), 16, 10).cast("long")
+
+  private val bandKey = Seq("band", "s0", "s1", "s2", "s3")
 
   private def d3(s: SparkSession, d: String): DataFrame = {
-    val t = docTokens(s, d, 2000)
-      .withColumn("h", xxhash64(col("w")))
-    // column-wise min over bijective affine transforms of the token hash
-    val sigCols = (0 until NPerm).map { i =>
-      val a = 2 * i + 1 // odd → bijective mod 2^64
-      val b = 0x9e3779b97f4a7c15L + i
-      min(col("h") * lit(a.toLong) + lit(b)).as(s"m$i")
+    val t = docTokens(s, d, 2000).withColumn("h", h32(col("w"), 1))
+    // column-wise min over the universal-hash family
+    val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * lit(a) + lit(b)) % lit(MinhashP)).as(s"m$i")
     }
     val sigs = t.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // ONE pass over the signatures: explode an array of (band, bucket)
-    // structs — unioning per-band selects would re-run the whole
-    // signature aggregation once per band.
+    // ONE pass over the signatures: explode an array of
+    // (band, s0..s3) structs — unioning per-band selects would re-run
+    // the whole signature aggregation once per band.
     val bandStructs = array((0 until Bands).map { bi =>
-      val cols = (0 until RowsPerBand)
-        .map(ri => col(s"m${bi * RowsPerBand + ri}"))
-      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bucket"))
+      struct(lit(bi).as("band") +: (0 until RowsPerBand).map(ri =>
+        col(s"m${bi * RowsPerBand + ri}").as(s"s$ri")): _*)
     }: _*)
     val bandRows = sigs
       .select(col("doc_id"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id") +: bandKey.map(k => col(s"bb.$k")): _*)
     // Hot-bucket handling: a bucket shared by k docs yields k²/2
     // candidate pairs. Small buckets emit all pairs; HOT buckets
     // (k > 50 — giant duplicate clusters, exactly what dedup exists to
@@ -136,14 +164,14 @@ object DedupOps {
     // (d5) recover the identical clusters. Dropping hot buckets
     // outright (round-1 behavior) silently lost the biggest clusters —
     // cluster recall collapsed to 8% on the fixture's 254-doc cliques.
-    val sized = bandRows.groupBy(col("band"), col("bucket"))
+    val sized = bandRows.groupBy(bandKey.map(col): _*)
       .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
       .filter(col("bsz") >= 2)
-    val withSize = bandRows.join(sized, Seq("band", "bucket"))
+    val withSize = bandRows.join(sized, bandKey)
     val small = withSize.filter(col("bsz") <= 50)
-    val a = small.select(col("band"), col("bucket"), col("doc_id").as("da"))
-    val b = small.select(col("band"), col("bucket"), col("doc_id").as("db"))
-    val smallPairs = a.join(b, Seq("band", "bucket"))
+    val a = small.select(bandKey.map(col) :+ col("doc_id").as("da"): _*)
+    val b = small.select(bandKey.map(col) :+ col("doc_id").as("db"): _*)
+    val smallPairs = a.join(b, bandKey)
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"))
     val starPairs = withSize
@@ -171,32 +199,119 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
-  // D4 — SimHash near-dup pairs (no oracle: engine-specific hashes).
-  // 64-bit signature: bit j set iff Σ_tokens (bit_j(h) ? +1 : −1) > 0;
-  // near-dups = pairs within the same source at Hamming distance ≤ 3.
+  // D4 — SimHash near-dup pairs. 64-bit signature: bit j set iff
+  // Σ_tokens (bit_j(h) ? +1 : −1) > 0; near-dups = pairs within the same
+  // source at Hamming distance ≤ 3. Round 9: the token hash is the two
+  // 32-bit halves of md5(w) and the signature is carried as two 32-bit
+  // words (lo, hi) — both engines keep every value positive inside a
+  // signed 64-bit lane, so the FULL signature and the Hamming pairs are
+  // reproduced bit-for-bit by the DuckDB oracle (rows-only no more).
   private def d4(s: SparkSession, d: String): DataFrame = {
-    val t = docTokens(s, d, 2000).withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
-    }
+    val t = docTokens(s, d, 2000)
+      .withColumn("h1", h32(col("w"), 1))
+      .withColumn("h2", h32(col("w"), 9))
+    val bitSums =
+      (0 until 32).map { j =>
+        sum(when(expr(s"(h1 >> $j) & 1") === 1, 1).otherwise(-1)).as(s"a$j")
+      } ++ (0 until 32).map { j =>
+        sum(when(expr(s"(h2 >> $j) & 1") === 1, 1).otherwise(-1)).as(s"b$j")
+      }
     val agg = t.groupBy(col("doc_id"), col("source"))
       .agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, expr(s"CAST(1 AS BIGINT) << $j"))
-        .otherwise(lit(0L))
+    def word(p: String): Column = (0 until 32).map { j =>
+      when(col(s"$p$j") > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     val sh = agg.select(col("doc_id"), col("source"),
-      simhash.as("simhash"))
+      word("a").as("lo"), word("b").as("hi"))
     val a = sh.select(col("source"), col("doc_id").as("da"),
-      col("simhash").as("ha"))
+      col("lo").as("loa"), col("hi").as("hia"))
     val b = sh.select(col("source"), col("doc_id").as("db"),
-      col("simhash").as("hb"))
+      col("lo").as("lob"), col("hi").as("hib"))
     a.join(b, Seq("source")).filter(col("da") < col("db"))
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .withColumn("hamming",
+        (bit_count(col("loa").bitwiseXOR(col("lob"))) +
+          bit_count(col("hia").bitwiseXOR(col("hib")))).cast("int"))
       .filter(col("hamming") <= 3)
       .select(col("da"), col("db"), col("hamming"))
       .orderBy(col("da"), col("db"))
   }
+
+  /** Token CTE shared by the d3/d4 oracles: distinct words per doc with
+    * the md5-derived 32-bit hash halves (h = first half, h2 = second). */
+  private def hashedTokensCte: String =
+    """th AS (
+      |  SELECT doc_id, source, w,
+      |    CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h,
+      |    CAST('0x' || substr(md5(w), 9, 8) AS BIGINT) AS h2
+      |  FROM (SELECT doc_id, source, unnest(list_distinct(
+      |    string_split_regex(trim(text), '\s+'))) AS w
+      |   FROM documents WHERE doc_id < 2000))""".stripMargin
+
+  /** Oracle twin of [[d3]]: the SAME LCG constants render into SQL, the
+    * band layout is replayed tuple-for-tuple (incl. the hot-bucket star
+    * degrade), and candidates verify with exact Jaccard ≥ 0.5. */
+  private def d3Sql: String = {
+    val sigExprs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $MinhashP) AS m$i"
+    }.mkString(",\n   ")
+    val bandSelects = (0 until Bands).map { bi =>
+      val ms = (0 until RowsPerBand).zipWithIndex.map { case (ri, _) =>
+        s"m${bi * RowsPerBand + ri} AS s$ri"
+      }.mkString(", ")
+      s"SELECT doc_id, $bi AS band, $ms FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $hashedTokensCte,
+       |sig AS (SELECT doc_id,
+       |   $sigExprs
+       |  FROM th GROUP BY 1),
+       |bands AS (
+       |  $bandSelects),
+       |sized AS (SELECT band, s0, s1, s2, s3, count(*) AS bsz,
+       |   min(doc_id) AS bmin
+       |  FROM bands GROUP BY 1, 2, 3, 4, 5 HAVING count(*) >= 2),
+       |wb AS (SELECT b.doc_id, b.band, b.s0, b.s1, b.s2, b.s3,
+       |   s.bsz, s.bmin
+       |  FROM bands b JOIN sized s USING (band, s0, s1, s2, s3)),
+       |cand AS (
+       |  SELECT DISTINCT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db
+       |    FROM wb a JOIN wb b USING (band, s0, s1, s2, s3)
+       |    WHERE a.bsz <= 50 AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT bmin AS da, doc_id AS db FROM wb
+       |    WHERE bsz > 50 AND doc_id <> bmin)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM th GROUP BY 1),
+       |inter AS (SELECT c.da, c.db, count(*) AS inter
+       |  FROM cand c JOIN th a ON a.doc_id = c.da
+       |  JOIN th b ON b.doc_id = c.db AND b.w = a.w
+       |  GROUP BY 1, 2)
+       |SELECT i.da, i.db,
+       | round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.da
+       |JOIN sizes sb ON sb.doc_id = i.db
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5
+       |ORDER BY da, db""".stripMargin
+  }
+
+  /** Oracle twin of [[d4]]: per-bit votes via a lateral `range(0, 32)`,
+    * signature halves rebuilt with exact powers of two, Hamming over
+    * `bit_count(xor(...))` on each half. */
+  private def d4Sql: String =
+    s"""WITH $hashedTokensCte,
+       |bits AS (SELECT doc_id, source, j,
+       |   sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+       |   sum(CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v2
+       |  FROM th, unnest(range(0, 32)) AS r(j) GROUP BY 1, 2, 3),
+       |sh AS (SELECT doc_id, source,
+       |   CAST(sum(CASE WHEN v1 > 0 THEN power(2, j) ELSE 0 END) AS BIGINT) AS lo,
+       |   CAST(sum(CASE WHEN v2 > 0 THEN power(2, j) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY 1, 2)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       | CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |ORDER BY da, db""".stripMargin
 
   // D7 — w-shingling: 3-word-shingle Jaccard (the n-gram variant of
   // d2's word-set similarity — shingles preserve local word ORDER, so
@@ -612,6 +727,8 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_jaccard_pairs" -> d2Sql,
+    "d3_minhash_lsh" -> d3Sql,
+    "d4_simhash" -> d4Sql,
     "d5_dup_clusters" -> d5Sql,
     "d6_dedup_keep" -> d6Sql,
     "d7_shingle_jaccard" -> d7Sql,
