@@ -58,7 +58,6 @@ object SparkEntry {
     * suite unless it is consciously registered here. */
   val rowsOnly: Set[String] = Set(
     "a16b_approx_distinct", // HLL sketch — engine-specific binary
-    "v8_hyperplane_lsh",    // SRP signature layout — engine-specific hashes
     "x8_approx_quantiles",  // KLL/GK sketch — engine-specific
     "x12_bpe_merges",       // iterative argmax loop — not SQL-expressible;
                             // TextPropertySpec pins it to a sequential

@@ -477,15 +477,30 @@ object VectorOps {
   // signature is one map-side pass, and the only shuffle is the bucket
   // equi-join — candidate volume is Σ|bucket|² over REAL buckets, never
   // N².
+  /** Deterministic Rademacher (±1) hyperplanes from one fixed LCG in
+    * row-major order — a valid signed-random-projection family (entries
+    * mean-zero symmetric), chosen over Gaussian planes in round 9 so the
+    * DuckDB oracle can render the SAME plane literals and replay every
+    * signature bit: with ±1 entries the projection is the identical
+    * index-ordered float64 fold both engines already agree on for
+    * `dot_product`/`list_dot_product` (the v1/v4/v5 hash-gate precedent). */
+  private[graft] def srpPlanes(nPlanes: Int,
+      dim: Int): IndexedSeq[IndexedSeq[Double]] = {
+    var x = 0x106689D45497242DL
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x >>> 33
+    }
+    IndexedSeq.fill(nPlanes)(IndexedSeq.fill(dim)(
+      if ((next() & 1L) == 1L) 1.0 else -1.0))
+  }
+
   def hyperplaneLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
       dim: Int, nPlanes: Int = 16, bandBits: Int = 4,
       threshold: Double = 0.45): DataFrame = {
     require(nPlanes % bandBits == 0, "bands must tile the signature")
     val nBands = nPlanes / bandBits
-    // fixed seed: signatures are deterministic across runs/retries
-    val rnd = new scala.util.Random(20240812L)
-    val planes: Seq[Seq[Double]] =
-      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planes: Seq[Seq[Double]] = srpPlanes(nPlanes, dim)
     val sigd = vectors
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         expr(s"dot_product($vecCol, $vecCol)").as("nrm"))
@@ -520,15 +535,46 @@ object VectorOps {
       .filter(col("sim") >= threshold)
   }
 
-  // Rows-only by design: the signature depends on the engine-side
-  // Gaussian hyperplanes (no DuckDB twin); precision/recall are pinned
-  // by HyperplaneLshSpec against exact ground truth instead.
   private def v8(s: SparkSession, d: String): DataFrame =
     hyperplaneLshPairs(
       Tables.embeddings(s, d)
         .repartition(s.sparkContext.defaultParallelism),
       "vec_id", "embedding", dim = 64)
       .orderBy(col("va"), col("vb"))
+
+  /** Oracle twin of [[v8]]: the SAME ±1 planes render as literals, each
+    * signature bit is `list_dot_product(plane, v) >= 0`, band buckets
+    * rebuild with the identical MSB-first arithmetic, and survivors
+    * verify with the shared exact-cosine form. Graduated from rows-only
+    * in round 9. */
+  private def v8Sql: String = {
+    val planes = srpPlanes(16, 64)
+    val sigExprs = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(x => if (x > 0) "1" else "-1")
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product(CAST($arr AS DOUBLE[]), " +
+        s"CAST(embedding AS DOUBLE[])) >= 0 THEN 1 ELSE 0 END AS g$i"
+    }.mkString(",\n   ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT vec_id, $b AS band, g${4 * b} * 8 + g${4 * b + 1} * 4 + " +
+        s"g${4 * b + 2} * 2 + g${4 * b + 3} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS (SELECT vec_id,
+       |   $sigExprs
+       |  FROM embeddings),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM bands a JOIN bands b ON a.band = b.band
+       |   AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT va, vb,
+       | round(${sqlCosine("x.embedding", "y.embedding")}, 6) AS sim
+       |FROM cand JOIN embeddings x ON x.vec_id = va
+       |JOIN embeddings y ON y.vec_id = vb
+       |WHERE round(${sqlCosine("x.embedding", "y.embedding")}, 6) >= 0.45
+       |ORDER BY va, vb""".stripMargin
+  }
 
   // V9 — semantic dedup END-TO-END at the embedding level: IVF-blocked
   // near-dup pairs (v5) → distributed connected components → per-cluster
@@ -941,6 +987,7 @@ object VectorOps {
     "v5_ivf_blocked_neardup" -> v5Sql,
     "v6_ivf_multiprobe" -> v6Sql,
     "v7_ivf_topk" -> v7Sql,
+    "v8_hyperplane_lsh" -> v8Sql,
     "v9_embedding_clusters" -> v9Sql,
   )
 }
