@@ -669,6 +669,86 @@ object DedupOps {
        |FROM ch JOIN freq USING (chunk)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  // D9 — duplicated-SUBSTRING spans (the word-level shape of exact
+  // substring dedup à la "Deduplicating Training Data Makes Language
+  // Models Better": whole-doc dedup misses a paragraph pasted into 50
+  // otherwise-distinct pages). A position is duplicated iff its N-word
+  // gram occurs ≥ 2 times anywhere in the corpus (other doc OR other
+  // offset); overlapping/adjacent covered intervals [pos, pos+N−1]
+  // merge into maximal spans via gaps-and-islands. Output = per-doc
+  // span list with gram counts — the byte ranges a pipeline would cut.
+  //
+  // Scale shape: ONE gram-keyed shuffle for the frequency table
+  // (map-side combine; at 100 TB the key would be xxhash64(gram) to
+  // shuffle 8 bytes — kept as text for cross-engine oracle parity, the
+  // plan is the same single shuffle either way), one equi-join back,
+  // and a per-doc window bounded by document length — never global.
+  private val SpanGramWords = 8
+
+  /** Duplicated-substring spans of any (doc_id, text) frame — see d9.
+    * Exposed so the span-merge semantics are golden-testable on
+    * synthetic docs independent of the fixture tables. */
+  def dupSpans(docs: DataFrame, n: Int): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> " +
+          s"struct(i AS pos, concat_ws(' ', slice(t, i + 1, $n)) " +
+          "AS gram))")).as("pg"))
+      // pos rides as LONG so min/max agree with DuckDB's BIGINT range()
+      .select(col("doc_id"), col("pg.pos").cast("long").as("pos"),
+        col("pg.gram").as("gram"))
+    val dupGrams = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > 1)
+      .select(col("gram"))
+    val dup = g.join(dupGrams, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      .withColumn("lp", lag(col("pos"), 1, 0L).over(byDoc))
+      .withColumn("brk",
+        when(col("pos") - col("lp") > n, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private def d9(s: SparkSession, d: String): DataFrame =
+    dupSpans(
+      spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+        .select(col("doc_id"), col("text")),
+      SpanGramWords)
+
+  private def d9Sql: String = {
+    val n = SpanGramWords
+    s"""WITH tk AS (SELECT doc_id,
+       |   string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id < 2000),
+       |g AS (SELECT doc_id, i AS pos,
+       |   array_to_string(t[(i+1):(i+$n)], ' ') AS gram
+       |  FROM tk, unnest(range(0, len(t) - $n + 1)) AS r(i)),
+       |f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+       |d AS (SELECT doc_id, pos FROM g JOIN f USING (gram)),
+       |isl AS (SELECT doc_id, pos,
+       |   sum(CASE WHEN pos - lp > $n THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |    lag(pos, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+       |   FROM d))
+       |SELECT doc_id, min(pos) AS span_start,
+       | max(pos) + $n - 1 AS span_end,
+       | count(*) AS n_dup_grams
+       |FROM isl GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // C1 — benchmark decontamination: the eval-set n-gram overlap check a
   // training pipeline runs before a corpus ships. The "benchmark" side is
   // the deterministic doc_id % 100 == 0 slice; a training doc is
@@ -721,6 +801,7 @@ object DedupOps {
     "d6_dedup_keep" -> (d6 _),
     "d7_shingle_jaccard" -> (d7 _),
     "d8_chunk_dedup" -> (d8 _),
+    "d9_dup_spans" -> (d9 _),
     "c1_decontam" -> (c1 _),
   )
 
@@ -733,6 +814,7 @@ object DedupOps {
     "d6_dedup_keep" -> d6Sql,
     "d7_shingle_jaccard" -> d7Sql,
     "d8_chunk_dedup" -> d8Sql,
+    "d9_dup_spans" -> d9Sql,
     "c1_decontam" -> c1Sql,
   )
 }
