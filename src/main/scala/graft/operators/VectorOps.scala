@@ -613,6 +613,50 @@ object VectorOps {
        | max(node) AS max_vec
        |FROM labels GROUP BY 1 ORDER BY cluster_id""".stripMargin
 
+  // V14 — SemDeDup-style KEEP-LIST: the final artifact of semantic
+  // dedup (Abbas et al. 2023 shape) — v9 reports the clusters, v14
+  // ships the corpus that survives them: every non-canonical member of
+  // a near-dup component (keep the min-vec_id representative) is
+  // dropped, summarized per class label. The vector-space twin of d6's
+  // document keep-list: IVF blocking bounds candidates, components
+  // assign clusters, one anti-join filters — at 100 TB the anti-join
+  // is the only full-corpus shuffle and the dropped set is the small
+  // side.
+  private def v14(s: SparkSession, d: String): DataFrame = {
+    val pairs = ivfCellPairs(s, d, probes = 1)
+      .select(col("va"), col("vb"))
+    val dropped = DedupOps.connectedComponents(pairs, "va", "vb")
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"))
+    Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("label"))
+  }
+
+  private val v14Sql =
+    s"""WITH RECURSIVE ${sqlAssignedCte(1)},
+       |pairs AS (
+       | SELECT a.vec_id AS va, b.vec_id AS vb
+       | FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       | WHERE round(${sqlCosine("a.embedding", "b.embedding")}, 6) >= 0.45),
+       |edges AS (
+       | SELECT va AS a, vb AS b FROM pairs
+       | UNION SELECT vb, va FROM pairs),
+       |reach AS (
+       | SELECT a, b FROM edges
+       | UNION
+       | SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |clab AS (
+       | SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+       |SELECT e.label, count(*) AS n_kept
+       |FROM embeddings e
+       |WHERE e.vec_id < 2000 AND e.vec_id NOT IN (
+       |  SELECT node FROM clab WHERE node <> label)
+       |GROUP BY 1 ORDER BY label""".stripMargin
+
   // V10 — product quantization + ADC search: the MEMORY-bounded ANN
   // tier (IVF bounds compute; PQ bounds storage — a 64-dim float
   // vector is 256 B, its PQ code is 4 B, a 16× index shrink even at
@@ -975,6 +1019,7 @@ object VectorOps {
     "v7_ivf_topk" -> (v7 _),
     "v8_hyperplane_lsh" -> (v8 _),
     "v9_embedding_clusters" -> (v9 _),
+    "v14_semdedup_keep" -> (v14 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -989,5 +1034,6 @@ object VectorOps {
     "v7_ivf_topk" -> v7Sql,
     "v8_hyperplane_lsh" -> v8Sql,
     "v9_embedding_clusters" -> v9Sql,
+    "v14_semdedup_keep" -> v14Sql,
   )
 }
