@@ -867,7 +867,70 @@ object TextOps {
        | round(CAST(sum_nll AS DOUBLE) / n_bigrams, 6) AS avg_nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // X17 — corpus DRIFT monitor: total-variation distance between each
+  // source's token distribution and the corpus-wide distribution —
+  // the "did this crawl snapshot shift under me" check a pipeline runs
+  // per ingest. TV is chosen over KL deliberately: it needs NO
+  // logarithms, so the whole statistic reduces to integer arithmetic
+  // (exact at any parallelism, one final division) — TV_s =
+  // (Σ_{w∈s}(|c_sw·T − c_w·T_s| − c_w·T_s) + T·T_s) / (2·T_s·T), where
+  // the closed-form remainder folds in every corpus token the source
+  // never uses (Σ_w c_w = T), so only source-present tokens ever join.
+  // Scale shape: one map-side-combined (source, token) count shuffle,
+  // corpus counts re-aggregated FROM those partials (the token never
+  // shuffles twice), a token-keyed join, and a per-source rollup;
+  // totals ride as broadcast 1-row/|sources|-row frames. Products run
+  // in DECIMAL(38,0) — exact where BIGINT would overflow at 100 TB.
+  private def x17(s: SparkSession, d: String): DataFrame = {
+    val srcCnt = Tables.documents(s, d)
+      .select(col("source"), explode(toks).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val corpCnt = srcCnt.groupBy(col("w"))
+      .agg(sum(col("c_sw")).as("c_w"))
+    val totS = srcCnt.groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("t_s"))
+    val totAll = corpCnt.agg(sum(col("c_w")).as("t_all"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dev = abs(dec(col("c_sw")) * dec(col("t_all")) -
+      dec(col("c_w")) * dec(col("t_s")))
+    srcCnt.join(corpCnt, Seq("w"))
+      .join(broadcast(totS), Seq("source"))
+      .crossJoin(broadcast(totAll))
+      .groupBy(col("source"), col("t_s"), col("t_all"))
+      .agg(count(lit(1)).as("n_vocab"),
+        sum(dev - dec(col("c_w")) * dec(col("t_s"))).as("acc"))
+      .select(col("source"), col("t_s").as("n_tokens"), col("n_vocab"),
+        round((col("acc") + dec(col("t_s")) * dec(col("t_all")))
+          .cast("double") /
+          (lit(2L) * dec(col("t_s")) * dec(col("t_all"))).cast("double"),
+          6).as("tv_distance"))
+      .orderBy(col("source"))
+  }
+
+  private val x17Sql =
+    s"""WITH sc AS (
+       | SELECT source, w, CAST(count(*) AS BIGINT) AS c_sw
+       | FROM (SELECT source,
+       |   unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents)
+       | GROUP BY 1, 2),
+       |cc AS (SELECT w, ${sqlLsum("c_sw")} AS c_w FROM sc GROUP BY 1),
+       |ts AS (SELECT source, ${sqlLsum("c_sw")} AS t_s FROM sc GROUP BY 1),
+       |ta AS (SELECT ${sqlLsum("c_w")} AS t_all FROM cc)
+       |SELECT source, t_s AS n_tokens,
+       | CAST(count(*) AS BIGINT) AS n_vocab,
+       | round(CAST(sum(abs(CAST(c_sw AS HUGEINT) * t_all
+       |     - CAST(c_w AS HUGEINT) * t_s)
+       |    - CAST(c_w AS HUGEINT) * t_s)
+       |   + CAST(t_s AS HUGEINT) * t_all AS DOUBLE)
+       |  / CAST(2 * CAST(t_s AS HUGEINT) * t_all AS DOUBLE), 6)
+       |  AS tv_distance
+       |FROM sc JOIN cc USING (w) JOIN ts USING (source) CROSS JOIN ta
+       |GROUP BY source, t_s, t_all ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_source_drift" -> (x17 _),
     "x16_bigram_ppl" -> (x16 _),
     "x12_bpe_merges" -> (x12 _),
     "x13_bpe_encode" -> (x13 _),
@@ -900,5 +963,6 @@ object TextOps {
     "x14_tfidf_terms" -> x14Sql,
     "x15_bm25" -> x15Sql,
     "x16_bigram_ppl" -> x16Sql,
+    "x17_source_drift" -> x17Sql,
   )
 }
