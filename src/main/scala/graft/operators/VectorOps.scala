@@ -657,6 +657,74 @@ object VectorOps {
        |  SELECT node FROM clab WHERE node <> label)
        |GROUP BY 1 ORDER BY label""".stripMargin
 
+  // V15 — embedding OUTLIER pruning (the prototypicality filter next
+  // to v14's near-dup filter: SSL-prototype-style curation drops both
+  // redundant points AND points far from any mode): each vector's
+  // rounded cosine to its assigned IVF centroid feeds per-cell
+  // mean/std, and vectors below mean − 2σ flag as outliers. The
+  // moments accumulate in DECIMAL over the 6-dp-rounded sims (exact,
+  // summation-order-independent — the money-sum contract applied to
+  // similarities), and the finish (mean, σ, threshold) is one fixed
+  // sequence of float64 ops both engines run identically. Map-side
+  // assignment + one cell rollup + one broadcast-stats join back:
+  // nothing shuffles twice.
+  private def v15(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+    val cb = collectCodebook(emb, 8)
+    val assigned = assignCells(
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(s.sparkContext.defaultParallelism),
+      "embedding", cb, probes = 1)
+      .select(col("vec_id"), col("cell"), col("csim"))
+    val cs = col("csim").cast("decimal(20,6)")
+    val stats = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(cs).as("s1"), sum(cs * cs).as("s2"))
+    val mean = col("s1").cast("double") / col("n_vecs")
+    val msq = col("s2").cast("double") / col("n_vecs")
+    val thresh = mean - lit(2.0) * sqrt(greatest(msq - mean * mean,
+      lit(0.0)))
+    assigned.join(broadcast(stats), Seq("cell"))
+      .groupBy(col("cell"), col("n_vecs"), col("s1"), col("s2"))
+      .agg(
+        sum(when(col("csim") < thresh, 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(col("csim")).as("min_sim"))
+      .select(col("cell"), col("n_vecs"), col("n_outliers"),
+        round(mean, 6).as("mean_sim"), col("min_sim"))
+      .orderBy(col("cell"))
+  }
+
+  private val v15Sql = {
+    val mean = "CAST(st.s1 AS DOUBLE) / st.n_vecs"
+    val msq = "CAST(st.s2 AS DOUBLE) / st.n_vecs"
+    val thresh =
+      s"$mean - 2.0 * sqrt(greatest($msq - ($mean) * ($mean), 0.0))"
+    s"""WITH assigned AS (
+       | SELECT vec_id, cell, sim FROM (
+       |  SELECT e.vec_id, s.vec_id AS cell,
+       |   round(${sqlCosine("e.embedding", "s.embedding")}, 6) AS sim,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${sqlCosine("e.embedding", "s.embedding")}, 6) DESC,
+       |     s.vec_id) AS rn
+       |  FROM embeddings e CROSS JOIN embeddings s
+       |  WHERE e.vec_id < 2000 AND s.vec_id < 8)
+       | WHERE rn = 1),
+       |st AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  sum(CAST(sim AS DECIMAL(20,6))) AS s1,
+       |  sum(CAST(sim AS DECIMAL(20,6)) * CAST(sim AS DECIMAL(20,6)))
+       |   AS s2
+       | FROM assigned GROUP BY 1)
+       |SELECT a.cell, st.n_vecs,
+       | ${sqlLsum(s"CASE WHEN a.sim < $thresh THEN 1 ELSE 0 END")}
+       |  AS n_outliers,
+       | round($mean, 6) AS mean_sim,
+       | min(a.sim) AS min_sim
+       |FROM assigned a JOIN st USING (cell)
+       |GROUP BY a.cell, st.n_vecs, st.s1, st.s2
+       |ORDER BY cell""".stripMargin
+  }
+
   // V10 — product quantization + ADC search: the MEMORY-bounded ANN
   // tier (IVF bounds compute; PQ bounds storage — a 64-dim float
   // vector is 256 B, its PQ code is 4 B, a 16× index shrink even at
@@ -1020,6 +1088,7 @@ object VectorOps {
     "v8_hyperplane_lsh" -> (v8 _),
     "v9_embedding_clusters" -> (v9 _),
     "v14_semdedup_keep" -> (v14 _),
+    "v15_outlier_prune" -> (v15 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1035,5 +1104,6 @@ object VectorOps {
     "v8_hyperplane_lsh" -> v8Sql,
     "v9_embedding_clusters" -> v9Sql,
     "v14_semdedup_keep" -> v14Sql,
+    "v15_outlier_prune" -> v15Sql,
   )
 }
