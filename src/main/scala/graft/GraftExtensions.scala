@@ -44,5 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("compact_decode",
       "compact_decode(hex) - leading SCALE-compact value, null on bad input",
       exprs => CompactDecode(exprs.head)))
+    ext.injectFunction(fn("bottom_k_hv",
+      "bottom_k_hv(h, v, k) - deterministic bottom-k-by-hash sketch " +
+        "(array<struct<h,v>> ascending)",
+      graft.plans.SketchExpressions.build))
   }
 }

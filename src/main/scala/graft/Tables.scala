@@ -25,6 +25,7 @@ object Tables {
     * fixed-UTC date logic (ref docs/DEFINITIONS.md:23-26). */
   def configure(spark: SparkSession): SparkSession = {
     graft.plans.VectorExpressions.register(spark)
+    graft.plans.SketchExpressions.register(spark)
     val c = spark.conf
     c.set("spark.sql.session.timeZone", "UTC")
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -488,6 +488,45 @@ object Aggregates {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .orderBy(col("log_dt"))
 
+  // A16c — approximate distinct via the deterministic KMV sketch
+  // (plans/BottomKByHash): unlike a16b's HLL this scale path IS under
+  // the cross-engine hash gate — "k smallest distinct md5-derived
+  // hashes" is a pure set function of the input, so the estimate
+  // (k−1)·2³² / h_k is identical at any parallelism and DuckDB
+  // recomputes it with a rank window. Bounded O(k) state per group
+  // map-side, exactly the a16b shuffle shape.
+  private val KmvK = 256
+
+  private def a16c(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(dayKey(col("ts")).as("log_dt"))
+      .agg(expr(s"bottom_k_hv(h, CAST(0.0 AS DOUBLE), $KmvK)").as("sk"))
+      .select(col("log_dt"),
+        when(size(col("sk")) < KmvK, size(col("sk")).cast("double"))
+          .otherwise(round(
+            lit((KmvK - 1).toDouble * 4294967296.0) /
+              element_at(col("sk"), KmvK).getField("h"), 6))
+          .as("est_users"))
+      .orderBy(col("log_dt"))
+
+  private val a16cSql =
+    s"""WITH h AS (SELECT DISTINCT ${sqlDay(TS)} AS log_dt,
+       |  CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+       |   AS BIGINT) AS h
+       | FROM events),
+       |r AS (SELECT log_dt, h,
+       |  row_number() OVER (PARTITION BY log_dt ORDER BY h) AS rn,
+       |  count(*) OVER (PARTITION BY log_dt) AS n
+       | FROM h)
+       |SELECT log_dt,
+       | CASE WHEN max(n) < $KmvK THEN CAST(max(n) AS DOUBLE)
+       |  ELSE round(${KmvK - 1}.0 * 4294967296.0 /
+       |   max(CASE WHEN rn = $KmvK THEN h END), 6) END AS est_users
+       |FROM r GROUP BY log_dt ORDER BY log_dt""".stripMargin
+
   // A17 — salted aggregation under the oracle gate: the hot-key skew
   // mitigation (etl/Layout.saltedAgg — partial agg on (key, salt),
   // re-finish on key; ref polkaholic's bn % nmax shard split) run over
@@ -539,9 +578,11 @@ object Aggregates {
     "a15_audit_counts" -> (a15 _),
     "a16_distinct_daily" -> (a16 _),
     "a16b_approx_distinct" -> (a16b _),
+    "a16c_kmv_distinct" -> (a16c _),
   )
 
   val oracles: Map[String, String] = Map(
+    "a16c_kmv_distinct" -> a16cSql,
     "a17_salted_agg" -> a17Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,

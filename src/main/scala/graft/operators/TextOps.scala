@@ -929,7 +929,59 @@ object TextOps {
        |FROM sc JOIN cc USING (w) JOIN ts USING (source) CROSS JOIN ta
        |GROUP BY source, t_s, t_all ORDER BY source""".stripMargin
 
+  // X18 — approximate quantiles over the DETERMINISTIC min-hash sample
+  // (plans/BottomKByHash): the oracle-able twin of x8's sketch path.
+  // "k smallest md5(doc_id) hashes" is a uniform random-but-reproducible
+  // sample of docs — a pure set function of the input, identical at any
+  // parallelism — so rank-selection quantiles over the sample pass the
+  // cross-engine hash gate where approx_percentile's KLL cannot. Same
+  // bounded O(k)-state map-side shape as a16c; x7's engine-identical
+  // integer rank positions.
+  private val SampleK = 256
+
+  private def x18(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("v", size(toks).cast("double"))
+      .groupBy(col("source"))
+      .agg(expr(s"bottom_k_hv(h, v, $SampleK)").as("sk"))
+      .withColumn("vals", expr("array_sort(transform(sk, x -> x.v))"))
+      .withColumn("n", size(col("vals")))
+      .select(col("source"), col("n").cast("long").as("n_sample"),
+        ((element_at(col("vals"), expr("CAST((n + 1) div 2 AS INT)")) +
+          element_at(col("vals"), expr("CAST((n + 2) div 2 AS INT)"))) /
+          2.0).as("median_tokens"),
+        element_at(col("vals"), expr("CAST((9 * n + 9) div 10 AS INT)"))
+          .as("p90_tokens"))
+      .orderBy(col("source"))
+
+  private val x18Sql =
+    s"""WITH dv AS (SELECT source,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |   AS BIGINT) AS h,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS v
+       | FROM documents),
+       |sm AS (SELECT source, h, min(v) AS v FROM dv GROUP BY 1, 2),
+       |r AS (SELECT source, v,
+       |  row_number() OVER (PARTITION BY source ORDER BY h) AS hr
+       | FROM sm),
+       |samp AS (SELECT source, v FROM r WHERE hr <= $SampleK),
+       |rv AS (SELECT source, v,
+       |  row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+       |  count(*) OVER (PARTITION BY source) AS n
+       | FROM samp)
+       |SELECT source, CAST(max(n) AS BIGINT) AS n_sample,
+       | (sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+       |  + sum(CASE WHEN rn = (n + 2) // 2 THEN v ELSE 0 END)) / 2.0
+       |  AS median_tokens,
+       | sum(CASE WHEN rn = (9 * n + 9) // 10 THEN v ELSE 0 END)
+       |  AS p90_tokens
+       |FROM rv GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x18_sample_quantiles" -> (x18 _),
     "x17_source_drift" -> (x17 _),
     "x16_bigram_ppl" -> (x16 _),
     "x12_bpe_merges" -> (x12 _),
@@ -964,5 +1016,6 @@ object TextOps {
     "x15_bm25" -> x15Sql,
     "x16_bigram_ppl" -> x16Sql,
     "x17_source_drift" -> x17Sql,
+    "x18_sample_quantiles" -> x18Sql,
   )
 }

@@ -33,6 +33,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT dot_product(CAST(array(2.0, 3.0) AS ARRAY<FLOAT>),
           |                   CAST(array(4.0, 5.0) AS ARRAY<FLOAT>)) AS d"""
           .stripMargin).collect()(0).getDouble(0) == 23.0)
+      assert(s2.sql(
+        """SELECT bottom_k_hv(h, v, 2) AS sk FROM VALUES
+          | (CAST(9 AS BIGINT), 1.0), (CAST(2 AS BIGINT), 3.0),
+          | (CAST(7 AS BIGINT), 0.5) AS t(h, v)""".stripMargin)
+        .selectExpr("transform(sk, x -> x.h) AS hs")
+        .collect()(0).getSeq[Long](0) == Seq(2L, 7L))
       assert(s2.sessionState.planner.strategies
         .contains(graft.plans.AsOfStrategy),
         "as-of strategy not injected")
