@@ -581,8 +581,147 @@ object JoinOps {
        |GROUP BY m.msg_hash ORDER BY m.msg_hash""".stripMargin
   }
 
+  // J21 — the J4 multi-strategy destination WATERFALL under the oracle
+  // gate: until round 9 `XcmMatcher.searchDestination` (candidate-exact
+  // → events-exact → candidate-fuzzy → events-fuzzy → balance-delta
+  // probe, one priority window, each physical match consumed once) was
+  // evidenced only by XcmMatcherSpec goldens. This query synthesizes
+  // the four domain frames deterministically from the events table —
+  // amounts are integer-valued doubles derived from the join key so the
+  // exact tiers actually FIRE (amount_received = sent − fee on every
+  // third candidate; amount = sent on every fourth deposit) and the
+  // fuzzy tiers land in (0.5, 1) by construction — then runs the REAL
+  // production operator; the DuckDB twin recomputes all five tiers and
+  // both dedup windows.
+  private def j21(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def pk = col("user_id").cast("string")
+    def base = (col("user_id") % 97 + 10).cast("double")
+    def eid = format_string("%012d", col("event_id"))
+    // synthetic GRID times — one fixed hour per user plus an
+    // event-derived offset — so every tier's window logic is exercised
+    // deterministically (real event times almost never coincide within
+    // a 120 s window): candidate offsets % 200 s straddle the 120 s
+    // bound, deposit offsets % 300 s straddle 180 s, balance offsets
+    // span [−30, 210) s across the [−30, +180] probe.
+    def grid(offsetSec: org.apache.spark.sql.Column) = timestamp_micros(
+      (col("user_id") % 24) * 3600L * 1000000L + offsetSec * 1000000L)
+    val transfers = ev.filter(col("event_type") === "purchase")
+      .select(eid.as("extrinsic_id"),
+        (col("user_id") % 5).as("chain_id_dest"), pk.as("dest_pubkey"),
+        grid(lit(0L)).as("source_ts"), base.as("amount_sent"),
+        lit(1.0).as("xcm_teleport_fees"))
+    // users ≡ 0 (mod 7) get NO candidates or deposits, so their
+    // transfers fall through to the tier-5 balance probe
+    val candidates = ev.filter(col("event_type") === "signup" &&
+        col("user_id") % 7 =!= 0)
+      .select((col("user_id") % 5).as("chain_id_dest"),
+        pk.as("dest_pubkey"),
+        grid(col("event_id") % 200).as("dest_ts"),
+        when(col("user_id") % 11 === 0, 1).otherwise(0).as("reaped"),
+        when(col("event_id") % 3 === 0, base - 1.0)
+          .otherwise(base - 3.0).as("amount_received"),
+        eid.as("event_id"))
+    val deposits = ev.filter(col("event_type") === "click" &&
+        col("user_id") % 7 =!= 0)
+      .select((col("user_id") % 5).as("chain_id"), pk.as("addr_pubkey"),
+        grid(col("event_id") % 300).as("ts"),
+        when(col("event_id") % 4 === 0, base).otherwise(base - 2.0)
+          .as("amount"),
+        eid.as("event_id"))
+    val balances = ev.filter(col("event_type") === "view")
+      .select((col("user_id") % 5).as("chain_id"), pk.as("addr_pubkey"),
+        col("event_id").as("block_number"),
+        ((col("event_id") % 7).cast("double") * base).as("free"),
+        grid(col("event_id") % 240 - 30).as("block_ts"))
+    graft.etl.XcmMatcher
+      .searchDestination(transfers, candidates, deposits, balances)
+      .orderBy(col("extrinsic_id"))
+  }
+
+  private val j21Sql = {
+    val base = "CAST(user_id % 97 + 10 AS DOUBLE)"
+    def grid(off: String) =
+      s"make_timestamp((user_id % 24) * CAST(3600000000 AS BIGINT) + " +
+        s"($off) * CAST(1000000 AS BIGINT))"
+    s"""WITH t AS (SELECT printf('%012d', event_id) AS extrinsic_id,
+       |  user_id % 5 AS cid, CAST(user_id AS VARCHAR) AS pk,
+       |  ${grid("0")} AS source_ts, $base AS sent,
+       |  1.0 AS fee
+       | FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id % 5 AS cid, CAST(user_id AS VARCHAR) AS pk,
+       |  ${grid("event_id % 200")} AS dest_ts,
+       |  CASE WHEN user_id % 11 = 0 THEN 1 ELSE 0 END AS reaped,
+       |  CASE WHEN event_id % 3 = 0 THEN $base - 1.0
+       |   ELSE $base - 3.0 END AS recv,
+       |  printf('%012d', event_id) AS event_id
+       | FROM events WHERE event_type = 'signup' AND user_id % 7 <> 0),
+       |e AS (SELECT user_id % 5 AS cid, CAST(user_id AS VARCHAR) AS pk,
+       |  ${grid("event_id % 300")} AS ts,
+       |  CASE WHEN event_id % 4 = 0 THEN $base
+       |   ELSE $base - 2.0 END AS amount,
+       |  printf('%012d', event_id) AS event_id
+       | FROM events WHERE event_type = 'click' AND user_id % 7 <> 0),
+       |b AS (SELECT user_id % 5 AS cid, CAST(user_id AS VARCHAR) AS pk,
+       |  event_id AS block_number,
+       |  CAST(event_id % 7 AS DOUBLE) * $base AS free,
+       |  ${grid("event_id % 240 - 30")} AS block_ts
+       | FROM events WHERE event_type = 'view'),
+       |cand AS (SELECT t.extrinsic_id,
+       |  CASE WHEN conf = 1.0 THEN 1 ELSE 3 END AS priority,
+       |  'candidate' AS strategy, c.event_id AS matched_id,
+       |  c.recv + t.fee AS matched_amount, conf AS confidence
+       | FROM t JOIN c ON t.cid = c.cid AND t.pk = c.pk,
+       |  LATERAL (SELECT CASE WHEN c.recv + t.fee = t.sent THEN 1.0
+       |   ELSE 1.0 - abs(c.recv + t.fee - t.sent) / t.sent END
+       |   AS conf) x
+       | WHERE c.dest_ts >= t.source_ts - INTERVAL 10 SECOND
+       |  AND c.dest_ts <= t.source_ts + INTERVAL 120 SECOND
+       |  AND c.reaped = 0 AND conf > 0.5),
+       |ed AS (SELECT t.extrinsic_id,
+       |  CASE WHEN conf = 1.0 THEN 2 ELSE 4 END AS priority,
+       |  'events' AS strategy, e.event_id AS matched_id,
+       |  e.amount + t.fee AS matched_amount, conf AS confidence
+       | FROM t JOIN e ON t.cid = e.cid AND t.pk = e.pk,
+       |  LATERAL (SELECT CASE WHEN e.amount = t.sent THEN 1.0
+       |   ELSE 1.0 - abs(e.amount + t.fee - t.sent) / t.sent END
+       |   AS conf) x
+       | WHERE e.ts >= t.source_ts
+       |  AND e.ts < t.source_ts + INTERVAL 180 SECOND
+       |  AND conf > 0.5),
+       |dlt AS (SELECT cid, pk, block_ts,
+       |  free - lag(free) OVER (PARTITION BY cid, pk
+       |   ORDER BY block_number) AS delta, block_number
+       | FROM b),
+       |bal AS (SELECT t.extrinsic_id, 5 AS priority,
+       |  'balance' AS strategy,
+       |  printf('%012d', d.block_number) AS matched_id,
+       |  d.delta AS matched_amount,
+       |  1.0 - abs(d.delta - t.sent) / t.sent AS confidence
+       | FROM t JOIN dlt d ON t.cid = d.cid AND t.pk = d.pk
+       | WHERE d.delta > 0
+       |  AND d.block_ts >= t.source_ts - INTERVAL 30 SECOND
+       |  AND d.block_ts <= t.source_ts + INTERVAL 180 SECOND
+       |  AND 1.0 - abs(d.delta - t.sent) / t.sent >= 0.75),
+       |unioned AS (SELECT * FROM cand UNION ALL
+       | SELECT * FROM ed UNION ALL SELECT * FROM bal),
+       |best AS (SELECT * FROM (SELECT *,
+       |  row_number() OVER (PARTITION BY extrinsic_id
+       |   ORDER BY priority, confidence DESC, matched_id) AS rn
+       | FROM unioned) WHERE rn = 1),
+       |final AS (SELECT * FROM (SELECT extrinsic_id, priority, strategy,
+       |  matched_id, matched_amount, confidence,
+       |  row_number() OVER (PARTITION BY strategy, matched_id
+       |   ORDER BY priority, confidence DESC, extrinsic_id) AS rn2
+       | FROM best) WHERE rn2 = 1)
+       |SELECT extrinsic_id, priority, strategy, matched_id,
+       | matched_amount, round(confidence, 6) AS confidence
+       |FROM final ORDER BY extrinsic_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),
+    "j21_dest_waterfall" -> (j21 _),
     "j19_transact_spans" -> (j19 _),
     "j20_xcm_fee_model" -> (j20 _),
     "j1_interval_match" -> (j1 _),
@@ -602,6 +741,7 @@ object JoinOps {
 
   val oracles: Map[String, String] = Map(
     "j18_trace_spans" -> j18Sql,
+    "j21_dest_waterfall" -> j21Sql,
     "j19_transact_spans" -> j19Sql,
     "j20_xcm_fee_model" -> j20Sql,
     "j16b_asof_native" -> j16bSql,
