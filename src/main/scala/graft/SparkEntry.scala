@@ -58,21 +58,11 @@ object SparkEntry {
     * suite unless it is consciously registered here. */
   val rowsOnly: Set[String] = Set(
     "a16b_approx_distinct", // HLL sketch — engine-specific binary
-    "x8_approx_quantiles",  // KLL/GK sketch — engine-specific
-    "x12_bpe_merges",       // iterative argmax loop — not SQL-expressible;
-                            // TextPropertySpec pins it to a sequential
-                            // reference BPE trainer
-    "x13_bpe_encode",       // BPE encode replay — not SQL-expressible;
-                            // TextPropertySpec pins encode counts to the
-                            // reference trainer's segmentation
-    "v11_kmeans_train",     // iterative Lloyd rounds — not
-                            // SQL-expressible; VectorKmeansSpec pins the
-                            // centroids to a sequential BigDecimal
-                            // reference
-    "v12_trained_assign")   // serves the trained (non-SQL-expressible)
-                            // codebook; VectorKmeansSpec pins per-cell
-                            // counts + sim mass to the sequential
-                            // reference assignment
+                            // (the deterministic KMV twin
+                            // a16c_kmv_distinct IS oracled)
+    "x8_approx_quantiles")  // KLL/GK sketch — engine-specific (the
+                            // deterministic sample twin
+                            // x18_sample_quantiles IS oracled)
 }
 
 /** The headline pricing-summary query (TPC-H Q1 shape — the canonical

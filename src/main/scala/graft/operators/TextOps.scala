@@ -980,6 +980,98 @@ object TextOps {
        |  AS p90_tokens
        |FROM rv GROUP BY source ORDER BY source""".stripMargin
 
+  /** The corpus pre-tokenizer pattern, shared by x5/x12/x13 and their
+    * oracles (single source, rendered into the SQL). */
+  private val PretokPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
+
+  /** Recursive-CTE twin of the BPE TRAINER (round 9 — x12 graduates
+    * from rows-only): the working table carries every word's
+    * segmentation as a space-joined string; each round picks the argmax
+    * pair with a LATERAL aggregate over the previous iteration (count
+    * DESC, then memcmp pair — DuckDB's VARCHAR order IS UTF-8 bytes,
+    * the u8lt contract), and applies ONE greedy left-to-right
+    * non-overlapping merge pass as a `list_reduce` fold that is
+    * line-for-line the Scala `mergePass`/`functions.aggregate` fold
+    * (append `r` without a separator when the accumulator's LAST token
+    * equals `l` — the leading-space suffix check is the exact-token
+    * guard; a naive string replace fails the shared-delimiter
+    * "banana" case). Fully-merged words leave the active set like the
+    * driver loop's `length > 1` filter. */
+  private def bpeTrainCtes(k: Int): String =
+    s"""vocab AS (
+       |  SELECT ' ' || array_to_string(string_split(word, ''), ' ')
+       |    AS seg, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$PretokPat'))
+       |     AS word FROM documents)
+       |  WHERE len(word) > 1
+       |  GROUP BY word),
+       |t(it, seg, freq, ml, mr, mf) AS (
+       |  SELECT 1, seg, freq, CAST(NULL AS VARCHAR),
+       |    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) FROM vocab
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    list_reduce(list_prepend('', string_split(trim(seg), ' ')),
+       |      (acc, x) -> CASE
+       |        WHEN ends_with(acc, ' ' || b.l) AND x = b.r
+       |        THEN acc || b.r ELSE acc || ' ' || x END),
+       |    freq, b.l, b.r, b.f
+       |  FROM t, LATERAL (
+       |    SELECT l, r, f FROM (
+       |      SELECT s[i] AS l, s[i+1] AS r, sum(freq) AS f
+       |      FROM (SELECT string_split(trim(seg), ' ') AS s, freq
+       |         FROM t) z,
+       |        unnest(range(1, len(s))) AS u(i)
+       |      GROUP BY 1, 2
+       |      ORDER BY f DESC, l, r LIMIT 1)) b
+       |  WHERE it <= $k AND len(string_split(trim(seg), ' ')) > 1),
+       |m AS (SELECT DISTINCT it - 1 AS rank, ml, mr, mf FROM t
+       |  WHERE it > 1)""".stripMargin
+
+  private val x12Sql =
+    s"""WITH RECURSIVE ${bpeTrainCtes(16)}
+       |SELECT rank, ml AS "left", mr AS "right",
+       | ml || mr AS merged, mf AS freq
+       |FROM m ORDER BY rank""".stripMargin
+
+  /** Oracle twin of the BPE ENCODE side (x13 graduates with x12): a
+    * second recursion replays the trained merge list rank-by-rank over
+    * every distinct corpus word with the SAME `list_reduce` merge-pass
+    * fold (`encodeWord`'s contains() skip is a pure optimization — a
+    * pass that can't apply leaves the fold unchanged), then token
+    * counts join back to word instances and roll up per language.
+    * Empty documents keep their row via the LEFT JOIN, mirroring the
+    * mapPartitions path that emits (lang, 0, 0). */
+  private val x13Sql =
+    s"""WITH RECURSIVE ${bpeTrainCtes(16)},
+       |inst AS (SELECT doc_id, lang,
+       |  unnest(regexp_extract_all(text, '$PretokPat')) AS word
+       | FROM documents),
+       |e(it, word, seg) AS (
+       |  SELECT 1, word,
+       |   ' ' || array_to_string(string_split(word, ''), ' ')
+       |  FROM (SELECT DISTINCT word FROM inst)
+       |  UNION ALL
+       |  SELECT it + 1, word,
+       |   CASE WHEN mm.ml IS NULL THEN seg ELSE
+       |    list_reduce(list_prepend('', string_split(trim(seg), ' ')),
+       |     (acc, x) -> CASE
+       |       WHEN ends_with(acc, ' ' || mm.ml) AND x = mm.mr
+       |       THEN acc || mm.mr ELSE acc || ' ' || x END) END
+       |  FROM e LEFT JOIN m mm ON mm.rank = e.it
+       |  WHERE it <= 16),
+       |tokc AS (SELECT word,
+       |  CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS ntok
+       | FROM e WHERE it = 17),
+       |per_doc AS (SELECT i.doc_id, count(*) AS nw, sum(ntok) AS nt
+       | FROM inst i JOIN tokc USING (word) GROUP BY 1)
+       |SELECT d.lang, count(*) AS n_docs,
+       | ${sqlLsum("coalesce(p.nw, 0)")} AS sum_words,
+       | ${sqlLsum("coalesce(p.nt, 0)")} AS sum_tokens,
+       | round(CAST(sum(coalesce(p.nt, 0)) AS DOUBLE)
+       |   / sum(coalesce(p.nw, 0)), 6) AS tok_per_word
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_sample_quantiles" -> (x18 _),
     "x17_source_drift" -> (x17 _),
@@ -1017,5 +1109,7 @@ object TextOps {
     "x16_bigram_ppl" -> x16Sql,
     "x17_source_drift" -> x17Sql,
     "x18_sample_quantiles" -> x18Sql,
+    "x12_bpe_merges" -> x12Sql,
+    "x13_bpe_encode" -> x13Sql,
   )
 }

@@ -980,6 +980,73 @@ object VectorOps {
     cents
   }
 
+  /** Recursive-CTE twin of the Lloyd TRAINER (round 9 — v11/v12
+    * graduate from rows-only): the working table carries the k
+    * centroids as FLOAT[] lists; each round re-assigns every vector
+    * with the SAME rounded-cosine/NaN-first/cell-asc rule the
+    * `assignCells` kernels pin, and rebuilds each centroid dimension
+    * as an exact DECIMAL(38,12) sum over the assigned vectors divided
+    * once in float64 — the element is widened FLOAT→DOUBLE **before**
+    * the decimal cast, which is the `BigDecimal.valueOf(v.toDouble)`
+    * semantics (casting the raw float rounds a 7-digit repr instead
+    * and drifts the 12th decimal). Empty cells keep their centroid
+    * via the LEFT JOIN, like the driver loop. */
+  private def kmeansCtes(k: Int, iters: Int): String =
+    s"""t(it, cell, cv) AS (
+       |  SELECT 1, vec_id, CAST(embedding AS FLOAT[]) FROM embeddings
+       |  WHERE vec_id < $k AND embedding IS NOT NULL
+       |  UNION ALL
+       |  SELECT it + 1, t.cell, coalesce(nc.ncv, t.cv)
+       |  FROM t LEFT JOIN (
+       |    SELECT acell,
+       |      list(CAST(CAST(s AS DOUBLE) / n AS FLOAT) ORDER BY j)
+       |       AS ncv
+       |    FROM (
+       |      SELECT a.acell, r.j,
+       |        sum(CAST(CAST(a.embedding[r.j] AS DOUBLE)
+       |          AS DECIMAL(38,12))) AS s,
+       |        count(*) AS n
+       |      FROM (
+       |        SELECT vec_id, embedding, cell AS acell FROM (
+       |          SELECT e.vec_id, e.embedding, t2.cell,
+       |            row_number() OVER (PARTITION BY e.vec_id
+       |              ORDER BY round(${sqlCosine("e.embedding", "t2.cv")}, 6) DESC,
+       |               t2.cell) AS rn
+       |          FROM (SELECT vec_id, embedding FROM embeddings
+       |             WHERE embedding IS NOT NULL) e
+       |          CROSS JOIN t t2)
+       |        WHERE rn = 1) a,
+       |        unnest(range(1, len(a.embedding) + 1)) AS r(j)
+       |      GROUP BY 1, 2)
+       |    GROUP BY acell) nc ON nc.acell = t.cell
+       |  WHERE it <= $iters),
+       |trained AS (SELECT cell, cv FROM t WHERE it = ${iters + 1})""".stripMargin
+
+  private val v11Sql =
+    s"""WITH RECURSIVE ${kmeansCtes(8, 4)}
+       |SELECT cell, j - 1 AS pos, round(CAST(cv[j] AS DOUBLE), 6) AS cv
+       |FROM trained f, unnest(range(1, len(f.cv) + 1)) AS r(j)
+       |ORDER BY cell, pos""".stripMargin
+
+  private val v12Sql =
+    s"""WITH RECURSIVE ${kmeansCtes(8, 4)},
+       |assigned AS (
+       |  SELECT vec_id, cell, sim FROM (
+       |    SELECT e.vec_id, t2.cell,
+       |      round(${sqlCosine("e.embedding", "t2.cv")}, 6) AS sim,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${sqlCosine("e.embedding", "t2.cv")}, 6) DESC,
+       |         t2.cell) AS rn
+       |    FROM (SELECT vec_id, embedding FROM embeddings
+       |       WHERE embedding IS NOT NULL) e
+       |    CROSS JOIN trained t2)
+       |  WHERE rn = 1)
+       |SELECT cell, count(*) AS n, min(vec_id) AS min_vec,
+       | max(vec_id) AS max_vec,
+       | ${sqlDsumOut("CASE WHEN isnan(sim) THEN 0.0 ELSE sim END")}
+       |  AS sim_mass
+       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+
   private def v11(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     kmeansCentroids(s, d, k = 8, iters = 4)
@@ -1103,6 +1170,8 @@ object VectorOps {
     "v7_ivf_topk" -> v7Sql,
     "v8_hyperplane_lsh" -> v8Sql,
     "v9_embedding_clusters" -> v9Sql,
+    "v11_kmeans_train" -> v11Sql,
+    "v12_trained_assign" -> v12Sql,
     "v14_semdedup_keep" -> v14Sql,
     "v15_outlier_prune" -> v15Sql,
   )
