@@ -300,7 +300,65 @@ object PipelineOps {
       |  AS n_chunks
       |FROM c ORDER BY source, doc_id""".stripMargin
 
+  // S8 — weighted sampling WITHOUT replacement via priority sampling
+  // (Duffield–Lund–Thorup, JACM 2007): each doc draws priority
+  // q = w/u with u an id-keyed md5 uniform; the global top-k by q IS
+  // the sample, and max(w, τ) — τ the (k+1)-th priority — is the
+  // unbiased per-doc contribution for estimating any subset's total
+  // weight from the sample alone. Chosen over Efraimidis–Espirakis
+  // (key u^(1/w)) deliberately: ES needs pow/log, transcendentals
+  // whose last ulp varies between libm builds, while the DLT priority
+  // is a single IEEE division of exactly-representable operands
+  // (w an integer; u = (v+1)/2^48 with v a 48-bit md5 prefix — a
+  // power-of-two denominator, so u is exact) — both engines round it
+  // identically, no output rounding needed. No RNG state: the sample
+  // is replay-idempotent under re-runs/repartitioning like s1/s5/s7.
+  // Plan shape: per-row projection → global top-(k+1) compiles to
+  // TakeOrderedAndProject (per-partition heaps, no full sort); the
+  // re-rank + τ broadcast run on k+1 rows.
+  private val S8K = 20
+  private def s8(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("n_chars").cast("double") /
+          ((conv(substring(md5(concat(lit("ps:"),
+            col("doc_id").cast("string"))), 1, 12), 16, 10)
+            .cast("long") + lit(1L)).cast("double") / 281474976710656.0))
+          .as("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(S8K + 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("priority").desc, col("doc_id"))))
+    val tau = top.filter(col("rk") === S8K + 1)
+      .select(col("priority").as("tau"))
+    top.filter(col("rk") <= S8K)
+      .crossJoin(broadcast(tau))
+      .select(col("rk"), col("doc_id"), col("source"), col("n_chars"),
+        col("priority"),
+        greatest(col("n_chars").cast("double"), col("tau"))
+          .as("est_weight"))
+      .orderBy(col("rk"))
+  }
+
+  private val s8Sql =
+    s"""WITH keyed AS (
+       | SELECT doc_id, source, n_chars,
+       |  CAST(n_chars AS DOUBLE) /
+       |   (CAST(CAST('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+       |      1, 12) AS BIGINT) + 1 AS DOUBLE) / 281474976710656.0)
+       |   AS priority
+       | FROM documents),
+       |top AS (
+       | SELECT doc_id, source, n_chars, priority,
+       |  row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
+       | FROM keyed ORDER BY priority DESC, doc_id LIMIT ${S8K + 1}),
+       |tau AS (SELECT priority AS tau FROM top WHERE rk = ${S8K + 1})
+       |SELECT rk, doc_id, source, n_chars, priority,
+       | greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
+       |FROM top CROSS JOIN tau WHERE rk <= $S8K ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_priority_sample" -> (s8 _),
     "s6_concat_chunk" -> (s6 _),
     "s1_hash_split" -> (s1 _),
     "s2_shuffle_order" -> (s2 _),
@@ -311,6 +369,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s8_priority_sample" -> s8Sql,
     "s6_concat_chunk" -> s6Sql,
     "s1_hash_split" -> s1Sql,
     "s2_shuffle_order" -> s2Sql,

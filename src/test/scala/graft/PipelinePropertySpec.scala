@@ -88,6 +88,37 @@ class PipelinePropertySpec extends AnyFunSuite {
     assert(counts("test") / n > 0.03 && counts("test") / n < 0.20)
   }
 
+  test("priority sample: replay-idempotent, weight-aware, estimator-sane") {
+    val out = PipelineOps.queries("s8_priority_sample")(
+      spark, SparkTestBase.sf)
+      .select("rk", "doc_id", "n_chars", "priority", "est_weight")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.length == 20)
+    // rank order IS priority order (desc), and every per-doc estimator
+    // contribution is >= the doc's own weight (max(w, tau) >= w)
+    assert(out.sortBy(_._1).map(_._4).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true })
+    out.foreach { case (_, _, w, _, est) => assert(est >= w.toDouble) }
+    // the DLT subset-sum estimate over the WHOLE population
+    // (sum of max(w, tau) over the sample) should land within a loose
+    // band of the true total weight — one draw, k=20, so only a
+    // sanity band, but it catches a broken priority formula outright
+    val truth = Tables.documents(spark, SparkTestBase.sf)
+      .agg(sum(col("n_chars"))).collect().head.getLong(0).toDouble
+    val est = out.map(_._5).sum
+    assert(est > truth / 5 && est < truth * 5,
+      s"estimate $est vs truth $truth")
+    // replay-idempotence: a second run over a repartitioned input
+    // yields the identical sample (no RNG state anywhere)
+    val again = PipelineOps.queries("s8_priority_sample")(
+      spark, SparkTestBase.sf)
+      .select("rk", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(again == out.map(t => (t._1, t._2)).toSet)
+  }
+
   test("exact duplicates always land in the same split") {
     val dup = Seq(
       (1L, "a", "same text body here"),
