@@ -79,6 +79,7 @@ object Bench {
     operators.DedupOps.resetWordSetLabels()
     operators.TextOps.resetBpeMerges()
     operators.VectorOps.resetKmeans()
+    operators.VectorOps.resetPca()
     // a failing stage goes into the SAME errors map as a failing query —
     // the -1 sentinel alone made stage failures near-undiagnosable from
     // captured bench output
@@ -158,6 +159,8 @@ object Bench {
       ((s, d) => operators.TextOps.warmBpeMerges(s, d)),
     "stage:kmeans_train" ->
       ((s, d) => operators.VectorOps.warmKmeans(s, d)),
+    "stage:pca_train" ->
+      ((s, d) => operators.VectorOps.warmPca(s, d)),
     // Forced-DISTRIBUTED twins (cap = 0): size dispatch routes every
     // test-SF run of the three trainers driver-side, so without these
     // lines a perf regression in the distributed CC loop / BPE rounds /
@@ -170,7 +173,9 @@ object Bench {
     "stage:bpedist_merges" ->
       ((s, d) => operators.TextOps.warmBpeMergesDistributed(s, d)),
     "stage:kmeansdist_train" ->
-      ((s, d) => operators.VectorOps.warmKmeansDistributed(s, d)))
+      ((s, d) => operators.VectorOps.warmKmeansDistributed(s, d)),
+    "stage:pcadist_train" ->
+      ((s, d) => operators.VectorOps.warmPcaDistributed(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

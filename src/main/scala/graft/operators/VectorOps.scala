@@ -1140,7 +1140,295 @@ object VectorOps {
       |  / count(*), 9) AS mse
       |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- V16/V17 — PCA: distributed exact moments + deterministic
+  // power iteration -------------------------------------------------
+  //
+  // The whitening/dimension-analysis step of an embedding pipeline:
+  // train the top principal direction of the (centered) corpus, then
+  // project every vector onto it. Architecture mirrors every trainer
+  // in this repo — the DISTRIBUTED part is the one pass whose cost
+  // scales with the corpus (first/second moments: per-dim sums and the
+  // upper-triangle d×d product sums, all through exact DECIMAL(38,12),
+  // so ANY partitioning yields bit-identical moments), and the
+  // ITERATION runs on the d×d covariance — a bounded artifact
+  // (64×64 = 32 KB) — on the driver, exactly where a 1000-executor
+  // cluster would run it. Determinism through the loop needs no
+  // rounding at all: C is a fixed float64 expression of exact decimal
+  // sums, and each power-iteration step (index-order matvec, one sqrt,
+  // one divide) is the same IEEE op sequence in the Scala loop and the
+  // DuckDB recursive-CTE replay (list_dot_product is the index-order
+  // float64 fold — the SAME equivalence the cosine kernels pin).
+  // Efficiency: only the upper triangle is generated/aggregated
+  // (j >= i halves the exploded pass); symmetry mirrors the rest.
+  private val PcaIters = 8
+  private val PcaDriverCap = 100_000L
+
+  @volatile private var pcaMemo: Option[((SparkSession, String),
+    (Array[Double], Array[Double], Double))] = None
+
+  /** Bench/test hook: forget the trained component. */
+  def resetPca(): Unit = synchronized { pcaMemo = None }
+
+  /** Bench hook: train + memoize the shared PCA stage for (s, d). */
+  def warmPca(s: SparkSession, d: String): Unit = { pcaModel(s, d); () }
+
+  /** Bench hook: forced-DISTRIBUTED twin (cap = 0) — times the
+    * exploded moments pass real above-cap corpora pay. Not memoized. */
+  def warmPcaDistributed(s: SparkSession, d: String): Unit = {
+    runPca(s, d, cap = 0L); ()
+  }
+
+  /** (mean, component, variance), memoized one slot per (session, dir). */
+  private[graft] def pcaModel(s: SparkSession,
+      d: String): (Array[Double], Array[Double], Double) = synchronized {
+    pcaMemo match {
+      case Some((key, m)) if key == ((s, d)) => m
+      case _ =>
+        val m = runPca(s, d)
+        pcaMemo = Some(((s, d), m))
+        m
+    }
+  }
+
+  private def bd12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private[graft] def runPca(s: SparkSession, d: String,
+      cap: Long = PcaDriverCap): (Array[Double], Array[Double], Double) = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("embedding"))
+      .filter(col("embedding").isNotNull).persist()
+    try {
+      val n = emb.count()
+      // Size dispatch (the kmeans/CC/BPE pattern): both paths produce
+      // the IDENTICAL exact-decimal moments — decimal addition is
+      // associative — so crossing the cap can never change the model;
+      // VectorPcaSpec pins driver == forced-distributed bit-equal.
+      val (ms, ps) =
+        if (n <= cap) {
+          val vecs = emb.collect().map(_.getSeq[Float](0).toArray)
+          driverMoments(vecs)
+        } else distributedMoments(emb, s)
+      finishPca(n, ms, ps)
+    } finally { emb.unpersist(false); () }
+  }
+
+  /** Sequential twin of [[distributedMoments]] — same per-element
+    * arithmetic (FLOAT→DOUBLE widen, scale-12 HALF_UP, exact adds). */
+  private def driverMoments(vecs: Array[Array[Float]])
+      : (Array[java.math.BigDecimal],
+         Array[Array[java.math.BigDecimal]]) = {
+    require(vecs.nonEmpty, "PCA input is empty")
+    val dim = vecs(0).length
+    val ms = Array.fill(dim)(java.math.BigDecimal.ZERO)
+    val ps = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
+    vecs.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        val xi = v(i).toDouble
+        ms(i) = ms(i).add(bd12(xi))
+        var j = i
+        while (j < dim) {
+          ps(i)(j) = ps(i)(j).add(bd12(xi * v(j).toDouble))
+          j += 1
+        }
+        i += 1
+      }
+    }
+    (ms, ps)
+  }
+
+  /** One exploded pass for the per-dim sums, one upper-triangle
+    * (i, j >= i) pass for the product sums — both exact decimal aggs
+    * whose outputs are d and d(d+1)/2 rows (bounded artifacts), the
+    * only collects. `spread` buys scan parallelism for the 4096×
+    * row expansion; exactness makes the result partitioning-proof. */
+  private def distributedMoments(emb: DataFrame, s: SparkSession)
+      : (Array[java.math.BigDecimal],
+         Array[Array[java.math.BigDecimal]]) = {
+    val one = spread(emb.toDF())
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+    val msRows = one.groupBy(col("i"))
+      .agg(sum(dec12(col("xi").cast("double"))).as("ms"))
+      .collect()
+    val dim = msRows.length
+    val ms = Array.fill(dim)(java.math.BigDecimal.ZERO)
+    msRows.foreach(r => ms(r.getInt(0)) = r.getDecimal(1))
+    val ps = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
+    one.select(col("i"), col("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(dec12(col("xi").cast("double") * col("xj").cast("double")))
+        .as("ps"))
+      .collect()
+      .foreach(r => ps(r.getInt(0))(r.getInt(1)) = r.getDecimal(2))
+    (ms, ps)
+  }
+
+  /** Shared finish: covariance from the exact moments, then PcaIters
+    * power-iteration steps from e₀ — ONE implementation for both
+    * dispatch paths, arithmetic mirrored line-for-line by the
+    * recursive-CTE oracle. */
+  private def finishPca(n: Long, ms: Array[java.math.BigDecimal],
+      ps: Array[Array[java.math.BigDecimal]])
+      : (Array[Double], Array[Double], Double) = {
+    val dim = ms.length
+    val mu = Array.tabulate(dim)(i => ms(i).doubleValue() / n)
+    val c = Array.ofDim[Double](dim, dim)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = ps(i)(j).doubleValue() / n - mu(i) * mu(j)
+        c(i)(j) = v; c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    def matvec(w: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { r =>
+        var acc = 0.0; var k = 0
+        while (k < dim) { acc += c(r)(k) * w(k); k += 1 }
+        acc
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var k = 0
+      while (k < dim) { acc += a(k) * b(k); k += 1 }
+      acc
+    }
+    var w = Array.tabulate(dim)(k => if (k == 0) 1.0 else 0.0)
+    for (_ <- 1 to PcaIters) {
+      val u = matvec(w)
+      val nrm = math.sqrt(dot(u, u))
+      w = u.map(_ / nrm)
+    }
+    val lambda = dot(w, matvec(w))
+    (mu, w, lambda)
+  }
+
+  /** Recursive-CTE twin of the PCA trainer: exact-decimal moments →
+    * float64 covariance (upper triangle mirrored) → row lists →
+    * power-iteration steps carrying the unit vector as DOUBLE[]. */
+  private def pcaCtes(iters: Int): String =
+    s"""base AS (SELECT embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |dims AS (SELECT unnest(range(1,
+       |  (SELECT max(len(embedding)) FROM base) + 1)) AS i),
+       |msum AS (
+       | SELECT r.i AS i,
+       |  sum(CAST(CAST(e.embedding[r.i] AS DOUBLE) AS DECIMAL(38,12)))
+       |   AS ms
+       | FROM base e, unnest(range(1, len(e.embedding) + 1)) AS r(i)
+       | GROUP BY 1),
+       |psum AS (
+       | SELECT r1.i AS i, r2.j AS j,
+       |  sum(CAST(CAST(e.embedding[r1.i] AS DOUBLE)
+       |    * CAST(e.embedding[r2.j] AS DOUBLE) AS DECIMAL(38,12))) AS ps
+       | FROM base e, unnest(range(1, len(e.embedding) + 1)) AS r1(i),
+       |      unnest(range(1, len(e.embedding) + 1)) AS r2(j)
+       | WHERE r2.j >= r1.i
+       | GROUP BY 1, 2),
+       |cup AS (
+       | SELECT p.i, p.j,
+       |  CAST(p.ps AS DOUBLE) / nn.n
+       |   - (CAST(mi.ms AS DOUBLE) / nn.n) * (CAST(mj.ms AS DOUBLE) / nn.n)
+       |   AS c
+       | FROM psum p, nn, msum mi, msum mj
+       | WHERE mi.i = p.i AND mj.i = p.j),
+       |cmat AS (SELECT i, j, c FROM cup
+       | UNION ALL SELECT j, i, c FROM cup WHERE i <> j),
+       |crow AS (SELECT i, list(c ORDER BY j) AS cv FROM cmat GROUP BY i),
+       |t(it, w) AS (
+       |  SELECT 1, (SELECT list(CAST(CASE WHEN d2.i = 1 THEN 1.0
+       |    ELSE 0.0 END AS DOUBLE) ORDER BY d2.i) FROM dims d2)
+       |  UNION ALL
+       |  SELECT it + 1,
+       |   list_transform(ul, z -> z / sqrt(list_dot_product(ul, ul)))
+       |  FROM (
+       |   SELECT t.it AS it,
+       |    list(list_dot_product(c2.cv, t.w) ORDER BY c2.i) AS ul
+       |   FROM t, crow c2 WHERE t.it <= $iters
+       |   GROUP BY t.it, t.w)),
+       |trained AS (SELECT w FROM t WHERE it = ${iters + 1}),
+       |lam AS (
+       | SELECT list_dot_product(f.w,
+       |   list(list_dot_product(c2.cv, f.w) ORDER BY c2.i)) AS lambda
+       | FROM trained f, crow c2 GROUP BY f.w)""".stripMargin
+
+  // V16 — the trained artifact itself: per-dim loading of the top
+  // principal component, the dimension mean, and the captured
+  // variance (the Rayleigh quotient of the trained direction).
+  private def v16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (mu, w, lambda) = pcaModel(s, d)
+    w.indices.map(i => (i, w(i), mu(i), lambda)).toSeq
+      .toDF("pos", "loading", "dim_mean", "variance")
+      .withColumn("loading", round(col("loading"), 6))
+      .withColumn("dim_mean", round(col("dim_mean"), 6))
+      .withColumn("variance", round(col("variance"), 6))
+      .orderBy(col("pos"))
+  }
+
+  private val v16Sql =
+    s"""WITH RECURSIVE ${pcaCtes(PcaIters)}
+       |SELECT r.i - 1 AS pos, round(f.w[r.i], 6) AS loading,
+       | round(CAST(ms.ms AS DOUBLE) / nn.n, 6) AS dim_mean,
+       | round(l.lambda, 6) AS variance
+       |FROM trained f, lam l, nn,
+       | unnest(range(1, len(f.w) + 1)) AS r(i), msum ms
+       |WHERE ms.i = r.i
+       |ORDER BY pos""".stripMargin
+
+  // V17 — serve the trained component: center-and-project every
+  // vector (map-side fold against the literal loading vector — the
+  // codebook-literal pattern; at 128+ dims × many components the same
+  // broadcast fallback as assignCells applies) and roll up projection
+  // stats per class label. Closes PCA's train → project → serve loop
+  // the way v12 does for k-means.
+  private def v17(s: SparkSession, d: String): DataFrame = {
+    val (mu, w, _) = pcaModel(s, d)
+    var muw = 0.0
+    var k = 0
+    while (k < w.length) { muw += mu(k) * w(k); k += 1 }
+    val score = round(
+      aggregate(
+        zip_with(col("embedding"), lit(w),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, z) => acc + z) - lit(muw), 6)
+    Tables.embeddings(s, d)
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), score.as("score"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        decOut(sum(dec6(col("score")))).as("score_mass"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("label"))
+  }
+
+  private val v17Sql =
+    s"""WITH RECURSIVE ${pcaCtes(PcaIters)},
+       |muv AS (SELECT list(CAST(ms AS DOUBLE) / nn.n ORDER BY i) AS mu
+       |  FROM msum, nn GROUP BY nn.n),
+       |mw AS (SELECT list_dot_product(m.mu, f.w) AS muw
+       |  FROM muv m, trained f),
+       |scored AS (
+       | SELECT e.label,
+       |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), f.w)
+       |    - x.muw, 6) AS score
+       | FROM embeddings e, trained f, mw x
+       | WHERE e.embedding IS NOT NULL)
+       |SELECT label, count(*) AS n,
+       | ${sqlDecOut("sum(CAST(score AS DECIMAL(38,6)))")} AS score_mass,
+       | min(score) AS min_score, max(score) AS max_score
+       |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v16_pca_train" -> (v16 _),
+    "v17_pca_project" -> (v17 _),
     "v13_sq8_quantize" -> (v13 _),
     "v11_kmeans_train" -> (v11 _),
     "v12_trained_assign" -> (v12 _),
@@ -1159,6 +1447,8 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "v16_pca_train" -> v16Sql,
+    "v17_pca_project" -> v17Sql,
     "v13_sq8_quantize" -> v13Sql,
     "v10_pq_adc_topk" -> v10Sql,
     "v1_knn_bruteforce" -> v1Sql,
