@@ -80,6 +80,7 @@ object Bench {
     operators.TextOps.resetBpeMerges()
     operators.VectorOps.resetKmeans()
     operators.VectorOps.resetPca()
+    operators.TextOps.resetLr()
     // a failing stage goes into the SAME errors map as a failing query —
     // the -1 sentinel alone made stage failures near-undiagnosable from
     // captured bench output
@@ -161,6 +162,8 @@ object Bench {
       ((s, d) => operators.VectorOps.warmKmeans(s, d)),
     "stage:pca_train" ->
       ((s, d) => operators.VectorOps.warmPca(s, d)),
+    "stage:lr_train" ->
+      ((s, d) => operators.TextOps.warmLr(s, d)),
     // Forced-DISTRIBUTED twins (cap = 0): size dispatch routes every
     // test-SF run of the three trainers driver-side, so without these
     // lines a perf regression in the distributed CC loop / BPE rounds /
@@ -175,7 +178,9 @@ object Bench {
     "stage:kmeansdist_train" ->
       ((s, d) => operators.VectorOps.warmKmeansDistributed(s, d)),
     "stage:pcadist_train" ->
-      ((s, d) => operators.VectorOps.warmPcaDistributed(s, d)))
+      ((s, d) => operators.VectorOps.warmPcaDistributed(s, d)),
+    "stage:lrdist_train" ->
+      ((s, d) => operators.TextOps.warmLrDistributed(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

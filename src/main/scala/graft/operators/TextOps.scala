@@ -1072,7 +1072,256 @@ object TextOps {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---- X19/X20 — trained quality classifier (logistic regression) --
+  //
+  // The GPT-3-style quality-filter setup: train a linear classifier
+  // whose positive class is a curated slice (here the labeled-'en'
+  // slice stands in for the curated corpus) over quality-shape
+  // features, then score the whole corpus with it. Full-batch gradient
+  // descent; every round is ONE aggregation of k+1 exact-decimal
+  // gradient sums (order-independent → partitioning-proof), mirrored
+  // by a DuckDB recursive CTE. The nonlinearity is the ALGEBRAIC
+  // sigmoid σ(z) = 0.5 + z/(2(1+|z|)) — chosen over exp() DELIBERATELY:
+  // it is a fixed sequence of exact IEEE ops both engines evaluate
+  // bit-identically, where exp()'s last ulp varies between libm
+  // builds and would break the cross-engine hash gate. Features are
+  // bounded [0,1] ratios (length, stopword, vocabulary diversity,
+  // char-length), so a unit learning rate needs no scaling.
+  // Architecture matches every trainer here: the corpus-scale work is
+  // the per-round gradient pass; the k+1-vector update is driver-side;
+  // size dispatch + forced-distributed bench twin; memoized artifact
+  // consumed by the scorer (x20).
+  private val LrIters = 8
+  private val LrFeatDim = 5 // bias + 4 quality features
+  private val LrDriverCap = 100_000L
+
+  /** Quality-shape features + curated-slice label, shared by BOTH
+    * dispatch paths (the driver twin collects THIS frame, so the two
+    * paths can only differ in the GD loop — which exact-decimal
+    * gradient sums make identical). */
+  private def lrFeats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("double"))
+      .withColumn("n_stop",
+        size(expr(s"filter(split(trim(text), '\\\\s+'), $stopPred)"))
+          .cast("double"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("double"))
+      .select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        array(lit(1.0),
+          least(col("n_tokens") / 100.0, lit(1.0)),
+          col("n_stop") / col("n_tokens"),
+          col("n_distinct") / col("n_tokens"),
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)))
+          .as("f"))
+
+  /** Oracle twin of [[lrFeats]] — same expression tree per feature. */
+  private val lrFeatsSql =
+    s"""feats AS (
+       | SELECT doc_id, source,
+       |  CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+       |   AS y,
+       |  [CAST(1.0 AS DOUBLE),
+       |   least(n_tokens / 100.0, 1.0),
+       |   n_stop / n_tokens,
+       |   n_distinct / n_tokens,
+       |   least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)] AS f
+       | FROM (SELECT doc_id, source, lang, n_chars,
+       |   CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+       |    AS n_tokens,
+       |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |     $stopPred)) AS DOUBLE) AS n_stop,
+       |   CAST(len(list_distinct(string_split_regex(trim(text),
+       |     '\\s+'))) AS DOUBLE) AS n_distinct
+       |  FROM documents))"""
+
+  private def lrSigma(z: Double): Double =
+    0.5 + z / (2.0 * (1.0 + math.abs(z)))
+
+  private def lrSigmaCol(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  private def sqlLrSigma(z: String): String =
+    s"0.5 + $z / (2.0 * (1.0 + abs($z)))"
+
+  private def lrDot(f: Column, w: Array[Double]): Column =
+    aggregate(zip_with(f, lit(w), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  @volatile private var lrMemo: Option[((SparkSession, String),
+    (Array[Double], Double, Long))] = None
+
+  /** Bench/test hook: forget the trained classifier. */
+  def resetLr(): Unit = synchronized { lrMemo = None }
+
+  /** Bench hook: train + memoize the shared LR stage for (s, d). */
+  def warmLr(s: SparkSession, d: String): Unit = { lrModel(s, d); () }
+
+  /** Bench hook: forced-DISTRIBUTED twin (cap = 0). Not memoized. */
+  def warmLrDistributed(s: SparkSession, d: String): Unit = {
+    runLr(s, d, cap = 0L); ()
+  }
+
+  /** (weights, final Brier score, n), memoized per (session, dir). */
+  private[graft] def lrModel(s: SparkSession,
+      d: String): (Array[Double], Double, Long) = synchronized {
+    lrMemo match {
+      case Some((key, m)) if key == ((s, d)) => m
+      case _ =>
+        val m = runLr(s, d)
+        lrMemo = Some(((s, d), m))
+        m
+    }
+  }
+
+  private def bd12lr(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private[graft] def runLr(s: SparkSession, d: String,
+      cap: Long = LrDriverCap): (Array[Double], Double, Long) = {
+    val feats = lrFeats(s, d).select(col("y"), col("f")).persist()
+    try {
+      val n = feats.count()
+      if (n <= cap) {
+        val rows = feats.collect().map(r =>
+          (r.getDouble(0), r.getSeq[Double](1).toArray))
+        driverLr(rows, n)
+      } else distributedLr(feats, n)
+    } finally { feats.unpersist(false); () }
+  }
+
+  /** Sequential twin of [[distributedLr]]: same z fold order, same
+    * algebraic sigma, same scale-12 HALF_UP per-term rounding, exact
+    * adds — bit-equal by construction, pinned by TextLrSpec. */
+  private def driverLr(rows: Array[(Double, Array[Double])],
+      n: Long): (Array[Double], Double, Long) = {
+    var w = Array.fill(LrFeatDim)(0.0)
+    def zOf(f: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < LrFeatDim) { acc += f(j) * w(j); j += 1 }
+      acc
+    }
+    for (_ <- 1 to LrIters) {
+      val g = Array.fill(LrFeatDim)(java.math.BigDecimal.ZERO)
+      rows.foreach { case (y, f) =>
+        val e = y - lrSigma(zOf(f))
+        var j = 0
+        while (j < LrFeatDim) {
+          g(j) = g(j).add(bd12lr(e * f(j))); j += 1
+        }
+      }
+      w = Array.tabulate(LrFeatDim)(j => w(j) + g(j).doubleValue() / n)
+    }
+    var bsum = java.math.BigDecimal.ZERO
+    rows.foreach { case (y, f) =>
+      val e = y - lrSigma(zOf(f))
+      bsum = bsum.add(bd12lr(e * e))
+    }
+    (w, bsum.doubleValue() / n, n)
+  }
+
+  private def distributedLr(feats: DataFrame,
+      n: Long): (Array[Double], Double, Long) = {
+    var w = Array.fill(LrFeatDim)(0.0)
+    for (_ <- 1 to LrIters) {
+      val g = feats
+        .withColumn("e", col("y") - lrSigmaCol(lrDot(col("f"), w)))
+        .select(col("e"), posexplode(col("f")).as(Seq("j", "fj")))
+        .groupBy(col("j"))
+        .agg(sum(dec12(col("e") * col("fj"))).as("g"))
+        .collect()
+      val gv = Array.fill(LrFeatDim)(java.math.BigDecimal.ZERO)
+      g.foreach(r => gv(r.getInt(0)) = r.getDecimal(1))
+      w = Array.tabulate(LrFeatDim)(j => w(j) + gv(j).doubleValue() / n)
+    }
+    val brier = feats
+      .withColumn("e", col("y") - lrSigmaCol(lrDot(col("f"), w)))
+      .agg(sum(dec12(col("e") * col("e"))).as("b"))
+      .collect().head.getDecimal(0).doubleValue() / n
+    (w, brier, n)
+  }
+
+  /** Recursive-CTE twin of the GD loop: w carried as DOUBLE[k+1];
+    * each round one grouped exact-decimal gradient aggregation. */
+  private def lrCtes(iters: Int): String =
+    s"""${lrFeatsSql},
+       |nn AS (SELECT count(*) AS n FROM feats),
+       |t(it, w) AS (
+       |  SELECT 1, [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0]
+       |  UNION ALL
+       |  SELECT it + 1, list(w2 ORDER BY j)
+       |  FROM (
+       |   SELECT t.it AS it, r.j AS j,
+       |    t.w[r.j] + CAST(sum(CAST(
+       |      (d.y - (${sqlLrSigma("list_dot_product(d.f, t.w)")}))
+       |       * d.f[r.j] AS DECIMAL(38,12))) AS DOUBLE) / nn.n AS w2
+       |   FROM t, feats d, nn, unnest(range(1, ${LrFeatDim + 1})) AS r(j)
+       |   WHERE t.it <= $iters
+       |   GROUP BY t.it, r.j, t.w[r.j], nn.n)
+       |  GROUP BY it),
+       |trained AS (SELECT w FROM t WHERE it = ${iters + 1}),
+       |brier AS (
+       | SELECT CAST(sum(CAST(
+       |    (d.y - (${sqlLrSigma("list_dot_product(d.f, f.w)")}))
+       |    * (d.y - (${sqlLrSigma("list_dot_product(d.f, f.w)")}))
+       |   AS DECIMAL(38,12))) AS DOUBLE) / nn.n AS b
+       | FROM feats d, trained f, nn GROUP BY nn.n)""".stripMargin
+
+  // X19 — the trained classifier artifact: per-feature weight + the
+  // final full-corpus Brier score (squared error — exact arithmetic,
+  // unlike log-loss whose log() would break the cross-engine gate).
+  private def x19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (w, brier, _) = lrModel(s, d)
+    val names = Seq("bias", "len_tokens", "stop_ratio",
+      "distinct_ratio", "len_chars")
+    w.indices.map(j => (j, names(j), w(j), brier)).toSeq
+      .toDF("widx", "feature", "weight", "brier")
+      .withColumn("weight", round(col("weight"), 6))
+      .withColumn("brier", round(col("brier"), 6))
+      .orderBy(col("widx"))
+  }
+
+  private val x19Sql =
+    s"""WITH RECURSIVE ${lrCtes(LrIters)}
+       |SELECT r.j - 1 AS widx,
+       | ['bias', 'len_tokens', 'stop_ratio', 'distinct_ratio',
+       |  'len_chars'][r.j] AS feature,
+       | round(f.w[r.j], 6) AS weight, round(b.b, 6) AS brier
+       |FROM trained f, brier b, unnest(range(1, ${LrFeatDim + 1})) AS r(j)
+       |ORDER BY widx""".stripMargin
+
+  // X20 — serve the trained classifier: score every document, roll up
+  // per source (the per-source quality profile a mixing step consumes).
+  private def x20(s: SparkSession, d: String): DataFrame = {
+    val (w, _, _) = lrModel(s, d)
+    lrFeats(s, d)
+      .withColumn("p", round(lrSigmaCol(lrDot(col("f"), w)), 6))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_pos"),
+        decOut(sum(dec6(col("p")))).as("p_mass"),
+        min(col("p")).as("min_p"),
+        max(col("p")).as("max_p"))
+      .orderBy(col("source"))
+  }
+
+  private val x20Sql =
+    s"""WITH RECURSIVE ${lrCtes(LrIters)},
+       |scored AS (
+       | SELECT d.source,
+       |  round(${sqlLrSigma("list_dot_product(d.f, f.w)")}, 6) AS p
+       | FROM feats d, trained f)
+       |SELECT source, count(*) AS n_docs,
+       | ${sqlLsum("CASE WHEN p >= 0.5 THEN 1 ELSE 0 END")} AS n_pos,
+       | ${sqlDecOut("sum(CAST(p AS DECIMAL(38,6)))")} AS p_mass,
+       | min(p) AS min_p, max(p) AS max_p
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_lr_train" -> (x19 _),
+    "x20_lr_score" -> (x20 _),
     "x18_sample_quantiles" -> (x18 _),
     "x17_source_drift" -> (x17 _),
     "x16_bigram_ppl" -> (x16 _),
@@ -1094,6 +1343,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x19_lr_train" -> x19Sql,
+    "x20_lr_score" -> x20Sql,
     "x1_text_stats" -> x1Sql,
     "x2_quality_score" -> x2Sql,
     "x3_langid" -> x3Sql,
