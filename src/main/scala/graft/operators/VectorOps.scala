@@ -1161,7 +1161,13 @@ object VectorOps {
   // Efficiency: only the upper triangle is generated/aggregated
   // (j >= i halves the exploded pass); symmetry mirrors the rest.
   private val PcaIters = 8
-  private val PcaDriverCap = 100_000L
+  /** Unlike the other trainers, PCA's driver twin does d(d+1)/2
+    * BigDecimal adds PER VECTOR — measured at sf0.1 (50 k vecs) the
+    * distributed moments pass already beats it (1.45 s vs 2.6 s on 32
+    * cores), so the cap sits an order lower than kmeans': small enough
+    * that the driver path only covers inputs where job overhead
+    * dominates. */
+  private val PcaDriverCap = 10_000L
 
   @volatile private var pcaMemo: Option[((SparkSession, String),
     (Array[Double], Array[Double], Double))] = None
