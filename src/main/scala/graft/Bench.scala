@@ -164,13 +164,15 @@ object Bench {
       ((s, d) => operators.VectorOps.warmPca(s, d)),
     "stage:lr_train" ->
       ((s, d) => operators.TextOps.warmLr(s, d)),
-    // Forced-DISTRIBUTED twins (cap = 0): size dispatch routes every
-    // test-SF run of the three trainers driver-side, so without these
+    // Forced-DISTRIBUTED twins (cap = 0): size dispatch routes the
+    // trainers driver-side at test SFs (PCA excepted — its cap sits at
+    // 10k, so sf0.1 already trains distributed), so without these
     // lines a perf regression in the distributed CC loop / BPE rounds /
-    // Lloyd rounds — the code path real above-cap corpora take — would
-    // be invisible to the bench and the trend guard. Timed after the
-    // dispatched stages (memos untouched; consumers stay memo-warm).
-    // Names keep the unique-first-underscore-prefix contract.
+    // Lloyd rounds / PCA moments pass / LR gradient rounds — the code
+    // paths real above-cap corpora take — would be invisible to the
+    // bench and the trend guard. Timed after the dispatched stages
+    // (memos untouched; consumers stay memo-warm). Names keep the
+    // unique-first-underscore-prefix contract.
     "stage:ccdist_labels" ->
       ((s, d) => operators.DedupOps.warmWordSetLabelsDistributed(s, d)),
     "stage:bpedist_merges" ->

@@ -317,8 +317,15 @@ object PipelineOps {
   // TakeOrderedAndProject (per-partition heaps, no full sort); the
   // re-rank + τ broadcast run on k+1 rows.
   private val S8K = 20
-  private def s8(s: SparkSession, d: String): DataFrame = {
-    val top = Tables.documents(s, d)
+
+  /** Core sampler over any (doc_id, source, n_chars) frame — exposed
+    * so PipelinePropertySpec can drive it over a REPARTITIONED input
+    * and a small population. When the population has ≤ k rows there
+    * is no (k+1)-th priority: τ defaults to 0 (the DLT convention —
+    * the sample is the whole population and est_weight = w), via the
+    * always-one-row `max` aggregate instead of a vanishing filter. */
+  private[graft] def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    val top = docs
       .select(col("doc_id"), col("source"), col("n_chars"),
         (col("n_chars").cast("double") /
           ((conv(substring(md5(concat(lit("ps:"),
@@ -326,12 +333,12 @@ object PipelineOps {
             .cast("long") + lit(1L)).cast("double") / 281474976710656.0))
           .as("priority"))
       .orderBy(col("priority").desc, col("doc_id"))
-      .limit(S8K + 1)
+      .limit(k + 1)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("priority").desc, col("doc_id"))))
-    val tau = top.filter(col("rk") === S8K + 1)
-      .select(col("priority").as("tau"))
-    top.filter(col("rk") <= S8K)
+    val tau = top.filter(col("rk") === k + 1)
+      .agg(coalesce(max(col("priority")), lit(0.0)).as("tau"))
+    top.filter(col("rk") <= k)
       .crossJoin(broadcast(tau))
       .select(col("rk"), col("doc_id"), col("source"), col("n_chars"),
         col("priority"),
@@ -339,6 +346,9 @@ object PipelineOps {
           .as("est_weight"))
       .orderBy(col("rk"))
   }
+
+  private def s8(s: SparkSession, d: String): DataFrame =
+    prioritySample(Tables.documents(s, d), S8K)
 
   private val s8Sql =
     s"""WITH keyed AS (
@@ -352,7 +362,8 @@ object PipelineOps {
        | SELECT doc_id, source, n_chars, priority,
        |  row_number() OVER (ORDER BY priority DESC, doc_id) AS rk
        | FROM keyed ORDER BY priority DESC, doc_id LIMIT ${S8K + 1}),
-       |tau AS (SELECT priority AS tau FROM top WHERE rk = ${S8K + 1})
+       |tau AS (SELECT coalesce(max(priority), CAST(0.0 AS DOUBLE))
+       |  AS tau FROM top WHERE rk = ${S8K + 1})
        |SELECT rk, doc_id, source, n_chars, priority,
        | greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
        |FROM top CROSS JOIN tau WHERE rk <= $S8K ORDER BY rk""".stripMargin

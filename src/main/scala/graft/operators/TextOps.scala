@@ -46,16 +46,32 @@ object TextOps {
        |   / count(*), 6) AS avg_tokens
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
-  // X2 — per-document quality score: length, stopword ratio, vocabulary
-  // diversity (the classic pre-training quality heuristics).
-  private def x2(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .filter(col("doc_id") < 200)
-      .withColumn("n_tokens", size(toks).cast("double"))
+  /** The shared (n_tokens, n_stop, n_distinct) double-typed token-stats
+    * projection — x2's quality heuristics AND the x19/x20 classifier
+    * features derive from this ONE expression tree (with
+    * [[sqlTokenStatsCols]] as its oracle twin), so a tokenization
+    * retune cannot land in one consumer and silently diverge the
+    * other from its oracle. */
+  private def withTokenStats(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", size(toks).cast("double"))
       .withColumn("n_stop",
         size(expr(s"filter(split(trim(text), '\\\\s+'), $stopPred)"))
           .cast("double"))
       .withColumn("n_distinct", size(array_distinct(toks)).cast("double"))
+
+  /** Oracle twin of [[withTokenStats]]'s three derived columns. */
+  private val sqlTokenStatsCols =
+    s"""CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+       |    AS n_tokens,
+       |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |     $stopPred)) AS DOUBLE) AS n_stop,
+       |   CAST(len(list_distinct(string_split_regex(trim(text),
+       |     '\\s+'))) AS DOUBLE) AS n_distinct""".stripMargin
+
+  // X2 — per-document quality score: length, stopword ratio, vocabulary
+  // diversity (the classic pre-training quality heuristics).
+  private def x2(s: SparkSession, d: String): DataFrame =
+    withTokenStats(Tables.documents(s, d).filter(col("doc_id") < 200))
       .select(col("doc_id"), col("lang"),
         col("n_tokens").cast("long").as("n_tokens"),
         round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
@@ -75,10 +91,7 @@ object TextOps {
        |   + 0.3 * (1.0 - n_stop / n_tokens)
        |   + 0.3 * (n_distinct / n_tokens), 6) AS quality
        |FROM (SELECT doc_id, lang,
-       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
-       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |    $stopPred)) AS DOUBLE) AS n_stop,
-       |  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_distinct
+       |  $sqlTokenStatsCols
        | FROM documents WHERE doc_id < 200)
        |ORDER BY doc_id""".stripMargin
 
@@ -1100,12 +1113,7 @@ object TextOps {
     * paths can only differ in the GD loop — which exact-decimal
     * gradient sums make identical). */
   private def lrFeats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("n_tokens", size(toks).cast("double"))
-      .withColumn("n_stop",
-        size(expr(s"filter(split(trim(text), '\\\\s+'), $stopPred)"))
-          .cast("double"))
-      .withColumn("n_distinct", size(array_distinct(toks)).cast("double"))
+    withTokenStats(Tables.documents(s, d))
       .select(col("doc_id"), col("source"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
         array(lit(1.0),
@@ -1127,12 +1135,7 @@ object TextOps {
        |   n_distinct / n_tokens,
        |   least(CAST(n_chars AS DOUBLE) / 500.0, 1.0)] AS f
        | FROM (SELECT doc_id, source, lang, n_chars,
-       |   CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
-       |    AS n_tokens,
-       |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-       |     $stopPred)) AS DOUBLE) AS n_stop,
-       |   CAST(len(list_distinct(string_split_regex(trim(text),
-       |     '\\s+'))) AS DOUBLE) AS n_distinct
+       |  $sqlTokenStatsCols
        |  FROM documents))"""
 
   private def lrSigma(z: Double): Double =
@@ -1174,13 +1177,13 @@ object TextOps {
     }
   }
 
-  private def bd12lr(x: Double): java.math.BigDecimal =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
-
   private[graft] def runLr(s: SparkSession, d: String,
       cap: Long = LrDriverCap): (Array[Double], Double, Long) = {
-    val feats = lrFeats(s, d).select(col("y"), col("f")).persist()
+    // spread() ahead of the tokenize-heavy feature pass: a sub-128 MB
+    // parquet arrives as ONE partition, and the cache materialization
+    // plus all 9 gradient/Brier jobs would tokenize single-threaded
+    val feats = spread(lrFeats(s, d).select(col("y"), col("f")))
+      .persist()
     try {
       val n = feats.count()
       if (n <= cap) {
@@ -1208,7 +1211,7 @@ object TextOps {
         val e = y - lrSigma(zOf(f))
         var j = 0
         while (j < LrFeatDim) {
-          g(j) = g(j).add(bd12lr(e * f(j))); j += 1
+          g(j) = g(j).add(bd12(e * f(j))); j += 1
         }
       }
       w = Array.tabulate(LrFeatDim)(j => w(j) + g(j).doubleValue() / n)
@@ -1216,7 +1219,7 @@ object TextOps {
     var bsum = java.math.BigDecimal.ZERO
     rows.foreach { case (y, f) =>
       val e = y - lrSigma(zOf(f))
-      bsum = bsum.add(bd12lr(e * e))
+      bsum = bsum.add(bd12(e * e))
     }
     (w, bsum.doubleValue() / n, n)
   }

@@ -939,8 +939,7 @@ object VectorOps {
           while (j < dim) {
             var acc = java.math.BigDecimal.ZERO
             mine.foreach { v =>
-              acc = acc.add(java.math.BigDecimal.valueOf(v(j).toDouble)
-                .setScale(12, java.math.RoundingMode.HALF_UP))
+              acc = acc.add(bd12(v(j).toDouble))
             }
             nv(j) = (acc.doubleValue() / mine.length).toFloat
             j += 1
@@ -1196,10 +1195,6 @@ object VectorOps {
     }
   }
 
-  private def bd12(x: Double): java.math.BigDecimal =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(12, java.math.RoundingMode.HALF_UP)
-
   private[graft] def runPca(s: SparkSession, d: String,
       cap: Long = PcaDriverCap): (Array[Double], Array[Double], Double) = {
     val emb = Tables.embeddings(s, d)
@@ -1262,9 +1257,14 @@ object VectorOps {
     val ms = Array.fill(dim)(java.math.BigDecimal.ZERO)
     msRows.foreach(r => ms(r.getInt(0)) = r.getDecimal(1))
     val ps = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
+    // generate ONLY the upper triangle: the second explode walks the
+    // slice [i, d) (j = i + offset), n·d(d+1)/2 rows instead of
+    // generating all n·d² and dropping half in a filter
     one.select(col("i"), col("xi"),
-        posexplode(col("embedding")).as(Seq("j", "xj")))
-      .filter(col("j") >= col("i"))
+        posexplode(expr("slice(embedding, i + 1, size(embedding) - i)"))
+          .as(Seq("jo", "xj")))
+      .select(col("i"), (col("i") + col("jo")).as("j"),
+        col("xi"), col("xj"))
       .groupBy(col("i"), col("j"))
       .agg(sum(dec12(col("xi").cast("double") * col("xj").cast("double")))
         .as("ps"))
@@ -1399,11 +1399,16 @@ object VectorOps {
     var muw = 0.0
     var k = 0
     while (k < w.length) { muw += mu(k) * w(k); k += 1 }
-    val score = round(
-      aggregate(
-        zip_with(col("embedding"), lit(w),
-          (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, z) => acc + z) - lit(muw), 6)
+    // straight-line codegen'd term chain instead of a zip_with fold:
+    // no per-row intermediate array, one walk. Value-identical to the
+    // fold (the fold's 0.0+t₀ leading add is exact), and the fused
+    // DotProduct expression is NOT usable here — it requires FLOAT
+    // arrays on both sides, while the loading vector must stay DOUBLE
+    // for the oracle's list_dot_product contract.
+    val proj = w.indices.map(i =>
+        col("embedding").getItem(i).cast("double") * lit(w(i)))
+      .reduceLeft(_ + _)
+    val score = round(proj - lit(muw), 6)
     Tables.embeddings(s, d)
       .filter(col("embedding").isNotNull)
       .select(col("label"), score.as("score"))

@@ -23,6 +23,16 @@ package object operators {
   /** Higher-scale variant for tiny magnitudes (vector components, ratios). */
   def dec12(c: Column): Column = c.cast("decimal(38,12)")
 
+  /** Driver-side twin of [[dec12]]: the per-term rounding every
+    * sequential trainer loop (kmeans, PCA moments, LR gradients) must
+    * share with the distributed decimal cast — `BigDecimal.valueOf`
+    * (the Double.toString repr) then scale-12 HALF_UP, which is what
+    * both Spark's and DuckDB's DECIMAL(38,12) casts do. ONE copy so a
+    * contract fix cannot land in one trainer and miss the others. */
+  def bd12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
   /** Spread a skinny scan across the scheduler before a CPU-bound
     * per-row stage (tokenize/shingle/hash): a sub-128 MB parquet
     * arrives as ONE input partition, so such a pass runs

@@ -110,13 +110,26 @@ class PipelinePropertySpec extends AnyFunSuite {
     val est = out.map(_._5).sum
     assert(est > truth / 5 && est < truth * 5,
       s"estimate $est vs truth $truth")
-    // replay-idempotence: a second run over a repartitioned input
-    // yields the identical sample (no RNG state anywhere)
-    val again = PipelineOps.queries("s8_priority_sample")(
-      spark, SparkTestBase.sf)
+    // replay-idempotence: the same sampler over a REPARTITIONED input
+    // yields the identical sample (no RNG state, no partition
+    // sensitivity in the top-(k+1) path)
+    val again = PipelineOps.prioritySample(
+      Tables.documents(spark, SparkTestBase.sf).repartition(7), 20)
       .select("rk", "doc_id").collect()
       .map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(again == out.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("priority sample of a small population is the whole population") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = PipelineOps.prioritySample(tiny, 20)
+      .select("doc_id", "n_chars", "est_weight").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // n <= k: tau = 0, every doc sampled, est_weight = its own weight
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    out.foreach { case (_, w, est) => assert(est == w.toDouble) }
   }
 
   test("exact duplicates always land in the same split") {
