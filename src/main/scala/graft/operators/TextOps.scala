@@ -1125,7 +1125,7 @@ object TextOps {
 
   /** Oracle twin of [[lrFeats]] — same expression tree per feature. */
   private val lrFeatsSql =
-    s"""feats AS (
+    s"""feats AS MATERIALIZED (
        | SELECT doc_id, source,
        |  CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE)
        |   AS y,
@@ -1249,7 +1249,7 @@ object TextOps {
     * each round one grouped exact-decimal gradient aggregation. */
   private def lrCtes(iters: Int): String =
     s"""${lrFeatsSql},
-       |nn AS (SELECT count(*) AS n FROM feats),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM feats),
        |t(it, w) AS (
        |  SELECT 1, [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0]
        |  UNION ALL
@@ -1263,8 +1263,8 @@ object TextOps {
        |   WHERE t.it <= $iters
        |   GROUP BY t.it, r.j, t.w[r.j], nn.n)
        |  GROUP BY it),
-       |trained AS (SELECT w FROM t WHERE it = ${iters + 1}),
-       |brier AS (
+       |trained AS MATERIALIZED (SELECT w FROM t WHERE it = ${iters + 1}),
+       |brier AS MATERIALIZED (
        | SELECT CAST(sum(CAST(
        |    (d.y - (${sqlLrSigma("list_dot_product(d.f, f.w)")}))
        |    * (d.y - (${sqlLrSigma("list_dot_product(d.f, f.w)")}))

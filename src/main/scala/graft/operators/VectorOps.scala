@@ -1159,7 +1159,12 @@ object VectorOps {
   // float64 fold — the SAME equivalence the cosine kernels pin).
   // Efficiency: only the upper triangle is generated/aggregated
   // (j >= i halves the exploded pass); symmetry mirrors the rest.
-  private val PcaIters = 8
+  /** 24 rounds: convergence ∝ (λ₂/λ₁)^t, and the deflated SECOND
+    * component inherits the first's residual as a spurious overlap —
+    * at 8 rounds the sf0.001 corpus left w₁·w₂ ≈ 0.08; 24 rounds push
+    * the overlap below 1e-3 (spec-pinned). Iteration cost is driver-
+    * side d² arithmetic — invisible next to the moments pass. */
+  private val PcaIters = 24
   /** Unlike the other trainers, PCA's driver twin does d(d+1)/2
     * BigDecimal adds PER VECTOR — measured at sf0.1 (50 k vecs) the
     * distributed moments pass already beats it (1.45 s vs 2.6 s on 32
@@ -1168,8 +1173,10 @@ object VectorOps {
     * dominates. */
   private val PcaDriverCap = 10_000L
 
+  private val PcaComps = 2
+
   @volatile private var pcaMemo: Option[((SparkSession, String),
-    (Array[Double], Array[Double], Double))] = None
+    (Array[Double], Seq[(Array[Double], Double)]))] = None
 
   /** Bench/test hook: forget the trained component. */
   def resetPca(): Unit = synchronized { pcaMemo = None }
@@ -1183,9 +1190,10 @@ object VectorOps {
     runPca(s, d, cap = 0L); ()
   }
 
-  /** (mean, component, variance), memoized one slot per (session, dir). */
-  private[graft] def pcaModel(s: SparkSession,
-      d: String): (Array[Double], Array[Double], Double) = synchronized {
+  /** (mean, [(component, variance)] in deflation order), memoized one
+    * slot per (session, dir). */
+  private[graft] def pcaModel(s: SparkSession, d: String)
+      : (Array[Double], Seq[(Array[Double], Double)]) = synchronized {
     pcaMemo match {
       case Some((key, m)) if key == ((s, d)) => m
       case _ =>
@@ -1196,7 +1204,8 @@ object VectorOps {
   }
 
   private[graft] def runPca(s: SparkSession, d: String,
-      cap: Long = PcaDriverCap): (Array[Double], Array[Double], Double) = {
+      cap: Long = PcaDriverCap)
+      : (Array[Double], Seq[(Array[Double], Double)]) = {
     val emb = Tables.embeddings(s, d)
       .select(col("embedding"))
       .filter(col("embedding").isNotNull).persist()
@@ -1273,13 +1282,17 @@ object VectorOps {
     (ms, ps)
   }
 
-  /** Shared finish: covariance from the exact moments, then PcaIters
-    * power-iteration steps from e₀ — ONE implementation for both
+  /** Shared finish: covariance from the exact moments, then PcaComps
+    * rounds of (PcaIters power-iteration steps from e₀ → Rayleigh λ →
+    * Hotelling deflation C ← C − λwwᵀ) — ONE implementation for both
     * dispatch paths, arithmetic mirrored line-for-line by the
-    * recursive-CTE oracle. */
+    * recursive-CTE oracle (each deflation is one fixed IEEE expression
+    * per cell, so the second component needs no new determinism
+    * machinery). The iteration cost is O(ncomp·iters·d²) on a bounded
+    * artifact — invisible next to the corpus moments pass. */
   private def finishPca(n: Long, ms: Array[java.math.BigDecimal],
-      ps: Array[Array[java.math.BigDecimal]])
-      : (Array[Double], Array[Double], Double) = {
+      ps: Array[Array[java.math.BigDecimal]], ncomp: Int = PcaComps)
+      : (Array[Double], Seq[(Array[Double], Double)]) = {
     val dim = ms.length
     val mu = Array.tabulate(dim)(i => ms(i).doubleValue() / n)
     val c = Array.ofDim[Double](dim, dim)
@@ -1304,32 +1317,64 @@ object VectorOps {
       while (k < dim) { acc += a(k) * b(k); k += 1 }
       acc
     }
-    var w = Array.tabulate(dim)(k => if (k == 0) 1.0 else 0.0)
-    for (_ <- 1 to PcaIters) {
-      val u = matvec(w)
-      val nrm = math.sqrt(dot(u, u))
-      w = u.map(_ / nrm)
+    val comps = Seq.newBuilder[(Array[Double], Double)]
+    val prev = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var comp = 0
+    while (comp < ncomp) {
+      var w = Array.tabulate(dim)(k => if (k == 0) 1.0 else 0.0)
+      for (_ <- 1 to PcaIters) {
+        val u = matvec(w)
+        val nrm = math.sqrt(dot(u, u))
+        w = u.map(_ / nrm)
+      }
+      // Gram–Schmidt against every earlier component, then renormalize:
+      // deflation alone leaves the next component a spurious overlap
+      // proportional to the previous eigen-residual (measured 0.08 at
+      // sf0.001 with 8 rounds); the explicit projection makes
+      // orthogonality exact to float precision independent of the
+      // eigengap. Same fixed IEEE sequence in the oracle's `orthu` CTE.
+      prev.foreach { wp =>
+        val o = dot(wp, w)
+        var k = 0
+        while (k < dim) { w(k) = w(k) - o * wp(k); k += 1 }
+      }
+      if (prev.nonEmpty) {
+        val nrm = math.sqrt(dot(w, w))
+        w = w.map(_ / nrm)
+      }
+      val lambda = dot(w, matvec(w))
+      comps += ((w, lambda))
+      prev += w
+      // deflate IN PLACE: same cell expression as the oracle's cmat2
+      var r = 0
+      while (r < dim) {
+        var k = 0
+        while (k < dim) {
+          c(r)(k) = c(r)(k) - lambda * w(r) * w(k); k += 1
+        }
+        r += 1
+      }
+      comp += 1
     }
-    val lambda = dot(w, matvec(w))
-    (mu, w, lambda)
+    (mu, comps.result())
   }
 
   /** Recursive-CTE twin of the PCA trainer: exact-decimal moments →
     * float64 covariance (upper triangle mirrored) → row lists →
     * power-iteration steps carrying the unit vector as DOUBLE[]. */
   private def pcaCtes(iters: Int): String =
-    s"""base AS (SELECT embedding FROM embeddings
+    s"""base AS MATERIALIZED (SELECT embedding FROM embeddings
        |  WHERE embedding IS NOT NULL),
-       |nn AS (SELECT count(*) AS n FROM base),
-       |dims AS (SELECT unnest(range(1,
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM base),
+       |dims AS MATERIALIZED (SELECT unnest(range(1,
        |  (SELECT max(len(embedding)) FROM base) + 1)) AS i),
-       |msum AS (
+       |msum AS MATERIALIZED (
        | SELECT r.i AS i,
        |  sum(CAST(CAST(e.embedding[r.i] AS DOUBLE) AS DECIMAL(38,12)))
        |   AS ms
        | FROM base e, unnest(range(1, len(e.embedding) + 1)) AS r(i)
        | GROUP BY 1),
-       |psum AS (
+       |psum AS MATERIALIZED (
        | SELECT r1.i AS i, r2.j AS j,
        |  sum(CAST(CAST(e.embedding[r1.i] AS DOUBLE)
        |    * CAST(e.embedding[r2.j] AS DOUBLE) AS DECIMAL(38,12))) AS ps
@@ -1337,16 +1382,16 @@ object VectorOps {
        |      unnest(range(1, len(e.embedding) + 1)) AS r2(j)
        | WHERE r2.j >= r1.i
        | GROUP BY 1, 2),
-       |cup AS (
+       |cup AS MATERIALIZED (
        | SELECT p.i, p.j,
        |  CAST(p.ps AS DOUBLE) / nn.n
        |   - (CAST(mi.ms AS DOUBLE) / nn.n) * (CAST(mj.ms AS DOUBLE) / nn.n)
        |   AS c
        | FROM psum p, nn, msum mi, msum mj
        | WHERE mi.i = p.i AND mj.i = p.j),
-       |cmat AS (SELECT i, j, c FROM cup
+       |cmat AS MATERIALIZED (SELECT i, j, c FROM cup
        | UNION ALL SELECT j, i, c FROM cup WHERE i <> j),
-       |crow AS (SELECT i, list(c ORDER BY j) AS cv FROM cmat GROUP BY i),
+       |crow AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cv FROM cmat GROUP BY i),
        |t(it, w) AS (
        |  SELECT 1, (SELECT list(CAST(CASE WHEN d2.i = 1 THEN 1.0
        |    ELSE 0.0 END AS DOUBLE) ORDER BY d2.i) FROM dims d2)
@@ -1358,8 +1403,8 @@ object VectorOps {
        |    list(list_dot_product(c2.cv, t.w) ORDER BY c2.i) AS ul
        |   FROM t, crow c2 WHERE t.it <= $iters
        |   GROUP BY t.it, t.w)),
-       |trained AS (SELECT w FROM t WHERE it = ${iters + 1}),
-       |lam AS (
+       |trained AS MATERIALIZED (SELECT w FROM t WHERE it = ${iters + 1}),
+       |lam AS MATERIALIZED (
        | SELECT list_dot_product(f.w,
        |   list(list_dot_product(c2.cv, f.w) ORDER BY c2.i)) AS lambda
        | FROM trained f, crow c2 GROUP BY f.w)""".stripMargin
@@ -1369,7 +1414,8 @@ object VectorOps {
   // variance (the Rayleigh quotient of the trained direction).
   private def v16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val (mu, w, lambda) = pcaModel(s, d)
+    val (mu, comps) = pcaModel(s, d)
+    val (w, lambda) = comps.head
     w.indices.map(i => (i, w(i), mu(i), lambda)).toSeq
       .toDF("pos", "loading", "dim_mean", "variance")
       .withColumn("loading", round(col("loading"), 6))
@@ -1395,7 +1441,8 @@ object VectorOps {
   // stats per class label. Closes PCA's train → project → serve loop
   // the way v12 does for k-means.
   private def v17(s: SparkSession, d: String): DataFrame = {
-    val (mu, w, _) = pcaModel(s, d)
+    val (mu, comps) = pcaModel(s, d)
+    val w = comps.head._1
     var muw = 0.0
     var k = 0
     while (k < w.length) { muw += mu(k) * w(k); k += 1 }
@@ -1437,9 +1484,69 @@ object VectorOps {
        | min(score) AS min_score, max(score) AS max_score
        |FROM scored GROUP BY label ORDER BY label""".stripMargin
 
+  // V18 — rank-2 PCA via Hotelling deflation: the second principal
+  // direction of the SAME trained covariance (C ← C − λ₁w₁w₁ᵀ, then
+  // the same 8 power-iteration steps). Zero extra corpus cost — the
+  // memoized moments are shared with v16/v17; only the bounded d×d
+  // iteration doubles. The oracle replays the deflation as one fixed
+  // IEEE expression per covariance cell and a second recursive CTE
+  // over the deflated row lists.
+  private def v18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (_, comps) = pcaModel(s, d)
+    comps.zipWithIndex.flatMap { case ((w, lam), ci) =>
+      w.indices.map(p => (ci, p, w(p), lam))
+    }.toDF("comp", "pos", "loading", "variance")
+      .withColumn("loading", round(col("loading"), 6))
+      .withColumn("variance", round(col("variance"), 6))
+      .orderBy(col("comp"), col("pos"))
+  }
+
+  private val v18Sql =
+    s"""WITH RECURSIVE ${pcaCtes(PcaIters)},
+       |cmat2 AS MATERIALIZED (
+       | SELECT m.i, m.j, m.c - l.lambda * f.w[m.i] * f.w[m.j] AS c
+       | FROM cmat m, trained f, lam l),
+       |crow2 AS MATERIALIZED (SELECT i, list(c ORDER BY j) AS cv FROM cmat2
+       | GROUP BY i),
+       |t2(it, w) AS (
+       |  SELECT 1, (SELECT list(CAST(CASE WHEN d2.i = 1 THEN 1.0
+       |    ELSE 0.0 END AS DOUBLE) ORDER BY d2.i) FROM dims d2)
+       |  UNION ALL
+       |  SELECT it + 1,
+       |   list_transform(ul, z -> z / sqrt(list_dot_product(ul, ul)))
+       |  FROM (
+       |   SELECT t2.it AS it,
+       |    list(list_dot_product(c2.cv, t2.w) ORDER BY c2.i) AS ul
+       |   FROM t2, crow2 c2 WHERE t2.it <= $PcaIters
+       |   GROUP BY t2.it, t2.w)),
+       |trained2 AS MATERIALIZED (SELECT w FROM t2 WHERE it = ${PcaIters + 1}),
+       |orthu AS MATERIALIZED (
+       | SELECT list(f2.w[d2.i]
+       |    - list_dot_product(f1.w, f2.w) * f1.w[d2.i]
+       |   ORDER BY d2.i) AS u
+       | FROM trained2 f2, trained f1, dims d2
+       | GROUP BY f2.w, f1.w),
+       |orth AS MATERIALIZED (SELECT list_transform(u,
+       |  z -> z / sqrt(list_dot_product(u, u))) AS w FROM orthu),
+       |lam2 AS MATERIALIZED (
+       | SELECT list_dot_product(f.w,
+       |   list(list_dot_product(c2.cv, f.w) ORDER BY c2.i)) AS lambda
+       | FROM orth f, crow2 c2 GROUP BY f.w)
+       |SELECT comp, pos, loading, variance FROM (
+       | SELECT 0 AS comp, r.i - 1 AS pos,
+       |  round(f.w[r.i], 6) AS loading, round(l.lambda, 6) AS variance
+       | FROM trained f, lam l, unnest(range(1, len(f.w) + 1)) AS r(i)
+       | UNION ALL
+       | SELECT 1, r.i - 1, round(f2.w[r.i], 6), round(l2.lambda, 6)
+       | FROM orth f2, lam2 l2,
+       |  unnest(range(1, len(f2.w) + 1)) AS r(i))
+       |ORDER BY comp, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v16_pca_train" -> (v16 _),
     "v17_pca_project" -> (v17 _),
+    "v18_pca_deflate" -> (v18 _),
     "v13_sq8_quantize" -> (v13 _),
     "v11_kmeans_train" -> (v11 _),
     "v12_trained_assign" -> (v12 _),
@@ -1460,6 +1567,7 @@ object VectorOps {
   val oracles: Map[String, String] = Map(
     "v16_pca_train" -> v16Sql,
     "v17_pca_project" -> v17Sql,
+    "v18_pca_deflate" -> v18Sql,
     "v13_sq8_quantize" -> v13Sql,
     "v10_pq_adc_topk" -> v10Sql,
     "v1_knn_bruteforce" -> v1Sql,

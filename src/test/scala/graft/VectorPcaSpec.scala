@@ -4,14 +4,15 @@ import graft.operators.VectorOps
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Ground truth for the PCA trainer (v16) and projector (v17) beyond
-  * the DuckDB oracle: the oracle proves Spark ≡ DuckDB, these specs
-  * prove the model is the thing it claims — the size-dispatched driver
-  * path and the forced-distributed moments path agree bit-for-bit
-  * (exact-decimal moments are associative, so the dispatch cap can
-  * never change the model), the trained direction is unit-norm and an
-  * approximate eigenvector, its captured variance beats every single
-  * coordinate axis, and the centered projections sum to ~zero. */
+/** Ground truth for the PCA trainer (v16/v18) and projector (v17)
+  * beyond the DuckDB oracle: the oracle proves Spark ≡ DuckDB, these
+  * specs prove the model is the thing it claims — the size-dispatched
+  * driver path and the forced-distributed moments path agree
+  * bit-for-bit (exact-decimal moments are associative, so the
+  * dispatch cap can never change the model), the trained directions
+  * are unit-norm approximate eigenvectors with λ₁ ≥ λ₂ and near-zero
+  * mutual overlap (deflation works), λ₁ beats every coordinate axis,
+  * and the centered projections sum to ~zero. */
 class VectorPcaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
@@ -20,23 +21,33 @@ class VectorPcaSpec extends AnyFunSuite {
     VectorOps.runPca(spark, SparkTestBase.sf, cap = 0L)
 
   test("driver and forced-distributed paths train the identical model") {
-    val (mu1, w1, l1) = driver
-    val (mu2, w2, l2) = dist
+    val (mu1, c1) = driver
+    val (mu2, c2) = dist
     assert(mu1.toSeq == mu2.toSeq)
-    assert(w1.toSeq == w2.toSeq)
-    assert(l1 == l2)
+    assert(c1.length == c2.length && c1.length == 2)
+    c1.zip(c2).foreach { case ((w1, l1), (w2, l2)) =>
+      assert(w1.toSeq == w2.toSeq)
+      assert(l1 == l2)
+    }
   }
 
-  test("trained component is unit-norm with positive captured variance") {
-    val (_, w, lambda) = driver
-    val n2 = w.map(x => x * x).sum
-    assert(math.abs(n2 - 1.0) < 1e-12, s"|w|^2 = $n2")
-    assert(lambda > 0.0)
+  test("components are unit-norm, variance-ordered, near-orthogonal") {
+    val (_, comps) = driver
+    val Seq((w1, l1), (w2, l2)) = comps.toSeq
+    comps.foreach { case (w, l) =>
+      val n2 = w.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-12, s"|w|^2 = $n2")
+      assert(l > 0.0)
+    }
+    assert(l1 >= l2, s"lambda1 $l1 < lambda2 $l2")
+    val overlap = math.abs(w1.zip(w2).map { case (a, b) => a * b }.sum)
+    assert(overlap < 1e-6, s"w1.w2 = $overlap")
   }
 
-  test("component is an approximate top eigenvector: residual small, " +
-    "variance beats every coordinate axis") {
-    val (mu, w, lambda) = driver
+  test("first component is an approximate top eigenvector: residual " +
+    "small, variance beats every coordinate axis") {
+    val (mu, comps) = driver
+    val (w, lambda) = comps.head
     // rebuild the covariance the trainer saw, from the same corpus
     val vecs = Tables.embeddings(spark, SparkTestBase.sf)
       .filter(col("embedding").isNotNull)
