@@ -1322,7 +1322,80 @@ object TextOps {
        | min(p) AS min_p, max(p) AS max_p
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  // X21 — count-min sketch heavy hitters: the bounded-memory frequency
+  // structure next to the repo's other sketches (HLL a16b, KMV a16c,
+  // bottom-k a18, KLL x8 / sample x18). depth×width = 4×256 counters;
+  // row hashes are md5-derived (the d3/d4/v8 cross-engine family), so
+  // the sketch is DETERMINISTIC and the DuckDB oracle rebuilds it
+  // cell-for-cell — unlike the engine-specific HLL/KLL binaries, a CMS
+  // is just a keyed aggregation and needs no rows-only carve-out.
+  // Build shape: the exact per-token counts feed the cells (4 rows per
+  // DISTINCT token, not per occurrence — numerically identical, ~50×
+  // cheaper), one (r, col) aggregation; the heavy-hitter queries then
+  // join their 4 cells and take the min estimate. Output pins the CMS
+  // guarantee est ≥ exact (TextCmsSpec asserts it for every token).
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  private def cmsCells(depth: Int, width: Int): Column = posexplode(expr(
+    s"transform(sequence(0, ${depth - 1}), r -> " +
+      "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', tok)), " +
+      s"1, 8), 16, 10) AS LONG) % $width)"))
+
+  /** Exact counts + CMS estimates for the top-k tokens — exposed with
+    * a sketch-size knob so TextCmsSpec can force collisions with a
+    * tiny width and assert the one-sided est ≥ exact guarantee. */
+  private[graft] def cmsEstimate(docs: DataFrame, depth: Int,
+      width: Int, k: Int): DataFrame = {
+    val exact = spread(docs)
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val cells = exact
+        .select(col("n"), cmsCells(depth, width).as(Seq("r", "c")))
+        .groupBy(col("r"), col("c"))
+        .agg(sum(col("n")).as("cell"))
+      val top = exact.orderBy(col("n").desc, col("tok")).limit(k)
+      top.select(col("tok"), col("n"),
+          cmsCells(depth, width).as(Seq("r", "c")))
+        .join(cells, Seq("r", "c"))
+        .groupBy(col("tok"), col("n"))
+        .agg(min(col("cell")).as("cms_est"))
+        .orderBy(col("n").desc, col("tok"))
+    } finally { exact.unpersist(false); () }
+  }
+
+  private def x21(s: SparkSession, d: String): DataFrame =
+    cmsEstimate(Tables.documents(s, d), CmsDepth, CmsWidth, 10)
+
+  private val x21Sql = {
+    // oracle twin of [[cmsCells]]'s row hash, parameterized on the
+    // token expression so the build and probe sides stay one template
+    def h(tokExpr: String) =
+      s"CAST('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || " +
+        s"$tokExpr), 1, 8) AS BIGINT) % $CmsWidth"
+    s"""WITH exact AS MATERIALIZED (
+       | SELECT tok, count(*) AS n
+       | FROM (SELECT unnest(string_split_regex(trim(text), '\\s+'))
+       |    AS tok FROM documents)
+       | GROUP BY tok),
+       |cells AS MATERIALIZED (
+       | SELECT r.r AS r, ${h("tok")} AS c,
+       |  CAST(sum(n) AS BIGINT) AS cell
+       | FROM exact, unnest(range(0, $CmsDepth)) AS r(r)
+       | GROUP BY 1, 2),
+       |top AS (SELECT tok, n FROM exact
+       | ORDER BY n DESC, tok LIMIT 10)
+       |SELECT t.tok, t.n, min(cells.cell) AS cms_est
+       |FROM top t, unnest(range(0, $CmsDepth)) AS r(r)
+       | JOIN cells ON cells.r = r.r AND cells.c = ${h("t.tok")}
+       |GROUP BY t.tok, t.n
+       |ORDER BY n DESC, tok""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_cms_heavy" -> (x21 _),
     "x19_lr_train" -> (x19 _),
     "x20_lr_score" -> (x20 _),
     "x18_sample_quantiles" -> (x18 _),
@@ -1346,6 +1419,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "x21_cms_heavy" -> x21Sql,
     "x19_lr_train" -> x19Sql,
     "x20_lr_score" -> x20Sql,
     "x1_text_stats" -> x1Sql,
