@@ -1347,23 +1347,26 @@ object TextOps {
     * tiny width and assert the one-sided est ≥ exact guarantee. */
   private[graft] def cmsEstimate(docs: DataFrame, depth: Int,
       width: Int, k: Int): DataFrame = {
+    // eager localCheckpoint: the exact-count frame feeds THREE plan
+    // subtrees (cell build, top-k, probe side), and a lazy persist
+    // released in a finally would be gone before the returned frame
+    // ever executes — checkpoint blocks are not CacheManager entries
+    // and simply age out (the Bench warm-block pattern)
     val exact = spread(docs)
       .select(explode(toks).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .persist()
-    try {
-      val cells = exact
-        .select(col("n"), cmsCells(depth, width).as(Seq("r", "c")))
-        .groupBy(col("r"), col("c"))
-        .agg(sum(col("n")).as("cell"))
-      val top = exact.orderBy(col("n").desc, col("tok")).limit(k)
-      top.select(col("tok"), col("n"),
-          cmsCells(depth, width).as(Seq("r", "c")))
-        .join(cells, Seq("r", "c"))
-        .groupBy(col("tok"), col("n"))
-        .agg(min(col("cell")).as("cms_est"))
-        .orderBy(col("n").desc, col("tok"))
-    } finally { exact.unpersist(false); () }
+      .localCheckpoint(true)
+    val cells = exact
+      .select(col("n"), cmsCells(depth, width).as(Seq("r", "c")))
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("n")).as("cell"))
+    val top = exact.orderBy(col("n").desc, col("tok")).limit(k)
+    top.select(col("tok"), col("n"),
+        cmsCells(depth, width).as(Seq("r", "c")))
+      .join(cells, Seq("r", "c"))
+      .groupBy(col("tok"), col("n"))
+      .agg(min(col("cell")).as("cms_est"))
+      .orderBy(col("n").desc, col("tok"))
   }
 
   private def x21(s: SparkSession, d: String): DataFrame =

@@ -1159,11 +1159,13 @@ object VectorOps {
   // float64 fold — the SAME equivalence the cosine kernels pin).
   // Efficiency: only the upper triangle is generated/aggregated
   // (j >= i halves the exploded pass); symmetry mirrors the rest.
-  /** 24 rounds: convergence ∝ (λ₂/λ₁)^t, and the deflated SECOND
-    * component inherits the first's residual as a spurious overlap —
-    * at 8 rounds the sf0.001 corpus left w₁·w₂ ≈ 0.08; 24 rounds push
-    * the overlap below 1e-3 (spec-pinned). Iteration cost is driver-
-    * side d² arithmetic — invisible next to the moments pass. */
+  /** 24 rounds: convergence ∝ (λ₂/λ₁)^t and the sf0.001 eigengap is
+    * tight — extra rounds tighten the eigen-residual cheaply (driver-
+    * side d² arithmetic, a few more trivial oracle recursion steps).
+    * Orthogonality of later components does NOT come from the rounds:
+    * deflation alone left w₁·w₂ ≈ 0.08 at 8 rounds, so finishPca
+    * re-orthogonalizes explicitly (Gram–Schmidt), which VectorPcaSpec
+    * pins below 1e-6 independent of the eigengap. */
   private val PcaIters = 24
   /** Unlike the other trainers, PCA's driver twin does d(d+1)/2
     * BigDecimal adds PER VECTOR — measured at sf0.1 (50 k vecs) the
@@ -1345,14 +1347,18 @@ object VectorOps {
       val lambda = dot(w, matvec(w))
       comps += ((w, lambda))
       prev += w
-      // deflate IN PLACE: same cell expression as the oracle's cmat2
-      var r = 0
-      while (r < dim) {
-        var k = 0
-        while (k < dim) {
-          c(r)(k) = c(r)(k) - lambda * w(r) * w(k); k += 1
+      // deflate IN PLACE for the next component (skipped after the
+      // last — the rewritten matrix would never be read): same cell
+      // expression as the oracle's cmat2
+      if (comp + 1 < ncomp) {
+        var r = 0
+        while (r < dim) {
+          var k = 0
+          while (k < dim) {
+            c(r)(k) = c(r)(k) - lambda * w(r) * w(k); k += 1
+          }
+          r += 1
         }
-        r += 1
       }
       comp += 1
     }
@@ -1486,7 +1492,7 @@ object VectorOps {
 
   // V18 — rank-2 PCA via Hotelling deflation: the second principal
   // direction of the SAME trained covariance (C ← C − λ₁w₁w₁ᵀ, then
-  // the same 8 power-iteration steps). Zero extra corpus cost — the
+  // the same power-iteration rounds + Gram–Schmidt). Zero extra corpus cost — the
   // memoized moments are shared with v16/v17; only the bounded d×d
   // iteration doubles. The oracle replays the deflation as one fixed
   // IEEE expression per covariance cell and a second recursive CTE

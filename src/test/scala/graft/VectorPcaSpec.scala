@@ -68,7 +68,7 @@ class VectorPcaSpec extends AnyFunSuite {
     val maxDiag = (0 until d).map(i => c(i)(i)).max
     assert(lambda >= maxDiag - 1e-9,
       s"lambda $lambda < max axis variance $maxDiag")
-    // eigen-residual ||Cw - lambda w|| relatively small after 8 rounds
+    // eigen-residual ||Cw - lambda w|| relatively small after 24 rounds
     val cw = Array.tabulate(d) { i =>
       (0 until d).map(j => c(i)(j) * w(j)).sum
     }
