@@ -368,7 +368,63 @@ object PipelineOps {
        | greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
        |FROM top CROSS JOIN tau WHERE rk <= $S8K ORDER BY rk""".stripMargin
 
+  // S9 — the END-TO-END curation pipeline as ONE composed program:
+  // exact dedup (keep the min-id copy per text) → quality filter (the
+  // x2 heuristic, threshold 0.5 on the rounded score) → deterministic
+  // train/val/test split (the s1 content-hash rule) → per-split
+  // corpus accounting. This is the query a user of the library
+  // actually ships — the individual operators composed, not demoed —
+  // and the whole chain stays one declarative plan: a single text-key
+  // shuffle for the dedup window, codegen'd per-row quality/split
+  // expressions, one final rollup. Oracle = the same chain in SQL.
+  private def s9(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val kept = Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val scored = TextOps.withTokenStats(kept)
+      .withColumn("quality", round(
+        lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
+          lit(0.3) * (col("n_distinct") / col("n_tokens")), 6))
+      .filter(col("quality") >= 0.5)
+    withSplit(scored, col("text"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        decOut(sum(dec6(col("quality")))).as("quality_mass"))
+      .orderBy(col("split"))
+  }
+
+  private val s9Sql =
+    s"""WITH kept AS (
+       | SELECT doc_id, source, text FROM (
+       |  SELECT doc_id, source, text,
+       |   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |  FROM documents) WHERE rn = 1),
+       |scored AS (
+       | SELECT text,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens_l,
+       |  round(0.4 * least(n_tokens / 100.0, 1.0)
+       |    + 0.3 * (1.0 - n_stop / n_tokens)
+       |    + 0.3 * (n_distinct / n_tokens), 6) AS quality
+       | FROM (SELECT text,
+       |  ${TextOps.sqlTokenStatsCols}
+       |  FROM kept)),
+       |split_assigned AS (
+       | SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+       |        WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+       |        ELSE 'test' END AS split,
+       |  n_tokens_l, quality
+       | FROM scored WHERE quality >= 0.5)
+       |SELECT split, count(*) AS n_docs,
+       | ${sqlLsum("n_tokens_l")} AS sum_tokens,
+       | ${sqlDecOut("sum(CAST(quality AS DECIMAL(38,6)))")}
+       |  AS quality_mass
+       |FROM split_assigned GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s9_curation_e2e" -> (s9 _),
     "s8_priority_sample" -> (s8 _),
     "s6_concat_chunk" -> (s6 _),
     "s1_hash_split" -> (s1 _),
@@ -380,6 +436,7 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "s9_curation_e2e" -> s9Sql,
     "s8_priority_sample" -> s8Sql,
     "s6_concat_chunk" -> s6Sql,
     "s1_hash_split" -> s1Sql,

