@@ -30,7 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(name: String, usage: String,
       builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo(getClass.getName, null, name, usage, ""),
+      new ExpressionInfo(getClass.getName, "", name, usage, "", "", "",
+        "", "", "", "built-in"),
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -110,7 +110,7 @@ object VectorOps {
   /** Small codebooks inline as a literal `array<struct<cell, cv>>` so
     * assignment is a pure codegen'd map-side expression. */
   private def codebookLit(seeds: Array[(Long, Array[Float])]): Column =
-    array(seeds.map { case (cell, cv) =>
+    array(seeds.toIndexedSeq.map { case (cell, cv) =>
       struct(lit(cell).as("cell"), lit(cv).as("cv"))
     }: _*)
 
@@ -146,7 +146,7 @@ object VectorOps {
           s"'negsim', nanvl(-t.s, CAST('-Infinity' AS DOUBLE)), " +
           s"'cell', t.cell, 'sim', t.s))), 1, $probes)"))
       .withColumn("cc", explode(col("cand")))
-      .select(src.columns.map(col) :+ col("cc.cell").as("cell")
+      .select(src.columns.toIndexedSeq.map(col) :+ col("cc.cell").as("cell")
         :+ col("cc.sim").as("csim"): _*)
 
   /** One scored (cell, sim) candidate from the broadcast kernel. */
@@ -196,7 +196,7 @@ object VectorOps {
       }
     }
     src.withColumn("cc", explode(assign(col(vecCol))))
-      .select(src.columns.map(col) :+ col("cc.cell").as("cell")
+      .select(src.columns.toIndexedSeq.map(col) :+ col("cc.cell").as("cell")
         :+ col("cc.sim").as("csim"): _*)
   }
 
