@@ -622,6 +622,49 @@ object DedupOps {
        |  SELECT node FROM labels WHERE node <> label)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  private val d10Sql =
+    s"""WITH RECURSIVE $closureCtes,
+       |csizes AS (SELECT label, count(*) AS csize FROM labels
+       | GROUP BY label),
+       |lbl AS (SELECT l.node AS doc_id, c.csize
+       | FROM labels l JOIN csizes c USING (label))
+       |SELECT d.source, count(*) AS n_docs,
+       | ${sqlLsum("CASE WHEN coalesce(lbl.csize, 1) > 1 THEN 1 ELSE 0 END")}
+       |  AS n_clustered,
+       | ${sqlDecOut(
+            "sum(CAST(CAST(1.0 AS DOUBLE) / CAST(coalesce(lbl.csize, 1)" +
+              " AS DOUBLE) AS DECIMAL(38,12)))")} AS effective_docs
+       |FROM documents d LEFT JOIN lbl ON lbl.doc_id = d.doc_id
+       |WHERE d.doc_id < 2000
+       |GROUP BY d.source ORDER BY source""".stripMargin
+
+  // D10 — SOFT dedup: instead of d6's hard drop, every near-dup
+  // cluster member keeps membership at sampling weight 1/|cluster| —
+  // the published alternative when duplicates carry signal (a document
+  // repeated k times contributes ~once in expectation rather than k
+  // times or exactly once). Reuses the memoized pairs→CC labels stage;
+  // the per-label size rollup and the label join are both bounded by
+  // the (small) clustered set, so at 100 TB the corpus-side left join
+  // broadcasts the labels. Weight = one IEEE division of exact
+  // operands; the per-source effective-size sum runs through
+  // DECIMAL(38,12) (order-independent).
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val labels = wordSetLabels(s, d)
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("csize"))
+    val labeled = labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("csize"))
+    Tables.documents(s, d).filter(col("doc_id") < 2000)
+      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .withColumn("wt", lit(1.0) / col("csize").cast("double"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_clustered"),
+        decOut(sum(dec12(col("wt")))).as("effective_docs"))
+      .orderBy(col("source"))
+  }
+
   // D8 — chunk-level exact dedup audit: non-overlapping 16-word chunks,
   // per-source counts of chunk instances whose text repeats anywhere in
   // the corpus — the boilerplate-removal audit a pretraining pipeline
@@ -798,6 +841,7 @@ object DedupOps {
     "d3_minhash_lsh" -> (d3 _),
     "d4_simhash" -> (d4 _),
     "d5_dup_clusters" -> (d5 _),
+    "d10_soft_dedup" -> (d10 _),
     "d6_dedup_keep" -> (d6 _),
     "d7_shingle_jaccard" -> (d7 _),
     "d8_chunk_dedup" -> (d8 _),
@@ -811,6 +855,7 @@ object DedupOps {
     "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d5_dup_clusters" -> d5Sql,
+    "d10_soft_dedup" -> d10Sql,
     "d6_dedup_keep" -> d6Sql,
     "d7_shingle_jaccard" -> d7Sql,
     "d8_chunk_dedup" -> d8Sql,

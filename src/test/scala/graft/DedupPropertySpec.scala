@@ -69,4 +69,23 @@ class DedupPropertySpec extends AnyFunSuite {
     val recall = sameCluster.toDouble / strong.size
     assert(recall >= 0.95, s"cluster recall $recall ($sameCluster/${strong.size})")
   }
+
+  test("soft dedup mass: effective size = docs - clustered + clusters") {
+    import org.apache.spark.sql.functions._
+    // each cluster of size k contributes k*(1/k) = exactly 1 effective
+    // doc, so total effective = (unclustered docs) + (cluster count):
+    // the d10 rollup must reconcile with d5's cluster inventory
+    val d10 = graft.operators.DedupOps.queries("d10_soft_dedup")(
+      spark, SparkTestBase.sf)
+      .agg(sum(col("n_docs")), sum(col("n_clustered")),
+        sum(col("effective_docs"))).collect().head
+    val (nDocs, nClustered, eff) =
+      (d10.getLong(0), d10.getLong(1), d10.getDouble(2))
+    val d5 = graft.operators.DedupOps.queries("d5_dup_clusters")(
+      spark, SparkTestBase.sf).count() // one row per cluster
+    assert(nClustered > 0 && d5 > 0)
+    val expected = (nDocs - nClustered + d5).toDouble
+    assert(math.abs(eff - expected) < 0.01,
+      s"effective $eff vs $expected (docs $nDocs clustered $nClustered clusters $d5)")
+  }
 }
