@@ -45,17 +45,14 @@ object Verify {
     // rows-only manifest: every query WITHOUT an oracle, with the reason
     // it is untestable in DuckDB — so `no_oracle` reads as a deliberate
     // scope decision, not an untested query.
+    // exactly the SparkEntry.rowsOnly set (OperatorSmokeSpec pins the
+    // equality); d3/d4/v8 graduated to the oracle gate in round 9 when
+    // their hash families moved to the md5-based cross-engine form
     val rowsOnlyWhy = Map(
       "a16b_approx_distinct" ->
-        "HLL sketch: Spark and DuckDB approx algorithms differ by design; exact twin a16 is oracle-checked",
-      "d3_minhash_lsh" ->
-        "MinHash signatures are engine-specific hash permutations; candidate pairs are exact-Jaccard verified in-query",
-      "d4_simhash" ->
-        "64-bit SimHash uses engine-specific hashing; blocking + Hamming verify are structural",
-      "v8_hyperplane_lsh" ->
-        "hyperplane signatures use engine-side Gaussian planes; pairs are exact-cosine verified in-query and HyperplaneLshSpec pins recall/precision",
+        "HLL sketch: Spark and DuckDB approx algorithms differ by design; exact twin a16 and deterministic sketch twin a16c are oracle-checked",
       "x8_approx_quantiles" ->
-        "approx_percentile sketch internals are engine-specific; TextPropertySpec bounds it against the exact x7 answers")
+        "approx_percentile sketch internals are engine-specific; deterministic twin x18 is oracle-checked and TextPropertySpec bounds x8 against the exact x7 answers")
     val manifest = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
       .toSeq.sorted
       .map(k => s"${q(k)}: ${q(rowsOnlyWhy.getOrElse(k, "no DuckDB twin"))}")
