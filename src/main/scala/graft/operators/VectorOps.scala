@@ -761,7 +761,10 @@ object VectorOps {
       s"+ ${dp(sl(b), sl(b))}, 6)"
   }
 
-  private def v10(s: SparkSession, d: String): DataFrame = {
+  /** The shared PQ machinery: encode the corpus, build per-query LUTs,
+    * return the (qid, nid, adc) approximate-distance frame — consumed
+    * by v10 (ADC top-k) and v19 (shortlist → exact re-rank). */
+  private def pqAdcFrame(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cb = emb.filter(col("vec_id") < PqCentroids)
       .select(col("vec_id").as("cidx"), col("embedding").as("cv"))
@@ -782,19 +785,91 @@ object VectorOps {
     val lut = qs
       .crossJoin(broadcast(subs)).crossJoin(broadcast(cb))
       .select(col("qid"), col("s"), col("cidx"), pqL2("qv", "cv").as("d"))
-    val wTop = Window.partitionBy(col("qid"))
-      .orderBy(col("adc"), col("nid"))
     codes
       .join(broadcast(lut), col("code") === col("cidx") &&
         codes("s") === lut("s"))
       .filter(col("qid") =!= col("nid"))
       .groupBy(col("qid"), col("nid"))
       .agg(dsumOut(col("d")).as("adc"))
+  }
+
+  private def v10(s: SparkSession, d: String): DataFrame = {
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("nid"))
+    pqAdcFrame(s, d)
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= 10)
       .select(col("qid"), col("rn"), col("nid"), col("adc"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  // V19 — two-stage ANN serving: ADC SHORTLIST then EXACT re-rank —
+  // the standard production pattern (PQ codes bound memory and
+  // candidate compute; only the top-20 shortlist per query ever
+  // touches the full vectors, so the exact kernel runs on a bounded
+  // set regardless of corpus size). Re-rank = the pinned rounded
+  // cosine, descending, nid tie-break; top-5 served.
+  private def v19(s: SparkSession, d: String): DataFrame = {
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("adc"), col("nid"))
+    val short = pqAdcFrame(s, d)
+      .withColumn("srn", row_number().over(wShort))
+      .filter(col("srn") <= 20)
+      .select(col("qid"), col("nid"))
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val vecs = emb.filter(col("vec_id") < 2000)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    short.join(broadcast(qs), Seq("qid")).join(vecs, Seq("nid"))
+      .withColumn("sim", expr("round(cosine_sim(nv, qv), 6)"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), col("sim"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val v19Sql =
+    s"""WITH cb AS (SELECT vec_id AS cidx, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $PqCentroids),
+       |vecs AS (SELECT vec_id AS nid, embedding AS nv
+       |  FROM embeddings WHERE vec_id < 2000),
+       |qs AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |subs AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
+       |codes AS (
+       | SELECT nid, s, cidx AS code FROM (
+       |  SELECT v.nid, subs.s, cb.cidx,
+       |   row_number() OVER (PARTITION BY v.nid, subs.s
+       |    ORDER BY ${sqlPqL2("v.nv", "cb.cv")}, cb.cidx) AS rn
+       |  FROM vecs v CROSS JOIN subs CROSS JOIN cb)
+       | WHERE rn = 1),
+       |lut AS (
+       | SELECT qid, s, cidx, ${sqlPqL2("q.qv", "cb.cv")} AS d
+       | FROM qs q CROSS JOIN subs CROSS JOIN cb),
+       |adc AS (
+       | SELECT qid, nid, ${sqlDsumOut("d")} AS adc
+       | FROM codes JOIN lut ON lut.s = codes.s AND lut.cidx = codes.code
+       | WHERE qid <> nid GROUP BY qid, nid),
+       |short AS (
+       | SELECT qid, nid FROM (
+       |  SELECT qid, nid,
+       |   row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS srn
+       |  FROM adc)
+       | WHERE srn <= 20),
+       |rer AS (
+       | SELECT sh.qid, sh.nid,
+       |  round(${sqlCosine("v.nv", "q.qv")}, 6) AS sim
+       | FROM short sh JOIN qs q ON q.qid = sh.qid
+       |  JOIN vecs v ON v.nid = sh.nid)
+       |SELECT qid, rn, nid, sim FROM (
+       | SELECT qid, nid, sim,
+       |  row_number() OVER (PARTITION BY qid
+       |   ORDER BY sim DESC, nid) AS rn
+       | FROM rer)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   private val v10Sql =
     s"""WITH cb AS (SELECT vec_id AS cidx, embedding AS cv
@@ -1553,6 +1628,7 @@ object VectorOps {
     "v16_pca_train" -> (v16 _),
     "v17_pca_project" -> (v17 _),
     "v18_pca_deflate" -> (v18 _),
+    "v19_adc_rerank" -> (v19 _),
     "v13_sq8_quantize" -> (v13 _),
     "v11_kmeans_train" -> (v11 _),
     "v12_trained_assign" -> (v12 _),
@@ -1574,6 +1650,7 @@ object VectorOps {
     "v16_pca_train" -> v16Sql,
     "v17_pca_project" -> v17Sql,
     "v18_pca_deflate" -> v18Sql,
+    "v19_adc_rerank" -> v19Sql,
     "v13_sq8_quantize" -> v13Sql,
     "v10_pq_adc_topk" -> v10Sql,
     "v1_knn_bruteforce" -> v1Sql,
