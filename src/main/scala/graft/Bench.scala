@@ -81,6 +81,7 @@ object Bench {
     operators.VectorOps.resetKmeans()
     operators.VectorOps.resetPca()
     operators.TextOps.resetLr()
+    operators.VectorOps.resetPqAdc()
     // a failing stage goes into the SAME errors map as a failing query —
     // the -1 sentinel alone made stage failures near-undiagnosable from
     // captured bench output
@@ -164,6 +165,8 @@ object Bench {
       ((s, d) => operators.VectorOps.warmPca(s, d)),
     "stage:lr_train" ->
       ((s, d) => operators.TextOps.warmLr(s, d)),
+    "stage:pqadc_codes" ->
+      ((s, d) => operators.VectorOps.warmPqAdc(s, d)),
     // Forced-DISTRIBUTED twins (cap = 0): size dispatch routes the
     // trainers driver-side at test SFs (PCA excepted — its cap sits at
     // 10k, so sf0.1 already trains distributed), so without these

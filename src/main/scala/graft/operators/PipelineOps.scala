@@ -46,11 +46,15 @@ object PipelineOps {
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("source"), col("split"))
 
+  /** Oracle twin of [[withSplit]]'s CASE — shared by s1 and s9. */
+  private[operators] val sqlSplitCase =
+    """CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+      |      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+      |      ELSE 'test' END""".stripMargin
+
   private val s1Sql =
     s"""SELECT source,
-       | CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
-       |      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
-       |      ELSE 'test' END AS split,
+       | $sqlSplitCase AS split,
        | count(*) AS n_docs, ${sqlLsum("n_chars")} AS sum_chars
        |FROM documents GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
@@ -383,10 +387,7 @@ object PipelineOps {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     val scored = TextOps.withTokenStats(kept)
-      .withColumn("quality", round(
-        lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
-          lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
-          lit(0.3) * (col("n_distinct") / col("n_tokens")), 6))
+      .withColumn("quality", TextOps.qualityCol)
       .filter(col("quality") >= 0.5)
     withSplit(scored, col("text"))
       .groupBy(col("split"))
@@ -405,16 +406,12 @@ object PipelineOps {
        |scored AS (
        | SELECT text,
        |  CAST(n_tokens AS BIGINT) AS n_tokens_l,
-       |  round(0.4 * least(n_tokens / 100.0, 1.0)
-       |    + 0.3 * (1.0 - n_stop / n_tokens)
-       |    + 0.3 * (n_distinct / n_tokens), 6) AS quality
+       |  ${TextOps.sqlQualityExpr} AS quality
        | FROM (SELECT text,
        |  ${TextOps.sqlTokenStatsCols}
        |  FROM kept)),
        |split_assigned AS (
-       | SELECT CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
-       |        WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
-       |        ELSE 'test' END AS split,
+       | SELECT $sqlSplitCase AS split,
        |  n_tokens_l, quality
        | FROM scored WHERE quality >= 0.5)
        |SELECT split, count(*) AS n_docs,

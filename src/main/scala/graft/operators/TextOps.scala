@@ -20,8 +20,10 @@ object TextOps {
     "t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'to' OR t = 'and'"
 
   /** Tokenize on runs of whitespace — same regex class in Spark and
-    * DuckDB. */
-  private def toks = expr("split(trim(text), '\\\\s+')")
+    * DuckDB. The canonical corpus tokenizer: x1/x21, the LR features,
+    * s9's curation chain, and the streaming twin
+    * (graft.streaming.CorpusStream) all reference THIS definition. */
+  private[graft] def toks = expr("split(trim(text), '\\\\s+')")
 
   // X1 — per-language token statistics (length/token-count profile).
   private def x1(s: SparkSession, d: String): DataFrame =
@@ -52,7 +54,7 @@ object TextOps {
     * [[sqlTokenStatsCols]] as its oracle twin), so a tokenization
     * retune cannot land in one consumer and silently diverge the
     * other from its oracle. */
-  private[operators] def withTokenStats(df: DataFrame): DataFrame =
+  private[graft] def withTokenStats(df: DataFrame): DataFrame =
     df.withColumn("n_tokens", size(toks).cast("double"))
       .withColumn("n_stop",
         size(expr(s"filter(split(trim(text), '\\\\s+'), $stopPred)"))
@@ -68,6 +70,21 @@ object TextOps {
        |   CAST(len(list_distinct(string_split_regex(trim(text),
        |     '\\s+'))) AS DOUBLE) AS n_distinct""".stripMargin
 
+  /** The x2 quality heuristic over [[withTokenStats]]'s columns —
+    * shared with s9's curation chain (with [[sqlQualityExpr]] as its
+    * oracle twin) so a weight retune can never land in one consumer
+    * and silently diverge the other. */
+  private[graft] def qualityCol: Column = round(
+    lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
+      lit(0.3) * (col("n_distinct") / col("n_tokens")), 6)
+
+  /** Oracle twin of [[qualityCol]]. */
+  private[graft] val sqlQualityExpr: String =
+    """round(0.4 * least(n_tokens / 100.0, 1.0)
+      |   + 0.3 * (1.0 - n_stop / n_tokens)
+      |   + 0.3 * (n_distinct / n_tokens), 6)""".stripMargin
+
   // X2 — per-document quality score: length, stopword ratio, vocabulary
   // diversity (the classic pre-training quality heuristics).
   private def x2(s: SparkSession, d: String): DataFrame =
@@ -76,20 +93,14 @@ object TextOps {
         col("n_tokens").cast("long").as("n_tokens"),
         round(col("n_stop") / col("n_tokens"), 6).as("stop_ratio"),
         round(col("n_distinct") / col("n_tokens"), 6).as("distinct_ratio"),
-        round(
-          lit(0.4) * least(col("n_tokens") / 100.0, lit(1.0)) +
-            lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens")) +
-            lit(0.3) * (col("n_distinct") / col("n_tokens")), 6)
-          .as("quality"))
+        qualityCol.as("quality"))
       .orderBy(col("doc_id"))
 
   private val x2Sql =
     s"""SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
        | round(n_stop / n_tokens, 6) AS stop_ratio,
        | round(n_distinct / n_tokens, 6) AS distinct_ratio,
-       | round(0.4 * least(n_tokens / 100.0, 1.0)
-       |   + 0.3 * (1.0 - n_stop / n_tokens)
-       |   + 0.3 * (n_distinct / n_tokens), 6) AS quality
+       | $sqlQualityExpr AS quality
        |FROM (SELECT doc_id, lang,
        |  $sqlTokenStatsCols
        | FROM documents WHERE doc_id < 200)

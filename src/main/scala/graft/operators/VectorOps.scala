@@ -763,8 +763,36 @@ object VectorOps {
 
   /** The shared PQ machinery: encode the corpus, build per-query LUTs,
     * return the (qid, nid, adc) approximate-distance frame — consumed
-    * by v10 (ADC top-k) and v19 (shortlist → exact re-rank). */
-  private def pqAdcFrame(s: SparkSession, d: String): DataFrame = {
+    * by v10 (ADC top-k) and v19 (shortlist → exact re-rank), memoized
+    * + checkpointed per (session, dir) like the CC labels stage so two
+    * consumers pay the encode once; Bench resets it and times the
+    * build as `stage:pqadc_codes`. */
+  @volatile private var pqAdcMemo: Option[((SparkSession, String),
+    DataFrame)] = None
+
+  /** Bench/test hook: drop the memoized ADC frame + its blocks. */
+  def resetPqAdc(): Unit = synchronized {
+    pqAdcMemo.foreach { case (_, df) => DedupOps.releaseCheckpoint(df) }
+    pqAdcMemo = None
+  }
+
+  /** Bench hook: build + materialize the shared PQ encode stage. */
+  def warmPqAdc(s: SparkSession, d: String): Unit = { pqAdcFrame(s, d); () }
+
+  private def pqAdcFrame(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      pqAdcMemo match {
+        case Some(((ms, md), df)) if (ms eq s) && md == d => df
+        case _ =>
+          pqAdcMemo.foreach { case (_, old) =>
+            DedupOps.releaseCheckpoint(old) }
+          val df = buildPqAdc(s, d).localCheckpoint(true)
+          pqAdcMemo = Some(((s, d), df))
+          df
+      }
+    }
+
+  private def buildPqAdc(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cb = emb.filter(col("vec_id") < PqCentroids)
       .select(col("vec_id").as("cidx"), col("embedding").as("cv"))
@@ -832,27 +860,7 @@ object VectorOps {
   }
 
   private val v19Sql =
-    s"""WITH cb AS (SELECT vec_id AS cidx, embedding AS cv
-       |  FROM embeddings WHERE vec_id < $PqCentroids),
-       |vecs AS (SELECT vec_id AS nid, embedding AS nv
-       |  FROM embeddings WHERE vec_id < 2000),
-       |qs AS (SELECT vec_id AS qid, embedding AS qv
-       |  FROM embeddings WHERE vec_id < 5),
-       |subs AS (SELECT unnest(range(0, $PqSubspaces)) AS s),
-       |codes AS (
-       | SELECT nid, s, cidx AS code FROM (
-       |  SELECT v.nid, subs.s, cb.cidx,
-       |   row_number() OVER (PARTITION BY v.nid, subs.s
-       |    ORDER BY ${sqlPqL2("v.nv", "cb.cv")}, cb.cidx) AS rn
-       |  FROM vecs v CROSS JOIN subs CROSS JOIN cb)
-       | WHERE rn = 1),
-       |lut AS (
-       | SELECT qid, s, cidx, ${sqlPqL2("q.qv", "cb.cv")} AS d
-       | FROM qs q CROSS JOIN subs CROSS JOIN cb),
-       |adc AS (
-       | SELECT qid, nid, ${sqlDsumOut("d")} AS adc
-       | FROM codes JOIN lut ON lut.s = codes.s AND lut.cidx = codes.code
-       | WHERE qid <> nid GROUP BY qid, nid),
+    s"""WITH ${pqAdcCtes},
        |short AS (
        | SELECT qid, nid FROM (
        |  SELECT qid, nid,
@@ -871,8 +879,11 @@ object VectorOps {
        | FROM rer)
        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
-  private val v10Sql =
-    s"""WITH cb AS (SELECT vec_id AS cidx, embedding AS cv
+  /** Oracle twin of [[buildPqAdc]] — ONE CTE chain shared by v10Sql
+    * and v19Sql (the closureCtes pattern), so a PQ fix cannot land in
+    * one oracle and leave the other running the old chain. */
+  private def pqAdcCtes: String =
+    s"""cb AS (SELECT vec_id AS cidx, embedding AS cv
        |  FROM embeddings WHERE vec_id < $PqCentroids),
        |vecs AS (SELECT vec_id AS nid, embedding AS nv
        |  FROM embeddings WHERE vec_id < 2000),
@@ -892,7 +903,10 @@ object VectorOps {
        |adc AS (
        | SELECT qid, nid, ${sqlDsumOut("d")} AS adc
        | FROM codes JOIN lut ON lut.s = codes.s AND lut.cidx = codes.code
-       | WHERE qid <> nid GROUP BY qid, nid)
+       | WHERE qid <> nid GROUP BY qid, nid)"""
+
+  private val v10Sql =
+    s"""WITH ${pqAdcCtes}
        |SELECT qid, rn, nid, adc FROM (
        | SELECT qid, nid, adc,
        |  row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rn

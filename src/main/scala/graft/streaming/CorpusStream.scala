@@ -22,7 +22,7 @@ object CorpusStream {
   /** Incremental exact token counts over a streaming `text` column. */
   def tokenCounts(stream: DataFrame): DataFrame =
     stream
-      .select(explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      .select(explode(graft.operators.TextOps.toks).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
 

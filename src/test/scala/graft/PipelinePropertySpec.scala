@@ -147,6 +147,13 @@ class PipelinePropertySpec extends AnyFunSuite {
       org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") === 1)
     assert(kept.count() == 2) // dup collapsed, junk still present here
+    // ...and the quality stage then drops the junk but keeps the rich
+    // doc — the filter semantics, not just the dedup, on planted data
+    val surviving = graft.operators.TextOps.withTokenStats(kept)
+      .withColumn("quality", graft.operators.TextOps.qualityCol)
+      .filter(col("quality") >= 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving == Set(10L), s"survivors $surviving")
     val out = PipelineOps.queries("s9_curation_e2e")(
       spark, SparkTestBase.sf).collect()
     // on the real corpus: splits partition the surviving docs and the
