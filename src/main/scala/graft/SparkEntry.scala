@@ -27,6 +27,7 @@ object SparkEntry {
       TextOps.queries ++
       PipelineOps.queries ++
       GovOps.queries ++
+      GraphOps.queries ++
       DexOps.queries ++
       DedupOps.queries ++
       VectorOps.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       TextOps.oracles ++
       PipelineOps.oracles ++
       GovOps.oracles ++
+      GraphOps.oracles ++
       DexOps.oracles ++
       DedupOps.oracles ++
       VectorOps.oracles ++

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the account-interaction graph — the distributed
+  * ITERATIVE tier next to `DedupOps.connectedComponents`. The reference
+  * builds account-relation edges (proxy/multisig,
+  * ref substrate/schema/polkaholic.sql:3736) and serves per-account
+  * lookups; a fleet-scale corpus also wants global graph STRUCTURE —
+  * influence ranking over the transfer graph (who do funds flow through).
+  * PageRank is the canonical such computation and the canonical test of an
+  * engine's iterative story:
+  *
+  *   rank := (1-d)/N + d * Σ_incoming rank(src)/outdeg(src)
+  *
+  * Each round is ONE equi-join (ranks ⋈ edges on src — co-partitioned at
+  * scale when the edge list is bucketed by src, see etl/Layout) + ONE
+  * dst-keyed aggregation (the per-round shuffle that defines distributed
+  * PageRank). Lineage is flattened with `localCheckpoint` per round so K
+  * rounds keep constant plan depth (the connected-components /
+  * BPE-trainer pattern).
+  *
+  * Determinism contract (the kmeans/LR/PCA trainer contract applied to a
+  * graph loop): per-edge contributions are cast DECIMAL(38,12) BEFORE the
+  * sum (exact, order-independent at any parallelism), the per-round finish
+  * (1-d)/N + d·Σ is one fixed float64 expression, and the new rank is
+  * rounded at scale 12 — so the DuckDB recursive-CTE replay of the same
+  * rounds is bit-identical and `g2_pagerank` sits under the driver's hash
+  * gate. The 0.15/0.85 constants render into the oracle SQL from the same
+  * Scala values, so damping drift between engines is impossible.
+  */
+object GraphOps {
+
+  /** Damping factor d and its complement — BOTH literal: computing
+    * 1.0 - 0.85 in IEEE yields 0.15000000000000002, which is NOT the
+    * double the SQL literal 0.15 parses to. */
+  private val Damping = "0.85"
+  private val Base = "0.15"
+  private val Iters = 8
+
+  /** Deterministic interaction graph from `events` (mirrored in the
+    * oracle): src = user_id (0..149), dst = event_id % 200 (0..199),
+    * self-loops dropped, deduplicated. ids 150..199 never appear as a
+    * source, so the sink/dangling-node class is exercised alongside the
+    * well-connected core. */
+  private def edgeList(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id").as("src"), (col("event_id") % 200).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  /** K PageRank rounds over any (src, dst) edge frame. Dangling mass is
+    * dropped (the standard simplification; the oracle replays it
+    * identically — ranks then sum to < 1 by the dangling share). */
+  def pageRank(edges0: DataFrame, iters: Int = Iters): DataFrame = {
+    val edges = edges0.localCheckpoint() // consumed every round
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // N rides along as a broadcast 1-row cross join — no driver collect
+    val nRow = nodes.agg(count(lit(1)).as("nn"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .withColumn("rank", lit(1.0) / col("nn"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(deg, ranks("node") === deg("src"))
+        .join(edges, Seq("src"))
+        .select(col("dst"), dec12(col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = ranks.select(col("node"), col("nn"))
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .withColumn("rank",
+          round(expr(s"CAST($Base AS DOUBLE)") / col("nn") +
+            expr(s"CAST($Damping AS DOUBLE)") *
+              coalesce(col("s").cast("double"), lit(0.0)), 12))
+        .select(col("node"), col("nn"), col("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  // G2 — PageRank over the derived interaction graph: every node with its
+  // converged-enough rank after `Iters` rounds.
+  private def g2(s: SparkSession, d: String): DataFrame =
+    pageRank(edgeList(s, d))
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+
+  private val g2Sql =
+    s"""WITH RECURSIVE
+       |ed AS MATERIALIZED (SELECT DISTINCT user_id AS src,
+       |   event_id % 200 AS dst
+       |  FROM events WHERE user_id <> event_id % 200),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+       |  FROM ed GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |pr(it, node, rank) AS (
+       |  SELECT 1, node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT it + 1, p.node,
+       |    round(CAST($Base AS DOUBLE) / (SELECT n FROM nn) +
+       |      CAST($Damping AS DOUBLE) *
+       |      CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 12)
+       |  FROM pr p LEFT JOIN (
+       |    SELECT e.dst, sum(CAST(p2.rank / d.outdeg AS DECIMAL(38,12)))
+       |      AS s
+       |    FROM pr p2 JOIN ed e ON e.src = p2.node
+       |    JOIN deg d ON d.src = p2.node
+       |    GROUP BY 1) c ON c.dst = p.node
+       |  WHERE p.it <= $Iters)
+       |SELECT node, round(rank, 6) AS rank FROM pr
+       |WHERE it = ${Iters + 1} ORDER BY node""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g2_pagerank" -> (g2 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "g2_pagerank" -> g2Sql,
+  )
+}
