@@ -558,8 +558,44 @@ object Aggregates {
        | min(l_linenumber) AS min_l_linenumber
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // A18 — cohort retention: users bucketed by first-activity week, the
+  // classic "of the users who arrived in week W, how many were active in
+  // week W+k" matrix every growth dashboard renders over an activity
+  // stream (the reference's accounts face tracks new/active/reaped per
+  // day — A5/A7 — this is their composition over user lifetimes). Week
+  // = epoch-micros div 7 days (engine-identical integer arithmetic; no
+  // locale-sensitive date_trunc('week')). Shape: distinct (user, week)
+  // → per-user min week (one user shuffle the distinct already paid,
+  // exchange-reused) → broadcast-free self-annotation via the window,
+  // then ONE (cohort, offset) count — at 100 TB the activity distinct
+  // is the only corpus-scale shuffle.
+  private val WeekUs = 604800000000L
+  private def a18(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val uw = Tables.events(s, d)
+      // `div`, not `/`: Column./ is float64 division, and truncating its
+      // result can land on the wrong side of a week boundary
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $WeekUs").as("week"))
+      .distinct()
+    uw.withColumn("cohort", min(col("week")).over(w))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("offset"))
+  }
+
+  private val a18Sql =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |  ${sqlUs(TS)} // CAST($WeekUs AS BIGINT) AS week FROM events),
+       |c AS (SELECT user_id, week,
+       |  min(week) OVER (PARTITION BY user_id) AS cohort FROM uw)
+       |SELECT cohort, week - cohort AS "offset", count(*) AS n_users
+       |FROM c GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
+    "a18_cohort_retention" -> (a18 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -584,6 +620,7 @@ object Aggregates {
   val oracles: Map[String, String] = Map(
     "a16c_kmv_distinct" -> a16cSql,
     "a17_salted_agg" -> a17Sql,
+    "a18_cohort_retention" -> a18Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -488,8 +488,95 @@ object WindowOps {
        | FROM events GROUP BY 1, 2)
        |ORDER BY event_type, day""".stripMargin
 
+  // W9 — ordered funnel (view → click → purchase) per user, each step
+  // within 7 days of the previous one. The classic product-analytics
+  // face over an event stream: the reference's per-account activity
+  // feeds (query.js getAccountExtrinsics / suggestions) answer "what did
+  // this account do"; the funnel answers "how far did accounts get".
+  // Shape: ONE user_id shuffle — three Window passes over the same
+  // partitioning compute the step times sequentially (step N's
+  // conditional min may reference step N-1's column: it is
+  // partition-constant by then), and the final per-user collapse
+  // re-uses the exchange (the rollup is a second tiny agg over 1 row
+  // per user). At 100 TB this is the textbook sessionized-funnel plan:
+  // no self-joins, no event×event blowup.
+  private val StepWindowUs = 604800000000L // 7 days in micros
+
+  /** Per-user funnel step times over (user_id, event_type, tus) rows:
+    * ta = earliest `steps(0)`, then each later step = earliest event of
+    * that type STRICTLY after the previous step and within
+    * `stepWindowUs` of it (null cascades: no step N without step N-1).
+    * One user_id exchange feeds all step windows and the collapse. */
+  def funnelSteps(ev: DataFrame, steps: Seq[String],
+      stepWindowUs: Long = StepWindowUs): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val names = steps.indices.map(i => s"t${('a' + i).toChar}")
+    var df = ev.filter(col("event_type").isin(steps: _*))
+      .withColumn(names.head,
+        min(when(col("event_type") === steps.head, col("tus"))).over(w))
+    for (i <- 1 until steps.size) {
+      val prev = col(names(i - 1))
+      df = df.withColumn(names(i),
+        min(when(col("event_type") === steps(i) && col("tus") > prev &&
+          col("tus") <= prev + stepWindowUs, col("tus"))).over(w))
+    }
+    df.groupBy(col("user_id"))
+      .agg(min(col(names.head)).as(names.head),
+        names.tail.map(n => min(col(n)).as(n)): _*)
+  }
+
+  private def w9(s: SparkSession, d: String): DataFrame = {
+    val perUser = funnelSteps(
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), us(col("ts")).as("tus")),
+      Seq("view", "click", "purchase"))
+    perUser.agg(
+      count(col("ta")).as("n_view"),
+      count(col("tb")).as("n_click"),
+      count(col("tc")).as("n_purchase"),
+      round(count(col("tb")).cast("double") / count(col("ta")), 6)
+        .as("view_to_click"),
+      round(count(col("tc")).cast("double") / count(col("tb")), 6)
+        .as("click_to_purchase"),
+      decOut(sum(when(col("tc").isNotNull,
+        dec6((col("tc") - col("ta")) / lit(1000000.0))))).as("convert_secs"))
+  }
+
+  private val w9Sql =
+    s"""WITH stepped AS (
+       | SELECT user_id, event_type, tus,
+       |  min(CASE WHEN event_type = 'view' THEN tus END)
+       |    OVER (PARTITION BY user_id) AS ta
+       | FROM (SELECT user_id, event_type, ${sqlUs(TS)} AS tus FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase'))),
+       |s2 AS (
+       | SELECT *, min(CASE WHEN event_type = 'click' AND tus > ta
+       |   AND tus <= ta + CAST($StepWindowUs AS BIGINT) THEN tus END)
+       |   OVER (PARTITION BY user_id) AS tb
+       | FROM stepped),
+       |s3 AS (
+       | SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > tb
+       |   AND tus <= tb + CAST($StepWindowUs AS BIGINT) THEN tus END)
+       |   OVER (PARTITION BY user_id) AS tc
+       | FROM s2),
+       |pu AS (SELECT user_id, min(ta) AS ta, min(tb) AS tb, min(tc) AS tc
+       | FROM s3 GROUP BY 1)
+       |SELECT count(ta) AS n_view, count(tb) AS n_click,
+       | count(tc) AS n_purchase,
+       | round(CAST(count(tb) AS DOUBLE) / count(ta), 6) AS view_to_click,
+       | round(CAST(count(tc) AS DOUBLE) / count(tb), 6)
+       |   AS click_to_purchase,
+       | ${sqlDecOut("sum(CASE WHEN tc IS NOT NULL THEN " +
+           // divide BIGINT by an explicit DOUBLE: a bare 1000000.0 is
+           // DECIMAL in DuckDB and the quotient would take the decimal
+           // division path instead of Spark's float64 one
+           "CAST((tc - ta) / CAST(1000000.0 AS DOUBLE) AS DECIMAL(38,6)) END)")}
+       |   AS convert_secs
+       |FROM pu""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),
+    "w9_funnel" -> (w9 _),
     "w3_top1_per_group" -> (w3 _),
     "w4_most_liquid" -> (w4 _),
     "w5_keyset_page" -> (w5 _),
@@ -512,6 +599,7 @@ object WindowOps {
 
   val oracles: Map[String, String] = Map(
     "w2_lag_delta" -> w2Sql,
+    "w9_funnel" -> w9Sql,
     "w3_top1_per_group" -> w3Sql,
     "w4_most_liquid" -> w4Sql,
     "w5_keyset_page" -> w5Sql,
