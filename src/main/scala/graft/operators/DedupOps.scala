@@ -835,8 +835,87 @@ object DedupOps {
        | count(*) AS n_pairs, max(n_shared) AS max_overlap
        |FROM ov GROUP BY source ORDER BY source""".stripMargin
 
+  // C2 — Bloom-filter decontamination: the MEMBERSHIP-AT-SCALE variant of
+  // c1. c1 broadcasts the eval shingle SET, which is fine while the eval
+  // suite is small; when the blocklist side grows to billions of n-grams
+  // (every public benchmark + their paraphrase banks), what ships to
+  // executors must be O(bits), not O(strings) — a Bloom filter. The
+  // filter here is fully relational and deterministic: m = 65536 bits,
+  // k = 3 probe positions per shingle from disjoint 8-hex windows of
+  // md5(shingle) — so DuckDB rebuilds the exact same bit set and the
+  // whole probe (INCLUDING the false positives) is hash-verified. The
+  // output quantifies the tradeoff in-query: bloom hits vs exact hits
+  // per source = the measured FP surplus at this m/k and load. At 100 TB
+  // the bit set is a broadcast of at most m rows (the 8 KB bitmap shape)
+  // and the corpus side never shuffles — same contract as c1.
+  private val BloomBits = 65536
+  private val BloomK = 3
+
+  /** The k probe positions of a shingle, deduplicated (a self-collision
+    * lowers the row count, so presence is judged against size(own)).
+    * `bits` is overridable so specs can shrink the space and force the
+    * false-positive path deterministically. */
+  def bloomPositions(c: Column, bits: Int = BloomBits): Column =
+    array_distinct(array((0 until BloomK).map(j =>
+      h32(c, 1 + 8 * j) % bits): _*))
+
+  private def sqlBloomPositions(x: String): String =
+    "list_distinct([" + (0 until BloomK).map(j =>
+      s"CAST('0x' || substr(md5($x), ${1 + 8 * j}, 8) AS BIGINT) % $BloomBits")
+      .mkString(", ") + "])"
+
+  private def c2(s: SparkSession, d: String): DataFrame = {
+    val sh = docShingles(s, d, 2000)
+    val ev = sh.filter(col("doc_id") % 100 === 0)
+    val bits = ev.select(explode(bloomPositions(col("w"))).as("bit"))
+      .distinct()
+    val evSet = ev.select(col("w")).distinct().withColumn("exact", lit(1))
+    val probed = sh.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("tid"), col("source"), col("w"),
+        size(bloomPositions(col("w"))).as("need"))
+      .withColumn("bit", explode(bloomPositions(col("w"))))
+      .join(broadcast(bits), Seq("bit"))
+      .groupBy(col("tid"), col("source"), col("w"), col("need"))
+      .agg(count(lit(1)).as("got"))
+      .filter(col("got") === col("need"))
+    probed
+      .join(broadcast(evSet), Seq("w"), "left")
+      .groupBy(col("tid"), col("source"))
+      .agg(count(lit(1)).as("n_bloom"), count(col("exact")).as("n_exact"))
+      .groupBy(col("source"))
+      .agg(count(when(col("n_bloom") >= 2, 1)).as("docs_bloom"),
+        count(when(col("n_exact") >= 2, 1)).as("docs_exact"),
+        sum(col("n_bloom")).as("shingles_bloom"),
+        sum(col("n_exact")).as("shingles_exact"))
+      .orderBy(col("source"))
+  }
+
+  private val c2Sql =
+    s"""WITH $shingleTokensCte,
+       |ev AS (SELECT DISTINCT w FROM t WHERE doc_id % 100 = 0),
+       |bits AS (SELECT DISTINCT unnest(${sqlBloomPositions("w")}) AS bit
+       |  FROM ev),
+       |pr AS (SELECT doc_id AS tid, source, w,
+       |   len(${sqlBloomPositions("w")}) AS need,
+       |   unnest(${sqlBloomPositions("w")}) AS bit
+       |  FROM t WHERE doc_id % 100 <> 0),
+       |hit AS (SELECT tid, source, w, need, count(*) AS got
+       |  FROM pr JOIN bits USING (bit)
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) = need),
+       |fl AS (SELECT tid, source, count(*) AS n_bloom,
+       |   count(ev.w) AS n_exact
+       |  FROM hit LEFT JOIN ev ON hit.w = ev.w
+       |  GROUP BY 1, 2)
+       |SELECT source,
+       | count(CASE WHEN n_bloom >= 2 THEN 1 END) AS docs_bloom,
+       | count(CASE WHEN n_exact >= 2 THEN 1 END) AS docs_exact,
+       | ${sqlLsum("n_bloom")} AS shingles_bloom,
+       | ${sqlLsum("n_exact")} AS shingles_exact
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> (d1 _),
+    "c2_bloom_decontam" -> (c2 _),
     "d2_jaccard_pairs" -> (d2 _),
     "d3_minhash_lsh" -> (d3 _),
     "d4_simhash" -> (d4 _),
@@ -861,5 +940,6 @@ object DedupOps {
     "d8_chunk_dedup" -> d8Sql,
     "d9_dup_spans" -> d9Sql,
     "c1_decontam" -> c1Sql,
+    "c2_bloom_decontam" -> c2Sql,
   )
 }
