@@ -95,6 +95,52 @@ object DedupOps {
 
   private val d2Sql = sqlJaccardQuery(wordTokensCte, WordSetThreshold)
 
+  // D11 — asymmetric CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ 0.8.
+  // Jaccard (d2) misses doc-in-doc duplication by construction — a tweet
+  // quoted inside a long article has tiny Jaccard but containment ≈ 1.
+  // This is the quote/subset/boilerplate-wrapper detector a curation
+  // pipeline runs NEXT TO symmetric near-dup; same source-blocked
+  // inverted-index engine as d2 (one token shuffle, no cross join), the
+  // only change is the denominator and the reported direction (which doc
+  // is the contained one).
+  private val ContainmentThreshold = 0.8
+
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    val t = docTokens(s, d, 2000)
+    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
+    val b = t.select(col("source"), col("doc_id").as("db"), col("w"))
+    val inter = a.join(b, Seq("source", "w"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "da")
+        .withColumnRenamed("n", "na"), Seq("da"))
+      .join(sizes.withColumnRenamed("doc_id", "db")
+        .withColumnRenamed("n", "nb"), Seq("db"))
+      .withColumn("containment",
+        round(col("inter").cast("double") / least(col("na"), col("nb")), 4))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(col("da"), col("db"),
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db"))
+          .as("contained"),
+        col("containment"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  private val d11Sql =
+    s"""WITH ${pairCtesOver(wordTokensCte)}
+       |SELECT da, db,
+       | CASE WHEN sa.n <= sb.n THEN da ELSE db END AS contained,
+       | round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4) AS containment
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = da
+       |JOIN sizes sb ON sb.doc_id = db
+       |WHERE round(CAST(inter AS DOUBLE) / least(sa.n, sb.n), 4)
+       |  >= $ContainmentThreshold
+       |ORDER BY da, db""".stripMargin
+
   // D3 — MinHash + LSH near-dup candidates.
   //
   // Round 9 made the whole band layout CROSS-ENGINE DETERMINISTIC so the
@@ -917,6 +963,7 @@ object DedupOps {
     "d1_exact_dedup" -> (d1 _),
     "c2_bloom_decontam" -> (c2 _),
     "d2_jaccard_pairs" -> (d2 _),
+    "d11_containment" -> (d11 _),
     "d3_minhash_lsh" -> (d3 _),
     "d4_simhash" -> (d4 _),
     "d5_dup_clusters" -> (d5 _),
@@ -931,6 +978,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "d1_exact_dedup" -> d1Sql,
     "d2_jaccard_pairs" -> d2Sql,
+    "d11_containment" -> d11Sql,
     "d3_minhash_lsh" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d5_dup_clusters" -> d5Sql,

@@ -70,6 +70,38 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(recall >= 0.95, s"cluster recall $recall ($sameCluster/${strong.size})")
   }
 
+  test("containment pairs (d11) match the exhaustive truth exactly") {
+    // exhaustive |A∩B| / min(|A|,|B|) over the same doc cap, same
+    // source block, same round-at-4-then-threshold rule
+    val bySrc = {
+      import org.apache.spark.sql.functions._
+      Tables.documents(spark, SparkTestBase.sf)
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("source"), col("text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getString(2).trim.split("\\s+").toSet))
+    }
+    val truth = (for {
+      i <- bySrc.indices.iterator
+      j <- (i + 1) until bySrc.size
+      if bySrc(i)._2 == bySrc(j)._2 // source-blocked, like the query
+      (ia, ib) = if (bySrc(i)._1 < bySrc(j)._1) (i, j) else (j, i)
+      (da, sa) = (bySrc(ia)._1, bySrc(ia)._3)
+      (db, sb) = (bySrc(ib)._1, bySrc(ib)._3)
+      c = BigDecimal(sa.intersect(sb).size.toDouble / math.min(sa.size, sb.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.8
+    } yield (da, db) -> (if (sa.size <= sb.size) da else db, c)).toMap
+    val got = graft.operators.DedupOps.queries("d11_containment")(
+        spark, SparkTestBase.sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got === truth)
+    assert(got.nonEmpty)
+  }
+
   test("soft dedup mass: effective size = docs - clustered + clusters") {
     import org.apache.spark.sql.functions._
     // each cluster of size k contributes k*(1/k) = exactly 1 effective
