@@ -1408,8 +1408,75 @@ object TextOps {
        |ORDER BY n DESC, tok""".stripMargin
   }
 
+  // X22 — SymSpell typo canonicalization: vocabulary normalization via
+  // deletion-neighborhood blocking. The naive edit-distance matcher is
+  // an O(V²) cross join; SymSpell's observation is that two words within
+  // edit distance 1 always SHARE a 1-deletion variant (or one IS the
+  // other's variant), so candidates come from an equi-join on the
+  // variant key — |w|+1 variants per word, linear fan-out, no quadratic
+  // block anywhere. Levenshtein then verifies (variant sharing admits
+  // distance-2 via delete+insert). The noisy side is injected
+  // deterministically (docs with doc_id % 13 == 0 contribute each token
+  // with the (doc_id % len)-th char deleted — the OCR/typo noise the
+  // matcher exists to repair), so both engines derive the identical
+  // vocabulary and the whole engine sits under the hash gate. Canonical
+  // form = the higher-frequency side (ties: lexicographic min).
+  private def x22(s: SparkSession, d: String): DataFrame = {
+    val tokens = spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+      .select(col("doc_id"), explode(toks).as("w"))
+    val noisy = tokens
+      .filter(col("doc_id") % 13 === 0 && length(col("w")) >= 3)
+      .select(concat(
+        expr("substring(w, 1, CAST(doc_id % length(w) AS INT))"),
+        expr("substring(w, CAST(doc_id % length(w) AS INT) + 2, 1000000)"))
+        .as("w"))
+    val vocab = tokens.select(col("w")).union(noisy)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val ex = vocab.select(col("w"), col("f"),
+      explode(array_distinct(concat(array(col("w")),
+        expr("""transform(sequence(1, length(w)),
+                i -> concat(substring(w, 1, i - 1),
+                            substring(w, i + 1, 1000000)))"""))))
+        .as("v"))
+    ex.as("x").join(ex.as("y"),
+        col("x.v") === col("y.v") && col("x.w") < col("y.w"))
+      .select(col("x.w").as("wa"), col("x.f").as("fa"),
+        col("y.w").as("wb"), col("y.f").as("fb"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .withColumn("canon",
+        when(col("fa") > col("fb"), col("wa"))
+          .when(col("fb") > col("fa"), col("wb"))
+          .otherwise(least(col("wa"), col("wb"))))
+      .select(col("wa"), col("wb"), col("dist"), col("fa"), col("fb"),
+        col("canon"))
+      .orderBy(col("wa"), col("wb"))
+  }
+
+  private val x22Sql =
+    """WITH tk AS (SELECT doc_id,
+      |   unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE doc_id < 2000),
+      |noisy AS (SELECT substr(w, 1, CAST(doc_id % len(w) AS INT)) ||
+      |   substr(w, CAST(doc_id % len(w) AS INT) + 2, 1000000) AS w
+      |  FROM tk WHERE doc_id % 13 = 0 AND len(w) >= 3),
+      |vocab AS (SELECT w, count(*) AS f FROM (
+      |  SELECT w FROM tk UNION ALL SELECT w FROM noisy) GROUP BY 1),
+      |ex AS (SELECT w, f, unnest(list_distinct(list_prepend(w,
+      |   list_transform(range(1, len(w) + 1),
+      |     i -> substr(w, 1, i - 1) || substr(w, i + 1, 1000000))))) AS v
+      |  FROM vocab),
+      |cand AS (SELECT DISTINCT x.w AS wa, x.f AS fa, y.w AS wb, y.f AS fb
+      |  FROM ex x JOIN ex y ON x.v = y.v AND x.w < y.w)
+      |SELECT wa, wb, CAST(levenshtein(wa, wb) AS BIGINT) AS dist, fa, fb,
+      | CASE WHEN fa > fb THEN wa WHEN fb > fa THEN wb
+      |  ELSE least(wa, wb) END AS canon
+      |FROM cand WHERE levenshtein(wa, wb) <= 1 ORDER BY wa, wb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x21_cms_heavy" -> (x21 _),
+    "x22_typo_canon" -> (x22 _),
     "x19_lr_train" -> (x19 _),
     "x20_lr_score" -> (x20 _),
     "x18_sample_quantiles" -> (x18 _),
@@ -1434,6 +1501,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "x21_cms_heavy" -> x21Sql,
+    "x22_typo_canon" -> x22Sql,
     "x19_lr_train" -> x19Sql,
     "x20_lr_score" -> x20Sql,
     "x1_text_stats" -> x1Sql,
