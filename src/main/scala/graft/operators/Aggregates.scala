@@ -593,9 +593,65 @@ object Aggregates {
        |SELECT cohort, week - cohort AS "offset", count(*) AS n_users
        |FROM c GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
 
+  // A19 — rolling z-score anomaly detection over the daily activity
+  // series: each (type, day) count scored against the trailing-7-day
+  // window (ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING — the current day
+  // never contaminates its own baseline), |z| ≥ 2 flagged. The
+  // monitoring face every ingest pipeline runs over its own volume
+  // metrics (the reference's audit loop eyeballs blocklog daily counts;
+  // this is that check as math). Two stages, both bounded: the daily
+  // rollup is the only corpus-scale shuffle; the window runs over one
+  // row per (type, day). Determinism: window sums are over exact LONG
+  // counts, mean/var/z is one fixed float64 expression, sqrt is IEEE
+  // correctly-rounded — both engines agree bit-for-bit.
+  private def a19(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("mean", col("s").cast("double") / col("n"))
+      .withColumn("sd", when(col("n") > 1,
+        sqrt((col("s2").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - lit(1)))))
+      .withColumn("z", when(col("sd") > 0,
+        round((col("cnt") - col("mean")) / col("sd"), 6)))
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("mean"), 6).as("baseline"), col("z"),
+        (abs(coalesce(col("z"), lit(0.0))) >= 2).as("anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val a19Sql =
+    s"""WITH daily AS (SELECT event_type, ${sqlDay(TS)} AS day,
+       |  count(*) AS cnt FROM events GROUP BY 1, 2),
+       |win AS (SELECT event_type, day, cnt,
+       |  CAST(sum(cnt) OVER w AS BIGINT) AS s,
+       |  CAST(sum(cnt * cnt) OVER w AS BIGINT) AS s2,
+       |  count(cnt) OVER w AS n
+       | FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |sc AS (SELECT event_type, day, cnt,
+       |  CAST(s AS DOUBLE) / n AS mean,
+       |  CASE WHEN n > 1 THEN sqrt((CAST(s2 AS DOUBLE) -
+       |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) END AS sd
+       | FROM win)
+       |SELECT event_type, day, cnt, round(mean, 6) AS baseline,
+       | CASE WHEN sd > 0 THEN round((cnt - mean) / sd, 6) END AS z,
+       | coalesce(abs(CASE WHEN sd > 0 THEN round((cnt - mean) / sd, 6)
+       |   END), 0.0) >= 2 AS anomaly
+       |FROM sc ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
+    "a19_anomaly" -> (a19 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -621,6 +677,7 @@ object Aggregates {
     "a16c_kmv_distinct" -> a16cSql,
     "a17_salted_agg" -> a17Sql,
     "a18_cohort_retention" -> a18Sql,
+    "a19_anomaly" -> a19Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -574,9 +574,59 @@ object WindowOps {
        |   AS convert_secs
        |FROM pu""".stripMargin
 
+  // W10 — EWMA-smoothed daily price/metric series per type:
+  // e_t = 0.25·x_t + 0.75·e_{t-1}, seeded at the first observation. The
+  // recurrence is inherently sequential, so it runs as an index-ordered
+  // fold (`aggregate`) over each type's collected daily series — the
+  // series is the DAY grain (bounded: one row per (type, day)), never
+  // the raw events, so collect_list state is small no matter the corpus
+  // size; the corpus-scale work is the daily rollup shuffle. The series
+  // input x is the rounded exact-decimal daily mean (deterministic),
+  // and the fold multiplies/adds in the same order as the DuckDB
+  // recursive-CTE replay — unrounded float64 intermediates still match
+  // bit-for-bit because both engines run the identical op sequence.
+  private def w10(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), dayKey(col("ts")).as("day"))
+      .agg(dmean(col("value")).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("sx"))
+      .withColumn("ew", expr(
+        """aggregate(sx,
+          |  CAST(array() AS ARRAY<STRUCT<day: STRING, x: DOUBLE,
+          |                               ewma: DOUBLE>>),
+          |  (acc, e) -> array_append(acc, named_struct(
+          |    'day', e.day, 'x', e.x,
+          |    'ewma', CASE WHEN size(acc) = 0 THEN e.x
+          |         ELSE CAST(0.25 AS DOUBLE) * e.x +
+          |              CAST(0.75 AS DOUBLE) * element_at(acc, -1).ewma
+          |    END)))""".stripMargin))
+      .select(col("event_type"), explode(col("ew")).as("r"))
+      .select(col("event_type"), col("r.day").as("day"), col("r.x").as("x"),
+        round(col("r.ewma"), 6).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val w10Sql =
+    s"""WITH RECURSIVE daily AS (
+       | SELECT event_type, day, x,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       | FROM (SELECT event_type, ${sqlDay(TS)} AS day,
+       |   ${sqlDmean("\"value\"")} AS x FROM events GROUP BY 1, 2)),
+       |r AS (
+       | SELECT event_type, day, x, rn, x AS ewma FROM daily WHERE rn = 1
+       | UNION ALL
+       | SELECT d.event_type, d.day, d.x, d.rn,
+       |  CAST(0.25 AS DOUBLE) * d.x + CAST(0.75 AS DOUBLE) * r.ewma
+       | FROM r JOIN daily d
+       |  ON d.event_type = r.event_type AND d.rn = r.rn + 1)
+       |SELECT event_type, day, x, round(ewma, 6) AS ewma
+       |FROM r ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),
     "w9_funnel" -> (w9 _),
+    "w10_ewma" -> (w10 _),
     "w3_top1_per_group" -> (w3 _),
     "w4_most_liquid" -> (w4 _),
     "w5_keyset_page" -> (w5 _),
@@ -600,6 +650,7 @@ object WindowOps {
   val oracles: Map[String, String] = Map(
     "w2_lag_delta" -> w2Sql,
     "w9_funnel" -> w9Sql,
+    "w10_ewma" -> w10Sql,
     "w3_top1_per_group" -> w3Sql,
     "w4_most_liquid" -> w4Sql,
     "w5_keyset_page" -> w5Sql,
