@@ -41,6 +41,39 @@ object Layout {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Spread the low 16 bits of `c` to even positions (classic
+    * bit-twiddling spread via magic masks — public domain technique). */
+  private def spreadBits(c: Column): Column = {
+    var x = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+    x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** Morton (z-order) interleave of two non-negative 16-bit dimensions:
+    * bit i of `a` lands at position 2i+1, bit i of `b` at 2i. Rows close
+    * in BOTH dimensions get close z-values. */
+  def zValue(a: Column, b: Column): Column =
+    shiftleft(spreadBits(a), 1).bitwiseOR(spreadBits(b))
+
+  /** Z-order-clustered layout: range-partition + sort by the interleaved
+    * key so parquet min/max stats (and the range partitioning itself)
+    * prune on BOTH dimensions of a 2-d selection — the multi-dimensional
+    * complement of [[writeSortedPartitions]]'s single-key clustering.
+    * A (chain, block) or (day, account-prefix) box query at 100 TB reads
+    * a handful of z-contiguous files instead of one full dimension's
+    * stripe. Callers pre-scale each dimension into [0, 2^16). */
+  def writeZOrdered(df: DataFrame, path: String, a: String, b: String,
+      partitions: Int): Unit =
+    df.withColumn("_z", zValue(col(a), col(b)))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+
   /** Aggregate functions that re-combine correctly from salted partials
     * (count partials re-finish with sum; avg etc. would be WRONG). */
   private val decomposable = Set("sum", "count", "min", "max")
