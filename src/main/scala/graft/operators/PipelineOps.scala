@@ -420,7 +420,68 @@ object PipelineOps {
        |  AS quality_mass
        |FROM split_assigned GROUP BY split ORDER BY split""".stripMargin
 
+  // S10 — next-fit document packing: the don't-split-documents variant
+  // of s6's concat-and-chunk. Docs fill a 512-token context until the
+  // next doc would overflow, then a new bin opens; docs longer than one
+  // context get chunked alone (ceil(n/C) bins, last partial closed).
+  // The recurrence is sequential, so it runs bucket-locally: docs pack
+  // within (source, 1024-doc bucket) — exactly what a distributed
+  // packer does (each worker packs its shard; bins never straddle
+  // workers) — which bounds the fold state no matter the corpus size.
+  // The whole (bins, fill) state encodes into ONE long (bins*1024 +
+  // fill, fill < 1024), so Spark's `aggregate` fold and DuckDB's
+  // `list_reduce` replay the identical integer recurrence.
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val C = 512
+    val packed = Tables.documents(s, d)
+      .filter(trim(col("text")) =!= "")
+      .select(col("source"), col("doc_id"),
+        expr("doc_id div 1024").as("bkt"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy(col("source"), col("bkt"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n"))))
+        .as("ds"), sum(col("n")).as("tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("st", expr(
+        s"""aggregate(transform(ds, e -> e.n), 0L, (s, n) ->
+           |  CASE WHEN n > $C THEN (s div 1024 + (n + ${C - 1}) div $C)
+           |                        * 1024
+           |       WHEN s % 1024 > 0 AND s % 1024 + n <= $C THEN s + n
+           |       ELSE (s div 1024 + 1) * 1024 + n END)""".stripMargin))
+      .withColumn("bins", expr("st div 1024"))
+    packed.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tokens")).as("tokens"),
+        sum(col("bins")).as("bins"))
+      .withColumn("utilization", round(col("tokens").cast("double") /
+        (col("bins") * C), 6))
+      .orderBy(col("source"))
+  }
+
+  private val s10Sql = {
+    val C = 512
+    s"""WITH docs AS (SELECT source, doc_id, doc_id // 1024 AS bkt,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+       | FROM documents WHERE trim(text) <> ''),
+       |bk AS (SELECT source, bkt,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(n ORDER BY doc_id)),
+       |    (s, n) -> CASE
+       |      WHEN n > $C THEN (s // 1024 + (n + ${C - 1}) // $C) * 1024
+       |      WHEN s % 1024 > 0 AND s % 1024 + n <= $C THEN s + n
+       |      ELSE (s // 1024 + 1) * 1024 + n END) AS st,
+       |  CAST(sum(n) AS BIGINT) AS tokens, count(*) AS n_docs
+       | FROM docs GROUP BY 1, 2)
+       |SELECT source, ${sqlLsum("n_docs")} AS n_docs,
+       | ${sqlLsum("tokens")} AS tokens,
+       | ${sqlLsum("st // 1024")} AS bins,
+       | round(CAST(sum(tokens) AS DOUBLE) / (sum(st // 1024) * $C), 6)
+       |   AS utilization
+       |FROM bk GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_doc_pack" -> (s10 _),
     "s9_curation_e2e" -> (s9 _),
     "s8_priority_sample" -> (s8 _),
     "s6_concat_chunk" -> (s6 _),
@@ -434,6 +495,7 @@ object PipelineOps {
 
   val oracles: Map[String, String] = Map(
     "s9_curation_e2e" -> s9Sql,
+    "s10_doc_pack" -> s10Sql,
     "s8_priority_sample" -> s8Sql,
     "s6_concat_chunk" -> s6Sql,
     "s1_hash_split" -> s1Sql,

@@ -177,4 +177,43 @@ class PipelinePropertySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(bySplit(1L) == bySplit(2L))
   }
+
+  test("next-fit packing matches a sequential replay; bins are tight") {
+    import org.apache.spark.sql.functions._
+    val C = 512
+    // sequential replay of the bucket-local next-fit recurrence
+    val docs = Tables.documents(spark, SparkTestBase.sf)
+      .filter(trim(col("text")) =!= "")
+      .select(col("source"), col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+    val want = docs.groupBy(d => (d._1, d._2 / 1024)).toSeq
+      .map { case ((src, _), ds) =>
+        var bins = 0L; var fill = 0L
+        for ((_, _, n) <- ds.sortBy(_._2)) {
+          if (n > C) { bins += (n + C - 1) / C; fill = 0 }
+          else if (fill > 0 && fill + n <= C) fill += n
+          else { bins += 1; fill = n }
+        }
+        (src, ds.size.toLong, ds.map(_._3).sum, bins)
+      }
+      .groupBy(_._1).map { case (src, rows) =>
+        src -> ((rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum))
+      }
+    val got = PipelineOps.queries("s10_doc_pack")(spark, SparkTestBase.sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === want.keySet)
+    for ((src, (nd, tk, bins)) <- want) {
+      val (gnd, gtk, gbins, util) = got(src)
+      assert((gnd, gtk, gbins) === ((nd, tk, bins)), s"source $src")
+      // a bin never exceeds capacity -> utilization <= 1; and next-fit
+      // cannot use fewer bins than the fractional lower bound
+      assert(util <= 1.0 + 1e-9)
+      assert(gbins >= (tk + C - 1) / C, s"source $src below LP bound")
+    }
+  }
 }
