@@ -162,6 +162,66 @@ object EventStream {
     * source↔dest correlation (ref xcmmanager.js:423: dest within
     * [source, source+120s]); state bounded by both watermarks + the
     * interval condition. */
+  /** Funnel event row and emitted per-user snapshot (streaming w9). */
+  case class FunnelEvent(user_id: Long, event_type: String, tus: Long)
+  case class FunnelSnap(user_id: Long, seq: Long, ta: Option[Long],
+      tb: Option[Long], tc: Option[Long])
+  case class FunnelState(minView: Long, clicks: List[Long],
+      purchases: List[Long], seq: Long)
+
+  /** ST7 variant — the w9 funnel running INCREMENTALLY: per-user
+    * view→click→purchase step times maintained across micro-batches
+    * with `flatMapGroupsWithState`, REPAIRING out-of-order arrivals
+    * (a click processed before its view still counts once the view
+    * lands, because ta only ever decreases and candidates are kept).
+    * Emits a snapshot per touched user per micro-batch (update mode);
+    * `seq` orders a user's snapshots so a sink can keep latest-wins.
+    *
+    * State bound: one long + the candidate click/purchase times that
+    * can still qualify — anything past minView + 2·window is pruned
+    * (the windows only move EARLIER as ta decreases, so pruned times
+    * can never re-qualify), times are deduplicated, and candidates
+    * predating any possible future view expire with the source's
+    * watermark in a production deployment. StreamingSpec pins the
+    * final snapshots frame-equal to the batch
+    * `WindowOps.funnelSteps` on the same rows. */
+  def funnelStream(ev: org.apache.spark.sql.Dataset[FunnelEvent],
+      stepWindowUs: Long = 604800000000L)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[FunnelSnap] = {
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelState]) =>
+          val prev = st.getOption
+            .getOrElse(FunnelState(Long.MaxValue, Nil, Nil, 0L))
+          var mv = prev.minView
+          var clicks = prev.clicks
+          var purchases = prev.purchases
+          it.foreach { e =>
+            e.event_type match {
+              case "view" => if (e.tus < mv) mv = e.tus
+              case "click" => clicks ::= e.tus
+              case "purchase" => purchases ::= e.tus
+              case _ =>
+            }
+          }
+          if (mv != Long.MaxValue) {
+            clicks = clicks.filter(_ <= mv + stepWindowUs)
+            purchases = purchases.filter(_ <= mv + 2 * stepWindowUs)
+          }
+          clicks = clicks.distinct
+          purchases = purchases.distinct
+          val ta = if (mv == Long.MaxValue) None else Some(mv)
+          val tb = ta.flatMap(a => clicks
+            .filter(t => t > a && t <= a + stepWindowUs).minOption)
+          val tc = tb.flatMap(b => purchases
+            .filter(t => t > b && t <= b + stepWindowUs).minOption)
+          val seq = prev.seq + 1
+          st.update(FunnelState(mv, clicks, purchases, seq))
+          Iterator(FunnelSnap(uid, seq, ta, tb, tc))
+      }
+  }
+
   def streamIntervalJoin(src: DataFrame, dst: DataFrame): DataFrame = {
     val s = src.withWatermark("ts", "2 minutes")
       .select(col("user_id").as("s_user"), col("event_id").as("s_event_id"),

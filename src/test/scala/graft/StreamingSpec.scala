@@ -43,6 +43,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming funnel repairs out-of-order arrivals, equals batch") {
+    implicit val s = spark
+    import EventStream.{FunnelEvent, FunnelSnap}
+    val H = 3600000000L
+    val input = MemoryStream[FunnelEvent](spark)
+    val q = EventStream.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: steps arrive BEFORE the views that anchor them
+      input.addData(FunnelEvent(1, "click", 11 * H),
+        FunnelEvent(2, "purchase", 10 * H + 1800000000L))
+      q.processAllAvailable()
+      val mid = spark.table("funnel_out").as[FunnelSnap].collect()
+      assert(mid.forall(r => r.ta.isEmpty && r.tb.isEmpty && r.tc.isEmpty))
+      // batch 2: the views land -> user 1's click must now qualify
+      input.addData(FunnelEvent(1, "view", 10 * H),
+        FunnelEvent(2, "view", 10 * H))
+      q.processAllAvailable()
+      // batch 3: user 1 converts; user 2's click postdates its purchase
+      input.addData(FunnelEvent(1, "purchase", 12 * H),
+        FunnelEvent(2, "click", 11 * H))
+      q.processAllAvailable()
+      val last = spark.table("funnel_out").as[FunnelSnap].collect()
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.maxBy(_.seq)
+        }
+      assert(last(1L).ta.contains(10 * H) && last(1L).tb.contains(11 * H)
+        && last(1L).tc.contains(12 * H))
+      // purchase at 10.5h precedes the click -> never a conversion
+      assert(last(2L).ta.contains(10 * H) && last(2L).tb.contains(11 * H)
+        && last(2L).tc.isEmpty)
+      // parity: identical to the batch funnel on the same rows
+      val allRows = Seq(
+        (1L, "click", 11 * H), (2L, "purchase", 10 * H + 1800000000L),
+        (1L, "view", 10 * H), (2L, "view", 10 * H),
+        (1L, "purchase", 12 * H), (2L, "click", 11 * H))
+        .toDF("user_id", "event_type", "tus")
+      val batch = graft.operators.WindowOps
+        .funnelSteps(allRows, Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+      for ((u, snap) <- last)
+        assert((snap.ta, snap.tb, snap.tc) ===
+          ((batch(u)._1, batch(u)._2, batch(u)._3)), s"user $u")
+    } finally q.stop()
+  }
+
   test("batch dedup keeps finalized-preferred latest candidate") {
     val bronze = Seq(
       (1, 100L, "0xa", false, ts(10)),
