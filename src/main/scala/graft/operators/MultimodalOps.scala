@@ -82,10 +82,9 @@ object MultimodalOps {
     }
   }
 
-  // M2 — partitioned media header decode: synthesize the payload, then
-  // parse it back through the real header parser. Oracle: DuckDB
-  // recomputes format/dims/len arithmetically from doc_id.
-  private def m2(s: SparkSession, d: String): DataFrame = {
+  /** The decoded-metadata frame m2 serves and m4 plans over: synthesize
+    * the payload, parse it back through the real header parser. */
+  private def decodedMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = Tables.documents(s, d)
       // filter BEFORE the typed mapPartitions barrier: Catalyst can't
@@ -104,8 +103,12 @@ object MultimodalOps {
           info.map(_.width), info.map(_.height))
       }
     }.toDF()
-      .orderBy(col("doc_id"))
   }
+
+  // M2 — partitioned media header decode. Oracle: DuckDB recomputes
+  // format/dims/len arithmetically from doc_id.
+  private def m2(s: SparkSession, d: String): DataFrame =
+    decodedMeta(s, d).orderBy(col("doc_id"))
 
   private val m2Sql =
     """SELECT doc_id, source,
@@ -150,15 +153,60 @@ object MultimodalOps {
       |  FROM documents WHERE doc_id < 200))
       |ORDER BY doc_id, sample_idx""".stripMargin
 
+  // M4 — ViT patch-grid planning over the DECODED dimensions: every
+  // image's 16x16 patch grid (ceil per axis), padding, and visual-token
+  // count (patches + CLS) — the sequence-length budgeting a multimodal
+  // training pipeline runs before it spends GPU time, rolled up per
+  // container format with an over-budget census. Pure integer
+  // arithmetic downstream of the m2 decode, so the oracle recomputes
+  // the whole plan from doc_id like m2's.
+  private val PatchPx = 16
+  private val TokenBudget = 4096L
+  private def m4(s: SparkSession, d: String): DataFrame =
+    decodedMeta(s, d)
+      .filter(col("format").isNotNull)
+      .withColumn("px", expr(s"CAST((width + ${PatchPx - 1}) div $PatchPx AS BIGINT)"))
+      .withColumn("py", expr(s"CAST((height + ${PatchPx - 1}) div $PatchPx AS BIGINT)"))
+      .withColumn("tokens", col("px") * col("py") + 1)
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_imgs"),
+        sum(col("tokens")).as("total_tokens"),
+        max(col("tokens")).as("max_tokens"),
+        sum(when(col("tokens") > TokenBudget, 1L).otherwise(0L))
+          .as("n_over_budget"),
+        sum((col("px") * PatchPx - col("width")) +
+          (col("py") * PatchPx - col("height"))).as("total_pad_px"))
+      .orderBy(col("format"))
+
+  private val m4Sql =
+    s"""WITH img AS (SELECT doc_id,
+       |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+       |   WHEN 2 THEN 'jpeg' END AS format,
+       |  1 + doc_id % 4093 AS w, 1 + (doc_id * 7) % 4093 AS h
+       | FROM documents WHERE doc_id < 400 AND doc_id % 4 < 3),
+       |grid AS (SELECT format,
+       |  (w + ${PatchPx - 1}) // $PatchPx AS px,
+       |  (h + ${PatchPx - 1}) // $PatchPx AS py, w, h FROM img)
+       |SELECT format, count(*) AS n_imgs,
+       | ${sqlLsum("px * py + 1")} AS total_tokens,
+       | max(px * py + 1) AS max_tokens,
+       | ${sqlLsum(s"CASE WHEN px * py + 1 > $TokenBudget THEN 1 ELSE 0 END")}
+       |   AS n_over_budget,
+       | ${sqlLsum(s"(px * $PatchPx - w) + (py * $PatchPx - h)")}
+       |   AS total_pad_px
+       |FROM grid GROUP BY format ORDER BY format""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1 _),
     "m2_media_decode" -> (m2 _),
     "m3_frame_sample" -> (m3 _),
+    "m4_patch_grid" -> (m4 _),
   )
 
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" -> m1Sql,
     "m2_media_decode" -> m2Sql,
     "m3_frame_sample" -> m3Sql,
+    "m4_patch_grid" -> m4Sql,
   )
 }
