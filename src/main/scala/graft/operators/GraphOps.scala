@@ -118,11 +118,68 @@ object GraphOps {
        |SELECT node, round(rank, 6) AS rank FROM pr
        |WHERE it = ${Iters + 1} ORDER BY node""".stripMargin
 
+  // G3 — triangle census + global clustering coefficient over the same
+  // interaction graph, undirected. The standard distributed shape: edges
+  // canonicalized u < v, then wedges = E ⋈ E on the shared endpoint with
+  // a < b < c (each triangle produced exactly once), closed by a third
+  // equi-join back to E — two hash joins, no node ever enumerates its
+  // full neighborhood in one task. (At production skew, orient edges
+  // low-degree → high-degree first — Cohen's trick — so hub fan-out is
+  // bounded; id-ordering suffices at this degree distribution and keeps
+  // the oracle twin 1:1.) Wedge count comes from degrees (Σ d·(d−1)/2),
+  // coefficient = 3·triangles / wedges.
+  private def g3(s: SparkSession, d: String): DataFrame =
+    triangleCensus(edgeList(s, d))
+
+  /** Triangle census over any (src, dst) edge frame, undirected. */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // consumed three times below
+    val wedges = und.as("e1").join(und.as("e2"),
+        col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val triangles = wedges.join(und,
+        wedges("a") === und("u") && wedges("c") === und("v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")
+        .as("n_wedges"), count(lit(1)).as("n_nodes"))
+    triangles.crossJoin(deg)
+      .select(col("n_nodes"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
+  private val g3Sql =
+    """WITH ed AS MATERIALIZED (SELECT DISTINCT user_id AS src,
+      |   event_id % 200 AS dst
+      |  FROM events WHERE user_id <> event_id % 200),
+      |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,
+      |   greatest(src, dst) AS v FROM ed),
+      |tri AS (SELECT count(*) AS n_triangles
+      |  FROM und e1 JOIN und e2 ON e1.v = e2.u
+      |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |dg AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+      |   count(*) AS n_nodes
+      |  FROM (SELECT n, count(*) AS deg FROM (
+      |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+      |   GROUP BY 1))
+      |SELECT n_nodes, n_wedges, n_triangles,
+      | round(CAST(3.0 AS DOUBLE) * n_triangles / n_wedges, 6)
+      |   AS clustering_coeff
+      |FROM tri, dg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g2_pagerank" -> (g2 _),
+    "g3_triangles" -> (g3 _),
   )
 
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Sql,
+    "g3_triangles" -> g3Sql,
   )
 }

@@ -1638,7 +1638,44 @@ object VectorOps {
        |  unnest(range(1, len(f2.w) + 1)) AS r(i))
        |ORDER BY comp, pos""".stripMargin
 
+  // V20 — maximum-inner-product top-k (MIPS): the recommendation/
+  // retrieval serving face where relevance is the RAW dot product, not
+  // cosine (vector magnitude carries signal — item popularity, document
+  // salience). Same fused-kernel bounded-query shape as v1; the scale
+  // path is the standard norm-augmentation reduction x' = [x, √(M²−‖x‖²)]
+  // that turns MIPS into cosine search over the augmented space so the
+  // whole v2-v7 IVF machinery applies unchanged — VectorRecallSpec pins
+  // that the augmented-cosine order equals the dot order.
+  private def v20(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val n = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val sims = n.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), round(dot("qv", "nv"), 6).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("nid"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn"), col("nid"), col("score"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  private val v20Sql =
+    s"""SELECT qid, rn, nid, score FROM (
+       | SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |  round(${sqlDot("q.embedding", "n.embedding")}, 6) AS score,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY round(${sqlDot("q.embedding", "n.embedding")}, 6) DESC,
+       |      n.vec_id) AS rn
+       | FROM embeddings q CROSS JOIN embeddings n
+       | WHERE q.vec_id < 10 AND q.vec_id <> n.vec_id)
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v20_mips_topk" -> (v20 _),
     "v16_pca_train" -> (v16 _),
     "v17_pca_project" -> (v17 _),
     "v18_pca_deflate" -> (v18 _),
@@ -1661,6 +1698,7 @@ object VectorOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "v20_mips_topk" -> v20Sql,
     "v16_pca_train" -> v16Sql,
     "v17_pca_project" -> v17Sql,
     "v18_pca_deflate" -> v18Sql,

@@ -67,6 +67,25 @@ class GraphSpec extends AnyFunSuite {
     assert((2L to 5L).map(got).distinct.size === 1)
   }
 
+  test("triangle census: K4 plus a dangling edge, hand-computed") {
+    // K4 on 1..4 (4 triangles, coeff 1.0 alone) plus edge 4-5:
+    // degrees 3,3,3,4,1 -> wedges 3·C(3,2) + C(4,2) + 0 = 15,
+    // coeff = 3·4/15 = 0.8. Edges fed in MIXED orientation + duplicated
+    // to prove canonicalization.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (5L, 4L)).toDF("src", "dst")
+    val r = GraphOps.triangleCensus(edges).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((5L, 15L, 4L, 0.8)))
+  }
+
+  test("triangle-free graph reports zero with a sane wedge count") {
+    // a 4-cycle: 4 wedges, 0 triangles
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = GraphOps.triangleCensus(edges).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) === ((4L, 0L, 0.0)))
+  }
+
   test("ranks are parallelism-independent and bounded by total mass") {
     val edges = (0 until 300).map { i =>
       ((i % 17).toLong, ((i * 31 + 7) % 23).toLong)

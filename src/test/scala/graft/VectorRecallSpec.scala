@@ -81,4 +81,45 @@ class VectorRecallSpec extends AnyFunSuite {
     assert(rRer > 0.3, s"re-rank recall@5 = $rRer")
     assert(rer.values.forall(_.size == 5))
   }
+
+  test("MIPS order equals norm-augmented cosine order (the scale path)") {
+    import org.apache.spark.sql.functions._
+    // the v20 doc claim: x' = [x, sqrt(M^2 - |x|^2)], q' = [q, 0] turns
+    // MIPS into cosine search — cos(q', x') = q.x / (|q| M) is monotone
+    // in the dot product, so ranking by either is identical
+    val vecs = Tables.embeddings(spark, SparkTestBase.sf)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val m2 = vecs.values.map(x => dot(x, x)).max
+    for (q <- vecs.keys.filter(_ < 10)) {
+      val qv = vecs(q)
+      val others = (vecs - q).toSeq
+      val byDot = others.sortBy { case (id, x) => (-dot(qv, x), id) }
+        .map(_._1).take(5)
+      val qn = math.sqrt(dot(qv, qv))
+      val byAug = others.sortBy { case (id, x) =>
+        // augmented cosine: [q,0] . [x, sqrt(M^2-|x|^2)] / (|q| M)
+        (-(dot(qv, x) / (qn * math.sqrt(m2))), id)
+      }.map(_._1).take(5)
+      assert(byDot === byAug, s"query $q")
+    }
+    // and the v20 query itself serves the byDot order
+    val served = VectorOps.queries("v20_mips_topk")(spark, SparkTestBase.sf)
+      .select("qid", "rn", "nid").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    for ((q, ids) <- served) {
+      val qv = vecs(q)
+      val byDot = (vecs - q).toSeq
+        .sortBy { case (id, x) =>
+          (-java.math.BigDecimal.valueOf(dot(qv, x))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), id)
+        }.map(_._1).take(5)
+      assert(ids === byDot, s"query $q served order")
+    }
+  }
 }
