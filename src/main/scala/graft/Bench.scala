@@ -200,8 +200,16 @@ object Bench {
   def renderContract(results: Seq[(String, Double)], total: Double,
                      sfDir: String): String = {
     def render(dec: Int, sf: String, prefixKeys: Boolean): String = {
-      def num(v: Double) =
-        String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+      // dec = -1 → adaptive: magnitude-scaled precision ("0.12", "9.8",
+      // "123") — constant ~4-char width per value, so the line scales to
+      // ~190 entries where fixed 2-decimal tops out near 130
+      def num(v: Double) = {
+        val d = if (dec >= 0) dec
+          else if (math.abs(v) >= 100) 0
+          else if (math.abs(v) >= 10) 1
+          else 2
+        String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+      }
       def key(k: String) = if (prefixKeys) k.split('_')(0) else k
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
         .mkString("{", ",", "}")
@@ -211,10 +219,10 @@ object Bench {
     val short = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
     Iterator((2, sfDir, false), (2, sfDir, true), (2, short, true),
-      (1, short, true))
+      (-1, short, true))
       .map { case (dec, sf, pk) => render(dec, sf, pk) }
       .find(_.length <= 1900)
-      .getOrElse(render(1, short, prefixKeys = true))
+      .getOrElse(render(-1, short, prefixKeys = true))
   }
 }
 
