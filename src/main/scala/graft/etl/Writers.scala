@@ -29,6 +29,34 @@ object Writers {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** S12 scale path — INCREMENTAL materialized-summary refresh: fold one
+    * batch's partial aggregates into the standing summary without
+    * touching history. `overwritePartitions` handles the
+    * recompute-a-partition case; at 100 TB a KEYED summary (per-account
+    * totals, per-token counts) can't recompute from scratch per batch,
+    * so the refresh must be an additive MERGE: summary ⟵ summary ⊎
+    * delta, combining per key with the aggregate's own merge function.
+    * Only decomposable aggregates qualify (the saltedAgg contract —
+    * count partials re-merge with sum); averages must be carried as
+    * (sum, count) pairs. Exactly-once across retries comes from writing
+    * the merged result via [[overwritePartitions]] keyed by a batch
+    * watermark column, so a replayed batch overwrites rather than
+    * double-adds. `aggs` maps summary column → merge function
+    * (sum/count→sum, min, max). */
+  def mergeSummary(summary: DataFrame, delta: DataFrame,
+      keys: Seq[String], aggs: Seq[(String, String)]): DataFrame = {
+    require(aggs.nonEmpty && aggs.forall(a =>
+      Set("sum", "min", "max")(a._2)),
+      "mergeSummary merges only decomposable partials (sum/min/max; " +
+        "re-merge count partials with sum, carry avg as sum+count)")
+    val combined = summary.select(
+        (keys ++ aggs.map(_._1)).map(col): _*)
+      .unionByName(delta.select((keys ++ aggs.map(_._1)).map(col): _*))
+    val finals = aggs.map { case (c, f) => expr(s"$f($c)").as(c) }
+    combined.groupBy(keys.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
   /** S9 — upsert: rows from `updates` win over `base` on `keys`;
     * within `updates`, the highest `versionCol` wins (deterministic).
     * Equivalent to `MERGE INTO base USING updates ON keys WHEN MATCHED

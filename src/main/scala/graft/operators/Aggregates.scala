@@ -571,15 +571,19 @@ object Aggregates {
   // is the only corpus-scale shuffle.
   private val WeekUs = 604800000000L
   private def a18(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
+    // one user-keyed shuffle carries dedup AND the cohort min: the
+    // per-user active-week set is bounded (weeks, not events), so
+    // collect_set is the cheaper vehicle for "distinct + min over my own
+    // partition" than a distinct followed by a differently-keyed window
     val uw = Tables.events(s, d)
       // `div`, not `/`: Column./ is float64 division, and truncating its
       // result can land on the wrong side of a week boundary
       .select(col("user_id"),
         expr(s"unix_micros(ts) div $WeekUs").as("week"))
-      .distinct()
-    uw.withColumn("cohort", min(col("week")).over(w))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("week")).as("wks"))
+    uw.select(array_min(col("wks")).as("cohort"),
+        explode(col("wks")).as("week"))
       .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort"), col("offset"))

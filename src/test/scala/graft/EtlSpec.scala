@@ -257,4 +257,33 @@ class EtlSpec extends AnyFunSuite {
     assert(t(2030) == """{"VToken":"KSM"}~2030""") // Bifrost voucher
     assert(t(7) == "DOT~7")                        // generic passthrough
   }
+
+  test("incremental summary merge equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .select(col("user_id"), col("event_id"),
+        graft.operators.dec6(col("value")).as("v"))
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id")).agg(
+        sum(col("v")).as("total_v"),
+        count(lit(1)).cast("long").as("n"),
+        max(col("event_id")).as("max_eid"))
+    // split the stream into two "batches" on an arbitrary content cut
+    val b1 = ev.filter(col("event_id") % 3 =!= 0)
+    val b2 = ev.filter(col("event_id") % 3 === 0)
+    val merged = Writers.mergeSummary(
+      summarize(b1), summarize(b2), Seq("user_id"),
+      Seq("total_v" -> "sum", "n" -> "sum", "max_eid" -> "max"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1), r.getLong(2), r.getLong(3)))).toMap
+    val full = summarize(ev)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDecimal(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(merged === full)
+    // non-decomposable merges are refused loudly
+    intercept[IllegalArgumentException] {
+      Writers.mergeSummary(summarize(b1), summarize(b2),
+        Seq("user_id"), Seq("total_v" -> "avg"))
+    }
+  }
 }
