@@ -41,6 +41,39 @@ object Layout {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetBytes) files. Streaming appends (foreachBatch
+    * micro-batches, per-trigger file sinks) leave thousands of tiny
+    * files whose open/footer cost dominates scans at fleet scale —
+    * periodic compaction is the standard counter-measure. The rewrite
+    * goes through a temp dir + atomic swap so a concurrent reader never
+    * sees a half-written directory, and `sortCols` (optional) restores
+    * the min/max-pruning order a streaming sink interleaved away. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    val dir = new java.io.File(path)
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df0 = spark.read.parquet(path).coalesce(nFiles)
+    val df = if (sortCols.isEmpty) df0
+      else df0.sortWithinPartitions(sortCols.map(col): _*)
+    val tmp = path.stripSuffix("/") + "._compact_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val bak = path.stripSuffix("/") + "._compact_old"
+    val bakF = new java.io.File(bak)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    if (bakF.exists) rm(bakF)
+    if (!dir.renameTo(bakF) || !new java.io.File(tmp).renameTo(dir))
+      sys.error(s"compact swap failed for $path")
+    rm(bakF)
+    nFiles
+  }
+
   /** Spread the low 16 bits of `c` to even positions (classic
     * bit-twiddling spread via magic masks — public domain technique). */
   private def spreadBits(c: Column): Column = {

@@ -124,6 +124,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(zRows.sameElements(aRows) && zRows.length == 16 * 16)
   }
 
+  test("compaction collapses a many-file directory, preserving data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    // simulate a streaming sink: 40 tiny appends
+    for (i <- 0 until 40)
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .write.mode("append").parquet(dir)
+    def parquetFiles(p: String) =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) >= 40)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val n = Layout.compact(spark, dir, targetBytes = 64L * 1024 * 1024,
+      sortCols = Seq("k"))
+    assert(n == 1 && parquetFiles(dir) == 1)
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === before)
+    // and the temp/backup dirs are gone
+    assert(!new java.io.File(dir + "._compact_tmp").exists)
+    assert(!new java.io.File(dir + "._compact_old").exists)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val direct = ev.groupBy(col("event_type"))
