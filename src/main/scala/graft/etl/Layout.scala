@@ -45,14 +45,34 @@ object Layout {
     * ceil(bytes / targetBytes) files. Streaming appends (foreachBatch
     * micro-batches, per-trigger file sinks) leave thousands of tiny
     * files whose open/footer cost dominates scans at fleet scale —
-    * periodic compaction is the standard counter-measure. The rewrite
-    * goes through a temp dir + atomic swap so a concurrent reader never
-    * sees a half-written directory, and `sortCols` (optional) restores
-    * the min/max-pruning order a streaming sink interleaved away. */
+    * periodic compaction is the standard counter-measure. A
+    * partition-layout directory (day=X/ subdirs) is compacted LEAF BY
+    * LEAF, preserving the layout and the partition columns.
+    * `sortCols` (optional) restores the min/max-pruning order a
+    * streaming sink interleaved away.
+    *
+    * Swap semantics (plain filesystem — the Delta/Iceberg-less
+    * stand-in, like Writers.upsert): the rewrite lands in a temp dir
+    * first, then two renames swap it in. The window between the
+    * renames is NOT atomic — a concurrent reader can see
+    * path-not-found for a moment (table formats solve this with
+    * metadata pointers; on plain parquet, schedule compaction in the
+    * maintenance window the reference uses for its own `--replace`
+    * loads). If the second rename fails the original directory is
+    * rolled back into place before erroring, so data is never left
+    * stranded. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long, sortCols: Seq[String] = Nil): Int = {
     val dir = new java.io.File(path)
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
+    val partDirs = kids.filter(f => f.isDirectory &&
+      !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
+      !f.getName.endsWith("._compact_tmp") &&
+      !f.getName.endsWith("._compact_old"))
+    if (partDirs.nonEmpty)
+      return partDirs.map(p =>
+        compact(spark, p.getPath, targetBytes, sortCols)).sum
+    val bytes = kids
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length()).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -68,8 +88,12 @@ object Layout {
       f.delete(): Unit
     }
     if (bakF.exists) rm(bakF)
-    if (!dir.renameTo(bakF) || !new java.io.File(tmp).renameTo(dir))
-      sys.error(s"compact swap failed for $path")
+    if (!dir.renameTo(bakF))
+      sys.error(s"compact: cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      bakF.renameTo(dir) // roll the original back into place
+      sys.error(s"compact: swap failed for $path; original restored")
+    }
     rm(bakF)
     nFiles
   }

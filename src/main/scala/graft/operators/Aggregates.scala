@@ -620,10 +620,14 @@ object Aggregates {
       .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
       .withColumn("n", count(col("cnt")).over(w))
       .withColumn("mean", col("s").cast("double") / col("n"))
+      // the radicand is clamped at 0: float rounding of s²/n can
+      // overshoot s2 on large near-constant counts, which would NaN in
+      // Spark (and NaN compares GREATER, silently flagging the quietest
+      // day) and hard-error DuckDB's sqrt
       .withColumn("sd", when(col("n") > 1,
-        sqrt((col("s2").cast("double") -
+        sqrt(greatest((col("s2").cast("double") -
           col("s").cast("double") * col("s").cast("double") / col("n")) /
-          (col("n") - lit(1)))))
+          (col("n") - lit(1)), lit(0.0)))))
       .withColumn("z", when(col("sd") > 0,
         round((col("cnt") - col("mean")) / col("sd"), 6)))
       .select(col("event_type"), col("day"), col("cnt"),
@@ -643,8 +647,9 @@ object Aggregates {
        |  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
        |sc AS (SELECT event_type, day, cnt,
        |  CAST(s AS DOUBLE) / n AS mean,
-       |  CASE WHEN n > 1 THEN sqrt((CAST(s2 AS DOUBLE) -
-       |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) END AS sd
+       |  CASE WHEN n > 1 THEN sqrt(greatest((CAST(s2 AS DOUBLE) -
+       |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1),
+       |    CAST(0 AS DOUBLE))) END AS sd
        | FROM win)
        |SELECT event_type, day, cnt, round(mean, 6) AS baseline,
        | CASE WHEN sd > 0 THEN round((cnt - mean) / sd, 6) END AS z,

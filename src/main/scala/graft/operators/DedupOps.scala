@@ -53,28 +53,31 @@ object DedupOps {
         explode(array_distinct(expr("split(trim(text), '\\\\s+')")))
           .as("w"))
 
-  /** ONE source-blocked inverted-index Jaccard pair engine over any
-    * (doc_id, source, w) token frame — shared by d2 (word sets) and d7
-    * (3-shingles), so a tokenization or join fix hits both. */
-  private def jaccardPairs(t: DataFrame, threshold: Double): DataFrame = {
+  /** ONE source-blocked inverted-index candidate engine over any
+    * (doc_id, source, w) token frame — (da, db, inter, na, nb) per
+    * co-occurring pair. Shared by d2/d7 (Jaccard) and d11
+    * (containment), so a tokenization or join fix hits all three. */
+  private def pairStats(t: DataFrame): DataFrame = {
     val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
     val b = t.select(col("source"), col("doc_id").as("db"), col("w"))
-    val inter = a.join(b, Seq("source", "w"))
+    a.join(b, Seq("source", "w"))
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "da")
         .withColumnRenamed("n", "na"), Seq("da"))
       .join(sizes.withColumnRenamed("doc_id", "db")
         .withColumnRenamed("n", "nb"), Seq("db"))
+  }
+
+  private def jaccardPairs(t: DataFrame, threshold: Double): DataFrame =
+    pairStats(t)
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
-  }
 
   /** The shared thresholds — referenced by BOTH engines' sides so they
     * cannot drift. */
@@ -105,20 +108,8 @@ object DedupOps {
   // is the contained one).
   private val ContainmentThreshold = 0.8
 
-  private def d11(s: SparkSession, d: String): DataFrame = {
-    val t = docTokens(s, d, 2000)
-    val sizes = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val a = t.select(col("source"), col("doc_id").as("da"), col("w"))
-    val b = t.select(col("source"), col("doc_id").as("db"), col("w"))
-    val inter = a.join(b, Seq("source", "w"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da"), col("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da")
-        .withColumnRenamed("n", "na"), Seq("da"))
-      .join(sizes.withColumnRenamed("doc_id", "db")
-        .withColumnRenamed("n", "nb"), Seq("db"))
+  private def d11(s: SparkSession, d: String): DataFrame =
+    pairStats(docTokens(s, d, 2000))
       .withColumn("containment",
         round(col("inter").cast("double") / least(col("na"), col("nb")), 4))
       .filter(col("containment") >= ContainmentThreshold)
@@ -127,7 +118,6 @@ object DedupOps {
           .as("contained"),
         col("containment"))
       .orderBy(col("da"), col("db"))
-  }
 
   private val d11Sql =
     s"""WITH ${pairCtesOver(wordTokensCte)}

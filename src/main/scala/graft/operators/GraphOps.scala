@@ -69,7 +69,14 @@ object GraphOps {
       val contribs = ranks
         .join(deg, ranks("node") === deg("src"))
         .join(edges, Seq("src"))
-        .select(col("dst"), dec12(col("rank") / col("outdeg")).as("c"))
+        // round BEFORE the decimal cast: a raw double→DECIMAL(38,12)
+        // cast rounds HALF_UP in Spark but half-even in DuckDB, so an
+        // exact dyadic midpoint quotient (rank/2^k) would diverge; both
+        // engines' round() are half-away-from-zero, and the rounded
+        // double then sits far from any scale-12 midpoint, making the
+        // cast mode irrelevant
+        .select(col("dst"),
+          dec12(round(col("rank") / col("outdeg"), 12)).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       ranks = ranks.select(col("node"), col("nn"))
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
@@ -109,7 +116,8 @@ object GraphOps {
        |      CAST($Damping AS DOUBLE) *
        |      CAST(coalesce(c.s, CAST(0 AS DECIMAL(38,12))) AS DOUBLE), 12)
        |  FROM pr p LEFT JOIN (
-       |    SELECT e.dst, sum(CAST(p2.rank / d.outdeg AS DECIMAL(38,12)))
+       |    SELECT e.dst,
+       |      sum(CAST(round(p2.rank / d.outdeg, 12) AS DECIMAL(38,12)))
        |      AS s
        |    FROM pr p2 JOIN ed e ON e.src = p2.node
        |    JOIN deg d ON d.src = p2.node
@@ -146,8 +154,11 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
     val deg = und.select(col("u").as("n")).union(und.select(col("v")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long")
-        .as("n_wedges"), count(lit(1)).as("n_nodes"))
+      // integer `div`: d·(d−1) is always even, and a float-division sum
+      // loses exactness (and order-independence) past 2^53 wedges —
+      // which one 1e8-degree hub alone would exceed
+      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"),
+        count(lit(1)).as("n_nodes"))
     triangles.crossJoin(deg)
       .select(col("n_nodes"), col("n_wedges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
@@ -163,8 +174,8 @@ object GraphOps {
       |tri AS (SELECT count(*) AS n_triangles
       |  FROM und e1 JOIN und e2 ON e1.v = e2.u
       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
-      |dg AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
-      |   count(*) AS n_nodes
+      |dg AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT)
+      |   AS n_wedges, count(*) AS n_nodes
       |  FROM (SELECT n, count(*) AS deg FROM (
       |    SELECT u AS n FROM und UNION ALL SELECT v FROM und)
       |   GROUP BY 1))

@@ -189,7 +189,13 @@ object EventStream {
       stepWindowUs: Long = 604800000000L)(
       implicit spark: SparkSession): org.apache.spark.sql.Dataset[FunnelSnap] = {
     import spark.implicits._
-    ev.groupByKey(_.user_id)
+    // drop non-funnel events BEFORE keying: otherwise every user who
+    // never touches the funnel gets a permanent state entry (NoTimeout)
+    // and an all-null snapshot the batch funnelSteps (which filters
+    // isin(steps) first) would never emit
+    ev.filter((e: FunnelEvent) => e.event_type == "view" ||
+        e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelState]) =>
           val prev = st.getOption

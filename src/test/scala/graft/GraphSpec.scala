@@ -26,8 +26,11 @@ class GraphSpec extends AnyFunSuite {
     for (_ <- 1 to iters) {
       val sums = collection.mutable.Map[Long, BD]()
       for ((s, d) <- edges) {
-        val c = BD.valueOf(rank(s) / outdeg(s))
-          .setScale(12, RoundingMode.HALF_UP)
+        // mirror the engine: round the quotient to 12 decimals first,
+        // then the (now-midpoint-free) decimal cast
+        val rq = BD.valueOf(rank(s) / outdeg(s))
+          .setScale(12, RoundingMode.HALF_UP).doubleValue()
+        val c = BD.valueOf(rq).setScale(12, RoundingMode.HALF_UP)
         sums(d) = sums.getOrElse(d, BD.ZERO).add(c)
       }
       rank = nodes.map { v =>

@@ -149,6 +149,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + "._compact_old").exists)
   }
 
+  test("compaction recurses into a partition layout, preserving it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_p").toString + "/t"
+    for (i <- 0 until 10)
+      Seq((s"2024-01-0${i % 2 + 1}", i.toLong)).toDF("day", "k")
+        .write.mode("append").partitionBy("day").parquet(dir)
+    // partition values come back type-inferred (DATE) — compare as strings
+    val before = spark.read.parquet(dir).select("day", "k").collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toSet
+    Layout.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    // the day=X directory layout survives (partition pruning intact)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(parts == Set("day=2024-01-01", "day=2024-01-02"))
+    assert(parts.forall(p => new java.io.File(s"$dir/$p").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1))
+    val after = spark.read.parquet(dir).select("day", "k").collect()
+      .map(r => (r.get(0).toString, r.getLong(1))).toSet
+    assert(after === before)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val direct = ev.groupBy(col("event_type"))
