@@ -657,10 +657,54 @@ object Aggregates {
        |   END), 0.0) >= 2 AS anomaly
        |FROM sc ORDER BY event_type, day""".stripMargin
 
+  // A20 — RFM segmentation: every user scored into recency/frequency/
+  // monetary quintiles (ntile(5) with a user_id tiebreak so bucket
+  // edges are deterministic in both engines), rolled up to segment
+  // populations — the classic account-scoring face over an activity
+  // stream. One corpus shuffle (the per-user rollup); the three ntile
+  // windows run over one row per user, and the global (no-key) windows
+  // are fine at any scale because their input IS the user dimension,
+  // which a real deployment ranges by score prefix anyway.
+  private def a20(s: SparkSession, d: String): DataFrame = {
+    val byUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(us(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        dsumOut(abs(col("value"))).as("monetary"))
+    import org.apache.spark.sql.expressions.Window
+    val r = Window.orderBy(col("last_us").desc, col("user_id"))
+    val f = Window.orderBy(col("freq").desc, col("user_id"))
+    val m = Window.orderBy(col("monetary").desc, col("user_id"))
+    byUser
+      .withColumn("r", ntile(5).over(r))
+      .withColumn("f", ntile(5).over(f))
+      .withColumn("m", ntile(5).over(m))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_users"),
+        decOut(sum(dec6(col("monetary")))).as("segment_value"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  private val a20Sql =
+    s"""WITH u AS (SELECT user_id, max(${sqlUs(TS)}) AS last_us,
+       |  count(*) AS freq,
+       |  ${sqlDsumOut("abs(\"value\")")} AS monetary
+       | FROM events GROUP BY 1),
+       |q AS (SELECT user_id, monetary,
+       |  CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id) AS INT) AS r,
+       |  CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS INT) AS f,
+       |  CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m
+       | FROM u)
+       |SELECT r, f, m, count(*) AS n_users,
+       | ${sqlDecOut("sum(CAST(monetary AS DECIMAL(38,6)))")}
+       |   AS segment_value
+       |FROM q GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
     "a19_anomaly" -> (a19 _),
+    "a20_rfm_segments" -> (a20 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -687,6 +731,7 @@ object Aggregates {
     "a17_salted_agg" -> a17Sql,
     "a18_cohort_retention" -> a18Sql,
     "a19_anomaly" -> a19Sql,
+    "a20_rfm_segments" -> a20Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -385,6 +385,52 @@ object JoinOps {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  // J22 — last-touch attribution through the NATIVE as-of operator: each
+  // purchase attributed to the user's most recent click within 7 days —
+  // marketing attribution as the j16b sorted-merge exec's second
+  // consumer (a custom physical operator earns its keep when more than
+  // one domain face uses it). Simultaneous clicks dedup to the max
+  // event_id per (user, ts) first, so the as-of tie is well-defined in
+  // both engines. The tolerance rides the native exec; DuckDB's ASOF
+  // has no tolerance clause, so the oracle nulls out beyond-window
+  // matches post-join — equivalent, because the as-of pick is the
+  // CLOSEST click (if it is beyond the window, all are).
+  private val TouchWindowUs = 604800000000L // 7 days
+  private def j22(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("c_ts"), col("click_id"))
+    graft.plans.AsOfJoin.asof(purchases, clicks, Seq("user_id"),
+        "ts", "c_ts", Some(TouchWindowUs))
+      .toDF("user_id", "event_id", "ts", "r_user_id", "c_ts", "click_id")
+      .select(col("user_id"), col("event_id"), col("click_id"),
+        when(col("click_id").isNotNull,
+          round((us(col("ts")) - us(col("c_ts"))) /
+            lit(1000000.0), 6)).as("lag_secs"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j22Sql =
+    s"""WITH p AS (SELECT user_id, event_id, $TS AS pts FROM events
+       |  WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id, $TS AS c_ts, max(event_id) AS click_id
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+       |j AS (SELECT p.user_id, p.event_id, p.pts, c.c_ts, c.click_id
+       |  FROM p ASOF LEFT JOIN c
+       |   ON p.user_id = c.user_id AND p.pts >= c.c_ts)
+       |SELECT user_id, event_id,
+       | CASE WHEN epoch_us(pts) - epoch_us(c_ts)
+       |   <= CAST($TouchWindowUs AS BIGINT) THEN click_id END AS click_id,
+       | CASE WHEN epoch_us(pts) - epoch_us(c_ts)
+       |   <= CAST($TouchWindowUs AS BIGINT) THEN
+       |  round((epoch_us(pts) - epoch_us(c_ts)) /
+       |   CAST(1000000.0 AS DOUBLE), 6) END AS lag_secs
+       |FROM j ORDER BY event_id""".stripMargin
+
   // J17 — block-number-by-timestamp resolution: running max id per hour
   // (ref query.js:4290-4308 getBlockNumberByTS range probe).
   private def j17(s: SparkSession, d: String): DataFrame = {
@@ -724,6 +770,7 @@ object JoinOps {
     "j21_dest_waterfall" -> (j21 _),
     "j19_transact_spans" -> (j19 _),
     "j20_xcm_fee_model" -> (j20 _),
+    "j22_last_touch" -> (j22 _),
     "j1_interval_match" -> (j1 _),
     "j2_dedup_match" -> (j2 _),
     "j3_tolerance_match" -> (j3 _),
@@ -757,5 +804,6 @@ object JoinOps {
     "j14_day_over_day" -> j14Sql,
     "j16_asof_join" -> j16Sql,
     "j17_running_resolve" -> j17Sql,
+    "j22_last_touch" -> j22Sql,
   )
 }

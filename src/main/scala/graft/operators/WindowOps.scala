@@ -623,10 +623,42 @@ object WindowOps {
        |SELECT event_type, day, x, round(ewma, 6) AS ewma
        |FROM r ORDER BY event_type, day""".stripMargin
 
+  // W11 — event-transition matrix (first-order Markov view of user
+  // journeys): per-user chronological LAG pairs (prev_type → type),
+  // counted globally with each row's share of its prev_type row-sum.
+  // The "what do users do next" face over the same single user_id
+  // exchange as w2; the share window runs over the bounded type×type
+  // matrix, not the corpus.
+  private def w11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRow = Window.partitionBy(col("prev_type"))
+    Tables.events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wRow), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  private val w11Sql =
+    """WITH tr AS (SELECT prev_type, event_type, count(*) AS n FROM (
+      |  SELECT event_type, lag(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      | WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      | round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+      |   PARTITION BY prev_type) AS BIGINT), 6) AS p
+      |FROM tr ORDER BY prev_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),
     "w9_funnel" -> (w9 _),
     "w10_ewma" -> (w10 _),
+    "w11_transitions" -> (w11 _),
     "w3_top1_per_group" -> (w3 _),
     "w4_most_liquid" -> (w4 _),
     "w5_keyset_page" -> (w5 _),
@@ -651,6 +683,7 @@ object WindowOps {
     "w2_lag_delta" -> w2Sql,
     "w9_funnel" -> w9Sql,
     "w10_ewma" -> w10Sql,
+    "w11_transitions" -> w11Sql,
     "w3_top1_per_group" -> w3Sql,
     "w4_most_liquid" -> w4Sql,
     "w5_keyset_page" -> w5Sql,

@@ -70,6 +70,17 @@ class GraphSpec extends AnyFunSuite {
     assert((2L to 5L).map(got).distinct.size === 1)
   }
 
+  test("mass is conserved on a dangling-free graph") {
+    // every node has an out-edge (i -> (i+1) mod 29 plus chords), so no
+    // mass leaks: total rank stays 1 up to per-round rounding slack
+    val edges = (0 until 29).flatMap(i => Seq(
+      (i.toLong, ((i + 1) % 29).toLong),
+      (i.toLong, ((i * 7 + 3) % 29).toLong))).distinct
+      .filter { case (a, b) => a != b }
+    val total = run(edges, 8).values.sum
+    assert(math.abs(total - 1.0) < 1e-9, s"total mass $total")
+  }
+
   test("triangle census: K4 plus a dangling edge, hand-computed") {
     // K4 on 1..4 (4 triangles, coeff 1.0 alone) plus edge 4-5:
     // degrees 3,3,3,4,1 -> wedges 3·C(3,2) + C(4,2) + 0 = 15,
