@@ -29,6 +29,46 @@ object Writers {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Targeted key deletion (the right-to-be-forgotten rewrite): remove
+    * every row whose `keyCol` appears in `keys` from a
+    * partition-layout dataset, rewriting ONLY the partitions that
+    * contain a target key. The shape at 100 TB: the key list broadcasts
+    * (it is a deletion request, not a corpus), a semi-join finds the
+    * affected partitions (driver pull bounded by the request size), an
+    * anti-join rewrites those partitions through the same dynamic
+    * overwrite the daily loads use — untouched partitions' files are
+    * never opened. A partition whose every row is deleted is removed
+    * explicitly (dynamic overwrite can't replace a partition with
+    * nothing). Returns the number of rows deleted. */
+  def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
+      keyCol: String, keys: DataFrame): Long = {
+    val df = spark.read.parquet(path)
+    val k = keys.select(col(keyCol)).distinct()
+    val affected = df.join(broadcast(k), Seq(keyCol), "left_semi")
+      .groupBy(col(partitionCol)).agg(count(lit(1)).as("n_del"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    if (affected.isEmpty) return 0L
+    val inAffected = col(partitionCol).cast("string")
+      .isin(affected.keys.toSeq: _*)
+    val kept = df.filter(inAffected)
+      .join(broadcast(k), Seq(keyCol), "left_anti")
+    val keptPerPart = kept.groupBy(col(partitionCol))
+      .agg(count(lit(1))).collect().map(_.get(0).toString).toSet
+    overwritePartitions(
+      kept.select(df.columns.map(col): _*), path, Seq(partitionCol))
+    // fully-emptied partitions: overwrite wrote nothing for them, so
+    // drop the stale directories
+    for (p <- affected.keys if !keptPerPart.contains(p)) {
+      val dir = new java.io.File(s"$path/$partitionCol=$p")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      if (dir.exists) rm(dir)
+    }
+    affected.values.sum
+  }
+
   /** S12 scale path — INCREMENTAL materialized-summary refresh: fold one
     * batch's partial aggregates into the standing summary without
     * touching history. `overwritePartitions` handles the

@@ -258,6 +258,34 @@ class EtlSpec extends AnyFunSuite {
     assert(t(7) == "DOT~7")                        // generic passthrough
   }
 
+  test("deleteKeys rewrites only affected partitions, drops emptied ones") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val data = Seq(
+      ("d1", 1L, "a"), ("d1", 2L, "b"),
+      ("d2", 3L, "c"),                  // becomes empty after deletion
+      ("d3", 4L, "d"), ("d3", 5L, "e")) // untouched
+      .toDF("day", "k", "v")
+    Writers.overwritePartitions(data, dir, Seq("day"))
+    val untouchedFiles = new java.io.File(s"$dir/day=d3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val deleted = Writers.deleteKeys(spark, dir, "day", "k",
+      Seq(1L, 3L, 99L).toDF("k"))
+    assert(deleted == 2L) // key 99 matches nothing
+    val left = spark.read.parquet(dir).select("day", "k")
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toSet
+    assert(left == Set(("d1", 2L), ("d3", 4L), ("d3", 5L)))
+    // the fully-emptied partition directory is gone
+    assert(!new java.io.File(s"$dir/day=d2").exists)
+    // untouched partition files were never rewritten
+    val after = new java.io.File(s"$dir/day=d3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    assert(after == untouchedFiles)
+    // idempotent: a second run deletes nothing
+    assert(Writers.deleteKeys(spark, dir, "day", "k",
+      Seq(1L, 3L).toDF("k")) == 0L)
+  }
+
   test("incremental summary merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, SparkTestBase.sf)
