@@ -64,6 +64,25 @@ object MicroBench {
       time(s"${tag}native compact",
         Seq("compact_decode(amt) AS v"))
     }
+
+    // bounded vs full edit distance on ~26-char near-identical pairs
+    // (the SymSpell verify shape: most candidates are within distance
+    // 2, so the band is tiny but the full DP still fills n*m cells)
+    val pairs = spark.range(n / 2)
+      .select(
+        concat(lit("prefix_of_the_token_"), hex(col("id"))).as("sa"),
+        concat(lit("prefix_of_the_token_"), hex(col("id") + 1)).as("sb"))
+      .persist()
+    pairs.count()
+    def timeP(label: String, ex: String): Unit = {
+      val t0 = System.nanoTime()
+      pairs.selectExpr(s"$ex AS d").agg(sum(col("d"))).collect()
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    Seq("(warmup) ", "").foreach { tag =>
+      timeP(s"${tag}full levenshtein", "levenshtein(sa, sb)")
+      timeP(s"${tag}banded levenshtein_le k=1", "levenshtein_le(sa, sb, 1)")
+    }
     spark.stop()
   }
 }

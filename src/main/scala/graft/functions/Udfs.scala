@@ -60,6 +60,12 @@ object Udfs {
 
     // decimal scaling of raw chain amounts (ref paraTool.js:214
     // toBaseUnit; hex u128 → double at token decimals)
+    // bounded edit distance for candidate-verify joins (x22 SymSpell,
+    // fuzzy entity matching): exact when ≤ k, else k+1 — banded DP with
+    // early exit instead of the built-in's full n·m fill
+    native(spark, "levenshtein_le", "levenshteinLe", IntegerType,
+      Seq(StringType, StringType, IntegerType))
+
     native(spark, "to_base_unit", "toBaseUnit", DoubleType,
       Seq(StringType, IntegerType))
 

@@ -1422,6 +1422,7 @@ object TextOps {
   // vocabulary and the whole engine sits under the hash gate. Canonical
   // form = the higher-frequency side (ties: lexicographic min).
   private def x22(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Udfs.register(s) // levenshtein_le
     val tokens = spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
       .select(col("doc_id"), explode(toks).as("w"))
     val noisy = tokens
@@ -1443,7 +1444,11 @@ object TextOps {
       .select(col("x.w").as("wa"), col("x.f").as("fa"),
         col("y.w").as("wb"), col("y.f").as("fb"))
       .distinct()
-      .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("long"))
+      // the BOUNDED kernel: exact when ≤ 1, else 2 (then filtered) —
+      // the emitted dist values are identical to full levenshtein, so
+      // the oracle keeps DuckDB's built-in
+      .withColumn("dist",
+        expr("levenshtein_le(wa, wb, 1)").cast("long"))
       .filter(col("dist") <= 1)
       .withColumn("canon",
         when(col("fa") > col("fb"), col("wa"))

@@ -42,6 +42,46 @@ object CodecKernels {
     utf8(guard(Codec.bytesToHex(
       Codec.blake2b256(Codec.hexToBytes(hex.toString)), prefix = false)))
 
+  /** Banded Levenshtein with early exit: exact distance when ≤ k, else
+    * k+1. A full DP fills n·m cells; a candidate-verify that only asks
+    * "within k?" (the SymSpell x22 shape, fuzzy joins) needs just the
+    * 2k+1 diagonal band, O(k·min(n,m)) — with an early return the
+    * moment a whole band row exceeds k. */
+  def levenshteinLe(au: UTF8String, bu: UTF8String,
+      k: Int): java.lang.Integer = {
+    val a = au.toString; val b = bu.toString
+    val n = a.length; val m = b.length
+    if (math.abs(n - m) > k) return Int.box(k + 1)
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j0 = 0
+    while (j0 <= math.min(m, k)) { prev(j0) = j0; j0 += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      val lo = math.max(1, i - k); val hi = math.min(m, i + k)
+      if (lo == 1 && i <= k) cur(0) = i
+      var rowMin = cur(0)
+      var j = lo
+      while (j <= hi) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return Int.box(inf)
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    Int.box(math.min(prev(m), inf))
+  }
+
   def toBaseUnit(rawHex: UTF8String, decimals: Int): java.lang.Double =
     guard(java.lang.Double.valueOf(Codec.toBaseUnit(
       BigInt(1, Codec.hexToBytes(rawHex.toString)), decimals)))

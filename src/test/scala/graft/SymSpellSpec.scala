@@ -21,6 +21,28 @@ class SymSpellSpec extends AnyFunSuite {
     d(a.length)(b.length)
   }
 
+  test("banded levenshtein_le agrees with the full DP, clamped at k+1") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def le(a: String, b: String, k: Int): Int =
+      graft.plans.CodecKernels.levenshteinLe(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+    val words = (0 until 120).map(i =>
+      ("abcdefgh" * 3).drop(i % 5).take(3 + i % 9) + s"${i % 7}")
+    for {
+      i <- words.indices; j <- words.indices; k <- Seq(1, 2, 3)
+    } {
+      val full = lev(words(i), words(j))
+      val got = le(words(i), words(j), k)
+      assert(got === math.min(full, k + 1),
+        s"(${words(i)}, ${words(j)}, k=$k): full=$full got=$got")
+    }
+    // edges: empty strings, equal strings, length-gap early exit
+    assert(le("", "", 1) === 0)
+    assert(le("", "ab", 1) === 2)
+    assert(le("abc", "abc", 0) === 0)
+    assert(le("abcdef", "abc", 2) === 3)
+  }
+
   test("blocking is complete for distance <= 1 and verify is tight") {
     // replicate the query's vocabulary derivation in-process
     val docs = Tables.documents(spark, SparkTestBase.sf)
