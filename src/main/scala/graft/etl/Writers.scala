@@ -18,16 +18,19 @@ import org.apache.spark.sql.functions._
 object Writers {
 
   /** S7 — write `df` partitioned by `partitionCols`, replacing only the
-    * partitions contained in the batch. */
+    * partitions contained in the batch. `format` covers the S8
+    * object-store sink matrix: parquet (default), orc, json (NDJSON —
+    * the reference's `bq load` landing format), csv. */
   def overwritePartitions(df: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit =
+      partitionCols: Seq[String], format: String = "parquet"): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       // per-write option — NOT the session conf, which would silently
       // change the semantics of unrelated overwrite writes later
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
-      .parquet(path)
+      .format(format)
+      .save(path)
 
   /** Targeted key deletion (the right-to-be-forgotten rewrite): remove
     * every row whose `keyCol` appears in `keys` from a

@@ -258,6 +258,24 @@ class EtlSpec extends AnyFunSuite {
     assert(t(7) == "DOT~7")                        // generic passthrough
   }
 
+  test("partition overwrite is format-parameterized (orc, ndjson)") {
+    for (fmt <- Seq("orc", "json")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_s8_$fmt").toString
+      val day1 = Seq(("2024-01-01", 1L), ("2024-01-02", 2L))
+        .toDF("log_dt", "id")
+      Writers.overwritePartitions(day1, dir, Seq("log_dt"), fmt)
+      Writers.overwritePartitions(
+        Seq(("2024-01-02", 3L)).toDF("log_dt", "id"),
+        dir, Seq("log_dt"), fmt)
+      val back = spark.read.format(fmt)
+        .schema("id LONG, log_dt STRING").load(dir)
+        .collect().map(r => (r.getAs[Any]("log_dt").toString,
+          r.getAs[Long]("id"))).toSet
+      assert(back == Set(("2024-01-01", 1L), ("2024-01-02", 3L)), fmt)
+    }
+  }
+
   test("deleteKeys rewrites only affected partitions, drops emptied ones") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
