@@ -184,13 +184,107 @@ object GraphOps {
       |   AS clustering_coeff
       |FROM tri, dg""".stripMargin
 
+  // G4 — label-propagation community detection: K synchronous rounds of
+  // "adopt the most frequent label among my neighbors and me", ties to
+  // the smallest label — deterministic by construction (no random visit
+  // order), so DuckDB replays the rounds exactly. Communities differ
+  // from g2/g5-style connected components: LPA splits a connected graph
+  // along dense regions. Per round: one join (labels onto edges) + one
+  // (node, label) count + one argmax — the same shuffle budget as a
+  // PageRank round; localCheckpoint keeps plan depth constant.
+  private val LpaRounds = 4
+
+  /** K LPA rounds over any (src, dst) edge frame (symmetrized here). */
+  def labelPropagation(edges0: DataFrame, rounds: Int = LpaRounds)
+      : DataFrame = {
+    val und = edges0.select(col("src"), col("dst"))
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = und
+        .join(labels, und("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .union(labels.select(col("node"), col("label"))) // self-vote
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("top"))
+        .select(col("node"), (-col("top.neg")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** g4's graph is MODULAR by construction (the dense g2 interaction
+    * graph collapses to one community — uninformative): each user links
+    * to their group's 12 hubs (group = user % 4, hubs 150 + g·12 + k),
+    * with rare cross-group edges (event_id % 997 == 0) keeping the
+    * graph CONNECTED — so the result demonstrates what LPA adds over
+    * connected components: the frequency vote holds the four blocks
+    * apart even though one component spans them all. */
+  private def g4Edges(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"))
+    val base = ev.select(col("user_id").as("src"),
+      (lit(150) + (col("user_id") % 4) * 12 + col("event_id") % 12)
+        .as("dst"))
+    val cross = ev.filter(col("event_id") % 997 === 0)
+      .select(col("user_id").as("src"),
+        (lit(150) + ((col("user_id") % 4 + 1) % 4) * 12 +
+          col("event_id") % 12).as("dst"))
+    base.union(cross)
+  }
+
+  private def g4(s: SparkSession, d: String): DataFrame =
+    labelPropagation(g4Edges(s, d))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"))
+      .orderBy(col("label"))
+
+  private val g4Sql =
+    s"""WITH RECURSIVE
+       |ed AS MATERIALIZED (
+       |  SELECT user_id AS src,
+       |   150 + (user_id % 4) * 12 + event_id % 12 AS dst FROM events
+       |  UNION ALL
+       |  SELECT user_id,
+       |   150 + ((user_id % 4 + 1) % 4) * 12 + event_id % 12 FROM events
+       |  WHERE event_id % 997 = 0),
+       |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)
+       |  WHERE src <> dst),
+       |lp(it, node, label) AS (
+       |  SELECT 1, node, node FROM (SELECT DISTINCT src AS node FROM und)
+       |  UNION ALL
+       |  SELECT it + 1, node, label FROM (
+       |    SELECT c.it, c.node, c.label,
+       |      row_number() OVER (PARTITION BY c.node
+       |        ORDER BY c.cnt DESC, c.label) AS rn
+       |    FROM (
+       |      SELECT v.it, v.node, v.label, count(*) AS cnt FROM (
+       |        SELECT l2.it, u.dst AS node, l2.label FROM und u
+       |        JOIN lp l2 ON u.src = l2.node
+       |        UNION ALL SELECT it, node, label FROM lp) v
+       |      GROUP BY 1, 2, 3) c)
+       |  WHERE rn = 1 AND it <= $LpaRounds)
+       |SELECT label, count(*) AS n_nodes, min(node) AS min_node
+       |FROM lp WHERE it = ${LpaRounds + 1}
+       |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g2_pagerank" -> (g2 _),
     "g3_triangles" -> (g3 _),
+    "g4_label_prop" -> (g4 _),
   )
 
   val oracles: Map[String, String] = Map(
     "g2_pagerank" -> g2Sql,
     "g3_triangles" -> g3Sql,
+    "g4_label_prop" -> g4Sql,
   )
 }

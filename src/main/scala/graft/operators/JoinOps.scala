@@ -431,6 +431,65 @@ object JoinOps {
        |   CAST(1000000.0 AS DOUBLE), 6) END AS lag_secs
        |FROM j ORDER BY event_id""".stripMargin
 
+  // J23 — point-in-interval RANGE join via BIN BLOCKING: the one join
+  // family with no natural equi-key (j1/j13 ride a shared entity key;
+  // a pure "which points fall inside which validity windows" doesn't),
+  // where the naive plan is an O(n·m) nested loop. The standard scale
+  // rewrite: quantize time into fixed bins, explode each interval to
+  // the bins it covers (bounded by span/binSize — here ≤ 2), equi-join
+  // points on the bin, then verify exact containment. The NLJ becomes
+  // a hash join whose fan-out is (points × bins-per-interval); bin
+  // size tunes the blow-up/selectivity trade like an LSH band. DuckDB
+  // oracles it with the plain theta join — same rows, so the hash gate
+  // certifies the rewrite.
+  private val RangeBinDays = 32L
+  private def j23(s: SparkSession, d: String): DataFrame = {
+    val day = "86400000000" // us per day
+    val iv = Tables.orders(s, d)
+      .filter(col("o_orderkey") < 500)
+      // o_orderdate lands as TIMESTAMP_NTZ; session is pinned UTC so
+      // the cast is value-preserving
+      .select(col("o_orderkey").as("iid"),
+        expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div $day")
+          .as("sd"))
+      .withColumn("ed", col("sd") + (col("iid") % 30 + 1))
+    val ivBins = iv.withColumn("bin",
+      explode(sequence(expr(s"sd div $RangeBinDays"),
+        expr(s"ed div $RangeBinDays"))))
+    val pt = Tables.lineitem(s, d)
+      .select(
+        expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $day")
+          .as("pd"),
+        col("l_quantity"))
+      .withColumn("bin", expr(s"pd div $RangeBinDays"))
+    val agg = ivBins.join(pt, Seq("bin"))
+      .filter(col("pd") >= col("sd") && col("pd") <= col("ed"))
+      .groupBy(col("iid"))
+      .agg(count(lit(1)).as("n_points"),
+        dsumOut(col("l_quantity")).as("sum_qty"))
+    iv.select(col("iid"))
+      .join(agg, Seq("iid"), "left")
+      .select(col("iid"), coalesce(col("n_points"), lit(0L)).as("n_points"),
+        col("sum_qty"))
+      .orderBy(col("iid"))
+  }
+
+  private val j23Sql =
+    s"""WITH iv AS (SELECT o_orderkey AS iid,
+       |  epoch_us(o_orderdate) // CAST(86400000000 AS BIGINT) AS sd,
+       |  epoch_us(o_orderdate) // CAST(86400000000 AS BIGINT)
+       |    + o_orderkey % 30 + 1 AS ed
+       | FROM orders WHERE o_orderkey < 500),
+       |pt AS (SELECT epoch_us(l_shipdate) // CAST(86400000000 AS BIGINT)
+       |    AS pd, l_quantity FROM lineitem),
+       |agg AS (SELECT iid, count(*) AS n_points,
+       |  ${sqlDsumOut("l_quantity")} AS sum_qty
+       | FROM iv JOIN pt ON pt.pd BETWEEN iv.sd AND iv.ed GROUP BY 1)
+       |SELECT iv.iid, CAST(coalesce(agg.n_points, 0) AS BIGINT)
+       |   AS n_points, agg.sum_qty
+       |FROM iv LEFT JOIN agg ON iv.iid = agg.iid
+       |ORDER BY iv.iid""".stripMargin
+
   // J17 — block-number-by-timestamp resolution: running max id per hour
   // (ref query.js:4290-4308 getBlockNumberByTS range probe).
   private def j17(s: SparkSession, d: String): DataFrame = {
@@ -771,6 +830,7 @@ object JoinOps {
     "j19_transact_spans" -> (j19 _),
     "j20_xcm_fee_model" -> (j20 _),
     "j22_last_touch" -> (j22 _),
+    "j23_range_bin" -> (j23 _),
     "j1_interval_match" -> (j1 _),
     "j2_dedup_match" -> (j2 _),
     "j3_tolerance_match" -> (j3 _),
@@ -805,5 +865,6 @@ object JoinOps {
     "j16_asof_join" -> j16Sql,
     "j17_running_resolve" -> j17Sql,
     "j22_last_touch" -> j22Sql,
+    "j23_range_bin" -> j23Sql,
   )
 }

@@ -70,6 +70,29 @@ class GraphSpec extends AnyFunSuite {
     assert((2L to 5L).map(got).distinct.size === 1)
   }
 
+  test("label propagation splits two cliques joined by one bridge") {
+    // K4 on 1-4 and K4 on 11-14, bridged 4-11: connected components
+    // would report ONE group; LPA's frequency vote keeps two (each
+    // bridge endpoint has 3 in-clique neighbors vs 1 across)
+    def k4(base: Long) = for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (base + i, base + j)
+    val edges = (k4(1) ++ k4(11) :+ ((4L, 11L))).toDF("src", "dst")
+    val labels = GraphOps.labelPropagation(edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(labels).toSet === Set(1L))
+    assert((11L to 14L).map(labels).toSet === Set(11L))
+  }
+
+  test("label propagation is parallelism-independent") {
+    val edges = (0 until 200).map(i =>
+      ((i % 23).toLong, (23 + (i * 13 + 5) % 31).toLong))
+    def run(parts: Int) = GraphOps.labelPropagation(
+      edges.toDF("src", "dst").repartition(parts), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === run(9))
+  }
+
   test("mass is conserved on a dangling-free graph") {
     // every node has an out-edge (i -> (i+1) mod 29 plus chords), so no
     // mass leaks: total rank stays 1 up to per-round rounding slack
