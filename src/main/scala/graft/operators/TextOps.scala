@@ -1479,9 +1479,69 @@ object TextOps {
       |  ELSE least(wa, wb) END AS canon
       |FROM cand WHERE levenshtein(wa, wb) <= 1 ORDER BY wa, wb""".stripMargin
 
+  // X23 — novelty / memorization scoring: for every training doc, the
+  // fraction of its distinct 5-word grams NOT present in the reference
+  // slice (doc_id % 100 == 0 — the eval/benchmark convention c1 uses).
+  // c1 counts contaminated PAIRS; this is the per-doc scalar the
+  // memorization literature filters on (novelty below threshold ⇒ the
+  // doc largely restates reference material). Reference grams broadcast
+  // (c1's contract — the corpus side never shuffles for the membership
+  // probe); per-doc novelty is a left-join mark + one doc rollup.
+  private val NoveltyGram = 5
+  private def x23(s: SparkSession, d: String): DataFrame = {
+    val g = spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+      // shorter docs have no 5-gram; filter BEFORE the sequence — a
+      // negative stop would make sequence() count DOWN, not empty
+      .filter(size(expr("split(trim(text), '\\\\s+')")) >= NoveltyGram)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          s"""transform(
+             |  sequence(0, size(split(trim(text), '\\\\s+'))
+             |    - $NoveltyGram),
+             |  i -> array_join(slice(split(trim(text), '\\\\s+'),
+             |    i + 1, $NoveltyGram), ' '))""".stripMargin))).as("g"))
+    val ref = g.filter(col("doc_id") % 100 === 0)
+      .select(col("g")).distinct().withColumn("seen", lit(1))
+    val perDoc = g.filter(col("doc_id") % 100 =!= 0)
+      .join(broadcast(ref), Seq("g"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"), count(col("seen")).as("n_seen"))
+      .withColumn("novelty", round(lit(1.0) -
+        col("n_seen").cast("double") / col("n_grams"), 6))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        dmean(col("novelty")).as("avg_novelty"),
+        count(when(col("novelty") < 0.5, 1)).as("n_low_novelty"))
+      .orderBy(col("source"))
+  }
+
+  private val x23Sql = {
+    val n = NoveltyGram
+    s"""WITH tk AS (SELECT doc_id, source,
+       |   string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents WHERE doc_id < 2000),
+       |g AS (SELECT doc_id, source, unnest(list_distinct(
+       |   list_transform(range(1, len(t) - $n + 2),
+       |     i -> array_to_string(t[i:i+${n - 1}], ' ')))) AS g
+       |  FROM tk WHERE len(t) >= $n),
+       |ref AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0),
+       |pd AS (SELECT doc_id, source, count(*) AS n_grams,
+       |   count(ref.g) AS n_seen
+       |  FROM (SELECT * FROM g WHERE doc_id % 100 <> 0) tr
+       |  LEFT JOIN ref ON tr.g = ref.g
+       |  GROUP BY 1, 2),
+       |nv AS (SELECT source, round(CAST(1.0 AS DOUBLE) -
+       |   CAST(n_seen AS DOUBLE) / n_grams, 6) AS novelty FROM pd)
+       |SELECT source, count(*) AS n_docs,
+       | ${sqlDmean("novelty")} AS avg_novelty,
+       | count(CASE WHEN novelty < 0.5 THEN 1 END) AS n_low_novelty
+       |FROM nv GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x21_cms_heavy" -> (x21 _),
     "x22_typo_canon" -> (x22 _),
+    "x23_novelty" -> (x23 _),
     "x19_lr_train" -> (x19 _),
     "x20_lr_score" -> (x20 _),
     "x18_sample_quantiles" -> (x18 _),
@@ -1507,6 +1567,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "x21_cms_heavy" -> x21Sql,
     "x22_typo_canon" -> x22Sql,
+    "x23_novelty" -> x23Sql,
     "x19_lr_train" -> x19Sql,
     "x20_lr_score" -> x20Sql,
     "x1_text_stats" -> x1Sql,
