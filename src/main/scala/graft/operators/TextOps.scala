@@ -1480,14 +1480,14 @@ object TextOps {
       |FROM cand WHERE levenshtein(wa, wb) <= 1 ORDER BY wa, wb""".stripMargin
 
   // X23 — novelty / memorization scoring: for every training doc, the
-  // fraction of its distinct 5-word grams NOT present in the reference
+  // fraction of its distinct 3-word grams NOT present in the reference
   // slice (doc_id % 100 == 0 — the eval/benchmark convention c1 uses).
   // c1 counts contaminated PAIRS; this is the per-doc scalar the
   // memorization literature filters on (novelty below threshold ⇒ the
   // doc largely restates reference material). Reference grams broadcast
   // (c1's contract — the corpus side never shuffles for the membership
   // probe); per-doc novelty is a left-join mark + one doc rollup.
-  private val NoveltyGram = 5
+  private val NoveltyGram = 3
   private def x23(s: SparkSession, d: String): DataFrame = {
     val g = spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
       // shorter docs have no 5-gram; filter BEFORE the sequence — a
