@@ -199,30 +199,42 @@ object Bench {
     */
   def renderContract(results: Seq[(String, Double)], total: Double,
                      sfDir: String): String = {
-    def render(dec: Int, sf: String, prefixKeys: Boolean): String = {
+    // marker: 0 = full "query_name_prefix" note, 1 = short "prefix",
+    // 2 = none (last resort; bench_diff/BenchTrend never read the
+    // marker — it is documentation for a human reading the line)
+    def render(dec: Int, sf: String, prefixKeys: Boolean,
+        marker: Int = 0): String = {
       // dec = -1 → adaptive: magnitude-scaled precision ("0.12", "9.8",
-      // "123") — constant ~4-char width per value, so the line scales to
-      // ~190 entries where fixed 2-decimal tops out near 130
+      // "123") with trailing zeros trimmed ("0.1", not "0.10") —
+      // ~4-char value width, so the line scales to ~180 entries where
+      // fixed 2-decimal tops out near 130
       def num(v: Double) = {
         val d = if (dec >= 0) dec
           else if (math.abs(v) >= 100) 0
           else if (math.abs(v) >= 10) 1
           else 2
-        String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+        val s = String.format(java.util.Locale.ROOT, s"%.${d}f",
+          Double.box(v))
+        if (dec == -1 && s.contains('.'))
+          s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
       }
       def key(k: String) = if (prefixKeys) k.split('_')(0) else k
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
         .mkString("{", ",", "}")
-      val note = if (prefixKeys) ""","keys":"query_name_prefix"""" else ""
+      val note =
+        if (!prefixKeys || marker == 2) ""
+        else if (marker == 1) ""","keys":"prefix""""
+        else ""","keys":"query_name_prefix""""
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sf"$note}"""
     }
     val short = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
-    Iterator((2, sfDir, false), (2, sfDir, true), (2, short, true),
-      (-1, short, true))
-      .map { case (dec, sf, pk) => render(dec, sf, pk) }
+    Iterator((2, sfDir, false, 0), (2, sfDir, true, 0), (2, short, true, 0),
+      (-1, short, true, 1), (-1, short, true, 2))
+      .map { case (dec, sf, pk, mk) => render(dec, sf, pk, mk) }
       .find(_.length <= 1900)
-      .getOrElse(render(-1, short, prefixKeys = true))
+      .getOrElse(render(-1, short, prefixKeys = true, marker = 2))
   }
 }
 

@@ -36,9 +36,11 @@ class BenchContractSpec extends AnyFunSuite {
         "sbt trailer")
     assert(line.startsWith("""{"metric":"total","value":"""))
     assert(!line.contains("\n"))
-    // prefix-key mode must say so
+    // prefix-key mode may carry its marker in full or short form (it is
+    // dropped entirely at the last compression rung)
     if (line.contains("\"keys\":"))
-      assert(line.contains(""""keys":"query_name_prefix""""))
+      assert(line.contains(""""keys":"query_name_prefix"""") ||
+        line.contains(""""keys":"prefix""""))
   }
 
   test("contract line keeps 2-decimal resolution for the real inventory") {
