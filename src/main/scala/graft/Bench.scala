@@ -231,7 +231,7 @@ object Bench {
     val short = sfDir.split('/').filter(_.nonEmpty).lastOption
       .getOrElse(sfDir)
     Iterator((2, sfDir, false, 0), (2, sfDir, true, 0), (2, short, true, 0),
-      (-1, short, true, 1), (-1, short, true, 2))
+      (-1, short, true, 1))
       .map { case (dec, sf, pk, mk) => render(dec, sf, pk, mk) }
       .find(_.length <= 1900)
       .getOrElse(render(-1, short, prefixKeys = true, marker = 2))

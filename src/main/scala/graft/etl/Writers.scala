@@ -42,32 +42,48 @@ object Writers {
     * overwrite the daily loads use — untouched partitions' files are
     * never opened. A partition whose every row is deleted is removed
     * explicitly (dynamic overwrite can't replace a partition with
-    * nothing). Returns the number of rows deleted. */
+    * nothing) — through the Hadoop FileSystem of `path` with
+    * Hive-escaped partition names, so object-store layouts and escaped
+    * values work, not just a local java.io view. Null partition values
+    * (the `__HIVE_DEFAULT_PARTITION__` directory) are handled.
+    * Returns the number of rows deleted. */
   def deleteKeys(spark: SparkSession, path: String, partitionCol: String,
-      keyCol: String, keys: DataFrame): Long = {
-    val df = spark.read.parquet(path)
+      keyCol: String, keys: DataFrame,
+      format: String = "parquet"): Long = {
+    val df = spark.read.format(format).load(path)
     val k = keys.select(col(keyCol)).distinct()
     val affected = df.join(broadcast(k), Seq(keyCol), "left_semi")
       .groupBy(col(partitionCol)).agg(count(lit(1)).as("n_del"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
     if (affected.isEmpty) return 0L
-    val inAffected = col(partitionCol).cast("string")
-      .isin(affected.keys.toSeq: _*)
+    val nonNull = affected.keys.flatten.toSeq
+    val inAffected = col(partitionCol).cast("string").isin(nonNull: _*) ||
+      (if (affected.contains(None)) col(partitionCol).isNull
+       else lit(false))
     val kept = df.filter(inAffected)
       .join(broadcast(k), Seq(keyCol), "left_anti")
     val keptPerPart = kept.groupBy(col(partitionCol))
-      .agg(count(lit(1))).collect().map(_.get(0).toString).toSet
+      .agg(count(lit(1))).collect()
+      .map(r => Option(r.get(0)).map(_.toString)).toSet
     overwritePartitions(
-      kept.select(df.columns.map(col): _*), path, Seq(partitionCol))
+      kept.select(df.columns.map(col): _*), path, Seq(partitionCol),
+      format)
     // fully-emptied partitions: overwrite wrote nothing for them, so
-    // drop the stale directories
+    // drop the stale directories (via the path's own FileSystem — an
+    // s3a/hdfs layout must work, and partition values are Hive-escaped
+    // on disk)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (p <- affected.keys if !keptPerPart.contains(p)) {
-      val dir = new java.io.File(s"$path/$partitionCol=$p")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
+      val dirName = p match {
+        case Some(v) => s"$partitionCol=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v)
+        case None => s"$partitionCol=__HIVE_DEFAULT_PARTITION__"
       }
-      if (dir.exists) rm(dir)
+      val dir = new org.apache.hadoop.fs.Path(root, dirName)
+      if (fs.exists(dir)) fs.delete(dir, true)
     }
     affected.values.sum
   }

@@ -58,14 +58,14 @@ object Udfs {
     native(spark, "blake2_256_hex", "blake2b256Hex", StringType,
       Seq(StringType))
 
-    // decimal scaling of raw chain amounts (ref paraTool.js:214
-    // toBaseUnit; hex u128 → double at token decimals)
     // bounded edit distance for candidate-verify joins (x22 SymSpell,
     // fuzzy entity matching): exact when ≤ k, else k+1 — banded DP with
     // early exit instead of the built-in's full n·m fill
     native(spark, "levenshtein_le", "levenshteinLe", IntegerType,
       Seq(StringType, StringType, IntegerType))
 
+    // decimal scaling of raw chain amounts (ref paraTool.js:214
+    // toBaseUnit; hex u128 → double at token decimals)
     native(spark, "to_base_unit", "toBaseUnit", DoubleType,
       Seq(StringType, IntegerType))
 

@@ -1490,7 +1490,7 @@ object TextOps {
   private val NoveltyGram = 3
   private def x23(s: SparkSession, d: String): DataFrame = {
     val g = spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
-      // shorter docs have no 5-gram; filter BEFORE the sequence — a
+      // shorter docs have no full gram; filter BEFORE the sequence — a
       // negative stop would make sequence() count DOWN, not empty
       .filter(size(expr("split(trim(text), '\\\\s+')")) >= NoveltyGram)
       .select(col("doc_id"), col("source"),

@@ -49,7 +49,12 @@ object CodecKernels {
     * moment a whole band row exceeds k. */
   def levenshteinLe(au: UTF8String, bu: UTF8String,
       k: Int): java.lang.Integer = {
-    val a = au.toString; val b = bu.toString
+    // CODE POINTS, not UTF-16 units: Spark's built-in levenshtein (and
+    // DuckDB's) measure code points, and an astral-plane char must cost
+    // one edit, not two surrogate edits — x22's oracle parity depends
+    // on agreeing with the built-in
+    val a = au.toString.codePoints().toArray
+    val b = bu.toString.codePoints().toArray
     val n = a.length; val m = b.length
     if (math.abs(n - m) > k) return Int.box(k + 1)
     val inf = k + 1
@@ -66,7 +71,7 @@ object CodecKernels {
       var rowMin = cur(0)
       var j = lo
       while (j <= hi) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         if (prev(j) + 1 < v) v = prev(j) + 1
         if (cur(j - 1) + 1 < v) v = cur(j - 1) + 1

@@ -304,6 +304,35 @@ class EtlSpec extends AnyFunSuite {
       Seq(1L, 3L).toDF("k")) == 0L)
   }
 
+  test("deleteKeys handles null and escape-needing partition values") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_del2").toString
+    val data = Seq(
+      (Some("a b"), 1L), (Some("a b"), 2L), // value Hive-escapes on disk
+      (None, 3L), // null partition -> __HIVE_DEFAULT_PARTITION__
+      (Some("ok"), 4L))
+      .toDF("day", "k")
+    Writers.overwritePartitions(data, dir, Seq("day"))
+    // delete k=1 (partial "a b") and k=3 (empties the null partition)
+    val deleted = Writers.deleteKeys(spark, dir, "day", "k",
+      Seq(1L, 3L).toDF("k"))
+    assert(deleted == 2L)
+    val left = spark.read.parquet(dir).select("day", "k")
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
+      .toSet
+    assert(left == Set((Some("a b"), 2L), (Some("ok"), 4L)))
+    // the emptied null-partition directory is gone; the escaped one stays
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains("day=__HIVE_DEFAULT_PARTITION__"), dirs)
+    // Hive path escaping leaves spaces alone (it escapes %, :, #, …) —
+    // what matters is that the partially-deleted partition SURVIVES
+    // under whatever escaping the writer used
+    assert(dirs.exists(n => n == "day=a b" || n.startsWith("day=a%20b")),
+      dirs)
+  }
+
   test("incremental summary merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, SparkTestBase.sf)

@@ -41,6 +41,11 @@ class SymSpellSpec extends AnyFunSuite {
     assert(le("", "ab", 1) === 2)
     assert(le("abc", "abc", 0) === 0)
     assert(le("abcdef", "abc", 2) === 3)
+    // code POINTS, not UTF-16 units: an astral-plane char is one edit
+    // (what Spark's built-in and DuckDB measure), not two surrogates
+    val astral = new String(Character.toChars(0x1F600))
+    assert(le(s"ab${astral}cd", "abcd", 1) === 1)
+    assert(le(s"ab${astral}cd", s"ab${astral}cd", 0) === 0)
   }
 
   test("blocking is complete for distance <= 1 and verify is tight") {
