@@ -175,7 +175,14 @@ object DedupOps {
 
   private val bandKey = Seq("band", "s0", "s1", "s2", "s3")
 
-  private def d3(s: SparkSession, d: String): DataFrame = {
+  private def d3(s: SparkSession, d: String): DataFrame =
+    lshVerifiedPairs(s, d).orderBy(col("da"), col("db"))
+
+  /** The d3 engine as a reusable frame: LSH band candidates (hot
+    * buckets as star edges) verified with exact Jaccard ≥ 0.5 —
+    * (da, db, jaccard), unsorted. d12 consumes it filtered to pairs
+    * touching the incoming batch. */
+  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val t = docTokens(s, d, 2000).withColumn("h", h32(col("w"), 1))
     // column-wise min over the universal-hash family
     val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -232,7 +239,64 @@ object DedupOps {
           (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
+  }
+
+  // D12 — INCREMENTAL dedup: today's batch (doc_id ≥ 400) against the
+  // standing corpus — the operational shape of near-dup at 100 TB (the
+  // standing signature index persists; only pairs TOUCHING the new
+  // batch are candidates, so daily cost scales with the batch, not the
+  // corpus). Each new doc reports its best match (max Jaccard, ties to
+  // the smallest partner id) into the standing corpus or earlier in
+  // its own batch, or null if it is genuinely new.
+  private val NewBatchFrom = 400L
+
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshVerifiedPairs(s, d)
+      .filter(col("da") >= NewBatchFrom || col("db") >= NewBatchFrom)
+    val directed = pairs
+      .filter(col("da") >= NewBatchFrom)
+      .select(col("da").as("new_id"), col("db").as("partner"),
+        col("jaccard"))
+      .unionByName(pairs.filter(col("db") >= NewBatchFrom)
+        .select(col("db").as("new_id"), col("da").as("partner"),
+          col("jaccard")))
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("partner"))
+    val best = directed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("partner"), col("jaccard"))
+    Tables.documents(s, d)
+      .filter(col("doc_id") >= NewBatchFrom && col("doc_id") < 2000)
+      .select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("partner").as("dup_of"), col("jaccard"),
+        col("partner").isNotNull.as("is_dup"))
+      .orderBy(col("new_id"))
+  }
+
+  private def d12Sql: String = {
+    // reuse the d3 CTE chain verbatim up to the verified pair set
+    val verified = d3Sql.stripSuffix("\nORDER BY da, db")
+    s"""WITH v AS (
+       |$verified
+       |),
+       |tp AS (SELECT * FROM v
+       |  WHERE da >= $NewBatchFrom OR db >= $NewBatchFrom),
+       |dir AS (
+       |  SELECT da AS new_id, db AS partner, jaccard FROM tp
+       |  WHERE da >= $NewBatchFrom
+       |  UNION ALL
+       |  SELECT db, da, jaccard FROM tp WHERE db >= $NewBatchFrom),
+       |best AS (SELECT new_id, partner, jaccard FROM (
+       |  SELECT dir.*, row_number() OVER (PARTITION BY new_id
+       |    ORDER BY jaccard DESC, partner) AS rn FROM dir)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id AS new_id, b.partner AS dup_of, b.jaccard,
+       | b.partner IS NOT NULL AS is_dup
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE doc_id >= $NewBatchFrom AND doc_id < 2000) d
+       |LEFT JOIN best b ON b.new_id = d.doc_id
+       |ORDER BY new_id""".stripMargin
   }
 
   // D4 — SimHash near-dup pairs. 64-bit signature: bit j set iff
@@ -955,6 +1019,7 @@ object DedupOps {
     "d2_jaccard_pairs" -> (d2 _),
     "d11_containment" -> (d11 _),
     "d3_minhash_lsh" -> (d3 _),
+    "d12_incremental_dedup" -> (d12 _),
     "d4_simhash" -> (d4 _),
     "d5_dup_clusters" -> (d5 _),
     "d10_soft_dedup" -> (d10 _),
@@ -970,6 +1035,7 @@ object DedupOps {
     "d2_jaccard_pairs" -> d2Sql,
     "d11_containment" -> d11Sql,
     "d3_minhash_lsh" -> d3Sql,
+    "d12_incremental_dedup" -> d12Sql,
     "d4_simhash" -> d4Sql,
     "d5_dup_clusters" -> d5Sql,
     "d10_soft_dedup" -> d10Sql,
