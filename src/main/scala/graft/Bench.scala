@@ -77,6 +77,7 @@ object Bench {
     // consumers keep their memo-warm per-query meaning. A regression in
     // a stage itself is then trend-guard-visible.
     operators.DedupOps.resetWordSetLabels()
+    operators.DedupOps.resetLshPairs()
     operators.TextOps.resetBpeMerges()
     operators.VectorOps.resetKmeans()
     operators.VectorOps.resetPca()
@@ -157,6 +158,8 @@ object Bench {
   val stages: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "stage:dedup_cc_labels" ->
       ((s, d) => operators.DedupOps.warmWordSetLabels(s, d)),
+    "stage:lsh_pairs" ->
+      ((s, d) => operators.DedupOps.warmLshPairs(s, d)),
     "stage:bpe_merges" ->
       ((s, d) => operators.TextOps.warmBpeMerges(s, d)),
     "stage:kmeans_train" ->
@@ -219,7 +222,12 @@ object Bench {
           s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
         else s
       }
-      def key(k: String) = if (prefixKeys) k.split('_')(0) else k
+      def key(k: String) =
+        if (!prefixKeys) k
+        // the tightest rung also compresses the 11 "stage:" keys to
+        // "s:" (bench_diff/BenchTrend prefix-normalize both spellings)
+        else if (marker == 2) k.split('_')(0).replace("stage:", "s:")
+        else k.split('_')(0)
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
         .mkString("{", ",", "}")
       val note =
@@ -275,7 +283,10 @@ object BenchTrend {
         * a green "no regressions" (bench_diff.py exits the same way). */
       vacuous: Boolean)
 
-  private def pfx(k: String): String = k.split('_')(0)
+  private def pfx(k: String): String =
+    // "stage:" compresses to "s:" on the tightest contract rung —
+    // normalize both spellings so old/new files line up
+    k.split('_')(0).replace("stage:", "s:")
 
   /** First "queries" map in the file — the driver's `parsed` contract
     * object, or the bench_detail line of raw `graft.Bench` output.

@@ -176,7 +176,37 @@ object DedupOps {
   private val bandKey = Seq("band", "s0", "s1", "s2", "s3")
 
   private def d3(s: SparkSession, d: String): DataFrame =
-    lshVerifiedPairs(s, d).orderBy(col("da"), col("db"))
+    lshPairsShared(s, d).orderBy(col("da"), col("db"))
+
+  /** Memoized [[lshVerifiedPairs]] — d3 and d12 are two consumers of
+    * ONE signature/band/verify stage (the d5/d6 shared-stage lesson:
+    * without the memo each consumer re-runs the whole LSH pipeline).
+    * Bench times it cold as `stage:lsh_pairs`. */
+  @volatile private var lshMemo
+      : Option[((SparkSession, String), DataFrame)] = None
+
+  /** Bench/test hook: drop the memoized LSH pair stage. */
+  def resetLshPairs(): Unit = synchronized {
+    lshMemo.foreach { case (_, df) => releaseCheckpoint(df) }
+    lshMemo = None
+  }
+
+  /** Bench hook: build + materialize the shared LSH pair stage. */
+  def warmLshPairs(s: SparkSession, d: String): Unit = {
+    lshPairsShared(s, d); ()
+  }
+
+  private def lshPairsShared(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      lshMemo match {
+        case Some(((ms, md), df)) if (ms eq s) && md == d => df
+        case _ =>
+          lshMemo.foreach { case (_, old) => releaseCheckpoint(old) }
+          val df = lshVerifiedPairs(s, d).localCheckpoint()
+          lshMemo = Some(((s, d), df))
+          df
+      }
+    }
 
   /** The d3 engine as a reusable frame: LSH band candidates (hot
     * buckets as star edges) verified with exact Jaccard ≥ 0.5 —
@@ -251,7 +281,7 @@ object DedupOps {
   private val NewBatchFrom = 400L
 
   private def d12(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshVerifiedPairs(s, d)
+    val pairs = lshPairsShared(s, d)
       .filter(col("da") >= NewBatchFrom || col("db") >= NewBatchFrom)
     val directed = pairs
       .filter(col("da") >= NewBatchFrom)

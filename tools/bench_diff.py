@@ -47,7 +47,8 @@ def load(path):
     # token class includes ':' so stage keys ("stage:ccdist_labels")
     # tokenize whole and prefix-normalize like everything else
     for grp in re.findall(r'stormy\\?"\s*:\s*\[([^\]]*)\]', txt):
-        stormy.update(w.split("_")[0] for w in re.findall(r"[\w:]+", grp))
+        stormy.update(w.split("_")[0].replace("stage:", "s:")
+                      for w in re.findall(r"[\w:]+", grp))
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
     q = d.get("queries")
@@ -73,7 +74,9 @@ def main():
     # one file and full names in the other; normalize BOTH sides to the
     # first-underscore prefix when that stays collision-free per side
     def keyed(q):
-        pref = {k: k.split("_")[0] for k in q}
+        # "stage:" keys compress to "s:" on the tightest contract rung;
+        # normalize both spellings so old/new files line up
+        pref = {k: k.split("_")[0].replace("stage:", "s:") for k in q}
         counts = {}
         for p in pref.values():
             counts[p] = counts.get(p, 0) + 1
