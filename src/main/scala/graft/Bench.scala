@@ -224,8 +224,9 @@ object Bench {
       }
       def key(k: String) =
         if (!prefixKeys) k
-        // the tightest rung also compresses the 11 "stage:" keys to
-        // "s:" (bench_diff/BenchTrend prefix-normalize both spellings)
+        // the tightest rung also compresses the "stage:" keys
+        // (currently 12) to "s:" (bench_diff/BenchTrend
+        // prefix-normalize both spellings)
         else if (marker == 2) k.split('_')(0).replace("stage:", "s:")
         else k.split('_')(0)
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
@@ -322,8 +323,9 @@ object BenchTrend {
   /** Storm-marked query names from the newer bench, prefix-normalized.
     * The token class includes ':' so a stage key ("stage:ccdist_labels")
     * survives tokenization whole and prefix-normalizes to the same
-    * "stage:ccdist" that pfx() yields — without it a storm-marked stage
-    * line could never match the exemption set. */
+    * "s:ccdist" that pfx() yields (the stage:→s: compression) — without
+    * it a storm-marked stage line could never match the exemption
+    * set. */
   def stormyOf(txt: String): Set[String] =
     """stormy\\?"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(txt)
       .flatMap(m => """[A-Za-z0-9_:]+""".r.findAllIn(m.group(1)))

@@ -182,31 +182,18 @@ object DedupOps {
     * ONE signature/band/verify stage (the d5/d6 shared-stage lesson:
     * without the memo each consumer re-runs the whole LSH pipeline).
     * Bench times it cold as `stage:lsh_pairs`. */
-  @volatile private var lshMemo
-      : Option[((SparkSession, String), DataFrame)] = None
+  private val lshStage = new StageMemo(lshVerifiedPairs(_, _))
 
   /** Bench/test hook: drop the memoized LSH pair stage. */
-  def resetLshPairs(): Unit = synchronized {
-    lshMemo.foreach { case (_, df) => releaseCheckpoint(df) }
-    lshMemo = None
-  }
+  def resetLshPairs(): Unit = lshStage.reset()
 
   /** Bench hook: build + materialize the shared LSH pair stage. */
   def warmLshPairs(s: SparkSession, d: String): Unit = {
-    lshPairsShared(s, d); ()
+    lshStage(s, d); ()
   }
 
   private def lshPairsShared(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      lshMemo match {
-        case Some(((ms, md), df)) if (ms eq s) && md == d => df
-        case _ =>
-          lshMemo.foreach { case (_, old) => releaseCheckpoint(old) }
-          val df = lshVerifiedPairs(s, d).localCheckpoint()
-          lshMemo = Some(((s, d), df))
-          df
-      }
-    }
+    lshStage(s, d)
 
   /** The d3 engine as a reusable frame: LSH band candidates (hot
     * buckets as star edges) verified with exact Jaccard ≥ 0.5 —
@@ -281,15 +268,15 @@ object DedupOps {
   private val NewBatchFrom = 400L
 
   private def d12(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshPairsShared(s, d)
-      .filter(col("da") >= NewBatchFrom || col("db") >= NewBatchFrom)
-    val directed = pairs
-      .filter(col("da") >= NewBatchFrom)
-      .select(col("da").as("new_id"), col("db").as("partner"),
+    // verified pairs have da < db, so "db is new" is exactly "partner
+    // is EARLIER" — standing corpus or earlier in the batch. Admitting
+    // later-batch partners (the da-side branch) would create mutual
+    // dup_of cycles: two identical new docs each pointing at the other,
+    // and a first-seen-wins consumer would drop every copy.
+    val directed = lshPairsShared(s, d)
+      .filter(col("db") >= NewBatchFrom)
+      .select(col("db").as("new_id"), col("da").as("partner"),
         col("jaccard"))
-      .unionByName(pairs.filter(col("db") >= NewBatchFrom)
-        .select(col("db").as("new_id"), col("da").as("partner"),
-          col("jaccard")))
     val w = Window.partitionBy(col("new_id"))
       .orderBy(col("jaccard").desc, col("partner"))
     val best = directed.withColumn("rn", row_number().over(w))
@@ -306,17 +293,12 @@ object DedupOps {
 
   private def d12Sql: String = {
     // reuse the d3 CTE chain verbatim up to the verified pair set
-    val verified = d3Sql.stripSuffix("\nORDER BY da, db")
     s"""WITH v AS (
-       |$verified
+       |$d3SqlBody
        |),
-       |tp AS (SELECT * FROM v
-       |  WHERE da >= $NewBatchFrom OR db >= $NewBatchFrom),
        |dir AS (
-       |  SELECT da AS new_id, db AS partner, jaccard FROM tp
-       |  WHERE da >= $NewBatchFrom
-       |  UNION ALL
-       |  SELECT db, da, jaccard FROM tp WHERE db >= $NewBatchFrom),
+       |  SELECT db AS new_id, da AS partner, jaccard FROM v
+       |  WHERE db >= $NewBatchFrom),
        |best AS (SELECT new_id, partner, jaccard FROM (
        |  SELECT dir.*, row_number() OVER (PARTITION BY new_id
        |    ORDER BY jaccard DESC, partner) AS rn FROM dir)
@@ -380,7 +362,11 @@ object DedupOps {
   /** Oracle twin of [[d3]]: the SAME LCG constants render into SQL, the
     * band layout is replayed tuple-for-tuple (incl. the hot-bucket star
     * degrade), and candidates verify with exact Jaccard ≥ 0.5. */
-  private def d3Sql: String = {
+  private def d3Sql: String = d3SqlBody + "\nORDER BY da, db"
+
+  /** The verified-pair query WITHOUT the final ordering — shared
+    * structurally with d12Sql (no fragile suffix-stripping). */
+  private def d3SqlBody: String = {
     val sigExprs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $MinhashP) AS m$i"
     }.mkString(",\n   ")
@@ -420,8 +406,7 @@ object DedupOps {
        |FROM inter i
        |JOIN sizes sa ON sa.doc_id = i.da
        |JOIN sizes sb ON sb.doc_id = i.db
-       |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5
-       |ORDER BY da, db""".stripMargin
+       |WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) >= 0.5""".stripMargin
   }
 
   /** Oracle twin of [[d4]]: per-bit votes via a lateral `range(0, 32)`,
@@ -602,8 +587,10 @@ object DedupOps {
     * pair scan + iterative CC (round-4 bench: d6 at 6.0 s was 16 % of
     * the suite). Single slot keeps the cache bounded — a new (session,
     * dir) evicts the old entry. */
-  @volatile private var labelsMemo
-      : Option[((SparkSession, String), DataFrame)] = None
+  private val labelsStage = new StageMemo(
+    (s, d) => connectedComponents(
+      d2Pairs(s, d).select(col("da"), col("db")), "da", "db"),
+    checkpoint = false) // CC already localCheckpoints internally
 
   /** Free the checkpointed blocks behind a [[connectedComponents]]
     * result: the labels frame is a projection over a localCheckpoint'd
@@ -616,10 +603,7 @@ object DedupOps {
 
   /** Bench/test hook: drop the memoized labels stage (and its cached
     * blocks) so the next consumer pays the full pairs→CC cost. */
-  def resetWordSetLabels(): Unit = synchronized {
-    labelsMemo.foreach { case (_, df) => releaseCheckpoint(df) }
-    labelsMemo = None
-  }
+  def resetWordSetLabels(): Unit = labelsStage.reset()
 
   /** Bench hook: build + materialize the shared pairs→CC labels stage
     * for (s, d). Callers time this to make the one-time stage cost a
@@ -642,19 +626,7 @@ object DedupOps {
   }
 
   private def wordSetLabels(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      labelsMemo match {
-        case Some(((ms, md), df)) if (ms eq s) && md == d => df
-        case _ =>
-          // evict = unpersist, not just drop the reference — otherwise
-          // the old checkpoint's blocks linger until ContextCleaner GC
-          labelsMemo.foreach { case (_, old) => releaseCheckpoint(old) }
-          val pairs = d2Pairs(s, d).select(col("da"), col("db"))
-          val df = connectedComponents(pairs, "da", "db")
-          labelsMemo = Some(((s, d), df))
-          df
-      }
-    }
+    labelsStage(s, d)
 
   // D5 — near-dup cluster assignment: d2's Jaccard pairs → connected
   // components → per-cluster stats. Oracle = DuckDB transitive closure

@@ -767,30 +767,16 @@ object VectorOps {
     * + checkpointed per (session, dir) like the CC labels stage so two
     * consumers pay the encode once; Bench resets it and times the
     * build as `stage:pqadc_codes`. */
-  @volatile private var pqAdcMemo: Option[((SparkSession, String),
-    DataFrame)] = None
+  private val pqAdcStage = new StageMemo(buildPqAdc(_, _))
 
   /** Bench/test hook: drop the memoized ADC frame + its blocks. */
-  def resetPqAdc(): Unit = synchronized {
-    pqAdcMemo.foreach { case (_, df) => DedupOps.releaseCheckpoint(df) }
-    pqAdcMemo = None
-  }
+  def resetPqAdc(): Unit = pqAdcStage.reset()
 
   /** Bench hook: build + materialize the shared PQ encode stage. */
   def warmPqAdc(s: SparkSession, d: String): Unit = { pqAdcFrame(s, d); () }
 
   private def pqAdcFrame(s: SparkSession, d: String): DataFrame =
-    synchronized {
-      pqAdcMemo match {
-        case Some(((ms, md), df)) if (ms eq s) && md == d => df
-        case _ =>
-          pqAdcMemo.foreach { case (_, old) =>
-            DedupOps.releaseCheckpoint(old) }
-          val df = buildPqAdc(s, d).localCheckpoint(true)
-          pqAdcMemo = Some(((s, d), df))
-          df
-      }
-    }
+    pqAdcStage(s, d)
 
   private def buildPqAdc(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
