@@ -490,6 +490,57 @@ object JoinOps {
        |FROM iv LEFT JOIN agg ON iv.iid = agg.iid
        |ORDER BY iv.iid""".stripMargin
 
+  // J24 — SCD Type-2 dimension lookup: facts against a VERSIONED
+  // dimension. Each user's signup events define status versions
+  // (validity from its ts until the next signup — LEAD builds the
+  // interval table, the standard SCD2 construction); every purchase
+  // resolves the version active at its timestamp via an equi-join on
+  // the user + containment filter (bounded: versions per user is the
+  // dimension's change history, not the fact volume — the same reason
+  // warehouse SCD2 lookups are keyed-join-cheap). Purchases before the
+  // first signup resolve to no version (left join, version_id null).
+  private def j24(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val vw = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val versions = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("version_id"),
+        us(col("ts")).as("valid_from"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id")).orderBy(col("valid_from"),
+            col("version_id"))), lit(Long.MaxValue)))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("f_user"), col("event_id"),
+        us(col("ts")).as("f_us"))
+    // containment lives in the ON clause, so unresolved facts (no
+    // version yet / user never signed up) survive the left join with a
+    // null version directly — no re-attach join needed
+    facts.join(versions,
+        facts("f_user") === versions("user_id") &&
+          facts("f_us") >= versions("valid_from") &&
+          facts("f_us") < versions("valid_to"), "left")
+      .select(col("f_user").as("user_id"), col("event_id"),
+        col("version_id"),
+        col("version_id").isNotNull.as("resolved"))
+      .orderBy(col("event_id"))
+  }
+
+  private val j24Sql =
+    s"""WITH versions AS (
+       | SELECT user_id, event_id AS version_id, ${sqlUs(TS)} AS valid_from,
+       |  coalesce(lead(${sqlUs(TS)}) OVER (PARTITION BY user_id
+       |    ORDER BY ${sqlUs(TS)}, event_id),
+       |   CAST(9223372036854775807 AS BIGINT)) AS valid_to
+       | FROM events WHERE event_type = 'signup'),
+       |facts AS (SELECT user_id, event_id, ${sqlUs(TS)} AS f_us
+       | FROM events WHERE event_type = 'purchase')
+       |SELECT f.user_id, f.event_id, v.version_id,
+       | v.version_id IS NOT NULL AS resolved
+       |FROM facts f LEFT JOIN versions v ON f.user_id = v.user_id
+       | AND f.f_us >= v.valid_from AND f.f_us < v.valid_to
+       |ORDER BY f.event_id""".stripMargin
+
   // J17 — block-number-by-timestamp resolution: running max id per hour
   // (ref query.js:4290-4308 getBlockNumberByTS range probe).
   private def j17(s: SparkSession, d: String): DataFrame = {
@@ -831,6 +882,7 @@ object JoinOps {
     "j20_xcm_fee_model" -> (j20 _),
     "j22_last_touch" -> (j22 _),
     "j23_range_bin" -> (j23 _),
+    "j24_scd2_lookup" -> (j24 _),
     "j1_interval_match" -> (j1 _),
     "j2_dedup_match" -> (j2 _),
     "j3_tolerance_match" -> (j3 _),
@@ -866,5 +918,6 @@ object JoinOps {
     "j17_running_resolve" -> j17Sql,
     "j22_last_touch" -> j22Sql,
     "j23_range_bin" -> j23Sql,
+    "j24_scd2_lookup" -> j24Sql,
   )
 }
