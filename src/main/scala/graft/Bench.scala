@@ -263,7 +263,15 @@ object Bench {
   *    slow-downs become "suspect, re-measure locally" instead of
   *    failures (`tools/dev.sh graft.Bench` is the clean re-measure);
   *  - a query that THREW (-1 sentinel) is a hard regression regardless
-  *    of storms — steal makes queries slow, not wrong.
+  *    of storms — steal makes queries slow, not wrong;
+  *  - CANARY normalization (round-9 lesson): /proc/stat steal is blind
+  *    to whole-host slowdowns that aren't hypervisor steal (BENCH_r09:
+  *    steal_ticks 75, yet 11 untouched queries read 3-6x high, among
+  *    them the frozen scan+agg canary x1). If any
+  *    [[BenchTrend.CanaryPrefixes]] query — code that never changes —
+  *    inflates >= [[BenchTrend.CanaryStormFactor]] vs the previous
+  *    round, the run is host-contaminated and slowdowns demote to
+  *    "suspect, re-measure locally" exactly like a steal storm.
   *
   * The flag rule matches tools/bench_diff.py exactly — `new > floor
   * AND new > factor×old` — closing the old spec's `old ≥ 0.5 s` arming
@@ -274,15 +282,36 @@ object BenchTrend {
     * (idle rounds measure ~20-70 ticks; the r05 storm run hit 30 225). */
   val StormRunTicks = 500L
 
+  /** Canary queries: frozen-trivial shapes (one pushed-filter scan + one
+    * agg / point lookup / exact-dedup groupBy) untouched since round 1.
+    * Their code has no dependency on anything that lands round to round,
+    * so a canary inflating can only mean the HOST was slow while it ran —
+    * the round-9 lesson: a steal-INVISIBLE whole-host slowdown (steal
+    * ticks 75, well under [[StormRunTicks]]) inflated 11 untouched
+    * queries 3-6x including canary x1 (0.15 -> 0.51 s), while /proc/stat
+    * steal saw nothing. Prefix-normalized keys. */
+  val CanaryPrefixes: Seq[String] = Seq("p0", "x1", "d1")
+
+  /** Any canary at or beyond this ratio vs the previous round marks the
+    * newer run host-contaminated (max-of-canaries, not median: the r09
+    * slowdown was bursty, hitting only part of the run, so the median
+    * canary read flat while x1 — measured inside the burst — read 3.4x).
+    * Genuine regressions cannot move a canary: nothing in their code
+    * changes. Throwing queries stay hard failures regardless. */
+  val CanaryStormFactor = 2.0
+
   final case class Trend(
       regressions: Seq[String], // hard failures (clean-run slowdowns, throws)
-      stormExempt: Seq[String], // slowdowns excused by storm annotations
+      stormExempt: Seq[String], // slowdowns excused by storm/canary evidence
       stealTicks: Long,
       /** No overlapping query keys — e.g. the newer file is a driver
         * `parsed: null` capture failure (rounds 1-2 lost their numbers
         * exactly this way). An empty comparison must be an ERROR, not
         * a green "no regressions" (bench_diff.py exits the same way). */
-      vacuous: Boolean)
+      vacuous: Boolean,
+      /** Worst canary inflation ratio new/old (1.0 when no canary is
+        * present in both files — the synthetic-fixture case). */
+      canaryFactor: Double = 1.0)
 
   private def pfx(k: String): String =
     // "stage:" compresses to "s:" on the tightest contract rung —
@@ -338,6 +367,14 @@ object BenchTrend {
     val stormySet = stormyOf(currTxt)
     val ticks = stealTicksOf(currTxt)
     val stormRun = ticks > StormRunTicks
+    // canary normalization: worst new/old ratio over the frozen-trivial
+    // canaries present in both files (old must be a real reading — the
+    // driver maps are 2-decimal-rounded, so require >= 0.02 s)
+    val canaryFactor = CanaryPrefixes.flatMap { k =>
+      for (p <- prev.get(k); c <- curr.get(k); if p >= 0.02 && c >= 0)
+        yield c / p
+    }.foldLeft(1.0)(math.max)
+    val canaryRun = canaryFactor >= CanaryStormFactor
     val hard = scala.collection.mutable.ArrayBuffer[String]()
     val soft = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, p) <- prev.toSeq.sortBy(_._1); c <- curr.get(name)) {
@@ -345,11 +382,12 @@ object BenchTrend {
         hard += f"$name: $p%.2f s -> FAILED (-1)"
       else if (c > floor && p >= 0 && c > factor * p) {
         val line = f"$name: $p%.2f s -> $c%.2f s (x${c / math.max(p, 1e-9)}%.1f)"
-        if (stormySet.contains(pfx(name)) || stormRun) soft += line
+        if (stormySet.contains(pfx(name)) || stormRun || canaryRun) soft += line
         else hard += line
       }
     }
     Trend(hard.toSeq, soft.toSeq, ticks,
-      vacuous = (prev.keySet & curr.keySet).isEmpty)
+      vacuous = (prev.keySet & curr.keySet).isEmpty,
+      canaryFactor = canaryFactor)
   }
 }

@@ -89,13 +89,15 @@ class BenchContractSpec extends AnyFunSuite {
           s"${benches.last.getName} — a 'parsed: null' capture failure " +
           "must be an error, never a green no-regressions")
       if (t.stormExempt.nonEmpty) {
-        info(s"storm-exempt slowdowns (newer run steal_ticks=" +
-          s"${t.stealTicks}; re-measure with `tools/dev.sh graft.Bench` " +
-          "before trusting): " + t.stormExempt.mkString("; "))
+        info(f"storm/canary-exempt slowdowns (newer run steal_ticks=" +
+          f"${t.stealTicks}, canary_factor=${t.canaryFactor}%.2f; " +
+          "re-measure with `tools/dev.sh graft.Bench` before trusting): " +
+          t.stormExempt.mkString("; "))
       }
       assert(t.regressions.isEmpty,
-        s"bench regressions vs ${prevF.getName} (newer steal_ticks=" +
-          s"${t.stealTicks}): " + t.regressions.mkString("; "))
+        f"bench regressions vs ${prevF.getName} (newer steal_ticks=" +
+          f"${t.stealTicks}, canary_factor=${t.canaryFactor}%.2f): " +
+          t.regressions.mkString("; "))
     }
   }
 
@@ -134,6 +136,30 @@ class BenchContractSpec extends AnyFunSuite {
     val t2 = BenchTrend.compare(cleanOld, stormRun)
     assert(t2.regressions.isEmpty && t2.stormExempt.size == 2,
       s"whole-run storm must exempt un-listed queries too: $t2")
+  }
+
+  test("trend guard: canary inflation demotes slowdowns (r09 lesson)") {
+    // steal_ticks LOW (the steal counter is blind to this slowdown
+    // class) but canary x1 reads 3.4x — the exact BENCH_r09 shape
+    val old =
+      """{"queries":{"x1":0.15,"t2":0.75,"w2":0.10},"steal_ticks":21}"""
+    val canaryHot =
+      """{"queries":{"x1":0.51,"t2":3.75,"w2":0.11},"steal_ticks":75}"""
+    val t = BenchTrend.compare(old, canaryHot)
+    assert(t.regressions.isEmpty,
+      s"canary-inflated run must demote, not fail: $t")
+    assert(t.stormExempt.size == 2 && t.canaryFactor > 3.0, s"$t")
+  }
+
+  test("trend guard: flat canaries keep a real regression hard") {
+    val old =
+      """{"queries":{"x1":0.15,"d1":0.10,"t2":0.75},"steal_ticks":21}"""
+    val flatCanaries =
+      """{"queries":{"x1":0.16,"d1":0.09,"t2":3.75},"steal_ticks":45}"""
+    val t = BenchTrend.compare(old, flatCanaries)
+    assert(t.regressions.exists(_.startsWith("t2")),
+      s"flat canaries = healthy host = a 5x slowdown is real: $t")
+    assert(t.canaryFactor < 1.2, s"$t")
   }
 
   test("trend guard: a THROWING query is a hard failure even in a storm") {

@@ -22,6 +22,15 @@ local rerun): the newer bench's own annotations demote slowdowns —
     slowdowns are SUSPECT — re-measure with `tools/dev.sh graft.Bench`;
   - a query that THREW (-1) stays a hard regression regardless (steal
     makes queries slow, not wrong).
+
+CANARY-AWARE (round-9 lesson: /proc/stat steal is blind to whole-host
+slowdowns that are not hypervisor steal — BENCH_r09 read steal_ticks 75
+yet inflated 11 untouched queries 3-6x, among them the frozen scan+agg
+canary x1 0.15->0.51): if any CANARY query — p0/x1/d1, trivial shapes
+whose code never changes round to round — inflates >= 2x vs the old
+bench, the run is host-contaminated and ALL slowdowns demote to
+SUSPECT, same as a steal storm. Max-of-canaries, not median: the r09
+slowdown was bursty, so canaries measured outside the burst read flat.
 Exit 1 only on hard regressions.
 """
 import argparse
@@ -30,6 +39,8 @@ import re
 import sys
 
 STORM_RUN_TICKS = 500
+CANARY_PREFIXES = ("p0", "x1", "d1")
+CANARY_STORM_FACTOR = 2.0
 
 
 def load(path):
@@ -87,6 +98,14 @@ def main():
         sys.exit("ERROR: no overlapping query keys between the two "
                  "files — refusing to report 'no regressions' on a "
                  "vacuous comparison")
+    # canary normalization: worst new/old ratio over the frozen-trivial
+    # canaries present in both files (old >= 0.02 s — driver maps are
+    # 2-decimal-rounded, a 0.00 old would make any reading "infinite")
+    canary_factor = max(
+        (new_q[k] / old_q[k] for k in CANARY_PREFIXES
+         if old_q.get(k, 0) >= 0.02 and new_q.get(k, -1) >= 0),
+        default=1.0)
+    canary_run = canary_factor >= CANARY_STORM_FACTOR
     regressions, suspects, improved, new_only = [], [], [], []
     for k, nv in sorted(new_q.items()):
         ov = old_q.get(k)
@@ -104,7 +123,7 @@ def main():
             # storm-excusable)
             regressions.append((k, ov, nv))
         elif nv > floor and ov >= 0 and nv > factor * ov:
-            if storm_run or k in stormy:
+            if storm_run or canary_run or k in stormy:
                 suspects.append((k, ov, nv))
             else:
                 regressions.append((k, ov, nv))
@@ -112,7 +131,7 @@ def main():
             improved.append((k, ov, nv))
     print(f"total: {old_total:.2f}s -> {new_total:.2f}s "
           f"({len(new_q)} queries, {len(new_only)} new, "
-          f"newer steal_ticks={ticks})")
+          f"newer steal_ticks={ticks}, canary_factor={canary_factor:.2f})")
     def ratio(nv, ov):
         # driver maps are 2-decimal rounded, so ov can be exactly 0.00
         return nv / max(ov, 1e-9)
@@ -124,7 +143,9 @@ def main():
             print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s "
                   f"(x{ratio(nv, ov):.1f})")
     for k, ov, nv in suspects:
-        why = "storm-contaminated run" if storm_run else "stormy-marked"
+        why = ("storm-contaminated run" if storm_run
+               else f"canary-inflated run (x{canary_factor:.1f})"
+               if canary_run and k not in stormy else "stormy-marked")
         print(f"SUSPECT    {k}: {ov:.2f}s -> {nv:.2f}s "
               f"(x{ratio(nv, ov):.1f}) "
               f"[{why}; re-measure: tools/dev.sh graft.Bench]")
