@@ -366,7 +366,12 @@ object MetaDecode {
         ItemDef(2, "unbond", Seq("value" -> CompactInt))),
       events = Seq(
         ItemDef(3, "Unbonded", Seq("stash" -> AccountId,
-          "amount" -> U128))))
+          "amount" -> U128)),
+        // era marker for the P7 reward extraction (ref
+        // indexer.js:3946 — the era variable source); field name
+        // matches pallet_staking's PayoutStarted(era_index, stash)
+        ItemDef(8, "PayoutStarted", Seq("eraIndex" -> U32,
+          "validatorStash" -> AccountId))))
 
     /** Crowdloan pallet — the P7 reward/crowdloan extraction input
       * (ref substrateetl crowdloan export). */
@@ -380,7 +385,11 @@ object MetaDecode {
         ItemDef(2, "Contributed", Seq("who" -> AccountId,
           "fundIndex" -> U32, "amount" -> U128)),
         ItemDef(3, "Withdrew", Seq("who" -> AccountId,
-          "fundIndex" -> U32, "amount" -> U128))))
+          "fundIndex" -> U32, "amount" -> U128)),
+        // memo pairing for the P7 crowdloan extraction (ref
+        // indexer.js:4035 MemoUpdated branch)
+        ItemDef(7, "MemoUpdated", Seq("who" -> AccountId,
+          "paraId" -> U32, "memo" -> Bytes))))
 
     def vesting(index: Int): PalletDef = PalletDef(index, "vesting",
       calls = Seq(

@@ -8,15 +8,15 @@ import org.apache.spark.sql.functions._
   * ref substrateetl.js:6171 dump_substrateetl) as ONE DataFrame job:
   *
   *   raw (nested) blocks for a UTC day
-  *     → 6 entity projections: blocks, extrinsics, events, transfers,
-  *       calls, logs
+  *     → 8 entity projections: blocks, extrinsics, events, transfers,
+  *       calls, logs, rewards, crowdloan
   *     → idempotent date-partitioned parquet (Writers.overwritePartitions
   *       = the `bq load $date --replace` semantics)
   *
   * where the reference runs nested per-block/per-extrinsic JS loops, each
   * output here is a declarative explode/flatten that Catalyst pipelines —
   * no process boundaries, no driver-side iteration. One scan of the raw
-  * table feeds all six projections (each projection prunes to the columns
+  * table feeds all eight projections (each projection prunes to the columns
   * it needs).
   */
 object Dump {
@@ -168,6 +168,71 @@ object Dump {
       .withColumn("log_dt", lit(logDT))
   }
 
+  /** Flat event grain shared by the rewards/crowdloan projections: one
+    * row per event with block + extrinsic identity and the raw
+    * `event_idx` ordering [[Rewards]] windows over. */
+  private def eventGrain(day: DataFrame): DataFrame =
+    day
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("hash").as("block_hash"),
+        explode(col("extrinsics")).as("ex"))
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("block_hash"), col("ex.idx").as("ext_idx"),
+        col("ex.hash").as("extrinsic_hash"),
+        explode(col("ex.events")).as("ev"))
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("block_hash"), col("ext_idx"), col("extrinsic_hash"),
+        col("ev.event_idx").as("event_idx"),
+        col("ev.section").as("section"),
+        col("ev.method").as("method"),
+        col("ev.data").as("data"))
+
+  private val grainKeys = Seq("chain_id", "number", "ext_idx")
+
+  /** rewards projection (P7 — ref indexer.js:3941 processRawFeedRewards;
+    * schema shape schema/substrateetl rewards export): era-attached
+    * positive staking payouts, one row per Rewarded event. */
+  def rewards(raw: DataFrame, logDT: String): DataFrame =
+    rewardsOf(dayBlocks(raw, logDT), logDT)
+
+  private def rewardsOf(day: DataFrame, logDT: String): DataFrame =
+    Rewards.rewardRows(eventGrain(day), grainKeys)
+      .select(
+        col("chain_id"),
+        concat(col("number"), lit("-"), col("ext_idx"), lit("-"),
+          col("event_idx")).as("event_id"),
+        concat(col("number"), lit("-"), col("ext_idx")).as("extrinsic_id"),
+        col("extrinsic_hash"), col("block_time"),
+        col("number").as("block_number"), col("block_hash"),
+        col("section"), col("method"),
+        col("account_pub").as("account_pub_key"),
+        expr("ss58_encode(account_pub, 42)").as("account_ss58"),
+        col("era"), col("amount_raw"),
+        lit(logDT).as("log_dt"))
+
+  /** crowdloan projection (P7 — ref indexer.js:4018
+    * processRawFeedCrowdLoans): Contributed⊕MemoUpdated pairs per
+    * (extrinsic, account, fund). */
+  def crowdloan(raw: DataFrame, logDT: String): DataFrame =
+    crowdloanOf(dayBlocks(raw, logDT), logDT)
+
+  private def crowdloanOf(day: DataFrame, logDT: String): DataFrame =
+    // block/extrinsic context columns ride the groupBy as keys — they
+    // are functionally dependent on (chain_id, number, ext_idx)
+    Rewards.crowdloanRows(eventGrain(day),
+        grainKeys ++ Seq("block_time", "block_hash", "extrinsic_hash"))
+      .select(
+        col("chain_id"),
+        concat(col("number"), lit("-"), col("ext_idx"), lit("-"),
+          col("event_idx")).as("event_id"),
+        concat(col("number"), lit("-"), col("ext_idx")).as("extrinsic_id"),
+        col("extrinsic_hash"), col("block_time"),
+        col("number").as("block_number"), col("block_hash"),
+        col("account_pub").as("account_pub_key"),
+        expr("ss58_encode(account_pub, 42)").as("account_ss58"),
+        col("fund_id").as("para_id"), col("amount_raw"), col("memo"),
+        lit(logDT).as("log_dt"))
+
   /** logs projection: digest-log posexplode with log ids (P8,
     * ref substrateetl.js:6462-6473). */
   def logs(raw: DataFrame, logDT: String): DataFrame =
@@ -184,12 +249,12 @@ object Dump {
         lit(logDT).as("log_dt"))
 
   /** The whole §3.2 entry point: validate (timestamp-presence check,
-    * ref substrateetl.js:6451-6455), project all six tables, write each
+    * ref substrateetl.js:6451-6455), project all eight tables, write each
     * as an idempotent date partition. Returns the table map.
     *
-    * The day-filtered raw scan is persisted for the duration of the six
+    * The day-filtered raw scan is persisted for the duration of the eight
     * writes — each write is its own job, and without the persist the
-    * (at scale, enormous) raw table would be re-scanned six times. */
+    * (at scale, enormous) raw table would be re-scanned eight times. */
   def dumpDay(raw: DataFrame, logDT: String, outRoot: String): Map[String, DataFrame] = {
     Udfs.register(raw.sparkSession)
     val day = dayBlocks(raw, logDT)
@@ -203,7 +268,8 @@ object Dump {
     } finally day.unpersist()
   }
 
-  /** The six entity projections over an already-day-filtered frame. */
+  /** The eight entity projections over an already-day-filtered frame
+    * (six core + the P7 rewards/crowdloan extraction tables). */
   private def projections(day: DataFrame,
       logDT: String): Map[String, DataFrame] = Map(
     "blocks" -> blocksOf(day, logDT),
@@ -211,10 +277,12 @@ object Dump {
     "events" -> eventsOf(day, logDT),
     "transfers" -> transfersOf(day, logDT),
     "calls" -> callsOf(day, logDT),
-    "logs" -> logsOf(day, logDT))
+    "logs" -> logsOf(day, logDT),
+    "rewards" -> rewardsOf(day, logDT),
+    "crowdloan" -> crowdloanOf(day, logDT))
 
   /** Streaming twin of [[dumpDay]] — the ST end-to-end face: the SAME
-    * day filter and six projections applied to ONE micro-batch of raw
+    * day filter and eight projections applied to ONE micro-batch of raw
     * candidate blocks, APPENDED into the same date-partitioned layout.
     * Drive it from `foreachBatch` over the candidate stream:
     *
@@ -228,7 +296,7 @@ object Dump {
     * (FileStreamSpec proves the stop→append→restart case). Every
     * projection is row-wise per raw block — no cross-block state — so
     * micro-batching commutes with the batch plan and stream output ≡
-    * batch output on the same corpus (StreamingParitySpec pins all six
+    * batch output on the same corpus (StreamingParitySpec pins all eight
     * tables frame-equal). */
   def dumpMicroBatch(raw: DataFrame, logDT: String, outRoot: String): Unit = {
     Udfs.register(raw.sparkSession)

@@ -173,11 +173,140 @@ object FlattenOps {
        | WHERE vec_id < 50)
        |GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // P7 — reward extraction with running-era attach (ref
+  // indexer.js:3941 processRawFeedRewards: a mutable `era` set by the
+  // latest staking.PayoutStarted / dappsStaking.Reward marker, attached
+  // to each subsequent reward, zero payouts skipped). A flat event
+  // grain is synthesized from the events table — each user is one
+  // extrinsic, event_idx = event_id — with JSON data the REAL operator
+  // (graft.etl.Rewards.rewardRows: window + json extraction + filter)
+  // parses; the rollup is per-era exact sums. The marker duality is
+  // exercised: dappsStaking.Reward is both a marker AND a reward, so
+  // later staking.Rewarded rows inherit ITS era — the oracle replays
+  // the same running marker with last_value(... IGNORE NULLS).
+  private def p7(s: SparkSession, d: String): DataFrame = {
+    val grain = Tables.events(s, d)
+      .select(
+        lit(0).as("chain_id"),
+        col("user_id").as("number"),
+        lit(0).as("ext_idx"),
+        col("event_id").as("event_idx"),
+        when(col("event_type") === "signup", "staking")
+          .when(col("event_type") === "purchase", "staking")
+          .when(col("event_type") === "click", "dappsStaking")
+          .otherwise("system").as("section"),
+        when(col("event_type") === "signup", "PayoutStarted")
+          .when(col("event_type") === "purchase", "Rewarded")
+          .when(col("event_type") === "click", "Reward")
+          .otherwise("Noise").as("method"),
+        when(col("event_type") === "signup",
+          format_string("""{"eraIndex":%d}""", (col("event_id") % 7) * 100))
+          .when(col("event_type") === "purchase",
+            format_string("""{"stash":"u%d","amount":%d}""",
+              col("user_id"), col("event_id") % 50))
+          .when(col("event_type") === "click",
+            format_string("""{"account":"u%d","era":%d,"amount":%d}""",
+              col("user_id"), col("event_id") % 7 + 500,
+              col("event_id") % 30))
+          .otherwise(lit("{}")).as("data"))
+    graft.etl.Rewards
+      .rewardRows(grain, Seq("chain_id", "number", "ext_idx"))
+      .groupBy(col("era"))
+      .agg(
+        sum(col("amount_raw")).cast("long").as("total_raw"),
+        count(lit(1)).as("n_rewards"),
+        countDistinct(col("account_pub")).as("n_accounts"))
+      .orderBy(col("era"))
+  }
+
+  private val p7Sql =
+    """WITH grain AS (SELECT user_id, event_id,
+      |  CASE WHEN event_type = 'signup' THEN (event_id % 7) * 100
+      |       WHEN event_type = 'click' THEN event_id % 7 + 500
+      |  END AS marker_era,
+      |  event_type IN ('purchase', 'click') AS is_reward,
+      |  CASE WHEN event_type = 'purchase' THEN event_id % 50
+      |       WHEN event_type = 'click' THEN event_id % 30 END AS amount,
+      |  'u' || CAST(user_id AS VARCHAR) AS account
+      | FROM events),
+      |attached AS (SELECT *,
+      |  last_value(marker_era IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS era
+      | FROM grain)
+      |SELECT era, CAST(sum(amount) AS BIGINT) AS total_raw,
+      | count(*) AS n_rewards, count(DISTINCT account) AS n_accounts
+      |FROM attached WHERE is_reward AND amount > 0
+      |GROUP BY era ORDER BY era NULLS FIRST""".stripMargin
+  // NULLS FIRST pins DuckDB to Spark's asc default — rewards that
+  // precede any marker in their extrinsic carry a null era (the
+  // reference's era=false rows) and form a real group.
+
+  // P7b — crowdloan Contributed⊕MemoUpdated pairing (ref
+  // indexer.js:4018 processRawFeedCrowdLoans: an accountParaID map with
+  // last-write-wins amount and memo). Contributions and memos are
+  // synthesized on overlapping (user, fund) keys — some funds get
+  // multiple Contributed (last wins), some get a memo with no
+  // contribution (amount 0) — and the REAL operator
+  // (graft.etl.Rewards.crowdloanRows: groupBy + max_by) pairs them;
+  // the oracle replays it with arg_max.
+  private def p7b(s: SparkSession, d: String): DataFrame = {
+    val grain = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        lit(0).as("chain_id"),
+        col("user_id").as("number"),
+        lit(0).as("ext_idx"),
+        col("event_id").as("event_idx"),
+        lit("crowdloan").as("section"),
+        when(col("event_type") === "purchase", "Contributed")
+          .otherwise("MemoUpdated").as("method"),
+        when(col("event_type") === "purchase",
+          format_string("""{"who":"u%d","fundIndex":%d,"amount":%d}""",
+            col("user_id"), col("event_id") % 5,
+            col("event_id") % 1000))
+          .otherwise(
+            format_string("""{"who":"u%d","paraId":%d,"memo":"m%d"}""",
+              col("user_id"), col("event_id") % 5,
+              col("event_id") % 100)).as("data"))
+    graft.etl.Rewards
+      .crowdloanRows(grain, Seq("chain_id", "number", "ext_idx"))
+      .groupBy(col("fund_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("amount_raw")).cast("long").as("total_raw"),
+        count(col("memo")).as("n_memos"))
+      .orderBy(col("fund_id"))
+  }
+
+  private val p7bSql =
+    """WITH grain AS (SELECT user_id, event_id,
+      |  CASE WHEN event_type = 'purchase' THEN 'Contributed'
+      |       ELSE 'MemoUpdated' END AS method,
+      |  'u' || CAST(user_id AS VARCHAR) AS who,
+      |  event_id % 5 AS fund_id,
+      |  event_id % 1000 AS amount,
+      |  'm' || CAST(event_id % 100 AS VARCHAR) AS memo
+      | FROM events WHERE event_type IN ('purchase', 'view')),
+      |paired AS (SELECT user_id, who, fund_id,
+      |  coalesce(arg_max(CASE WHEN method = 'Contributed' THEN amount END,
+      |    CASE WHEN method = 'Contributed' THEN event_id END), 0)
+      |    AS amount_raw,
+      |  arg_max(CASE WHEN method = 'MemoUpdated' THEN memo END,
+      |    CASE WHEN method = 'MemoUpdated' THEN event_id END) AS memo
+      | FROM grain GROUP BY user_id, who, fund_id)
+      |SELECT fund_id, count(*) AS n_pairs,
+      | CAST(sum(amount_raw) AS BIGINT) AS total_raw,
+      | count(memo) AS n_memos
+      |FROM paired GROUP BY fund_id ORDER BY fund_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_json_extract" -> (p3 _),
     "p4_call_flatten" -> (p4 _),
     "p5_noise_suppression" -> (p5 _),
     "p6_transfer_dedup" -> (p6 _),
+    "p7_reward_era" -> (p7 _),
+    "p7b_crowdloan_pairs" -> (p7b _),
     "p8_posexplode" -> (p8 _),
   )
 
@@ -186,6 +315,8 @@ object FlattenOps {
     "p4_call_flatten" -> p4Sql,
     "p5_noise_suppression" -> p5Sql,
     "p6_transfer_dedup" -> p6Sql,
+    "p7_reward_era" -> p7Sql,
+    "p7b_crowdloan_pairs" -> p7bSql,
     "p8_posexplode" -> p8Sql,
   )
 }

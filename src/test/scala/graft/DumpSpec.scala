@@ -126,6 +126,110 @@ class DumpSpec extends AnyFunSuite {
     assert(lg == Set(("100-0", "PreRuntime"), ("100-1", "Seal")))
   }
 
+  // ---- P7 rewards / crowdloan extraction (ref indexer.js:3941-4090) ----
+
+  private val payoutEvents = Seq(
+    RawEvent(0, "staking", "PayoutStarted",
+      s"""{"eraIndex":123,"validatorStash":"$alice"}"""),
+    RawEvent(1, "staking", "Rewarded",
+      s"""{"stash":"$alice","amount":777}"""),
+    RawEvent(2, "staking", "Rewarded",
+      s"""{"stash":"$bob","amount":0}"""), // zero payout → skipped
+    RawEvent(3, "staking", "PayoutStarted",
+      s"""{"eraIndex":124,"validatorStash":"$bob"}"""),
+    RawEvent(4, "staking", "Rewarded",
+      s"""{"stash":"$bob","amount":555}"""),
+    RawEvent(5, "system", "ExtrinsicSuccess", """{"weight":1}"""))
+
+  private val crowdloanEvents = Seq(
+    RawEvent(0, "crowdloan", "Contributed",
+      s"""{"who":"$alice","fundIndex":2000,"amount":999}"""),
+    RawEvent(1, "crowdloan", "MemoUpdated",
+      s"""{"who":"$alice","paraId":2000,"memo":"0x6d31"}"""),
+    RawEvent(2, "crowdloan", "Contributed",
+      s"""{"who":"$bob","fundIndex":2001,"amount":888}"""),
+    RawEvent(3, "system", "ExtrinsicSuccess", """{"weight":1}"""))
+
+  private lazy val rewardRaw = Seq(
+    RawBlock(0, 200L, "0xb200", "0xb199", ts("2024-03-01 12:00:00"), 100,
+      alice, finalized = true,
+      extrinsics = Seq(
+        RawExtrinsic(0, "0xe7", "staking", "payoutStakers",
+          """{"section":"staking","method":"payoutStakers"}""",
+          signed = true, alice, 0.3, payoutEvents, Nil),
+        RawExtrinsic(1, "0xe8", "crowdloan", "contribute",
+          """{"section":"crowdloan","method":"contribute"}""",
+          signed = true, bob, 0.2, crowdloanEvents, Nil)),
+      logs = Nil)).toDF()
+
+  private lazy val rewardOut = Dump.dumpDay(rewardRaw, "2024-03-01",
+    java.nio.file.Files.createTempDirectory("graft_dump_rw").toString)
+
+  test("rewards: era attach from running PayoutStarted, zero skipped") {
+    val r = rewardOut("rewards").orderBy("event_id").collect()
+    assert(r.map(_.getAs[String]("event_id")).toSeq ==
+      Seq("200-0-1", "200-0-4")) // the zero payout (idx 2) is gone
+    assert(r(0).getAs[Long]("era") == 123L &&
+      r(0).getAs[java.math.BigDecimal]("amount_raw").longValueExact == 777L)
+    assert(r(1).getAs[Long]("era") == 124L && // marker advanced at idx 3
+      r(1).getAs[java.math.BigDecimal]("amount_raw").longValueExact == 555L)
+    assert(r(0).getAs[String]("account_ss58") ==
+      "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
+    assert(r(0).getAs[String]("extrinsic_id") == "200-0")
+  }
+
+  test("crowdloan: Contributed+MemoUpdated pair, memo-less row kept") {
+    val c = rewardOut("crowdloan").orderBy("para_id").collect()
+    assert(c.length == 2)
+    assert(c(0).getAs[Long]("para_id") == 2000L &&
+      c(0).getAs[java.math.BigDecimal]("amount_raw").longValueExact == 999L &&
+      c(0).getAs[String]("memo") == "0x6d31")
+    assert(c(1).getAs[Long]("para_id") == 2001L &&
+      c(1).getAs[java.math.BigDecimal]("amount_raw").longValueExact == 888L &&
+      c(1).getAs[String]("memo") == null)
+    assert(c(0).getAs[String]("account_ss58") ==
+      "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
+  }
+
+  test("rewards from raw bytes: PayoutStarted decodes via metadata tier") {
+    import graft.decode.{BlockDecode, MetaDecode}
+    import graft.decode.BlockDecode.{EventMeta, RuntimeMeta}
+    // spec with staking pallet 6: Rewarded via hand table, PayoutStarted
+    // via the metadata-driven shape interpreter — the two tiers feeding
+    // ONE reward extraction
+    val meta = RuntimeMeta(100, 10,
+      calls = Seq.empty,
+      events = Seq(EventMeta(6, 1, "staking", "Rewarded")),
+      pallets = Seq(MetaDecode.StandardPallets.staking(6)))
+    def u32le(v: Long): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def u128le(v: Long): Array[Byte] =
+      u32le(v) ++ u32le(0) ++ u32le(0) ++ u32le(0)
+    val aliceB = Codec.hexToBytes(alice)
+    val bytes = (Seq[Array[Byte]](Array(8.toByte)) ++ Seq( // compact(2)
+      // PayoutStarted(era=42, stash=alice) via metadata tier (idx 8)
+      Array(0.toByte), u32le(0), Array(6.toByte, 8.toByte),
+      u32le(42), aliceB, Array(0.toByte),
+      // Rewarded(alice, 777) via hand table (idx 1)
+      Array(0.toByte), u32le(0), Array(6.toByte, 1.toByte),
+      aliceB, u128le(777), Array(0.toByte))).reduce(_ ++ _)
+    val evs = BlockDecode.decodeEvents(Codec.bytesToHex(bytes), meta)
+    assert(evs.map(e => (e.section, e.method)) ==
+      Seq(("staking", "PayoutStarted"), ("staking", "Rewarded")))
+    assert(evs(0).data.contains("\"eraIndex\":42"))
+    // the decoded rows drive the REAL extraction operator
+    val flat = evs.zipWithIndex.map { case (e, i) =>
+      (0, 200L, 0, i, e.section, e.method, e.data)
+    }.toDF("chain_id", "number", "ext_idx", "event_idx",
+      "section", "method", "data")
+    val rows = graft.etl.Rewards
+      .rewardRows(flat, Seq("chain_id", "number", "ext_idx")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("era") == 42L)
+    assert(rows(0).getAs[java.math.BigDecimal]("amount_raw")
+      .longValueExact == 777L)
+  }
+
   test("idempotent partition overwrite: re-dump day 1, then dump day 2") {
     Dump.dumpDay(raw, "2024-03-01", outRoot) // replay same day
     Dump.dumpDay(raw, "2024-03-02", outRoot)

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import java.sql.Timestamp
 
-/** ST end-to-end parity: the candidate stream drives `Dump`'s six
+/** ST end-to-end parity: the candidate stream drives `Dump`'s eight
   * entity projections through `foreachBatch` (micro-batched file
   * source, checkpointed), and the result is pinned FRAME-EQUAL to the
   * batch `dumpDay` over the same raw corpus — including the
@@ -70,7 +70,22 @@ class StreamingParitySpec extends AnyFunSuite {
       extrinsics = Seq(
         RawExtrinsic(0, "0xe5", "staking", "nominate",
           leafParams("staking", "nominate"), signed = true, alice, 0.1,
-          ok, Seq(xfer))),
+          ok, Seq(xfer)),
+        // P7 rows so rewards + crowdloan parity is non-vacuous
+        RawExtrinsic(1, "0xe5b", "staking", "payoutStakers",
+          leafParams("staking", "payoutStakers"), signed = true, alice,
+          0.1,
+          Seq(
+            RawEvent(0, "staking", "PayoutStarted",
+              s"""{"eraIndex":9,"validatorStash":"$alice"}"""),
+            RawEvent(1, "staking", "Rewarded",
+              s"""{"stash":"$bob","amount":321}"""),
+            RawEvent(2, "crowdloan", "Contributed",
+              s"""{"who":"$bob","fundIndex":77,"amount":654}"""),
+            RawEvent(3, "crowdloan", "MemoUpdated",
+              s"""{"who":"$bob","paraId":77,"memo":"0x6d"}"""),
+            RawEvent(4, "system", "ExtrinsicSuccess", """{"weight":1}""")),
+          Seq.empty)),
       logs = Seq(RawLog("PreRuntime", "0xdd"))),
     // out-of-day — dropped by the day filter in both paths
     RawBlock(0, 102L, "0xb102", "0xb101", ts("2024-03-02 00:10:00"), 100,
@@ -82,9 +97,10 @@ class StreamingParitySpec extends AnyFunSuite {
       logs = Seq.empty))
 
   private val tables =
-    Seq("blocks", "extrinsics", "events", "transfers", "calls", "logs")
+    Seq("blocks", "extrinsics", "events", "transfers", "calls", "logs",
+      "rewards", "crowdloan")
 
-  test("dumpDay through foreachBatch == batch dumpDay, all six tables") {
+  test("dumpDay through foreachBatch == batch dumpDay, all 8 tables") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_parity").toString
     val landing = s"$root/landing"
