@@ -354,4 +354,76 @@ object AbiDecode {
       .map { case (n, c) => c.as(n) }
     matched.withColumn("decoded", struct(cols: _*))
   }
+
+  // ---- function fragments: arbitrary calldata decode ----
+  // (ref ethTool.js decodeTransactionInput — abiDecoder resolves the
+  // 4-byte selector against the held ABI and decodes the remaining
+  // calldata; here the fragment compiles at PLAN time into the same
+  // recursive Column-offset arithmetic the event tier uses, so any
+  // method — multicall, ERC-4337 handleOps, nested tuples — decodes
+  // inside whole-stage codegen with no per-row ABI machinery.)
+
+  final case class AbiFunction(name: String, inputs: Seq[AbiParam])
+
+  /** Parse one function ABI fragment, e.g.
+    * `{"type":"function","name":"transfer","inputs":[
+    *   {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}`. */
+  def parseFunction(json: String): AbiFunction = {
+    val n = mapper.readTree(json)
+    require(n.path("type").asText("function") == "function",
+      s"not a function ABI: ${n.path("type").asText}")
+    AbiFunction(n.path("name").asText, param(n.path("inputs")))
+  }
+
+  /** Canonical signature (aliases normalized, tuples expanded) —
+    * the keccak preimage of the selector. */
+  def signature(f: AbiFunction): String =
+    s"${f.name}(${f.inputs.map(canonType).mkString(",")})"
+
+  /** 4-byte selector: first 4 bytes of keccak256(signature),
+    * lowercase 0x-hex (the EVM call convention). */
+  def selectorOf(f: AbiFunction): String =
+    "0x" + Keccak.topic(signature(f)).drop(2).take(8)
+
+  /** Decoded (name, Column) pairs for one function's calldata `input`
+    * (0x-hex incl. the 4-byte selector). The argument tuple is encoded
+    * exactly like a non-indexed event body starting after the
+    * selector, so the event machinery is reused verbatim on a
+    * re-prefixed body column. */
+  def decodedCallColumns(f: AbiFunction,
+      input: Column): Seq[(String, Column)] = {
+    val body = concat(lit("0x"), input.substr(lit(11), length(input)))
+    decodedColumns(
+      AbiEvent(f.name, f.inputs.map(_.copy(indexed = false)),
+        anonymous = true),
+      lit(null).cast("array<string>"), body)
+  }
+
+  /** Decode a tx frame's `input` calldata against a set of function ABI
+    * fragments: appends `selector`, `method` (null when no fragment
+    * matches — the reference stores the selector and moves on), and
+    * `decoded_call` (JSON text of the decoded argument struct; JSON
+    * because different methods decode to different shapes and one
+    * column must carry them all, mirroring the reference's decoded
+    * params JSON). Each fragment's decode expressions sit behind their
+    * selector's `when` guard, so only the matching branch evaluates. */
+  def decodeCalldata(txs: DataFrame, abiJsons: Seq[String],
+      inputCol: String = "input"): DataFrame = {
+    val fns = abiJsons.map(parseFunction)
+    val dup = fns.groupBy(selectorOf).collect { case (s, fs) if fs.size > 1 =>
+      s"$s (${fs.map(_.name).mkString(", ")})" }
+    require(dup.isEmpty, s"duplicate selectors: ${dup.mkString("; ")}")
+    val sel = lower(substring(col(inputCol), 1, 10))
+    val method = fns.foldLeft(lit(null).cast("string")) { (acc, f) =>
+      when(sel === selectorOf(f), lit(f.name)).otherwise(acc)
+    }
+    val decoded = fns.foldLeft(lit(null).cast("string")) { (acc, f) =>
+      val cols = decodedCallColumns(f, col(inputCol))
+        .map { case (n, c) => c.as(n) }
+      when(sel === selectorOf(f), to_json(struct(cols: _*))).otherwise(acc)
+    }
+    txs.withColumn("selector", sel)
+      .withColumn("method", method)
+      .withColumn("decoded_call", decoded)
+  }
 }

@@ -182,7 +182,13 @@ object EvmDecode {
     * normalized (to_address, token_id/value) columns for the scoped
     * token methods; unknown selectors keep method null (the reference
     * stores the selector and moves on — decode, don't reject). Pure
-    * substring/when arithmetic: fully codegen'd, no UDF. */
+    * substring/when arithmetic: fully codegen'd, no UDF.
+    *
+    * This is the curated token projection (fixed columns across
+    * methods); ARBITRARY methods — multicall, ERC-4337 handleOps, any
+    * held ABI — decode through [[AbiDecode.decodeCalldata]]'s
+    * function-fragment compiler (ref ethTool.js
+    * decodeTransactionInput). */
   def decodeInput(txs: DataFrame): DataFrame = {
     val sel = lower(substring(col("input"), 1, 10))
     def word(i: Int): Column = substring(col("input"), 11 + i * 64, 64)

@@ -492,4 +492,146 @@ class EvmSpec extends AnyFunSuite {
       Seq((1L, 2L), (3L, 4L)))
     assert(d.getAs[String]("who") == who) // word 4, not pair[1].x
   }
+
+  // ---- function fragments: arbitrary calldata decode ----
+
+  test("ABI calldata: selector goldens from signature canonicalization") {
+    import graft.decode.AbiDecode
+    def sel(json: String) = AbiDecode.selectorOf(AbiDecode.parseFunction(json))
+    // the three most-verified selectors in the ecosystem: ERC-20
+    // transfer, UniswapV3 multicall, ERC-4337 v0.6 handleOps — the
+    // last exercises tuple-expansion + alias canonicalization in the
+    // keccak preimage
+    assert(sel("""{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}""")
+      == "0xa9059cbb")
+    assert(sel("""{"type":"function","name":"multicall","inputs":[
+        {"name":"data","type":"bytes[]"}]}""") == "0xac9650d8")
+    assert(sel(handleOpsAbi) == "0x1fad948c")
+  }
+
+  private val handleOpsAbi =
+    """{"type":"function","name":"handleOps","inputs":[
+      |{"name":"ops","type":"tuple[]","components":[
+      |  {"name":"sender","type":"address"},
+      |  {"name":"nonce","type":"uint256"},
+      |  {"name":"initCode","type":"bytes"},
+      |  {"name":"callData","type":"bytes"},
+      |  {"name":"callGasLimit","type":"uint256"},
+      |  {"name":"verificationGasLimit","type":"uint256"},
+      |  {"name":"preVerificationGas","type":"uint256"},
+      |  {"name":"maxFeePerGas","type":"uint256"},
+      |  {"name":"maxPriorityFeePerGas","type":"uint256"},
+      |  {"name":"paymasterAndData","type":"bytes"},
+      |  {"name":"signature","type":"bytes"}]},
+      |{"name":"beneficiary","type":"address"}]}"""
+      .stripMargin.replace("\n", "")
+
+  test("ABI calldata: multicall + static args + unknown selector kept") {
+    import graft.decode.AbiDecode
+    def pw(hex: String) = hex + "0" * (64 - hex.length % 64)
+    val transferAbi =
+      """{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}"""
+    val multicallAbi =
+      """{"type":"function","name":"multicall","inputs":[
+        {"name":"data","type":"bytes[]"}]}"""
+    val to = "0x" + "ab" * 20
+    val transferInput = "0xa9059cbb" + "0" * 24 + "ab" * 20 +
+      tcWord(BigInt("1000000000000000000"))
+    // multicall(["0xabcdef", "0xdeadbeef"])
+    val multicallInput = "0xac9650d8" +
+      tcWord(BigInt(0x20)) + // bytes[] head offset
+      tcWord(BigInt(2)) + tcWord(BigInt(0x40)) + tcWord(BigInt(0x80)) +
+      tcWord(BigInt(3)) + pw("abcdef") +
+      tcWord(BigInt(4)) + pw("deadbeef")
+    val txs = Seq(
+      ("0xt1", transferInput),
+      ("0xt2", multicallInput),
+      ("0xt3", "0x12345678" + tcWord(BigInt(1))), // unknown selector
+      ("0xt4", "0x")) // plain value transfer, no calldata
+      .toDF("transaction_hash", "input")
+    val out = AbiDecode.decodeCalldata(txs, Seq(transferAbi, multicallAbi))
+      .select("transaction_hash", "selector", "method", "decoded_call")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(out("0xt1")._2 == "transfer")
+    assert(out("0xt1")._3 ==
+      s"""{"to":"$to","value":"1000000000000000000"}""")
+    assert(out("0xt2")._2 == "multicall")
+    assert(out("0xt2")._3 == """{"data":["0xabcdef","0xdeadbeef"]}""")
+    // the reference stores the selector and moves on — decode, don't
+    // reject (ethTool.js decodeTransactionInput unknown branch)
+    assert(out("0xt3") == ("0x12345678", null, null))
+    assert(out("0xt4")._2 == null)
+  }
+
+  test("ABI calldata: ERC-4337 handleOps decodes via its fragment alone") {
+    import graft.decode.AbiDecode
+    def pw(hex: String) =
+      hex + "0" * ((64 - hex.length % 64) % 64)
+    val sender = "0x" + "aa" * 20
+    val beneficiary = "0x" + "bb" * 20
+    val sig65 = "cc" * 65
+    // handleOps([op], beneficiary): ops offset 0x40, array len 1, elem
+    // offset 0x20 (rel after-length), then the op tuple: 11 head words
+    // with bytes offsets rel to the TUPLE base (0x160 = after heads),
+    // tails in declaration order
+    val opHeads =
+      ("0" * 24 + "aa" * 20) + // sender
+        tcWord(BigInt(5)) + // nonce
+        tcWord(BigInt(0x160)) + // initCode offset
+        tcWord(BigInt(0x180)) + // callData offset
+        tcWord(BigInt(100000)) + tcWord(BigInt(200000)) +
+        tcWord(BigInt(21000)) + tcWord(BigInt(30)) + tcWord(BigInt(2)) +
+        tcWord(BigInt(0x1c0)) + // paymasterAndData offset
+        tcWord(BigInt(0x1e0)) // signature offset
+    val opTails =
+      tcWord(BigInt(0)) + // initCode: empty
+        tcWord(BigInt(4)) + pw("b61d27f6") + // callData: 4 bytes
+        tcWord(BigInt(0)) + // paymasterAndData: empty
+        tcWord(BigInt(65)) + pw(sig65) // signature: 65 bytes, 3 words
+    val input = "0x1fad948c" +
+      tcWord(BigInt(0x40)) + ("0" * 24 + "bb" * 20) +
+      tcWord(BigInt(1)) + tcWord(BigInt(0x20)) + opHeads + opTails
+    val txs = Seq(("0xop1", input)).toDF("transaction_hash", "input")
+    // typed decode via the column compiler (no JSON hop)
+    val f = AbiDecode.parseFunction(handleOpsAbi)
+    val cols = AbiDecode.decodedCallColumns(f,
+      org.apache.spark.sql.functions.col("input"))
+      .map { case (n, c) => c.as(n) }
+    val row = txs.select(cols: _*).collect().head
+    assert(row.getAs[String]("beneficiary") == beneficiary)
+    val ops = row.getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("ops")
+    assert(ops.length == 1)
+    val op = ops.head
+    assert(op.getAs[String]("sender") == sender)
+    assert(op.getAs[String]("nonce") == "5")
+    assert(op.getAs[String]("initCode") == "0x")
+    assert(op.getAs[String]("callData") == "0xb61d27f6")
+    assert(op.getAs[String]("callGasLimit") == "100000")
+    assert(op.getAs[String]("maxPriorityFeePerGas") == "2")
+    assert(op.getAs[String]("paymasterAndData") == "0x")
+    assert(op.getAs[String]("signature") == "0x" + sig65)
+    // and the set-dispatch face agrees
+    val viaSet = AbiDecode.decodeCalldata(txs, Seq(handleOpsAbi))
+      .select("method", "decoded_call").collect().head
+    assert(viaSet.getString(0) == "handleOps")
+    assert(viaSet.getString(1).contains("\"sender\":\"" + sender))
+  }
+
+  test("ABI calldata: duplicate selectors are rejected at compile time") {
+    import graft.decode.AbiDecode
+    val t1 = """{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}"""
+    // uint is an alias of uint256 — same canonical signature, same
+    // selector: the dispatch would be ambiguous
+    val t2 = """{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint"}]}"""
+    val txs = Seq(("0xt", "0x")).toDF("transaction_hash", "input")
+    intercept[IllegalArgumentException] {
+      AbiDecode.decodeCalldata(txs, Seq(t1, t2))
+    }
+  }
 }
