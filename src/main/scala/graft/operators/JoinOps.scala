@@ -875,9 +875,80 @@ object JoinOps {
        |FROM final ORDER BY extrinsic_id""".stripMargin
   }
 
+  // ---- J25: skew-proof equi-join via deterministic salting ----
+
+  /** Equi-join that survives a skewed probe-side key distribution: the
+    * probe side is salted into `salts` sub-keys by a deterministic hash
+    * of `probeSaltOn` (any columns that vary within a key), the build
+    * side is replicated once per salt, and the join runs on
+    * (keys ++ _salt) — so a key holding 50% of the probe rows occupies
+    * `salts` shuffle partitions instead of one straggler. Output is
+    * EXACTLY the plain inner join on `keys` (each probe row meets each
+    * build row exactly once, under exactly one salt).
+    *
+    * Cost model: build side pays ×`salts` replication — use when the
+    * build side is too big to broadcast but small relative to the
+    * probe (the classic fact-fact case the reference hits joining the
+    * full events feed against per-asset rollups, where one parachain's
+    * asset is half the feed). AQE's skew-join split
+    * (spark.sql.adaptive.skewJoin) covers the same failure mode at
+    * runtime for sort-merge plans; this is the deterministic,
+    * plan-visible form that also works under broadcast-disabled
+    * shuffled-hash joins. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+      salts: Int, probeSaltOn: Seq[String]): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = probe.withColumn("_salt",
+      pmod(hash(probeSaltOn.map(col): _*), lit(salts)))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
+  // J25 — the salted join under the oracle gate, on a deliberately
+  // brutal distribution: every even user collapses onto key 0, so ONE
+  // key carries ~50% of the probe rows (the 100×-scale straggler
+  // shape). The build side is a per-key rollup (1 row/key — too many
+  // keys to broadcast at real scale), replicated 8×; the oracle is the
+  // PLAIN DuckDB join + rollup, proving salt-invariance.
+  private def j25(s: SparkSession, d: String): DataFrame = {
+    val hot = when(col("user_id") % 2 === 0, 0L).otherwise(col("user_id"))
+    val probe = Tables.events(s, d)
+      .select(hot.as("k"), col("event_id"), col("value"))
+    val build = Tables.events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(hot.as("k"), col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("dim_n"), dsum(col("value")).as("dim_sum"))
+    saltedJoin(probe, build, Seq("k"), salts = 8,
+        probeSaltOn = Seq("event_id"))
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_joined"),
+        dsumOut(col("value")).as("sum_value"),
+        max(col("dim_n")).as("dim_n"),
+        decOut(max(col("dim_sum"))).as("dim_sum"))
+      .orderBy(col("k"))
+  }
+
+  private val j25Sql =
+    s"""WITH probe AS (SELECT
+       |  CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+       |  event_id, "value" FROM events),
+       |build AS (SELECT
+       |  CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k,
+       |  count(*) AS dim_n, ${sqlDsum("\"value\"")} AS dim_sum
+       | FROM events WHERE event_type = 'signup' GROUP BY 1)
+       |SELECT p.k, count(*) AS n_joined,
+       | ${sqlDsumOut("p.\"value\"")} AS sum_value,
+       | max(b.dim_n) AS dim_n, ${sqlDecOut("max(b.dim_sum)")} AS dim_sum
+       |FROM probe p JOIN build b ON p.k = b.k
+       |GROUP BY p.k ORDER BY p.k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),
     "j21_dest_waterfall" -> (j21 _),
+    "j25_skew_salted" -> (j25 _),
     "j19_transact_spans" -> (j19 _),
     "j20_xcm_fee_model" -> (j20 _),
     "j22_last_touch" -> (j22 _),
@@ -901,6 +972,7 @@ object JoinOps {
   val oracles: Map[String, String] = Map(
     "j18_trace_spans" -> j18Sql,
     "j21_dest_waterfall" -> j21Sql,
+    "j25_skew_salted" -> j25Sql,
     "j19_transact_spans" -> j19Sql,
     "j20_xcm_fee_model" -> j20Sql,
     "j16b_asof_native" -> j16bSql,
