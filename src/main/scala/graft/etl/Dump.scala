@@ -148,21 +148,23 @@ object Dump {
         col("hash").as("block_hash"),
         explode(col("extrinsics")).as("ex"))
       .select(col("chain_id"), col("number").as("block_number"),
-        col("block_hash"), col("ex.idx").as("ext_idx"),
+        col("block_time"), col("block_hash"),
+        col("ex.idx").as("ext_idx"),
         col("ex.hash").as("extrinsic_hash"),
         col("ex.section"), col("ex.method"),
         col("ex.params"), col("ex.fee"), col("ex.signed"))
-      .as[(Int, Long, String, Int, String, String, String, String,
-        Double, Boolean)]
-    src.flatMap { case (chainId, bn, bh, extIdx, exHash, section, method,
-        params, fee, signed) =>
+      .as[(Int, Long, java.sql.Timestamp, String, Int, String, String,
+        String, String, Double, Boolean)]
+    src.flatMap { case (chainId, bn, bt, bh, extIdx, exHash, section,
+        method, params, fee, signed) =>
       CallFlatten.flatten(params, Some(fee)).map { fc =>
-        (chainId, s"$bn-$extIdx", bh, bn, exHash, section, method,
+        (chainId, s"$bn-$extIdx", bh, bn, bt, exHash, section, method,
           fc.call_id, fc.call_section, fc.call_method, fc.call_args,
           fc.root, fc.leaf, fc.fee, signed)
       }
     }.toDF("chain_id", "extrinsic_id", "block_hash", "block_number",
-        "extrinsic_hash", "extrinsic_section", "extrinsic_method",
+        "block_time", "extrinsic_hash", "extrinsic_section",
+        "extrinsic_method",
         "call_id", "call_section", "call_method", "call_args",
         "root", "leaf", "fee", "signed")
       .withColumn("log_dt", lit(logDT))

@@ -1,0 +1,115 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving-view generation over the dump layout — SURVEY §2.1 S11 (ref
+  * substrateetl.js:5874-6168 createDuneSectionMethodView /
+  * postQueryToDune; schema/dune-generaterecent.sql): per chain, each
+  * entity table gets a "recent" view = trailing 109-day window + the
+  * per-table noise suppression, plus a cached-table (CTAS) form
+  * partitioned by day for engines that want materialization.
+  *
+  * Two faces, same definitions:
+  *  - [[viewSql]] / [[cachedTableSql]] emit the DDL text (the
+  *    reference's generator posts these to Dune / BigQuery);
+  *  - [[register]] binds the same window+filter as Spark temp views
+  *    over the parquet layout, so the view tier is directly runnable
+  *    and testable in-session — the p5 noise-filter query shape reads
+  *    identically through it.
+  */
+object Views {
+
+  /** The reference's trailing window: 109 days
+    * (dune-generaterecent.sql TIMESTAMP_SUB(..., INTERVAL 109 DAY)). */
+  val RecencyDays = 109
+
+  /** One view definition: entity table, its time column, and the
+    * (sectionCol, methodCol, suppressed-set) noise filter if any. */
+  final case class ViewSpec(table: String, tsCol: String,
+      sectionCol: String = null, methodCol: String = null,
+      noise: Seq[String] = Seq.empty)
+
+  /** Per-table specs mirroring dune-generaterecent.sql:2-9 — the
+    * extrinsics/events/calls noise lists are the reference's verbatim;
+    * rewards/crowdloan ride the same window (new in this engine's
+    * 8-table dump). */
+  val defaultSpecs: Seq[ViewSpec] = Seq(
+    ViewSpec("blocks", "block_time"),
+    ViewSpec("extrinsics", "block_time", "section", "method", Seq(
+      "paraInherent:enter", "imOnline:heartbeat",
+      "electionProviderMultiPhase:submit",
+      "parachainSystem:setValidationData",
+      "parachainSystem:enactAuthorizedUpgrade")),
+    ViewSpec("events", "block_time", "section", "method", Seq(
+      "paraInclusion:CandidateBacked", "paraInclusion:CandidateIncluded")),
+    ViewSpec("transfers", "block_time"),
+    ViewSpec("calls", "block_time", "call_section", "call_method", Seq(
+      "paraInherent:enter", "imOnline:heartbeat",
+      "electionProviderMultiPhase:submit", "dappsStaking:claimStaker")),
+    ViewSpec("logs", "block_time"),
+    ViewSpec("rewards", "block_time"),
+    ViewSpec("crowdloan", "block_time"))
+
+  private def noisePredicate(s: ViewSpec): Option[String] =
+    if (s.noise.isEmpty) None
+    else Some(s"concat(${s.sectionCol}, ':', ${s.methodCol}) NOT IN " +
+      s.noise.map(n => s"'$n'").mkString("(", ", ", ")"))
+
+  /** WHERE body of one view: trailing window (from `asOf`, or the
+    * engine's current_timestamp when None — the reference form) +
+    * noise filter. */
+  private def whereBody(s: ViewSpec, asOf: Option[String]): String = {
+    val anchor = asOf.map(t => s"TIMESTAMP '$t'")
+      .getOrElse("current_timestamp()")
+    val window =
+      s"${s.tsCol} >= $anchor - INTERVAL $RecencyDays DAYS"
+    (Seq(window) ++ noisePredicate(s)).mkString(" AND ")
+  }
+
+  /** `CREATE OR REPLACE VIEW` DDL for one entity table of a chain's
+    * dump layout (ref dune-generaterecent.sql view tier). Spark SQL
+    * dialect: reads the parquet path directly. */
+  def viewSql(chain: String, root: String, s: ViewSpec,
+      asOf: Option[String] = None): String =
+    s"CREATE OR REPLACE VIEW dune_${chain}_${s.table} AS " +
+      s"SELECT * FROM parquet.`$root/${s.table}` " +
+      s"WHERE ${whereBody(s, asOf)}"
+
+  /** Cached-table (CTAS) twin, day-partitioned (ref
+    * dune-generaterecent.sql `CREATE OR REPLACE TABLE … PARTITION BY
+    * DATE(block_time)` tier; the dump layout already carries `log_dt`,
+    * so partitioning reuses it instead of re-deriving DATE(ts)). */
+  def cachedTableSql(chain: String, root: String, s: ViewSpec,
+      asOf: Option[String] = None): String =
+    s"CREATE OR REPLACE TABLE dune_${chain}_cached_${s.table} " +
+      s"USING PARQUET PARTITIONED BY (log_dt) AS " +
+      s"SELECT * FROM parquet.`$root/${s.table}` " +
+      s"WHERE ${whereBody(s, asOf)}"
+
+  /** Emit the whole DDL script for a chain (every spec whose table
+    * directory exists is included; order is the spec order). */
+  def script(chain: String, root: String, specs: Seq[ViewSpec],
+      asOf: Option[String] = None, cached: Boolean = false): String =
+    specs.map(s =>
+      if (cached) cachedTableSql(chain, root, s, asOf)
+      else viewSql(chain, root, s, asOf)).mkString(";\n") + ";"
+
+  /** Runnable face: register each view as a Spark temp view over the
+    * dump layout — same window, same noise filter — and return the
+    * frames. `asOf` is explicit for determinism (tests pin it). */
+  def register(spark: SparkSession, chain: String, root: String,
+      asOf: java.sql.Timestamp,
+      specs: Seq[ViewSpec] = defaultSpecs): Map[String, DataFrame] =
+    specs.map { s =>
+      val base = spark.read.parquet(s"$root/${s.table}")
+        .filter(col(s.tsCol) >=
+          lit(asOf) - expr(s"INTERVAL $RecencyDays DAYS"))
+      val filtered = noisePredicate(s) match {
+        case Some(p) => base.filter(expr(p))
+        case None => base
+      }
+      filtered.createOrReplaceTempView(s"dune_${chain}_${s.table}")
+      s.table -> filtered
+    }.toMap
+}

@@ -361,4 +361,56 @@ class EtlSpec extends AnyFunSuite {
         Seq("user_id"), Seq("total_v" -> "avg"))
     }
   }
+
+  test("dune views: trailing window + noise filter over the dump layout") {
+    import graft.etl.Views
+    import org.apache.spark.sql.functions._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ok = Seq(RawEvent(0, "system", "ExtrinsicSuccess", "{}"))
+    val auth =
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+    def blk(n: Long, t: String, section: String, method: String) =
+      RawBlock(0, n, s"0xb$n", s"0xb${n - 1}", ts(t), 100, auth,
+        finalized = true,
+        extrinsics = Seq(RawExtrinsic(0, s"0xe$n", section, method,
+          s"""{"section":"$section","method":"$method"}""",
+          signed = false, null, 0.0, ok, Nil)),
+        logs = Nil)
+    val raw = Seq(
+      blk(1, "2024-03-01 10:00:00", "balances", "transfer"),
+      blk(2, "2024-03-01 11:00:00", "imOnline", "heartbeat"), // noise
+      blk(3, "2023-10-01 10:00:00", "balances", "transfer")) // stale
+      .toDF()
+    val root = java.nio.file.Files.createTempDirectory("graft_views").toString
+    Dump.dumpDay(raw, "2024-03-01", root)
+    Dump.dumpDay(raw, "2023-10-01", root)
+    val asOf = ts("2024-03-02 00:00:00") // 2023-10-01 is 154 days out
+    // restrict to the tables this fixture populates — an empty parquet
+    // dir (no footers) cannot schema-infer, and register() is
+    // deliberately loud about that rather than skipping silently
+    val views = Views.register(spark, "polkadot", root, asOf,
+      Views.defaultSpecs.filter(s =>
+        Set("blocks", "extrinsics", "events", "calls").contains(s.table)))
+    // the p5 noise-filter query shape, read through the registered view
+    val ex = spark.sql(
+      "SELECT extrinsic_id, section, method FROM dune_polkadot_extrinsics")
+      .collect()
+    assert(ex.map(_.getString(0)).toSeq == Seq("1-0")) // noise+stale gone
+    assert(views("blocks").count() == 2) // no noise filter on blocks
+    // generated DDL is runnable Spark SQL (view face) — distinct chain
+    // name so the catalog view cannot be shadowed by the temp views
+    spark.sql(Views.viewSql("kusama", root,
+      Views.defaultSpecs.find(_.table == "extrinsics").get,
+      asOf = Some("2024-03-02 00:00:00")))
+    val viaDdl = spark.sql("SELECT count(*) FROM dune_kusama_extrinsics")
+      .collect().head.getLong(0)
+    assert(viaDdl == 1L)
+    spark.sql("DROP VIEW dune_kusama_extrinsics")
+    // cached-table form carries the partition spec + the same window
+    val ctas = Views.cachedTableSql("polkadot", root,
+      Views.defaultSpecs.find(_.table == "calls").get)
+    assert(ctas.contains("PARTITIONED BY (log_dt)"))
+    assert(ctas.contains("current_timestamp() - INTERVAL 109 DAYS"))
+    assert(ctas.contains("dappsStaking:claimStaker"))
+  }
 }
