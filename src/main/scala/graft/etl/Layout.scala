@@ -58,43 +58,54 @@ object Layout {
     * path-not-found for a moment (table formats solve this with
     * metadata pointers; on plain parquet, schedule compaction in the
     * maintenance window the reference uses for its own `--replace`
-    * loads). If the second rename fails the original directory is
-    * rolled back into place before erroring, so data is never left
-    * stranded. */
+    * loads). The reader contract is pinned by LayoutSpec: compacted
+    * file names never collide with the old generation's, so a reader
+    * holding the PRE-compaction file list either completes on the old
+    * listing or fails loudly with file-not-found — it can never
+    * silently return a mix of generations. If the second rename fails
+    * the original directory is rolled back into place and the temp
+    * dir removed before erroring, so data is never left stranded.
+    *
+    * All listing/rename/delete goes through the path's Hadoop
+    * [[org.apache.hadoop.fs.FileSystem]] (like Writers.deleteKeys), so
+    * the same code compacts local, HDFS, and s3a layouts — java.io
+    * would silently see an empty directory on any non-local FS. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long, sortCols: Seq[String] = Nil): Int = {
-    val dir = new java.io.File(path)
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty)
-    val partDirs = kids.filter(f => f.isDirectory &&
-      !f.getName.startsWith("_") && !f.getName.startsWith(".") &&
-      !f.getName.endsWith("._compact_tmp") &&
-      !f.getName.endsWith("._compact_old"))
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path.stripSuffix("/"))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val kids = if (fs.exists(p)) fs.listStatus(p)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val partDirs = kids.filter { f =>
+      val n = f.getPath.getName
+      f.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+        !n.endsWith("._compact_tmp") && !n.endsWith("._compact_old")
+    }
     if (partDirs.nonEmpty)
-      return partDirs.map(p =>
-        compact(spark, p.getPath, targetBytes, sortCols)).sum
+      return partDirs.map(d =>
+        compact(spark, d.getPath.toString, targetBytes, sortCols)).sum
     val bytes = kids
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df0 = spark.read.parquet(path).coalesce(nFiles)
     val df = if (sortCols.isEmpty) df0
       else df0.sortWithinPartitions(sortCols.map(col): _*)
-    val tmp = path.stripSuffix("/") + "._compact_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val bak = path.stripSuffix("/") + "._compact_old"
-    val bakF = new java.io.File(bak)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    if (bakF.exists) rm(bakF)
-    if (!dir.renameTo(bakF))
+    val tmp = new Path(p.toString + "._compact_tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(p.toString + "._compact_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (!fs.rename(p, bak)) {
+      fs.delete(tmp, true)
       sys.error(s"compact: cannot move $path aside")
-    if (!new java.io.File(tmp).renameTo(dir)) {
-      bakF.renameTo(dir) // roll the original back into place
+    }
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // roll the original back into place
+      fs.delete(tmp, true)
       sys.error(s"compact: swap failed for $path; original restored")
     }
-    rm(bakF)
+    fs.delete(bak, true)
     nFiles
   }
 

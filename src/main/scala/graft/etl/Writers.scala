@@ -52,20 +52,31 @@ object Writers {
       format: String = "parquet"): Long = {
     val df = spark.read.format(format).load(path)
     val k = keys.select(col(keyCol)).distinct()
+    // collect the TYPED partition values (predicates must compare on
+    // them — a timestamp's JVM toString differs from Spark's string
+    // cast, and a stringly filter would silently select nothing) plus
+    // Spark's own string rendering (only the on-disk directory names
+    // need it)
     val affected = df.join(broadcast(k), Seq(keyCol), "left_semi")
-      .groupBy(col(partitionCol)).agg(count(lit(1)).as("n_del"))
+      .groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n_del"),
+        first(col(partitionCol).cast("string")).as("s"))
       .collect()
-      .map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+      .map(r => (Option(r.get(0)),
+        Option(r.get(0)).map(_ => r.getString(2)), r.getLong(1)))
     if (affected.isEmpty) return 0L
-    val nonNull = affected.keys.flatten.toSeq
-    val inAffected = col(partitionCol).cast("string").isin(nonNull: _*) ||
-      (if (affected.contains(None)) col(partitionCol).isNull
-       else lit(false))
+    val nonNull = affected.flatMap(_._1)
+    val hasNull = affected.exists(_._1.isEmpty)
+    val inAffected =
+      (if (nonNull.nonEmpty) col(partitionCol).isin(nonNull: _*)
+       else lit(false)) ||
+        (if (hasNull) col(partitionCol).isNull else lit(false))
     val kept = df.filter(inAffected)
       .join(broadcast(k), Seq(keyCol), "left_anti")
-    val keptPerPart = kept.groupBy(col(partitionCol))
+    val keptPerPart = kept
+      .groupBy(col(partitionCol).cast("string").as("s"))
       .agg(count(lit(1))).collect()
-      .map(r => Option(r.get(0)).map(_.toString)).toSet
+      .map(r => Option(r.getString(0))).toSet
     overwritePartitions(
       kept.select(df.columns.map(col): _*), path, Seq(partitionCol),
       format)
@@ -75,8 +86,8 @@ object Writers {
     // on disk)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (p <- affected.keys if !keptPerPart.contains(p)) {
-      val dirName = p match {
+    for ((_, sv, _) <- affected if !keptPerPart.contains(sv)) {
+      val dirName = sv match {
         case Some(v) => s"$partitionCol=" +
           org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
             .escapePathName(v)
@@ -85,7 +96,7 @@ object Writers {
       val dir = new org.apache.hadoop.fs.Path(root, dirName)
       if (fs.exists(dir)) fs.delete(dir, true)
     }
-    affected.values.sum
+    affected.map(_._3).sum
   }
 
   /** S12 scale path — INCREMENTAL materialized-summary refresh: fold one

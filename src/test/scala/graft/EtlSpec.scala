@@ -333,6 +333,33 @@ class EtlSpec extends AnyFunSuite {
       dirs)
   }
 
+  test("deleteKeys on TIMESTAMP-typed partitions: typed compare, not " +
+      "stringly") {
+    import org.apache.spark.sql.functions.col
+    // a timestamp's JVM toString ('… 10:00:00.0') differs from Spark's
+    // string cast ('… 10:00:00') — the old stringly filter selected
+    // nothing here while still reporting a positive deleted count
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_delts").toString + "/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      ("a", 1L, ts("2024-01-01 10:00:00")),
+      ("b", 2L, ts("2024-01-01 10:00:00")),
+      ("c", 3L, ts("2024-01-02 11:00:00"))) // only row of its partition
+      .toDF("k", "v", "pt")
+    Writers.overwritePartitions(rows, dir, Seq("pt"))
+    val del = Seq("a", "c").toDF("k")
+    val n = Writers.deleteKeys(spark, dir, "pt", "k", del)
+    assert(n == 2L)
+    val left = spark.read.parquet(dir).select("k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(left == Set(("b", 2L))) // the delete actually happened
+    // the fully-emptied timestamp partition directory is gone
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.size == 1 && dirs.head.startsWith("pt=2024-01-01"))
+  }
+
   test("incremental summary merge equals the full recompute") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, SparkTestBase.sf)

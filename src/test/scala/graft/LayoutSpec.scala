@@ -171,6 +171,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("compaction reader contract: stale handles never mix generations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact_r").toString + "/t"
+    for (i <- 0 until 10)
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .write.mode("append").parquet(dir)
+    val full = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // a reader whose file listing predates the compaction
+    val stale = spark.read.parquet(dir)
+    assert(stale.count() == 10) // forces the listing
+    Layout.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    // fresh handles see the complete compacted generation
+    val fresh = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fresh === full)
+    // the stale handle either completes on the old generation or fails
+    // loudly — compacted file names never collide with old ones, so a
+    // silent partial/mixed read is impossible (the pinned contract)
+    scala.util.Try(stale.collect()) match {
+      case scala.util.Success(rows) =>
+        assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet === full)
+      case scala.util.Failure(_) => // file-not-found: loud, acceptable
+    }
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val direct = ev.groupBy(col("event_type"))
