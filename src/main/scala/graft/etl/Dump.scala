@@ -83,19 +83,12 @@ object Dump {
     eventsOf(dayBlocks(raw, logDT), logDT)
 
   private def eventsOf(day: DataFrame, logDT: String): DataFrame =
-    day
-      .select(col("chain_id"), col("number"), col("block_time"),
-        col("hash").as("block_hash"),
-        explode(col("extrinsics")).as("ex"))
-      .select(col("chain_id"), col("number"), col("block_time"),
-        col("block_hash"), col("ex.idx").as("ext_idx"),
-        col("ex.hash").as("extrinsic_hash"),
-        explode(col("ex.events")).as("ev"))
+    eventGrain(day)
       .select(
         col("chain_id"),
         concat(col("number"), lit("-"), col("ext_idx"), lit("-"),
-          col("ev.event_idx")).as("event_id"),
-        col("ev.section"), col("ev.method"), col("ev.data"),
+          col("event_idx")).as("event_id"),
+        col("section"), col("method"), col("data"),
         concat(col("number"), lit("-"), col("ext_idx")).as("extrinsic_id"),
         col("extrinsic_hash"), col("block_time"),
         col("number").as("block_number"), col("block_hash"),
@@ -170,9 +163,9 @@ object Dump {
       .withColumn("log_dt", lit(logDT))
   }
 
-  /** Flat event grain shared by the rewards/crowdloan projections: one
-    * row per event with block + extrinsic identity and the raw
-    * `event_idx` ordering [[Rewards]] windows over. */
+  /** Flat event grain shared by the events/rewards/crowdloan
+    * projections: one row per event with block + extrinsic identity
+    * and the raw `event_idx` ordering [[Rewards]] windows over. */
   private def eventGrain(day: DataFrame): DataFrame =
     day
       .select(col("chain_id"), col("number"), col("block_time"),

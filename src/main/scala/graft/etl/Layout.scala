@@ -101,9 +101,13 @@ object Layout {
       sys.error(s"compact: cannot move $path aside")
     }
     if (!fs.rename(tmp, p)) {
-      fs.rename(bak, p) // roll the original back into place
+      val restored = fs.rename(bak, p) // roll the original back
       fs.delete(tmp, true)
-      sys.error(s"compact: swap failed for $path; original restored")
+      if (restored)
+        sys.error(s"compact: swap failed for $path; original restored")
+      else
+        sys.error(s"compact: swap failed for $path AND rollback failed" +
+          s" — the original data is intact in $bak; restore it manually")
     }
     fs.delete(bak, true)
     nFiles

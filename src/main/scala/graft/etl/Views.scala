@@ -79,29 +79,56 @@ object Views {
   /** Cached-table (CTAS) twin, day-partitioned (ref
     * dune-generaterecent.sql `CREATE OR REPLACE TABLE … PARTITION BY
     * DATE(block_time)` tier; the dump layout already carries `log_dt`,
-    * so partitioning reuses it instead of re-deriving DATE(ts)). */
-  def cachedTableSql(chain: String, root: String, s: ViewSpec,
-      asOf: Option[String] = None): String =
-    s"CREATE OR REPLACE TABLE dune_${chain}_cached_${s.table} " +
+    * so partitioning reuses it instead of re-deriving DATE(ts)).
+    * Emitted as DROP-IF-EXISTS + CREATE because `CREATE OR REPLACE
+    * TABLE … AS SELECT` needs a v2 catalog — the pair runs on the
+    * stock v1 session catalog (EtlSpec executes it). */
+  def cachedTableSqls(chain: String, root: String, s: ViewSpec,
+      asOf: Option[String] = None): Seq[String] = Seq(
+    s"DROP TABLE IF EXISTS dune_${chain}_cached_${s.table}",
+    s"CREATE TABLE dune_${chain}_cached_${s.table} " +
       s"USING PARQUET PARTITIONED BY (log_dt) AS " +
       s"SELECT * FROM parquet.`$root/${s.table}` " +
-      s"WHERE ${whereBody(s, asOf)}"
+      s"WHERE ${whereBody(s, asOf)}")
 
-  /** Emit the whole DDL script for a chain (every spec whose table
-    * directory exists is included; order is the spec order). */
+  /** Emit the whole DDL script for a chain, one statement per spec in
+    * spec order (no filesystem checks — text generation is pure; pair
+    * it with [[tablesWithData]] to restrict to populated tables). */
   def script(chain: String, root: String, specs: Seq[ViewSpec],
       asOf: Option[String] = None, cached: Boolean = false): String =
-    specs.map(s =>
-      if (cached) cachedTableSql(chain, root, s, asOf)
-      else viewSql(chain, root, s, asOf)).mkString(";\n") + ";"
+    specs.flatMap(s =>
+      if (cached) cachedTableSqls(chain, root, s, asOf)
+      else Seq(viewSql(chain, root, s, asOf))).mkString(";\n") + ";"
+
+  /** The specs whose table directory holds at least one parquet file —
+    * an empty entity table (a day with no crowdloans writes only
+    * _SUCCESS) has no footers to infer a view schema from. Checked
+    * through the path's Hadoop FileSystem like the writer tier. */
+  def tablesWithData(spark: SparkSession, root: String,
+      specs: Seq[ViewSpec] = defaultSpecs): Seq[ViewSpec] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    specs.filter { s =>
+      val p = new Path(s"$root/${s.table}")
+      val fs = p.getFileSystem(conf)
+      def hasParquet(d: Path): Boolean = fs.exists(d) &&
+        fs.listStatus(d).exists(f =>
+          if (f.isDirectory) hasParquet(f.getPath)
+          else f.getPath.getName.endsWith(".parquet"))
+      hasParquet(p)
+    }
+  }
 
   /** Runnable face: register each view as a Spark temp view over the
     * dump layout — same window, same noise filter — and return the
-    * frames. `asOf` is explicit for determinism (tests pin it). */
+    * frames. `asOf` is explicit for determinism (tests pin it).
+    * Tables with no parquet footprint yet are SKIPPED (absent from the
+    * returned map): an empty day cannot define a view schema, and
+    * Dump.dumpDay legitimately writes empty rewards/crowdloan tables. */
   def register(spark: SparkSession, chain: String, root: String,
       asOf: java.sql.Timestamp,
       specs: Seq[ViewSpec] = defaultSpecs): Map[String, DataFrame] =
-    specs.map { s =>
+    tablesWithData(spark, root, specs).map { s =>
       val base = spark.read.parquet(s"$root/${s.table}")
         .filter(col(s.tsCol) >=
           lit(asOf) - expr(s"INTERVAL $RecencyDays DAYS"))

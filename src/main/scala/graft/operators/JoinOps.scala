@@ -898,6 +898,9 @@ object JoinOps {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
       salts: Int, probeSaltOn: Seq[String]): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!probe.columns.contains("_salt") &&
+      !build.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column name; rename the input's")
     val salted = probe.withColumn("_salt",
       pmod(hash(probeSaltOn.map(col): _*), lit(salts)))
     val replicated = build.withColumn("_salt",

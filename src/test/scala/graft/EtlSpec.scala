@@ -412,12 +412,11 @@ class EtlSpec extends AnyFunSuite {
     Dump.dumpDay(raw, "2024-03-01", root)
     Dump.dumpDay(raw, "2023-10-01", root)
     val asOf = ts("2024-03-02 00:00:00") // 2023-10-01 is 154 days out
-    // restrict to the tables this fixture populates — an empty parquet
-    // dir (no footers) cannot schema-infer, and register() is
-    // deliberately loud about that rather than skipping silently
-    val views = Views.register(spark, "polkadot", root, asOf,
-      Views.defaultSpecs.filter(s =>
-        Set("blocks", "extrinsics", "events", "calls").contains(s.table)))
+    val views = Views.register(spark, "polkadot", root, asOf)
+    // the fixture's empty entity tables (no transfers/logs/rewards/
+    // crowdloan rows → no parquet footers) are skipped, not crashed on
+    assert(views.keySet ==
+      Set("blocks", "extrinsics", "events", "calls"))
     // the p5 noise-filter query shape, read through the registered view
     val ex = spark.sql(
       "SELECT extrinsic_id, section, method FROM dune_polkadot_extrinsics")
@@ -433,11 +432,16 @@ class EtlSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(viaDdl == 1L)
     spark.sql("DROP VIEW dune_kusama_extrinsics")
-    // cached-table form carries the partition spec + the same window
-    val ctas = Views.cachedTableSql("polkadot", root,
-      Views.defaultSpecs.find(_.table == "calls").get)
-    assert(ctas.contains("PARTITIONED BY (log_dt)"))
-    assert(ctas.contains("current_timestamp() - INTERVAL 109 DAYS"))
-    assert(ctas.contains("dappsStaking:claimStaker"))
+    // cached-table face is RUNNABLE on the v1 session catalog
+    // (DROP IF EXISTS + CREATE pair — RTAS needs a v2 catalog)
+    val ctas = Views.cachedTableSqls("kusama", root,
+      Views.defaultSpecs.find(_.table == "calls").get,
+      asOf = Some("2024-03-02 00:00:00"))
+    assert(ctas.exists(_.contains("PARTITIONED BY (log_dt)")))
+    assert(ctas.exists(_.contains("dappsStaking:claimStaker")))
+    ctas.foreach(spark.sql(_))
+    assert(spark.sql("SELECT count(*) FROM dune_kusama_cached_calls")
+      .collect().head.getLong(0) == 1L) // windowed + noise-filtered
+    spark.sql("DROP TABLE dune_kusama_cached_calls")
   }
 }

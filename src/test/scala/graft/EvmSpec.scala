@@ -529,7 +529,7 @@ class EvmSpec extends AnyFunSuite {
 
   test("ABI calldata: multicall + static args + unknown selector kept") {
     import graft.decode.AbiDecode
-    def pw(hex: String) = hex + "0" * (64 - hex.length % 64)
+    def pw(hex: String) = hex + "0" * ((64 - hex.length % 64) % 64)
     val transferAbi =
       """{"type":"function","name":"transfer","inputs":[
         {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}"""
