@@ -399,6 +399,30 @@ object AbiDecode {
       lit(null).cast("array<string>"), body)
   }
 
+  /** ABI registry dimension: one row per fragment —
+    * (fingerprint, kind, name, signature, abi) — where the fingerprint
+    * is the 4-byte selector for functions and the 32-byte topic0 for
+    * events, the reference's fingerprintID convention (ref
+    * evmManager.js contractABIs / buildSchemaInfoFromFingerprintID:
+    * `length == 10 → 'call', else 'evt'`). Persist it with the writer
+    * tier and broadcast-join it to decoded frames to resolve held
+    * ABIs. */
+  def registryFrame(spark: org.apache.spark.sql.SparkSession,
+      abiJsons: Seq[String]): DataFrame = {
+    import spark.implicits._
+    abiJsons.map { json =>
+      val kind = mapper.readTree(json).path("type").asText("function")
+      kind match {
+        case "event" =>
+          val e = parseEvent(json)
+          (topic0(e), "evt", e.name, signature(e), json)
+        case _ =>
+          val f = parseFunction(json)
+          (selectorOf(f), "call", f.name, signature(f), json)
+      }
+    }.toDF("fingerprint", "kind", "name", "signature", "abi")
+  }
+
   /** Decode a tx frame's `input` calldata against a set of function ABI
     * fragments: appends `selector`, `method` (null when no fragment
     * matches — the reference stores the selector and moves on), and

@@ -227,6 +227,71 @@ object EvmDecode {
       .drop("arg_value_hex", "arg_token_id_hex")
   }
 
+  // ---- contract-creation tracking (ref evmManager.js decodeTransaction
+  // `txn.creates` / receipt contractAddress; the derivations are the
+  // yellow-paper CREATE rule and EIP-1014 CREATE2) ----
+
+  /** Minimal RLP of the CREATE preimage `[sender(20 bytes), nonce]` —
+    * the only shape the address rule needs. Integer rule: 0 → empty
+    * string (0x80), 1..0x7f → the byte itself, else length-prefixed
+    * big-endian with no leading zeros. */
+  private def rlpCreate(sender: Array[Byte], nonce: Long): Array[Byte] = {
+    require(sender.length == 20, "sender must be 20 bytes")
+    require(nonce >= 0, "nonce must be non-negative")
+    val nonceRlp: Array[Byte] =
+      if (nonce == 0) Array(0x80.toByte)
+      else if (nonce <= 0x7f) Array(nonce.toByte)
+      else {
+        val be = BigInt(nonce).toByteArray.dropWhile(_ == 0)
+        (0x80 + be.length).toByte +: be
+      }
+    val payload = (0x94.toByte +: sender) ++ nonceRlp // 0x80+20 = 0x94
+    (0xc0 + payload.length).toByte +: payload
+  }
+
+  /** CREATE address: keccak256(rlp([sender, nonce]))[12:], lowercase
+    * 0x-hex (yellow paper eq. 77; ref ethTool contract tracking). */
+  def createAddress(senderHex: String, nonce: Long): String =
+    "0x" + Codec.bytesToHex(
+      Keccak.keccak256(rlpCreate(Codec.hexToBytes(senderHex), nonce))
+        .drop(12), prefix = false)
+
+  /** CREATE2 address (EIP-1014):
+    * keccak256(0xff ++ sender ++ salt32 ++ keccak256(initCode))[12:]. */
+  def create2Address(senderHex: String, saltHex: String,
+      initCodeHex: String): String = {
+    val sender = Codec.hexToBytes(senderHex)
+    require(sender.length == 20, "sender must be 20 bytes")
+    val salt = Codec.hexToBytes(saltHex)
+    require(salt.length == 32, "salt must be 32 bytes")
+    val pre = Array(0xff.toByte) ++ sender ++ salt ++
+      Keccak.keccak256(Codec.hexToBytes(initCodeHex))
+    "0x" + Codec.bytesToHex(Keccak.keccak256(pre).drop(12),
+      prefix = false)
+  }
+
+  private val createAddressUdf = udf(
+    new org.apache.spark.sql.api.java.UDF2[String, Long, String] {
+      override def call(from: String, nonce: Long): String =
+        if (from == null) null else createAddress(from, nonce)
+    }, org.apache.spark.sql.types.DataTypes.StringType)
+
+  /** Contract creations from a tx frame: a creation is a tx with no
+    * `to_address` (ref evmManager.js decodeTransaction creates
+    * handling); the created address derives deterministically from
+    * (from_address, nonce), cross-checked against the receipt's
+    * `contract_address` when present (`address_match` = false rows are
+    * node/indexer inconsistencies worth surfacing, not dropping). The
+    * output is the contracts-dimension feed `classifyContracts`
+    * consumes. */
+  def contractCreations(txs: DataFrame): DataFrame =
+    txs.filter(col("to_address").isNull)
+      .withColumn("created_address",
+        createAddressUdf(lower(col("from_address")), col("nonce")))
+      .withColumn("address_match",
+        when(col("contract_address").isNotNull,
+          lower(col("contract_address")) === col("created_address")))
+
   // ---- contract-standard classification ----
 
   /** Required function selectors per token standard (ref

@@ -621,6 +621,77 @@ class EvmSpec extends AnyFunSuite {
     assert(viaSet.getString(1).contains("\"sender\":\"" + sender))
   }
 
+  test("ABI registry frame: selector/topic0 fingerprints per kind") {
+    import graft.decode.AbiDecode
+    val rows = AbiDecode.registryFrame(spark, Seq(
+      """{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}""",
+      """{"type":"event","name":"Transfer","inputs":[
+        {"indexed":true,"name":"from","type":"address"},
+        {"indexed":true,"name":"to","type":"address"},
+        {"indexed":false,"name":"value","type":"uint256"}]}"""))
+      .collect().map(r => r.getString(2) ->
+        (r.getString(0), r.getString(1), r.getString(3))).toMap
+    assert(rows("transfer") ==
+      ("0xa9059cbb", "call", "transfer(address,uint256)"))
+    assert(rows("Transfer") == (EvmDecode.TransferTopic, "evt",
+      "Transfer(address,address,uint256)"))
+  }
+
+  test("contract creation: CREATE and CREATE2 address goldens") {
+    // the canonical worked example of the yellow-paper CREATE rule
+    val deployer = "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0"
+    assert(EvmDecode.createAddress(deployer, 0) ==
+      "0xcd234a471b72ba2f1ccf0a70fcaba648a5eecd8d")
+    assert(EvmDecode.createAddress(deployer, 1) ==
+      "0x343c43a37d37dff08ae8c4a11544c718abb4fcf8")
+    // multi-byte nonce exercises the length-prefixed RLP integer branch
+    assert(EvmDecode.createAddress(deployer, 0x1234).length == 42)
+    // EIP-1014's own test vectors (examples 0, 1, 3)
+    val z20 = "0x" + "00" * 20
+    val z32 = "0x" + "00" * 32
+    assert(EvmDecode.create2Address(z20, z32, "0x00") ==
+      "0x4d1a2e2bb4f88f0250f26ffff098b0b30b26bf38")
+    assert(EvmDecode.create2Address(
+      "0xdeadbeef00000000000000000000000000000000", z32, "0x00") ==
+      "0xb928f69bb1d91cd65274e3c79d8986362984fda3")
+    assert(EvmDecode.create2Address(z20, z32, "0xdeadbeef") ==
+      "0x70f2b2914a2a4b783faefb75f459a580616fcb5e")
+  }
+
+  test("contract creations frame: derived address + receipt cross-check") {
+    val txs = Seq(
+      // creation, receipt agrees
+      ("0xc1", null.asInstanceOf[String],
+        "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0", 0L,
+        "0xcd234a471b72ba2f1ccf0a70fcaba648a5eecd8d"),
+      // creation, no receipt address yet (pending)
+      ("0xc2", null.asInstanceOf[String],
+        "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0", 1L,
+        null.asInstanceOf[String]),
+      // creation, receipt DISAGREES — surfaced, not dropped
+      ("0xc3", null.asInstanceOf[String],
+        "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0", 2L,
+        "0x" + "99" * 20),
+      // plain call — not a creation
+      ("0xc4", "0x" + "11" * 20,
+        "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0", 3L,
+        null.asInstanceOf[String]))
+      .toDF("transaction_hash", "to_address", "from_address", "nonce",
+        "contract_address")
+    val out = EvmDecode.contractCreations(txs)
+      .select("transaction_hash", "created_address", "address_match")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)))).toMap
+    assert(out.size == 3) // 0xc4 excluded
+    assert(out("0xc1") ==
+      ("0xcd234a471b72ba2f1ccf0a70fcaba648a5eecd8d", Some(true)))
+    assert(out("0xc2")._1 ==
+      "0x343c43a37d37dff08ae8c4a11544c718abb4fcf8")
+    assert(out("0xc2")._2.isEmpty) // pending: no cross-check yet
+    assert(out("0xc3")._2 == Some(false)) // inconsistency surfaced
+  }
+
   test("ABI calldata: duplicate selectors are rejected at compile time") {
     import graft.decode.AbiDecode
     val t1 = """{"type":"function","name":"transfer","inputs":[
