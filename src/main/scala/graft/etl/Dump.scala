@@ -226,6 +226,7 @@ object Dump {
         col("account_pub").as("account_pub_key"),
         expr("ss58_encode(account_pub, 42)").as("account_ss58"),
         col("fund_id").as("para_id"), col("amount_raw"), col("memo"),
+        col("remark"),
         lit(logDT).as("log_dt"))
 
   /** logs projection: digest-log posexplode with log ids (P8,

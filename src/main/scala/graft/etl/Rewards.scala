@@ -85,9 +85,18 @@ object Rewards {
   /** Crowdloan rows: one row per (extrinsic, account, fund) pairing the
     * last `Contributed` amount with the last `MemoUpdated` memo
     * (ref indexer.js:4018-4055 — the accountParaID map; last write wins
-    * on duplicate emits, memo-only rows keep amount 0). */
+    * on duplicate emits, memo-only rows keep amount 0).
+    *
+    * `remarks` (optional) carries the extrinsic's `system.remark`
+    * texts — (extrinsicCols…, `remark_idx`, `remark`) — and replays
+    * the reference's remark-contribution branch (indexer.js:4043-4055
+    * remarkIndex walk): memo-LESS pairs take the extrinsic's remarks
+    * POSITIONALLY, in pair order, leftover pairs keep a null remark.
+    * Both sides number inside one extrinsic, so the windows are
+    * bounded like [[attachEra]]'s. */
   def crowdloanRows(events: DataFrame,
-      extrinsicCols: Seq[String]): DataFrame = {
+      extrinsicCols: Seq[String],
+      remarks: Option[DataFrame] = None): DataFrame = {
     val cl = events
       .filter(col("section") === "crowdloan" &&
         col("method").isin("Contributed", "MemoUpdated"))
@@ -96,7 +105,7 @@ object Rewards {
         get_json_object(col("data"), "$.fundIndex"),
         get_json_object(col("data"), "$.paraId")).cast("long"))
     val keys = extrinsicCols ++ Seq("account_pub", "fund_id")
-    cl.groupBy(keys.map(col): _*)
+    val paired = cl.groupBy(keys.map(col): _*)
       .agg(
         min(col("event_idx")).as("event_idx"),
         max_by(
@@ -112,5 +121,21 @@ object Rewards {
           .as("memo"))
       .withColumn("amount_raw",
         coalesce(col("amount_raw"), lit(0).cast("decimal(38,0)")))
+    remarks match {
+      case None => paired.withColumn("remark", lit(null).cast("string"))
+      case Some(rm) =>
+        val w = Window.partitionBy(extrinsicCols.map(col): _*)
+        val memoless = paired.filter(col("memo").isNull)
+          .withColumn("_rn",
+            row_number().over(w.orderBy(col("event_idx"))))
+        val rmIdx = rm
+          .withColumn("_rn",
+            row_number().over(w.orderBy(col("remark_idx"))))
+          .select((extrinsicCols.map(col) :+ col("_rn") :+
+            col("remark")): _*)
+        memoless.join(rmIdx, extrinsicCols :+ "_rn", "left").drop("_rn")
+          .unionByName(paired.filter(col("memo").isNotNull)
+            .withColumn("remark", lit(null).cast("string")))
+    }
   }
 }

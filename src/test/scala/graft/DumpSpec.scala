@@ -191,6 +191,42 @@ class DumpSpec extends AnyFunSuite {
       "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
   }
 
+  test("crowdloan remark pairing: positional assign to memo-less pairs") {
+    // ref indexer.js:4043-4055: contributions without a MemoUpdated
+    // take the extrinsic's system.remark texts in order; leftovers
+    // keep neither
+    val grain = Seq(
+      // ext 0: three contributions — first has a memo, the other two
+      // are memo-less and should take remarks r0, r1 positionally
+      (0, 1L, 0, 0, "crowdloan", "Contributed",
+        """{"who":"u1","fundIndex":10,"amount":5}"""),
+      (0, 1L, 0, 1, "crowdloan", "MemoUpdated",
+        """{"who":"u1","paraId":10,"memo":"0xm"}"""),
+      (0, 1L, 0, 2, "crowdloan", "Contributed",
+        """{"who":"u2","fundIndex":11,"amount":6}"""),
+      (0, 1L, 0, 3, "crowdloan", "Contributed",
+        """{"who":"u3","fundIndex":12,"amount":7}"""),
+      // ext 1: one memo-less contribution, NO remarks → null remark
+      (0, 1L, 1, 0, "crowdloan", "Contributed",
+        """{"who":"u4","fundIndex":13,"amount":8}"""))
+      .toDF("chain_id", "number", "ext_idx", "event_idx",
+        "section", "method", "data")
+    val remarks = Seq(
+      (0, 1L, 0, 0, "hello"), (0, 1L, 0, 1, "world"))
+      .toDF("chain_id", "number", "ext_idx", "remark_idx", "remark")
+    val out = graft.etl.Rewards
+      .crowdloanRows(grain, Seq("chain_id", "number", "ext_idx"),
+        Some(remarks))
+      .orderBy("fund_id").collect()
+      .map(r => (r.getAs[Long]("fund_id"), r.getAs[String]("memo"),
+        r.getAs[String]("remark")))
+    assert(out.toSeq == Seq(
+      (10L, "0xm", null), // memo wins, no remark
+      (11L, null, "hello"), // first memo-less pair → first remark
+      (12L, null, "world"), // second pair → second remark
+      (13L, null, null))) // no remarks in its extrinsic
+  }
+
   test("rewards from raw bytes: PayoutStarted decodes via metadata tier") {
     import graft.decode.{BlockDecode, MetaDecode}
     import graft.decode.BlockDecode.{EventMeta, RuntimeMeta}
