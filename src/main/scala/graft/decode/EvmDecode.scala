@@ -306,6 +306,16 @@ object EvmDecode {
   private val Erc1155Required = Seq("0x00fdd58e", "0x4e1273f4",
     "0xa22cb465", "0xe985e9c5", "0xf242432a", "0x2eb2c2d6")
 
+  /** Precompile / system-contract predicate (ref precompiles/README.md
+    * + query.getAddressContract's isSystemContract mark): the
+    * Ethereum-native precompiles (0x01-0x09) and the parachain
+    * precompile banks (Moonbeam 0x0800-0x080d, Astar 0x5001-…, all
+    * published ≤ 0xffff) live in the low address space — an H160 whose
+    * first 18 bytes are zero is a system address, not a deployed
+    * contract. Pure regex over the hex column, codegen'd. */
+  def isSystemContract(addr: Column): Column =
+    lower(addr).rlike("^0x0{36}[0-9a-f]{4}$")
+
   /** Classify contracts by required-selector subset: `standard` =
     * erc1155/erc721/erc20/unknown from the contract's selector set
     * (an `array<string>` column of 4-byte selectors, as extracted from

@@ -621,6 +621,24 @@ class EvmSpec extends AnyFunSuite {
     assert(viaSet.getString(1).contains("\"sender\":\"" + sender))
   }
 
+  test("system-contract predicate: precompile banks vs deployed code") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      "0x0000000000000000000000000000000000000001", // ECRecover
+      "0x0000000000000000000000000000000000000808", // Moonbeam batch
+      "0x0000000000000000000000000000000000005004", // Astar bank
+      "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0", // deployed
+      "0x0000000000000000000000010000000000000001") // high byte set
+      .toDF("addr")
+      .withColumn("sys", EvmDecode.isSystemContract(col("addr")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows("0x0000000000000000000000000000000000000001"))
+    assert(rows("0x0000000000000000000000000000000000000808"))
+    assert(rows("0x0000000000000000000000000000000000005004"))
+    assert(!rows("0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0"))
+    assert(!rows("0x0000000000000000000000010000000000000001"))
+  }
+
   test("ABI registry frame: selector/topic0 fingerprints per kind") {
     import graft.decode.AbiDecode
     val rows = AbiDecode.registryFrame(spark, Seq(
