@@ -198,6 +198,31 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join: _salt rides the join keys; output == plain join") {
+    import spark.implicits._
+    import graft.operators.JoinOps
+    // one key carries half the rows — the straggler shape
+    val probe = (0 until 2000).map(i =>
+      (if (i % 2 == 0) 0 else i, i.toLong, i * 1.5))
+      .toDF("k", "row_id", "v")
+    val build = (0 until 1000).map(i => (i, s"dim$i")).toDF("k", "d")
+    val salted = JoinOps.saltedJoin(probe, build, Seq("k"), salts = 8,
+      probeSaltOn = Seq("row_id"))
+    // the salt is part of the physical join keys → the hot key's rows
+    // hash across 8 partitions, not 1
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"),
+      s"salt column missing from the physical plan:\n$plan")
+    val plain = probe.join(build, Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "row_id", "v", "d").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+          r.getString(3))).toSet
+    assert(canon(salted) == canon(plain))
+    // exactly once per (probe row, build row) — no dup under any salt
+    assert(salted.count() == plain.count())
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, SparkTestBase.sf)
     val direct = ev.groupBy(col("event_type"))
