@@ -77,4 +77,98 @@ object MediaHeader {
   /** Sniff + parse a payload's leading bytes. */
   def parse(bytes: Array[Byte]): Option[MediaInfo] =
     png(bytes).orElse(gif(bytes)).orElse(jpeg(bytes))
+
+  // ---- audio (WAV/RIFF) ----
+
+  final case class AudioInfo(format: String, sampleRate: Int,
+      channels: Int, bitsPerSample: Int, dataBytes: Long) {
+    /** Seconds of audio the data chunk holds. */
+    def durationSec: Double =
+      if (sampleRate <= 0 || channels <= 0 || bitsPerSample <= 0) 0.0
+      else dataBytes.toDouble /
+        (sampleRate.toLong * channels * (bitsPerSample / 8))
+  }
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** WAV: "RIFF" ‖ u32 LE size ‖ "WAVE", then a chunk walk — each
+    * chunk is [4cc ‖ u32 LE size ‖ payload (padded to even)]. The
+    * `fmt ` chunk carries PCM format/channels/rate/bits; `data`'s SIZE
+    * is the payload length (the bytes themselves may be truncated away
+    * in a header-only read — corpus metadata needs the size, not the
+    * samples). Both chunks must appear or the parse returns None. */
+  def parseWav(b: Array[Byte]): Option[AudioInfo] = {
+    def cc(i: Int, s: String): Boolean =
+      i + 4 <= b.length && s.indices.forall(k => b(i + k) == s(k).toByte)
+    if (b.length < 12 || !cc(0, "RIFF") || !cc(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var dataBytes: Option[Long] = None
+    while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
+      val size = u32le(b, i + 4)
+      if (cc(i, "fmt ")) {
+        if (i + 8 + 16 > b.length) return None
+        val ch = u16le(b, i + 10)
+        val rate = u32le(b, i + 12).toInt
+        val bits = u16le(b, i + 22)
+        fmt = Some((ch, rate, bits))
+      } else if (cc(i, "data")) {
+        dataBytes = Some(size)
+      }
+      // chunks pad to even length per RIFF
+      i += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || size > Int.MaxValue) return None
+    }
+    for ((ch, rate, bits) <- fmt; d <- dataBytes
+        if ch > 0 && rate > 0 && bits > 0)
+      yield AudioInfo("wav", rate, ch, bits, d)
+  }
+
+  // ---- video (MP4 / ISO-BMFF) ----
+
+  final case class VideoInfo(format: String, width: Int, height: Int,
+      durationMs: Long)
+
+  /** MP4: top-level box walk ([u32 BE size ‖ 4cc]) to `moov`, then
+    * inside it `mvhd` (version-0 layout: timescale u32 BE at +12,
+    * duration u32 BE at +16 past the box header) for duration and the
+    * first `trak`→`tkhd` (width/height as 16.16 fixed point at +76/+80
+    * past the box header) for dimensions. Header-only read: `mdat` is
+    * never touched. Version-1 (64-bit) boxes return None — the corpus
+    * route is quarantine, not a guess. */
+  def parseMp4(b: Array[Byte]): Option[VideoInfo] = {
+    def cc(i: Int, s: String): Boolean =
+      i + 4 <= b.length && s.indices.forall(k => b(i + k) == s(k).toByte)
+    def walk(from: Int, to: Int, name: String): Option[Int] = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = u32be(b, i)
+        if (size < 8) return None
+        if (cc(i + 4, name)) return Some(i)
+        i += size.toInt
+      }
+      None
+    }
+    if (b.length < 12 || !cc(4, "ftyp")) return None
+    for {
+      moov <- walk(0, b.length, "moov")
+      moovEnd = math.min(b.length, moov + u32be(b, moov).toInt)
+      mvhd <- walk(moov + 8, moovEnd, "mvhd")
+      if b(mvhd + 8) == 0 // version 0 only
+      trak <- walk(moov + 8, moovEnd, "trak")
+      trakEnd = math.min(moovEnd, trak + u32be(b, trak).toInt)
+      tkhd <- walk(trak + 8, trakEnd, "tkhd")
+      if b(tkhd + 8) == 0
+      if tkhd + 92 <= b.length
+    } yield {
+      val timescale = u32be(b, mvhd + 8 + 12)
+      val duration = u32be(b, mvhd + 8 + 16)
+      val w = (u32be(b, tkhd + 8 + 76) >> 16).toInt // 16.16 fixed
+      val h = (u32be(b, tkhd + 8 + 80) >> 16).toInt
+      val ms = if (timescale > 0) duration * 1000L / timescale else 0L
+      VideoInfo("mp4", w, h, ms)
+    }
+  }
 }

@@ -196,11 +196,147 @@ object MultimodalOps {
        |   AS total_pad_px
        |FROM grid GROUP BY format ORDER BY format""".stripMargin
 
+  /** Parsed audio metadata row (nulls = quarantine route). */
+  case class AudioMeta(doc_id: Long, source: String,
+      sample_rate: Option[Int], channels: Option[Int],
+      duration_sec: Option[Double])
+
+  /** Deterministic WAV payload for `doc_id`: a REAL RIFF/WAVE header
+    * (fmt + data chunks, header-only — the data SIZE field is what
+    * corpus metadata needs, not the samples) with rate 8k/16k/44.1k by
+    * doc_id%3, 1-2 channels, 16-bit; every 5th doc is garbage the
+    * parser must quarantine. */
+  def synthWav(docId: Long): Array[Byte] = {
+    if (docId % 5 == 0) return ("NOTAUDIO" + docId).getBytes
+    val rate = Seq(8000, 16000, 44100)((docId % 3).toInt)
+    val ch = 1 + (docId % 2).toInt
+    val nSamples = (docId % 1000).toInt * 10 + 100
+    val dataBytes = nSamples * ch * 2
+    def u16le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    "RIFF".getBytes ++ u32le(36 + dataBytes) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ u32le(16) ++ u16le(1) ++ u16le(ch) ++
+      u32le(rate) ++ u32le(rate * ch * 2) ++ u16le(ch * 2) ++ u16le(16) ++
+      "data".getBytes ++ u32le(dataBytes)
+  }
+
+  // M5 — audio header decode + per-source duration budget: the same
+  // mapPartitions decode shape as m2 over WAV headers, rolled up to
+  // corpus-curation numbers (parse rate, total seconds, rate mix).
+  // Duration per row is ONE double division both engines evaluate
+  // identically; the sum rides exact decimals.
+  private def m5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    src.mapPartitions { it =>
+      it.map { case (id, source) =>
+        val info = graft.functions.MediaHeader.parseWav(synthWav(id))
+        AudioMeta(id, source, info.map(_.sampleRate),
+          info.map(_.channels), info.map(_.durationSec))
+      }
+    }.toDF()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        count(col("sample_rate")).as("n_audio"),
+        decOut(sum(dec12(col("duration_sec")))).as("total_seconds"),
+        countDistinct(col("sample_rate")).as("n_rates"),
+        sum(col("channels").cast("long")).as("total_channels"))
+      .orderBy(col("source"))
+  }
+
+  private val m5Sql =
+    s"""WITH wav AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 5 = 0 THEN NULL
+       |   ELSE CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+       |    ELSE 44100 END END AS sample_rate,
+       |  CASE WHEN doc_id % 5 = 0 THEN NULL
+       |   ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+       |  (doc_id % 1000) * 10 + 100 AS n_samples
+       | FROM documents WHERE doc_id < 500),
+       |dur AS (SELECT *,
+       |  CASE WHEN sample_rate IS NULL THEN NULL
+       |   ELSE CAST(n_samples * channels * 2 AS DOUBLE) /
+       |    (sample_rate * channels * 2) END AS duration_sec
+       | FROM wav)
+       |SELECT source, count(*) AS n_blobs,
+       | count(sample_rate) AS n_audio,
+       | ${sqlDecOut("sum(CAST(duration_sec AS DECIMAL(38,12)))")}
+       |   AS total_seconds,
+       | count(DISTINCT sample_rate) AS n_rates,
+       | ${sqlLsum("channels")} AS total_channels
+       |FROM dur GROUP BY source ORDER BY source""".stripMargin
+
+  /** Deterministic MP4 payload for `doc_id`: real ISO-BMFF boxes —
+    * ftyp, then moov{mvhd(timescale 1000, duration), trak{tkhd(16.16
+    * fixed-point dimensions)}} — header-only, no mdat; every 4th doc
+    * is garbage. */
+  def synthMp4(docId: Long): Array[Byte] = {
+    if (docId % 4 == 3) return ("NOTVIDEO" + docId).getBytes
+    val w = (1 + docId % 1920).toInt
+    val h = (1 + (docId * 3) % 1080).toInt
+    val durMs = (docId % 3600).toInt * 1000 + 500
+    def u32be(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = u32be(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ u32be(0)
+    val mvhd = u32be(28) ++ "mvhd".getBytes ++ u32be(0) ++ // ver/flags
+      u32be(0) ++ u32be(0) ++ // ctime mtime
+      u32be(1000) ++ u32be(durMs) // timescale, duration
+    val tkhdPayload = u32be(0) ++ u32be(0) ++ u32be(0) ++ u32be(1) ++
+      u32be(0) ++ u32be(durMs) ++ Array.fill[Byte](8)(0) ++
+      Array.fill[Byte](8)(0) ++ // layer/alt/vol/reserved
+      Array.fill[Byte](36)(0) ++ // identity matrix slot
+      u32be(w << 16) ++ u32be(h << 16)
+    val tkhd = u32be(8 + tkhdPayload.length) ++ "tkhd".getBytes ++
+      tkhdPayload
+    val trak = u32be(8 + tkhd.length) ++ "trak".getBytes ++ tkhd
+    val moov = u32be(8 + mvhd.length + trak.length) ++ "moov".getBytes ++
+      mvhd ++ trak
+    ftyp ++ moov
+  }
+
+  /** Parsed video metadata row. */
+  case class VideoMeta(doc_id: Long, format: Option[String],
+      width: Option[Int], height: Option[Int],
+      duration_ms: Option[Long])
+
+  // M6 — video container decode (box walk): per-doc parsed dims +
+  // duration; oracle recomputes the synth arithmetic. A wrong box
+  // offset or fixed-point shift hash-mismatches every row.
+  private def m6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+    src.mapPartitions { it =>
+      it.map { id =>
+        val info = graft.functions.MediaHeader.parseMp4(synthMp4(id))
+        VideoMeta(id, info.map(_.format), info.map(_.width),
+          info.map(_.height), info.map(_.durationMs))
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+
+  private val m6Sql =
+    """SELECT doc_id,
+      | CASE WHEN doc_id % 4 = 3 THEN NULL ELSE 'mp4' END AS format,
+      | CASE WHEN doc_id % 4 = 3 THEN NULL
+      |  ELSE CAST(1 + doc_id % 1920 AS INT) END AS width,
+      | CASE WHEN doc_id % 4 = 3 THEN NULL
+      |  ELSE CAST(1 + (doc_id * 3) % 1080 AS INT) END AS height,
+      | CASE WHEN doc_id % 4 = 3 THEN NULL
+      |  ELSE (doc_id % 3600) * 1000 + 500 END AS duration_ms
+      |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_binary_meta" -> (m1 _),
     "m2_media_decode" -> (m2 _),
     "m3_frame_sample" -> (m3 _),
     "m4_patch_grid" -> (m4 _),
+    "m5_audio_meta" -> (m5 _),
+    "m6_video_meta" -> (m6 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -208,5 +344,7 @@ object MultimodalOps {
     "m2_media_decode" -> m2Sql,
     "m3_frame_sample" -> m3Sql,
     "m4_patch_grid" -> m4Sql,
+    "m5_audio_meta" -> m5Sql,
+    "m6_video_meta" -> m6Sql,
   )
 }

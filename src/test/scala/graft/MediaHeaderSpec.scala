@@ -72,4 +72,57 @@ class MediaHeaderSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("WAV: fmt+data chunk walk, padding, quarantine cases") {
+    // synth round-trip incl. the garbage route
+    for (id <- 0L until 60L) {
+      val info = MediaHeader.parseWav(MultimodalOps.synthWav(id))
+      if (id % 5 == 0) assert(info.isEmpty, s"id=$id")
+      else {
+        val a = info.get
+        assert(a.sampleRate == Seq(8000, 16000, 44100)((id % 3).toInt))
+        assert(a.channels == 1 + (id % 2).toInt)
+        assert(a.bitsPerSample == 16)
+        val nSamples = (id % 1000).toInt * 10 + 100
+        assert(a.dataBytes == nSamples.toLong * a.channels * 2)
+        assert(math.abs(a.durationSec - nSamples.toDouble /
+          a.sampleRate) < 1e-12)
+      }
+    }
+    def u16le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+    // an ODD-size chunk before fmt: the walk must pad to even (RIFF
+    // rule) or it loses sync
+    val odd = "RIFF".getBytes ++ u32le(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ u32le(3) ++ Array[Byte](1, 2, 3, 0) ++ // pad
+      "fmt ".getBytes ++ u32le(16) ++ u16le(1) ++ u16le(2) ++
+      u32le(44100) ++ u32le(44100 * 4) ++ u16le(4) ++ u16le(16) ++
+      "data".getBytes ++ u32le(800)
+    val a = MediaHeader.parseWav(odd).get
+    assert(a.sampleRate == 44100 && a.channels == 2 && a.dataBytes == 800)
+    // missing data chunk / non-WAVE RIFF / truncation → quarantine
+    assert(MediaHeader.parseWav(odd.dropRight(8)).isEmpty) // no data cc
+    assert(MediaHeader.parseWav(
+      "RIFF".getBytes ++ u32le(4) ++ "AVI ".getBytes).isEmpty)
+    assert(MediaHeader.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("MP4: box walk to mvhd/tkhd, fixed-point dims, quarantine") {
+    for (id <- 0L until 40L) {
+      val info = MediaHeader.parseMp4(MultimodalOps.synthMp4(id))
+      if (id % 4 == 3) assert(info.isEmpty, s"id=$id")
+      else {
+        val v = info.get
+        assert(v.width == (1 + id % 1920).toInt, s"id=$id")
+        assert(v.height == (1 + (id * 3) % 1080).toInt)
+        assert(v.durationMs == (id % 3600) * 1000 + 500)
+      }
+    }
+    // truncated inside tkhd → None, not a garbage parse
+    val ok = MultimodalOps.synthMp4(1L)
+    assert(MediaHeader.parseMp4(ok.dropRight(6)).isEmpty)
+    // no moov → None
+    assert(MediaHeader.parseMp4(ok.take(16)).isEmpty)
+  }
 }
