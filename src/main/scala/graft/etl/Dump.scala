@@ -163,6 +163,32 @@ object Dump {
       .withColumn("log_dt", lit(logDT))
   }
 
+  /** specversions dimension: the FIRST block (number, hash, time) at
+    * which each spec version was seen per chain (ref
+    * schema/substrateetl/specversions.json; substrateetl.js:158 — NOT
+    * date-partitioned, unlike the entity tables, so it writes as a
+    * whole-table overwrite via [[dumpSpecVersions]]). One struct-argmin
+    * aggregation; the result is exactly the dimension
+    * [[graft.decode.TraceDecode.withSpecVersion]] broadcasts for as-of
+    * decode dispatch. */
+  def specVersions(raw: DataFrame): DataFrame =
+    raw.filter(col("finalized"))
+      .groupBy(col("chain_id"), col("spec_version"))
+      .agg(min(struct(col("number"), col("hash"), col("block_time")))
+        .as("f"))
+      .select(col("chain_id"), col("spec_version"),
+        col("f.number").as("block_number"),
+        col("f.hash").as("block_hash"),
+        col("f.block_time").as("block_time"))
+
+  /** Write the specversions dimension (whole-table overwrite — the
+    * dimension is tiny and cumulative, ref substrateetl.js:148). */
+  def dumpSpecVersions(raw: DataFrame, outRoot: String): DataFrame = {
+    val dim = specVersions(raw)
+    dim.write.mode("overwrite").parquet(s"$outRoot/specversions")
+    dim
+  }
+
   /** Flat event grain shared by the events/rewards/crowdloan
     * projections: one row per event with block + extrinsic identity
     * and the raw `event_idx` ordering [[Rewards]] windows over. */

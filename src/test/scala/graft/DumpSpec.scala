@@ -266,6 +266,30 @@ class DumpSpec extends AnyFunSuite {
       .longValueExact == 777L)
   }
 
+  test("specversions dimension: first finalized block per spec, feeds " +
+      "the as-of dispatch") {
+    val dim = Dump.specVersions(raw)
+      .orderBy("chain_id", "spec_version").collect()
+    // chain 0 spec 100 first seen at block 100 (fork excluded by the
+    // finalized filter); chain 2000 spec 52 at block 7
+    assert(dim.map(r => (r.getAs[Int]("chain_id"),
+      r.getAs[Int]("spec_version"), r.getAs[Long]("block_number"),
+      r.getAs[String]("block_hash"))).toSeq ==
+      Seq((0, 100, 100L, "0xb100"), (2000, 52, 7L, "0xk7")))
+    // the dimension drives the as-of selection
+    import spark.implicits._
+    val resolved = graft.decode.TraceDecode.withSpecVersion(
+      Seq(100L, 101L).toDF("block_number"),
+      Dump.specVersions(raw).filter(col("chain_id") === 0))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(resolved == Map(100L -> 100, 101L -> 100))
+    // whole-table overwrite writer round-trips
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_specv").toString
+    Dump.dumpSpecVersions(raw, root)
+    assert(spark.read.parquet(s"$root/specversions").count() == 2)
+  }
+
   test("idempotent partition overwrite: re-dump day 1, then dump day 2") {
     Dump.dumpDay(raw, "2024-03-01", outRoot) // replay same day
     Dump.dumpDay(raw, "2024-03-02", outRoot)
