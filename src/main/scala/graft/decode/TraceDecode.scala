@@ -182,6 +182,45 @@ object TraceDecode {
           substring(col("k"), lit(67) + col("hash_chars"),
             col("key_bytes") * 2)))
 
+  /** balances entity projection (ref schema/substrateetl/balances.json;
+    * substrateetl.js:6699-6754 balance decode): System.Account trace
+    * rows become one balance row per account touch — the address
+    * recovered from the blake2_128concat storage key (pure substring
+    * arithmetic after the broadcast dim join), the AccountInfo value
+    * decoded per row (nonce + free/reserved/frozen u128s), raw amounts
+    * kept exact as DECIMAL(38,0) next to the `decimals`-scaled double
+    * (the reference's free_raw/free pairing). Undecodable values
+    * quarantine out, like every decode tier here. */
+  def balances(traces: DataFrame, dim: DataFrame, decimals: Int = 10,
+      ss58Network: Int = 42): DataFrame = {
+    graft.functions.Udfs.register(traces.sparkSession)
+    val ai = udf((hex: String) => {
+      try {
+        val i = BlockDecode.decodeAccountInfo(hex)
+        Some((i.nonce, i.free.toString, i.reserved.toString,
+          i.frozen.toString))
+      } catch { case _: Exception => None }
+    })
+    val scale = math.pow(10, decimals)
+    extractKeyComponents(traces, dim)
+      .filter(lower(col("section")) === "system" &&
+        lower(col("storage")) === "account" && col("raw_key").isNotNull)
+      .withColumn("ai", ai(col("v")))
+      .filter(col("ai").isNotNull)
+      .withColumn("address_pubkey", lower(col("raw_key")))
+      .withColumn("address_ss58",
+        expr(s"ss58_encode(address_pubkey, $ss58Network)"))
+      .withColumn("nonce", col("ai._1"))
+      .withColumn("free_raw", col("ai._2").cast("decimal(38,0)"))
+      .withColumn("reserved_raw", col("ai._3").cast("decimal(38,0)"))
+      .withColumn("frozen_raw", col("ai._4").cast("decimal(38,0)"))
+      .withColumn("free", col("free_raw").cast("double") / scale)
+      .withColumn("reserved", col("reserved_raw").cast("double") / scale)
+      .withColumn("frozen", col("frozen_raw").cast("double") / scale)
+      .drop("ai", "prefix", "hasher", "hash_chars", "key_bytes",
+        "raw_key")
+  }
+
   /** As-of spec-version selection: latest spec with
     * `spec.block_number <= block.block_number`
     * (ref substrateetl.js:6290).

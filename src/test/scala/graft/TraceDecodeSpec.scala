@@ -89,6 +89,47 @@ class TraceDecodeSpec extends AnyFunSuite {
       (null, null, null)))
   }
 
+  test("balances projection: address from key, AccountInfo from value") {
+    val dim = TraceDecode.keyedPrefixDim(spark, Seq(
+      ("System", "Account", "blake2_128concat", 32)))
+    def pfx(sec: String, sto: String) = Codec.bytesToHex(
+      Codec.twox128(sec.getBytes) ++ Codec.twox128(sto.getBytes),
+      prefix = false)
+    val alice = Codec.hexToBytes(
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d")
+    val key = "0x" + pfx("System", "Account") +
+      Codec.bytesToHex(Codec.blake2b(alice, 16), prefix = false) +
+      Codec.bytesToHex(alice, prefix = false)
+    // AccountInfo wire value: nonce=5, refcounts, free=10^10 (1.0 at
+    // 10 dp), reserved=25, frozen=0 — u32/u128 little-endian
+    def u32le(v: Long) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def u128le(v: BigInt) = {
+      val le = v.toByteArray.dropWhile(_ == 0).reverse
+      le ++ Array.fill[Byte](16 - le.length)(0)
+    }
+    val value = Codec.bytesToHex(
+      u32le(5) ++ u32le(1) ++ u32le(1) ++ u32le(0) ++
+        u128le(BigInt(10).pow(10)) ++ u128le(BigInt(25)) ++
+        u128le(BigInt(0)))
+    val traces = Seq(
+      (key, value),
+      (key, "0xdead")) // truncated value → quarantined
+      .toDF("k", "v")
+    val out = TraceDecode.balances(traces, dim).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[String]("address_ss58") ==
+      "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
+    assert(r.getAs[Long]("nonce") == 5L)
+    assert(r.getAs[java.math.BigDecimal]("free_raw").longValueExact ==
+      10000000000L)
+    assert(r.getAs[Double]("free") == 1.0)
+    assert(r.getAs[java.math.BigDecimal]("reserved_raw")
+      .longValueExact == 25L)
+    assert(r.getAs[Double]("frozen") == 0.0)
+  }
+
   test("metadata-driven key dim: multi-key offsets, one-way, rest-of-key") {
     import graft.decode.MetadataV14.ParsedMetadata
     import graft.decode.MetaDecode._
