@@ -243,7 +243,48 @@ object Bench {
       (-1, short, true, 1))
       .map { case (dec, sf, pk, mk) => render(dec, sf, pk, mk) }
       .find(_.length <= 1900)
-      .getOrElse(render(-1, short, prefixKeys = true, marker = 2))
+      .getOrElse {
+        val full = render(-1, short, prefixKeys = true, marker = 2)
+        if (full.length <= 1900) full
+        else renderTopK(results, total, short)
+      }
+  }
+
+  /** Final compression rung once even adaptive-precision prefix keys
+    * overflow the 2000-byte stdout tail: keep the SLOWEST entries that
+    * fit (a regressed query is by definition slow, so everything the
+    * trend guard could flag survives; what drops is the fastest tail,
+    * the least regression-relevant lines) plus the canary queries
+    * unconditionally — [[BenchTrend]]'s host-factor normalization
+    * needs them present in every round's file. `"dropped":N` records
+    * the truncation so a human never reads the map as complete. */
+  private def renderTopK(results: Seq[(String, Double)], total: Double,
+      sf: String): String = {
+    def num(v: Double) = {
+      val d = if (math.abs(v) >= 100) 0 else if (math.abs(v) >= 10) 1
+        else 2
+      val s = String.format(java.util.Locale.ROOT, s"%.${d}f",
+        Double.box(v))
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    def key(k: String) = k.split('_')(0).replace("stage:", "s:")
+    val isCanary = (k: String) => BenchTrend.CanaryPrefixes.contains(key(k))
+    // canaries first, then slowest-first (throw sentinels -1 sort with
+    // the canaries: a thrown query must always surface)
+    val ordered = results.sortBy { case (k, v) =>
+      (if (isCanary(k) || v < 0) 0 else 1, -v)
+    }
+    def line(kept: Seq[(String, Double)], dropped: Int): String = {
+      val qs = kept.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sf","dropped":$dropped}"""
+    }
+    var n = ordered.length
+    while (n > 1 && line(ordered.take(n), ordered.length - n).length > 1900)
+      n -= 1
+    line(ordered.take(n), ordered.length - n)
   }
 }
 
