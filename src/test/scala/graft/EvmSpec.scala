@@ -710,6 +710,40 @@ class EvmSpec extends AnyFunSuite {
     assert(out("0xc3")._2 == Some(false)) // inconsistency surfaced
   }
 
+  test("ABI calldata: truncated/garbage inputs decode to nulls, never " +
+      "throw") {
+    import graft.decode.AbiDecode
+    val multicallAbi =
+      """{"type":"function","name":"multicall","inputs":[
+        {"name":"data","type":"bytes[]"}]}"""
+    val transferAbi =
+      """{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}"""
+    val good = "0xac9650d8" + tcWord(BigInt(0x20)) + tcWord(BigInt(0))
+    val txs = Seq(
+      ("0xok", good),
+      ("0xsel", "0xac9650d8"), // selector only, no body
+      ("0xhalf", "0xac9650d8" + "00" * 20), // truncated mid-word
+      ("0xjunk", "0xac9650d8" + "zz" * 32), // non-hex body
+      ("0xempty", ""),
+      ("0xnull", null.asInstanceOf[String]))
+      .toDF("transaction_hash", "input")
+    // must evaluate without throwing; matching-selector rows with
+    // malformed bodies yield null/empty decodes, not exceptions
+    val out = AbiDecode.decodeCalldata(txs, Seq(multicallAbi, transferAbi))
+      .select("transaction_hash", "method", "decoded_call")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(out("0xok") == ("multicall", """{"data":[]}"""))
+    assert(out("0xempty")._1 == null)
+    assert(out("0xnull")._1 == null)
+    // truncated bodies keep the method name (the selector matched) —
+    // the decode payload may be null or degenerate but never an error
+    assert(out("0xsel")._1 == "multicall")
+    assert(out("0xhalf")._1 == "multicall")
+    assert(out("0xjunk")._1 == "multicall")
+  }
+
   test("ABI calldata: duplicate selectors are rejected at compile time") {
     import graft.decode.AbiDecode
     val t1 = """{"type":"function","name":"transfer","inputs":[
