@@ -200,6 +200,29 @@ object Bench {
     * at ~950 bytes, and a "keys" marker says how to read it. Full names
     * with full precision stay on the bench_detail line.
     */
+  /** Adaptive number rendering shared by every contract rung (dec = -1
+    * → magnitude-scaled precision "0.12"/"9.8"/"123", trailing zeros
+    * trimmed — ~4-char width, scaling the line to ~180 entries where
+    * fixed 2-decimal tops out near 130). ONE copy: the formatting is
+    * contract-critical for round-over-round comparison. */
+  private def contractNum(dec: Int)(v: Double): String = {
+    val d = if (dec >= 0) dec
+      else if (math.abs(v) >= 100) 0
+      else if (math.abs(v) >= 10) 1
+      else 2
+    val s = String.format(java.util.Locale.ROOT, s"%.${d}f",
+      Double.box(v))
+    if (dec == -1 && s.contains('.'))
+      s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    else s
+  }
+
+  /** Tightest-rung key compression — first `_` segment with "stage:"
+    * → "s:" (BenchTrend.pfx and bench_diff normalize the same way;
+    * this MUST stay byte-identical to both). */
+  private def contractKey(k: String): String =
+    k.split('_')(0).replace("stage:", "s:")
+
   def renderContract(results: Seq[(String, Double)], total: Double,
                      sfDir: String): String = {
     // marker: 0 = full "query_name_prefix" note, 1 = short "prefix",
@@ -207,27 +230,10 @@ object Bench {
     // marker — it is documentation for a human reading the line)
     def render(dec: Int, sf: String, prefixKeys: Boolean,
         marker: Int = 0): String = {
-      // dec = -1 → adaptive: magnitude-scaled precision ("0.12", "9.8",
-      // "123") with trailing zeros trimmed ("0.1", not "0.10") —
-      // ~4-char value width, so the line scales to ~180 entries where
-      // fixed 2-decimal tops out near 130
-      def num(v: Double) = {
-        val d = if (dec >= 0) dec
-          else if (math.abs(v) >= 100) 0
-          else if (math.abs(v) >= 10) 1
-          else 2
-        val s = String.format(java.util.Locale.ROOT, s"%.${d}f",
-          Double.box(v))
-        if (dec == -1 && s.contains('.'))
-          s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-        else s
-      }
+      def num(v: Double) = contractNum(dec)(v)
       def key(k: String) =
         if (!prefixKeys) k
-        // the tightest rung also compresses the "stage:" keys
-        // (currently 12) to "s:" (bench_diff/BenchTrend
-        // prefix-normalize both spellings)
-        else if (marker == 2) k.split('_')(0).replace("stage:", "s:")
+        else if (marker == 2) contractKey(k)
         else k.split('_')(0)
       val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + num(v) }
         .mkString("{", ",", "}")
@@ -260,16 +266,8 @@ object Bench {
     * the truncation so a human never reads the map as complete. */
   private def renderTopK(results: Seq[(String, Double)], total: Double,
       sf: String): String = {
-    def num(v: Double) = {
-      val d = if (math.abs(v) >= 100) 0 else if (math.abs(v) >= 10) 1
-        else 2
-      val s = String.format(java.util.Locale.ROOT, s"%.${d}f",
-        Double.box(v))
-      if (s.contains('.'))
-        s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-      else s
-    }
-    def key(k: String) = k.split('_')(0).replace("stage:", "s:")
+    val num = contractNum(-1) _
+    val key = contractKey _
     val isCanary = (k: String) => BenchTrend.CanaryPrefixes.contains(key(k))
     // canaries first, then slowest-first (throw sentinels -1 sort with
     // the canaries: a thrown query must always surface)

@@ -410,15 +410,18 @@ object AbiDecode {
   def registryFrame(spark: org.apache.spark.sql.SparkSession,
       abiJsons: Seq[String]): DataFrame = {
     import spark.implicits._
-    abiJsons.map { json =>
-      val kind = mapper.readTree(json).path("type").asText("function")
-      kind match {
+    abiJsons.flatMap { json =>
+      // full contract ABIs carry constructor/fallback/receive/error
+      // entries too — only functions and events have a fingerprint,
+      // the rest are skipped like the reference's call/evt convention
+      mapper.readTree(json).path("type").asText("function") match {
         case "event" =>
           val e = parseEvent(json)
-          (topic0(e), "evt", e.name, signature(e), json)
-        case _ =>
+          Some((topic0(e), "evt", e.name, signature(e), json))
+        case "function" =>
           val f = parseFunction(json)
-          (selectorOf(f), "call", f.name, signature(f), json)
+          Some((selectorOf(f), "call", f.name, signature(f), json))
+        case _ => None
       }
     }.toDF("fingerprint", "kind", "name", "signature", "abi")
   }

@@ -271,9 +271,13 @@ object EvmDecode {
   }
 
   private val createAddressUdf = udf(
-    new org.apache.spark.sql.api.java.UDF2[String, Long, String] {
-      override def call(from: String, nonce: Long): String =
-        if (from == null) null else createAddress(from, nonce)
+    // boxed Long: a null nonce must propagate to a null address, not
+    // silently unbox to 0 and derive the plausible nonce-0 address
+    new org.apache.spark.sql.api.java.UDF2[String, java.lang.Long,
+        String] {
+      override def call(from: String, nonce: java.lang.Long): String =
+        if (from == null || nonce == null) null
+        else createAddress(from, nonce)
     }, org.apache.spark.sql.types.DataTypes.StringType)
 
   /** Contract creations from a tx frame: a creation is a tx with no

@@ -237,11 +237,40 @@ object Dump {
   def crowdloan(raw: DataFrame, logDT: String): DataFrame =
     crowdloanOf(dayBlocks(raw, logDT), logDT)
 
+  /** system.remark texts per extrinsic, in call-flatten order — the
+    * remark feed for the crowdloan pairing (ref indexer.js:4043-4055).
+    * Suppression is DISABLED here: system:remark is noise for the
+    * calls table but the payload of the remark-contribution branch. */
+  private def remarksOf(day: DataFrame): DataFrame = {
+    val spark = day.sparkSession
+    import spark.implicits._
+    day
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("hash").as("block_hash"), explode(col("extrinsics")).as("ex"))
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("block_hash"), col("ex.idx").as("ext_idx"),
+        col("ex.hash").as("extrinsic_hash"), col("ex.params"))
+      .as[(Int, Long, java.sql.Timestamp, String, Int, String, String)]
+      .flatMap { case (cid, bn, bt, bh, ei, eh, params) =>
+        CallFlatten.flatten(params, None, suppressed = Set.empty)
+          .zipWithIndex.collect {
+            case (fc, i) if fc.call_section == "system" &&
+                fc.call_method == "remark" =>
+              (cid, bn, bt, bh, ei, eh, i, fc.call_args)
+          }
+      }.toDF("chain_id", "number", "block_time", "block_hash",
+        "ext_idx", "extrinsic_hash", "remark_idx", "call_args")
+      .withColumn("remark", coalesce(
+        get_json_object(col("call_args"), "$.remark"), col("call_args")))
+      .drop("call_args")
+  }
+
   private def crowdloanOf(day: DataFrame, logDT: String): DataFrame =
     // block/extrinsic context columns ride the groupBy as keys — they
     // are functionally dependent on (chain_id, number, ext_idx)
     Rewards.crowdloanRows(eventGrain(day),
-        grainKeys ++ Seq("block_time", "block_hash", "extrinsic_hash"))
+        grainKeys ++ Seq("block_time", "block_hash", "extrinsic_hash"),
+        remarks = Some(remarksOf(day)))
       .select(
         col("chain_id"),
         concat(col("number"), lit("-"), col("ext_idx"), lit("-"),

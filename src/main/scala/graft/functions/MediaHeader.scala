@@ -82,11 +82,13 @@ object MediaHeader {
 
   final case class AudioInfo(format: String, sampleRate: Int,
       channels: Int, bitsPerSample: Int, dataBytes: Long) {
-    /** Seconds of audio the data chunk holds. */
+    /** Seconds of audio the data chunk holds — computed in bits so
+      * sub-byte sample widths (4-bit ADPCM) divide correctly instead
+      * of hitting an integer-division zero. */
     def durationSec: Double =
       if (sampleRate <= 0 || channels <= 0 || bitsPerSample <= 0) 0.0
-      else dataBytes.toDouble /
-        (sampleRate.toLong * channels * (bitsPerSample / 8))
+      else (dataBytes.toDouble * 8) /
+        (sampleRate.toDouble * channels * bitsPerSample)
   }
 
   private def u32le(b: Array[Byte], i: Int): Long =
@@ -100,26 +102,33 @@ object MediaHeader {
     * in a header-only read — corpus metadata needs the size, not the
     * samples). Both chunks must appear or the parse returns None. */
   def parseWav(b: Array[Byte]): Option[AudioInfo] = {
-    def cc(i: Int, s: String): Boolean =
-      i + 4 <= b.length && s.indices.forall(k => b(i + k) == s(k).toByte)
+    def cc(i: Long, s: String): Boolean =
+      i >= 0 && i + 4 <= b.length &&
+        s.indices.forall(k => b(i.toInt + k) == s(k).toByte)
     if (b.length < 12 || !cc(0, "RIFF") || !cc(8, "WAVE")) return None
-    var i = 12
+    // Long offsets: a hostile u32 chunk size must not overflow Int and
+    // walk backwards — it just runs the cursor past the buffer and
+    // terminates the loop
+    var i = 12L
     var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
     var dataBytes: Option[Long] = None
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes.isEmpty)) {
-      val size = u32le(b, i + 4)
+      val size = u32le(b, i.toInt + 4)
       if (cc(i, "fmt ")) {
-        if (i + 8 + 16 > b.length) return None
-        val ch = u16le(b, i + 10)
-        val rate = u32le(b, i + 12).toInt
-        val bits = u16le(b, i + 22)
+        // the declared chunk must actually HOLD the 16 PCM-format
+        // bytes — reading past a short fmt chunk would take
+        // channels/rate/bits from the next chunk's header
+        if (size < 16 || i + 8 + 16 > b.length) return None
+        val p = i.toInt
+        val ch = u16le(b, p + 10)
+        val rate = u32le(b, p + 12).toInt
+        val bits = u16le(b, p + 22)
         fmt = Some((ch, rate, bits))
       } else if (cc(i, "data")) {
         dataBytes = Some(size)
       }
       // chunks pad to even length per RIFF
-      i += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || size > Int.MaxValue) return None
+      i += 8L + size + (size & 1L)
     }
     for ((ch, rate, bits) <- fmt; d <- dataBytes
         if ch > 0 && rate > 0 && bits > 0)
@@ -141,27 +150,35 @@ object MediaHeader {
   def parseMp4(b: Array[Byte]): Option[VideoInfo] = {
     def cc(i: Int, s: String): Boolean =
       i + 4 <= b.length && s.indices.forall(k => b(i + k) == s(k).toByte)
+    // Long cursor: a hostile u32 box size must not overflow Int into a
+    // backwards step (that loops forever) — it walks past `to` and
+    // terminates
     def walk(from: Int, to: Int, name: String): Option[Int] = {
-      var i = from
+      var i = from.toLong
       while (i + 8 <= to) {
-        val size = u32be(b, i)
+        val size = u32be(b, i.toInt)
         if (size < 8) return None
-        if (cc(i + 4, name)) return Some(i)
-        i += size.toInt
+        if (cc(i.toInt + 4, name)) return Some(i.toInt)
+        i += size
       }
       None
     }
     if (b.length < 12 || !cc(4, "ftyp")) return None
     for {
       moov <- walk(0, b.length, "moov")
-      moovEnd = math.min(b.length, moov + u32be(b, moov).toInt)
+      moovEnd = math.min(b.length.toLong,
+        moov + u32be(b, moov)).toInt
       mvhd <- walk(moov + 8, moovEnd, "mvhd")
+      // every mvhd field read below must sit inside the buffer — a
+      // truncated header-only blob quarantines, it doesn't throw
+      if mvhd + 8 + 20 <= b.length
       if b(mvhd + 8) == 0 // version 0 only
       trak <- walk(moov + 8, moovEnd, "trak")
-      trakEnd = math.min(moovEnd, trak + u32be(b, trak).toInt)
+      trakEnd = math.min(moovEnd.toLong,
+        trak + u32be(b, trak)).toInt
       tkhd <- walk(trak + 8, trakEnd, "tkhd")
-      if b(tkhd + 8) == 0
       if tkhd + 92 <= b.length
+      if b(tkhd + 8) == 0
     } yield {
       val timescale = u32be(b, mvhd + 8 + 12)
       val duration = u32be(b, mvhd + 8 + 16)

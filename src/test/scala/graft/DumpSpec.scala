@@ -157,8 +157,11 @@ class DumpSpec extends AnyFunSuite {
         RawExtrinsic(0, "0xe7", "staking", "payoutStakers",
           """{"section":"staking","method":"payoutStakers"}""",
           signed = true, alice, 0.3, payoutEvents, Nil),
-        RawExtrinsic(1, "0xe8", "crowdloan", "contribute",
-          """{"section":"crowdloan","method":"contribute"}""",
+        RawExtrinsic(1, "0xe8", "utility", "batch",
+          """{"section":"utility","method":"batch","args":{},
+            |"calls":[{"section":"crowdloan","method":"contribute","args":{}},
+            |  {"section":"system","method":"remark","args":{"remark":"0x6d32"}}]}"""
+            .stripMargin,
           signed = true, bob, 0.2, crowdloanEvents, Nil)),
       logs = Nil)).toDF()
 
@@ -184,9 +187,14 @@ class DumpSpec extends AnyFunSuite {
     assert(c(0).getAs[Long]("para_id") == 2000L &&
       c(0).getAs[java.math.BigDecimal]("amount_raw").longValueExact == 999L &&
       c(0).getAs[String]("memo") == "0x6d31")
+    // the memo-carrying pair never takes a remark
+    assert(c(0).getAs[String]("remark") == null)
     assert(c(1).getAs[Long]("para_id") == 2001L &&
       c(1).getAs[java.math.BigDecimal]("amount_raw").longValueExact == 888L &&
       c(1).getAs[String]("memo") == null)
+    // the memo-LESS pair takes the extrinsic's system.remark call text
+    // positionally (production wiring through Dump.remarksOf)
+    assert(c(1).getAs[String]("remark") == "0x6d32")
     assert(c(0).getAs[String]("account_ss58") ==
       "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
   }

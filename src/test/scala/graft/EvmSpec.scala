@@ -639,6 +639,25 @@ class EvmSpec extends AnyFunSuite {
     assert(!rows("0x0000000000000000000000010000000000000001"))
   }
 
+  test("contract creations: null nonce yields null address, not the " +
+      "nonce-0 derivation") {
+    val txs = Seq(
+      ("0xp1", None: Option[String],
+        "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0",
+        None: Option[Long], None: Option[String]),
+      ("0xp2", None: Option[String],
+        "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0",
+        Some(0L), None: Option[String]))
+      .toDF("transaction_hash", "to_address", "from_address", "nonce",
+        "contract_address")
+    val out = EvmDecode.contractCreations(txs)
+      .select("transaction_hash", "created_address").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("0xp1").isEmpty) // null nonce → no derivation
+    assert(out("0xp2").contains(
+      "0xcd234a471b72ba2f1ccf0a70fcaba648a5eecd8d"))
+  }
+
   test("ABI registry frame: selector/topic0 fingerprints per kind") {
     import graft.decode.AbiDecode
     val rows = AbiDecode.registryFrame(spark, Seq(
@@ -654,6 +673,14 @@ class EvmSpec extends AnyFunSuite {
       ("0xa9059cbb", "call", "transfer(address,uint256)"))
     assert(rows("Transfer") == (EvmDecode.TransferTopic, "evt",
       "Transfer(address,address,uint256)"))
+    // full contract ABIs carry constructor/fallback/receive entries —
+    // they have no fingerprint and must be skipped, not crash the build
+    val withCtor = graft.decode.AbiDecode.registryFrame(spark, Seq(
+      """{"type":"constructor","inputs":[]}""",
+      """{"type":"fallback"}""",
+      """{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}"""))
+    assert(withCtor.count() == 1)
   }
 
   test("contract creation: CREATE and CREATE2 address goldens") {

@@ -125,4 +125,36 @@ class MediaHeaderSpec extends AnyFunSuite {
     // no moov → None
     assert(MediaHeader.parseMp4(ok.take(16)).isEmpty)
   }
+
+  test("hostile container sizes terminate as None, never loop or throw") {
+    def u32be(v: Long) = Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u32le(v: Long) = u32be(v).reverse
+    // mp4 box size near u32-max used to overflow Int into a BACKWARDS
+    // step — an infinite loop on one adversarial blob
+    val evil = MultimodalOps.synthMp4(1L).take(16) ++
+      u32be(0xFFFFFFF0L) ++ "free".getBytes
+    assert(MediaHeader.parseMp4(evil).isEmpty)
+    // wav chunk size near Int.MaxValue used to overflow the cursor
+    // negative → ArrayIndexOutOfBounds
+    val evilWav = "RIFF".getBytes ++ u32le(100) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ u32le(0x7FFFFFF0L)
+    assert(MediaHeader.parseWav(evilWav).isEmpty)
+    // fmt chunk DECLARING fewer bytes than the 16 PCM fields → None,
+    // not format values read out of the next chunk
+    def u16le(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val shortFmt = "RIFF".getBytes ++ u32le(60) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ u32le(8) ++ u16le(1) ++ u16le(2) ++
+      u32le(44100) ++
+      "data".getBytes ++ u32le(4)
+    assert(MediaHeader.parseWav(shortFmt).isEmpty)
+    // truncated right after the mvhd box header → None, not AIOOBE
+    val mvhdShort = MultimodalOps.synthMp4(1L).take(16) ++
+      u32be(24) ++ "moov".getBytes ++ u32be(16) ++ "mvhd".getBytes
+    assert(MediaHeader.parseMp4(mvhdShort).isEmpty)
+    // sub-byte sample width divides in bits (4-bit ADPCM), not
+    // integer-zero bytes
+    val adpcm = MediaHeader.AudioInfo("wav", 8000, 1, 4, 4000)
+    assert(math.abs(adpcm.durationSec - 1.0) < 1e-12)
+  }
 }
