@@ -188,7 +188,13 @@ object Bench {
     "stage:pcadist_train" ->
       ((s, d) => operators.VectorOps.warmPcaDistributed(s, d)),
     "stage:lrdist_train" ->
-      ((s, d) => operators.TextOps.warmLrDistributed(s, d)))
+      ((s, d) => operators.TextOps.warmLrDistributed(s, d)),
+    // the reference's core daily workload: full 8-table dump over a
+    // synthesized nested raw day (round 10) — an ETL-path regression
+    // (lost filter pushdown, extra shuffle in a projection, a slow
+    // UDF) surfaces here instead of only in specs
+    "stage:dump_day" ->
+      ((s, d) => etl.Dump.warmDumpDay(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

@@ -332,6 +332,99 @@ object Dump {
     "rewards" -> rewardsOf(day, logDT),
     "crowdloan" -> crowdloanOf(day, logDT))
 
+  /** Bench stage: the reference's core daily workload — a full
+    * 8-table [[dumpDay]] (explode/flatten/window/write) over a nested
+    * raw day synthesized DETERMINISTICALLY from the events table
+    * (~events/3 extrinsics across events/15 blocks, with reward
+    * markers, crowdloan events, transfers and digest logs so every
+    * projection does real work incl. the ss58/asset UDFs and the era
+    * window). Measured round-over-round as `stage:dump_day` so an ETL
+    * regression (a lost pushed filter, a new shuffle in a projection)
+    * surfaces in the trend guard, not just in specs. */
+  def warmDumpDay(s: SparkSession, d: String): Unit = {
+    val ev = graft.Tables.events(s, d)
+    // ~15 events per block; the count is one cheap pre-job, NOT a
+    // global window
+    val blocks = math.max(1L, ev.count() / 15)
+    val pub = sha2(col("user_id").cast("string").cast("binary"), 256)
+    val evRow = ev.select(
+      (col("event_id") % blocks).as("number"),
+      (col("event_id") % 3).cast("int").as("ext_idx"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      pub.as("pub"))
+    val withEv = evRow
+      .withColumn("event_idx", (col("event_id") % 1000000).cast("int"))
+      .withColumn("section",
+        when(col("event_type") === "signup", "staking")
+          .when(col("event_type") === "purchase", "staking")
+          .when(col("event_type") === "click", "crowdloan")
+          .otherwise("system"))
+      .withColumn("method",
+        when(col("event_type") === "signup", "PayoutStarted")
+          .when(col("event_type") === "purchase", "Rewarded")
+          .when(col("event_type") === "click", "Contributed")
+          .otherwise("ExtrinsicSuccess"))
+      .withColumn("data",
+        when(col("event_type") === "signup",
+          format_string("""{"eraIndex":%d}""", col("event_id") % 7))
+          .when(col("event_type") === "purchase",
+            format_string("""{"stash":"0x%s","amount":%d}""",
+              col("pub"), col("event_id") % 50))
+          .when(col("event_type") === "click",
+            format_string("""{"who":"0x%s","fundIndex":%d,"amount":%d}""",
+              col("pub"), col("event_id") % 5, col("event_id") % 900))
+          .otherwise(lit("""{"weight":1}""")))
+    val perExtrinsic = withEv
+      .groupBy(col("number"), col("ext_idx"))
+      .agg(
+        sort_array(collect_list(struct(
+          col("event_idx"), col("section"), col("method"), col("data"))))
+          .as("events"),
+        // a transfer on ~every fifth extrinsic exercises the
+        // dedup/scaling/ss58 path
+        flatten(collect_list(
+          when(col("event_id") % 5 === 0, array(struct(
+            col("pub").as("from_pub"),
+            sha2(col("pub").cast("binary"), 256).as("to_pub"),
+            lit("DOT").as("asset"),
+            format_string("0x%x", col("event_id") * 1000000L)
+              .as("raw_amount_hex"),
+            lit(10).as("decimals"))))
+            .otherwise(array().cast(
+              "array<struct<from_pub:string,to_pub:string," +
+                "asset:string,raw_amount_hex:string,decimals:int>>"))))
+          .as("transfers"),
+        first(col("pub")).as("signer_pub"))
+      .withColumn("ex", struct(
+        col("ext_idx").as("idx"),
+        format_string("0xe%d_%d", col("number"), col("ext_idx"))
+          .as("hash"),
+        lit("balances").as("section"), lit("transfer").as("method"),
+        lit("""{"section":"balances","method":"transfer","args":{}}""")
+          .as("params"),
+        lit(true).as("signed"), col("signer_pub"),
+        lit(0.1).as("fee"), col("events"), col("transfers")))
+    val raw = perExtrinsic
+      .groupBy(col("number"))
+      .agg(sort_array(collect_list(col("ex"))).as("extrinsics"),
+        first(col("signer_pub")).as("author_pub"))
+      .select(
+        lit(0).as("chain_id"), col("number"),
+        format_string("0xb%d", col("number")).as("hash"),
+        format_string("0xb%d", col("number") - 1).as("parent_hash"),
+        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+            .getTime / 1000)
+          + pmod(col("number"), lit(86400L))).cast("timestamp")
+          .as("block_time"),
+        lit(100).as("spec_version"), col("author_pub"),
+        lit(true).as("finalized"), col("extrinsics"),
+        array(struct(lit("PreRuntime").as("log_type"),
+          lit("0xaa").as("value"))).as("logs"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_bench_dump").toString
+    dumpDay(raw, "2024-03-01", out): Unit
+  }
+
   /** Streaming twin of [[dumpDay]] — the ST end-to-end face: the SAME
     * day filter and eight projections applied to ONE micro-batch of raw
     * candidate blocks, APPENDED into the same date-partitioned layout.
