@@ -298,6 +298,13 @@ class DumpSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/specversions").count() == 2)
   }
 
+  test("bench stage synthesis feeds dumpDay without schema drift") {
+    // the stage:dump_day builder must keep producing the exact nested
+    // schema the eight projections expect — run it small so a drift
+    // fails here in seconds, not in the next bench round
+    Dump.warmDumpDay(spark, SparkTestBase.sf)
+  }
+
   test("idempotent partition overwrite: re-dump day 1, then dump day 2") {
     Dump.dumpDay(raw, "2024-03-01", outRoot) // replay same day
     Dump.dumpDay(raw, "2024-03-02", outRoot)
