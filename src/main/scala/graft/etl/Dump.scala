@@ -217,7 +217,16 @@ object Dump {
     rewardsOf(dayBlocks(raw, logDT), logDT)
 
   private def rewardsOf(day: DataFrame, logDT: String): DataFrame =
-    Rewards.rewardRows(eventGrain(day), grainKeys)
+    // prune BEFORE the double explode: most blocks carry no staking
+    // payout, and at fleet scale skipping them here means the explode
+    // never materializes their event rows (markers live in the same
+    // extrinsic as their rewards, so block-level pruning cannot lose
+    // an era attach)
+    Rewards.rewardRows(eventGrain(day.filter(expr(
+        """exists(extrinsics, x -> exists(x.events, e ->
+          |  (e.section = 'staking' AND e.method = 'Rewarded') OR
+          |  (e.section = 'dappsStaking' AND e.method = 'Reward')))"""
+          .stripMargin))), grainKeys)
       .select(
         col("chain_id"),
         concat(col("number"), lit("-"), col("ext_idx"), lit("-"),
@@ -267,8 +276,11 @@ object Dump {
 
   private def crowdloanOf(day: DataFrame, logDT: String): DataFrame =
     // block/extrinsic context columns ride the groupBy as keys — they
-    // are functionally dependent on (chain_id, number, ext_idx)
-    Rewards.crowdloanRows(eventGrain(day),
+    // are functionally dependent on (chain_id, number, ext_idx);
+    // crowdloan-less blocks prune before the explode like rewardsOf
+    Rewards.crowdloanRows(eventGrain(day.filter(expr(
+        "exists(extrinsics, x -> exists(x.events, " +
+          "e -> e.section = 'crowdloan'))"))),
         grainKeys ++ Seq("block_time", "block_hash", "extrinsic_hash"),
         remarks = Some(remarksOf(day)))
       .select(
