@@ -274,15 +274,18 @@ object Dump {
       .drop("call_args")
   }
 
-  private def crowdloanOf(day: DataFrame, logDT: String): DataFrame =
+  private def crowdloanOf(day: DataFrame, logDT: String): DataFrame = {
     // block/extrinsic context columns ride the groupBy as keys — they
     // are functionally dependent on (chain_id, number, ext_idx);
-    // crowdloan-less blocks prune before the explode like rewardsOf
-    Rewards.crowdloanRows(eventGrain(day.filter(expr(
-        "exists(extrinsics, x -> exists(x.events, " +
-          "e -> e.section = 'crowdloan'))"))),
+    // crowdloan-less blocks prune before BOTH the event explode and
+    // the remark call-flatten (remarks only ever join pairs, and pairs
+    // only exist in blocks that pass this filter)
+    val clDay = day.filter(expr(
+      "exists(extrinsics, x -> exists(x.events, " +
+        "e -> e.section = 'crowdloan'))"))
+    Rewards.crowdloanRows(eventGrain(clDay),
         grainKeys ++ Seq("block_time", "block_hash", "extrinsic_hash"),
-        remarks = Some(remarksOf(day)))
+        remarks = Some(remarksOf(clDay)))
       .select(
         col("chain_id"),
         concat(col("number"), lit("-"), col("ext_idx"), lit("-"),
@@ -295,6 +298,7 @@ object Dump {
         col("fund_id").as("para_id"), col("amount_raw"), col("memo"),
         col("remark"),
         lit(logDT).as("log_dt"))
+  }
 
   /** logs projection: digest-log posexplode with log ids (P8,
     * ref substrateetl.js:6462-6473). */
@@ -353,7 +357,7 @@ object Dump {
     * window). Measured round-over-round as `stage:dump_day` so an ETL
     * regression (a lost pushed filter, a new shuffle in a projection)
     * surfaces in the trend guard, not just in specs. */
-  def warmDumpDay(s: SparkSession, d: String): Unit = {
+  def warmDumpDay(s: SparkSession, d: String): Map[String, Long] = {
     val ev = graft.Tables.events(s, d)
     // ~15 events per block; the count is one cheap pre-job, NOT a
     // global window
@@ -394,7 +398,7 @@ object Dump {
           .as("events"),
         // a transfer on ~every fifth extrinsic exercises the
         // dedup/scaling/ss58 path
-        flatten(collect_list(
+        sort_array(flatten(collect_list(
           when(col("event_id") % 5 === 0, array(struct(
             col("pub").as("from_pub"),
             sha2(col("pub").cast("binary"), 256).as("to_pub"),
@@ -404,9 +408,9 @@ object Dump {
             lit(10).as("decimals"))))
             .otherwise(array().cast(
               "array<struct<from_pub:string,to_pub:string," +
-                "asset:string,raw_amount_hex:string,decimals:int>>"))))
+                "asset:string,raw_amount_hex:string,decimals:int>>")))))
           .as("transfers"),
-        first(col("pub")).as("signer_pub"))
+        min(col("pub")).as("signer_pub")) // min, not first: deterministic
       .withColumn("ex", struct(
         col("ext_idx").as("idx"),
         format_string("0xe%d_%d", col("number"), col("ext_idx"))
@@ -419,13 +423,16 @@ object Dump {
     val raw = perExtrinsic
       .groupBy(col("number"))
       .agg(sort_array(collect_list(col("ex"))).as("extrinsics"),
-        first(col("signer_pub")).as("author_pub"))
+        min(col("signer_pub")).as("author_pub"))
       .select(
         lit(0).as("chain_id"), col("number"),
         format_string("0xb%d", col("number")).as("hash"),
         format_string("0xb%d", col("number") - 1).as("parent_hash"),
-        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
-            .getTime / 1000)
+        // FIXED UTC epoch (2024-03-01T00:00:00Z): Timestamp.valueOf
+        // reads the JVM default timezone, which on a UTC+N host would
+        // shift the whole synthesized day to 2024-02-29 and silently
+        // empty the stage behind the UTC session day filter
+        (lit(1709251200L)
           + pmod(col("number"), lit(86400L))).cast("timestamp")
           .as("block_time"),
         lit(100).as("spec_version"), col("author_pub"),
@@ -434,7 +441,19 @@ object Dump {
           lit("0xaa").as("value"))).as("logs"))
     val out = java.nio.file.Files
       .createTempDirectory("graft_bench_dump").toString
-    dumpDay(raw, "2024-03-01", out): Unit
+    try {
+      dumpDay(raw, "2024-03-01", out)
+      // read-back counts (tiny parquet reads): the caller can assert
+      // the synthesized day actually flowed — an empty dump must fail
+      // the smoke test, not "measure" a no-op
+      Seq("blocks", "rewards", "crowdloan").map(t =>
+        t -> s.read.parquet(s"$out/$t").count()).toMap
+    } finally {
+      // the stage leaves no disk residue behind on the bench host
+      val pth = new org.apache.hadoop.fs.Path(out)
+      pth.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(pth, true): Unit
+    }
   }
 
   /** Streaming twin of [[dumpDay]] — the ST end-to-end face: the SAME

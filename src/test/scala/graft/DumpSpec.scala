@@ -301,8 +301,13 @@ class DumpSpec extends AnyFunSuite {
   test("bench stage synthesis feeds dumpDay without schema drift") {
     // the stage:dump_day builder must keep producing the exact nested
     // schema the eight projections expect — run it small so a drift
-    // fails here in seconds, not in the next bench round
-    Dump.warmDumpDay(spark, SparkTestBase.sf)
+    // fails here in seconds, not in the next bench round. The counts
+    // must be NON-EMPTY: a day-filter misalignment (e.g. a timezone
+    // slip in the synthesized block_time) would otherwise "pass" by
+    // measuring an empty dump
+    val counts = Dump.warmDumpDay(spark, SparkTestBase.sf)
+    assert(counts("blocks") > 0 && counts("rewards") > 0 &&
+      counts("crowdloan") > 0, s"empty synthesized dump: $counts")
   }
 
   test("idempotent partition overwrite: re-dump day 1, then dump day 2") {
