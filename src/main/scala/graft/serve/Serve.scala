@@ -108,6 +108,49 @@ object Serve {
         col("m.direction").as("last_direction"),
         col("m.amount").as("last_amount"))
 
+  /** Account "rewards" group (ref api.js predefinedGroups, query.js
+    * getAccount → rewards): one account's era-attached payout history
+    * off the rewards entity table, lookback-bounded and
+    * reverse-chronological — the pubkey filter and the time bound both
+    * push to the parquet scan. `asOf` anchors the lookback explicitly
+    * (the serving layer's "now"), keeping the query deterministic. */
+  def accountRewards(rewards: DataFrame, pubkey: String,
+      asOf: java.sql.Timestamp, lookbackDays: Int = 180,
+      limit: Int = 1000): DataFrame =
+    rewards
+      .filter(col("account_pub_key") === pubkey &&
+        col("block_time") >= lit(asOf) -
+          expr(s"INTERVAL $lookbackDays DAYS"))
+      .orderBy(unix_micros(col("block_time")).desc, col("event_id").desc)
+      .limit(limit)
+
+  /** Account "crowdloans" group (ref api.js predefinedGroups): the
+    * account's contribution rows — amount, memo/remark pairing, fund —
+    * newest first. */
+  def accountCrowdloans(crowdloan: DataFrame, pubkey: String,
+      limit: Int = 1000): DataFrame =
+    crowdloan
+      .filter(col("account_pub_key") === pubkey)
+      .orderBy(unix_micros(col("block_time")).desc, col("event_id").desc)
+      .limit(limit)
+
+  /** Account "balances" group (ref api.js predefinedGroups; the
+    * reference reads current balances across chains): the LATEST
+    * balance row per chain for one account from the balances entity
+    * projection (TraceDecode.balances output + a block-order column) —
+    * struct-argmax per chain, no window. */
+  def accountBalances(balances: DataFrame, pubkey: String,
+      ordCol: String = "bn"): DataFrame =
+    balances
+      .filter(col("address_pubkey") === pubkey)
+      .groupBy(col("chain_id"))
+      .agg(max(struct(col(ordCol).as("ord"), col("free"),
+        col("reserved"), col("frozen"), col("nonce"))).as("m"))
+      .select(col("chain_id"), col("m.ord").as("as_of_ord"),
+        col("m.free").as("free"), col("m.reserved").as("reserved"),
+        col("m.frozen").as("frozen"), col("m.nonce").as("nonce"))
+      .orderBy(col("chain_id"))
+
   /** Related-accounts lookup with identity decoration (ref
     * query.js:3542 getRelated; the UI joins registrar identities onto
     * every related account): proxy edges in both directions + multisig

@@ -104,4 +104,34 @@ class ServeSpec extends AnyFunSuite {
       ("multisig_account", "0xms", null, false),
       ("multisig_comember", "0xcc", "cosigner", false)))
   }
+
+  test("accountRewards: lookback bound + reverse-chronological history") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rewards = Seq(
+      ("0xa", "1-0-1", ts("2024-03-01 10:00:00"), 123L, BigDecimal(700)),
+      ("0xa", "2-0-1", ts("2024-03-02 10:00:00"), 124L, BigDecimal(500)),
+      ("0xa", "9-0-1", ts("2023-01-01 10:00:00"), 50L, BigDecimal(9)),
+      ("0xb", "3-0-1", ts("2024-03-01 11:00:00"), 123L, BigDecimal(300)))
+      .toDF("account_pub_key", "event_id", "block_time", "era",
+        "amount_raw")
+    val out = Serve.accountRewards(rewards, "0xa",
+      ts("2024-03-10 00:00:00"), lookbackDays = 180).collect()
+    // the stale 2023 row falls outside the lookback; 0xb excluded
+    assert(out.map(_.getAs[String]("event_id")).toSeq ==
+      Seq("2-0-1", "1-0-1")) // newest first
+  }
+
+  test("accountBalances: latest row per chain via struct-argmax") {
+    val bal = Seq(
+      ("0xa", 0, 10L, 5L, 1.0, 0.1, 0.0),
+      ("0xa", 0, 20L, 6L, 2.0, 0.2, 0.0), // later block wins
+      ("0xa", 2, 7L, 1L, 9.0, 0.0, 0.5),
+      ("0xb", 0, 30L, 2L, 4.0, 0.0, 0.0))
+      .toDF("address_pubkey", "chain_id", "bn", "nonce", "free",
+        "reserved", "frozen")
+    val out = Serve.accountBalances(bal, "0xa").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getLong(5)))
+    assert(out.toSeq == Seq((0, 20L, 2.0, 6L), (2, 7L, 9.0, 1L)))
+  }
 }
