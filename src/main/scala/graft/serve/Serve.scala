@@ -57,6 +57,15 @@ object Serve {
     var df = events.filter(col("from_pub_key") === pubkey ||
       col("to_pub_key") === pubkey)
     chainFilter.foreach(cs => df = df.filter(col("chain_id").isin(cs: _*)))
+    pageDesc(df, pageSize, before)
+  }
+
+  /** The shared keyset page: composite-cursor predicate + full-sort-key
+    * descending order + limit, over any frame carrying
+    * (block_time, chain_id, extrinsic_id). */
+  private def pageDesc(df0: DataFrame, pageSize: Int,
+      before: Option[Cursor]): DataFrame = {
+    var df = df0
     before.foreach { c =>
       val ts = unix_micros(col("block_time"))
       val chain = col("chain_id")
@@ -68,6 +77,43 @@ object Serve {
     df.orderBy(unix_micros(col("block_time")).desc,
         col("chain_id").desc, extBn.desc, extIdx.desc)
       .limit(pageSize)
+  }
+
+  /** Account "feed" group (ref api.js predefinedGroups "feed"): ONE
+    * reverse-chronological timeline across transfers (both
+    * directions), staking rewards, and crowdloan contributions — each
+    * source normalized to (kind, chain_id, block_time, extrinsic_id,
+    * amount, detail) before the union, so the page rides the same
+    * composite keyset machinery as [[accountTimeline]]. Every source
+    * filter pushes its pubkey predicate to its own scan before the
+    * union — no post-union filtering. */
+  def accountFeed(transfers: DataFrame, rewards: DataFrame,
+      crowdloan: DataFrame, pubkey: String, pageSize: Int,
+      before: Option[Cursor] = None): DataFrame = {
+    val shape = Seq("kind", "chain_id", "block_time", "extrinsic_id",
+      "amount", "detail")
+    val out = transfers.filter(col("from_pub_key") === pubkey)
+      .select(lit("transfer_out").as("kind"), col("chain_id"),
+        col("block_time"), col("extrinsic_id"), col("amount"),
+        col("asset").as("detail"))
+    val in = transfers.filter(col("to_pub_key") === pubkey)
+      .select(lit("transfer_in").as("kind"), col("chain_id"),
+        col("block_time"), col("extrinsic_id"), col("amount"),
+        col("asset").as("detail"))
+    val rw = rewards.filter(col("account_pub_key") === pubkey)
+      .select(lit("reward").as("kind"), col("chain_id"),
+        col("block_time"), col("extrinsic_id"),
+        col("amount_raw").cast("double").as("amount"),
+        concat(lit("era:"), col("era")).as("detail"))
+    val cl = crowdloan.filter(col("account_pub_key") === pubkey)
+      .select(lit("crowdloan").as("kind"), col("chain_id"),
+        col("block_time"), col("extrinsic_id"),
+        col("amount_raw").cast("double").as("amount"),
+        concat(lit("fund:"), col("para_id")).as("detail"))
+    pageDesc(
+      out.unionByName(in).unionByName(rw).unionByName(cl)
+        .select(shape.map(col): _*),
+      pageSize, before)
   }
 
   /** Q3 — batched multi-account lookup (ref query.js:3666). */

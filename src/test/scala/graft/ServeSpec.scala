@@ -121,6 +121,40 @@ class ServeSpec extends AnyFunSuite {
       Seq("2-0-1", "1-0-1")) // newest first
   }
 
+  test("accountFeed: cross-entity timeline, newest first, keyset page") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val transfers = Seq(
+      ("0xa", "0xz", 0, ts("2024-03-01 10:00:00"), "5-1", 1.5, "DOT~0"),
+      ("0xz", "0xa", 0, ts("2024-03-01 12:00:00"), "7-0", 2.5, "DOT~0"),
+      ("0xz", "0xq", 0, ts("2024-03-01 13:00:00"), "8-0", 9.9, "DOT~0"))
+      .toDF("from_pub_key", "to_pub_key", "chain_id", "block_time",
+        "extrinsic_id", "amount", "asset")
+    val rewards = Seq(
+      ("0xa", 0, ts("2024-03-01 11:00:00"), "6-0", BigDecimal(700), 123L))
+      .toDF("account_pub_key", "chain_id", "block_time", "extrinsic_id",
+        "amount_raw", "era")
+    val crowdloan = Seq(
+      ("0xa", 1, ts("2024-03-01 11:30:00"), "6-1", BigDecimal(888), 2024L))
+      .toDF("account_pub_key", "chain_id", "block_time", "extrinsic_id",
+        "amount_raw", "para_id")
+    val page1 = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
+      pageSize = 3).collect()
+    assert(page1.map(r => (r.getAs[String]("kind"),
+      r.getAs[String]("extrinsic_id"))).toSeq == Seq(
+      ("transfer_in", "7-0"), ("crowdloan", "6-1"), ("reward", "6-0")))
+    // page 2 resumes from page 1's last row via the composite cursor
+    val last = page1.last
+    val page2 = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
+      pageSize = 3, before = Some(Serve.Cursor(
+        java.time.Instant.ofEpochMilli(
+          last.getAs[java.sql.Timestamp]("block_time").getTime)
+          .toEpochMilli * 1000L,
+        last.getAs[Int]("chain_id"),
+        last.getAs[String]("extrinsic_id")))).collect()
+    assert(page2.map(_.getAs[String]("kind")).toSeq ==
+      Seq("transfer_out")) // the stranger's 8-0 transfer never appears
+  }
+
   test("accountBalances: latest row per chain via struct-argmax") {
     val bal = Seq(
       ("0xa", 0, 10L, 5L, 1.0, 0.1, 0.0),
