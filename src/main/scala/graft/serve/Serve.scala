@@ -197,6 +197,23 @@ object Serve {
         col("m.frozen").as("frozen"), col("m.nonce").as("nonce"))
       .orderBy(col("chain_id"))
 
+  /** Account "ss58h160" group (ref api.js predefinedGroups): every
+    * representation of one account — the raw pubkey, its SS58 render
+    * on the given networks, and the truncated H160 an AccountId20
+    * chain sees (ref paraTool.js:517 pubkey_to_evm_ss58) — as one
+    * dimension row per network, computed entirely by the registered
+    * codec UDFs (no data scan at all). */
+  def addressForms(spark: org.apache.spark.sql.SparkSession,
+      pubkey: String, networks: Seq[Int] = Seq(0, 2, 42)): DataFrame = {
+    graft.functions.Udfs.register(spark)
+    import spark.implicits._
+    networks.toDF("network")
+      .withColumn("pubkey", lit(pubkey))
+      .withColumn("ss58", expr("ss58_encode(pubkey, network)"))
+      .withColumn("h160", expr("pubkey_to_h160(pubkey)"))
+      .orderBy(col("network"))
+  }
+
   /** Related-accounts lookup with identity decoration (ref
     * query.js:3542 getRelated; the UI joins registrar identities onto
     * every related account): proxy edges in both directions + multisig

@@ -155,6 +155,19 @@ class ServeSpec extends AnyFunSuite {
       Seq("transfer_out")) // the stranger's 8-0 transfer never appears
   }
 
+  test("addressForms: ss58 renders per network + the H160 truncation") {
+    val alice =
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+    val out = Serve.addressForms(spark, alice).collect()
+      .map(r => r.getAs[Int]("network") ->
+        (r.getAs[String]("ss58"), r.getAs[String]("h160"))).toMap
+    assert(out(42)._1 ==
+      "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
+    assert(out(0)._1.startsWith("1")) // polkadot network prefix
+    assert(out(42)._2 == "0x" + alice.take(40)) // H160 = first 20 bytes
+    assert(out.keySet == Set(0, 2, 42))
+  }
+
   test("accountBalances: latest row per chain via struct-argmax") {
     val bal = Seq(
       ("0xa", 0, 10L, 5L, 1.0, 0.1, 0.0),
