@@ -379,9 +379,112 @@ object KeyOps {
       | FROM events WHERE event_id < 2000 AND event_id % 2 = 1)
       |ORDER BY event_id, component_idx""".stripMargin
 
+  // K9 — the BALANCES entity projection under the oracle gate
+  // (TraceDecode.balances — P10, ref substrateetl.js:6699): wire-format
+  // System.Account rows are synthesized with the real twox128 prefix
+  // literal, a positional filler hash, and little-endian AccountInfo
+  // values built by byte-arithmetic format_strings; the REAL operator
+  // (prefix join + key slice + per-row AccountInfo decode) parses them
+  // back and the DuckDB twin recomputes every output column from the
+  // same doc-id formulas — a wrong endianness, offset, or scale is a
+  // hash mismatch. account_ss58 (blake2-based, not DuckDB-computable)
+  // is deliberately excluded; CodecSpec goldens own it.
+  private def leU32(c: org.apache.spark.sql.Column) =
+    format_string("%02x%02x%02x%02x",
+      c % 256, (c.cast("long") / 256).cast("long") % 256,
+      (c.cast("long") / 65536).cast("long") % 256,
+      (c.cast("long") / 16777216).cast("long") % 256)
+  private def leU128Small(c: org.apache.spark.sql.Column) =
+    concat(leU32(c), lit("0" * 24)) // values < 2^31: low word + zeros
+
+  private def k9(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.decode.TraceDecode.keyedPrefixDim(s, Seq(
+      ("System", "Account", "blake2_128concat", 32)))
+    val nonce = col("event_id") % 1000
+    val free = col("event_id") % 100000 * 7 + 1
+    val reserved = col("event_id") % 500
+    val traces = Tables.events(s, d)
+      .filter(col("event_id") < 1500)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("k",
+        concat(lit("0x" + k7Pfx("System", "Account")),
+          lit("ab" * 16), // filler hash — the slice is positional
+          repeat(format_string("%02x", col("user_id") % 256), 32)))
+      .withColumn("v",
+        concat(lit("0x"), leU32(nonce),
+          lit("01000000" + "01000000" + "00000000"), // refcounts
+          leU128Small(free), leU128Small(reserved),
+          leU128Small(lit(0))))
+    graft.decode.TraceDecode.balances(traces, dim, decimals = 10)
+      .select(col("event_id"), col("address_pubkey"),
+        col("nonce"),
+        col("free_raw").cast("long").as("free_raw"),
+        col("reserved_raw").cast("long").as("reserved_raw"),
+        col("free"), col("reserved"), col("frozen"))
+      .orderBy(col("event_id"))
+  }
+
+  private val k9Sql =
+    """SELECT event_id,
+      | repeat(printf('%02x', user_id % 256), 32) AS address_pubkey,
+      | CAST(event_id % 1000 AS BIGINT) AS nonce,
+      | CAST(event_id % 100000 * 7 + 1 AS BIGINT) AS free_raw,
+      | CAST(event_id % 500 AS BIGINT) AS reserved_raw,
+      | CAST(event_id % 100000 * 7 + 1 AS DOUBLE) / 10000000000 AS free,
+      | CAST(event_id % 500 AS DOUBLE) / 10000000000 AS reserved,
+      | CAST(0.0 AS DOUBLE) AS frozen
+      |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin
+
+  // K10 — ABI function-CALLDATA decode under the oracle gate
+  // (AbiDecode.decodeCalldata — ref ethTool.js decodeTransactionInput):
+  // transfer(address,uint256) calldata is synthesized from md5-derived
+  // addresses (md5 is identical cross-engine) and %064x-encoded
+  // values; every third row carries an unknown selector the decoder
+  // must pass through with a null method. The DuckDB twin rebuilds the
+  // selector dispatch AND the decoded JSON text character-for-
+  // character, so the selector table, the address lowercasing, and the
+  // uint256 decimal render are all under the hash.
+  private def k10(s: SparkSession, d: String): DataFrame = {
+    val transferAbi =
+      """{"type":"function","name":"transfer","inputs":[
+        {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}"""
+    val addr40 = substring(concat(
+      md5(col("user_id").cast("string").cast("binary")),
+      md5(concat(col("user_id").cast("string"), lit("x"))
+        .cast("binary"))), 1, 40) // md5 is 32 chars; two halves -> 40
+    val value = col("event_id") % 1000000 + 1
+    val txs = Tables.events(s, d)
+      .filter(col("event_id") < 1500)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("input",
+        when(col("event_id") % 3 === 0,
+          concat(lit("0x12345678"), format_string("%064x", value)))
+          .otherwise(concat(lit("0xa9059cbb"), lit("0" * 24), addr40,
+            format_string("%064x", value))))
+    graft.decode.AbiDecode.decodeCalldata(txs, Seq(transferAbi))
+      .select(col("event_id"), col("selector"), col("method"),
+        col("decoded_call"))
+      .orderBy(col("event_id"))
+  }
+
+  private val k10Sql =
+    """SELECT event_id,
+      | CASE WHEN event_id % 3 = 0 THEN '0x12345678'
+      |  ELSE '0xa9059cbb' END AS selector,
+      | CASE WHEN event_id % 3 = 0 THEN NULL
+      |  ELSE 'transfer' END AS method,
+      | CASE WHEN event_id % 3 = 0 THEN NULL
+      |  ELSE '{"to":"0x' || substr(md5(CAST(user_id AS VARCHAR)) ||
+      |   md5(CAST(user_id AS VARCHAR) || 'x'), 1, 40)
+      |   || '","value":"' || CAST(event_id % 1000000 + 1 AS VARCHAR)
+      |   || '"}' END AS decoded_call
+      |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k7_storage_key_extract" -> (k7 _),
     "k8_metadata_key_extract" -> (k8 _),
+    "k9_balances_decode" -> (k9 _),
+    "k10_calldata_decode" -> (k10 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -393,6 +496,8 @@ object KeyOps {
   val oracles: Map[String, String] = Map(
     "k7_storage_key_extract" -> k7Sql,
     "k8_metadata_key_extract" -> k8Sql,
+    "k9_balances_decode" -> k9Sql,
+    "k10_calldata_decode" -> k10Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,
