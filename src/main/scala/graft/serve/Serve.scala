@@ -79,19 +79,36 @@ object Serve {
       .limit(pageSize)
   }
 
+  /** Feed cursor: the timeline sort key PLUS the source kind — rows
+    * from different sources legitimately share
+    * (block_time, chain_id, extrinsic_id) (a contribute extrinsic
+    * emits both a transfer row and a Contributed row; a self-transfer
+    * yields both directions), so the kind must be part of the full
+    * sort key or tied rows straddle page boundaries. */
+  case class FeedCursor(tsUs: Long, chainId: Int, extrinsicId: String,
+      kind: String) {
+    private val parts = extrinsicId.split("-")
+    require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+      s"malformed cursor extrinsic id '$extrinsicId'")
+    val bn: Long = parts(0).toLong
+    val idx: Long = parts(1).toLong
+  }
+
   /** Account "feed" group (ref api.js predefinedGroups "feed"): ONE
     * reverse-chronological timeline across transfers (both
     * directions), staking rewards, and crowdloan contributions — each
     * source normalized to (kind, chain_id, block_time, extrinsic_id,
-    * amount, detail) before the union, so the page rides the same
-    * composite keyset machinery as [[accountTimeline]]. Every source
-    * filter pushes its pubkey predicate to its own scan before the
-    * union — no post-union filtering. */
+    * amount, detail) before the union, keyset-paged on the FULL sort
+    * key (…, extrinsic idx, kind). Reward/crowdloan raw amounts scale
+    * by `decimals` so the amount column is one display unit across
+    * sources (this is a display face — exact raw amounts live on the
+    * entity tables). Every source filter pushes its pubkey predicate
+    * to its own scan before the union. */
   def accountFeed(transfers: DataFrame, rewards: DataFrame,
       crowdloan: DataFrame, pubkey: String, pageSize: Int,
-      before: Option[Cursor] = None): DataFrame = {
-    val shape = Seq("kind", "chain_id", "block_time", "extrinsic_id",
-      "amount", "detail")
+      before: Option[FeedCursor] = None,
+      decimals: Int = 10): DataFrame = {
+    val scale = math.pow(10, decimals)
     val out = transfers.filter(col("from_pub_key") === pubkey)
       .select(lit("transfer_out").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"), col("amount"),
@@ -103,17 +120,27 @@ object Serve {
     val rw = rewards.filter(col("account_pub_key") === pubkey)
       .select(lit("reward").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"),
-        col("amount_raw").cast("double").as("amount"),
+        (col("amount_raw").cast("double") / scale).as("amount"),
         concat(lit("era:"), col("era")).as("detail"))
     val cl = crowdloan.filter(col("account_pub_key") === pubkey)
       .select(lit("crowdloan").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"),
-        col("amount_raw").cast("double").as("amount"),
+        (col("amount_raw").cast("double") / scale).as("amount"),
         concat(lit("fund:"), col("para_id")).as("detail"))
-    pageDesc(
-      out.unionByName(in).unionByName(rw).unionByName(cl)
-        .select(shape.map(col): _*),
-      pageSize, before)
+    var df = out.unionByName(in).unionByName(rw).unionByName(cl)
+    before.foreach { c =>
+      val ts = unix_micros(col("block_time"))
+      val chain = col("chain_id")
+      df = df.filter(ts < c.tsUs ||
+        (ts === c.tsUs && (chain < c.chainId ||
+          (chain === c.chainId && (extBn < c.bn ||
+            (extBn === c.bn && (extIdx < c.idx ||
+              (extIdx === c.idx && col("kind") < c.kind))))))))
+    }
+    df.orderBy(unix_micros(col("block_time")).desc,
+        col("chain_id").desc, extBn.desc, extIdx.desc,
+        col("kind").desc)
+      .limit(pageSize)
   }
 
   /** Q3 — batched multi-account lookup (ref query.js:3666). */
@@ -160,6 +187,15 @@ object Serve {
     * reverse-chronological — the pubkey filter and the time bound both
     * push to the parquet scan. `asOf` anchors the lookback explicitly
     * (the serving layer's "now"), keeping the query deterministic. */
+  /** NUMERIC sort keys from a "bn-extIdx-evIdx" event id — string DESC
+    * would rank "100-2-9" above "100-2-87" inside one payout block
+    * (the extrinsic-id lesson, one id segment deeper). */
+  private def evKeys: Seq[Column] = {
+    val p = split(col("event_id"), "-")
+    Seq(p.getItem(0).cast("long").desc, p.getItem(1).cast("long").desc,
+      p.getItem(2).cast("long").desc)
+  }
+
   def accountRewards(rewards: DataFrame, pubkey: String,
       asOf: java.sql.Timestamp, lookbackDays: Int = 180,
       limit: Int = 1000): DataFrame =
@@ -167,7 +203,7 @@ object Serve {
       .filter(col("account_pub_key") === pubkey &&
         col("block_time") >= lit(asOf) -
           expr(s"INTERVAL $lookbackDays DAYS"))
-      .orderBy(unix_micros(col("block_time")).desc, col("event_id").desc)
+      .orderBy(unix_micros(col("block_time")).desc +: evKeys: _*)
       .limit(limit)
 
   /** Account "crowdloans" group (ref api.js predefinedGroups): the
@@ -177,7 +213,7 @@ object Serve {
       limit: Int = 1000): DataFrame =
     crowdloan
       .filter(col("account_pub_key") === pubkey)
-      .orderBy(unix_micros(col("block_time")).desc, col("event_id").desc)
+      .orderBy(unix_micros(col("block_time")).desc +: evKeys: _*)
       .limit(limit)
 
   /** Account "balances" group (ref api.js predefinedGroups; the
@@ -190,8 +226,11 @@ object Serve {
     balances
       .filter(col("address_pubkey") === pubkey)
       .groupBy(col("chain_id"))
-      .agg(max(struct(col(ordCol).as("ord"), col("free"),
-        col("reserved"), col("frozen"), col("nonce"))).as("m"))
+      // nonce rides SECOND in the argmax struct: an account touched
+      // twice in one block ties on ord, and the monotonic nonce must
+      // break the tie — not whichever touch had the larger free value
+      .agg(max(struct(col(ordCol).as("ord"), col("nonce"),
+        col("free"), col("reserved"), col("frozen"))).as("m"))
       .select(col("chain_id"), col("m.ord").as("as_of_ord"),
         col("m.free").as("free"), col("m.reserved").as("reserved"),
         col("m.frozen").as("frozen"), col("m.nonce").as("nonce"))

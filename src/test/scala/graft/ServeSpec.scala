@@ -109,7 +109,10 @@ class ServeSpec extends AnyFunSuite {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val rewards = Seq(
       ("0xa", "1-0-1", ts("2024-03-01 10:00:00"), 123L, BigDecimal(700)),
-      ("0xa", "2-0-1", ts("2024-03-02 10:00:00"), 124L, BigDecimal(500)),
+      ("0xa", "2-0-9", ts("2024-03-02 10:00:00"), 124L, BigDecimal(500)),
+      // same block_time as 2-0-9: the NUMERIC event ordering must rank
+      // 2-0-87 first (string DESC would put 2-0-9 above it)
+      ("0xa", "2-0-87", ts("2024-03-02 10:00:00"), 124L, BigDecimal(1)),
       ("0xa", "9-0-1", ts("2023-01-01 10:00:00"), 50L, BigDecimal(9)),
       ("0xb", "3-0-1", ts("2024-03-01 11:00:00"), 123L, BigDecimal(300)))
       .toDF("account_pub_key", "event_id", "block_time", "era",
@@ -118,7 +121,7 @@ class ServeSpec extends AnyFunSuite {
       ts("2024-03-10 00:00:00"), lookbackDays = 180).collect()
     // the stale 2023 row falls outside the lookback; 0xb excluded
     assert(out.map(_.getAs[String]("event_id")).toSeq ==
-      Seq("2-0-1", "1-0-1")) // newest first
+      Seq("2-0-87", "2-0-9", "1-0-1")) // newest first, numeric ties
   }
 
   test("accountFeed: cross-entity timeline, newest first, keyset page") {
@@ -143,16 +146,51 @@ class ServeSpec extends AnyFunSuite {
       r.getAs[String]("extrinsic_id"))).toSeq == Seq(
       ("transfer_in", "7-0"), ("crowdloan", "6-1"), ("reward", "6-0")))
     // page 2 resumes from page 1's last row via the composite cursor
+    // (incl. the kind — sources can tie on the whole timeline key)
     val last = page1.last
     val page2 = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
-      pageSize = 3, before = Some(Serve.Cursor(
-        java.time.Instant.ofEpochMilli(
-          last.getAs[java.sql.Timestamp]("block_time").getTime)
-          .toEpochMilli * 1000L,
+      pageSize = 3, before = Some(Serve.FeedCursor(
+        last.getAs[java.sql.Timestamp]("block_time").getTime * 1000L,
         last.getAs[Int]("chain_id"),
-        last.getAs[String]("extrinsic_id")))).collect()
+        last.getAs[String]("extrinsic_id"),
+        last.getAs[String]("kind")))).collect()
     assert(page2.map(_.getAs[String]("kind")).toSeq ==
       Seq("transfer_out")) // the stranger's 8-0 transfer never appears
+  }
+
+  test("accountFeed: full-key ties page without loss or duplication") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a contribute extrinsic emits BOTH a transfer row and a
+    // Contributed row with the identical timeline key — only the kind
+    // distinguishes them; every row must appear exactly once across
+    // 1-row pages
+    val transfers = Seq(
+      ("0xa", "0xpool", 0, ts("2024-03-01 10:00:00"), "5-1", 1.0, "DOT~0"))
+      .toDF("from_pub_key", "to_pub_key", "chain_id", "block_time",
+        "extrinsic_id", "amount", "asset")
+    val rewards = Seq.empty[(String, Int, java.sql.Timestamp, String,
+      BigDecimal, Long)]
+      .toDF("account_pub_key", "chain_id", "block_time", "extrinsic_id",
+        "amount_raw", "era")
+    val crowdloan = Seq(
+      ("0xa", 0, ts("2024-03-01 10:00:00"), "5-1", BigDecimal(10), 7L))
+      .toDF("account_pub_key", "chain_id", "block_time", "extrinsic_id",
+        "amount_raw", "para_id")
+    var cursor: Option[Serve.FeedCursor] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var page = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
+      pageSize = 1, before = cursor).collect()
+    while (page.nonEmpty) {
+      val r = page.head
+      seen += r.getAs[String]("kind")
+      cursor = Some(Serve.FeedCursor(
+        r.getAs[java.sql.Timestamp]("block_time").getTime * 1000L,
+        r.getAs[Int]("chain_id"), r.getAs[String]("extrinsic_id"),
+        r.getAs[String]("kind")))
+      page = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
+        pageSize = 1, before = cursor).collect()
+    }
+    assert(seen.toSeq == Seq("transfer_out", "crowdloan")) // kind desc
   }
 
   test("addressForms: ss58 renders per network + the H160 truncation") {
@@ -171,7 +209,10 @@ class ServeSpec extends AnyFunSuite {
   test("accountBalances: latest row per chain via struct-argmax") {
     val bal = Seq(
       ("0xa", 0, 10L, 5L, 1.0, 0.1, 0.0),
-      ("0xa", 0, 20L, 6L, 2.0, 0.2, 0.0), // later block wins
+      ("0xa", 0, 20L, 6L, 9.0, 0.2, 0.0),
+      // SAME block as the nonce-6 touch, later nonce, SMALLER free —
+      // the monotonic nonce must break the tie, not the free value
+      ("0xa", 0, 20L, 7L, 2.0, 0.2, 0.0),
       ("0xa", 2, 7L, 1L, 9.0, 0.0, 0.5),
       ("0xb", 0, 30L, 2L, 4.0, 0.0, 0.0))
       .toDF("address_pubkey", "chain_id", "bn", "nonce", "free",
@@ -179,6 +220,6 @@ class ServeSpec extends AnyFunSuite {
     val out = Serve.accountBalances(bal, "0xa").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getLong(5)))
-    assert(out.toSeq == Seq((0, 20L, 2.0, 6L), (2, 7L, 9.0, 1L)))
+    assert(out.toSeq == Seq((0, 20L, 2.0, 7L), (2, 7L, 9.0, 1L)))
   }
 }
