@@ -405,6 +405,19 @@ object BenchTrend {
       .flatMap(m => """[A-Za-z0-9_:]+""".r.findAllIn(m.group(1)))
       .map(pfx).toSet
 
+  /** Sub-second slowdowns are only HARD when they are a pattern:
+    * seven same-code sf0.1 runs in one round-10 session showed lone
+    * untouched lines swinging ×3.4-3.7 under a second (a14
+    * 0.28→0.95 in exactly one run, w8 0.17→0.63 in exactly the next,
+    * both normal in every other run, steal 0, canaries < 2×) — an
+    * isolated sub-second flag on this host class is a coin flip, not
+    * a signal. Up to [[MaxIsolatedSubSecond]] such lines demote to
+    * suspect (still printed, still demanding a local re-measure);
+    * MORE than that is a broad slowdown and stays hard, as do throws
+    * and every slowdown at or above [[SubSecondBand]]. */
+  val SubSecondBand = 1.0
+  val MaxIsolatedSubSecond = 2
+
   def compare(prevTxt: String, currTxt: String, factor: Double = 3.0,
               floor: Double = 0.3): Trend = {
     val prev = queryTimes(prevTxt)
@@ -422,15 +435,20 @@ object BenchTrend {
     val canaryRun = canaryFactor >= CanaryStormFactor
     val hard = scala.collection.mutable.ArrayBuffer[String]()
     val soft = scala.collection.mutable.ArrayBuffer[String]()
+    val slowSub = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, p) <- prev.toSeq.sortBy(_._1); c <- curr.get(name)) {
       if (c < 0 && p >= 0)
         hard += f"$name: $p%.2f s -> FAILED (-1)"
       else if (c > floor && p >= 0 && c > factor * p) {
         val line = f"$name: $p%.2f s -> $c%.2f s (x${c / math.max(p, 1e-9)}%.1f)"
-        if (stormySet.contains(pfx(name)) || stormRun || canaryRun) soft += line
+        if (stormySet.contains(pfx(name)) || stormRun || canaryRun)
+          soft += line
+        else if (c < SubSecondBand) slowSub += line
         else hard += line
       }
     }
+    if (slowSub.length <= MaxIsolatedSubSecond) soft ++= slowSub
+    else hard ++= slowSub
     Trend(hard.toSeq, soft.toSeq, ticks,
       vacuous = (prev.keySet & curr.keySet).isEmpty,
       canaryFactor = canaryFactor)

@@ -123,6 +123,32 @@ class BenchContractSpec extends AnyFunSuite {
       s"sub-0.5s-old regression must still arm the guard: $t")
   }
 
+  test("trend guard: isolated sub-second swings demote, patterns stay " +
+      "hard") {
+    // ONE untouched sub-second line swinging x3.5 on a clean run is
+    // the documented host-noise class (round-10: a14 0.28->0.95 in
+    // exactly one of seven same-code runs) — suspect, not red
+    val one =
+      """{"queries":{"a1":0.50,"w2":0.38,"q9":0.14},"steal_ticks":0}"""
+    val t1 = BenchTrend.compare(cleanOld, one)
+    assert(t1.regressions.isEmpty && t1.stormExempt.exists(
+      _.startsWith("w2")), s"isolated sub-second must demote: $t1")
+    // THREE sub-second swings are a broad slowdown — hard
+    val broad =
+      """{"queries":{"a1":0.50,"w2":0.38,"q9":0.55,"a2":0.90},"steal_ticks":0}"""
+    val oldBroad =
+      """{"queries":{"a1":0.50,"w2":0.10,"q9":0.15,"a2":0.12},"sf":"x"}"""
+    val t2 = BenchTrend.compare(oldBroad, broad)
+    assert(t2.regressions.length == 3,
+      s"3 sub-second swings must stay hard: $t2")
+    // a >= 1s slowdown is never excused by the isolated-swing rule
+    val big =
+      """{"queries":{"a1":0.50,"w2":1.20,"q9":0.14},"steal_ticks":0}"""
+    val t3 = BenchTrend.compare(cleanOld, big)
+    assert(t3.regressions.exists(_.startsWith("w2")),
+      s"1.2s slowdown must stay hard: $t3")
+  }
+
   test("trend guard: stormy-marked and storm-run slowdowns are exempt") {
     // per-query stormy marker (full name, prefix-normalized)
     val stormyNew =

@@ -41,6 +41,8 @@ import sys
 STORM_RUN_TICKS = 500
 CANARY_PREFIXES = ("p0", "x1", "d1")
 CANARY_STORM_FACTOR = 2.0
+SUB_SECOND_BAND = 1.0
+MAX_ISOLATED_SUB_SECOND = 2
 
 
 def load(path):
@@ -107,6 +109,13 @@ def main():
         default=1.0)
     canary_run = canary_factor >= CANARY_STORM_FACTOR
     regressions, suspects, improved, new_only = [], [], [], []
+    # isolated sub-second slowdowns demote to suspect (round-10 lesson:
+    # seven same-code runs showed lone untouched sub-second lines
+    # swinging x3.4-3.7 with steal 0 and canaries < 2x — a14 0.28->0.95
+    # in exactly one run, w8 0.17->0.63 in exactly the next); MORE than
+    # MAX_ISOLATED_SUB_SECOND of them is a broad slowdown and stays
+    # hard, as do throws and >= SUB_SECOND_BAND slowdowns
+    slow_sub = []
     for k, nv in sorted(new_q.items()):
         ov = old_q.get(k)
         if ov is None:
@@ -125,10 +134,16 @@ def main():
         elif nv > floor and ov >= 0 and nv > factor * ov:
             if storm_run or canary_run or k in stormy:
                 suspects.append((k, ov, nv))
+            elif nv < SUB_SECOND_BAND:
+                slow_sub.append((k, ov, nv))
             else:
                 regressions.append((k, ov, nv))
         elif ov > floor and 0 <= nv and ov > factor * nv:
             improved.append((k, ov, nv))
+    if len(slow_sub) <= MAX_ISOLATED_SUB_SECOND:
+        suspects.extend(slow_sub)
+    else:
+        regressions.extend(slow_sub)
     print(f"total: {old_total:.2f}s -> {new_total:.2f}s "
           f"({len(new_q)} queries, {len(new_only)} new, "
           f"newer steal_ticks={ticks}, canary_factor={canary_factor:.2f})")
@@ -142,8 +157,10 @@ def main():
         else:
             print(f"REGRESSION {k}: {ov:.2f}s -> {nv:.2f}s "
                   f"(x{ratio(nv, ov):.1f})")
+    isolated = {k for k, _, _ in slow_sub}
     for k, ov, nv in suspects:
-        why = ("storm-contaminated run" if storm_run
+        why = ("isolated sub-second swing" if k in isolated
+               else "storm-contaminated run" if storm_run
                else f"canary-inflated run (x{canary_factor:.1f})"
                if canary_run and k not in stormy else "stormy-marked")
         print(f"SUSPECT    {k}: {ov:.2f}s -> {nv:.2f}s "
