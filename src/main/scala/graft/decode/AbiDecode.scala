@@ -410,18 +410,41 @@ object AbiDecode {
   def registryFrame(spark: org.apache.spark.sql.SparkSession,
       abiJsons: Seq[String]): DataFrame = {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
     abiJsons.flatMap { json =>
-      // full contract ABIs carry constructor/fallback/receive/error
-      // entries too — only functions and events have a fingerprint,
-      // the rest are skipped like the reference's call/evt convention
-      mapper.readTree(json).path("type").asText("function") match {
-        case "event" =>
-          val e = parseEvent(json)
-          Some((topic0(e), "evt", e.name, signature(e), json))
-        case "function" =>
-          val f = parseFunction(json)
-          Some((selectorOf(f), "call", f.name, signature(f), json))
-        case _ => None
+      // a whole contract ABI passed as ONE array string expands into
+      // its fragments (the common caller shape); anything that is
+      // neither an object nor an array cannot be a fragment — reject
+      // loudly instead of emitting a bogus selector-of-"()" row
+      val root = mapper.readTree(json)
+      val nodes: Seq[JsonNode] =
+        if (root.isArray) root.elements().asScala.toSeq
+        else if (root.isObject) Seq(root)
+        else throw new IllegalArgumentException(
+          s"ABI fragment is not a JSON object or array: " +
+            s"${root.getNodeType} in ${json.take(80)}")
+      nodes.flatMap { n =>
+        require(n.isObject, s"ABI array element is not an object: " +
+          s"${n.getNodeType} in ${json.take(80)}")
+        // full contract ABIs carry constructor/fallback/receive/error
+        // entries too — only functions and events have a fingerprint,
+        // the rest are skipped like the reference's call/evt
+        // convention; a missing 'type' defaults to 'function' ONLY
+        // for nodes that carry a 'name' (the solc pre-0.6 shorthand)
+        val kind =
+          if (n.hasNonNull("type")) n.path("type").asText
+          else if (n.hasNonNull("name")) "function"
+          else "" // typeless nameless node: not a fragment
+        val text = if (root.isArray) mapper.writeValueAsString(n) else json
+        kind match {
+          case "event" =>
+            val e = parseEvent(text)
+            Some((topic0(e), "evt", e.name, signature(e), text))
+          case "function" =>
+            val f = parseFunction(text)
+            Some((selectorOf(f), "call", f.name, signature(f), text))
+          case _ => None
+        }
       }
     }.toDF("fingerprint", "kind", "name", "signature", "abi")
   }

@@ -272,12 +272,16 @@ object EvmDecode {
 
   private val createAddressUdf = udf(
     // boxed Long: a null nonce must propagate to a null address, not
-    // silently unbox to 0 and derive the plausible nonce-0 address
+    // silently unbox to 0 and derive the plausible nonce-0 address;
+    // a malformed/truncated from_address quarantines to null instead
+    // of throwing the whole job down ("decode, don't reject" — the
+    // convention every other decode tier here follows)
     new org.apache.spark.sql.api.java.UDF2[String, java.lang.Long,
         String] {
       override def call(from: String, nonce: java.lang.Long): String =
         if (from == null || nonce == null) null
-        else createAddress(from, nonce)
+        else try createAddress(from, nonce)
+        catch { case scala.util.control.NonFatal(_) => null }
     }, org.apache.spark.sql.types.DataTypes.StringType)
 
   /** Contract creations from a tx frame: a creation is a tx with no
@@ -285,9 +289,10 @@ object EvmDecode {
     * handling); the created address derives deterministically from
     * (from_address, nonce), cross-checked against the receipt's
     * `contract_address` when present (`address_match` = false rows are
-    * node/indexer inconsistencies worth surfacing, not dropping). The
-    * output is the contracts-dimension feed `classifyContracts`
-    * consumes. */
+    * node/indexer inconsistencies worth surfacing, not dropping; rows
+    * whose from_address would not decode keep a null created_address —
+    * quarantined, visible, never fatal). The output is the
+    * contracts-dimension feed `classifyContracts` consumes. */
   def contractCreations(txs: DataFrame): DataFrame =
     txs.filter(col("to_address").isNull)
       .withColumn("created_address",

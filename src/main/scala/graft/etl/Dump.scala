@@ -222,9 +222,13 @@ object Dump {
     // never materializes their event rows (markers live in the same
     // extrinsic as their rewards, so block-level pruning cannot lose
     // an era attach)
+    // the prune set mirrors Rewards.isRewardEvent exactly (incl.
+    // staking.Slashed — those rows negate and drop inside rewardRows,
+    // but the prune must never contradict the predicate seam)
     Rewards.rewardRows(eventGrain(day.filter(expr(
         """exists(extrinsics, x -> exists(x.events, e ->
-          |  (e.section = 'staking' AND e.method = 'Rewarded') OR
+          |  (e.section = 'staking' AND
+          |     (e.method = 'Rewarded' OR e.method = 'Slashed')) OR
           |  (e.section = 'dappsStaking' AND e.method = 'Reward')))"""
           .stripMargin))), grainKeys)
       .select(

@@ -42,12 +42,22 @@ object Rewards {
         get_json_object(data, "$.eraIndex"),
         get_json_object(data, "$.era")).cast("long"))
 
-  /** Reward-event predicate — the generic `ChainParser.isRewardEvent`
-    * plus the astar widening, expressed as a Column so it stays inside
+  /** Reward-event predicate — the generic `ChainParser.rewardFilter`
+    * (chainparser.js:3898: staking.Rewarded AND staking.Slashed) plus
+    * the astar widening, expressed as a Column so it stays inside
     * codegen (the per-chain seam: pass a custom predicate built from the
-    * chain's parser when dispatching a specific chain). */
+    * chain's parser when dispatching a specific chain).
+    *
+    * Slashed rides the predicate like the reference's filter does, but
+    * its amount NEGATES in [[rewardRows]] (prepareFeedReward,
+    * chainparser.js:4094 `bal = -bal`) and the reference's own
+    * zero-payout skip (`value > 0`, indexer.js:3954) then drops every
+    * slash row before emit — so the emitted set is unchanged, and the
+    * fidelity lives in the path: a per-chain parser that relaxes the
+    * positive filter sees slashes flow through with the right sign. */
   def isRewardEvent(section: Column, method: Column): Column =
-    (section === "staking" && method === "Rewarded") ||
+    (section === "staking" &&
+      (method === "Rewarded" || method === "Slashed")) ||
       (section === "dappsStaking" && method === "Reward")
 
   /** Attach the running era to every event of the frame: the latest
@@ -67,7 +77,11 @@ object Rewards {
   /** Reward rows: era-attached reward events with positive amounts
     * (ref indexer.js:3953 "skip the zero payout"). Emits the event's
     * original columns plus `era`, `account_pub` (stash), `amount_raw`.
-    * Reward amounts are u128 raw units → DECIMAL(38,0), exact. */
+    * Reward amounts are u128 raw units → DECIMAL(38,0), exact.
+    * `staking.Slashed` amounts negate first (chainparser.js:4094), so
+    * the positive filter drops them exactly like the reference's
+    * `value > 0` skip — end-to-end output identical, sign semantics
+    * preserved for per-chain parsers that relax the filter. */
   def rewardRows(events: DataFrame,
       extrinsicCols: Seq[String]): DataFrame =
     attachEra(events, extrinsicCols)
@@ -79,7 +93,9 @@ object Rewards {
         coalesce(
           get_json_object(col("data"), "$.amount"),
           get_json_object(col("data"), "$.value"))
-          .cast("decimal(38,0)"))
+          .cast("decimal(38,0)") *
+          when(col("section") === "staking" &&
+            col("method") === "Slashed", lit(-1)).otherwise(lit(1)))
       .filter(col("amount_raw") > 0)
 
   /** Crowdloan rows: one row per (extrinsic, account, fund) pairing the

@@ -79,14 +79,18 @@ object Serve {
       .limit(pageSize)
   }
 
-  /** Feed cursor: the timeline sort key PLUS the source kind — rows
-    * from different sources legitimately share
-    * (block_time, chain_id, extrinsic_id) (a contribute extrinsic
-    * emits both a transfer row and a Contributed row; a self-transfer
-    * yields both directions), so the kind must be part of the full
-    * sort key or tied rows straddle page boundaries. */
+  /** Feed cursor: the timeline sort key PLUS the source kind PLUS a
+    * per-row discriminator — rows from different sources legitimately
+    * share (block_time, chain_id, extrinsic_id) (a contribute
+    * extrinsic emits both a transfer row and a Contributed row; a
+    * self-transfer yields both directions), so the kind is part of the
+    * key; and one extrinsic can emit several SAME-kind rows (a
+    * utility.batch with multiple transfers out, two rewards in one
+    * payout extrinsic), so `disc` — a hash of the source row — closes
+    * the key to full uniqueness or those ties would straddle page
+    * boundaries. */
   case class FeedCursor(tsUs: Long, chainId: Int, extrinsicId: String,
-      kind: String) {
+      kind: String, disc: Long = 0L) {
     private val parts = extrinsicId.split("-")
     require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
       s"malformed cursor extrinsic id '$extrinsicId'")
@@ -103,30 +107,43 @@ object Serve {
     * by `decimals` so the amount column is one display unit across
     * sources (this is a display face — exact raw amounts live on the
     * entity tables). Every source filter pushes its pubkey predicate
-    * to its own scan before the union. */
+    * to its own scan before the union.
+    *
+    * `disc` (in the output and the cursor) is a hash over the FULL
+    * source row — schema-agnostic, so it covers whatever identity the
+    * source carries (event_id on rewards/crowdloan, the deduped
+    * (from, to, asset, raw amount) tuple on transfers) — making the
+    * sort key genuinely unique even when one extrinsic emits several
+    * same-kind rows. Intra-tie order is by the hash (arbitrary but
+    * deterministic); the cursor's strictly-less predicate then never
+    * drops a tied row. */
   def accountFeed(transfers: DataFrame, rewards: DataFrame,
       crowdloan: DataFrame, pubkey: String, pageSize: Int,
       before: Option[FeedCursor] = None,
       decimals: Int = 10): DataFrame = {
     val scale = math.pow(10, decimals)
+    def rowDisc(df: DataFrame): Column =
+      xxhash64(to_json(struct(df.columns.map(col): _*)))
     val out = transfers.filter(col("from_pub_key") === pubkey)
       .select(lit("transfer_out").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"), col("amount"),
-        col("asset").as("detail"))
+        col("asset").as("detail"), rowDisc(transfers).as("disc"))
     val in = transfers.filter(col("to_pub_key") === pubkey)
       .select(lit("transfer_in").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"), col("amount"),
-        col("asset").as("detail"))
+        col("asset").as("detail"), rowDisc(transfers).as("disc"))
     val rw = rewards.filter(col("account_pub_key") === pubkey)
       .select(lit("reward").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"),
         (col("amount_raw").cast("double") / scale).as("amount"),
-        concat(lit("era:"), col("era")).as("detail"))
+        concat(lit("era:"), col("era")).as("detail"),
+        rowDisc(rewards).as("disc"))
     val cl = crowdloan.filter(col("account_pub_key") === pubkey)
       .select(lit("crowdloan").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"),
         (col("amount_raw").cast("double") / scale).as("amount"),
-        concat(lit("fund:"), col("para_id")).as("detail"))
+        concat(lit("fund:"), col("para_id")).as("detail"),
+        rowDisc(crowdloan).as("disc"))
     var df = out.unionByName(in).unionByName(rw).unionByName(cl)
     before.foreach { c =>
       val ts = unix_micros(col("block_time"))
@@ -135,11 +152,12 @@ object Serve {
         (ts === c.tsUs && (chain < c.chainId ||
           (chain === c.chainId && (extBn < c.bn ||
             (extBn === c.bn && (extIdx < c.idx ||
-              (extIdx === c.idx && col("kind") < c.kind))))))))
+              (extIdx === c.idx && (col("kind") < c.kind ||
+                (col("kind") === c.kind && col("disc") < c.disc))))))))))
     }
     df.orderBy(unix_micros(col("block_time")).desc,
         col("chain_id").desc, extBn.desc, extIdx.desc,
-        col("kind").desc)
+        col("kind").desc, col("disc").desc)
       .limit(pageSize)
   }
 

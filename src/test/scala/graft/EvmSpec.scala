@@ -737,6 +737,58 @@ class EvmSpec extends AnyFunSuite {
     assert(out("0xc3")._2 == Some(false)) // inconsistency surfaced
   }
 
+  test("contract creations: malformed from_address quarantines to null " +
+      "instead of failing the job") {
+    val txs = Seq(
+      // truncated sender (19 bytes) — the require inside the derivation
+      ("0xq1", null.asInstanceOf[String], "0x" + "ab" * 19, 0L,
+        null.asInstanceOf[String]),
+      // non-hex garbage — the hex parse
+      ("0xq2", null.asInstanceOf[String], "0xzznothex", 1L,
+        null.asInstanceOf[String]),
+      // a healthy row in the same frame still derives
+      ("0xq3", null.asInstanceOf[String],
+        "0x6ac7ea33f8831ea9dcc53393aaa88b25a785dbf0", 0L,
+        null.asInstanceOf[String]))
+      .toDF("transaction_hash", "to_address", "from_address", "nonce",
+        "contract_address")
+    val out = EvmDecode.contractCreations(txs)
+      .select("transaction_hash", "created_address").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("0xq1").isEmpty && out("0xq2").isEmpty)
+    assert(out("0xq3").contains(
+      "0xcd234a471b72ba2f1ccf0a70fcaba648a5eecd8d"))
+  }
+
+  test("ABI registry frame: a whole contract ABI as one array string " +
+      "expands into fragments; non-fragment JSON rejects loudly") {
+    import graft.decode.AbiDecode
+    val contractAbi =
+      """[{"type":"constructor","inputs":[]},
+         {"type":"function","name":"transfer","inputs":[
+           {"name":"to","type":"address"},
+           {"name":"value","type":"uint256"}]},
+         {"type":"event","name":"Transfer","inputs":[
+           {"indexed":true,"name":"from","type":"address"},
+           {"indexed":true,"name":"to","type":"address"},
+           {"indexed":false,"name":"value","type":"uint256"}]},
+         {"name":"balanceOf","inputs":[
+           {"name":"owner","type":"address"}]}]"""
+    val rows = AbiDecode.registryFrame(spark, Seq(contractAbi))
+      .collect().map(r => r.getString(2) ->
+        (r.getString(0), r.getString(1))).toMap
+    // ctor skipped; typeless-but-named balanceOf defaults to function
+    assert(rows.keySet == Set("transfer", "Transfer", "balanceOf"))
+    assert(rows("transfer")._1 == "0xa9059cbb")
+    assert(rows("balanceOf") == ("0x70a08231", "call"))
+    // a bare scalar is not an ABI fragment — error, not a bogus row
+    intercept[IllegalArgumentException](
+      AbiDecode.registryFrame(spark, Seq(""""just a string"""")).count())
+    // a typeless NAMELESS object is not a fragment either — skipped
+    assert(AbiDecode.registryFrame(spark,
+      Seq("""{"inputs":[]}""")).count() == 0)
+  }
+
   test("ABI calldata: truncated/garbage inputs decode to nulls, never " +
       "throw") {
     import graft.decode.AbiDecode

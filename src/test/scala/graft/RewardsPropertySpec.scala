@@ -34,6 +34,14 @@ class RewardsPropertySpec extends AnyFunSuite {
       amt <- Gen.choose(0L, 5L)
     } yield Ev("dappsStaking", "Reward",
       s"""{"account":"d$acct","era":$era,"amount":$amt}""")),
+    // slashes ride the reward predicate (chainparser.js:3898) but their
+    // value negates (chainparser.js:4094) and the value>0 skip drops
+    // them — they must never emit, whatever the interleaving
+    1 -> (for {
+      acct <- Gen.choose(0, 9)
+      amt <- Gen.choose(0L, 5L)
+    } yield Ev("staking", "Slashed",
+      s"""{"stash":"s$acct","amount":$amt}""")),
     2 -> Gen.oneOf(
       Ev("system", "ExtrinsicSuccess", """{"weight":1}"""),
       Ev("balances", "Deposit", """{"amount":7}""")))
@@ -59,10 +67,12 @@ class RewardsPropertySpec extends AnyFunSuite {
           era = field("eraIndex").map(_.toLong)
         val isDapp = ev.section == "dappsStaking" && ev.method == "Reward"
         if (isDapp) era = field("era").map(_.toLong)
-        val isReward = isDapp ||
+        val isSlash = ev.section == "staking" && ev.method == "Slashed"
+        val isReward = isDapp || isSlash ||
           (ev.section == "staking" && ev.method == "Rewarded")
         if (isReward) {
-          val amt = field("amount").map(_.toLong).getOrElse(0L)
+          val sign = if (isSlash) -1L else 1L
+          val amt = sign * field("amount").map(_.toLong).getOrElse(0L)
           if (amt > 0) {
             val acct = field("stash").orElse(field("account")).get
             out += ((extId, idx, era, acct, amt))
@@ -101,5 +111,10 @@ class RewardsPropertySpec extends AnyFunSuite {
     assert(expected.exists(_._3.isEmpty), "no marker-less reward drawn")
     assert(expected.exists(_._3.exists(_ >= 100)), "no dApp era drawn")
     assert(expected.nonEmpty)
+    // slashes were drawn AND none emitted (they negate, then the
+    // value>0 skip drops them — the reference's end-to-end behavior)
+    assert(corpus.exists(_._2.exists(e =>
+      e.section == "staking" && e.method == "Slashed" &&
+        !e.data.contains("\"amount\":0"))), "no positive slash drawn")
   }
 }

@@ -153,7 +153,8 @@ class ServeSpec extends AnyFunSuite {
         last.getAs[java.sql.Timestamp]("block_time").getTime * 1000L,
         last.getAs[Int]("chain_id"),
         last.getAs[String]("extrinsic_id"),
-        last.getAs[String]("kind")))).collect()
+        last.getAs[String]("kind"),
+        last.getAs[Long]("disc")))).collect()
     assert(page2.map(_.getAs[String]("kind")).toSeq ==
       Seq("transfer_out")) // the stranger's 8-0 transfer never appears
   }
@@ -186,11 +187,49 @@ class ServeSpec extends AnyFunSuite {
       cursor = Some(Serve.FeedCursor(
         r.getAs[java.sql.Timestamp]("block_time").getTime * 1000L,
         r.getAs[Int]("chain_id"), r.getAs[String]("extrinsic_id"),
-        r.getAs[String]("kind")))
+        r.getAs[String]("kind"), r.getAs[Long]("disc")))
       page = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
         pageSize = 1, before = cursor).collect()
     }
     assert(seen.toSeq == Seq("transfer_out", "crowdloan")) // kind desc
+  }
+
+  test("accountFeed: same-kind rows in one extrinsic page by the disc") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // a utility.batch sends THREE transfers out in one extrinsic —
+    // identical (block_time, chain_id, extrinsic_id, kind); without the
+    // per-row discriminator the strictly-less cursor would drop the
+    // later duplicates at a page boundary
+    val transfers = Seq(
+      ("0xa", "0xp", 0, ts("2024-03-01 10:00:00"), "5-1", 1.0, "DOT~0"),
+      ("0xa", "0xq", 0, ts("2024-03-01 10:00:00"), "5-1", 2.0, "DOT~0"),
+      ("0xa", "0xr", 0, ts("2024-03-01 10:00:00"), "5-1", 3.0, "DOT~0"))
+      .toDF("from_pub_key", "to_pub_key", "chain_id", "block_time",
+        "extrinsic_id", "amount", "asset")
+    val rewards = Seq.empty[(String, Int, java.sql.Timestamp, String,
+      BigDecimal, Long)]
+      .toDF("account_pub_key", "chain_id", "block_time", "extrinsic_id",
+        "amount_raw", "era")
+    val crowdloan = Seq.empty[(String, Int, java.sql.Timestamp, String,
+      BigDecimal, Long)]
+      .toDF("account_pub_key", "chain_id", "block_time", "extrinsic_id",
+        "amount_raw", "para_id")
+    var cursor: Option[Serve.FeedCursor] = None
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var page = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
+      pageSize = 1, before = cursor).collect()
+    while (page.nonEmpty) {
+      val r = page.head
+      seen += r.getAs[Double]("amount")
+      cursor = Some(Serve.FeedCursor(
+        r.getAs[java.sql.Timestamp]("block_time").getTime * 1000L,
+        r.getAs[Int]("chain_id"), r.getAs[String]("extrinsic_id"),
+        r.getAs[String]("kind"), r.getAs[Long]("disc")))
+      page = Serve.accountFeed(transfers, rewards, crowdloan, "0xa",
+        pageSize = 1, before = cursor).collect()
+    }
+    // all three batch legs surface exactly once, no loss, no dupes
+    assert(seen.sorted == Seq(1.0, 2.0, 3.0) && seen.size == 3)
   }
 
   test("addressForms: ss58 renders per network + the H160 truncation") {
