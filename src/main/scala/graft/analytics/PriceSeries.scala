@@ -70,4 +70,53 @@ object PriceSeries {
         col("amount"), col("asof_px").as("price_usd"),
         (col("amount") * col("asof_px")).as("amount_usd"))
   }
+
+  /** The price log as half-open validity intervals — one row per
+    * (asset, chain_id, index_ts) with `px_until` = the next point's
+    * timestamp (null for the latest). Duplicate points at one
+    * timestamp dedupe to the max price first, so the interval set is
+    * deterministic. Dim-only window: rows = price points, never
+    * facts. */
+  def asOfIntervals(priceLog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("asset"), col("chain_id"))
+      .orderBy(col("index_ts"))
+    priceLog
+      .groupBy(col("asset"), col("chain_id"), col("index_ts"))
+      .agg(max(col("price_usd")).as("price_usd"))
+      .withColumn("px_until", lead(col("index_ts"), 1).over(w))
+  }
+
+  /** As-of USD price decoration of a FULL-WIDTH fact frame — the dump
+    * wiring of J16 (ref substrateetl.js:6342-6372 exported-table
+    * decoration via assetManager.js:1392 computePriceUSD): appends
+    * `price_usd` (the last price at-or-before `tsCol` for the row's
+    * (asset, chain_id)) to every row, preserving all columns.
+    *
+    * Unlike [[decorateUsd]]'s union+window (which shuffles the facts on
+    * the asset key — a skew point when one asset dominates a day), this
+    * is the [[graft.decode.TraceDecode.withSpecVersion]] shape: the
+    * price log converts to validity intervals dim-side and BROADCASTS,
+    * so the (enormous) fact side flows through a broadcast hash join on
+    * (asset, chain_id) with the interval predicate as residual — no
+    * fact shuffle, no skew, codegen throughout. Intervals partition the
+    * time line, so each fact matches at most once; facts before the
+    * first point (or with an unpriced asset) keep a null price_usd.
+    * Probe cost is O(points per asset) per row — pass the day's (or
+    * window's) slice of the log, which is what the daily dump has. */
+  def withAsOfPrice(df: DataFrame, priceLog: DataFrame,
+      tsCol: String = "block_time"): DataFrame = {
+    require(!df.columns.contains("price_usd"),
+      "frame already carries price_usd — drop or rename it first")
+    val iv = asOfIntervals(priceLog).select(
+      col("asset").as("_px_asset"), col("chain_id").as("_px_chain"),
+      col("index_ts").as("_px_from"), col("px_until").as("_px_until"),
+      col("price_usd"))
+    df.join(broadcast(iv),
+        col("asset") === col("_px_asset") &&
+          col("chain_id") === col("_px_chain") &&
+          col(tsCol) >= col("_px_from") &&
+          (col("_px_until").isNull || col(tsCol) < col("_px_until")),
+        "left")
+      .drop("_px_asset", "_px_chain", "_px_from", "_px_until")
+  }
 }

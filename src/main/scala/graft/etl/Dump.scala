@@ -21,6 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object Dump {
 
+  /** USD-decoration dimensions for the dump (ref substrateetl.js:
+    * 6342-6372: exported transfers carry price_usd/amount_usd and
+    * extrinsics/calls carry fee_usd, valued via assetManager.js:1392
+    * computePriceUSD at block time):
+    *
+    *  - `priceLog` — the (asset, chain_id, index_ts, price_usd) series
+    *    slice covering the day (FIXTURES.md §11 shape); it broadcasts
+    *    as validity intervals, so pass the relevant slice, not the
+    *    full history;
+    *  - `chains` — the chain-registry slice (chain_id, native_asset)
+    *    resolving each chain's fee token to its price-log asset key
+    *    (ref getChainSymbol, indexer.js decorateFeedReward).
+    *
+    * Both are bounded dimensions; the decoration never shuffles the
+    * fact side (see [[graft.analytics.PriceSeries.withAsOfPrice]]). */
+  final case class UsdDims(priceLog: DataFrame, chains: DataFrame)
+
+  /** Append `fee_usd` = fee × the chain's native-token as-of price —
+    * the shared decoration of the extrinsics and calls projections. */
+  private def withFeeUsd(df: DataFrame, usd: UsdDims): DataFrame =
+    graft.analytics.PriceSeries.withAsOfPrice(
+        df.join(broadcast(
+            usd.chains.select(col("chain_id"),
+              col("native_asset").as("asset"))),
+          Seq("chain_id"), "left"),
+        usd.priceLog)
+      .withColumn("fee_usd", col("fee") * col("price_usd"))
+      .drop("asset", "price_usd")
+
   /** Filter to the UTC day and flag rows like the reference's guards
     * (ref substrateetl.js:6271-6288: fork/date-mismatch checks —
     * finalized-only, matching logDT). Applied exactly once per input:
@@ -53,11 +82,13 @@ object Dump {
   /** extrinsics projection; success/fail resolved from the paired
     * system.ExtrinsicSuccess/Failed event WITHOUT exploding (P2,
     * ref indexer.js:3754 checkExtrinsicStatusAndFee). */
-  def extrinsics(raw: DataFrame, logDT: String): DataFrame =
-    extrinsicsOf(dayBlocks(raw, logDT), logDT)
+  def extrinsics(raw: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame =
+    extrinsicsOf(dayBlocks(raw, logDT), logDT, usd)
 
-  private def extrinsicsOf(day: DataFrame, logDT: String): DataFrame =
-    day
+  private def extrinsicsOf(day: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame = {
+    val base = day
       .select(col("chain_id"), col("number"), col("block_time"),
         col("hash").as("block_hash"),
         explode(col("extrinsics")).as("ex"))
@@ -74,8 +105,13 @@ object Dump {
           .as("status"),
         col("ex.signer_pub").as("signer_pub_key"),
         when(col("ex.signed"), expr("ss58_encode(ex.signer_pub, 42)"))
-          .as("signer_ss58"),
-        lit(logDT).as("log_dt"))
+          .as("signer_ss58"))
+    // fee_usd (ref substrateetl.js:6372 computeExtrinsicFeeUSD): the
+    // fee is paid in the chain's native token — resolve it through the
+    // chain registry, then as-of-price at block time
+    usd.fold(base)(withFeeUsd(base, _))
+      .withColumn("log_dt", lit(logDT))
+  }
 
   /** events projection with composite ids (P3,
     * ref substrateetl.js:6314-6341). */
@@ -98,11 +134,13 @@ object Dump {
     * decimal scaling, address normalization (P6/P12,
     * ref indexer.js:4228 map_feedTransfers_to_transfers; dedup note
     * docs/DEFINITIONS.md:255-258). */
-  def transfers(raw: DataFrame, logDT: String): DataFrame =
-    transfersOf(dayBlocks(raw, logDT), logDT)
+  def transfers(raw: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame =
+    transfersOf(dayBlocks(raw, logDT), logDT, usd)
 
-  private def transfersOf(day: DataFrame, logDT: String): DataFrame =
-    day
+  private def transfersOf(day: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame = {
+    val base = day
       .select(col("chain_id"), col("number"), col("block_time"),
         col("hash").as("block_hash"),
         explode(col("extrinsics")).as("ex"))
@@ -124,16 +162,26 @@ object Dump {
         expr("asset_chain(t.asset, chain_id)").as("asset"),
         col("t.raw_amount_hex"),
         col("t.decimals"),
-        expr("to_base_unit(t.raw_amount_hex, t.decimals)").as("amount"),
-        lit(logDT).as("log_dt"))
+        expr("to_base_unit(t.raw_amount_hex, t.decimals)").as("amount"))
+    // USD decoration (ref substrateetl.js:6342-6371: transfers export
+    // carries price_usd/amount_usd) — as-of against the broadcast
+    // price-interval dim; unpriced assets keep nulls, like the
+    // reference's priceUSD-miss path
+    usd.fold(base)(u =>
+        graft.analytics.PriceSeries.withAsOfPrice(base, u.priceLog)
+          .withColumn("amount_usd", col("amount") * col("price_usd")))
+      .withColumn("log_dt", lit(logDT))
+  }
 
   /** calls projection: recursive flatten with noise suppression, fee on
     * root only (P4/P5 — graft.functions.CallFlatten inside a typed
     * flatMap). */
-  def calls(raw: DataFrame, logDT: String): DataFrame =
-    callsOf(dayBlocks(raw, logDT), logDT)
+  def calls(raw: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame =
+    callsOf(dayBlocks(raw, logDT), logDT, usd)
 
-  private def callsOf(day: DataFrame, logDT: String): DataFrame = {
+  private def callsOf(day: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame = {
     val spark = day.sparkSession
     import spark.implicits._
     val src = day
@@ -148,8 +196,8 @@ object Dump {
         col("ex.params"), col("ex.fee"), col("ex.signed"))
       .as[(Int, Long, java.sql.Timestamp, String, Int, String, String,
         String, String, Double, Boolean)]
-    src.flatMap { case (chainId, bn, bt, bh, extIdx, exHash, section,
-        method, params, fee, signed) =>
+    val flat = src.flatMap { case (chainId, bn, bt, bh, extIdx, exHash,
+        section, method, params, fee, signed) =>
       CallFlatten.flatten(params, Some(fee)).map { fc =>
         (chainId, s"$bn-$extIdx", bh, bn, bt, exHash, section, method,
           fc.call_id, fc.call_section, fc.call_method, fc.call_args,
@@ -160,6 +208,9 @@ object Dump {
         "extrinsic_method",
         "call_id", "call_section", "call_method", "call_args",
         "root", "leaf", "fee", "signed")
+    // fee_usd rides the root call only (the flattener keeps fee on the
+    // root — ref calls.json fee_usd; non-root null fee → null fee_usd)
+    usd.fold(flat)(withFeeUsd(flat, _))
       .withColumn("log_dt", lit(logDT))
   }
 
@@ -326,12 +377,13 @@ object Dump {
     * The day-filtered raw scan is persisted for the duration of the eight
     * writes — each write is its own job, and without the persist the
     * (at scale, enormous) raw table would be re-scanned eight times. */
-  def dumpDay(raw: DataFrame, logDT: String, outRoot: String): Map[String, DataFrame] = {
+  def dumpDay(raw: DataFrame, logDT: String, outRoot: String,
+      usd: Option[UsdDims] = None): Map[String, DataFrame] = {
     Udfs.register(raw.sparkSession)
     val day = dayBlocks(raw, logDT)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val tables = projections(day, logDT)
+      val tables = projections(day, logDT, usd)
       tables.foreach { case (name, df) =>
         Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
       }
@@ -340,14 +392,16 @@ object Dump {
   }
 
   /** The eight entity projections over an already-day-filtered frame
-    * (six core + the P7 rewards/crowdloan extraction tables). */
-  private def projections(day: DataFrame,
-      logDT: String): Map[String, DataFrame] = Map(
+    * (six core + the P7 rewards/crowdloan extraction tables). With
+    * `usd`, transfers carry price_usd/amount_usd and extrinsics/calls
+    * carry fee_usd (ref substrateetl.js:6342-6372). */
+  private def projections(day: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): Map[String, DataFrame] = Map(
     "blocks" -> blocksOf(day, logDT),
-    "extrinsics" -> extrinsicsOf(day, logDT),
+    "extrinsics" -> extrinsicsOf(day, logDT, usd),
     "events" -> eventsOf(day, logDT),
-    "transfers" -> transfersOf(day, logDT),
-    "calls" -> callsOf(day, logDT),
+    "transfers" -> transfersOf(day, logDT, usd),
+    "calls" -> callsOf(day, logDT, usd),
     "logs" -> logsOf(day, logDT),
     "rewards" -> rewardsOf(day, logDT),
     "crowdloan" -> crowdloanOf(day, logDT))
@@ -443,10 +497,22 @@ object Dump {
         lit(true).as("finalized"), col("extrinsics"),
         array(struct(lit("PreRuntime").as("log_type"),
           lit("0xaa").as("value"))).as("logs"))
+    // the USD dims ride the stage too (round 11): a 5-min price grid
+    // for the native token + the one-chain registry slice, so the
+    // decoration path (interval build + broadcast as-of join on three
+    // projections) is part of the measured ETL workload
+    val priceLog = s.range(288).select(
+      lit("DOT~0").as("asset"), lit(0).as("chain_id"),
+      (lit(1709251200L) + col("id") * 300).cast("timestamp")
+        .as("index_ts"),
+      (pmod(col("id"), lit(97)) + lit(1)).cast("double")
+        .as("price_usd"))
+    val chains = s.range(1).select(lit(0).as("chain_id"),
+      lit("DOT~0").as("native_asset"))
     val out = java.nio.file.Files
       .createTempDirectory("graft_bench_dump").toString
     try {
-      dumpDay(raw, "2024-03-01", out)
+      dumpDay(raw, "2024-03-01", out, Some(UsdDims(priceLog, chains)))
       // read-back counts (tiny parquet reads): the caller can assert
       // the synthesized day actually flowed — an empty dump must fail
       // the smoke test, not "measure" a no-op
@@ -477,11 +543,15 @@ object Dump {
     * micro-batching commutes with the batch plan and stream output ≡
     * batch output on the same corpus (StreamingParitySpec pins all eight
     * tables frame-equal). */
-  def dumpMicroBatch(raw: DataFrame, logDT: String, outRoot: String): Unit = {
+  def dumpMicroBatch(raw: DataFrame, logDT: String, outRoot: String,
+      usd: Option[UsdDims] = None): Unit = {
     Udfs.register(raw.sparkSession)
     val day = dayBlocks(raw, logDT)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try projections(day, logDT).foreach { case (name, df) =>
+    // the USD decoration commutes with micro-batching like the
+    // projections themselves: it is row-wise against STATIC broadcast
+    // dims (price intervals, chain registry), no cross-block state
+    try projections(day, logDT, usd).foreach { case (name, df) =>
       df.write.mode("append").partitionBy("log_dt")
         .parquet(s"$outRoot/$name")
     } finally day.unpersist()

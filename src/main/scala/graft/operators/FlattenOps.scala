@@ -300,6 +300,91 @@ object FlattenOps {
       | count(memo) AS n_memos
       |FROM paired GROUP BY fund_id ORDER BY fund_id""".stripMargin
 
+  // P9x — USD-decorated dump transfers (ref substrateetl.js:6342-6372:
+  // the exported transfers carry price_usd/amount_usd via
+  // assetManager.js:1392 computePriceUSD as-of valuation). A nested raw
+  // day is synthesized WITHOUT a shuffle — one block/extrinsic/transfer
+  // per non-view event row via array(struct(...)) — and a 5-min-bucket
+  // price log from the view rows (duplicate bucket points on purpose:
+  // the interval build dedupes to max, which the oracle replays). The
+  // REAL pipeline runs end to end: Dump.transfers → asset_chain +
+  // to_base_unit UDFs → PriceSeries.withAsOfPrice broadcast-interval
+  // as-of → amount_usd; the rollup checks priced AND unpriced
+  // (pre-first-point) rows per asset. Oracle = DuckDB's own ASOF JOIN.
+  private def p9(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val base = 1709251200L // 2024-03-01T00:00:00Z
+    def assetSym = element_at(array(lit("DOT"), lit("KSM"), lit("ACA")),
+      (pmod(col("event_id"), lit(3)) + 1).cast("int"))
+    val raw = ev.filter(col("event_type") =!= "view").select(
+      lit(0).as("chain_id"),
+      col("event_id").as("number"),
+      format_string("0xb%d", col("event_id")).as("hash"),
+      (lit(base) + pmod(col("event_id"), lit(86400L)))
+        .cast("timestamp").as("block_time"),
+      lit(true).as("finalized"),
+      array(struct(
+        lit(0).as("idx"),
+        format_string("0xe%d", col("event_id")).as("hash"),
+        array(struct(
+          sha2(col("user_id").cast("string").cast("binary"), 256)
+            .as("from_pub"),
+          sha2(col("event_id").cast("string").cast("binary"), 256)
+            .as("to_pub"),
+          assetSym.as("asset"),
+          format_string("0x%x", col("event_id") * lit(1000000L))
+            .as("raw_amount_hex"),
+          lit(10).as("decimals"))).as("transfers"))).as("extrinsics"))
+    val priceLog = ev.filter(col("event_type") === "view").select(
+      concat(assetSym, lit("~0")).as("asset"),
+      lit(0).as("chain_id"),
+      (lit(base) + pmod(col("event_id"), lit(288L)) * lit(300L))
+        .cast("timestamp").as("index_ts"),
+      (pmod(col("event_id"), lit(1000L)).cast("double") / lit(100.0))
+        .as("price_usd"))
+    val chains = s.range(1).select(lit(0).as("chain_id"),
+      lit("DOT~0").as("native_asset")) // unused by the transfers face
+    graft.etl.Dump.transfers(raw, "2024-03-01",
+        Some(graft.etl.Dump.UsdDims(priceLog, chains)))
+      .groupBy(col("asset"))
+      .agg(
+        count(lit(1)).as("n_transfers"),
+        count(col("price_usd")).as("n_priced"),
+        decOut(sum(dec6(col("amount")))).as("sum_amount"),
+        decOut(sum(dec6(col("amount_usd")))).as("sum_usd"))
+      .orderBy(col("asset"))
+  }
+
+  private val p9Sql =
+    s"""WITH t AS (
+       | SELECT DISTINCT event_id, user_id FROM events
+       | WHERE event_type <> 'view'),
+       |tr AS (
+       | SELECT
+       |  (CASE event_id % 3 WHEN 0 THEN 'DOT' WHEN 1 THEN 'KSM'
+       |    ELSE 'ACA' END) || '~0' AS asset,
+       |  1709251200 + (event_id % 86400) AS ts_s,
+       |  CAST(CAST(event_id AS BIGINT) * 1000000 AS DOUBLE)
+       |    / 10000000000.0 AS amount
+       | FROM t),
+       |p AS (
+       | SELECT
+       |  (CASE event_id % 3 WHEN 0 THEN 'DOT' WHEN 1 THEN 'KSM'
+       |    ELSE 'ACA' END) || '~0' AS asset,
+       |  1709251200 + (event_id % 288) * 300 AS ts_s,
+       |  max(CAST(event_id % 1000 AS DOUBLE) / 100.0) AS price_usd
+       | FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+       |dec AS (
+       | SELECT tr.asset, tr.amount, p.price_usd,
+       |  tr.amount * p.price_usd AS amount_usd
+       | FROM tr ASOF LEFT JOIN p
+       |  ON tr.asset = p.asset AND tr.ts_s >= p.ts_s)
+       |SELECT asset, count(*) AS n_transfers,
+       | count(price_usd) AS n_priced,
+       | ${sqlDecOut("sum(CAST(amount AS DECIMAL(38,6)))")} AS sum_amount,
+       | ${sqlDecOut("sum(CAST(amount_usd AS DECIMAL(38,6)))")} AS sum_usd
+       |FROM dec GROUP BY asset ORDER BY asset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_json_extract" -> (p3 _),
     "p4_call_flatten" -> (p4 _),
@@ -308,6 +393,7 @@ object FlattenOps {
     "p7_reward_era" -> (p7 _),
     "p7b_crowdloan_pairs" -> (p7b _),
     "p8_posexplode" -> (p8 _),
+    "p9_dump_usd" -> (p9 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,5 +404,6 @@ object FlattenOps {
     "p7_reward_era" -> p7Sql,
     "p7b_crowdloan_pairs" -> p7bSql,
     "p8_posexplode" -> p8Sql,
+    "p9_dump_usd" -> p9Sql,
   )
 }

@@ -298,6 +298,55 @@ class DumpSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/specversions").count() == 2)
   }
 
+  test("usd decoration: transfers price/amount_usd, extrinsics and " +
+      "root calls fee_usd, unpriced rows keep nulls") {
+    val usdRaw = Seq(
+      RawBlock(0, 200L, "0xu200", "0xu199", ts("2024-03-01 10:00:00"),
+        100, alice, finalized = true,
+        extrinsics = Seq(RawExtrinsic(0, "0xu0", "utility", "batch",
+          batchParams, signed = true, alice, 0.25, okEvents,
+          transfers = Seq(xfer))),
+        logs = Nil),
+      RawBlock(0, 201L, "0xu201", "0xu200", ts("2024-03-01 11:00:00"),
+        100, bob, finalized = true,
+        extrinsics = Seq(RawExtrinsic(0, "0xu1", "balances", "transfer",
+          """{"section":"balances","method":"transfer","args":{}}""",
+          signed = true, bob, 0.1, okEvents,
+          transfers = Seq(RawTransfer(bob, alice, "DOT",
+            "0x4a817c800", 10)))), // 2×10^10 raw = 2.0
+        logs = Nil)
+    ).toDF()
+    // one price point at 10:30: the 10:00 rows predate it (null usd —
+    // the reference's priceUSD-miss path), the 11:00 rows price at 7.0
+    val priceLog = Seq(("DOT~0", 0, ts("2024-03-01 10:30:00"), 7.0))
+      .toDF("asset", "chain_id", "index_ts", "price_usd")
+    val chains = Seq((0, "DOT~0")).toDF("chain_id", "native_asset")
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft_dump_usd").toString
+    val t = Dump.dumpDay(usdRaw, "2024-03-01", dir,
+      Some(Dump.UsdDims(priceLog, chains)))
+    val tr = t("transfers")
+      .select("extrinsic_id", "amount", "price_usd", "amount_usd")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(tr("200-0") == (1.0, None, None)) // before the first point
+    assert(tr("201-0") == (2.0, Some(7.0), Some(14.0)))
+    val ex = t("extrinsics").select("extrinsic_id", "fee_usd")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(ex("200-0").isEmpty) // unpriced fee
+    assert(ex("201-0").contains(0.1 * 7.0))
+    val calls = t("calls")
+      .select("extrinsic_id", "call_id", "fee_usd").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2)))
+      .toMap
+    assert(calls(("201-0", "0")).contains(0.1 * 7.0)) // root priced
+    assert(calls(("200-0", "0")).isEmpty) // root, unpriced
+    assert(calls(("200-0", "0_0")).isEmpty) // leaf: no fee → no fee_usd
+    // the written layout carries the decorated columns too
+    assert(spark.read.parquet(s"$dir/transfers").columns
+      .count(Set("price_usd", "amount_usd")) == 2)
+  }
+
   test("bench stage synthesis feeds dumpDay without schema drift") {
     // the stage:dump_day builder must keep producing the exact nested
     // schema the eight projections expect — run it small so a drift
