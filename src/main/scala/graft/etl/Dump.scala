@@ -370,6 +370,91 @@ object Dump {
         col("lg.log_type"), col("lg.value"),
         lit(logDT).as("log_dt"))
 
+  // ---- storage-trace-derived daily tables (ref substrateetl.js:
+  // 6605-6773 parse_trace + backfill_trace*, schemas traces.json /
+  // balances.json): the trace family rides NEXT to the block dump as
+  // its own flat source (model.RawTrace) and lands two more
+  // date-partitioned tables. ----
+
+  /** Day slice of the flat trace source — same guard semantics as
+    * [[dayBlocks]] (finalized-only, matching UTC day). */
+  private def dayTraces(rawTraces: DataFrame, logDT: String): DataFrame =
+    rawTraces.filter(col("finalized") &&
+      date_format(col("block_time"), "yyyy-MM-dd") === logDT)
+
+  /** traces projection (ref parse_trace, substrateetl.js:6605-6773;
+    * trace_id = "bn-idx" at :6607): every k/v resolved against the
+    * broadcast storage-key dimension ([[graft.decode.TraceDecode]]
+    * keyedPrefixDim/keyedPrefixDimFromMetadata shape) — section/
+    * storage from the twox128 prefix pair, `pk_extra` = the raw map
+    * key recovered from concat hashers, `pv` = the leading
+    * compact-decoded value (native expression, stays in codegen).
+    * Unknown prefixes keep section/storage 'unknown' like the
+    * reference's fallback, never drop. */
+  def traces(rawTraces: DataFrame, dim: DataFrame,
+      logDT: String): DataFrame =
+    tracesOf(dayTraces(rawTraces, logDT), dim, logDT)
+
+  private def tracesOf(day: DataFrame, dim: DataFrame,
+      logDT: String): DataFrame = {
+    graft.plans.CodecExpressions.register(day.sparkSession)
+    graft.decode.TraceDecode.extractKeyComponents(day, dim)
+      .select(
+        col("chain_id"),
+        concat(col("number"), lit("-"), col("trace_idx")).as("trace_id"),
+        col("number").as("block_number"), col("block_hash"),
+        col("block_time"),
+        col("k"), col("v"),
+        coalesce(col("section"), lit("unknown")).as("section"),
+        coalesce(col("storage"), lit("unknown")).as("storage"),
+        col("raw_key").as("pk_extra"),
+        expr("compact_decode(v)").as("pv"),
+        lit(logDT).as("log_dt"))
+  }
+
+  /** balances projection (ref balances.json; the System.Account slice
+    * of the trace decode): [[graft.decode.TraceDecode.balances]] rows
+    * with their block context and trace ids, ready for the serving
+    * tier's accountBalances argmax. */
+  def balances(rawTraces: DataFrame, dim: DataFrame, logDT: String,
+      decimals: Int = 10, ss58Network: Int = 42): DataFrame =
+    balancesOf(dayTraces(rawTraces, logDT), dim, logDT, decimals,
+      ss58Network)
+
+  private def balancesOf(day: DataFrame, dim: DataFrame, logDT: String,
+      decimals: Int, ss58Network: Int): DataFrame =
+    graft.decode.TraceDecode.balances(day, dim, decimals, ss58Network)
+      .select(
+        col("chain_id"),
+        concat(col("number"), lit("-"), col("trace_idx")).as("trace_id"),
+        col("number").as("block_number"), col("block_hash"),
+        col("block_time"),
+        col("address_ss58"), col("address_pubkey"), col("nonce"),
+        col("free"), col("free_raw"),
+        col("reserved"), col("reserved_raw"),
+        col("frozen"), col("frozen_raw"),
+        lit(logDT).as("log_dt"))
+
+  /** The trace-side daily dump: `traces` + `balances` as idempotent
+    * date partitions next to [[dumpDay]]'s eight tables (ref
+    * substrateetl.js:6936 backfill_trace* writes the same pair). One
+    * persisted day slice feeds both writes, like dumpDay's. */
+  def dumpTracesDay(rawTraces: DataFrame, dim: DataFrame, logDT: String,
+      outRoot: String, decimals: Int = 10,
+      ss58Network: Int = 42): Map[String, DataFrame] = {
+    val day = dayTraces(rawTraces, logDT)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tables = Map(
+        "traces" -> tracesOf(day, dim, logDT),
+        "balances" -> balancesOf(day, dim, logDT, decimals, ss58Network))
+      tables.foreach { case (name, df) =>
+        Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
+      }
+      tables
+    } finally day.unpersist()
+  }
+
   /** The whole §3.2 entry point: validate (timestamp-presence check,
     * ref substrateetl.js:6451-6455), project all eight tables, write each
     * as an idempotent date partition. Returns the table map.

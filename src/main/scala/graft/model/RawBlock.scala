@@ -44,3 +44,22 @@ case class RawBlock(
     finalized: Boolean,
     extrinsics: Seq[RawExtrinsic],
     logs: Seq[RawLog])
+
+/** One raw storage-diff trace cell — the reference's BigTable `trace`
+  * column family stores the per-block k/v storage diff next to the
+  * block (ref README.md:171-183; consumed by parse_trace,
+  * substrateetl.js:6605-6773). Kept FLAT (one row per k/v, not nested
+  * in the block): trace volume is independent of block structure and
+  * the decode path (prefix dim join + key slice + value decode) is
+  * row-wise, so the flat grain is the natural 100 TB layout —
+  * partition-prunable on (chain_id, number) without exploding
+  * anything. */
+case class RawTrace(
+    chain_id: Int,
+    number: Long,
+    block_hash: String,
+    block_time: Timestamp,
+    trace_idx: Int,
+    k: String,
+    v: String,
+    finalized: Boolean)

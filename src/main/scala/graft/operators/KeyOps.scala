@@ -480,11 +480,71 @@ object KeyOps {
       |   || '"}' END AS decoded_call
       |FROM events WHERE event_id < 1500 ORDER BY event_id""".stripMargin
 
+  // K11 — the k9 balances shape THROUGH THE WRITER (Dump.dumpTracesDay
+  // — the trace-side daily dump, ref substrateetl.js:6936
+  // backfill_trace*): the same wire-format System.Account rows, now
+  // with block context (several traces per block), are written as the
+  // `traces` + `balances` date partitions and the query READS THE
+  // DUMPED LAYOUT back — so the projection, the partition overwrite,
+  // and the parquet round trip are all under the oracle hash. Rollup
+  // per address; the DuckDB twin recomputes from the same formulas.
+  private def k11(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.decode.TraceDecode.keyedPrefixDim(s, Seq(
+      ("System", "Account", "blake2_128concat", 32)))
+    val nonce = col("event_id") % 1000
+    val free = col("event_id") % 100000 * 7 + 1
+    val reserved = col("event_id") % 500
+    val rawTraces = Tables.events(s, d)
+      .filter(col("event_id") < 1500)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("chain_id", lit(0))
+      .withColumn("number", expr("event_id div 5"))
+      .withColumn("block_hash", format_string("0xb%d", col("number")))
+      .withColumn("block_time",
+        (lit(1709251200L) + pmod(col("number"), lit(86400L)))
+          .cast("timestamp"))
+      .withColumn("trace_idx", pmod(col("event_id"), lit(5)).cast("int"))
+      .withColumn("finalized", lit(true))
+      .withColumn("k",
+        concat(lit("0x" + k7Pfx("System", "Account")),
+          lit("ab" * 16),
+          repeat(format_string("%02x", col("user_id") % 256), 32)))
+      .withColumn("v",
+        concat(lit("0x"), leU32(nonce),
+          lit("01000000" + "01000000" + "00000000"),
+          leU128Small(free), leU128Small(reserved),
+          leU128Small(lit(0))))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_traces_dump").toString
+    graft.etl.Dump.dumpTracesDay(rawTraces, dim, "2024-03-01", out)
+    s.read.parquet(s"$out/balances")
+      .groupBy(col("address_pubkey"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        countDistinct(col("block_number")).as("n_blocks"),
+        max(col("nonce")).as("max_nonce"),
+        sum(col("free_raw")).cast("long").as("sum_free_raw"),
+        decOut(sum(dec6(col("free")))).as("sum_free"))
+      .orderBy(col("address_pubkey"))
+  }
+
+  private val k11Sql =
+    """SELECT repeat(printf('%02x', user_id % 256), 32) AS address_pubkey,
+      | count(*) AS n_touches,
+      | count(DISTINCT event_id // 5) AS n_blocks,
+      | CAST(max(event_id % 1000) AS BIGINT) AS max_nonce,
+      | CAST(sum(event_id % 100000 * 7 + 1) AS BIGINT) AS sum_free_raw,
+      | round(CAST(sum(CAST(CAST(event_id % 100000 * 7 + 1 AS DOUBLE)
+      |   / 10000000000 AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_free
+      |FROM events WHERE event_id < 1500
+      |GROUP BY 1 ORDER BY address_pubkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k7_storage_key_extract" -> (k7 _),
     "k8_metadata_key_extract" -> (k8 _),
     "k9_balances_decode" -> (k9 _),
     "k10_calldata_decode" -> (k10 _),
+    "k11_traces_dump" -> (k11 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -498,6 +558,7 @@ object KeyOps {
     "k8_metadata_key_extract" -> k8Sql,
     "k9_balances_decode" -> k9Sql,
     "k10_calldata_decode" -> k10Sql,
+    "k11_traces_dump" -> k11Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,

@@ -298,6 +298,61 @@ class DumpSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/specversions").count() == 2)
   }
 
+  test("dumpTracesDay: traces + balances date partitions from wire rows") {
+    import graft.model.RawTrace
+    val pfx = graft.functions.Codec.bytesToHex(
+      graft.functions.Codec.twox128("System".getBytes("UTF-8")) ++
+        graft.functions.Codec.twox128("Account".getBytes("UTF-8")),
+      prefix = false)
+    // AccountInfo value: nonce 7, refcounts, free 5×10^10 (=5.0),
+    // reserved 0, frozen 0 — little-endian u32 + three u128s
+    val acctVal = "0x" + "07000000" + "01000000" + "01000000" +
+      "00000000" +
+      "00743ba40b000000" + "00" * 8 + // free = 0x0ba43b7400 LE
+      "00" * 16 + "00" * 16
+    val whoHex = "cd" * 32
+    val rows = Seq(
+      RawTrace(0, 300L, "0xb300", ts("2024-03-01 09:00:00"), 0,
+        s"0x$pfx${"ab" * 16}$whoHex", acctVal, finalized = true),
+      // unknown storage prefix — kept with section/storage 'unknown'
+      RawTrace(0, 300L, "0xb300", ts("2024-03-01 09:00:00"), 1,
+        "0x" + "ee" * 48, "0x04", finalized = true),
+      // unfinalized and other-day rows must be excluded
+      RawTrace(0, 301L, "0xdead", ts("2024-03-01 09:06:00"), 0,
+        s"0x$pfx${"ab" * 16}$whoHex", acctVal, finalized = false),
+      RawTrace(0, 400L, "0xb400", ts("2024-03-02 09:00:00"), 0,
+        s"0x$pfx${"ab" * 16}$whoHex", acctVal, finalized = true)
+    ).toDF()
+    val dim = graft.decode.TraceDecode.keyedPrefixDim(spark, Seq(
+      ("System", "Account", "blake2_128concat", 32)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_traces_spec").toString
+    Dump.dumpTracesDay(rows, dim, "2024-03-01", dir)
+    val tr = spark.read.parquet(s"$dir/traces").collect()
+      .map(r => r.getAs[String]("trace_id") ->
+        (r.getAs[String]("section"), r.getAs[String]("storage"),
+          r.getAs[String]("pk_extra"))).toMap
+    assert(tr.keySet == Set("300-0", "300-1")) // day + finalized only
+    assert(tr("300-0") == ("System", "Account", whoHex))
+    assert(tr("300-1") == ("unknown", "unknown", null)) // kept, flagged
+    val bal = spark.read.parquet(s"$dir/balances").collect()
+    assert(bal.length == 1) // only the System.Account row decodes
+    val b = bal.head
+    assert(b.getAs[String]("trace_id") == "300-0")
+    assert(b.getAs[String]("address_pubkey") == whoHex)
+    assert(b.getAs[Long]("nonce") == 7L)
+    assert(b.getAs[java.math.BigDecimal]("free_raw").longValueExact
+      == 50000000000L)
+    assert(b.getAs[Double]("free") == 5.0)
+    // partition-column read-back infers DATE — compare by render
+    assert(String.valueOf(b.getAs[Any]("log_dt")) == "2024-03-01")
+    // day-2 re-dump replaces only its own partition (idempotent)
+    Dump.dumpTracesDay(rows, dim, "2024-03-02", dir)
+    val both = spark.read.parquet(s"$dir/balances")
+    assert(both.count() == 2)
+    assert(both.select("log_dt").distinct().count() == 2)
+  }
+
   test("usd decoration: transfers price/amount_usd, extrinsics and " +
       "root calls fee_usd, unpriced rows keep nulls") {
     val usdRaw = Seq(
