@@ -1,0 +1,73 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `stakings` daily entity table — per-era validator/nominator/pool
+  * storage state in the reference's export shape (ref
+  * schema/substrateetl/stakings.json; docs/StakingAnalytics.md:5-14;
+  * dump at substrateetl.js:7500 cpDailyStakingToGS).
+  *
+  * The reference walks live storage at each era boundary with paged
+  * RPC reads (perPagelimit=1000, substrateetl.js:7602) and writes one
+  * file per (chain, era). Spark-first, per-era state is a SNAPSHOT
+  * question over the staking pallet's storage-update stream — exactly
+  * [[Snapshot.stateSeries]] with the era-end blocks as the grid: one
+  * key shuffle with map-side combine, fan-out bounded by #eras, never
+  * by update volume (the right 100 TB shape — a year of eras is a few
+  * hundred grid points).
+  *
+  * Input `updates` grain: one row per storage write with
+  * (chain_id, number, storage, address_pubkey) + the nullable value
+  * columns of [[Stakings.ValueCols]] (only the columns the row's
+  * storage kind carries are non-null, like the reference's sparse
+  * export rows). `storage` uses the reference discriminators:
+  * ErasStakers / Nominators / PoolMembers / BondedPools — the same
+  * frame [[graft.analytics.StakingAnalytics]] consumes.
+  */
+object Stakings {
+
+  /** The sparse per-kind value columns of the stakings shape (subset of
+    * stakings.json the analytics tier reads; `targets` is the
+    * Nominators JSON array string UNNESTed by nominatorEdges). */
+  val ValueCols: Seq[String] = Seq(
+    "validator_total", "validator_own", "validator_commission",
+    "validator_reward_points", "member_bonded",
+    "nominationpools_id", "nominationpools_total",
+    "nominationpools_commission", "targets")
+
+  /** Per-era state rows: for every era (era, end_block), the latest
+    * storage value per (chain, storage, address) at-or-before the era
+    * end — one [[Snapshot.stateSeries]] pass over the whole era grid,
+    * then the era ids attach via a broadcast of the (tiny) era
+    * dimension. `pv` carries the value struct as JSON like the
+    * reference's pv column; `number` is the as-of update block. */
+  def stakingsAtEras(updates: DataFrame,
+      eraEnds: Seq[(Long, Long)]): DataFrame = {
+    require(eraEnds.nonEmpty, "need at least one (era, endBlock)")
+    val spark = updates.sparkSession
+    import spark.implicits._
+    val eraDim = eraEnds.toDF("era", "snapshot_at")
+    val st = Snapshot.stateSeries(updates,
+      keyCols = Seq("chain_id", "storage", "address_pubkey"),
+      ordCol = "number",
+      grid = eraEnds.map(_._2).sorted,
+      valueCols = ValueCols)
+    st.join(broadcast(eraDim), Seq("snapshot_at"))
+      .withColumn("pv", to_json(struct(ValueCols.map(col): _*)))
+      .select(Seq(col("chain_id"), col("era"), col("storage"),
+        col("address_pubkey"), col("number").as("block_number")) ++
+        ValueCols.map(col) ++
+        Seq(col("pv"), col("snapshot_at").as("era_end_block")): _*)
+  }
+
+  /** Write the stakings table as idempotent date partitions next to the
+    * other entity tables (ref substrateetl.js:7500). */
+  def dumpStakingsDay(updates: DataFrame, eraEnds: Seq[(Long, Long)],
+      logDT: String, outRoot: String): DataFrame = {
+    val out = stakingsAtEras(updates, eraEnds)
+      .withColumn("log_dt", lit(logDT))
+    Writers.overwritePartitions(out, s"$outRoot/stakings", Seq("log_dt"))
+    out
+  }
+}

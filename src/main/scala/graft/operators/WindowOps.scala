@@ -336,6 +336,82 @@ object WindowOps {
       | FROM events e JOIN grid g ON e.event_id <= g.cp)
       |WHERE rn = 1 ORDER BY snapshot_at, user_id""".stripMargin
 
+  // B4 — the stakings DAILY ENTITY TABLE through the writer
+  // (graft.etl.Stakings: Snapshot.stateSeries over era-end blocks →
+  // reference stakings.json shape → date-partitioned parquet, ref
+  // substrateetl.js:7500 cpDailyStakingToGS), then the REAL analytics
+  // consumer (StakingAnalytics.eraAggregates) rolls the WRITTEN layout
+  // up per era. Storage updates are synthesized from events (purchase
+  // rows = ErasStakers validator state, others = Nominators), ordinals
+  // unique by event_id; the oracle replays the grid snapshot with the
+  // naive updates×grid join + arg_max and re-derives the rollup —
+  // composition, write, read-back, and consumer all under one hash.
+  // Sums stay exact: validator_total/reward_points are integer-valued
+  // doubles, so double sums are order-independent below 2^53.
+  private def b4(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val nul = lit(null).cast("double")
+    val updates = ev.select(
+      lit(0).as("chain_id"),
+      col("event_id").as("number"),
+      when(col("event_type") === "purchase", "ErasStakers")
+        .otherwise("Nominators").as("storage"),
+      concat(lit("u"), col("user_id")).as("address_pubkey"),
+      when(col("event_type") === "purchase",
+        (col("event_id") % 977).cast("double")).as("validator_total"),
+      nul.as("validator_own"), nul.as("validator_commission"),
+      when(col("event_type") === "purchase",
+        (col("event_id") % 91).cast("double"))
+        .as("validator_reward_points"),
+      nul.as("member_bonded"),
+      lit(null).cast("long").as("nominationpools_id"),
+      nul.as("nominationpools_total"),
+      nul.as("nominationpools_commission"),
+      when(col("event_type") =!= "purchase",
+        format_string("""["v%d","v%d"]""", col("user_id") % 7,
+          col("user_id") % 13)).as("targets"))
+    val eraEnds = Seq((0L, 500L), (1L, 1500L), (2L, 4500L),
+      (3L, 4000000000L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stakings_dump").toString
+    graft.etl.Stakings.dumpStakingsDay(updates, eraEnds,
+      "2024-03-01", dir)
+    val dumped = s.read.parquet(s"$dir/stakings")
+    graft.analytics.StakingAnalytics.eraAggregates(dumped)
+      .select(col("era"),
+        col("n_validators"),
+        round(col("era_total_staked"), 6).as("era_total_staked"),
+        col("era_reward_points").cast("long").as("era_reward_points"),
+        // engine-neutral render of the ARRAY_AGG face
+        substring(array_join(col("validators"), ","), 1, 200)
+          .as("validators_head"))
+      .orderBy(col("era"))
+  }
+
+  private val b4Sql =
+    """WITH upd AS (
+      | SELECT event_id AS number,
+      |  CASE WHEN event_type = 'purchase' THEN 'ErasStakers'
+      |   ELSE 'Nominators' END AS storage,
+      |  'u' || CAST(user_id AS VARCHAR) AS addr,
+      |  CAST(event_id % 977 AS DOUBLE) AS vt,
+      |  CAST(event_id % 91 AS DOUBLE) AS vrp
+      | FROM events),
+      |grid(era, g) AS (VALUES (0, 500), (1, 1500), (2, 4500),
+      |  (3, CAST(4000000000 AS BIGINT))),
+      |st AS (
+      | SELECT storage, addr, era,
+      |  arg_max(vt, number) AS vt, arg_max(vrp, number) AS vrp
+      | FROM upd JOIN grid ON upd.number <= grid.g
+      | GROUP BY storage, addr, era)
+      |SELECT era, count(*) AS n_validators,
+      | round(sum(vt), 6) AS era_total_staked,
+      | CAST(sum(vrp) AS BIGINT) AS era_reward_points,
+      | substr(array_to_string(list_sort(list(addr)), ','), 1, 200)
+      |  AS validators_head
+      |FROM st WHERE storage = 'ErasStakers'
+      |GROUP BY era ORDER BY era""".stripMargin
+
   // TPC-H Q3-shaped shipping-priority top-k (bench headline; T2 order by +
   // limit over a 3-way join).
   private def t2(s: SparkSession, d: String): DataFrame =
@@ -677,6 +753,7 @@ object WindowOps {
     "b1_snapshot_at_block" -> (b1 _),
     "b2_snapshot_diff" -> (b2 _),
     "b3_snapshot_series" -> (b3 _),
+    "b4_stakings_dump" -> (b4 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -702,5 +779,6 @@ object WindowOps {
     "b1_snapshot_at_block" -> b1Sql,
     "b2_snapshot_diff" -> b2Sql,
     "b3_snapshot_series" -> b3Sql,
+    "b4_stakings_dump" -> b4Sql,
   )
 }

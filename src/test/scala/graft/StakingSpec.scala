@@ -100,4 +100,68 @@ class StakingSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getDouble(1))).toSeq
     assert(out == Seq((10, 250.0), (11, 150.0)))
   }
+
+  test("stakings entity table: era snapshots from storage updates, " +
+      "dumped layout feeds the analytics consumers") {
+    import org.apache.spark.sql.functions._
+    val nulD = null.asInstanceOf[java.lang.Double]
+    // storage-update stream: v1 bonds at block 10, re-bonds at block 40
+    // (same era — last write wins); n1 nominates at block 20 and
+    // REPLACES targets at block 120 (next era); v2 appears only in
+    // era 1 (no carry-back)
+    val updates = Seq(
+      (0, 10L, "ErasStakers", "0xv1", java.lang.Double.valueOf(1000.0),
+        java.lang.Double.valueOf(60.0), null.asInstanceOf[String]),
+      (0, 40L, "ErasStakers", "0xv1", java.lang.Double.valueOf(1200.0),
+        java.lang.Double.valueOf(70.0), null.asInstanceOf[String]),
+      (0, 20L, "Nominators", "0xn1", nulD, nulD, """["0xv1"]"""),
+      (0, 120L, "Nominators", "0xn1", nulD, nulD,
+        """["0xv1","0xv2"]"""),
+      (0, 150L, "ErasStakers", "0xv2", java.lang.Double.valueOf(500.0),
+        java.lang.Double.valueOf(30.0), null.asInstanceOf[String]))
+      .toDF("chain_id", "number", "storage", "address_pubkey",
+        "validator_total", "validator_reward_points", "targets")
+      .withColumn("validator_own", lit(null).cast("double"))
+      .withColumn("validator_commission", lit(null).cast("double"))
+      .withColumn("member_bonded", lit(null).cast("double"))
+      .withColumn("nominationpools_id", lit(null).cast("long"))
+      .withColumn("nominationpools_total", lit(null).cast("double"))
+      .withColumn("nominationpools_commission", lit(null).cast("double"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stakings_spec").toString
+    graft.etl.Stakings.dumpStakingsDay(updates,
+      Seq((0L, 100L), (1L, 200L)), "2024-03-01", dir)
+    val dumped = spark.read.parquet(s"$dir/stakings")
+    val rows = dumped.collect().map(r =>
+      (r.getAs[Long]("era"), r.getAs[String]("storage"),
+        r.getAs[String]("address_pubkey")) ->
+        (r.getAs[Long]("block_number"),
+          Option(r.getAs[java.lang.Double]("validator_total"))
+            .map(_.doubleValue),
+          r.getAs[String]("targets"))).toMap
+    // era 0: v1's block-40 re-bond wins; v2 absent; n1's first targets
+    assert(rows((0L, "ErasStakers", "0xv1")) ==
+      (40L, Some(1200.0), null))
+    assert(rows((0L, "Nominators", "0xn1"))._3 == """["0xv1"]""")
+    assert(!rows.contains((0L, "ErasStakers", "0xv2")))
+    // era 1: v1 carries forward unchanged; n1's replacement; v2 joins
+    assert(rows((1L, "ErasStakers", "0xv1")) ==
+      (40L, Some(1200.0), null))
+    assert(rows((1L, "Nominators", "0xn1"))._3 == """["0xv1","0xv2"]""")
+    assert(rows((1L, "ErasStakers", "0xv2")) ==
+      (150L, Some(500.0), null))
+    // pv JSON carries the sparse state like the reference's pv column
+    val pv = dumped.filter(col("era") === 0 &&
+      col("address_pubkey") === "0xv1").select("pv").head.getString(0)
+    assert(pv.contains(""""validator_total":1200.0"""))
+    // the REAL consumers run off the dumped table: era rollup + edges
+    val agg = StakingAnalytics.eraAggregates(dumped)
+      .orderBy("era").collect()
+    assert(agg.map(r => (r.getAs[Long]("era"),
+      r.getAs[Long]("n_validators"))).toSeq == Seq((0L, 1L), (1L, 2L)))
+    val edges = StakingAnalytics.nominatorEdges(dumped)
+      .filter(col("era") === 1)
+      .select("validator").collect().map(_.getString(0)).toSet
+    assert(edges == Set("0xv1", "0xv2"))
+  }
 }
