@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The `xcmtransfers` daily export — matched cross-chain transfers in
+  * the reference's origination_* / destination_* shape (ref
+  * substrateetl.js:5068 dump_xcm; schema
+  * schema/substrateetl/xcmtransfers.json).
+  *
+  * The reference exports xcmtransfer rows whose matching completed
+  * (`incomplete = 0 AND destStatus IN (1,-1) AND xcmInfo IS NOT NULL`,
+  * :5075) by re-reading the xcmInfo JSON the matcher stored. Here the
+  * matcher output IS a frame, so the export is one inner join of the
+  * day's source transfers back to [[XcmMatcher.matchTransfers]]'s
+  * winners on the transfer identity — broadcast-free equi join on
+  * (extrinsic_id, transfer_index, xcm_index), both sides already
+  * day-bounded.
+  */
+object XcmExport {
+
+  /** chainID → paraID (ref paraTool.js getParaIDfromChainID: Kusama
+    * chain ids are paraID + 20000). */
+  private def paraId(c: Column): Column =
+    when(c >= 20000, c - 20000).otherwise(c)
+
+  /** Project matched transfers into the export shape. `transfers` is
+    * the matcher's source side plus origination detail columns
+    * (symbol, sender_pub, sent_at); `matched` is
+    * [[XcmMatcher.matchTransfers]] output. Execution status mirrors
+    * ref substrateetl.js:5094: success when the amount matched exactly
+    * or anything was received, else "unknown". */
+  def xcmTransfers(transfers: DataFrame, matched: DataFrame,
+      logDT: String): DataFrame = {
+    graft.functions.Udfs.register(transfers.sparkSession)
+    val m = matched
+      // the source side re-joins by identity — drop the copies the
+      // matcher carried through so no column is ambiguous
+      .drop("msg_hash", "chain_id", "chain_id_dest", "amount_sent")
+    transfers
+      .join(m, Seq("extrinsic_id", "transfer_index", "xcm_index"))
+      .select(
+        col("symbol"),
+        col("chain_id").as("origination_id"),
+        paraId(col("chain_id")).as("origination_para_id"),
+        col("source_ts").as("origination_ts"),
+        col("extrinsic_id").as("origination_extrinsic_id"),
+        col("transfer_index").as("origination_transfer_index"),
+        col("xcm_index").as("origination_xcm_index"),
+        col("msg_hash").as("origination_msg_hash"),
+        col("sender_pub").as("origination_sender_pub_key"),
+        expr("ss58_encode(sender_pub, 42)")
+          .as("origination_sender_ss58"),
+        col("amount_sent").as("origination_amount_sent"),
+        col("sent_at").as("origination_sent_at"),
+        col("chain_id_dest").as("destination_id"),
+        paraId(col("chain_id_dest")).as("destination_para_id"),
+        col("event_id").as("destination_event_id"),
+        col("block_number_dest").as("destination_block_number"),
+        col("dest_ts").as("destination_ts"),
+        col("amount_received").as("destination_amount_received"),
+        col("xcm_teleport_fees").as("destination_teleport_fee"),
+        when(col("exact") === 1 || col("amount_received") > 0,
+          "success").otherwise("unknown")
+          .as("destination_execution_status"),
+        col("confidence").as("destination_match_confidence"),
+        lit(logDT).as("log_dt"))
+  }
+
+  /** Run the matcher and write the export as an idempotent date
+    * partition (ref dump_xcm writes `xcmtransfers-{relay}-{logDT}`
+    * into a date-decorated table). Returns the exported frame. */
+  def dumpXcmDay(transfers: DataFrame, candidates: DataFrame,
+      logDT: String, outRoot: String): DataFrame = {
+    val matched = XcmMatcher.matchTransfers(transfers, candidates)
+    val out = xcmTransfers(transfers, matched, logDT)
+    Writers.overwritePartitions(out, s"$outRoot/xcmtransfers",
+      Seq("log_dt"))
+    out
+  }
+}

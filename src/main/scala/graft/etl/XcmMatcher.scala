@@ -397,6 +397,10 @@ object XcmMatcher {
       .select(col("extrinsic_id"), col("transfer_index"), col("xcm_index"),
         col("msg_hash"), col("chain_id"), col("chain_id_dest"),
         col("event_id"), col("amount_sent"), col("recv_total"),
-        col("exact"), round(col("confidence"), 6).as("confidence"))
+        col("exact"), round(col("confidence"), 6).as("confidence"),
+        // destination detail the xcmtransfers export projects
+        // (ref xcmtransfers.json destination_* columns)
+        col("dest_ts"), col("block_number_dest"),
+        col("amount_received"), col("xcm_teleport_fees"))
   }
 }

@@ -948,10 +948,132 @@ object JoinOps {
        |FROM probe p JOIN build b ON p.k = b.k
        |GROUP BY p.k ORDER BY p.k""".stripMargin
 
+
+  // J26 — the xcmtransfers DAILY EXPORT through the writer
+  // (graft.etl.XcmExport.dumpXcmDay — ref substrateetl.js:5068
+  // dump_xcm): transfers and dest candidates are synthesized 1:1 by
+  // msg hash from purchase events (two candidates per transfer — an
+  // exact leg whose window/reaped eligibility varies by event id, and
+  // a tolerance leg with a bounded amount miss), the REAL matcher
+  // (window filter, reaped filter, confidence ranking, consumed-once
+  // per dest event) picks winners, the export projects the reference
+  // origination_*/destination_* shape to parquet, and the query READS
+  // THE WRITTEN LAYOUT back for a per-dest-chain rollup. The oracle
+  // replays the whole cascade with two ranked windows. Amounts are
+  // integer-valued doubles (exact sums); confidence is one IEEE
+  // division then round(…,6) in both engines.
+  private def j26(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("sid"), col("user_id"),
+        us(col("ts")).as("s_us"))
+    val transfers = src.select(
+      col("sid").cast("string").as("extrinsic_id"),
+      lit(0).as("transfer_index"), lit(0).as("xcm_index"),
+      lit(21000).as("chain_id"),
+      (lit(2000) + pmod(col("sid"), lit(5))).cast("int")
+        .as("chain_id_dest"),
+      lit("DOT").as("symbol"),
+      (pmod(col("sid"), lit(1000)) + lit(100)).cast("double")
+        .as("amount_sent"),
+      timestamp_micros(col("s_us")).as("source_ts"),
+      concat(lit("m"), col("sid")).as("msg_hash"),
+      pmod(col("sid"), lit(100)).as("sent_at"),
+      repeat(format_string("%02x", col("user_id") % 256), 32)
+        .as("sender_pub"))
+    val candidates = src
+      .select(col("sid"), col("s_us"),
+        explode(array(lit(0), lit(1))).as("j"))
+      .select(
+        concat(lit("m"), col("sid")).as("msg_hash"),
+        (lit(2000) + pmod(col("sid"), lit(5))).cast("int")
+          .as("chain_id_dest"),
+        timestamp_micros(col("s_us") +
+          when(col("j") === 0, pmod(col("sid"), lit(140)) - lit(10))
+            .otherwise(lit(30)) * lit(1000000L)).as("dest_ts"),
+        (col("sid") * 10 + col("j")).as("block_number_dest"),
+        (pmod(col("sid"), lit(1000)) + lit(100) -
+          pmod(col("sid"), lit(7)) -
+          when(col("j") === 1, pmod(col("sid"), lit(25)))
+            .otherwise(lit(0))).cast("double").as("amount_received"),
+        pmod(col("sid"), lit(7)).cast("double")
+          .as("xcm_teleport_fees"),
+        concat(lit("c"), pmod(col("sid"), lit(501)), lit("-"),
+          col("j")).as("event_id"),
+        when(col("j") === 0 && pmod(col("sid"), lit(17)) === 0, 1)
+          .otherwise(0).as("reaped"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xcm_dump").toString
+    graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
+      "2024-03-01", dir)
+    s.read.parquet(s"$dir/xcmtransfers")
+      .groupBy(col("destination_para_id"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        count(when(col("destination_match_confidence") === 1.0, 1))
+          .as("n_exact"),
+        count(when(
+          col("destination_execution_status") === "success", 1))
+          .as("n_success"),
+        decOut(sum(dec6(col("origination_amount_sent"))))
+          .as("sum_sent"),
+        decOut(sum(dec6(col("destination_amount_received"))))
+          .as("sum_received"),
+        decOut(sum(dec6(col("destination_match_confidence"))))
+          .as("sum_confidence"))
+      .orderBy(col("destination_para_id"))
+  }
+
+  private val j26Sql =
+    s"""WITH src AS (
+       | SELECT event_id AS sid, ${sqlUs(TS)} AS s_us
+       | FROM events WHERE event_type = 'purchase'),
+       |tr AS (
+       | SELECT sid, s_us, CAST(sid % 1000 + 100 AS DOUBLE) AS amt,
+       |  2000 + sid % 5 AS dest
+       | FROM src),
+       |cand AS (
+       | SELECT sid,
+       |  s_us + (CASE WHEN j = 0 THEN sid % 140 - 10 ELSE 30 END)
+       |    * 1000000 AS d_us,
+       |  CAST(sid % 1000 + 100 - sid % 7 -
+       |    CASE WHEN j = 1 THEN sid % 25 ELSE 0 END AS DOUBLE) AS recv,
+       |  CAST(sid % 7 AS DOUBLE) AS fees,
+       |  'c' || CAST(sid % 501 AS VARCHAR) || '-' ||
+       |    CAST(j AS VARCHAR) AS ev,
+       |  CASE WHEN j = 0 AND sid % 17 = 0 THEN 1 ELSE 0 END AS reaped
+       | FROM src CROSS JOIN (SELECT unnest([0, 1]) AS j) jj),
+       |m1 AS (
+       | SELECT t.sid, t.amt, t.dest, c.ev, c.recv,
+       |  CASE WHEN c.recv + c.fees = t.amt THEN 1 ELSE 0 END AS exact,
+       |  CASE WHEN c.recv + c.fees = t.amt THEN 1.0
+       |   ELSE 1.0 - abs(c.recv + c.fees - t.amt) / t.amt END AS conf
+       | FROM tr t JOIN cand c ON c.sid = t.sid
+       | WHERE c.d_us >= t.s_us - CAST(10000000 AS BIGINT)
+       |   AND c.d_us <= t.s_us + CAST(120000000 AS BIGINT)
+       |   AND c.reaped = 0),
+       |best AS (
+       | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY sid
+       |    ORDER BY exact DESC, conf DESC, ev) AS rn
+       |   FROM m1 WHERE conf > 0.5) WHERE rn = 1),
+       |win AS (
+       | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ev
+       |    ORDER BY exact DESC, conf DESC, CAST(sid AS VARCHAR)) AS rn2
+       |   FROM best) WHERE rn2 = 1)
+       |SELECT dest AS destination_para_id, count(*) AS n_matched,
+       | count(CASE WHEN exact = 1 THEN 1 END) AS n_exact,
+       | count(CASE WHEN exact = 1 OR recv > 0 THEN 1 END) AS n_success,
+       | ${sqlDecOut("sum(CAST(amt AS DECIMAL(38,6)))")} AS sum_sent,
+       | ${sqlDecOut("sum(CAST(recv AS DECIMAL(38,6)))")} AS sum_received,
+       | ${sqlDecOut("sum(CAST(round(conf, 6) AS DECIMAL(38,6)))")}
+       |  AS sum_confidence
+       |FROM win GROUP BY 1 ORDER BY destination_para_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),
     "j21_dest_waterfall" -> (j21 _),
     "j25_skew_salted" -> (j25 _),
+    "j26_xcm_export" -> (j26 _),
     "j19_transact_spans" -> (j19 _),
     "j20_xcm_fee_model" -> (j20 _),
     "j22_last_touch" -> (j22 _),
@@ -976,6 +1098,7 @@ object JoinOps {
     "j18_trace_spans" -> j18Sql,
     "j21_dest_waterfall" -> j21Sql,
     "j25_skew_salted" -> j25Sql,
+    "j26_xcm_export" -> j26Sql,
     "j19_transact_spans" -> j19Sql,
     "j20_xcm_fee_model" -> j20Sql,
     "j16b_asof_native" -> j16bSql,

@@ -444,4 +444,59 @@ class EtlSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L) // windowed + noise-filtered
     spark.sql("DROP TABLE dune_kusama_cached_calls")
   }
+
+  test("xcmtransfers export: matched rows in the origination/destination " +
+      "shape, paraId mapping, status branches, idempotent partitions") {
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val alice =
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+    val transfers = Seq(
+      // exact match downstream → success
+      ("5-1", 0, 0, 22000, 22001, "KSM", 1000.0, ts(5000), "0xm1", 10L,
+        alice),
+      // zero received but high fees → confidence 0.8, status unknown
+      ("6-1", 0, 0, 2000, 2004, "DOT", 10.0, ts(6000), "0xm2", 20L,
+        alice),
+      // no candidate at all → absent from the export
+      ("7-1", 0, 0, 2000, 2004, "DOT", 50.0, ts(7000), "0xm3", 30L,
+        alice))
+      .toDF("extrinsic_id", "transfer_index", "xcm_index", "chain_id",
+        "chain_id_dest", "symbol", "amount_sent", "source_ts",
+        "msg_hash", "sent_at", "sender_pub")
+    val candidates = Seq(
+      (22001, "0xm1", ts(5030), 900L, 990.0, 10.0, "900-1-1", 0),
+      (2004, "0xm2", ts(6030), 910L, 0.0, 8.0, "910-1-1", 0))
+      .toDF("chain_id_dest", "msg_hash", "dest_ts", "block_number_dest",
+        "amount_received", "xcm_teleport_fees", "event_id", "reaped")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xcm_spec").toString
+    graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
+      "2024-03-01", dir)
+    val out = spark.read.parquet(s"$dir/xcmtransfers").collect()
+      .map(r => r.getAs[String]("origination_extrinsic_id") -> r).toMap
+    assert(out.keySet == Set("5-1", "6-1")) // 7-1 unmatched, not exported
+    val m1 = out("5-1")
+    // Kusama chain ids map to para ids (chainID - 20000)
+    assert(m1.getAs[Int]("origination_para_id") == 2000 &&
+      m1.getAs[Int]("destination_para_id") == 2001)
+    assert(m1.getAs[String]("destination_event_id") == "900-1-1")
+    assert(m1.getAs[Double]("destination_amount_received") == 990.0)
+    assert(m1.getAs[String]("destination_execution_status") == "success")
+    assert(m1.getAs[Double]("destination_match_confidence") == 1.0)
+    assert(m1.getAs[String]("origination_sender_ss58")
+      == "5GrwvaEF5zXb26Fz9rcQpDWS57CtERHpNehXCPcNoHGKutQY")
+    val m2 = out("6-1")
+    // recv_total 8 vs sent 10 → confidence 0.8 > 0.5, but nothing
+    // actually received → the reference's "unknown" status
+    assert(m2.getAs[String]("destination_execution_status") == "unknown")
+    assert(m2.getAs[Double]("destination_match_confidence") == 0.8)
+    assert(m2.getAs[Int]("origination_para_id") == 2000) // Polkadot: id
+    // re-dumping another day leaves this partition untouched
+    graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
+      "2024-03-02", dir)
+    val all = spark.read.parquet(s"$dir/xcmtransfers")
+    assert(all.count() == 4 &&
+      all.select("log_dt").distinct().count() == 2)
+  }
 }
