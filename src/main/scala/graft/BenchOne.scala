@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Focused per-query timer for optimization work: run ONLY the named
+  * queries (3 reps each, min reported) under the same session/config
+  * as [[Bench]], so a single line can be measured in seconds instead
+  * of a full 170-line bench run. Usage:
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *   tools/dev.sh graft.BenchOne g2_pagerank g3_triangles
+  * }}}
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <query_name>...")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+    val inputBytes =
+      Option(new java.io.File(sfDir).listFiles()).map(_.map(_.length).sum)
+        .getOrElse(0L)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(8L, math.min(cpus.toLong,
+        inputBytes / (64L << 20) + 1)).toInt)
+    // same JIT warmup as Bench so rep 1 isn't charged for codegen
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count().count()
+    Tables.events(spark, sfDir).select("ts").limit(1).count()
+    args.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%s: min ${reps.min}%.3f s  reps ${
+        reps.map(r => f"$r%.3f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
