@@ -24,9 +24,11 @@ object Bench {
       finally src.close()
     } catch { case _: Exception => 0L }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  /** The bench session, ONE copy (BenchOne reuses it so a focused
+    * re-measure runs under byte-identical config): local[cpus], UTC,
+    * AQE on, input-adaptive shuffle sizing — tiny scale factors don't
+    * pay for `cpus` shuffle tasks per stage. */
+  def benchSession(sfDir: String, cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,38 +38,44 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
-    // input-adaptive shuffle sizing: tiny scale factors don't pay for
-    // `cpus` shuffle tasks per stage
     val inputBytes =
       Option(new java.io.File(sfDir).listFiles()).map(_.map(_.length).sum)
         .getOrElse(0L)
     val parts = math.max(8L,
       math.min(cpus.toLong, inputBytes / (64L << 20) + 1)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", parts)
-    // JIT/codegen warmup outside the timed loop: touch the scan + agg +
-    // shuffle paths once so the first measured query isn't charged for
-    // JVM warmup.
+    spark
+  }
+
+  /** JIT/codegen warmup outside any timed loop: the scan + agg +
+    * shuffle paths, AND the join + window + checkpoint paths — the
+    * first timed consumer of each would otherwise absorb their codegen
+    * cost (measured: seconds on the shared CC stage). ONE copy shared
+    * with BenchOne. */
+  def warmup(spark: SparkSession, sfDir: String): Unit = {
     Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag").count().count()
     Tables.events(spark, sfDir).select("ts").limit(1).count()
-    // …and the join + window + checkpoint paths, because the FIRST
-    // timed consumer below is the shared CC stage (joins + per-round
-    // localCheckpoint) — without this its line absorbs their codegen
-    // cost and overstates the stage by seconds
-    locally {
-      import org.apache.spark.sql.functions._
-      val wd = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("source")).limit(200)
-      val warmed = wd
-        .join(wd.withColumnRenamed("doc_id", "doc_id2"), Seq("source"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source")).orderBy(col("doc_id"))))
-        .localCheckpoint(true)
-      // (no unpersist: checkpoint blocks aren't CacheManager entries, so
-      // Dataset.unpersist would be a no-op — the 200-row blocks just age out)
-      warmed.count()
-    }
+    import org.apache.spark.sql.functions._
+    val wd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).limit(200)
+    val warmed = wd
+      .join(wd.withColumnRenamed("doc_id", "doc_id2"), Seq("source"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))))
+      .localCheckpoint(true)
+    // (no unpersist: checkpoint blocks aren't CacheManager entries, so
+    // Dataset.unpersist would be a no-op — the 200-row blocks just age out)
+    warmed.count(): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = benchSession(sfDir, cpus)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    warmup(spark, sfDir)
     val steal0 = stealTicks()
     // Shared-stage accounting: d5/d6 consume ONE memoized pairs→CC
     // labels stage, and x12/x13 one memoized BPE training stage. Under

@@ -18,25 +18,10 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Tables.configure(spark)
-    val inputBytes =
-      Option(new java.io.File(sfDir).listFiles()).map(_.map(_.length).sum)
-        .getOrElse(0L)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      math.max(8L, math.min(cpus.toLong,
-        inputBytes / (64L << 20) + 1)).toInt)
-    // same JIT warmup as Bench so rep 1 isn't charged for codegen
-    Tables.lineitem(spark, sfDir)
-      .groupBy("l_returnflag").count().count()
-    Tables.events(spark, sfDir).select("ts").limit(1).count()
+    // the one shared session + warmup (Bench owns both) — byte-identical
+    // config with the full run, so focused numbers are comparable
+    val spark = Bench.benchSession(sfDir, cpus)
+    Bench.warmup(spark, sfDir)
     args.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query $name"))

@@ -74,16 +74,24 @@ object PriceSeries {
   /** The price log as half-open validity intervals — one row per
     * (asset, chain_id, index_ts) with `px_until` = the next point's
     * timestamp (null for the latest). Duplicate points at one
-    * timestamp dedupe to the max price first, so the interval set is
-    * deterministic. Dim-only window: rows = price points, never
-    * facts. */
+    * timestamp resolve by the reference's MOST-LIQUID convention when
+    * the log carries the `liquid` column ([[mostLiquid]], ref
+    * query.js:2080-2086 — a thin-router outlier must not win), and by
+    * max price otherwise (a deterministic tiebreak for bare
+    * (asset, chain_id, index_ts, price_usd) slices). Dim-only window:
+    * rows = price points, never facts. */
   def asOfIntervals(priceLog: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("asset"), col("chain_id"))
       .orderBy(col("index_ts"))
-    priceLog
-      .groupBy(col("asset"), col("chain_id"), col("index_ts"))
-      .agg(max(col("price_usd")).as("price_usd"))
-      .withColumn("px_until", lead(col("index_ts"), 1).over(w))
+    val deduped =
+      if (priceLog.columns.contains("liquid"))
+        mostLiquid(priceLog)
+          .select(col("asset"), col("chain_id"), col("index_ts"),
+            col("price_usd"))
+      else priceLog
+        .groupBy(col("asset"), col("chain_id"), col("index_ts"))
+        .agg(max(col("price_usd")).as("price_usd"))
+    deduped.withColumn("px_until", lead(col("index_ts"), 1).over(w))
   }
 
   /** As-of USD price decoration of a FULL-WIDTH fact frame — the dump

@@ -40,9 +40,13 @@ trait ChainParser extends Serializable {
   def isLiquidityPair(symbol: String): Boolean = false
 
   /** Whether an event feeds the reward extraction (ref
-    * chainparser.js rewardFilter; astar.js:880 widens it). */
+    * chainparser.js:3898 rewardFilter — Rewarded AND Slashed;
+    * astar.js:880 widens it). Must stay in lockstep with
+    * [[graft.etl.Rewards.isRewardEvent]], the Column twin (slashes
+    * negate downstream and the positive-amount skip drops them, like
+    * the reference's end-to-end path). */
   def isRewardEvent(section: String, method: String): Boolean =
-    section == "staking" && method == "Rewarded"
+    section == "staking" && (method == "Rewarded" || method == "Slashed")
 }
 
 /** Generic substrate parser — the default for every chain. */

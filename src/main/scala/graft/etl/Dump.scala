@@ -108,8 +108,10 @@ object Dump {
           .as("signer_ss58"))
     // fee_usd (ref substrateetl.js:6372 computeExtrinsicFeeUSD): the
     // fee is paid in the chain's native token — resolve it through the
-    // chain registry, then as-of-price at block time
-    usd.fold(base)(withFeeUsd(base, _))
+    // chain registry, then as-of-price at block time. Null-emitted
+    // without dims so the table schema stays partition-invariant.
+    usd.fold(base.withColumn("fee_usd", lit(null).cast("double")))(
+        withFeeUsd(base, _))
       .withColumn("log_dt", lit(logDT))
   }
 
@@ -166,11 +168,18 @@ object Dump {
     // USD decoration (ref substrateetl.js:6342-6371: transfers export
     // carries price_usd/amount_usd) — as-of against the broadcast
     // price-interval dim; unpriced assets keep nulls, like the
-    // reference's priceUSD-miss path
-    usd.fold(base)(u =>
+    // reference's priceUSD-miss path. The columns EXIST either way:
+    // a dims-less dump emits them as nulls so the table schema never
+    // varies across partitions (a mixed-schema parquet table makes
+    // footer-sampled reads nondeterministic about the USD columns).
+    (usd match {
+      case Some(u) =>
         graft.analytics.PriceSeries.withAsOfPrice(base, u.priceLog)
-          .withColumn("amount_usd", col("amount") * col("price_usd")))
-      .withColumn("log_dt", lit(logDT))
+          .withColumn("amount_usd", col("amount") * col("price_usd"))
+      case None => base
+        .withColumn("price_usd", lit(null).cast("double"))
+        .withColumn("amount_usd", lit(null).cast("double"))
+    }).withColumn("log_dt", lit(logDT))
   }
 
   /** calls projection: recursive flatten with noise suppression, fee on
@@ -209,8 +218,10 @@ object Dump {
         "call_id", "call_section", "call_method", "call_args",
         "root", "leaf", "fee", "signed")
     // fee_usd rides the root call only (the flattener keeps fee on the
-    // root — ref calls.json fee_usd; non-root null fee → null fee_usd)
-    usd.fold(flat)(withFeeUsd(flat, _))
+    // root — ref calls.json fee_usd; non-root null fee → null fee_usd);
+    // null-emitted without dims so the schema stays partition-invariant
+    usd.fold(flat.withColumn("fee_usd", lit(null).cast("double")))(
+        withFeeUsd(flat, _))
       .withColumn("log_dt", lit(logDT))
   }
 

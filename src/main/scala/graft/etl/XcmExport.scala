@@ -72,10 +72,17 @@ object XcmExport {
     * into a date-decorated table). Returns the exported frame. */
   def dumpXcmDay(transfers: DataFrame, candidates: DataFrame,
       logDT: String, outRoot: String): DataFrame = {
-    val matched = XcmMatcher.matchTransfers(transfers, candidates)
-    val out = xcmTransfers(transfers, matched, logDT)
-    Writers.overwritePartitions(out, s"$outRoot/xcmtransfers",
-      Seq("log_dt"))
-    out
+    // the transfer slice feeds BOTH the matcher join and the export
+    // re-join — persist it for the write's duration so the (at scale,
+    // expensive) source is scanned once, like dumpDay's day persist
+    val tr = transfers
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = XcmMatcher.matchTransfers(tr, candidates)
+      val out = xcmTransfers(tr, matched, logDT)
+      Writers.overwritePartitions(out, s"$outRoot/xcmtransfers",
+        Seq("log_dt"))
+      out
+    } finally tr.unpersist(): Unit
   }
 }

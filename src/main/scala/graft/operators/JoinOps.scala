@@ -1002,8 +1002,7 @@ object JoinOps {
           col("j")).as("event_id"),
         when(col("j") === 0 && pmod(col("sid"), lit(17)) === 0, 1)
           .otherwise(0).as("reaped"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_xcm_dump").toString
+    val dir = queryDumpDir("graft_xcm_dump")
     graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
       "2024-03-01", dir)
     s.read.parquet(s"$dir/xcmtransfers")

@@ -514,8 +514,7 @@ object KeyOps {
           lit("01000000" + "01000000" + "00000000"),
           leU128Small(free), leU128Small(reserved),
           leU128Small(lit(0))))
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_traces_dump").toString
+    val out = queryDumpDir("graft_traces_dump")
     graft.etl.Dump.dumpTracesDay(rawTraces, dim, "2024-03-01", out)
     s.read.parquet(s"$out/balances")
       .groupBy(col("address_pubkey"))

@@ -372,8 +372,7 @@ object WindowOps {
           col("user_id") % 13)).as("targets"))
     val eraEnds = Seq((0L, 500L), (1L, 1500L), (2L, 4500L),
       (3L, 4000000000L))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_stakings_dump").toString
+    val dir = queryDumpDir("graft_stakings_dump")
     graft.etl.Stakings.dumpStakingsDay(updates, eraEnds,
       "2024-03-01", dir)
     val dumped = s.read.parquet(s"$dir/stakings")

@@ -81,6 +81,30 @@ package object operators {
       round(sqrt((s2 - s * s / n) / (n - lit(1.0))), 6))
   }
 
+  /** One per-JVM parent for the write-path queries' scratch dumps
+    * (k11/b4/j26 write a layout and read it back, so the files must
+    * outlive the query — but NOT the process): a shutdown hook deletes
+    * the whole tree, so repeated bench reps leave no disk residue on
+    * the host (the stage:dump_day convention, made reusable). */
+  private lazy val queryDumpRoot: java.nio.file.Path = {
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_query_dumps")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+    root
+  }
+
+  /** Fresh scratch dir under [[queryDumpRoot]] — use instead of a bare
+    * createTempDirectory in any query that writes parquet. */
+  def queryDumpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(queryDumpRoot, prefix)
+      .toString
+
   /** UTC day key as a string — unambiguous across engines. */
   def dayKey(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
 

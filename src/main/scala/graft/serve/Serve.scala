@@ -90,7 +90,7 @@ object Serve {
     * the key to full uniqueness or those ties would straddle page
     * boundaries. */
   case class FeedCursor(tsUs: Long, chainId: Int, extrinsicId: String,
-      kind: String, disc: Long = 0L) {
+      kind: String, disc: Long) {
     private val parts = extrinsicId.split("-")
     require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
       s"malformed cursor extrinsic id '$extrinsicId'")
@@ -109,41 +109,53 @@ object Serve {
     * entity tables). Every source filter pushes its pubkey predicate
     * to its own scan before the union.
     *
-    * `disc` (in the output and the cursor) is a hash over the FULL
-    * source row — schema-agnostic, so it covers whatever identity the
-    * source carries (event_id on rewards/crowdloan, the deduped
-    * (from, to, asset, raw amount) tuple on transfers) — making the
-    * sort key genuinely unique even when one extrinsic emits several
-    * same-kind rows. Intra-tie order is by the hash (arbitrary but
-    * deterministic); the cursor's strictly-less predicate then never
-    * drops a tied row. */
+    * `disc` (in the output and the cursor) hashes a STABLE per-source
+    * identity subset — event_id on rewards/crowdloan (falling back to
+    * the pair key when the caller's frame predates event ids), the
+    * deduped (from, to, asset, raw amount) tuple on transfers — so a
+    * saved cursor survives schema growth on the entity tables (a hash
+    * of every column would reassign discs whenever a column lands,
+    * e.g. this round's USD decoration) and makes the sort key unique
+    * even when one extrinsic emits several same-kind rows. Intra-tie
+    * order is by the hash (arbitrary but deterministic); the cursor's
+    * strictly-less predicate then never drops a tied row. */
   def accountFeed(transfers: DataFrame, rewards: DataFrame,
       crowdloan: DataFrame, pubkey: String, pageSize: Int,
       before: Option[FeedCursor] = None,
       decimals: Int = 10): DataFrame = {
     val scale = math.pow(10, decimals)
-    def rowDisc(df: DataFrame): Column =
-      xxhash64(to_json(struct(df.columns.map(col): _*)))
+    // identity hash from the first column set the frame fully carries
+    def rowDisc(df: DataFrame, prefer: Seq[String],
+        fallback: Seq[String]): Column = {
+      val cols =
+        if (prefer.forall(df.columns.contains)) prefer else fallback
+      xxhash64(cols.map(col): _*)
+    }
+    val trDisc = rowDisc(transfers,
+      Seq("from_pub_key", "to_pub_key", "asset", "raw_amount_hex"),
+      Seq("from_pub_key", "to_pub_key", "asset", "amount"))
     val out = transfers.filter(col("from_pub_key") === pubkey)
       .select(lit("transfer_out").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"), col("amount"),
-        col("asset").as("detail"), rowDisc(transfers).as("disc"))
+        col("asset").as("detail"), trDisc.as("disc"))
     val in = transfers.filter(col("to_pub_key") === pubkey)
       .select(lit("transfer_in").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"), col("amount"),
-        col("asset").as("detail"), rowDisc(transfers).as("disc"))
+        col("asset").as("detail"), trDisc.as("disc"))
     val rw = rewards.filter(col("account_pub_key") === pubkey)
       .select(lit("reward").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"),
         (col("amount_raw").cast("double") / scale).as("amount"),
         concat(lit("era:"), col("era")).as("detail"),
-        rowDisc(rewards).as("disc"))
+        rowDisc(rewards, Seq("event_id"), Seq("era", "amount_raw"))
+          .as("disc"))
     val cl = crowdloan.filter(col("account_pub_key") === pubkey)
       .select(lit("crowdloan").as("kind"), col("chain_id"),
         col("block_time"), col("extrinsic_id"),
         (col("amount_raw").cast("double") / scale).as("amount"),
         concat(lit("fund:"), col("para_id")).as("detail"),
-        rowDisc(crowdloan).as("disc"))
+        rowDisc(crowdloan, Seq("event_id"),
+          Seq("para_id", "amount_raw")).as("disc"))
     var df = out.unionByName(in).unionByName(rw).unionByName(cl)
     before.foreach { c =>
       val ts = unix_micros(col("block_time"))

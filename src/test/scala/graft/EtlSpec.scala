@@ -167,6 +167,10 @@ class EtlSpec extends AnyFunSuite {
     val p = AstarParser(2006)
     assert(p.isRewardEvent("dappsStaking", "Reward"))
     assert(p.isRewardEvent("staking", "Rewarded"))
+    // slashes ride the filter like the reference's rewardFilter
+    // (chainparser.js:3898); their negated amounts drop downstream
+    assert(p.isRewardEvent("staking", "Slashed"))
+    assert(GenericParser(0).isRewardEvent("staking", "Slashed"))
     assert(!GenericParser(0).isRewardEvent("dappsStaking", "Reward"))
     // raw SCALE: Reward(alice, Evm(0xcd..20 bytes), era 68, 7e12)
     val alice = Codec.hexToBytes(
