@@ -31,16 +31,32 @@ object XcmExport {
     * ref substrateetl.js:5094: success when the amount matched exactly
     * or anything was received, else "unknown". */
   def xcmTransfers(transfers: DataFrame, matched: DataFrame,
-      logDT: String): DataFrame = {
+      logDT: String, usd: Option[Dump.UsdDims] = None): DataFrame = {
     graft.functions.Udfs.register(transfers.sparkSession)
     val m = matched
       // the source side re-joins by identity — drop the copies the
       // matcher carried through so no column is ambiguous
       .drop("msg_hash", "chain_id", "chain_id_dest", "amount_sent")
-    transfers
+    val joined = transfers
       .join(m, Seq("extrinsic_id", "transfer_index", "xcm_index"))
+    // USD valuation (ref xcmtransfers.json price_usd /
+    // origination_amount_sent_usd / destination_amount_received_usd;
+    // the reference stamps ONE priceUSD per transfer record): as-of at
+    // the origination time on the symbol's asset key. Null-emitted
+    // without dims — partition-invariant schema, like Dump's tables.
+    val priced = usd match {
+      case Some(u) =>
+        graft.analytics.PriceSeries.withAsOfPrice(
+          joined.withColumn("asset",
+            expr("asset_chain(symbol, chain_id)")),
+          u.priceLog, tsCol = "source_ts").drop("asset")
+      case None =>
+        joined.withColumn("price_usd", lit(null).cast("double"))
+    }
+    priced
       .select(
         col("symbol"),
+        col("price_usd"),
         col("chain_id").as("origination_id"),
         paraId(col("chain_id")).as("origination_para_id"),
         col("source_ts").as("origination_ts"),
@@ -52,6 +68,8 @@ object XcmExport {
         expr("ss58_encode(sender_pub, 42)")
           .as("origination_sender_ss58"),
         col("amount_sent").as("origination_amount_sent"),
+        (col("amount_sent") * col("price_usd"))
+          .as("origination_amount_sent_usd"),
         col("sent_at").as("origination_sent_at"),
         col("chain_id_dest").as("destination_id"),
         paraId(col("chain_id_dest")).as("destination_para_id"),
@@ -59,6 +77,8 @@ object XcmExport {
         col("block_number_dest").as("destination_block_number"),
         col("dest_ts").as("destination_ts"),
         col("amount_received").as("destination_amount_received"),
+        (col("amount_received") * col("price_usd"))
+          .as("destination_amount_received_usd"),
         col("xcm_teleport_fees").as("destination_teleport_fee"),
         when(col("exact") === 1 || col("amount_received") > 0,
           "success").otherwise("unknown")
@@ -71,7 +91,8 @@ object XcmExport {
     * partition (ref dump_xcm writes `xcmtransfers-{relay}-{logDT}`
     * into a date-decorated table). Returns the exported frame. */
   def dumpXcmDay(transfers: DataFrame, candidates: DataFrame,
-      logDT: String, outRoot: String): DataFrame = {
+      logDT: String, outRoot: String,
+      usd: Option[Dump.UsdDims] = None): DataFrame = {
     // the transfer slice feeds BOTH the matcher join and the export
     // re-join — persist it for the write's duration so the (at scale,
     // expensive) source is scanned once, like dumpDay's day persist
@@ -79,7 +100,7 @@ object XcmExport {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val matched = XcmMatcher.matchTransfers(tr, candidates)
-      val out = xcmTransfers(tr, matched, logDT)
+      val out = xcmTransfers(tr, matched, logDT, usd)
       Writers.overwritePartitions(out, s"$outRoot/xcmtransfers",
         Seq("log_dt"))
       out

@@ -1002,9 +1002,25 @@ object JoinOps {
           col("j")).as("event_id"),
         when(col("j") === 0 && pmod(col("sid"), lit(17)) === 0, 1)
           .otherwise(0).as("reaped"))
+    // USD dims: one 5-min price series for the (single) native asset
+    // key the export derives via asset_chain(symbol, chain_id) — the
+    // as-of valuation rides the same broadcast-interval shape as the
+    // transfers dump; duplicate bucket points dedupe inside
+    // asOfIntervals (max branch), which the oracle replays
+    val priceLog = Tables.events(s, d)
+      .filter(col("event_type") === "view")
+      .select(lit("DOT~21000").as("asset"), lit(21000).as("chain_id"),
+        timestamp_micros((us(col("ts")).cast("long") /
+          lit(300000000L)).cast("long") * lit(300000000L))
+          .as("index_ts"),
+        (pmod(col("event_id"), lit(500)).cast("double") / lit(100.0))
+          .as("price_usd"))
+    val chains = s.range(1).select(lit(21000).as("chain_id"),
+      lit("DOT~21000").as("native_asset")) // unused by the xcm face
     val dir = queryDumpDir("graft_xcm_dump")
     graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
-      "2024-03-01", dir)
+      "2024-03-01", dir,
+      Some(graft.etl.Dump.UsdDims(priceLog, chains)))
     s.read.parquet(s"$dir/xcmtransfers")
       .groupBy(col("destination_para_id"))
       .agg(
@@ -1014,8 +1030,11 @@ object JoinOps {
         count(when(
           col("destination_execution_status") === "success", 1))
           .as("n_success"),
+        count(col("price_usd")).as("n_priced"),
         decOut(sum(dec6(col("origination_amount_sent"))))
           .as("sum_sent"),
+        decOut(sum(dec6(col("origination_amount_sent_usd"))))
+          .as("sum_sent_usd"),
         decOut(sum(dec6(col("destination_amount_received"))))
           .as("sum_received"),
         decOut(sum(dec6(col("destination_match_confidence"))))
@@ -1043,7 +1062,7 @@ object JoinOps {
        |  CASE WHEN j = 0 AND sid % 17 = 0 THEN 1 ELSE 0 END AS reaped
        | FROM src CROSS JOIN (SELECT unnest([0, 1]) AS j) jj),
        |m1 AS (
-       | SELECT t.sid, t.amt, t.dest, c.ev, c.recv,
+       | SELECT t.sid, t.amt, t.dest, t.s_us, c.ev, c.recv,
        |  CASE WHEN c.recv + c.fees = t.amt THEN 1 ELSE 0 END AS exact,
        |  CASE WHEN c.recv + c.fees = t.amt THEN 1.0
        |   ELSE 1.0 - abs(c.recv + c.fees - t.amt) / t.amt END AS conf
@@ -1058,15 +1077,26 @@ object JoinOps {
        |win AS (
        | SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ev
        |    ORDER BY exact DESC, conf DESC, CAST(sid AS VARCHAR)) AS rn2
-       |   FROM best) WHERE rn2 = 1)
+       |   FROM best) WHERE rn2 = 1),
+       |px AS (
+       | SELECT (${sqlUs(TS)} // CAST(300000000 AS BIGINT))
+       |    * CAST(300000000 AS BIGINT) AS b_us,
+       |  max(CAST(event_id % 500 AS DOUBLE) / 100.0) AS px
+       | FROM events WHERE event_type = 'view' GROUP BY 1),
+       |dec AS (
+       | SELECT w.*, p.px FROM win w
+       | ASOF LEFT JOIN px p ON w.s_us >= p.b_us)
        |SELECT dest AS destination_para_id, count(*) AS n_matched,
        | count(CASE WHEN exact = 1 THEN 1 END) AS n_exact,
        | count(CASE WHEN exact = 1 OR recv > 0 THEN 1 END) AS n_success,
+       | count(px) AS n_priced,
        | ${sqlDecOut("sum(CAST(amt AS DECIMAL(38,6)))")} AS sum_sent,
+       | ${sqlDecOut("sum(CAST(amt * px AS DECIMAL(38,6)))")}
+       |  AS sum_sent_usd,
        | ${sqlDecOut("sum(CAST(recv AS DECIMAL(38,6)))")} AS sum_received,
        | ${sqlDecOut("sum(CAST(round(conf, 6) AS DECIMAL(38,6)))")}
        |  AS sum_confidence
-       |FROM win GROUP BY 1 ORDER BY destination_para_id""".stripMargin
+       |FROM dec GROUP BY 1 ORDER BY destination_para_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),

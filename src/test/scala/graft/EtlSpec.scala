@@ -496,11 +496,38 @@ class EtlSpec extends AnyFunSuite {
     assert(m2.getAs[String]("destination_execution_status") == "unknown")
     assert(m2.getAs[Double]("destination_match_confidence") == 0.8)
     assert(m2.getAs[Int]("origination_para_id") == 2000) // Polkadot: id
+    // dims-less dump still carries the USD columns (as nulls) so the
+    // table schema is partition-invariant
+    assert(m1.isNullAt(m1.fieldIndex("price_usd")) &&
+      m1.isNullAt(m1.fieldIndex("origination_amount_sent_usd")))
     // re-dumping another day leaves this partition untouched
     graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
       "2024-03-02", dir)
     val all = spark.read.parquet(s"$dir/xcmtransfers")
     assert(all.count() == 4 &&
       all.select("log_dt").distinct().count() == 2)
+    // with price dims the export values at the as-of price; chain
+    // 22000 dispatches the Acala-style parser, so the price-log key is
+    // the CANONICALIZED token-JSON asset key (the per-chain seam
+    // reaching the USD path): priced 6.0 at t-30s → sent 1000 × 6.0
+    val ksmKey = """{"Token":"KSM"}~22000"""
+    val priceLog = Seq((ksmKey, 22000, ts(4970), 6.0))
+      .toDF("asset", "chain_id", "index_ts", "price_usd")
+    val chains = Seq((22000, ksmKey))
+      .toDF("chain_id", "native_asset")
+    graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
+      "2024-03-01", dir, Some(Dump.UsdDims(priceLog, chains)))
+    val priced = spark.read.parquet(s"$dir/xcmtransfers")
+      .filter(col("log_dt") === "2024-03-01" &&
+        col("origination_extrinsic_id") === "5-1").head
+    assert(priced.getAs[Double]("price_usd") == 6.0)
+    assert(priced.getAs[Double]("origination_amount_sent_usd") == 6000.0)
+    assert(priced.getAs[Double]("destination_amount_received_usd")
+      == 5940.0)
+    // the DOT transfer's asset key has no price point → stays null
+    val unpriced = spark.read.parquet(s"$dir/xcmtransfers")
+      .filter(col("log_dt") === "2024-03-01" &&
+        col("origination_extrinsic_id") === "6-1").head
+    assert(unpriced.isNullAt(unpriced.fieldIndex("price_usd")))
   }
 }
