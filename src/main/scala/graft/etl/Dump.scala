@@ -466,6 +466,26 @@ object Dump {
     } finally day.unpersist()
   }
 
+  /** Streaming twin of [[dumpTracesDay]] — one micro-batch of raw
+    * trace cells appended into the same date-partitioned layout (drive
+    * from `foreachBatch` like [[dumpMicroBatch]]). Both projections
+    * are row-wise against the broadcast storage-key dim — no
+    * cross-trace state — so micro-batching commutes with the batch
+    * plan exactly as the block-side tables do. */
+  def dumpTracesMicroBatch(rawTraces: DataFrame, dim: DataFrame,
+      logDT: String, outRoot: String, decimals: Int = 10,
+      ss58Network: Int = 42): Unit = {
+    val day = dayTraces(rawTraces, logDT)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Map(
+      "traces" -> tracesOf(day, dim, logDT),
+      "balances" -> balancesOf(day, dim, logDT, decimals, ss58Network)
+    ).foreach { case (name, df) =>
+      df.write.mode("append").partitionBy("log_dt")
+        .parquet(s"$outRoot/$name")
+    } finally day.unpersist(): Unit
+  }
+
   /** The whole §3.2 entry point: validate (timestamp-presence check,
     * ref substrateetl.js:6451-6455), project all eight tables, write each
     * as an idempotent date partition. Returns the table map.

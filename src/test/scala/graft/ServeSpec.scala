@@ -261,4 +261,38 @@ class ServeSpec extends AnyFunSuite {
         r.getLong(5)))
     assert(out.toSeq == Seq((0, 20L, 2.0, 7L), (2, 7L, 9.0, 1L)))
   }
+
+  test("accountBalances serves straight off the DUMPED balances layout") {
+    import spark.implicits._
+    import graft.model.RawTrace
+    // wire rows through the real trace dump, then the serving face
+    // reads the written table — the dump→serve loop closed end to end
+    val pfx = graft.functions.Codec.bytesToHex(
+      graft.functions.Codec.twox128("System".getBytes("UTF-8")) ++
+        graft.functions.Codec.twox128("Account".getBytes("UTF-8")),
+      prefix = false)
+    def acctVal(nonce: Int, freeLowByte: Int) =
+      "0x" + "%02x000000".format(nonce) + "01000000" + "01000000" +
+        "00000000" + "%02x00000000000000".format(freeLowByte) +
+        "00" * 8 + "00" * 32
+    val who = "cd" * 32
+    def t(bn: Long, v: String) = RawTrace(0, bn, s"0xb$bn",
+      java.sql.Timestamp.valueOf("2024-03-01 09:00:00"), 0,
+      s"0x$pfx${"ab" * 16}$who", v, finalized = true)
+    val rows = Seq(
+      t(100L, acctVal(1, 50)), // superseded by the block-200 touch
+      t(200L, acctVal(2, 70))).toDS().toDF()
+    val dim = graft.decode.TraceDecode.keyedPrefixDim(spark, Seq(
+      ("System", "Account", "blake2_128concat", 32)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_serve_dump").toString
+    graft.etl.Dump.dumpTracesDay(rows, dim, "2024-03-01", dir)
+    val out = Serve.accountBalances(
+        spark.read.parquet(s"$dir/balances"), who,
+        ordCol = "block_number").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("as_of_ord") == 200L)
+    assert(out.head.getAs[Long]("nonce") == 2L)
+    assert(out.head.getAs[Double]("free") == 70.0 / 1e10)
+  }
 }

@@ -145,6 +145,59 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("dumpTracesDay through foreachBatch == batch, both trace tables") {
+    import spark.implicits._
+    import graft.model.RawTrace
+    val root = Files.createTempDirectory("graft_tparity").toString
+    val landing = s"$root/landing"
+    val batchRoot = s"$root/batch"; val streamRoot = s"$root/stream"
+    val pfx = graft.functions.Codec.bytesToHex(
+      graft.functions.Codec.twox128("System".getBytes("UTF-8")) ++
+        graft.functions.Codec.twox128("Account".getBytes("UTF-8")),
+      prefix = false)
+    val acctVal = "0x" + "05000000" + "01000000" + "01000000" +
+      "00000000" + "00e40b5402000000" + "00" * 8 + "00" * 32
+    val traces = (0 until 6).map { i =>
+      RawTrace(0, 500L + i, s"0xb${500 + i}",
+        ts(s"2024-03-01 0${i + 1}:00:00"), 0,
+        if (i % 2 == 0) s"0x$pfx${"ab" * 16}${"%02x".format(i) * 32}"
+        else "0x" + "ee" * 48,
+        if (i % 2 == 0) acctVal else "0x04", finalized = true)
+    }
+    traces.grouped(2).zipWithIndex.foreach { case (g, i) =>
+      g.toDS().coalesce(1).write.parquet(s"$landing/part$i")
+    }
+    val dim = graft.decode.TraceDecode.keyedPrefixDim(spark, Seq(
+      ("System", "Account", "blake2_128concat", 32)))
+    Dump.dumpTracesDay(traces.toDS().toDF(), dim, "2024-03-01",
+      batchRoot)
+    val schema = traces.toDS().schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(landing)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Dump.dumpTracesMicroBatch(b, dim, "2024-03-01", streamRoot)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "streaming batches timed out")
+    q.stop()
+    def frame(dir: String): Seq[String] = {
+      val df = spark.read.parquet(dir)
+      df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    }
+    for (t <- Seq("traces", "balances")) {
+      val b = frame(s"$batchRoot/$t"); val s = frame(s"$streamRoot/$t")
+      assert(b.nonEmpty, s"$t: batch output empty")
+      assert(b == s, s"$t: stream output != batch output")
+    }
+  }
+
   test("parity survives stop -> more files land -> restart") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_parity_rs").toString
