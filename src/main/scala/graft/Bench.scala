@@ -91,6 +91,7 @@ object Bench {
     operators.VectorOps.resetPca()
     operators.TextOps.resetLr()
     operators.VectorOps.resetPqAdc()
+    etl.Dump.resetRawDay()
     // a failing stage goes into the SAME errors map as a failing query —
     // the -1 sentinel alone made stage failures near-undiagnosable from
     // captured bench output
@@ -197,10 +198,14 @@ object Bench {
       ((s, d) => operators.VectorOps.warmPcaDistributed(s, d)),
     "stage:lrdist_train" ->
       ((s, d) => operators.TextOps.warmLrDistributed(s, d)),
-    // the reference's core daily workload: full 8-table dump over a
-    // synthesized nested raw day (round 10) — an ETL-path regression
-    // (lost filter pushdown, extra shuffle in a projection, a slow
-    // UDF) surfaces here instead of only in specs
+    // the reference's core daily workload, split (round 11) so the
+    // ETL line is pure: the corpus build materializes first
+    // (stage:dumpsynth_raw, memoized), then stage:dump_day times ONLY
+    // the full dump — USD decoration included — so an ETL-path
+    // regression (lost filter pushdown, extra shuffle in a
+    // projection, a slow UDF) surfaces undiluted by synthesis cost
+    "stage:dumpsynth_raw" ->
+      ((s, d) => etl.Dump.warmRawDay(s, d)),
     "stage:dump_day" ->
       ((s, d) => etl.Dump.warmDumpDay(s, d)))
 

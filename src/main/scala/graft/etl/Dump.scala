@@ -532,6 +532,30 @@ object Dump {
     * regression (a lost pushed filter, a new shuffle in a projection)
     * surfaces in the trend guard, not just in specs. */
   def warmDumpDay(s: SparkSession, d: String): Map[String, Long] = {
+    // the synthesized day memoizes (stage:dumpsynth_raw) so the
+    // stage:dump_day line times the ETL, not the corpus build; a
+    // standalone call (specs) builds it inline
+    val raw = memoRawDay.getOrElse(synthesizeRawDay(s, d))
+    runDumpDay(s, raw)
+  }
+
+  @volatile private var memoRawDay: Option[DataFrame] = None
+  def resetRawDay(): Unit = { memoRawDay = None }
+
+  /** Bench stage: build + materialize the synthetic nested raw day
+    * (localCheckpoint) so [[warmDumpDay]] measures ONLY the dump. */
+  def warmRawDay(s: SparkSession, d: String): Long = {
+    val raw = synthesizeRawDay(s, d).localCheckpoint()
+    memoRawDay = Some(raw)
+    raw.count()
+  }
+
+  /** Deterministic nested raw day synthesized from the events table
+    * (~events/3 extrinsics across events/15 blocks, with reward
+    * markers, crowdloan events, transfers and digest logs so every
+    * projection does real work incl. the ss58/asset UDFs and the era
+    * window). */
+  private def synthesizeRawDay(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d)
     // ~15 events per block; the count is one cheap pre-job, NOT a
     // global window
@@ -613,6 +637,13 @@ object Dump {
         lit(true).as("finalized"), col("extrinsics"),
         array(struct(lit("PreRuntime").as("log_type"),
           lit("0xaa").as("value"))).as("logs"))
+    raw
+  }
+
+  /** The timed half of the stage: [[dumpDay]] (USD dims included) over
+    * an already-materialized raw day, with read-back sanity counts. */
+  private def runDumpDay(s: SparkSession,
+      raw: DataFrame): Map[String, Long] = {
     // the USD dims ride the stage too (round 11): a 5-min price grid
     // for the native token + the one-chain registry slice, so the
     // decoration path (interval build + broadcast as-of join on three
