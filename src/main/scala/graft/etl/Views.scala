@@ -49,7 +49,15 @@ object Views {
       "electionProviderMultiPhase:submit", "dappsStaking:claimStaker")),
     ViewSpec("logs", "block_time"),
     ViewSpec("rewards", "block_time"),
-    ViewSpec("crowdloan", "block_time"))
+    ViewSpec("crowdloan", "block_time"),
+    // the round-11 composition tables ride the same recency window
+    // (the reference generates per-table views for every exported
+    // table); stakings carries no per-row timestamp — its window runs
+    // on the log_dt partition date (date ≥ anchor−109d, coerced)
+    ViewSpec("traces", "block_time"),
+    ViewSpec("balances", "block_time"),
+    ViewSpec("stakings", "log_dt"),
+    ViewSpec("xcmtransfers", "origination_ts"))
 
   private def noisePredicate(s: ViewSpec): Option[String] =
     if (s.noise.isEmpty) None

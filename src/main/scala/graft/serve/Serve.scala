@@ -266,6 +266,24 @@ object Serve {
         col("m.frozen").as("frozen"), col("m.nonce").as("nonce"))
       .orderBy(col("chain_id"))
 
+  /** Account "xcmtransfers" group (ref api.js predefinedGroups;
+    * query.js getAccount → xcmtransfers tab): the account's outbound
+    * cross-chain transfers off the xcmtransfers export table
+    * (etl/XcmExport layout), newest first — the pubkey filter pushes
+    * to the parquet scan; ordering uses the origination identity
+    * (numeric extrinsic keys, the accountTimeline lesson). */
+  def accountXcmTransfers(xcmtransfers: DataFrame, pubkey: String,
+      limit: Int = 1000): DataFrame = {
+    val p = split(col("origination_extrinsic_id"), "-")
+    xcmtransfers
+      .filter(col("origination_sender_pub_key") === pubkey)
+      .orderBy(unix_micros(col("origination_ts")).desc,
+        p.getItem(0).cast("long").desc, p.getItem(1).cast("long").desc,
+        col("origination_transfer_index").desc,
+        col("origination_xcm_index").desc)
+      .limit(limit)
+  }
+
   /** Account "ss58h160" group (ref api.js predefinedGroups): every
     * representation of one account — the raw pubkey, its SS58 render
     * on the given networks, and the truncated H160 an AccountId20

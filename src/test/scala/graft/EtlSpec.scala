@@ -529,5 +529,14 @@ class EtlSpec extends AnyFunSuite {
       .filter(col("log_dt") === "2024-03-01" &&
         col("origination_extrinsic_id") === "6-1").head
     assert(unpriced.isNullAt(unpriced.fieldIndex("price_usd")))
+    // the serving-view tier covers the export table (trailing window
+    // over origination_ts; fixture timestamps live near the epoch, so
+    // the anchor does too)
+    val views = graft.etl.Views.register(spark, "t", dir,
+      new java.sql.Timestamp(86400L * 1000))
+    assert(views.keySet == Set("xcmtransfers"))
+    assert(views("xcmtransfers").count() == 4)
+    assert(spark.sql("SELECT count(*) FROM dune_t_xcmtransfers")
+      .collect().head.getLong(0) == 4L)
   }
 }

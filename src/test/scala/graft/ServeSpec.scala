@@ -232,6 +232,25 @@ class ServeSpec extends AnyFunSuite {
     assert(seen.sorted == Seq(1.0, 2.0, 3.0) && seen.size == 3)
   }
 
+  test("accountXcmTransfers: outbound transfers off the export layout, " +
+      "newest first with numeric identity ordering") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val xcm = Seq(
+      ("0xa", "5-1", 0, 0, ts(5000), 2000, 1000.0),
+      // same origination ts — block 101 must rank above block 99
+      // NUMERICALLY (string desc would invert them)
+      ("0xa", "99-0", 0, 0, ts(9000), 2004, 10.0),
+      ("0xa", "101-0", 0, 0, ts(9000), 2004, 20.0),
+      ("0xz", "7-0", 0, 0, ts(9500), 2001, 5.0))
+      .toDF("origination_sender_pub_key", "origination_extrinsic_id",
+        "origination_transfer_index", "origination_xcm_index",
+        "origination_ts", "destination_para_id",
+        "origination_amount_sent")
+    val out = Serve.accountXcmTransfers(xcm, "0xa", limit = 2).collect()
+      .map(_.getAs[String]("origination_extrinsic_id")).toSeq
+    assert(out == Seq("101-0", "99-0")) // 0xz excluded, newest page
+  }
+
   test("addressForms: ss58 renders per network + the H160 truncation") {
     val alice =
       "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
