@@ -30,9 +30,11 @@ object Dump {
     *    slice covering the day (FIXTURES.md §11 shape); it broadcasts
     *    as validity intervals, so pass the relevant slice, not the
     *    full history;
-    *  - `chains` — the chain-registry slice (chain_id, native_asset)
-    *    resolving each chain's fee token to its price-log asset key
-    *    (ref getChainSymbol, indexer.js decorateFeedReward).
+    *  - `chains` — the chain-registry slice
+    *    (chain_id, native_asset, decimals) resolving each chain's fee/
+    *    reward token to its price-log asset key and base-unit scale
+    *    (ref getChainSymbol + getChainDecimal, indexer.js
+    *    decorateFeedReward).
     *
     * Both are bounded dimensions; the decoration never shuffles the
     * fact side (see [[graft.analytics.PriceSeries.withAsOfPrice]]). */
@@ -275,10 +277,13 @@ object Dump {
   /** rewards projection (P7 — ref indexer.js:3941 processRawFeedRewards;
     * schema shape schema/substrateetl rewards export): era-attached
     * positive staking payouts, one row per Rewarded event. */
-  def rewards(raw: DataFrame, logDT: String): DataFrame =
-    rewardsOf(dayBlocks(raw, logDT), logDT)
+  def rewards(raw: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame =
+    rewardsOf(dayBlocks(raw, logDT), logDT, usd)
 
-  private def rewardsOf(day: DataFrame, logDT: String): DataFrame =
+  private def rewardsOf(day: DataFrame, logDT: String,
+      usd: Option[UsdDims] = None): DataFrame = {
+    val base =
     // prune BEFORE the double explode: most blocks carry no staking
     // payout, and at fleet scale skipping them here means the explode
     // never materializes their event rows (markers live in the same
@@ -303,8 +308,30 @@ object Dump {
         col("section"), col("method"),
         col("account_pub").as("account_pub_key"),
         expr("ss58_encode(account_pub, 42)").as("account_ss58"),
-        col("era"), col("amount_raw"),
-        lit(logDT).as("log_dt"))
+        col("era"), col("amount_raw"))
+    // USD valuation (ref indexer.js decorateFeedReward: amount =
+    // rawAmount / 10^decimals, amountUSD = amount × price) — the
+    // reward token is the chain's native token, resolved with its
+    // base-unit scale through the registry dim; null-emitted without
+    // dims so the schema stays partition-invariant
+    (usd match {
+      case Some(u) =>
+        graft.analytics.PriceSeries.withAsOfPrice(
+            base.join(broadcast(u.chains.select(col("chain_id"),
+                col("native_asset").as("asset"), col("decimals"))),
+              Seq("chain_id"), "left"),
+            u.priceLog)
+          .withColumn("amount",
+            col("amount_raw").cast("double") /
+              pow(lit(10.0), col("decimals")))
+          .withColumn("amount_usd", col("amount") * col("price_usd"))
+          .drop("asset", "decimals")
+      case None => base
+        .withColumn("amount", lit(null).cast("double"))
+        .withColumn("price_usd", lit(null).cast("double"))
+        .withColumn("amount_usd", lit(null).cast("double"))
+    }).withColumn("log_dt", lit(logDT))
+  }
 
   /** crowdloan projection (P7 — ref indexer.js:4018
     * processRawFeedCrowdLoans): Contributed⊕MemoUpdated pairs per
@@ -519,7 +546,7 @@ object Dump {
     "transfers" -> transfersOf(day, logDT, usd),
     "calls" -> callsOf(day, logDT, usd),
     "logs" -> logsOf(day, logDT),
-    "rewards" -> rewardsOf(day, logDT),
+    "rewards" -> rewardsOf(day, logDT, usd),
     "crowdloan" -> crowdloanOf(day, logDT))
 
   /** Bench stage: the reference's core daily workload — a full
@@ -655,7 +682,7 @@ object Dump {
       (pmod(col("id"), lit(97)) + lit(1)).cast("double")
         .as("price_usd"))
     val chains = s.range(1).select(lit(0).as("chain_id"),
-      lit("DOT~0").as("native_asset"))
+      lit("DOT~0").as("native_asset"), lit(10).as("decimals"))
     val out = java.nio.file.Files
       .createTempDirectory("graft_bench_dump").toString
     try {

@@ -343,7 +343,8 @@ object FlattenOps {
       (pmod(col("event_id"), lit(1000L)).cast("double") / lit(100.0))
         .as("price_usd"))
     val chains = s.range(1).select(lit(0).as("chain_id"),
-      lit("DOT~0").as("native_asset")) // unused by the transfers face
+      lit("DOT~0").as("native_asset"),
+      lit(10).as("decimals")) // unused by the transfers face
     graft.etl.Dump.transfers(raw, "2024-03-01",
         Some(graft.etl.Dump.UsdDims(priceLog, chains)))
       .groupBy(col("asset"))

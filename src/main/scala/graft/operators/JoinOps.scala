@@ -1016,7 +1016,8 @@ object JoinOps {
         (pmod(col("event_id"), lit(500)).cast("double") / lit(100.0))
           .as("price_usd"))
     val chains = s.range(1).select(lit(21000).as("chain_id"),
-      lit("DOT~21000").as("native_asset")) // unused by the xcm face
+      lit("DOT~21000").as("native_asset"),
+      lit(10).as("decimals")) // unused by the xcm face
     val dir = queryDumpDir("graft_xcm_dump")
     graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
       "2024-03-01", dir,

@@ -369,13 +369,26 @@ class DumpSpec extends AnyFunSuite {
           signed = true, bob, 0.1, okEvents,
           transfers = Seq(RawTransfer(bob, alice, "DOT",
             "0x4a817c800", 10)))), // 2×10^10 raw = 2.0
+        logs = Nil),
+      // a priced payout: the rewards decoration path
+      RawBlock(0, 202L, "0xu202", "0xu201", ts("2024-03-01 11:30:00"),
+        100, alice, finalized = true,
+        extrinsics = Seq(RawExtrinsic(0, "0xu2", "staking",
+          "payoutStakers",
+          """{"section":"staking","method":"payoutStakers"}""",
+          signed = true, alice, 0.0, Seq(
+            RawEvent(0, "staking", "PayoutStarted",
+              """{"eraIndex":9}"""),
+            RawEvent(1, "staking", "Rewarded",
+              s"""{"stash":"$alice","amount":777}""")), Nil)),
         logs = Nil)
     ).toDF()
     // one price point at 10:30: the 10:00 rows predate it (null usd —
     // the reference's priceUSD-miss path), the 11:00 rows price at 7.0
     val priceLog = Seq(("DOT~0", 0, ts("2024-03-01 10:30:00"), 7.0))
       .toDF("asset", "chain_id", "index_ts", "price_usd")
-    val chains = Seq((0, "DOT~0")).toDF("chain_id", "native_asset")
+    val chains = Seq((0, "DOT~0", 10))
+      .toDF("chain_id", "native_asset", "decimals")
     val dir =
       java.nio.file.Files.createTempDirectory("graft_dump_usd").toString
     val t = Dump.dumpDay(usdRaw, "2024-03-01", dir,
@@ -397,6 +410,14 @@ class DumpSpec extends AnyFunSuite {
     assert(calls(("201-0", "0")).contains(0.1 * 7.0)) // root priced
     assert(calls(("200-0", "0")).isEmpty) // root, unpriced
     assert(calls(("200-0", "0_0")).isEmpty) // leaf: no fee → no fee_usd
+    // rewards: native-token valuation with base-unit scaling
+    // (ref decorateFeedReward: amount = raw/10^decimals, × price)
+    val rw = t("rewards").collect()
+    assert(rw.length == 1)
+    val expAmt = 777.0 / math.pow(10.0, 10)
+    assert(rw.head.getAs[Double]("amount") == expAmt)
+    assert(rw.head.getAs[Double]("price_usd") == 7.0)
+    assert(rw.head.getAs[Double]("amount_usd") == expAmt * 7.0)
     // the written layout carries the decorated columns too
     assert(spark.read.parquet(s"$dir/transfers").columns
       .count(Set("price_usd", "amount_usd")) == 2)

@@ -513,8 +513,8 @@ class EtlSpec extends AnyFunSuite {
     val ksmKey = """{"Token":"KSM"}~22000"""
     val priceLog = Seq((ksmKey, 22000, ts(4970), 6.0))
       .toDF("asset", "chain_id", "index_ts", "price_usd")
-    val chains = Seq((22000, ksmKey))
-      .toDF("chain_id", "native_asset")
+    val chains = Seq((22000, ksmKey, 12))
+      .toDF("chain_id", "native_asset", "decimals")
     graft.etl.XcmExport.dumpXcmDay(transfers, candidates,
       "2024-03-01", dir, Some(Dump.UsdDims(priceLog, chains)))
     val priced = spark.read.parquet(s"$dir/xcmtransfers")
