@@ -87,6 +87,54 @@ object XcmExport {
         lit(logDT).as("log_dt"))
   }
 
+  /** The `xcm` (messages) daily export — the second table dump_xcm
+    * writes (ref substrateetl.js:5181; schema
+    * schema/substrateetl/xcm.json): matched message pairs projected to
+    * one row per message with origination/destination para ids, the
+    * relay placement (`relayed_at` = source sent_at, `included_at` =
+    * dest sent_at) and the source message payload. `messages` is the
+    * [[XcmMatcher.matchMessages]] input frame whose OUTGOING rows also
+    * carry (msg, msg_type, version); `matched` its output. The join
+    * back is on the full source identity (the matcher's perSrc key). */
+  def xcmMessages(messages: DataFrame, matched: DataFrame,
+      logDT: String): DataFrame = {
+    val srcPayload = messages.filter(col("incoming") === 0)
+      .select(col("msg_hash"), col("chain_id"), col("chain_id_dest"),
+        col("sent_at").as("s_sent_at"),
+        col("block_number").as("s_block_number"),
+        col("block_ts").as("s_ts"),
+        col("msg"), col("msg_type"), col("version"))
+    matched
+      .join(srcPayload,
+        Seq("msg_hash", "chain_id", "chain_id_dest", "s_sent_at",
+          "s_block_number"))
+      .select(
+        col("msg_hash"),
+        col("s_ts").as("origination_ts"),
+        paraId(col("chain_id")).as("origination_para_id"),
+        paraId(col("chain_id_dest")).as("destination_para_id"),
+        col("chain_id").as("origination_id"),
+        col("chain_id_dest").as("destination_id"),
+        col("s_sent_at").as("relayed_at"),
+        col("d_sent_at").as("included_at"),
+        col("d_block_number").as("destination_block_number"),
+        col("msg"), col("msg_type"), col("version"),
+        lit(logDT).as("log_dt"))
+  }
+
+  /** Run the message matcher and write the `xcm` export as an
+    * idempotent date partition next to [[dumpXcmDay]]'s transfers. */
+  def dumpXcmMessagesDay(messages: DataFrame, logDT: String,
+      outRoot: String): DataFrame = {
+    val ms = messages
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = xcmMessages(ms, XcmMatcher.matchMessages(ms), logDT)
+      Writers.overwritePartitions(out, s"$outRoot/xcm", Seq("log_dt"))
+      out
+    } finally ms.unpersist(): Unit
+  }
+
   /** Run the matcher and write the export as an idempotent date
     * partition (ref dump_xcm writes `xcmtransfers-{relay}-{logDT}`
     * into a date-decorated table). Returns the exported frame. */

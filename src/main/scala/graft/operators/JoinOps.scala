@@ -1099,11 +1099,112 @@ object JoinOps {
        |  AS sum_confidence
        |FROM dec GROUP BY 1 ORDER BY destination_para_id""".stripMargin
 
+
+  // J27 — the `xcm` MESSAGES daily export through the writer
+  // (graft.etl.XcmExport.dumpXcmMessagesDay — the second table the
+  // reference's dump_xcm writes, substrateetl.js:5181): directed
+  // message rows are synthesized from events (signups = outgoing with
+  // payload, purchases = incoming), the REAL matcher (bounded sentAt
+  // interval, closest-first per source, each dest consumed once) pairs
+  // them, the export projects msg.hash/para ids/relay placement/
+  // payload to parquet, and the query reads the WRITTEN layout back
+  // for a per-msg-type rollup. Oracle = the same two ranked windows in
+  // DuckDB (the j2 dedup-pass replay, one identity level deeper).
+  private def j27(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // decade bucketing: source (signup) and dest (purchase) ids from
+    // the same event-id decade share (hash, chain pair), and the relay
+    // placement is the id's last digit — so the [0,4] sentAt window
+    // genuinely selects within every bucket at any scale factor
+    val b = expr("event_id div 10")
+    def mh = concat(lit("h"), b)
+    val src = ev.filter(col("event_type") === "signup").select(
+      mh.as("msg_hash"),
+      lit(0).as("incoming"),
+      (lit(2000) + pmod(b, lit(3))).cast("int")
+        .as("chain_id"),
+      (lit(2005) + pmod(b, lit(2))).cast("int")
+        .as("chain_id_dest"),
+      pmod(col("event_id"), lit(10)).as("sent_at"),
+      col("ts").as("block_ts"),
+      col("event_id").as("block_number"),
+      format_string("0x%x", col("event_id")).as("msg"),
+      element_at(array(lit("ump"), lit("dmp"), lit("hrmp")),
+        (pmod(col("event_id"), lit(3)) + 1).cast("int")).as("msg_type"),
+      lit("v3").as("version"))
+    val dst = ev.filter(col("event_type") === "purchase").select(
+      mh.as("msg_hash"),
+      lit(1).as("incoming"),
+      (lit(2000) + pmod(b, lit(3))).cast("int")
+        .as("chain_id"),
+      (lit(2005) + pmod(b, lit(2))).cast("int")
+        .as("chain_id_dest"),
+      pmod(col("event_id"), lit(10)).as("sent_at"),
+      col("ts").as("block_ts"),
+      col("event_id").as("block_number"),
+      lit(null).cast("string").as("msg"),
+      lit(null).cast("string").as("msg_type"),
+      lit(null).cast("string").as("version"))
+    val dir = queryDumpDir("graft_xcmmsg_dump")
+    graft.etl.XcmExport.dumpXcmMessagesDay(src.unionByName(dst),
+      "2024-03-01", dir)
+    s.read.parquet(s"$dir/xcm")
+      .groupBy(col("msg_type"))
+      .agg(
+        count(lit(1)).as("n_messages"),
+        countDistinct(col("msg_hash")).as("n_hashes"),
+        sum(col("included_at") - col("relayed_at")).cast("long")
+          .as("sum_diff"),
+        countDistinct(concat(col("origination_para_id"), lit("-"),
+          col("destination_para_id"))).as("n_routes"))
+      .orderBy(col("msg_type"))
+  }
+
+  private val j27Sql =
+    s"""WITH src AS (
+       | SELECT 'h' || CAST(event_id // 10 AS VARCHAR) AS h,
+       |  2000 + (event_id // 10) % 3 AS c,
+       |  2005 + (event_id // 10) % 2 AS cd,
+       |  event_id % 10 AS s_sa, event_id AS s_bn,
+       |  ${sqlUs(TS)} // CAST(1000000 AS BIGINT) AS s_sec,
+       |  CASE event_id % 3 WHEN 0 THEN 'ump' WHEN 1 THEN 'dmp'
+       |   ELSE 'hrmp' END AS msg_type
+       | FROM events WHERE event_type = 'signup'),
+       |dst AS (
+       | SELECT 'h' || CAST(event_id // 10 AS VARCHAR) AS h,
+       |  2000 + (event_id // 10) % 3 AS c,
+       |  2005 + (event_id // 10) % 2 AS cd,
+       |  event_id % 10 AS d_sa, event_id AS d_bn,
+       |  ${sqlUs(TS)} // CAST(1000000 AS BIGINT) AS d_sec
+       | FROM events WHERE event_type = 'purchase'),
+       |cand AS (
+       | SELECT s.h, s.c, s.cd, s.s_sa, s.s_bn, s.msg_type,
+       |  d.d_sa, d.d_bn, d.d_sa - s.s_sa AS dsa,
+       |  abs(d.d_sec - s.s_sec) AS dts
+       | FROM src s JOIN dst d
+       |  ON s.h = d.h AND s.c = d.c AND s.cd = d.cd
+       | WHERE d.d_sa - s.s_sa BETWEEN 0 AND 4),
+       |best AS (
+       | SELECT * FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY h, c, cd, s_sa, s_bn
+       |    ORDER BY dsa, dts, d_bn) AS rn FROM cand) WHERE rn = 1),
+       |win AS (
+       | SELECT * FROM (SELECT *, row_number() OVER (
+       |    PARTITION BY h, c, cd, d_sa, d_bn
+       |    ORDER BY dsa, dts, s_bn) AS rn2 FROM best) WHERE rn2 = 1)
+       |SELECT msg_type, count(*) AS n_messages,
+       | count(DISTINCT h) AS n_hashes,
+       | CAST(sum(d_sa - s_sa) AS BIGINT) AS sum_diff,
+       | count(DISTINCT CAST(c AS VARCHAR) || '-' ||
+       |   CAST(cd AS VARCHAR)) AS n_routes
+       |FROM win GROUP BY 1 ORDER BY msg_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),
     "j21_dest_waterfall" -> (j21 _),
     "j25_skew_salted" -> (j25 _),
     "j26_xcm_export" -> (j26 _),
+    "j27_xcm_msg_export" -> (j27 _),
     "j19_transact_spans" -> (j19 _),
     "j20_xcm_fee_model" -> (j20 _),
     "j22_last_touch" -> (j22 _),
@@ -1129,6 +1230,7 @@ object JoinOps {
     "j21_dest_waterfall" -> j21Sql,
     "j25_skew_salted" -> j25Sql,
     "j26_xcm_export" -> j26Sql,
+    "j27_xcm_msg_export" -> j27Sql,
     "j19_transact_spans" -> j19Sql,
     "j20_xcm_fee_model" -> j20Sql,
     "j16b_asof_native" -> j16bSql,

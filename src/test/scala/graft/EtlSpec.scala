@@ -539,4 +539,38 @@ class EtlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dune_t_xcmtransfers")
       .collect().head.getLong(0) == 4L)
   }
+
+  test("xcm messages export: matched pairs with payload, para ids, " +
+      "relay placement") {
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // msg_hash, incoming, chain_id, chain_id_dest, sent_at, block_ts,
+    // block_number, msg, msg_type, version
+    val messages = Seq(
+      ("0xm1", 0, 21002, 22004, 10L, ts(1000), 100L,
+        "0xdeadbeef", "hrmp", "v3"),
+      ("0xm1", 1, 21002, 22004, 12L, ts(1006), 205L,
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String]),
+      // unmatched outgoing (no incoming twin) → absent from the export
+      ("0xm2", 0, 21002, 22004, 50L, ts(2000), 300L,
+        "0xffff", "ump", "v3"))
+      .toDF("msg_hash", "incoming", "chain_id", "chain_id_dest",
+        "sent_at", "block_ts", "block_number", "msg", "msg_type",
+        "version")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_xcmmsg_spec").toString
+    graft.etl.XcmExport.dumpXcmMessagesDay(messages, "2024-03-01", dir)
+    val out = spark.read.parquet(s"$dir/xcm").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("msg_hash") == "0xm1")
+    assert(r.getAs[Int]("origination_para_id") == 1002) // − 20000
+    assert(r.getAs[Int]("destination_para_id") == 2004)
+    assert(r.getAs[Long]("relayed_at") == 10L &&
+      r.getAs[Long]("included_at") == 12L)
+    assert(r.getAs[Long]("destination_block_number") == 205L)
+    assert(r.getAs[String]("msg") == "0xdeadbeef" &&
+      r.getAs[String]("msg_type") == "hrmp")
+  }
 }
