@@ -314,7 +314,7 @@ object Dump {
     // reward token is the chain's native token, resolved with its
     // base-unit scale through the registry dim; null-emitted without
     // dims so the schema stays partition-invariant
-    (usd match {
+    val decorated = usd match {
       case Some(u) =>
         graft.analytics.PriceSeries.withAsOfPrice(
             base.join(broadcast(u.chains.select(col("chain_id"),
@@ -330,7 +330,15 @@ object Dump {
         .withColumn("amount", lit(null).cast("double"))
         .withColumn("price_usd", lit(null).cast("double"))
         .withColumn("amount_usd", lit(null).cast("double"))
-    }).withColumn("log_dt", lit(logDT))
+    }
+    // ONE column order for both branches (withAsOfPrice appends
+    // price_usd earlier than the None branch does): a positional
+    // parquet reader over mixed partitions must never see two DOUBLE
+    // columns swapped — the partition-invariant-schema contract is
+    // order-included
+    decorated.select(base.columns.map(col) ++
+        Seq(col("amount"), col("price_usd"), col("amount_usd")): _*)
+      .withColumn("log_dt", lit(logDT))
   }
 
   /** crowdloan projection (P7 — ref indexer.js:4018
@@ -560,20 +568,28 @@ object Dump {
     * surfaces in the trend guard, not just in specs. */
   def warmDumpDay(s: SparkSession, d: String): Map[String, Long] = {
     // the synthesized day memoizes (stage:dumpsynth_raw) so the
-    // stage:dump_day line times the ETL, not the corpus build; a
-    // standalone call (specs) builds it inline
-    val raw = memoRawDay.getOrElse(synthesizeRawDay(s, d))
+    // stage:dump_day line times the ETL, not the corpus build; the
+    // memo is KEYED by the sf dir — a memo built for another corpus
+    // (or a standalone spec call with no memo at all) falls back to
+    // an inline build, which then measures synthesis+ETL again (the
+    // pre-split meaning; in the bench the synth stage always runs
+    // first, so the fallback only fires if that stage already failed
+    // — a red line of its own, not a silent dilution)
+    val raw = memoRawDay match {
+      case Some((`d`, frame)) => frame
+      case _ => synthesizeRawDay(s, d)
+    }
     runDumpDay(s, raw)
   }
 
-  @volatile private var memoRawDay: Option[DataFrame] = None
+  @volatile private var memoRawDay: Option[(String, DataFrame)] = None
   def resetRawDay(): Unit = { memoRawDay = None }
 
   /** Bench stage: build + materialize the synthetic nested raw day
     * (localCheckpoint) so [[warmDumpDay]] measures ONLY the dump. */
   def warmRawDay(s: SparkSession, d: String): Long = {
     val raw = synthesizeRawDay(s, d).localCheckpoint()
-    memoRawDay = Some(raw)
+    memoRawDay = Some((d, raw))
     raw.count()
   }
 

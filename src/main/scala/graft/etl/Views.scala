@@ -57,7 +57,8 @@ object Views {
     ViewSpec("traces", "block_time"),
     ViewSpec("balances", "block_time"),
     ViewSpec("stakings", "log_dt"),
-    ViewSpec("xcmtransfers", "origination_ts"))
+    ViewSpec("xcmtransfers", "origination_ts"),
+    ViewSpec("xcm", "origination_ts"))
 
   private def noisePredicate(s: ViewSpec): Option[String] =
     if (s.noise.isEmpty) None
