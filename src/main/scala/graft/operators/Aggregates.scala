@@ -700,11 +700,96 @@ object Aggregates {
        |   AS segment_value
        |FROM q GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin
 
+
+  // A21 — the DEFINITIONS.md account-metrics tables THROUGH THE WRITER
+  // (graft.etl.Accounts.dumpAccountsDay — accountsactive :48-91,
+  // accountspassive :106-177, accountsnew/reaped :204-234): dump-shaped
+  // frames are synthesized from events (signed signers + click-row
+  // authors = the active union; view rows = transfer participants;
+  // bounded id ranges make the two balances partitions genuinely
+  // differ so new/reaped are nonempty at every scale factor), the REAL
+  // composition runs (union+argmax, anti-joins, day-over-day set
+  // difference), all four tables write as date partitions, and the
+  // query reads the WRITTEN layout back for a per-table rollup the
+  // DuckDB oracle re-derives with NOT IN set algebra.
+  private def a21(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def u(c: org.apache.spark.sql.Column) = concat(lit("u"), c)
+    val extrinsics = ev.select(lit(0).as("chain_id"),
+      u(col("user_id")).as("signer_pub_key"),
+      (pmod(col("event_id"), lit(4)) =!= 0).as("signed"),
+      col("ts").as("block_time"))
+    val blocks = ev.filter(col("event_type") === "click").select(
+      lit(0).as("chain_id"),
+      u(pmod(col("event_id"), lit(29))).as("author_pub_key"),
+      col("ts").as("block_time"))
+    val transfers = ev.filter(col("event_type") === "view").select(
+      lit(0).as("chain_id"),
+      u(col("user_id")).as("from_pub_key"),
+      u(pmod(col("event_id"), lit(300))).as("to_pub_key"),
+      col("ts").as("block_time"))
+    val balToday = ev.filter(col("event_id") < 300).select(
+      lit(0).as("chain_id"), u(col("event_id")).as("address_pubkey"))
+    val balPrev = ev.filter(col("event_id") >= 100 &&
+        col("event_id") < 380).select(
+      lit(0).as("chain_id"), u(col("event_id")).as("address_pubkey"))
+    val dir = queryDumpDir("graft_accounts_dump")
+    graft.etl.Accounts.dumpAccountsDay(extrinsics, blocks, transfers,
+      balToday, balPrev, "2024-03-01", dir)
+    Seq(
+      ("accountsactive", "n_actions"),
+      ("accountspassive", "n_touches"),
+      ("accountsnew", null),
+      ("accountsreaped", null)).map { case (tbl, metricCol) =>
+        val df = s.read.parquet(s"$dir/$tbl")
+        val metric =
+          if (metricCol == null) count(lit(1))
+          else sum(col(metricCol)).cast("long")
+        df.agg(count(lit(1)).as("n_rows"), metric.as("metric"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("metric"))
+      }.reduce(_ unionByName _).orderBy(col("tbl"))
+  }
+
+  private val a21Sql =
+    """WITH act AS (
+      | SELECT a, count(*) AS n FROM (
+      |  SELECT 'u' || CAST(user_id AS VARCHAR) AS a FROM events
+      |  WHERE event_id % 4 <> 0
+      |  UNION ALL
+      |  SELECT 'u' || CAST(event_id % 29 AS VARCHAR) FROM events
+      |  WHERE event_type = 'click') GROUP BY 1),
+      |pas AS (
+      | SELECT a, count(*) AS n FROM (
+      |  SELECT 'u' || CAST(user_id AS VARCHAR) AS a FROM events
+      |  WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT 'u' || CAST(event_id % 300 AS VARCHAR) FROM events
+      |  WHERE event_type = 'view')
+      | WHERE a NOT IN (SELECT a FROM act) GROUP BY 1),
+      |balt AS (SELECT DISTINCT 'u' || CAST(event_id AS VARCHAR) AS a
+      | FROM events WHERE event_id < 300),
+      |balp AS (SELECT DISTINCT 'u' || CAST(event_id AS VARCHAR) AS a
+      | FROM events WHERE event_id >= 100 AND event_id < 380),
+      |newa AS (SELECT a FROM balt WHERE a NOT IN (SELECT a FROM balp)),
+      |reap AS (SELECT a FROM balp WHERE a NOT IN (SELECT a FROM balt))
+      |SELECT * FROM (
+      | SELECT 'accountsactive' AS tbl, count(*) AS n_rows,
+      |  CAST(sum(n) AS BIGINT) AS metric FROM act
+      | UNION ALL
+      | SELECT 'accountspassive', count(*), CAST(sum(n) AS BIGINT)
+      | FROM pas
+      | UNION ALL
+      | SELECT 'accountsnew', count(*), count(*) FROM newa
+      | UNION ALL
+      | SELECT 'accountsreaped', count(*), count(*) FROM reap)
+      |ORDER BY tbl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
     "a19_anomaly" -> (a19 _),
     "a20_rfm_segments" -> (a20 _),
+    "a21_accounts_dump" -> (a21 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -732,6 +817,7 @@ object Aggregates {
     "a18_cohort_retention" -> a18Sql,
     "a19_anomaly" -> a19Sql,
     "a20_rfm_segments" -> a20Sql,
+    "a21_accounts_dump" -> a21Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -1,0 +1,63 @@
+package graft
+
+import graft.etl.Accounts
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** The DEFINITIONS.md account-metrics composition over dump-shaped
+  * tables: active = signed signers ∪ authors (validator type wins),
+  * passive = transfer participants \ active, new/reaped = day-over-day
+  * balances set difference; all four written as date partitions. */
+class AccountsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("account tables: active union, passive anti-join, day-over-day " +
+      "differences, idempotent partitions") {
+    val extrinsics = Seq(
+      (0, "0xa", true, ts("2024-03-01 10:00:00")),
+      (0, "0xa", true, ts("2024-03-01 12:00:00")),
+      (0, "0xb", false, ts("2024-03-01 11:00:00")), // unsigned: not active
+      (0, "0xv", true, ts("2024-03-01 09:00:00")))
+      .toDF("chain_id", "signer_pub_key", "signed", "block_time")
+    val blocks = Seq((0, "0xv", ts("2024-03-01 13:00:00")))
+      .toDF("chain_id", "author_pub_key", "block_time")
+    val transfers = Seq(
+      // 0xa sends to 0xp: 0xa is active (excluded), 0xp purely passive
+      (0, "0xa", "0xp", ts("2024-03-01 10:30:00")),
+      (0, "0xq", "0xp", ts("2024-03-01 11:30:00")))
+      .toDF("chain_id", "from_pub_key", "to_pub_key", "block_time")
+    val balToday = Seq((0, "0xa"), (0, "0xnew"))
+      .toDF("chain_id", "address_pubkey")
+    val balPrev = Seq((0, "0xa"), (0, "0xgone"))
+      .toDF("chain_id", "address_pubkey")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_accounts_spec").toString
+    val t = Accounts.dumpAccountsDay(extrinsics, blocks, transfers,
+      balToday, balPrev, "2024-03-01", dir)
+    val act = t("accountsactive").collect()
+      .map(r => r.getAs[String]("address_pubkey") ->
+        (r.getAs[String]("account_type"), r.getAs[Long]("n_actions")))
+      .toMap
+    // 0xb never signed; 0xv is BOTH signer and author → validator wins
+    assert(act.keySet == Set("0xa", "0xv"))
+    assert(act("0xa") == ("user", 2L))
+    assert(act("0xv") == ("validator", 2L))
+    val pas = t("accountspassive").collect()
+      .map(_.getAs[String]("address_pubkey")).toSet
+    assert(pas == Set("0xp", "0xq")) // 0xa active → excluded
+    assert(t("accountsnew").collect()
+      .map(_.getAs[String]("address_pubkey")).toSeq == Seq("0xnew"))
+    assert(t("accountsreaped").collect()
+      .map(_.getAs[String]("address_pubkey")).toSeq == Seq("0xgone"))
+    // a second day replaces only its own partition
+    Accounts.dumpAccountsDay(extrinsics, blocks, transfers,
+      balToday, balPrev, "2024-03-02", dir)
+    val all = spark.read.parquet(s"$dir/accountsactive")
+    assert(all.count() == 4 &&
+      all.select("log_dt").distinct().count() == 2)
+  }
+}
