@@ -784,12 +784,95 @@ object Aggregates {
       | SELECT 'accountsreaped', count(*), count(*) FROM reap)
       |ORDER BY tbl""".stripMargin
 
+
+  // A22 — the blocklog DAILY CHAIN-METRICS row through the writer
+  // (graft.etl.Metrics.dumpBlocklogDay — ref substrateetl.js:9440-9508
+  // update_blocklog_bulk): dump-shaped frames synthesized from events
+  // across THREE chains (chain = event_id % 3, so the per-chain
+  // grouping and the left-join assembly are real), the composition
+  // rolls blocks/extrinsics/events/transfers/active into one row per
+  // chain, writes the date partition, and the query reads the WRITTEN
+  // layout back. Money sums ride DECIMAL(38,6) → rounded double; the
+  // DuckDB oracle re-derives every column.
+  private def a22(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val chain = pmod(col("event_id"), lit(3)).cast("int")
+    val blocks = ev.select(chain.as("chain_id"),
+      col("event_id").as("number"))
+    val extrinsics = ev.select(chain.as("chain_id"),
+      (pmod(col("event_id"), lit(4)) =!= 0).as("signed"),
+      concat(lit("u"), col("user_id")).as("signer_pub_key"),
+      (pmod(col("event_id"), lit(100)).cast("double") / lit(10.0))
+        .as("fee"),
+      when(pmod(col("event_id"), lit(5)) === 0,
+        pmod(col("event_id"), lit(100)).cast("double") / lit(5.0))
+        .as("fee_usd"))
+    val events = ev.filter(col("event_type") === "click")
+      .select(chain.as("chain_id"))
+    val transfers = ev.filter(col("event_type") === "view")
+      .select(chain.as("chain_id"),
+        when(pmod(col("event_id"), lit(2)) === 0,
+          pmod(col("event_id"), lit(50)).cast("double"))
+          .as("amount_usd"))
+    val active = ev.filter(col("event_type") === "purchase")
+      .select(chain.as("chain_id"),
+        concat(lit("u"), col("user_id")).as("address_pubkey"))
+      .distinct()
+    val dir = queryDumpDir("graft_blocklog_dump")
+    graft.etl.Metrics.dumpBlocklogDay(blocks, extrinsics, events,
+      transfers, active, "2024-03-01", dir)
+    s.read.parquet(s"$dir/blocklog")
+      .drop("log_dt").orderBy(col("chain_id"))
+  }
+
+  private val a22Sql =
+    """WITH b AS (
+      | SELECT event_id % 3 AS chain_id, count(*) AS n_blocks,
+      |  min(event_id) AS min_block, max(event_id) AS max_block
+      | FROM events GROUP BY 1),
+      |e AS (
+      | SELECT event_id % 3 AS chain_id, count(*) AS n_extrinsics,
+      |  CAST(sum(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_signed,
+      |  count(DISTINCT CASE WHEN event_id % 4 <> 0
+      |    THEN 'u' || CAST(user_id AS VARCHAR) END) AS n_signers,
+      |  round(CAST(sum(CAST(CAST(event_id % 100 AS DOUBLE) / 10.0
+      |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS fees,
+      |  round(CAST(sum(CAST(CASE WHEN event_id % 5 = 0
+      |    THEN CAST(event_id % 100 AS DOUBLE) / 5.0 END
+      |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS fees_usd
+      | FROM events GROUP BY 1),
+      |evt AS (
+      | SELECT event_id % 3 AS chain_id, count(*) AS n_events
+      | FROM events WHERE event_type = 'click' GROUP BY 1),
+      |tr AS (
+      | SELECT event_id % 3 AS chain_id, count(*) AS n_transfers,
+      |  round(CAST(sum(CAST(coalesce(CASE WHEN event_id % 2 = 0
+      |    THEN CAST(event_id % 50 AS DOUBLE) END, 0.0)
+      |    AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_usd
+      | FROM events WHERE event_type = 'view' GROUP BY 1),
+      |ac AS (
+      | SELECT chain_id, count(*) AS n_accounts_active FROM (
+      |  SELECT DISTINCT event_id % 3 AS chain_id,
+      |   'u' || CAST(user_id AS VARCHAR) AS a
+      |  FROM events WHERE event_type = 'purchase') GROUP BY 1)
+      |SELECT b.chain_id, b.n_blocks, b.min_block, b.max_block,
+      | e.n_extrinsics, e.n_signed, e.n_signers, e.fees, e.fees_usd,
+      | evt.n_events, tr.n_transfers, tr.value_usd,
+      | ac.n_accounts_active
+      |FROM b LEFT JOIN e ON b.chain_id = e.chain_id
+      | LEFT JOIN evt ON b.chain_id = evt.chain_id
+      | LEFT JOIN tr ON b.chain_id = tr.chain_id
+      | LEFT JOIN ac ON b.chain_id = ac.chain_id
+      |ORDER BY b.chain_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
     "a19_anomaly" -> (a19 _),
     "a20_rfm_segments" -> (a20 _),
     "a21_accounts_dump" -> (a21 _),
+    "a22_blocklog_dump" -> (a22 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -818,6 +901,7 @@ object Aggregates {
     "a19_anomaly" -> a19Sql,
     "a20_rfm_segments" -> a20Sql,
     "a21_accounts_dump" -> a21Sql,
+    "a22_blocklog_dump" -> a22Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -60,4 +60,45 @@ class AccountsSpec extends AnyFunSuite {
     assert(all.count() == 4 &&
       all.select("log_dt").distinct().count() == 2)
   }
+
+  test("blocklog: per-chain daily rollup over the dumped tables") {
+    val blocks = Seq((0, 100L), (0, 101L), (2, 7L))
+      .toDF("chain_id", "number")
+    val extrinsics = Seq(
+      (0, true, "0xa", 0.2, java.lang.Double.valueOf(0.4)),
+      (0, true, "0xa", 0.3, null.asInstanceOf[java.lang.Double]),
+      (0, false, null.asInstanceOf[String], 0.0,
+        null.asInstanceOf[java.lang.Double]),
+      (2, true, "0xb", 0.1, java.lang.Double.valueOf(0.2)))
+      .toDF("chain_id", "signed", "signer_pub_key", "fee", "fee_usd")
+    val events = Seq(0, 0, 0, 2).toDF("chain_id")
+    val transfers = Seq(
+      (0, java.lang.Double.valueOf(5.0)),
+      (0, null.asInstanceOf[java.lang.Double]))
+      .toDF("chain_id", "amount_usd")
+    val active = Seq((0, "0xa"), (2, "0xb"))
+      .toDF("chain_id", "address_pubkey")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blocklog_spec").toString
+    graft.etl.Metrics.dumpBlocklogDay(blocks, extrinsics, events,
+      transfers, active, "2024-03-01", dir)
+    val rows = spark.read.parquet(s"$dir/blocklog").collect()
+      .map(r => r.getAs[Int]("chain_id") -> r).toMap
+    val c0 = rows(0)
+    assert(c0.getAs[Long]("n_blocks") == 2 &&
+      c0.getAs[Long]("max_block") == 101L)
+    assert(c0.getAs[Long]("n_extrinsics") == 3 &&
+      c0.getAs[Long]("n_signed") == 2 &&
+      c0.getAs[Long]("n_signers") == 1)
+    assert(c0.getAs[Double]("fees") == 0.5 &&
+      c0.getAs[Double]("fees_usd") == 0.4) // null fee_usd skipped
+    assert(c0.getAs[Long]("n_events") == 3)
+    assert(c0.getAs[Long]("n_transfers") == 2 &&
+      c0.getAs[Double]("value_usd") == 5.0) // null usd counts as 0
+    assert(c0.getAs[Long]("n_accounts_active") == 1)
+    // chain 2 has no transfer rows → left-join nulls, not a lost row
+    val c2 = rows(2)
+    assert(c2.getAs[Long]("n_blocks") == 1 &&
+      c2.isNullAt(c2.fieldIndex("n_transfers")))
+  }
 }
