@@ -72,11 +72,21 @@ object Accounts {
 
   /** Compose and write all four account tables as idempotent date
     * partitions (ref: the DEFINITIONS queries load
-    * `accounts{active,passive,new,reaped}{paraID}$date` daily). */
+    * `accounts{active,passive,new,reaped}{paraID}$date` daily).
+    *
+    * Returns READ-BACK frames over the written layout with the
+    * composed schema SUPPLIED — a day can legitimately produce zero
+    * rows for a table (no new accounts, nothing passive), and an
+    * empty partitioned write carries no parquet footers to infer a
+    * schema from, so a bare read would throw; supplying the schema
+    * makes empty days first-class for every consumer. (The persist on
+    * `active` serves the two writes that consume it; the returned
+    * frames are plain scans, so nothing recomputes downstream.) */
   def dumpAccountsDay(extrinsics: DataFrame, blocks: DataFrame,
       transfers: DataFrame, balancesToday: DataFrame,
       balancesPrev: DataFrame, logDT: String,
       outRoot: String): Map[String, DataFrame] = {
+    val spark = extrinsics.sparkSession
     val active = activeAccounts(extrinsics, blocks)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -85,12 +95,13 @@ object Accounts {
         "accountspassive" -> passiveAccounts(transfers, active),
         "accountsnew" -> newAccounts(balancesToday, balancesPrev),
         "accountsreaped" -> reapedAccounts(balancesToday, balancesPrev))
-      tables.foreach { case (name, df) =>
-        Writers.overwritePartitions(
-          df.withColumn("log_dt", lit(logDT)), s"$outRoot/$name",
+      tables.map { case (name, df) =>
+        val written = df.withColumn("log_dt", lit(logDT))
+        Writers.overwritePartitions(written, s"$outRoot/$name",
           Seq("log_dt"))
+        name -> spark.read.schema(written.schema)
+          .parquet(s"$outRoot/$name")
       }
-      tables
     } finally active.unpersist(): Unit
   }
 }

@@ -50,13 +50,16 @@ object Metrics {
   }
 
   /** Write the day's blocklog rows as an idempotent date partition
-    * (the reference upserts one MySQL row per (chain, day)). */
+    * (the reference upserts one MySQL row per (chain, day)). Returns
+    * a schema-supplied read-back of the written layout — empty days
+    * stay readable (the Accounts convention). */
   def dumpBlocklogDay(blocks: DataFrame, extrinsics: DataFrame,
       events: DataFrame, transfers: DataFrame, active: DataFrame,
       logDT: String, outRoot: String): DataFrame = {
     val out = blocklogDay(blocks, extrinsics, events, transfers, active)
       .withColumn("log_dt", lit(logDT))
     Writers.overwritePartitions(out, s"$outRoot/blocklog", Seq("log_dt"))
-    out
+    blocks.sparkSession.read.schema(out.schema)
+      .parquet(s"$outRoot/blocklog")
   }
 }

@@ -705,13 +705,17 @@ object Aggregates {
   // (graft.etl.Accounts.dumpAccountsDay — accountsactive :48-91,
   // accountspassive :106-177, accountsnew/reaped :204-234): dump-shaped
   // frames are synthesized from events (signed signers + click-row
-  // authors = the active union; view rows = transfer participants;
-  // bounded id ranges make the two balances partitions genuinely
-  // differ so new/reaped are nonempty at every scale factor), the REAL
-  // composition runs (union+argmax, anti-joins, day-over-day set
-  // difference), all four tables write as date partitions, and the
-  // query reads the WRITTEN layout back for a per-table rollup the
-  // DuckDB oracle re-derives with NOT IN set algebra.
+  // authors = the active union; view rows = transfer participants with
+  // a DISJOINT 'p'-prefixed recipient space so the passive set is
+  // nonempty at every scale factor — at sf0.1 the user-id domain
+  // otherwise covers every modular to-address; bounded id ranges make
+  // the two balances partitions differ so new/reaped are nonempty
+  // too), the REAL composition runs (union+argmax, anti-joins,
+  // day-over-day set difference), all four tables write as date
+  // partitions, and the rollup reads the WRITTEN layout back through
+  // the schema-supplied frames dumpAccountsDay returns — which also
+  // covers the empty-table read path. Oracle re-derives the set
+  // algebra with NOT IN.
   private def a21(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     def u(c: org.apache.spark.sql.Column) = concat(lit("u"), c)
@@ -726,7 +730,8 @@ object Aggregates {
     val transfers = ev.filter(col("event_type") === "view").select(
       lit(0).as("chain_id"),
       u(col("user_id")).as("from_pub_key"),
-      u(pmod(col("event_id"), lit(300))).as("to_pub_key"),
+      concat(lit("p"), pmod(col("event_id"), lit(300)))
+        .as("to_pub_key"),
       col("ts").as("block_time"))
     val balToday = ev.filter(col("event_id") < 300).select(
       lit(0).as("chain_id"), u(col("event_id")).as("address_pubkey"))
@@ -734,18 +739,18 @@ object Aggregates {
         col("event_id") < 380).select(
       lit(0).as("chain_id"), u(col("event_id")).as("address_pubkey"))
     val dir = queryDumpDir("graft_accounts_dump")
-    graft.etl.Accounts.dumpAccountsDay(extrinsics, blocks, transfers,
-      balToday, balPrev, "2024-03-01", dir)
+    val written = graft.etl.Accounts.dumpAccountsDay(extrinsics,
+      blocks, transfers, balToday, balPrev, "2024-03-01", dir)
     Seq(
       ("accountsactive", "n_actions"),
       ("accountspassive", "n_touches"),
       ("accountsnew", null),
       ("accountsreaped", null)).map { case (tbl, metricCol) =>
-        val df = s.read.parquet(s"$dir/$tbl")
         val metric =
           if (metricCol == null) count(lit(1))
           else sum(col(metricCol)).cast("long")
-        df.agg(count(lit(1)).as("n_rows"), metric.as("metric"))
+        written(tbl)
+          .agg(count(lit(1)).as("n_rows"), metric.as("metric"))
           .select(lit(tbl).as("tbl"), col("n_rows"), col("metric"))
       }.reduce(_ unionByName _).orderBy(col("tbl"))
   }
@@ -763,7 +768,7 @@ object Aggregates {
       |  SELECT 'u' || CAST(user_id AS VARCHAR) AS a FROM events
       |  WHERE event_type = 'view'
       |  UNION ALL
-      |  SELECT 'u' || CAST(event_id % 300 AS VARCHAR) FROM events
+      |  SELECT 'p' || CAST(event_id % 300 AS VARCHAR) FROM events
       |  WHERE event_type = 'view')
       | WHERE a NOT IN (SELECT a FROM act) GROUP BY 1),
       |balt AS (SELECT DISTINCT 'u' || CAST(event_id AS VARCHAR) AS a
