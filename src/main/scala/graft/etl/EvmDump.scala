@@ -1,0 +1,268 @@
+package graft.etl
+
+import graft.decode.EvmDecode
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The EVM-side daily export — the reference's `evmtxs` and
+  * `evmtransfers` BigQuery tables plus the `accountsevm{active,passive}`
+  * account rollups (table registry substrateetl.js:154-155; schemas
+  * substrate/schema/substrateetl/{evmtxs,evmtransfers,accountsevmactive,
+  * accountsevmpassive}.json; fee decomposition ethTool.js:830-900
+  * decorateTxn).
+  *
+  * Composition, not new decode: the projections are
+  * [[graft.decode.EvmDecode]]'s tx⋈receipt merge and ERC-20/721/1155
+  * log extractors routed through the same
+  * [[Writers.overwritePartitions]] date-partition contract as the
+  * substrate-side dump, with schema-supplied read-backs so a day with
+  * no token transfers stays readable (the Accounts convention).
+  *
+  * 100 TB shape: ONE shuffle joins transactions to receipts on the tx
+  * hash; every downstream projection (fee math, log explode, transfer
+  * classification) is narrow on that join's output, and the signature
+  * registry and price dimensions ride as broadcasts. The 1155
+  * batch re-group keys on (tx, log) — the explode's own key — so AQE
+  * coalesces it without a second wide exchange.
+  */
+object EvmDump {
+
+  private val D38 = "decimal(38,0)"
+
+  /** `evmtxs`: transactions ⋈ receipts projected into the reference's
+    * evmtxs shape (schema substrateetl/evmtxs.json), with the EIP-1559
+    * fee decomposition of ethTool.js:853-861:
+    *
+    *   fee        = gas_used × gas_price
+    *   burned_fee = gas_used × base_fee
+    *   txn_saving = (max_fee_per_gas − base_fee) × gas_used
+    *
+    * where base_fee is the receipt's effective gas price when the tx
+    * carries 1559 fields (the reference reads effectiveGasPrice as the
+    * inclusion price, ethTool.js:857) and 0 for legacy txs, which also
+    * zeroes burned_fee/txn_saving. A tx with no receipt yet is pending:
+    * receipt_* and the fee columns stay null (combineTxReceipt's
+    * left-join contract).
+    *
+    * Money stays exact DECIMAL(38,0) wei — the repo money contract; the
+    * reference exports FLOAT ether, a lossy projection a reader can
+    * apply at query time.
+    *
+    * Expected tx columns: chain_id, transaction_hash, nonce,
+    * transaction_index, from_address, to_address, value DECIMAL wei,
+    * gas, gas_price, max_fee_per_gas / max_priority_fee_per_gas
+    * (null ⇒ legacy), transaction_type, input, block_timestamp,
+    * block_number, block_hash, extrinsic_id, extrinsic_hash (the
+    * ethereum.transact wrapper identity, nullable). Receipt columns:
+    * transaction_hash, status, gas_used, cumulative_gas_used,
+    * effective_gas_price, contract_address.
+    *
+    * `signatures`: optional broadcast registry (selector, signature)
+    * resolving the 4-byte method_id to a human signature (ref
+    * ethTool.js:247-310 selector lists; build one from ABIs with
+    * [[graft.decode.AbiDecode.registryFrame]]). */
+  def evmtxsOf(txs: DataFrame, receipts: DataFrame, logDT: String,
+      signatures: Option[DataFrame] = None): DataFrame = {
+    val rx = receipts.select(
+      col("transaction_hash"),
+      col("status").as("receipt_status"),
+      col("gas_used").as("receipt_gas_used"),
+      col("cumulative_gas_used").as("receipt_cumulative_gas_used"),
+      col("effective_gas_price").as("receipt_effective_gas_price"),
+      col("contract_address").as("receipt_contract_address"))
+    val is1559 = col("max_priority_fee_per_gas").isNotNull
+    val baseFee = when(is1559, col("receipt_effective_gas_price"))
+      .otherwise(lit(0)).cast(D38)
+    val gasUsed = col("receipt_gas_used").cast(D38)
+    val base = txs.join(rx, Seq("transaction_hash"), "left")
+      .withColumn("fee",
+        (gasUsed * col("gas_price").cast(D38)).cast(D38))
+      .withColumn("burned_fee", (gasUsed * baseFee).cast(D38))
+      .withColumn("txn_saving",
+        when(is1559,
+          ((col("max_fee_per_gas").cast(D38) - baseFee) * gasUsed)
+            .cast(D38))
+          .otherwise(when(col("receipt_gas_used").isNotNull, lit(0))
+            .cast(D38)))
+      // decode, don't reject: a sub-10-char input (plain value send)
+      // has no selector — method_id stays null, like the reference's
+      // getMethodID miss path
+      .withColumn("method_id",
+        when(length(col("input")) >= 10, substring(col("input"), 1, 10)))
+    val withSig = signatures match {
+      case Some(reg) => base.join(
+          broadcast(reg.select(col("selector").as("method_id"),
+            col("signature"))),
+          Seq("method_id"), "left")
+      case None => base.withColumn("signature", lit(null).cast("string"))
+    }
+    withSig.select(
+      col("chain_id"),
+      col("transaction_hash").as("hash"),
+      col("nonce"), col("transaction_index"),
+      col("from_address"), col("to_address"), col("value"),
+      col("gas"), col("gas_price"), col("input"),
+      col("receipt_cumulative_gas_used"), col("receipt_gas_used"),
+      col("receipt_contract_address"), col("receipt_status"),
+      col("block_timestamp"), col("block_number"), col("block_hash"),
+      col("max_fee_per_gas"), col("max_priority_fee_per_gas"),
+      col("transaction_type"), col("receipt_effective_gas_price"),
+      col("fee"), col("txn_saving"), col("burned_fee"),
+      col("extrinsic_id"), col("extrinsic_hash"),
+      col("method_id"), col("signature"))
+      .withColumn("log_dt", lit(logDT))
+  }
+
+  /** `evmtransfers`: the union of the three token-transfer families
+    * extracted from receipt logs, normalized to the reference's
+    * evmtransfers shape (schema substrateetl/evmtransfers.json):
+    *
+    *  - ERC20  — value carries the raw uint256 amount (STRING: uint256
+    *    exceeds any fixed decimal), token_ids/token_values/operator null;
+    *  - ERC721 — the token rides token_ids (a one-element JSON array),
+    *    value null;
+    *  - ERC1155 — operator + pairwise token_ids/token_values JSON
+    *    arrays. [[EvmDecode.erc1155Transfers]] normalizes batches to
+    *    one row per (id, value) pair; the dump re-groups them per log
+    *    with the pair list canonicalized by token_id (sort_array on the
+    *    pair struct) — deterministic under shuffle, at the cost of not
+    *    preserving the emitter's array order (divergence from the
+    *    reference, which keeps wire order).
+    *
+    * value_usd decorates ERC20 rows only, and only when BOTH the price
+    * log (asset = token contract address) and the token-decimals
+    * dimension are supplied: value_usd = value ÷ 10^decimals ×
+    * as-of price (ref assetManager computePriceUSD on xcContract
+    * assets). Both dimensions broadcast; unpriced tokens keep null.
+    * The columns exist either way so the table schema never varies
+    * across partitions. */
+  def evmtransfersOf(txs: DataFrame, receipts: DataFrame, logDT: String,
+      usd: Option[Dump.UsdDims] = None,
+      tokenDecimals: Option[DataFrame] = None): DataFrame = {
+    val combined = EvmDecode.combineTxReceipt(txs, receipts)
+    // block metadata rides the tx frame, not the extractor output —
+    // joined back on the tx hash (the same key as the receipt join, so
+    // the exchange is reused, not repeated)
+    val meta = txs.select(col("transaction_hash"), col("chain_id"),
+      col("block_timestamp"), col("block_hash"))
+    val nullStr = lit(null).cast("string")
+    val erc20 = EvmDecode.erc20Transfers(combined)
+      .select(col("transaction_hash"), col("block_number"),
+        col("log_index"), col("token_address"),
+        col("from_address"), col("to_address"),
+        col("raw_value"),
+        nullStr.as("operator"),
+        nullStr.as("token_ids"), nullStr.as("token_values"),
+        lit("ERC20").as("transfer_type"))
+    val erc721 = EvmDecode.erc721Transfers(combined)
+      .select(col("transaction_hash"), col("block_number"),
+        col("log_index"), col("token_address"),
+        col("from_address"), col("to_address"),
+        lit(null).cast(D38).as("raw_value"),
+        nullStr.as("operator"),
+        to_json(array(col("token_id"))).as("token_ids"),
+        nullStr.as("token_values"),
+        lit("ERC721").as("transfer_type"))
+    val erc1155 = EvmDecode.erc1155Transfers(combined)
+      .groupBy(col("transaction_hash"), col("block_number"),
+        col("log_index"), col("token_address"), col("operator"),
+        col("from_address"), col("to_address"))
+      .agg(sort_array(collect_list(
+        struct(col("token_id"), col("raw_value")))).as("pairs"))
+      .select(col("transaction_hash"), col("block_number"),
+        col("log_index"), col("token_address"),
+        col("from_address"), col("to_address"),
+        lit(null).cast(D38).as("raw_value"),
+        col("operator"),
+        to_json(expr("transform(pairs, p -> p.token_id)"))
+          .as("token_ids"),
+        to_json(expr("transform(pairs, p -> p.raw_value)"))
+          .as("token_values"),
+        lit("ERC1155").as("transfer_type"))
+    val unioned = erc20.unionByName(erc721).unionByName(erc1155)
+      .join(meta, Seq("transaction_hash"), "left")
+    val decorated = (usd, tokenDecimals) match {
+      case (Some(u), Some(toks)) =>
+        graft.analytics.PriceSeries.withAsOfPrice(
+            unioned.withColumn("asset", col("token_address")),
+            u.priceLog, tsCol = "block_timestamp")
+          .join(broadcast(toks.select(col("token_address"),
+            col("decimals"))), Seq("token_address"), "left")
+          .withColumn("value_usd",
+            when(col("transfer_type") === "ERC20",
+              col("raw_value").cast("double") /
+                pow(lit(10.0), col("decimals")) * col("price_usd")))
+          .drop("asset", "decimals", "price_usd")
+      case _ => unioned
+        .withColumn("value_usd", lit(null).cast("double"))
+    }
+    decorated.select(
+      col("chain_id"), col("token_address"),
+      col("from_address"), col("to_address"),
+      col("raw_value").cast("string").as("value"),
+      col("value_usd"), col("operator"),
+      col("token_ids"), col("token_values"),
+      col("transaction_hash"), col("log_index"),
+      col("block_timestamp"), col("block_number"), col("block_hash"),
+      col("transfer_type"))
+      .withColumn("log_dt", lit(logDT))
+  }
+
+  /** Write the day's two EVM tables as idempotent date partitions and
+    * return schema-supplied read-backs of the written layout (empty
+    * days carry no parquet footers — the dumpAccountsDay contract). */
+  def dumpEvmDay(txs: DataFrame, receipts: DataFrame, logDT: String,
+      outRoot: String, usd: Option[Dump.UsdDims] = None,
+      tokenDecimals: Option[DataFrame] = None,
+      signatures: Option[DataFrame] = None): Map[String, DataFrame] = {
+    val spark = txs.sparkSession
+    Map(
+      "evmtxs" -> evmtxsOf(txs, receipts, logDT, signatures),
+      "evmtransfers" -> evmtransfersOf(txs, receipts, logDT, usd,
+        tokenDecimals))
+      .map { case (name, df) =>
+        Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
+        name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
+      }
+  }
+
+  /** The EVM account rollups over the dumped tables (schemas
+    * substrateetl/accountsevm{active,passive}.json):
+    *
+    *  - `accountsevmactive` — one row per sender seen in evmtxs that
+    *    day: (from_address, ts = latest send, transaction_count);
+    *  - `accountsevmpassive` — addresses TOUCHED by a token transfer
+    *    (the recipient side of evmtransfers) that did not themselves
+    *    transact: (para_id, relay_chain, address, ts = latest touch),
+    *    the EVM twin of the substrate accountspassive anti-join
+    *    (Accounts.passiveAccounts).
+    *
+    * One aggregation each plus one anti-join; the active set rides the
+    * join as a plain shuffle keyed by address (it is same-order-of-
+    * magnitude as the passive side, so no broadcast assumption). */
+  def dumpEvmAccountsDay(evmtxs: DataFrame, evmtransfers: DataFrame,
+      paraId: String, relayChain: String, logDT: String,
+      outRoot: String): Map[String, DataFrame] = {
+    val spark = evmtxs.sparkSession
+    val active = evmtxs
+      .groupBy(col("from_address"))
+      .agg(max(col("block_timestamp")).as("ts"),
+        count(lit(1)).as("transaction_count"))
+    val passive = evmtransfers
+      .filter(col("to_address").isNotNull)
+      .groupBy(col("to_address").as("address"))
+      .agg(max(col("block_timestamp")).as("ts"))
+      .join(active.select(col("from_address").as("address")),
+        Seq("address"), "left_anti")
+      .select(lit(paraId).as("para_id"),
+        lit(relayChain).as("relay_chain"), col("address"), col("ts"))
+    Map("accountsevmactive" -> active, "accountsevmpassive" -> passive)
+      .map { case (name, df) =>
+        val written = df.withColumn("log_dt", lit(logDT))
+        Writers.overwritePartitions(written, s"$outRoot/$name",
+          Seq("log_dt"))
+        name -> spark.read.schema(written.schema)
+          .parquet(s"$outRoot/$name")
+      }
+  }
+}

@@ -58,7 +58,14 @@ object Views {
     ViewSpec("balances", "block_time"),
     ViewSpec("stakings", "log_dt"),
     ViewSpec("xcmtransfers", "origination_ts"),
-    ViewSpec("xcm", "origination_ts"))
+    ViewSpec("xcm", "origination_ts"),
+    // the EVM-side export (EvmDump) rides the same window; the account
+    // rollups window on their latest-touch ts like the reference's
+    // accountsevm* date-suffixed tables
+    ViewSpec("evmtxs", "block_timestamp"),
+    ViewSpec("evmtransfers", "block_timestamp"),
+    ViewSpec("accountsevmactive", "ts"),
+    ViewSpec("accountsevmpassive", "ts"))
 
   private def noisePredicate(s: ViewSpec): Option[String] =
     if (s.noise.isEmpty) None

@@ -538,12 +538,297 @@ object KeyOps {
       |FROM events WHERE event_id < 1500
       |GROUP BY 1 ORDER BY address_pubkey""".stripMargin
 
+  // K12 — the EVM daily dump THROUGH THE WRITER (EvmDump.dumpEvmDay →
+  // evmtxs; table registry ref substrateetl.js:154-155, fee math ref
+  // ethTool.js:853-861): deterministic tx/receipt frames cover the
+  // legacy / EIP-1559 / pending / failed / contract-creation branches,
+  // the REAL projection computes fee/burned_fee/txn_saving and resolves
+  // the 4-byte selector against a broadcast signature registry, the
+  // table writes as a date partition, and the query reads the WRITTEN
+  // layout back for a per-(receipt_status, transaction_type) rollup
+  // whose DuckDB twin recomputes the fee algebra from first principles.
+  private def k12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val e = Tables.events(s, d).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"))
+    val is1559 = col("event_id") % 3 === 0
+    val bn = expr("event_id div 10")
+    val hash = concat(lit("0x"),
+      md5(col("event_id").cast("string").cast("binary")))
+    val from40 = substring(concat(
+      md5(col("user_id").cast("string").cast("binary")),
+      md5(concat(col("user_id").cast("string"), lit("x"))
+        .cast("binary"))), 1, 40)
+    val word = format_string("%064x", col("event_id") % 1000000 + 1)
+    val txs = e.select(
+      lit(0).as("chain_id"),
+      hash.as("transaction_hash"),
+      (col("event_id") % 50).cast("int").as("nonce"),
+      (col("event_id") % 100).cast("int").as("transaction_index"),
+      concat(lit("0x"), from40).as("from_address"),
+      format_string("0x%040x", col("event_id") % 700).as("to_address"),
+      d38((col("event_id") % 1000 + 1) * lit(1000000000L)).as("value"),
+      (lit(21000) + col("event_id") % 1000).cast("long").as("gas"),
+      d38(col("event_id") % 7 + 1).as("gas_price"),
+      when(is1559, d38(col("event_id") % 7 + 3)).as("max_fee_per_gas"),
+      when(is1559, d38(lit(1))).as("max_priority_fee_per_gas"),
+      when(is1559, lit(2)).otherwise(lit(0)).cast("int")
+        .as("transaction_type"),
+      when(col("event_id") % 5 === 0, lit("0x"))
+        .when(col("event_id") % 7 === 0, concat(lit("0x12345678"), word))
+        .otherwise(concat(lit("0xa9059cbb"), lit("0" * 24),
+          format_string("%040x", col("event_id") % 700), word))
+        .as("input"),
+      bn.as("block_number"),
+      format_string("0xb%d", bn).as("block_hash"),
+      (lit(1709251200L) + pmod(bn, lit(86400L))).cast("timestamp")
+        .as("block_timestamp"),
+      concat(bn, lit("-"), col("event_id") % 100).as("extrinsic_id"),
+      concat(lit("0xe"), md5(concat(col("event_id").cast("string"),
+        lit("h")).cast("binary"))).as("extrinsic_hash"))
+    val rec = e.filter(col("event_id") % 11 =!= 0).select(
+      hash.as("transaction_hash"),
+      when(col("event_id") % 17 === 0, 0).otherwise(1).cast("int")
+        .as("status"),
+      (lit(21000) + col("event_id") % 1000 - col("event_id") % 500)
+        .cast("long").as("gas_used"),
+      (lit(21000) + col("event_id") % 1000 - col("event_id") % 500
+        + col("event_id") % 100).cast("long")
+        .as("cumulative_gas_used"),
+      when(is1559, d38(col("event_id") % 7 + 2))
+        .otherwise(d38(col("event_id") % 7 + 1))
+        .as("effective_gas_price"),
+      when(col("event_id") % 19 === 0,
+        format_string("0xc%039x", col("event_id")))
+        .as("contract_address"),
+      array().cast(
+        "array<struct<address:string,topics:array<string>,data:string>>")
+        .as("logs"))
+    val sigs = Seq(("0xa9059cbb", "transfer(address,uint256)"))
+      .toDF("selector", "signature")
+    val dir = queryDumpDir("graft_evm_dump")
+    val written = graft.etl.EvmDump.dumpEvmDay(txs, rec, "2024-03-01",
+      dir, signatures = Some(sigs))
+    written("evmtxs")
+      .groupBy(col("receipt_status"), col("transaction_type"))
+      .agg(count(lit(1)).as("n_txs"),
+        sum(col("fee")).cast("long").as("sum_fee"),
+        sum(col("burned_fee")).cast("long").as("sum_burned"),
+        sum(col("txn_saving")).cast("long").as("sum_saving"),
+        sum(col("value")).cast("long").as("sum_value"),
+        count(col("receipt_contract_address")).as("n_creates"),
+        count(col("method_id")).as("n_methods"),
+        count(col("signature")).as("n_sigs"))
+      .orderBy(asc_nulls_first("receipt_status"),
+        col("transaction_type"))
+  }
+
+  private val k12Sql =
+    """WITH t AS (
+      | SELECT event_id,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL
+      |       WHEN event_id % 17 = 0 THEN 0 ELSE 1 END AS receipt_status,
+      |  CASE WHEN event_id % 3 = 0 THEN 2 ELSE 0 END AS transaction_type,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL
+      |       ELSE 21000 + event_id % 1000 - event_id % 500 END AS gas_used,
+      |  event_id % 7 + 1 AS gas_price,
+      |  (event_id % 1000 + 1) * CAST(1000000000 AS BIGINT) AS value,
+      |  CASE WHEN event_id % 11 = 0 THEN NULL
+      |       WHEN event_id % 19 = 0 THEN 1 END AS created,
+      |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE 1 END AS has_method,
+      |  CASE WHEN event_id % 5 = 0 OR event_id % 7 = 0 THEN NULL
+      |       ELSE 1 END AS has_sig
+      | FROM events WHERE event_id < 2000)
+      |SELECT receipt_status, transaction_type,
+      | count(*) AS n_txs,
+      | CAST(sum(gas_used * gas_price) AS BIGINT) AS sum_fee,
+      | CAST(sum(CASE WHEN transaction_type = 2
+      |   THEN gas_used * (event_id % 7 + 2)
+      |   ELSE gas_used * 0 END) AS BIGINT) AS sum_burned,
+      | CAST(sum(CASE WHEN transaction_type = 2 THEN gas_used
+      |   ELSE gas_used * 0 END) AS BIGINT) AS sum_saving,
+      | CAST(sum(value) AS BIGINT) AS sum_value,
+      | count(created) AS n_creates,
+      | count(has_method) AS n_methods,
+      | count(has_sig) AS n_sigs
+      |FROM t GROUP BY 1, 2
+      |ORDER BY receipt_status NULLS FIRST, transaction_type""".stripMargin
+
+  // K13 — the evmtransfers daily dump THROUGH THE WRITER (EvmDump.
+  // dumpEvmDay → evmtransfers; ref ethTool.js Transfer/TransferSingle
+  // log decode, schema substrateetl/evmtransfers.json): receipt logs
+  // synthesize the three token families on their REAL wire topics —
+  // ERC-20 (3 topics + value word), ERC-721 (4 topics, indexed id,
+  // empty data), ERC-1155 TransferSingle (operator topic + id‖value
+  // data words) — the real extractors classify + normalize them, the
+  // table writes and reads back, and the per-family rollup's DuckDB
+  // twin re-derives every column from the synthesis arithmetic.
+  private def k13(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("event_id") < 1800)
+      .select(col("event_id"), col("user_id"))
+    val kind = pmod(col("event_id"), lit(3))
+    val bn = expr("event_id div 10")
+    def topicOf(c: org.apache.spark.sql.Column) =
+      concat(lit("0x"), lit("0" * 24), format_string("%040x", c))
+    val fromT = topicOf(col("user_id") % 1000)
+    val toT = topicOf(col("event_id") % 700 + 2000000)
+    val lg = struct(
+      concat(lit("0xt"), (col("event_id") % 5).cast("string"))
+        .as("address"),
+      when(kind === 0, array(lit(graft.decode.EvmDecode.TransferTopic),
+          fromT, toT))
+        .when(kind === 1, array(lit(graft.decode.EvmDecode.TransferTopic),
+          fromT, toT, topicOf(col("event_id") % 997)))
+        .otherwise(array(
+          lit(graft.decode.EvmDecode.TransferSingleTopic),
+          topicOf(lit(9)), fromT, toT))
+        .as("topics"),
+      when(kind === 0, concat(lit("0x"),
+          format_string("%064x", col("event_id") % 100000 + 1)))
+        .when(kind === 1, lit("0x"))
+        .otherwise(concat(lit("0x"),
+          format_string("%064x", col("event_id") % 53),
+          format_string("%064x", col("event_id") % 11 + 1)))
+        .as("data"))
+    val hash = concat(lit("0x"),
+      md5(col("event_id").cast("string").cast("binary")))
+    val nullD38 = lit(null).cast("decimal(38,0)")
+    val txs = e.select(
+      lit(0).as("chain_id"),
+      hash.as("transaction_hash"),
+      lit(0).as("nonce"), lit(0).as("transaction_index"),
+      format_string("0x%040x", col("user_id")).as("from_address"),
+      format_string("0x%040x", col("event_id") % 700).as("to_address"),
+      d38zero.as("value"),
+      lit(21000L).as("gas"), lit(1).cast("decimal(38,0)").as("gas_price"),
+      nullD38.as("max_fee_per_gas"),
+      nullD38.as("max_priority_fee_per_gas"),
+      lit(0).as("transaction_type"), lit("0x").as("input"),
+      bn.as("block_number"),
+      format_string("0xb%d", bn).as("block_hash"),
+      (lit(1709251200L) + pmod(bn, lit(86400L))).cast("timestamp")
+        .as("block_timestamp"),
+      lit(null).cast("string").as("extrinsic_id"),
+      lit(null).cast("string").as("extrinsic_hash"))
+    val rec = e.select(
+      hash.as("transaction_hash"),
+      lit(1).as("status"), lit(21000L).as("gas_used"),
+      lit(21000L).as("cumulative_gas_used"),
+      lit(1).cast("decimal(38,0)").as("effective_gas_price"),
+      lit(null).cast("string").as("contract_address"),
+      array(lg).as("logs"))
+    val dir = queryDumpDir("graft_evmtr_dump")
+    val written = graft.etl.EvmDump.dumpEvmDay(txs, rec, "2024-03-01",
+      dir)
+    written("evmtransfers")
+      .groupBy(col("transfer_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("token_address")).as("n_tokens"),
+        countDistinct(col("to_address")).as("n_recipients"),
+        sum(col("value").cast("long")).as("sum_value"),
+        count(col("token_ids")).as("n_with_ids"),
+        count(col("operator")).as("n_ops"),
+        max(col("token_ids")).as("max_tids"))
+      .orderBy(col("transfer_type"))
+  }
+
+  private def d38zero = lit(0).cast("decimal(38,0)")
+
+  private val k13Sql =
+    """WITH t AS (
+      | SELECT event_id, event_id % 3 AS kind FROM events
+      | WHERE event_id < 1800)
+      |SELECT CASE WHEN kind = 0 THEN 'ERC20'
+      |  WHEN kind = 1 THEN 'ERC721' ELSE 'ERC1155' END AS transfer_type,
+      | count(*) AS n_rows,
+      | count(DISTINCT event_id % 5) AS n_tokens,
+      | count(DISTINCT event_id % 700) AS n_recipients,
+      | CAST(sum(CASE WHEN kind = 0 THEN event_id % 100000 + 1 END)
+      |   AS BIGINT) AS sum_value,
+      | count(CASE WHEN kind > 0 THEN 1 END) AS n_with_ids,
+      | count(CASE WHEN kind = 2 THEN 1 END) AS n_ops,
+      | max(CASE
+      |   WHEN kind = 1 THEN '[' || CAST(event_id % 997 AS VARCHAR) || ']'
+      |   WHEN kind = 2 THEN '[' || CAST(event_id % 53 AS VARCHAR) || ']'
+      |   END) AS max_tids
+      |FROM t GROUP BY 1 ORDER BY transfer_type""".stripMargin
+
+  // K14 — the EVM account rollups over the dumped tables (EvmDump.
+  // dumpEvmAccountsDay; schemas substrateetl/accountsevm{active,
+  // passive}.json): senders synthesize from user ids, recipients from a
+  // half-overlapping / half-disjoint space so the passive anti-join has
+  // both hit and miss rows at every scale factor; the REAL composition
+  // runs (sender agg, recipient agg, anti-join), both tables write as
+  // date partitions and read back through the schema-supplied frames,
+  // and the oracle replays the set algebra with NOT IN.
+  private def k14(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("event_id") < 1200)
+      .select(col("event_id"), col("user_id"))
+    val bn = expr("event_id div 10")
+    val bts = (lit(1709251200L) + pmod(bn, lit(86400L)))
+      .cast("timestamp")
+    val evmtxs = e.select(
+      format_string("0x%040x", col("user_id")).as("from_address"),
+      bts.as("block_timestamp"))
+    val recipient = when(col("event_id") % 2 === 0,
+        pmod(col("user_id") + 1, lit(50)))
+      .otherwise(col("event_id") % 211 + 4000000)
+    val evmtr = e.select(
+      format_string("0x%040x", recipient).as("to_address"),
+      bts.as("block_timestamp"))
+    val dir = queryDumpDir("graft_evmacct_dump")
+    val written = graft.etl.EvmDump.dumpEvmAccountsDay(evmtxs, evmtr,
+      "2004", "polkadot", "2024-03-01", dir)
+    val act = written("accountsevmactive")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("transaction_count")).cast("long").as("metric"),
+        unix_seconds(max(col("ts"))).as("max_ts_s"))
+      .select(lit("accountsevmactive").as("tbl"), col("n_rows"),
+        col("metric"), col("max_ts_s"))
+    val pas = written("accountsevmpassive")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("address")).as("metric"),
+        unix_seconds(max(col("ts"))).as("max_ts_s"))
+      .select(lit("accountsevmpassive").as("tbl"), col("n_rows"),
+        col("metric"), col("max_ts_s"))
+    act.unionByName(pas).orderBy(col("tbl"))
+  }
+
+  private val k14Sql =
+    """WITH e AS (
+      | SELECT event_id, user_id,
+      |  1709251200 + (event_id // 10) % 86400 AS bts
+      | FROM events WHERE event_id < 1200),
+      |act AS (
+      | SELECT printf('0x%040x', user_id) AS a, count(*) AS c,
+      |  max(bts) AS mts
+      | FROM e GROUP BY 1),
+      |rec AS (
+      | SELECT printf('0x%040x', CASE WHEN event_id % 2 = 0
+      |   THEN (user_id + 1) % 50
+      |   ELSE event_id % 211 + 4000000 END) AS a, bts
+      | FROM e),
+      |pas AS (
+      | SELECT a, max(bts) AS mts FROM rec
+      | WHERE a NOT IN (SELECT a FROM act) GROUP BY 1)
+      |SELECT 'accountsevmactive' AS tbl, count(*) AS n_rows,
+      | CAST(sum(c) AS BIGINT) AS metric,
+      | CAST(max(mts) AS BIGINT) AS max_ts_s FROM act
+      |UNION ALL
+      |SELECT 'accountsevmpassive', count(*),
+      | count(*), CAST(max(mts) AS BIGINT) FROM pas
+      |ORDER BY tbl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k7_storage_key_extract" -> (k7 _),
     "k8_metadata_key_extract" -> (k8 _),
     "k9_balances_decode" -> (k9 _),
     "k10_calldata_decode" -> (k10 _),
     "k11_traces_dump" -> (k11 _),
+    "k12_evmtxs_dump" -> (k12 _),
+    "k13_evmtransfers_dump" -> (k13 _),
+    "k14_evm_accounts" -> (k14 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -558,6 +843,9 @@ object KeyOps {
     "k9_balances_decode" -> k9Sql,
     "k10_calldata_decode" -> k10Sql,
     "k11_traces_dump" -> k11Sql,
+    "k12_evmtxs_dump" -> k12Sql,
+    "k13_evmtransfers_dump" -> k13Sql,
+    "k14_evm_accounts" -> k14Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,

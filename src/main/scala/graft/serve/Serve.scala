@@ -301,6 +301,38 @@ object Serve {
       .orderBy(col("network"))
   }
 
+  /** Account "evmtxs" group (ref api.js getAccount → the EVM-side tabs
+    * an AccountId20/H160 address resolves to): the address's
+    * transactions off the evmtxs export table (etl/EvmDump layout),
+    * sent AND received with a direction marker (a self-send reads
+    * "out" — the sender's view wins), newest first; the OR of the two
+    * equality predicates pushes to the parquet scan, and the ordering
+    * is the numeric block identity (the accountTimeline lesson), with
+    * the per-block transaction_index completing the total order. */
+  def accountEvmTxs(evmtxs: DataFrame, h160: String,
+      limit: Int = 1000): DataFrame =
+    evmtxs
+      .filter(col("from_address") === h160 || col("to_address") === h160)
+      .withColumn("direction",
+        when(col("from_address") === h160, "out").otherwise("in"))
+      .orderBy(unix_micros(col("block_timestamp")).desc,
+        col("block_number").desc, col("transaction_index").desc)
+      .limit(limit)
+
+  /** Account "evmtransfers" group: the address's token movements off
+    * the evmtransfers export table, both directions, newest first —
+    * (block_number, log_index) is the EVM-side total order within a
+    * block, so the sort key is fully deterministic. */
+  def accountEvmTransfers(evmtransfers: DataFrame, h160: String,
+      limit: Int = 1000): DataFrame =
+    evmtransfers
+      .filter(col("from_address") === h160 || col("to_address") === h160)
+      .withColumn("direction",
+        when(col("from_address") === h160, "out").otherwise("in"))
+      .orderBy(unix_micros(col("block_timestamp")).desc,
+        col("block_number").desc, col("log_index").desc)
+      .limit(limit)
+
   /** Related-accounts lookup with identity decoration (ref
     * query.js:3542 getRelated; the UI joins registrar identities onto
     * every related account): proxy edges in both directions + multisig

@@ -251,6 +251,33 @@ class ServeSpec extends AnyFunSuite {
     assert(out == Seq("101-0", "99-0")) // 0xz excluded, newest page
   }
 
+  test("accountEvmTxs / accountEvmTransfers: both directions with " +
+      "direction marker, newest first on the numeric block identity") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val txs = Seq(
+      ("0xa", "0xb", 5L, 0, ts(5000)),
+      ("0xc", "0xa", 9L, 1, ts(9000)), // received
+      // same ts — block 11 must outrank block 9 numerically
+      ("0xa", "0xa", 11L, 0, ts(9000)), // self-send reads "out"
+      ("0xz", "0xq", 7L, 0, ts(9500))) // other account excluded
+      .toDF("from_address", "to_address", "block_number",
+        "transaction_index", "block_timestamp")
+    val out = Serve.accountEvmTxs(txs, "0xa", limit = 2).collect()
+    assert(out.map(_.getAs[Long]("block_number")).toSeq == Seq(11L, 9L))
+    assert(out.map(_.getAs[String]("direction")).toSeq ==
+      Seq("out", "in"))
+    val tr = Seq(
+      ("0xa", "0xb", 5L, 0, ts(5000), "ERC20"),
+      ("0xb", "0xa", 5L, 2, ts(5000), "ERC721"))
+      .toDF("from_address", "to_address", "block_number", "log_index",
+        "block_timestamp", "transfer_type")
+    val tout = Serve.accountEvmTransfers(tr, "0xa").collect()
+    assert(tout.map(_.getAs[String]("transfer_type")).toSeq ==
+      Seq("ERC721", "ERC20")) // log_index 2 first within the block
+    assert(tout.map(_.getAs[String]("direction")).toSeq ==
+      Seq("in", "out"))
+  }
+
   test("addressForms: ss58 renders per network + the H160 truncation") {
     val alice =
       "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
