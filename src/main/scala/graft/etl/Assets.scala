@@ -1,0 +1,226 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The `assets` / `xcmassets` dimension export — the reference's
+  * per-relay asset registry tables (builders substrateetl.js:3378
+  * xcmgar_assets / :3403 xcmgar_xcmassets; schemas
+  * substrate/schema/substrateetl/{assets,xcmassets}.json; the
+  * first-match registry lookup substrateetl.js:3363
+  * lookup_xcmRegistry_xcmInteriorKey; the v1→v2 interior-key
+  * conversion paraTool.js:1345 convertXcmInteriorKeyV1toV2 with
+  * encodeNetwork at :1329).
+  *
+  * Two dimension snapshots, not fact tables: `assets` is each chain's
+  * published asset list decorated with the XCM interior key it resolves
+  * to in the global registry, and `xcmassets` is the flattened registry
+  * itself (one row per cross-chain asset, with the per-chain precompile
+  * address map and currency indexes serialized as JSON the way the
+  * reference exports them). Both are re-published whole per relay —
+  * the write is an idempotent relay_chain-partition overwrite, the
+  * dimension twin of the daily dump's log_dt contract.
+  *
+  * 100 TB shape: the registry is a dimension (thousands of rows), so it
+  * broadcasts; the chain asset list joins against it with no shuffle on
+  * the big side, and the first-match reduction groups on the asset
+  * identity — the join's own key — so AQE coalesces it. Nothing here
+  * scales with chain history.
+  *
+  * Key-conversion fidelity note: the reference's
+  * `parseXcmInteriorKeyV1` (paraTool.js:1412) compares the key against
+  * `typeof "string"` — i.e. the literal string "string" — so its v1→v2
+  * conversion returns null for every real key; the INTENDED semantics
+  * are unambiguous from the function-head doc examples
+  * (paraTool.js:1342-1344) and `makeXcmInteriorKeyV2`, and that is what
+  * this implements.
+  */
+object Assets {
+
+  /** encodeNetwork (paraTool.js:1329): the two known relays carry
+    * `{"network":relay}`; any other network name rides the `named`
+    * branch as 0x-prefixed lowercase UTF-8 hex (@polkadot/util
+    * stringToHex). Pure string building — codegen'd, no UDF. */
+  private def networkJson(relay: Column): Column =
+    when(relay.isin("polkadot", "kusama"),
+      concat(lit("{\"network\":\""), relay, lit("\"}")))
+      .otherwise(concat(lit("{\"named\":\"0x"), lower(hex(relay)),
+        lit("\"}")))
+
+  /** convertXcmInteriorKeyV1toV2 (paraTool.js:1345) as a Column: a v1
+    * key `<interiorJSON>~<relayChain>` becomes the v2 JSON array
+    * `[<network>, ...interior]`:
+    *
+    *  - `here~polkadot`          → `[{"network":"polkadot"},"here"]`
+    *  - `[{...},{...}]~polkadot` → `[{"network":"polkadot"},{...},{...}]`
+    *  - `{...}~kusama`           → `[{"network":"kusama"},{...}]`
+    *    (makeXcmInteriorKeyV2's non-array push branch)
+    *
+    * Registry keys are compact JSON.stringify output, so splicing the
+    * network element in front of the existing text IS the re-stringify
+    * — no parse round-trip needed. A key with no `~` separator is
+    * malformed: null out (decode, don't reject). */
+  def interiorKeyV2(v1: Column): Column = {
+    val interior = substring_index(v1, "~", 1)
+    val net = networkJson(substring_index(v1, "~", -1))
+    when(v1.isNull || !v1.contains("~"), lit(null).cast("string"))
+      .when(interior === "here",
+        concat(lit("["), net, lit(",\"here\"]")))
+      .when(interior.startsWith("["),
+        concat(lit("["), net, lit(","), substr(interior, lit(2),
+          lit(Int.MaxValue))))
+      .otherwise(concat(lit("["), net, lit(","), interior, lit("]")))
+  }
+
+  /** The registry lookup predicate of
+    * lookup_xcmRegistry_xcmInteriorKey (substrateetl.js:3363): a
+    * registry row serves a (para_id, symbol) asset when the symbol
+    * matches and the chain is the asset's native chain OR appears in
+    * the registry row's source list. */
+  private def registryMatch(paraId: Column, symbol: Column): Column =
+    col("r_symbol") === symbol &&
+      (col("r_para_id") === paraId ||
+        array_contains(col("r_source"), paraId))
+
+  /** `assets`: the per-chain asset list decorated with the registry's
+    * XCM interior key (schema substrateetl/assets.json; builder
+    * substrateetl.js:3378 xcmgar_assets).
+    *
+    * `chainAssets` columns: para_id INT, chain_name, asset (compact
+    * JSON), name, symbol, decimals, currency_id (nullable — the schema
+    * carries it; chains publishing through the assets/tokens pallets
+    * fill it). `registry` is a [[xcmassets]]-shaped frame (see that
+    * doc for columns); only its rows for `relayChain` participate,
+    * like the reference's per-relay loop.
+    *
+    * First-match determinism: the reference takes the first registry
+    * entry in object-insertion order; a distributed engine has no such
+    * order, so the lexicographically-least v1 key wins — deterministic
+    * under any partitioning, and identical to the reference whenever
+    * the lookup is unambiguous (the overwhelmingly common case: one
+    * registry row per (chain, symbol)). */
+  def assets(chainAssets: DataFrame, registry: DataFrame,
+      relayChain: String): DataFrame = {
+    val reg = broadcast(
+      registry.filter(col("relay_chain") === relayChain)
+        .select(col("para_id").as("r_para_id"),
+          col("symbol").as("r_symbol"),
+          col("source").as("r_source"),
+          col("xcm_interior_key").as("r_key")))
+    chainAssets
+      .join(reg, registryMatch(col("para_id"), col("symbol")), "left")
+      // one asset can match several registry rows — reduce to the
+      // deterministic winner on the asset identity (the broadcast
+      // join preserved the big side's partitioning, so this is the
+      // only exchange in the plan)
+      .groupBy(col("para_id"), col("chain_name"), col("asset"),
+        col("name"), col("symbol"), col("decimals"), col("currency_id"))
+      .agg(min(col("r_key")).as("v1_key"))
+      .select(col("para_id"), col("chain_name"), col("asset"),
+        col("name"), col("currency_id"), col("symbol"), col("decimals"),
+        interiorKeyV2(col("v1_key")).as("xcm_interior_key"),
+        // EVM-chain precompile decoration rides xcmassets, not the
+        // per-chain list (the reference's assets builder never sets
+        // it) — the column exists so the schema matches assets.json
+        lit(null).cast("string").as("xc_contract_address"),
+        lit(relayChain).as("relay_chain"))
+  }
+
+  /** `xcmassets`: the flattened global registry for one relay (schema
+    * substrateetl/xcmassets.json; builder substrateetl.js:3403
+    * xcmgar_xcmassets).
+    *
+    * `registry` columns: relay_chain, xcm_interior_key (v1 string),
+    * para_id INT, chain_name, symbol, decimals, interior_type,
+    * xcm_v1_multilocation_byte, xcm_v1_multilocation (compact JSON),
+    * xc_currency_id (compact JSON), confidence INT,
+    * source ARRAY<INT>, xc_contract_address MAP<STRING,STRING>
+    * (chain-id → precompile H160; empty map = none published).
+    *
+    * The reference JSON-stringifies source / xc_currency_id /
+    * xc_contract_address and drops the contract map when empty
+    * (`Object.keys(...).length` guard) — here: to_json + a size()
+    * guard, all codegen'd. */
+  def xcmassets(registry: DataFrame, relayChain: String): DataFrame =
+    registry.filter(col("relay_chain") === relayChain)
+      .select(
+        interiorKeyV2(col("xcm_interior_key")).as("xcm_interior_key"),
+        col("xcm_v1_multilocation_byte"),
+        col("xcm_v1_multilocation"),
+        col("symbol"), col("decimals"),
+        col("para_id"), col("chain_name"),
+        col("interior_type"),
+        to_json(col("source")).as("source"),
+        when(size(col("xc_contract_address")) > 0,
+          to_json(col("xc_contract_address")))
+          .as("xc_contract_address"),
+        col("xc_currency_id"),
+        col("confidence"),
+        lit(relayChain).as("relay_chain"))
+
+  /** Bridge [[GarRegistry.buildXcmAssets]]'s constructed registry into
+    * the [[xcmassets]] export input shape — the build→publish chain the
+    * reference runs as gar build → xcmgar dump (substrateetl.js:3403
+    * reads the registry the xcm-global-asset-registry job wrote).
+    *
+    *  - `interior_type` renders gar-style: `here` for the relay's own
+    *    asset, else `x<n>` junction arity (the built frame carries the
+    *    arity as an INT);
+    *  - `xc_currency_id` / `source` export as compact JSON like the
+    *    reference's JSON.stringify; the contract-address map stays a
+    *    map ([[xcmassets]] applies the empty-map guard);
+    *  - the v1 multilocation byte/JSON columns come from the gar
+    *    source files, which the build tier does not reconstruct —
+    *    `multilocations` threads them through when available
+    *    (broadcast: it is keyed by the registry's own key), else null;
+    *  - `chain_name` decorates from the (para_id, chain_name) dim.
+    */
+  def registryFromBuild(built: DataFrame, relayChain: String,
+      chainNames: DataFrame,
+      multilocations: Option[DataFrame] = None): DataFrame = {
+    val ml = multilocations.getOrElse(
+      built.sparkSession.emptyDataFrame
+        .withColumn("xcm_interior_key", lit(null).cast("string"))
+        .withColumn("xcm_v1_multilocation_byte",
+          lit(null).cast("string"))
+        .withColumn("xcm_v1_multilocation", lit(null).cast("string"))
+        .limit(0))
+    built
+      .join(broadcast(chainNames.select(col("para_id"),
+        col("chain_name"))), Seq("para_id"), "left")
+      .join(broadcast(ml), Seq("xcm_interior_key"), "left")
+      .select(
+        lit(relayChain).as("relay_chain"),
+        col("xcm_interior_key"),
+        col("para_id"), col("chain_name"), col("symbol"),
+        col("decimals"),
+        when(substring_index(col("xcm_interior_key"), "~", 1) === "here",
+          lit("here"))
+          .otherwise(concat(lit("x"), col("interior_type")))
+          .as("interior_type"),
+        col("xcm_v1_multilocation_byte"),
+        col("xcm_v1_multilocation"),
+        to_json(col("xc_currency_ids")).as("xc_currency_id"),
+        col("confidence"),
+        col("sources").as("source"),
+        col("xc_contract_addresses").as("xc_contract_address"))
+  }
+
+  /** Publish both dimension snapshots for one relay as idempotent
+    * relay_chain-partition overwrites (the dimension twin of the daily
+    * dump's log_dt contract — re-publishing a relay replaces exactly
+    * that relay's rows) and return schema-supplied read-backs of the
+    * written layout. */
+  def dumpAssets(chainAssets: DataFrame, registry: DataFrame,
+      relayChain: String, outRoot: String): Map[String, DataFrame] = {
+    val spark = chainAssets.sparkSession
+    Map(
+      "assets" -> assets(chainAssets, registry, relayChain),
+      "xcmassets" -> xcmassets(registry, relayChain))
+      .map { case (name, df) =>
+        Writers.overwritePartitions(df, s"$outRoot/$name",
+          Seq("relay_chain"))
+        name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
+      }
+  }
+}

@@ -820,6 +820,179 @@ object KeyOps {
       | count(*), CAST(max(mts) AS BIGINT) FROM pas
       |ORDER BY tbl""".stripMargin
 
+  // K15/K16 — the assets / xcmassets dimension export THROUGH THE
+  // WRITER (etl/Assets.dumpAssets; ref substrateetl.js:3378/3403,
+  // registry lookup :3363, key conversion paraTool.js:1345):
+  // deterministic chain-asset and registry frames off `part` cover the
+  // here / array / single-object interior shapes, both network
+  // encodings (known-relay vs named-hex), multi-match first-match
+  // reduction, source-containment matching, and the empty-contract-map
+  // guard; the DuckDB twin replays the join, the min-key reduction,
+  // and the v1→v2 string splice from first principles.
+  private def assetChainFrame(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).filter(col("p_partkey") < 200)
+      .select(
+        (col("p_partkey") % 40).cast("int").as("para_id"),
+        concat(lit("chain"), (col("p_partkey") % 40).cast("int"))
+          .as("chain_name"),
+        concat(lit("{\"Token\":\"SYM"), col("p_partkey") % 25,
+          lit("\"}")).as("asset"),
+        concat(lit("Asset SYM"), col("p_partkey") % 25).as("name"),
+        when(col("p_partkey") % 4 === 0,
+          (col("p_partkey") % 50).cast("string")).as("currency_id"),
+        concat(lit("SYM"), col("p_partkey") % 25).as("symbol"),
+        (lit(6) + col("p_partkey") % 13).cast("int").as("decimals"))
+
+  private def assetRegistryFrame(s: SparkSession, d: String): DataFrame = {
+    val r = col("p_partkey")
+    val m = expr("p_partkey div 3")
+    val rPara = ((r * 7) % 40).cast("int")
+    val relay = when(r % 2 === 0, "polkadot").otherwise("enjin")
+    Tables.part(s, d).filter(r < 200 && r % 3 === 0)
+      .select(
+        relay.as("relay_chain"),
+        when(m % 4 === 0, concat(lit("here~"), relay))
+          .when(m % 4 === 1, concat(lit("[{\"parachain\":"), rPara,
+            lit("}]~"), relay))
+          .when(m % 4 === 2, concat(lit("{\"parachain\":"), rPara,
+            lit("}~"), relay))
+          .otherwise(concat(lit("[{\"parachain\":"), rPara,
+            lit("},{\"generalKey\":\"0x"), format_string("%08x", r),
+            lit("\"}]~"), relay))
+          .as("xcm_interior_key"),
+        rPara.as("para_id"),
+        concat(lit("chain"), rPara).as("chain_name"),
+        concat(lit("SYM"), r % 25).as("symbol"),
+        (lit(10) + r % 8).cast("int").as("decimals"),
+        concat(lit("x"), (lit(1) + m % 3)).as("interior_type"),
+        concat(lit("0x"), format_string("%06x", r))
+          .as("xcm_v1_multilocation_byte"),
+        concat(lit("{\"v1\":{\"parachain\":"), rPara, lit("}}"))
+          .as("xcm_v1_multilocation"),
+        when(m % 2 === 0, concat(lit("{\"foreignAsset\":"), r % 9,
+          lit("}"))).as("xc_currency_id"),
+        (r % 5).cast("int").as("confidence"),
+        array(rPara, ((r * 11) % 40).cast("int")).as("source"),
+        when(m % 3 === 0, map(lit("1284"),
+          concat(lit("0xffffffff"), format_string("%032x", r))))
+          .otherwise(map().cast("map<string,string>"))
+          .as("xc_contract_address"))
+  }
+
+  private def k15(s: SparkSession, d: String): DataFrame = {
+    val dir = queryDumpDir("graft_assets_dump")
+    graft.etl.Assets.dumpAssets(assetChainFrame(s, d),
+        assetRegistryFrame(s, d), "polkadot", dir)("assets")
+      .orderBy(col("para_id"), col("symbol"))
+  }
+
+  // the v1→v2 splice + network encoding, replayed in SQL (shared by
+  // both oracles; `k` = the v1 key expression)
+  private def sqlInteriorV2(k: String): String = {
+    val net = s"""CASE WHEN split_part($k,'~',2) IN ('polkadot','kusama')
+      | THEN '{"network":"' || split_part($k,'~',2) || '"}'
+      | ELSE '{"named":"0x' || lower(hex(split_part($k,'~',2))) || '"}'
+      | END""".stripMargin
+    s"""CASE WHEN $k IS NULL THEN NULL
+       | WHEN split_part($k,'~',1) = 'here'
+       |   THEN '[' || $net || ',"here"]'
+       | WHEN split_part($k,'~',1) LIKE '[%'
+       |   THEN '[' || $net || ',' || substr(split_part($k,'~',1), 2)
+       | ELSE '[' || $net || ',' || split_part($k,'~',1) || ']'
+       | END""".stripMargin
+  }
+
+  private val sqlAssetChain =
+    """SELECT CAST(p_partkey % 40 AS INT) AS para_id,
+      |  'chain' || CAST(p_partkey % 40 AS INT) AS chain_name,
+      |  '{"Token":"SYM' || (p_partkey % 25) || '"}' AS asset,
+      |  'Asset SYM' || (p_partkey % 25) AS name,
+      |  CASE WHEN p_partkey % 4 = 0
+      |    THEN CAST(p_partkey % 50 AS VARCHAR) END AS currency_id,
+      |  'SYM' || (p_partkey % 25) AS symbol,
+      |  CAST(6 + p_partkey % 13 AS INT) AS decimals
+      |FROM part WHERE p_partkey < 200""".stripMargin
+
+  // NOTE on formatting: this fragment is interpolated into outer
+  // stripMargin strings, which strip a second time — no line may
+  // START with a `|` after the first strip, so every `||` rides at
+  // line END
+  private val sqlAssetRegistry =
+    """SELECT
+      |  CASE WHEN p_partkey % 2 = 0 THEN 'polkadot'
+      |       ELSE 'enjin' END AS relay_chain,
+      |  CASE WHEN (p_partkey // 3) % 4 = 0
+      |    THEN 'here~' || CASE WHEN p_partkey % 2 = 0 THEN 'polkadot'
+      |      ELSE 'enjin' END
+      |  WHEN (p_partkey // 3) % 4 = 1
+      |    THEN '[{"parachain":' || CAST((p_partkey * 7) % 40 AS INT) ||
+      |      '}]~' || CASE WHEN p_partkey % 2 = 0 THEN 'polkadot'
+      |      ELSE 'enjin' END
+      |  WHEN (p_partkey // 3) % 4 = 2
+      |    THEN '{"parachain":' || CAST((p_partkey * 7) % 40 AS INT) ||
+      |      '}~' || CASE WHEN p_partkey % 2 = 0 THEN 'polkadot'
+      |      ELSE 'enjin' END
+      |  ELSE '[{"parachain":' || CAST((p_partkey * 7) % 40 AS INT) ||
+      |      '},{"generalKey":"0x' || printf('%08x', p_partkey) ||
+      |      '"}]~' || CASE WHEN p_partkey % 2 = 0 THEN 'polkadot'
+      |      ELSE 'enjin' END
+      |  END AS xcm_interior_key,
+      |  CAST((p_partkey * 7) % 40 AS INT) AS para_id,
+      |  'chain' || CAST((p_partkey * 7) % 40 AS INT) AS chain_name,
+      |  'SYM' || (p_partkey % 25) AS symbol,
+      |  CAST(10 + p_partkey % 8 AS INT) AS decimals,
+      |  'x' || (1 + (p_partkey // 3) % 3) AS interior_type,
+      |  '0x' || printf('%06x', p_partkey) AS xcm_v1_multilocation_byte,
+      |  '{"v1":{"parachain":' || CAST((p_partkey * 7) % 40 AS INT) ||
+      |    '}}' AS xcm_v1_multilocation,
+      |  CASE WHEN (p_partkey // 3) % 2 = 0
+      |    THEN '{"foreignAsset":' || (p_partkey % 9) || '}'
+      |    END AS xc_currency_id,
+      |  CAST(p_partkey % 5 AS INT) AS confidence,
+      |  [CAST((p_partkey * 7) % 40 AS INT),
+      |   CAST((p_partkey * 11) % 40 AS INT)] AS source,
+      |  CASE WHEN (p_partkey // 3) % 3 = 0
+      |    THEN '{"1284":"0xffffffff' || printf('%032x', p_partkey) ||
+      |      '"}' END AS xc_contract_json
+      |FROM part WHERE p_partkey < 200 AND p_partkey % 3 = 0""".stripMargin
+
+  private val k15Sql =
+    s"""WITH ca AS ($sqlAssetChain),
+       |reg AS ($sqlAssetRegistry),
+       |j AS (
+       | SELECT ca.para_id, ca.chain_name, ca.asset, ca.name,
+       |  ca.currency_id, ca.symbol, ca.decimals,
+       |  min(r.xcm_interior_key) AS v1_key
+       | FROM ca LEFT JOIN (SELECT * FROM reg
+       |   WHERE relay_chain = 'polkadot') r
+       |  ON r.symbol = ca.symbol AND (r.para_id = ca.para_id
+       |    OR list_contains(r.source, ca.para_id))
+       | GROUP BY ALL)
+       |SELECT para_id, chain_name, asset, name, currency_id, symbol,
+       | decimals, ${sqlInteriorV2("v1_key")} AS xcm_interior_key,
+       | CAST(NULL AS VARCHAR) AS xc_contract_address,
+       | 'polkadot' AS relay_chain
+       |FROM j ORDER BY para_id, symbol""".stripMargin
+
+  private def k16(s: SparkSession, d: String): DataFrame = {
+    val dir = queryDumpDir("graft_xcmassets_dump")
+    graft.etl.Assets.dumpAssets(assetChainFrame(s, d),
+        assetRegistryFrame(s, d), "enjin", dir)("xcmassets")
+      .orderBy(col("para_id"), col("symbol"))
+  }
+
+  private val k16Sql =
+    s"""WITH reg AS ($sqlAssetRegistry)
+       |SELECT ${sqlInteriorV2("xcm_interior_key")} AS xcm_interior_key,
+       | xcm_v1_multilocation_byte, xcm_v1_multilocation,
+       | symbol, decimals, para_id, chain_name, interior_type,
+       | to_json(source) AS source,
+       | xc_contract_json AS xc_contract_address,
+       | xc_currency_id, confidence,
+       | 'enjin' AS relay_chain
+       |FROM reg WHERE relay_chain = 'enjin'
+       |ORDER BY para_id, symbol""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k7_storage_key_extract" -> (k7 _),
     "k8_metadata_key_extract" -> (k8 _),
@@ -829,6 +1002,8 @@ object KeyOps {
     "k12_evmtxs_dump" -> (k12 _),
     "k13_evmtransfers_dump" -> (k13 _),
     "k14_evm_accounts" -> (k14 _),
+    "k15_assets_dim" -> (k15 _),
+    "k16_xcmassets_dim" -> (k16 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -846,6 +1021,8 @@ object KeyOps {
     "k12_evmtxs_dump" -> k12Sql,
     "k13_evmtransfers_dump" -> k13Sql,
     "k14_evm_accounts" -> k14Sql,
+    "k15_assets_dim" -> k15Sql,
+    "k16_xcmassets_dim" -> k16Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,
