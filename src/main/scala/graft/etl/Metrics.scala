@@ -62,4 +62,90 @@ object Metrics {
     blocks.sparkSession.read.schema(out.schema)
       .parquet(s"$outRoot/blocklog")
   }
+
+  /** `blocklogstats` — the monthly descriptive-stats rollup over the
+    * daily blocklog table (ref substrateetl.js:3970-4000
+    * dump_substrateetl_polkaholic: per (chainID, last_day(logDT)), for
+    * every metric column `round(sum,2)/round(min,2)/round(max,2)/
+    * round(avg,2)/stddev`, plus `count(*) days`).
+    *
+    * Determinism contract: MySQL's sum/avg/stddev over doubles are
+    * order-dependent; here every moment comes off EXACT decimal sums
+    * (Σx, Σx² as DECIMAL(38,6)) and only then drops to IEEE doubles,
+    * so the rounded stats replay bit-equal cross-engine. `stddev` is
+    * the POPULATION σ (MySQL's STDDEV): σ = √((Σx² − (Σx)²/n)/n) with
+    * n = non-null days (MySQL aggregates skip NULLs), clamped at 0
+    * against float cancellation; a metric with no non-null day in the
+    * month yields null stats, and n = 1 yields σ = 0 — both MySQL's
+    * behavior.
+    *
+    * One hash aggregation with map-side combine; the group count is
+    * chains × months — a dimension, whatever the day volume. */
+  def blocklogStats(blocklog: DataFrame,
+      metrics: Seq[String]): DataFrame = {
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+    // the square rides DECIMAL(18,6)×DECIMAL(18,6) → scale-12 EXACT in
+    // both Spark (37,12) and DuckDB (37,12); at (38,6)² Spark would cap
+    // the product back to scale 6 and silently round x². 18,6 bounds
+    // each daily metric at |x| < 10¹² — comfortably above any per-day
+    // chain stat
+    def dec18(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val aggs = Seq(count(lit(1)).as("days")) ++ metrics.flatMap { m =>
+      val c = col(m)
+      val n = count(c).cast("double")
+      val sumd = sum(dec6(c)).cast("double")
+      val sumsq = sum((dec18(c) * dec18(c)).cast("decimal(38,12)"))
+        .cast("double")
+      Seq(
+        round(sumd, 2).as(s"${m}_sum"),
+        round(min(c).cast("double"), 2).as(s"${m}_min"),
+        round(max(c).cast("double"), 2).as(s"${m}_max"),
+        when(count(c) > 0, round(sumd / n, 2)).as(s"${m}_avg"),
+        when(count(c) > 0,
+          sqrt(greatest(lit(0.0), (sumsq - sumd * sumd / n) / n)))
+          .as(s"${m}_std"))
+    }
+    blocklog
+      .withColumn("month_dt", last_day(col("log_dt").cast("date")))
+      .groupBy(col("chain_id"), col("month_dt"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Write the monthly stats as idempotent month partitions (the
+    * reference upserts one MySQL row per (chain, month); a re-roll of
+    * a month replaces exactly that month). */
+  def dumpBlocklogStats(blocklog: DataFrame, metrics: Seq[String],
+      outRoot: String): DataFrame = {
+    val out = blocklogStats(blocklog, metrics)
+    Writers.overwritePartitions(out, s"$outRoot/blocklogstats",
+      Seq("month_dt"))
+    blocklog.sparkSession.read.schema(out.schema)
+      .parquet(s"$outRoot/blocklogstats")
+  }
+
+  /** The `chains` system table — one of the reference's two
+    * non-date-partitioned BigQuery tables (substrateetl.js:157-159;
+    * dump at :3940-3956: the crawled chain-registry slice, tinyint
+    * flags to booleans, ordered by para_id, loaded with `--replace`).
+    * `chainReg` columns: para_id, id, chain_name, ss58_prefix, symbol,
+    * is_evm INT, is_wasm INT, icon_url, crawling INT. */
+  def chainsTable(chainReg: DataFrame): DataFrame =
+    chainReg.filter(col("crawling") === 1)
+      .select(col("id"), col("chain_name"), col("para_id"),
+        col("ss58_prefix"), col("symbol"),
+        (col("is_evm") === 1).as("is_evm"),
+        (col("is_wasm") === 1).as("is_wasm"),
+        col("icon_url"))
+
+  /** Whole-table replace publish (`bq load --replace` with no
+    * partition decorator — the system-table contract; specversions,
+    * the other non-partitioned table, ships the same way off
+    * XcmMatcher.specVersions). */
+  def dumpChains(chainReg: DataFrame, outRoot: String): DataFrame = {
+    val out = chainsTable(chainReg)
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outRoot/chains")
+    chainReg.sparkSession.read.schema(out.schema)
+      .parquet(s"$outRoot/chains")
+  }
 }

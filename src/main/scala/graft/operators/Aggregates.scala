@@ -871,6 +871,74 @@ object Aggregates {
       | LEFT JOIN ac ON b.chain_id = ac.chain_id
       |ORDER BY b.chain_id""".stripMargin
 
+  // A23 — the blocklogstats MONTHLY rollup through the writer
+  // (graft.etl.Metrics.dumpBlocklogStats — ref substrateetl.js:
+  // 3970-4000 dump_substrateetl_polkaholic: per (chain, last_day(day)),
+  // round(sum/min/max/avg, 2) + population stddev per metric, count(*)
+  // days): a 225-row daily blocklog frame synthesized over 3 chains ×
+  // 75 days spanning three months (a leap February among them),
+  // with a periodically-null money metric AND one metric entirely null
+  // for a chain (null-stat months), written as month partitions, read
+  // back. The oracle replays the exact-decimal moment algebra —
+  // Σx as DECIMAL(38,6), Σx² via the scale-12 exact square — so sums,
+  // rounded averages, and σ = √((Σx²−(Σx)²/n)/n) match bit-for-bit.
+  private def a23(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(pmod(col("event_id"), lit(3)).cast("int").as("chain_id"),
+        pmod(expr("event_id div 3"), lit(75)).cast("int").as("dayoff"))
+      .distinct()
+    val blocklog = base.select(
+      col("chain_id"),
+      date_format(date_add(lit("2024-01-01").cast("date"),
+        col("dayoff")), "yyyy-MM-dd").as("log_dt"),
+      (col("dayoff") * 7 + col("chain_id")).cast("long").as("n_blocks"),
+      when(pmod(col("dayoff"), lit(5)) =!= 0,
+        ((col("dayoff") * 13) % 97).cast("double") / lit(7.0))
+        .as("fees_usd"),
+      when(col("chain_id") =!= 2, pmod(col("dayoff"), lit(11))
+        .cast("double")).as("value_usd"))
+    val dir = queryDumpDir("graft_blocklogstats_dump")
+    graft.etl.Metrics.dumpBlocklogStats(blocklog,
+        Seq("n_blocks", "fees_usd", "value_usd"), dir)
+      .orderBy(col("chain_id"), col("month_dt"))
+  }
+
+  // the five stat columns for one metric, replayed from first
+  // principles (kept on single generated lines: this fragment is
+  // interpolated into a stripMargin string)
+  private def sqlStats(m: String): String = {
+    val sumd = s"CAST(sum(CAST($m AS DECIMAL(38,6))) AS DOUBLE)"
+    val sumsq = "CAST(sum(CAST(CAST(" + m + " AS DECIMAL(18,6)) * " +
+      s"CAST($m AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE)"
+    val n = s"CAST(count($m) AS DOUBLE)"
+    s"round($sumd, 2) AS ${m}_sum, " +
+      s"round(CAST(min($m) AS DOUBLE), 2) AS ${m}_min, " +
+      s"round(CAST(max($m) AS DOUBLE), 2) AS ${m}_max, " +
+      s"CASE WHEN count($m) > 0 THEN round($sumd / $n, 2) END " +
+      s"AS ${m}_avg, " +
+      s"CASE WHEN count($m) > 0 THEN sqrt(greatest(0.0, " +
+      s"($sumsq - $sumd * $sumd / $n) / $n)) END AS ${m}_std"
+  }
+
+  private val a23Sql =
+    s"""WITH base AS (
+       | SELECT DISTINCT CAST(event_id % 3 AS INT) AS chain_id,
+       |  CAST((event_id // 3) % 75 AS INT) AS dayoff FROM events),
+       |bl AS (
+       | SELECT chain_id, DATE '2024-01-01' + dayoff AS log_dt,
+       |  CAST(dayoff * 7 + chain_id AS BIGINT) AS n_blocks,
+       |  CASE WHEN dayoff % 5 <> 0
+       |   THEN CAST((dayoff * 13) % 97 AS DOUBLE) / 7.0 END AS fees_usd,
+       |  CASE WHEN chain_id <> 2
+       |   THEN CAST(dayoff % 11 AS DOUBLE) END AS value_usd
+       | FROM base)
+       |SELECT chain_id, last_day(log_dt) AS month_dt, count(*) AS days,
+       | ${sqlStats("n_blocks")},
+       | ${sqlStats("fees_usd")},
+       | ${sqlStats("value_usd")}
+       |FROM bl GROUP BY chain_id, last_day(log_dt)
+       |ORDER BY chain_id, month_dt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
@@ -878,6 +946,7 @@ object Aggregates {
     "a20_rfm_segments" -> (a20 _),
     "a21_accounts_dump" -> (a21 _),
     "a22_blocklog_dump" -> (a22 _),
+    "a23_blocklogstats" -> (a23 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -907,6 +976,7 @@ object Aggregates {
     "a20_rfm_segments" -> a20Sql,
     "a21_accounts_dump" -> a21Sql,
     "a22_blocklog_dump" -> a22Sql,
+    "a23_blocklogstats" -> a23Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -993,6 +993,41 @@ object KeyOps {
        |FROM reg WHERE relay_chain = 'enjin'
        |ORDER BY para_id, symbol""".stripMargin
 
+  // K17 — the `chains` system table THROUGH THE WRITER
+  // (etl/Metrics.dumpChains; ref substrateetl.js:3940-3956: the crawled
+  // registry slice with tinyint flags → booleans, ordered by para_id,
+  // published as a whole-table `--replace` — one of the reference's
+  // two NON-date-partitioned tables). The registry frame rides the
+  // nation dimension; the crawling filter drops a row, and the oracle
+  // replays the projection.
+  private def k17(s: SparkSession, d: String): DataFrame = {
+    val k = col("n_nationkey")
+    val reg = Tables.nation(s, d).select(
+      (k * 100).cast("int").as("para_id"),
+      lower(col("n_name")).as("id"),
+      col("n_name").as("chain_name"),
+      k.as("ss58_prefix"),
+      substring(col("n_name"), 1, 3).as("symbol"),
+      (k % 3 === 0).cast("int").as("is_evm"),
+      (k % 2 === 0).cast("int").as("is_wasm"),
+      concat(lit("https://cdn.example/"), lower(col("n_name")),
+        lit(".png")).as("icon_url"),
+      (k % 7 =!= 6).cast("int").as("crawling"))
+    val dir = queryDumpDir("graft_chains_dump")
+    graft.etl.Metrics.dumpChains(reg, dir).orderBy(col("para_id"))
+  }
+
+  private val k17Sql =
+    """SELECT lower(n_name) AS id, n_name AS chain_name,
+      | CAST(n_nationkey * 100 AS INT) AS para_id,
+      | n_nationkey AS ss58_prefix,
+      | substr(n_name, 1, 3) AS symbol,
+      | n_nationkey % 3 = 0 AS is_evm,
+      | n_nationkey % 2 = 0 AS is_wasm,
+      | 'https://cdn.example/' || lower(n_name) || '.png' AS icon_url
+      |FROM nation WHERE n_nationkey % 7 <> 6
+      |ORDER BY para_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k7_storage_key_extract" -> (k7 _),
     "k8_metadata_key_extract" -> (k8 _),
@@ -1004,6 +1039,7 @@ object KeyOps {
     "k14_evm_accounts" -> (k14 _),
     "k15_assets_dim" -> (k15 _),
     "k16_xcmassets_dim" -> (k16 _),
+    "k17_chains_dim" -> (k17 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -1023,6 +1059,7 @@ object KeyOps {
     "k14_evm_accounts" -> k14Sql,
     "k15_assets_dim" -> k15Sql,
     "k16_xcmassets_dim" -> k16Sql,
+    "k17_chains_dim" -> k17Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,

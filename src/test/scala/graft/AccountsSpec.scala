@@ -101,4 +101,59 @@ class AccountsSpec extends AnyFunSuite {
     assert(c2.getAs[Long]("n_blocks") == 1 &&
       c2.isNullAt(c2.fieldIndex("n_transfers")))
   }
+
+  test("blocklogstats: monthly moments — nulls skipped, population σ") {
+    // chain 0 / January: x ∈ {2, 4, null} → n=2, sum=6, avg=3,
+    // σ² = (4+16 − 36/2)/2 = 1 → σ = 1; February: single day → σ = 0;
+    // chain 1: metric entirely null → null stats, days still counted
+    val bl = Seq(
+      (0, "2024-01-10", java.lang.Double.valueOf(2.0)),
+      (0, "2024-01-20", java.lang.Double.valueOf(4.0)),
+      (0, "2024-01-25", null.asInstanceOf[java.lang.Double]),
+      (0, "2024-02-05", java.lang.Double.valueOf(7.5)),
+      (1, "2024-01-15", null.asInstanceOf[java.lang.Double])
+    ).toDF("chain_id", "log_dt", "fees")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_blstats_spec").toString
+    val out = graft.etl.Metrics.dumpBlocklogStats(bl, Seq("fees"), dir)
+      .collect()
+      .map(r => (r.getAs[Int]("chain_id"),
+        r.getAs[java.sql.Date]("month_dt").toString) -> r).toMap
+    assert(out.size == 3)
+    val jan = out((0, "2024-01-31"))
+    assert(jan.getAs[Long]("days") == 3)
+    assert(jan.getAs[Double]("fees_sum") == 6.0)
+    assert(jan.getAs[Double]("fees_min") == 2.0)
+    assert(jan.getAs[Double]("fees_max") == 4.0)
+    assert(jan.getAs[Double]("fees_avg") == 3.0)
+    assert(jan.getAs[Double]("fees_std") == 1.0)
+    val feb = out((0, "2024-02-29"))
+    assert(feb.getAs[Double]("fees_std") == 0.0) // n=1 → σ=0 (MySQL)
+    val c1 = out((1, "2024-01-31"))
+    assert(c1.getAs[Long]("days") == 1)
+    assert(c1.isNullAt(c1.fieldIndex("fees_sum")))
+    assert(c1.isNullAt(c1.fieldIndex("fees_std")))
+  }
+
+  test("chains system table: crawled slice, whole-table replace") {
+    val reg = Seq(
+      (0, "polkadot", "Polkadot", 0, "DOT", 0, 1,
+        "https://cdn.example/dot.png", 1),
+      (2004, "moonbeam", "Moonbeam", 1284, "GLMR", 1, 0,
+        "https://cdn.example/glmr.png", 1),
+      (9999, "dead", "Dead", 1, "DED", 0, 0, "", 0) // not crawled
+    ).toDF("para_id", "id", "chain_name", "ss58_prefix", "symbol",
+      "is_evm", "is_wasm", "icon_url", "crawling")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_chains_spec").toString
+    val out = graft.etl.Metrics.dumpChains(reg, dir)
+    assert(out.count() == 2)
+    val moon = out.filter(col("id") === "moonbeam").collect().head
+    assert(moon.getAs[Boolean]("is_evm") && !moon.getAs[Boolean]("is_wasm"))
+    assert(!out.columns.contains("crawling"))
+    // --replace semantics: a re-publish with a shrunk registry replaces
+    val out2 = graft.etl.Metrics.dumpChains(reg.filter(
+      col("para_id") === 0), dir)
+    assert(out2.count() == 1)
+  }
 }
