@@ -104,4 +104,68 @@ object Accounts {
       }
     } finally active.unpersist(): Unit
   }
+
+  /** `full_users` — the exchange/known-address attribution table (ref
+    * substrateetl.js:603-663 dump_users_tags, both the `exchanges` and
+    * `knownpubs` tag sources: one BigQuery job rebuilt as a plan):
+    *
+    *  1. roll transfers to (from, to) pairs — sum(amount),
+    *     count, min extrinsic, min ts;
+    *  2. tag the SENDER against the known-address dimension. The
+    *     reference writes LEFT JOIN … WHERE account_type NOT IN
+    *     ('Scams'), and the WHERE on the right side's column turns it
+    *     into an inner join (NULL fails NOT IN) — users are accounts
+    *     RECEIVING from a known non-scam address; replicated as the
+    *     inner join it is;
+    *  3. first attribution per user = min over the concatenated
+    *     `ts_extrinsic_sender_label` string (the reference's exact
+    *     lexicographic trick — ts renders as `yyyy-MM-dd HH:mm:ss`, so
+    *     string order IS time order), split back into columns;
+    *  4. per-user rollup: distinct labels (SORTED — BigQuery's
+    *     array_agg order is nondeterministic, a bug at scale, not a
+    *     semantic; rendered compact JSON), amount / transfer-count
+    *     sums over the exact-decimal money contract.
+    *
+    * 100 TB shape: the tag dimension broadcasts (it is a curated list,
+    * 10³-10⁴ rows); both aggregations key on high-cardinality account
+    * ids with map-side combine; nothing is pairwise. */
+  def usersTags(transfers: DataFrame, tags: DataFrame): DataFrame = {
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+    val pair = transfers
+      .groupBy(col("from_pub_key"), col("to_pub_key"))
+      .agg(sum(dec6(col("amount"))).as("amount"),
+        count(lit(1)).as("transfer_cnt"),
+        min(col("extrinsic_id")).as("extrinsic_id"),
+        min(col("block_time")).as("ts"))
+    val tagged = pair
+      .join(broadcast(tags.filter(col("account_type") =!= "Scams")
+        .select(col("address_pubkey").as("from_pub_key"),
+          col("address_label"))),
+        Seq("from_pub_key"))
+      .select(col("to_pub_key").as("user_pubkey"),
+        coalesce(col("address_label"), lit("other")).as("known_label"),
+        col("from_pub_key"), col("extrinsic_id"), col("transfer_cnt"),
+        col("amount"), col("ts"))
+    val attribution = concat(
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit("_"),
+      col("extrinsic_id"), lit("_"), col("from_pub_key"), lit("_"),
+      col("known_label"))
+    tagged
+      .groupBy(col("user_pubkey"))
+      .agg(
+        to_json(sort_array(collect_set(col("known_label"))))
+          .as("known_labels"),
+        round(sum(col("amount")).cast("double"), 6).as("amount"),
+        sum(col("transfer_cnt")).as("transfer_cnt"),
+        min(attribution).as("attribution"))
+      .select(col("user_pubkey"), col("known_labels"), col("amount"),
+        col("transfer_cnt"),
+        split(col("attribution"), "_").getItem(0)
+          .as("first_transfer_ts"),
+        split(col("attribution"), "_").getItem(1)
+          .as("first_transfer_extrinsic_id"),
+        split(col("attribution"), "_").getItem(2)
+          .as("first_transfer_sender_pub_key"),
+        split(col("attribution"), "_").getItem(3).as("first_transfer"))
+  }
 }

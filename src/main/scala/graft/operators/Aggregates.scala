@@ -939,6 +939,80 @@ object Aggregates {
        |FROM bl GROUP BY chain_id, last_day(log_dt)
        |ORDER BY chain_id, month_dt""".stripMargin
 
+  // A24 — the full_users exchange-attribution table
+  // (graft.etl.Accounts.usersTags — ref substrateetl.js:603-663
+  // dump_users_tags): transfers roll to (from, to) pairs, senders tag
+  // against a known-address dimension built off nation (u0-u24 known,
+  // every 6th a Scam, senders u25-u39 untagged — both drop via the
+  // reference's LEFT-JOIN-that-is-an-INNER-JOIN), attribution = min
+  // over the concatenated ts_extrinsic_sender_label string, labels
+  // dedupe sorted. The oracle replays the whole chain including the
+  // string-min trick and the JSON label list.
+  private def a24(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_id") < 5000)
+    val transfers = ev.select(
+      concat(lit("u"), pmod(col("event_id"), lit(40)))
+        .as("from_pub_key"),
+      concat(lit("u"), col("user_id")).as("to_pub_key"),
+      (pmod(col("event_id"), lit(1000)).cast("double") / lit(3.0))
+        .as("amount"),
+      concat(expr("event_id div 10"), lit("-"),
+        pmod(col("event_id"), lit(10))).as("extrinsic_id"),
+      col("ts").as("block_time"))
+    val tags = Tables.nation(s, d).select(
+      concat(lit("u"), col("n_nationkey")).as("address_pubkey"),
+      concat(lit("L"), pmod(col("n_nationkey"), lit(5)))
+        .as("address_label"),
+      when(pmod(col("n_nationkey"), lit(6)) === 0, "Scams")
+        .otherwise("Exchange").as("account_type"))
+    graft.etl.Accounts.usersTags(transfers, tags)
+      .orderBy(col("user_pubkey"))
+  }
+
+  private val a24Sql =
+    """WITH t AS (
+      | SELECT 'u' || (event_id % 40) AS from_pub_key,
+      |  'u' || user_id AS to_pub_key,
+      |  CAST(event_id % 1000 AS DOUBLE) / 3.0 AS amount,
+      |  (event_id // 10) || '-' || (event_id % 10) AS extrinsic_id,
+      |  ts AS block_time
+      | FROM events WHERE event_id < 5000),
+      |tags AS (
+      | SELECT 'u' || n_nationkey AS address_pubkey,
+      |  'L' || (n_nationkey % 5) AS address_label,
+      |  CASE WHEN n_nationkey % 6 = 0 THEN 'Scams'
+      |   ELSE 'Exchange' END AS account_type
+      | FROM nation),
+      |pair AS (
+      | SELECT from_pub_key, to_pub_key,
+      |  sum(CAST(amount AS DECIMAL(38,6))) AS amount,
+      |  count(*) AS transfer_cnt,
+      |  min(extrinsic_id) AS extrinsic_id,
+      |  min(block_time) AS ts
+      | FROM t GROUP BY 1, 2),
+      |tg AS (
+      | SELECT to_pub_key AS user_pubkey,
+      |  coalesce(address_label, 'other') AS known_label,
+      |  from_pub_key, extrinsic_id, transfer_cnt, amount, ts
+      | FROM pair JOIN tags ON tags.address_pubkey = pair.from_pub_key
+      | WHERE account_type <> 'Scams'),
+      |att AS (
+      | SELECT user_pubkey,
+      |  to_json(list_sort(list(DISTINCT known_label)))
+      |    AS known_labels,
+      |  round(CAST(sum(amount) AS DOUBLE), 6) AS amount,
+      |  CAST(sum(transfer_cnt) AS BIGINT) AS transfer_cnt,
+      |  min(strftime(ts, '%Y-%m-%d %H:%M:%S') || '_' || extrinsic_id
+      |    || '_' || from_pub_key || '_' || known_label) AS attribution
+      | FROM tg GROUP BY 1)
+      |SELECT user_pubkey, known_labels, amount, transfer_cnt,
+      | string_split(attribution, '_')[1] AS first_transfer_ts,
+      | string_split(attribution, '_')[2] AS first_transfer_extrinsic_id,
+      | string_split(attribution, '_')[3]
+      |   AS first_transfer_sender_pub_key,
+      | string_split(attribution, '_')[4] AS first_transfer
+      |FROM att ORDER BY user_pubkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
@@ -947,6 +1021,7 @@ object Aggregates {
     "a21_accounts_dump" -> (a21 _),
     "a22_blocklog_dump" -> (a22 _),
     "a23_blocklogstats" -> (a23 _),
+    "a24_users_tags" -> (a24 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -977,6 +1052,7 @@ object Aggregates {
     "a21_accounts_dump" -> a21Sql,
     "a22_blocklog_dump" -> a22Sql,
     "a23_blocklogstats" -> a23Sql,
+    "a24_users_tags" -> a24Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -135,6 +135,44 @@ class AccountsSpec extends AnyFunSuite {
     assert(c1.isNullAt(c1.fieldIndex("fees_std")))
   }
 
+  test("usersTags: scam/untagged senders drop, min-string attribution") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val transfers = Seq(
+      // u9 receives from cex1 twice (second earlier — attribution must
+      // pick it), from a scam, and from an untagged address
+      ("cex1", "u9", 10.0, "5-1", ts(1700000100L)),
+      ("cex1", "u9", 20.0, "4-2", ts(1700000000L)),
+      ("scam", "u9", 99.0, "1-1", ts(1600000000L)),
+      ("nobody", "u9", 7.0, "2-2", ts(1650000000L)),
+      // u7 from two different labels — sorted distinct list
+      ("cex2", "u7", 1.0, "6-1", ts(1700000200L)),
+      ("cex1", "u7", 2.0, "6-2", ts(1700000300L))
+    ).toDF("from_pub_key", "to_pub_key", "amount", "extrinsic_id",
+      "block_time")
+    val tags = Seq(
+      ("cex1", "Binance", "Exchange"),
+      ("cex2", "Kraken", "Exchange"),
+      ("scam", "BadGuy", "Scams")
+    ).toDF("address_pubkey", "address_label", "account_type")
+    val out = graft.etl.Accounts.usersTags(transfers, tags).collect()
+      .map(r => r.getAs[String]("user_pubkey") -> r).toMap
+    assert(out.size == 2) // scam-only/untagged-only users never appear
+    val u9 = out("u9")
+    // scam and untagged rows excluded from the sums too
+    assert(u9.getAs[Double]("amount") == 30.0)
+    assert(u9.getAs[Long]("transfer_cnt") == 2)
+    assert(u9.getAs[String]("known_labels") == """["Binance"]""")
+    // pair rollup takes min ts AND min extrinsic independently, then
+    // the string min attributes the pair — the reference's exact shape
+    assert(u9.getAs[String]("first_transfer_extrinsic_id") == "4-2")
+    assert(u9.getAs[String]("first_transfer_ts")
+      .startsWith("2023-11-14"))
+    assert(u9.getAs[String]("first_transfer") == "Binance")
+    val u7 = out("u7")
+    assert(u7.getAs[String]("known_labels") == """["Binance","Kraken"]""")
+    assert(u7.getAs[String]("first_transfer_sender_pub_key") == "cex2")
+  }
+
   test("chains system table: crawled slice, whole-table replace") {
     val reg = Seq(
       (0, "polkadot", "Polkadot", 0, "DOT", 0, 1,
