@@ -729,11 +729,67 @@ object WindowOps {
       |   PARTITION BY prev_type) AS BIGINT), 6) AS p
       |FROM tr ORDER BY prev_type, event_type""".stripMargin
 
+  // W12 — the hourly-export continuity audit (etl/Hourly
+  // .continuityAudit — ref substrateetl.js:3470-3516 dump_dune_hour's
+  // seam checks + :3543 in-range completeness): two chains of dense
+  // block numbers at 120 blocks/hour with a 51-block hole spanning the
+  // hour-1/hour-2 boundary (230-280 — low enough that the smallest SF
+  // still exercises it) plus a 6-block hole strictly interior to
+  // hour 3 (400-405): the boundary hole is INVISIBLE to range
+  // completeness (both truncated hours still read dense) and only the
+  // hour-2 seam catches it — exactly the reference's split between the
+  // :3543 in-range count and the :3470 neighbour checks — while the
+  // interior hole flags hour 3 incomplete with its seams intact; the
+  // DuckDB twin replays the agg + lag window from first principles.
+  private def w12(s: SparkSession, d: String): DataFrame = {
+    val num = expr("event_id div 2")
+    val blocks = Tables.events(s, d)
+      .filter(col("event_id") < 4000 &&
+        !num.between(230, 280) && !num.between(400, 405))
+      .select(pmod(col("event_id"), lit(2)).cast("int").as("chain_id"),
+        num.as("number"),
+        timestamp_seconds(lit(1709251200L) + num * 30)
+          .as("block_time"))
+    graft.etl.Hourly.continuityAudit(blocks)
+      .orderBy(col("chain_id"), col("log_hr"))
+  }
+
+  private val w12Sql =
+    """WITH blk AS (
+      | SELECT CAST(event_id % 2 AS INT) AS chain_id,
+      |  event_id // 2 AS number,
+      |  make_timestamp((1709251200 + (event_id // 2) * 30) * 1000000)
+      |    AS block_time
+      | FROM events
+      | WHERE event_id < 4000
+      |  AND NOT (event_id // 2 BETWEEN 230 AND 280)
+      |  AND NOT (event_id // 2 BETWEEN 400 AND 405)),
+      |h AS (
+      | SELECT chain_id, strftime(block_time, '%Y-%m-%d %H') AS log_hr,
+      |  min(number) AS bn_start, max(number) AS bn_end,
+      |  count(*) AS n_blocks
+      | FROM (SELECT DISTINCT chain_id, number, block_time FROM blk)
+      | GROUP BY 1, 2),
+      |a AS (
+      | SELECT chain_id, log_hr, bn_start, bn_end, n_blocks,
+      |  n_blocks = bn_end - bn_start + 1 AS complete,
+      |  lag(bn_end) OVER (PARTITION BY chain_id ORDER BY log_hr)
+      |    AS prev_end
+      | FROM h)
+      |SELECT chain_id, log_hr, bn_start, bn_end, n_blocks, complete,
+      | prev_end,
+      | CASE WHEN prev_end IS NOT NULL
+      |  THEN prev_end + 1 <> bn_start END AS gap_before,
+      | complete AND coalesce(NOT (CASE WHEN prev_end IS NOT NULL
+      |  THEN prev_end + 1 <> bn_start END), TRUE) AS publishable
+      |FROM a ORDER BY chain_id, log_hr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w2_lag_delta" -> (w2 _),
     "w9_funnel" -> (w9 _),
     "w10_ewma" -> (w10 _),
     "w11_transitions" -> (w11 _),
+    "w12_hour_continuity" -> (w12 _),
     "w3_top1_per_group" -> (w3 _),
     "w4_most_liquid" -> (w4 _),
     "w5_keyset_page" -> (w5 _),
@@ -760,6 +816,7 @@ object WindowOps {
     "w9_funnel" -> w9Sql,
     "w10_ewma" -> w10Sql,
     "w11_transitions" -> w11Sql,
+    "w12_hour_continuity" -> w12Sql,
     "w3_top1_per_group" -> w3Sql,
     "w4_most_liquid" -> w4Sql,
     "w5_keyset_page" -> w5Sql,
