@@ -34,17 +34,27 @@ object EvmDecode {
   /** Merge transactions with their receipts; status resolved from the
     * receipt (ref indexer.js:5330). Left join: a tx with no receipt yet
     * is pending (status null). */
-  def combineTxReceipt(txs: DataFrame, receipts: DataFrame): DataFrame =
+  def combineTxReceipt(txs: DataFrame, receipts: DataFrame): DataFrame = {
+    // carried for the dump tier when the receipt frame has them
+    // (EvmDump.evmtxsOf consumes the SAME combined frame — one
+    // tx⋈receipt shuffle per day); slim decode-tier receipt frames
+    // stay valid, the columns null out
+    def opt(name: String, tpe: String): Column =
+      if (receipts.columns.contains(name)) col(name)
+      else lit(null).cast(tpe).as(name)
     txs.join(
         receipts.select(
           col("transaction_hash"),
           col("status").as("receipt_status"),
-          col("gas_used"), col("effective_gas_price"), col("logs")),
+          col("gas_used"), col("effective_gas_price"), col("logs"),
+          opt("cumulative_gas_used", "long"),
+          opt("contract_address", "string")),
         Seq("transaction_hash"), "left")
       .withColumn("fee_wei",
         col("gas_used").cast("decimal(38,0)") *
           col("effective_gas_price").cast("decimal(38,0)"))
       .withColumn("success", col("receipt_status") === 1)
+  }
 
   // explicit DecimalType(38,0): the inferred type for a BigDecimal
   // return is Decimal(38,18), whose integer range (<1e20) silently
@@ -65,10 +75,31 @@ object EvmDecode {
     },
     org.apache.spark.sql.types.DecimalType(38, 0))
 
+  /** String twin of [[hexToDec]] for the EXPORT tier: arbitrary
+    * precision (keccak-derived uint256 token ids run to ~1e77, past any
+    * fixed decimal), same guarded-null policy. The decode tier keeps
+    * the decimal column for arithmetic; the dump renders from this. */
+  private def hexToDecStr = udf((h: String) =>
+    if (h == null || h.isEmpty || h == "0x") "0"
+    else try BigInt(1, Codec.hexToBytes(h)).toString
+    catch {
+      case _: NumberFormatException | _: StringIndexOutOfBoundsException =>
+        null
+    })
+
+  /** Block/chain metadata columns threaded through the log explode
+    * when the input carries them — the dump tier needs them on every
+    * transfer row, and carrying them through the explode is free while
+    * a join back onto the tx frame is another exchange. */
+  private def passthrough(txReceipts: DataFrame): Seq[Column] =
+    Seq("chain_id", "block_timestamp", "block_hash")
+      .filter(txReceipts.columns.contains).map(col)
+
   private def explodedLogs(txReceipts: DataFrame): DataFrame =
     txReceipts
-      .select(col("transaction_hash"), col("block_number"),
-        posexplode(col("logs")).as(Seq("log_index", "lg")))
+      .select(Seq(col("transaction_hash"), col("block_number"),
+        posexplode(col("logs")).as(Seq("log_index", "lg"))) ++
+        passthrough(txReceipts): _*)
 
   /** Low 20 bytes of a 32-byte topic word as an 0x address. */
   private def topicAddr(t: Column): Column =
@@ -82,7 +113,7 @@ object EvmDecode {
     explodedLogs(txReceipts)
       .filter(size(col("lg.topics")) === 3 &&
         col("lg.topics")(0) === TransferTopic)
-      .select(
+      .select(Seq(
         col("transaction_hash"),
         col("block_number"),
         col("log_index"),
@@ -90,7 +121,11 @@ object EvmDecode {
         // topics are 32-byte words; the address is the low 20 bytes
         topicAddr(col("lg.topics")(1)).as("from_address"),
         topicAddr(col("lg.topics")(2)).as("to_address"),
-        hexToDec(col("lg.data")).as("raw_value"))
+        hexToDec(col("lg.data")).as("raw_value"),
+        // unbounded decimal string — the export column; the decimal
+        // twin above caps at 1e38 (guarded null) for arithmetic use
+        hexToDecStr(col("lg.data")).as("raw_value_str")) ++
+        passthrough(txReceipts): _*)
 
   /** ERC-721 transfers: the SAME Transfer signature as ERC-20, but the
     * tokenId is indexed → 4 topics and empty data — the topic-count
@@ -99,14 +134,18 @@ object EvmDecode {
     explodedLogs(txReceipts)
       .filter(size(col("lg.topics")) === 4 &&
         col("lg.topics")(0) === TransferTopic)
-      .select(
+      .select(Seq(
         col("transaction_hash"),
         col("block_number"),
         col("log_index"),
         col("lg.address").as("token_address"),
         topicAddr(col("lg.topics")(1)).as("from_address"),
         topicAddr(col("lg.topics")(2)).as("to_address"),
-        hexToDec(col("lg.topics")(3)).as("token_id"))
+        hexToDec(col("lg.topics")(3)).as("token_id"),
+        // ENS-style keccak-derived ids exceed any fixed decimal — the
+        // export renders from this unbounded string
+        hexToDecStr(col("lg.topics")(3)).as("token_id_str")) ++
+        passthrough(txReceipts): _*)
 
   /** ERC-1155 TransferSingle + TransferBatch, normalized to one row per
     * (token_id, value) — batches are ABI dynamic uint256[] pairs in the
@@ -124,9 +163,12 @@ object EvmDecode {
       .filter(size(col("lg.topics")) === 4 &&
         col("lg.topics")(0) === TransferSingleTopic)
       // data = two 32-byte words: id ‖ value
-      .select(base :+
-        hexToDec(substring(col("lg.data"), 3, 64)).as("token_id") :+
-        hexToDec(substring(col("lg.data"), 67, 64)).as("raw_value"): _*)
+      .select(base ++ Seq(
+        hexToDec(substring(col("lg.data"), 3, 64)).as("token_id"),
+        hexToDec(substring(col("lg.data"), 67, 64)).as("raw_value"),
+        hexToDecStr(substring(col("lg.data"), 3, 64)).as("token_id_str"),
+        hexToDecStr(substring(col("lg.data"), 67, 64))
+          .as("raw_value_str")) ++ passthrough(txReceipts): _*)
     // returns decimal STRINGS: a java.math.BigDecimal return would be
     // inferred as Decimal(38,18) and silently NULL ids/amounts ≥ 1e20.
     // Guarded: any contract can emit a log with this topic0 and garbage
@@ -153,12 +195,18 @@ object EvmDecode {
     val batch = logs
       .filter(size(col("lg.topics")) === 4 &&
         col("lg.topics")(0) === TransferBatchTopic)
-      .select(base :+ explode(parseBatch(col("lg.data"))).as("pair"): _*)
-      .select(col("transaction_hash"), col("block_number"),
+      .select(base ++ Seq(explode(parseBatch(col("lg.data")))
+        .as("pair")) ++ passthrough(txReceipts): _*)
+      .select(Seq(col("transaction_hash"), col("block_number"),
         col("log_index"), col("token_address"), col("operator"),
         col("from_address"), col("to_address"),
         col("pair._1").cast("decimal(38,0)").as("token_id"),
-        col("pair._2").cast("decimal(38,0)").as("raw_value"))
+        col("pair._2").cast("decimal(38,0)").as("raw_value"),
+        // the parser already yields unbounded decimal strings — the
+        // decimal casts above null out ≥1e38, these never do
+        col("pair._1").as("token_id_str"),
+        col("pair._2").as("raw_value_str")) ++
+        passthrough(txReceipts): _*)
     single.unionByName(batch)
   }
 

@@ -117,10 +117,17 @@ object Accounts {
     *     into an inner join (NULL fails NOT IN) — users are accounts
     *     RECEIVING from a known non-scam address; replicated as the
     *     inner join it is;
-    *  3. first attribution per user = min over the concatenated
-    *     `ts_extrinsic_sender_label` string (the reference's exact
-    *     lexicographic trick — ts renders as `yyyy-MM-dd HH:mm:ss`, so
-    *     string order IS time order), split back into columns;
+    *  3. first attribution per user = min over the (ts, extrinsic_id,
+    *     sender, label) STRUCT. The reference mins a concatenated
+    *     `ts_extrinsic_sender_label` string and splits it back —
+    *     same ordering (its ts renders lexicographic-chronological),
+    *     but the splice corrupts the split-back whenever a label or id
+    *     contains the `_` delimiter (a curated tag like
+    *     "Binance_Cold"), and ties can compare ACROSS field boundaries
+    *     when one id prefixes another; the struct min is the same
+    *     semantics without either failure mode. first_transfer_ts
+    *     still renders `yyyy-MM-dd HH:mm:ss` like the reference's
+    *     split output;
     *  4. per-user rollup: distinct labels (SORTED — BigQuery's
     *     array_agg order is nondeterministic, a bug at scale, not a
     *     semantic; rendered compact JSON), amount / transfer-count
@@ -146,10 +153,9 @@ object Accounts {
         coalesce(col("address_label"), lit("other")).as("known_label"),
         col("from_pub_key"), col("extrinsic_id"), col("transfer_cnt"),
         col("amount"), col("ts"))
-    val attribution = concat(
-      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"), lit("_"),
-      col("extrinsic_id"), lit("_"), col("from_pub_key"), lit("_"),
-      col("known_label"))
+    val attribution = struct(
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("extrinsic_id"), col("from_pub_key"), col("known_label"))
     tagged
       .groupBy(col("user_pubkey"))
       .agg(
@@ -157,15 +163,12 @@ object Accounts {
           .as("known_labels"),
         round(sum(col("amount")).cast("double"), 6).as("amount"),
         sum(col("transfer_cnt")).as("transfer_cnt"),
-        min(attribution).as("attribution"))
+        min(attribution).as("att"))
       .select(col("user_pubkey"), col("known_labels"), col("amount"),
         col("transfer_cnt"),
-        split(col("attribution"), "_").getItem(0)
-          .as("first_transfer_ts"),
-        split(col("attribution"), "_").getItem(1)
-          .as("first_transfer_extrinsic_id"),
-        split(col("attribution"), "_").getItem(2)
-          .as("first_transfer_sender_pub_key"),
-        split(col("attribution"), "_").getItem(3).as("first_transfer"))
+        col("att.ts").as("first_transfer_ts"),
+        col("att.extrinsic_id").as("first_transfer_extrinsic_id"),
+        col("att.from_pub_key").as("first_transfer_sender_pub_key"),
+        col("att.known_label").as("first_transfer"))
   }
 }

@@ -60,21 +60,34 @@ object EvmDump {
     * `signatures`: optional broadcast registry (selector, signature)
     * resolving the 4-byte method_id to a human signature (ref
     * ethTool.js:247-310 selector lists; build one from ABIs with
-    * [[graft.decode.AbiDecode.registryFrame]]). */
+    * [[graft.decode.AbiDecode.registryFrame]] — its `call` rows keyed
+    * by `fingerprint`: `.filter(kind = 'call').select(fingerprint AS
+    * selector, signature)`). Selectors COLLIDE across contracts (every
+    * ERC-20 defines transfer(address,uint256)), so the registry is
+    * reduced to one deterministic row per selector (min signature)
+    * before the join — a duplicate-keyed left join would fan every
+    * matching transaction out once per duplicate. */
   def evmtxsOf(txs: DataFrame, receipts: DataFrame, logDT: String,
+      signatures: Option[DataFrame] = None): DataFrame =
+    evmtxsOfCombined(EvmDecode.combineTxReceipt(txs, receipts), logDT,
+      signatures)
+
+  /** [[evmtxsOf]] over an already-combined tx⋈receipt frame — the form
+    * [[dumpEvmDay]] uses so the day's ONE join is shared with the
+    * transfer extraction. */
+  private[etl] def evmtxsOfCombined(combined: DataFrame, logDT: String,
       signatures: Option[DataFrame] = None): DataFrame = {
-    val rx = receipts.select(
-      col("transaction_hash"),
-      col("status").as("receipt_status"),
-      col("gas_used").as("receipt_gas_used"),
-      col("cumulative_gas_used").as("receipt_cumulative_gas_used"),
-      col("effective_gas_price").as("receipt_effective_gas_price"),
-      col("contract_address").as("receipt_contract_address"))
     val is1559 = col("max_priority_fee_per_gas").isNotNull
     val baseFee = when(is1559, col("receipt_effective_gas_price"))
       .otherwise(lit(0)).cast(D38)
     val gasUsed = col("receipt_gas_used").cast(D38)
-    val base = txs.join(rx, Seq("transaction_hash"), "left")
+    val base = combined
+      .withColumnRenamed("gas_used", "receipt_gas_used")
+      .withColumnRenamed("cumulative_gas_used",
+        "receipt_cumulative_gas_used")
+      .withColumnRenamed("effective_gas_price",
+        "receipt_effective_gas_price")
+      .withColumnRenamed("contract_address", "receipt_contract_address")
       .withColumn("fee",
         (gasUsed * col("gas_price").cast(D38)).cast(D38))
       .withColumn("burned_fee", (gasUsed * baseFee).cast(D38))
@@ -91,8 +104,9 @@ object EvmDump {
         when(length(col("input")) >= 10, substring(col("input"), 1, 10)))
     val withSig = signatures match {
       case Some(reg) => base.join(
-          broadcast(reg.select(col("selector").as("method_id"),
-            col("signature"))),
+          broadcast(reg
+            .groupBy(col("selector").as("method_id"))
+            .agg(min(col("signature")).as("signature"))),
           Seq("method_id"), "left")
       case None => base.withColumn("signature", lit(null).cast("string"))
     }
@@ -117,17 +131,24 @@ object EvmDump {
     * extracted from receipt logs, normalized to the reference's
     * evmtransfers shape (schema substrateetl/evmtransfers.json):
     *
-    *  - ERC20  — value carries the raw uint256 amount (STRING: uint256
-    *    exceeds any fixed decimal), token_ids/token_values/operator null;
-    *  - ERC721 — the token rides token_ids (a one-element JSON array),
-    *    value null;
+    *  - ERC20  — value carries the raw uint256 amount as the
+    *    extractor's UNBOUNDED decimal string (`raw_value_str` —
+    *    uint256 exceeds any fixed decimal, so the string column, not
+    *    the capped DECIMAL(38,0) twin, is what exports),
+    *    token_ids/token_values/operator null;
+    *  - ERC721 — the token rides token_ids (a one-element JSON array,
+    *    rendered from the unbounded string — ENS-style keccak-derived
+    *    ids are ~1e77), value null;
     *  - ERC1155 — operator + pairwise token_ids/token_values JSON
     *    arrays. [[EvmDecode.erc1155Transfers]] normalizes batches to
     *    one row per (id, value) pair; the dump re-groups them per log
-    *    with the pair list canonicalized by token_id (sort_array on the
-    *    pair struct) — deterministic under shuffle, at the cost of not
+    *    with the pair list canonicalized by token_id — numeric order
+    *    via the (length, digits) string key, so unbounded ids sort
+    *    correctly — deterministic under shuffle, at the cost of not
     *    preserving the emitter's array order (divergence from the
-    *    reference, which keeps wire order).
+    *    reference, which keeps wire order). The JSON arrays render
+    *    unquoted numerals by manual splice (to_json over the string
+    *    elements would quote them).
     *
     * value_usd decorates ERC20 rows only, and only when BOTH the price
     * log (asset = token contract address) and the token-decimals
@@ -135,52 +156,63 @@ object EvmDump {
     * as-of price (ref assetManager computePriceUSD on xcContract
     * assets). Both dimensions broadcast; unpriced tokens keep null.
     * The columns exist either way so the table schema never varies
-    * across partitions. */
+    * across partitions. Block/chain metadata rides THROUGH the log
+    * explode (the extractors' passthrough columns), not a join back
+    * onto the tx frame — no second exchange. */
   def evmtransfersOf(txs: DataFrame, receipts: DataFrame, logDT: String,
       usd: Option[Dump.UsdDims] = None,
+      tokenDecimals: Option[DataFrame] = None): DataFrame =
+    evmtransfersOfCombined(EvmDecode.combineTxReceipt(txs, receipts),
+      logDT, usd, tokenDecimals)
+
+  /** [[evmtransfersOf]] over an already-combined frame (the
+    * [[dumpEvmDay]] shared-join form). */
+  private[etl] def evmtransfersOfCombined(combined: DataFrame,
+      logDT: String, usd: Option[Dump.UsdDims] = None,
       tokenDecimals: Option[DataFrame] = None): DataFrame = {
-    val combined = EvmDecode.combineTxReceipt(txs, receipts)
-    // block metadata rides the tx frame, not the extractor output —
-    // joined back on the tx hash (the same key as the receipt join, so
-    // the exchange is reused, not repeated)
-    val meta = txs.select(col("transaction_hash"), col("chain_id"),
-      col("block_timestamp"), col("block_hash"))
     val nullStr = lit(null).cast("string")
+    val meta = Seq(col("chain_id"), col("block_timestamp"),
+      col("block_hash"))
     val erc20 = EvmDecode.erc20Transfers(combined)
-      .select(col("transaction_hash"), col("block_number"),
+      .select(Seq(col("transaction_hash"), col("block_number"),
         col("log_index"), col("token_address"),
         col("from_address"), col("to_address"),
-        col("raw_value"),
+        col("raw_value_str").as("value"),
+        col("raw_value"), // decimal twin: value_usd arithmetic below
         nullStr.as("operator"),
         nullStr.as("token_ids"), nullStr.as("token_values"),
-        lit("ERC20").as("transfer_type"))
+        lit("ERC20").as("transfer_type")) ++ meta: _*)
     val erc721 = EvmDecode.erc721Transfers(combined)
-      .select(col("transaction_hash"), col("block_number"),
+      .select(Seq(col("transaction_hash"), col("block_number"),
         col("log_index"), col("token_address"),
         col("from_address"), col("to_address"),
-        lit(null).cast(D38).as("raw_value"),
+        nullStr.as("value"), lit(null).cast(D38).as("raw_value"),
         nullStr.as("operator"),
-        to_json(array(col("token_id"))).as("token_ids"),
+        concat(lit("["), col("token_id_str"), lit("]")).as("token_ids"),
         nullStr.as("token_values"),
-        lit("ERC721").as("transfer_type"))
+        lit("ERC721").as("transfer_type")) ++ meta: _*)
+    // numeric sort key for unbounded non-negative decimal strings:
+    // longer = bigger, then digit order
+    val pairKey = struct(length(col("token_id_str")).as("l"),
+      col("token_id_str").as("id"), col("raw_value_str").as("v"))
     val erc1155 = EvmDecode.erc1155Transfers(combined)
-      .groupBy(col("transaction_hash"), col("block_number"),
+      .groupBy(Seq(col("transaction_hash"), col("block_number"),
         col("log_index"), col("token_address"), col("operator"),
-        col("from_address"), col("to_address"))
-      .agg(sort_array(collect_list(
-        struct(col("token_id"), col("raw_value")))).as("pairs"))
-      .select(col("transaction_hash"), col("block_number"),
+        col("from_address"), col("to_address")) ++ meta: _*)
+      .agg(sort_array(collect_list(pairKey)).as("pairs"))
+      .select(Seq(col("transaction_hash"), col("block_number"),
         col("log_index"), col("token_address"),
         col("from_address"), col("to_address"),
-        lit(null).cast(D38).as("raw_value"),
+        nullStr.as("value"), lit(null).cast(D38).as("raw_value"),
         col("operator"),
-        to_json(expr("transform(pairs, p -> p.token_id)"))
+        concat(lit("["), concat_ws(",",
+          expr("transform(pairs, p -> p.id)")), lit("]"))
           .as("token_ids"),
-        to_json(expr("transform(pairs, p -> p.raw_value)"))
+        concat(lit("["), concat_ws(",",
+          expr("transform(pairs, p -> p.v)")), lit("]"))
           .as("token_values"),
-        lit("ERC1155").as("transfer_type"))
+        lit("ERC1155").as("transfer_type")) ++ meta: _*)
     val unioned = erc20.unionByName(erc721).unionByName(erc1155)
-      .join(meta, Seq("transaction_hash"), "left")
     val decorated = (usd, tokenDecimals) match {
       case (Some(u), Some(toks)) =>
         graft.analytics.PriceSeries.withAsOfPrice(
@@ -199,7 +231,7 @@ object EvmDump {
     decorated.select(
       col("chain_id"), col("token_address"),
       col("from_address"), col("to_address"),
-      col("raw_value").cast("string").as("value"),
+      col("value"),
       col("value_usd"), col("operator"),
       col("token_ids"), col("token_values"),
       col("transaction_hash"), col("log_index"),
@@ -216,14 +248,21 @@ object EvmDump {
       tokenDecimals: Option[DataFrame] = None,
       signatures: Option[DataFrame] = None): Map[String, DataFrame] = {
     val spark = txs.sparkSession
-    Map(
-      "evmtxs" -> evmtxsOf(txs, receipts, logDT, signatures),
-      "evmtransfers" -> evmtransfersOf(txs, receipts, logDT, usd,
-        tokenDecimals))
-      .map { case (name, df) =>
-        Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
-        name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
-      }
+    // ONE tx⋈receipt join for the day, persisted across the two write
+    // actions — the evmtxs projection and the transfer extraction both
+    // consume it (the header's shuffle claim, made true structurally)
+    val combined = EvmDecode.combineTxReceipt(txs, receipts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Map(
+        "evmtxs" -> evmtxsOfCombined(combined, logDT, signatures),
+        "evmtransfers" -> evmtransfersOfCombined(combined, logDT, usd,
+          tokenDecimals))
+        .map { case (name, df) =>
+          Writers.overwritePartitions(df, s"$outRoot/$name",
+            Seq("log_dt"))
+          name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
+        }
+    finally combined.unpersist(): Unit
   }
 
   /** The EVM account rollups over the dumped tables (schemas

@@ -34,18 +34,26 @@ object Hourly {
     *  - `complete` — every block in [bn_start, bn_end] present
     *    (ref :3543's row-count check; input rows are deduped so a
     *    double-indexed block cannot fake completeness);
-    *  - `gap_before` — seam to the previous OBSERVED hour broken
-    *    (ref :3508's bnEnd0+1 != bnStart; a missing hour between two
-    *    observed ones surfaces here as well, on the later hour);
-    *    null for a chain's first hour (ref skips the check when there
-    *    is no previous block, :3497 FAIL0 path);
-    *  - `publishable` — complete && seam intact (the reference's
+    *  - `gap_before` / `gap_after` — seams to the neighbouring
+    *    OBSERVED hours broken (ref :3508's bnEnd0+1 != bnStart and
+    *    :3501's bnStart2 != bnEnd+1; a missing hour between two
+    *    observed ones surfaces on both neighbours); null at a chain's
+    *    first/last hour (ref skips the check with no neighbour block,
+    *    :3497 FAIL0 path). A tail-truncated hour reads dense to the
+    *    range count — ONLY gap_after catches it, which is why the
+    *    reference checks both directions;
+    *  - `publishable` — complete && both seams intact (the reference's
     *    `problem == false` gate for the hour's export).
-    */
+    *
+    * Double-indexed blocks (re-crawls) are reduced to one
+    * deterministic row per (chain, number) — min(block_time), so a
+    * re-crawl near an hour boundary cannot flip the hour assignment
+    * between runs — before any counting; a duplicate therefore cannot
+    * fake completeness. */
   def continuityAudit(blocks: DataFrame): DataFrame = {
     val byHour = blocks
-      .select(col("chain_id"), col("number"), col("block_time"))
-      .dropDuplicates("chain_id", "number")
+      .groupBy(col("chain_id"), col("number"))
+      .agg(min(col("block_time")).as("block_time"))
       .groupBy(col("chain_id"), hourKey(col("block_time")).as("log_hr"))
       .agg(min(col("number")).as("bn_start"),
         max(col("number")).as("bn_end"),
@@ -55,11 +63,16 @@ object Hourly {
       .withColumn("complete",
         col("n_blocks") === col("bn_end") - col("bn_start") + 1)
       .withColumn("prev_end", lag(col("bn_end"), 1).over(w))
+      .withColumn("next_start", lead(col("bn_start"), 1).over(w))
       .withColumn("gap_before",
         when(col("prev_end").isNotNull,
           col("prev_end") + 1 =!= col("bn_start")))
+      .withColumn("gap_after",
+        when(col("next_start").isNotNull,
+          col("bn_end") + 1 =!= col("next_start")))
       .withColumn("publishable",
-        col("complete") && coalesce(!col("gap_before"), lit(true)))
+        col("complete") && coalesce(!col("gap_before"), lit(true)) &&
+          coalesce(!col("gap_after"), lit(true)))
   }
 
   /** Export one (day, hour) slice of each table as an idempotent

@@ -945,9 +945,10 @@ object Aggregates {
   // against a known-address dimension built off nation (u0-u24 known,
   // every 6th a Scam, senders u25-u39 untagged — both drop via the
   // reference's LEFT-JOIN-that-is-an-INNER-JOIN), attribution = min
-  // over the concatenated ts_extrinsic_sender_label string, labels
-  // dedupe sorted. The oracle replays the whole chain including the
-  // string-min trick and the JSON label list.
+  // over the (ts, extrinsic, sender, label) struct (the delimiter-safe
+  // form of the reference's concatenated-string min), labels dedupe
+  // sorted. The oracle replays the whole chain including the struct
+  // min and the JSON label list.
   private def a24(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).filter(col("event_id") < 5000)
     val transfers = ev.select(
@@ -1002,15 +1003,15 @@ object Aggregates {
       |    AS known_labels,
       |  round(CAST(sum(amount) AS DOUBLE), 6) AS amount,
       |  CAST(sum(transfer_cnt) AS BIGINT) AS transfer_cnt,
-      |  min(strftime(ts, '%Y-%m-%d %H:%M:%S') || '_' || extrinsic_id
-      |    || '_' || from_pub_key || '_' || known_label) AS attribution
+      |  min({'ts': strftime(ts, '%Y-%m-%d %H:%M:%S'),
+      |       'e': extrinsic_id, 'f': from_pub_key,
+      |       'l': known_label}) AS a
       | FROM tg GROUP BY 1)
       |SELECT user_pubkey, known_labels, amount, transfer_cnt,
-      | string_split(attribution, '_')[1] AS first_transfer_ts,
-      | string_split(attribution, '_')[2] AS first_transfer_extrinsic_id,
-      | string_split(attribution, '_')[3]
-      |   AS first_transfer_sender_pub_key,
-      | string_split(attribution, '_')[4] AS first_transfer
+      | a.ts AS first_transfer_ts,
+      | a.e AS first_transfer_extrinsic_id,
+      | a.f AS first_transfer_sender_pub_key,
+      | a.l AS first_transfer
       |FROM att ORDER BY user_pubkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

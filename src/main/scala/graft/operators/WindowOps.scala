@@ -739,8 +739,11 @@ object WindowOps {
   // completeness (both truncated hours still read dense) and only the
   // hour-2 seam catches it — exactly the reference's split between the
   // :3543 in-range count and the :3470 neighbour checks — while the
-  // interior hole flags hour 3 incomplete with its seams intact; the
-  // DuckDB twin replays the agg + lag window from first principles.
+  // interior hole flags hour 3 incomplete with its seams intact —
+  // and the boundary hole's FIRST hour, dense to the count and clean
+  // on its leading seam, is held back only by gap_after (the
+  // reference's FAIL1 direction); the DuckDB twin replays the agg +
+  // both seam windows from first principles.
   private def w12(s: SparkSession, d: String): DataFrame = {
     val num = expr("event_id div 2")
     val blocks = Tables.events(s, d)
@@ -768,20 +771,27 @@ object WindowOps {
       | SELECT chain_id, strftime(block_time, '%Y-%m-%d %H') AS log_hr,
       |  min(number) AS bn_start, max(number) AS bn_end,
       |  count(*) AS n_blocks
-      | FROM (SELECT DISTINCT chain_id, number, block_time FROM blk)
+      | FROM (SELECT chain_id, number, min(block_time) AS block_time
+      |   FROM blk GROUP BY 1, 2)
       | GROUP BY 1, 2),
       |a AS (
       | SELECT chain_id, log_hr, bn_start, bn_end, n_blocks,
       |  n_blocks = bn_end - bn_start + 1 AS complete,
       |  lag(bn_end) OVER (PARTITION BY chain_id ORDER BY log_hr)
-      |    AS prev_end
+      |    AS prev_end,
+      |  lead(bn_start) OVER (PARTITION BY chain_id ORDER BY log_hr)
+      |    AS next_start
       | FROM h)
       |SELECT chain_id, log_hr, bn_start, bn_end, n_blocks, complete,
-      | prev_end,
+      | prev_end, next_start,
       | CASE WHEN prev_end IS NOT NULL
       |  THEN prev_end + 1 <> bn_start END AS gap_before,
+      | CASE WHEN next_start IS NOT NULL
+      |  THEN bn_end + 1 <> next_start END AS gap_after,
       | complete AND coalesce(NOT (CASE WHEN prev_end IS NOT NULL
-      |  THEN prev_end + 1 <> bn_start END), TRUE) AS publishable
+      |  THEN prev_end + 1 <> bn_start END), TRUE)
+      | AND coalesce(NOT (CASE WHEN next_start IS NOT NULL
+      |  THEN bn_end + 1 <> next_start END), TRUE) AS publishable
       |FROM a ORDER BY chain_id, log_hr""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

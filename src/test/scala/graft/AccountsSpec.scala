@@ -149,9 +149,11 @@ class AccountsSpec extends AnyFunSuite {
       ("cex1", "u7", 2.0, "6-2", ts(1700000300L))
     ).toDF("from_pub_key", "to_pub_key", "amount", "extrinsic_id",
       "block_time")
+    // the underscore label pins the struct-min attribution: the
+    // reference's '_'-spliced string would truncate it to "Kraken"
     val tags = Seq(
       ("cex1", "Binance", "Exchange"),
-      ("cex2", "Kraken", "Exchange"),
+      ("cex2", "Kraken_Cold", "Exchange"),
       ("scam", "BadGuy", "Scams")
     ).toDF("address_pubkey", "address_label", "account_type")
     val out = graft.etl.Accounts.usersTags(transfers, tags).collect()
@@ -169,8 +171,10 @@ class AccountsSpec extends AnyFunSuite {
       .startsWith("2023-11-14"))
     assert(u9.getAs[String]("first_transfer") == "Binance")
     val u7 = out("u7")
-    assert(u7.getAs[String]("known_labels") == """["Binance","Kraken"]""")
+    assert(u7.getAs[String]("known_labels") ==
+      """["Binance","Kraken_Cold"]""")
     assert(u7.getAs[String]("first_transfer_sender_pub_key") == "cex2")
+    assert(u7.getAs[String]("first_transfer") == "Kraken_Cold")
   }
 
   test("chains system table: crawled slice, whole-table replace") {

@@ -120,6 +120,47 @@ class EvmDumpSpec extends AnyFunSuite {
     assert(b.get(b.fieldIndex("value_usd")) == null)
   }
 
+  test("unbounded token ids/values export past the decimal(38,0) cap") {
+    val from = "0x" + "aa" * 20
+    val to = "0x" + "bb" * 20
+    // ENS-style keccak-derived token id — ~1e77, far past decimal(38,0)
+    val hugeId = "0x" + "f" * 64
+    val hugeDec = BigInt(1, Array.fill[Byte](32)(-1)).toString
+    val logs = Seq(
+      EvmLog("0xnft", Seq(EvmDecode.TransferTopic, pad32(from),
+        pad32(to), hugeId), "0x"),
+      // ERC-20 amount likewise past the cap
+      EvmLog("0xtok", Seq(EvmDecode.TransferTopic, pad32(from),
+        pad32(to)), hugeId))
+    val txs = Seq(txRow("0xt1", is1559 = false)).toDF(txCols: _*)
+    val rx = Seq(("0xt1", 1, 21000L, 21000L, BigDecimal(10),
+      None: Option[String], logs)).toDF(rxCols: _*)
+    val out = EvmDump.evmtransfersOf(txs, rx, "2024-03-01")
+      .collect().map(r => r.getAs[String]("transfer_type") -> r).toMap
+    assert(out("ERC721").getAs[String]("token_ids") == s"[$hugeDec]")
+    assert(out("ERC20").getAs[String]("value") == hugeDec)
+    // value_usd arithmetic path (the decimal twin) nulls out, row kept
+    assert(out("ERC20").get(
+      out("ERC20").fieldIndex("value_usd")) == null)
+  }
+
+  test("duplicate selectors in the signature registry do not fan out") {
+    val txs = Seq(
+      txRow("0xl", is1559 = false, input = "0xa9059cbb" + "0" * 64)
+    ).toDF(txCols: _*)
+    val rx = Seq(rxRow("0xl", effective = 10)).toDF(rxCols: _*)
+    // two contract ABIs both define transfer(address,uint256)
+    val sigs = Seq(
+      ("0xa9059cbb", "transfer(address,uint256)"),
+      ("0xa9059cbb", "transfer(address,uint256)")
+    ).toDF("selector", "signature")
+    val out = EvmDump.evmtxsOf(txs, rx, "2024-03-01", Some(sigs))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("signature") ==
+      "transfer(address,uint256)")
+  }
+
   test("accountsevm rollups: anti-join + empty-day read-back") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_evmacct_spec").toString

@@ -52,6 +52,25 @@ class HourlySpec extends AnyFunSuite {
     assert(empty("extrinsics").columns.contains("hr"))
   }
 
+  test("continuityAudit: tail-truncated hour held back by gap_after") {
+    // hour 0 loses its LAST block (2): dense to the range count and
+    // clean on its leading seam — only the next-hour seam catches it
+    // (the reference's FAIL1 direction, substrateetl.js:3501)
+    val blocks = Seq(
+      (0, 0L, ts(H0)), (0, 1L, ts(H0 + 30)),
+      (0, 3L, ts(H0 + 3600)), (0, 4L, ts(H0 + 3630))
+    ).toDF("chain_id", "number", "block_time")
+    val a = Hourly.continuityAudit(blocks).collect()
+      .map(r => r.getAs[String]("log_hr") -> r).toMap
+    val h0 = a("2024-03-01 00")
+    assert(h0.getAs[Boolean]("complete")) // the count cannot see it
+    assert(h0.getAs[Boolean]("gap_after"))
+    assert(!h0.getAs[Boolean]("publishable"))
+    val h1 = a("2024-03-01 01")
+    assert(h1.getAs[Boolean]("gap_before"))
+    assert(!h1.getAs[Boolean]("publishable"))
+  }
+
   test("continuityAudit: duplicate blocks cannot fake completeness") {
     // block 1 is double-indexed, block 2 is missing: a raw count would
     // read 3 = bn_end − bn_start + 1 and call the hour complete
