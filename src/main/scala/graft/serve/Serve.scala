@@ -333,6 +333,46 @@ object Serve {
         col("block_number").desc, col("log_index").desc)
       .limit(limit)
 
+  /** Asset lookup over the dimension EXPORT tables (ref query.js:2208
+    * getAsset: `asset LEFT JOIN xcmasset ON xcmInteriorKey`, matched by
+    * currency_id OR the asset JSON, with the precompile reverse map
+    * consulted first): `idOrAsset` may be a currency id, the exact
+    * asset JSON, or an EVM precompile H160 — the H160 resolves through
+    * xcmassets' per-chain contract map (the reference's
+    * this.xcContractAddress[currencyID] hop) to the interior key, then
+    * the chain's assets rows decorate with the registry's cross-chain
+    * symbol/decimals. The reference breaks ties by holder count
+    * (numHolders desc limit 1) — a registry the export does not carry;
+    * ties break on the asset JSON instead, deterministic under any
+    * partitioning. Both frames are dimensions: every join here
+    * broadcasts, and the equality filters push to the parquet scan. */
+  def assetLookup(assets: DataFrame, xcmassets: DataFrame,
+      paraId: Int, idOrAsset: String): DataFrame = {
+    val reg = xcmassets.select(col("xcm_interior_key"),
+      col("symbol").as("xc_symbol"), col("decimals").as("xc_decimals"),
+      col("xc_contract_address"))
+    val direct = col("currency_id") === idOrAsset ||
+      col("asset") === idOrAsset
+    val matchPred =
+      if (idOrAsset.matches("0x[0-9a-fA-F]{40}")) {
+        // precompile hop: interior keys whose contract map carries the
+        // H160 for this chain (a bounded in-list — the registry is a
+        // dimension)
+        val keys = xcmassets
+          .filter(get_json_object(col("xc_contract_address"),
+            s"$$['$paraId']") === idOrAsset)
+          .select(col("xcm_interior_key"))
+          .collect().map(_.getString(0)).toSeq
+        direct || col("xcm_interior_key").isin(keys: _*)
+      } else direct
+    assets
+      .filter(col("para_id") === paraId && matchPred)
+      .join(broadcast(reg.drop("xc_contract_address")),
+        Seq("xcm_interior_key"), "left")
+      .orderBy(col("asset"))
+      .limit(1)
+  }
+
   /** Related-accounts lookup with identity decoration (ref
     * query.js:3542 getRelated; the UI joins registrar identities onto
     * every related account): proxy edges in both directions + multisig

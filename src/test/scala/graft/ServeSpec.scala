@@ -341,4 +341,40 @@ class ServeSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("nonce") == 2L)
     assert(out.head.getAs[Double]("free") == 70.0 / 1e10)
   }
+
+  test("assetLookup: currency id, asset JSON, and precompile hop") {
+    val key = "[{\"network\":\"polkadot\"},\"here\"]"
+    val assets = Seq(
+      (2004, "{\"Token\":\"xcDOT\"}", "42259045809535163221576417993425387648",
+        "xcDOT", 10, key),
+      (2004, "{\"Token\":\"GLMR\"}", null: String, "GLMR", 18,
+        null: String),
+      // same currency id on ANOTHER chain — the para filter must drop it
+      (2000, "{\"Token\":\"DOT2\"}", "42259045809535163221576417993425387648",
+        "DOT2", 10, key)
+    ).toDF("para_id", "asset", "currency_id", "symbol", "decimals",
+      "xcm_interior_key")
+    val addr = "0x" + "f" * 8 + "0" * 32
+    val xcm = Seq(
+      (key, "DOT", 10, s"""{"2004":"$addr"}""")
+    ).toDF("xcm_interior_key", "symbol", "decimals",
+      "xc_contract_address")
+    def one(q: String) =
+      Serve.assetLookup(assets, xcm, 2004, q).collect()
+    // by currency id — decorated with the registry symbol
+    val byId = one("42259045809535163221576417993425387648")
+    assert(byId.length == 1)
+    assert(byId.head.getAs[String]("symbol") == "xcDOT")
+    assert(byId.head.getAs[String]("xc_symbol") == "DOT")
+    // by exact asset JSON — an asset with NO registry row keeps nulls
+    val byAsset = one("{\"Token\":\"GLMR\"}")
+    assert(byAsset.head.getAs[String]("symbol") == "GLMR")
+    assert(byAsset.head.get(byAsset.head.fieldIndex("xc_symbol")) == null)
+    // by precompile H160 — the xcContractAddress reverse hop
+    val byAddr = one(addr)
+    assert(byAddr.length == 1)
+    assert(byAddr.head.getAs[String]("symbol") == "xcDOT")
+    // a miss is an empty frame, not an error
+    assert(one("{\"Token\":\"NOPE\"}").isEmpty)
+  }
 }
