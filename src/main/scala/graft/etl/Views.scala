@@ -25,7 +25,10 @@ object Views {
   val RecencyDays = 109
 
   /** One view definition: entity table, its time column, and the
-    * (sectionCol, methodCol, suppressed-set) noise filter if any. */
+    * (sectionCol, methodCol, suppressed-set) noise filter if any.
+    * `tsCol = null` marks a DIMENSION table (assets, xcmassets,
+    * chains — the reference's non-date-partitioned tables): the view
+    * is the whole table, no recency window. */
   final case class ViewSpec(table: String, tsCol: String,
       sectionCol: String = null, methodCol: String = null,
       noise: Seq[String] = Seq.empty)
@@ -65,7 +68,15 @@ object Views {
     ViewSpec("evmtxs", "block_timestamp"),
     ViewSpec("evmtransfers", "block_timestamp"),
     ViewSpec("accountsevmactive", "ts"),
-    ViewSpec("accountsevmpassive", "ts"))
+    ViewSpec("accountsevmpassive", "ts"),
+    // chain-metrics rollups window on their partition date
+    ViewSpec("blocklog", "log_dt"),
+    ViewSpec("blocklogstats", "month_dt"),
+    // dimension snapshots: whole-table views, no window (the
+    // reference's non-date-partitioned system/registry tables)
+    ViewSpec("assets", null),
+    ViewSpec("xcmassets", null),
+    ViewSpec("chains", null))
 
   private def noisePredicate(s: ViewSpec): Option[String] =
     if (s.noise.isEmpty) None
@@ -78,19 +89,25 @@ object Views {
   private def whereBody(s: ViewSpec, asOf: Option[String]): String = {
     val anchor = asOf.map(t => s"TIMESTAMP '$t'")
       .getOrElse("current_timestamp()")
-    val window =
-      s"${s.tsCol} >= $anchor - INTERVAL $RecencyDays DAYS"
-    (Seq(window) ++ noisePredicate(s)).mkString(" AND ")
+    val window = Option(s.tsCol)
+      .map(c => s"$c >= $anchor - INTERVAL $RecencyDays DAYS")
+    (window.toSeq ++ noisePredicate(s)).mkString(" AND ")
+  }
+
+  private def whereClause(s: ViewSpec, asOf: Option[String]): String = {
+    val body = whereBody(s, asOf)
+    if (body.isEmpty) "" else s" WHERE $body"
   }
 
   /** `CREATE OR REPLACE VIEW` DDL for one entity table of a chain's
     * dump layout (ref dune-generaterecent.sql view tier). Spark SQL
-    * dialect: reads the parquet path directly. */
+    * dialect: reads the parquet path directly. A dimension spec emits
+    * the whole table. */
   def viewSql(chain: String, root: String, s: ViewSpec,
       asOf: Option[String] = None): String =
     s"CREATE OR REPLACE VIEW dune_${chain}_${s.table} AS " +
-      s"SELECT * FROM parquet.`$root/${s.table}` " +
-      s"WHERE ${whereBody(s, asOf)}"
+      s"SELECT * FROM parquet.`$root/${s.table}`" +
+      whereClause(s, asOf)
 
   /** Cached-table (CTAS) twin, day-partitioned (ref
     * dune-generaterecent.sql `CREATE OR REPLACE TABLE … PARTITION BY
@@ -98,14 +115,17 @@ object Views {
     * so partitioning reuses it instead of re-deriving DATE(ts)).
     * Emitted as DROP-IF-EXISTS + CREATE because `CREATE OR REPLACE
     * TABLE … AS SELECT` needs a v2 catalog — the pair runs on the
-    * stock v1 session catalog (EtlSpec executes it). */
+    * stock v1 session catalog (EtlSpec executes it). Dimension specs
+    * materialize whole and unpartitioned (they carry no log_dt; the
+    * reference loads them with a bare `--replace`). */
   def cachedTableSqls(chain: String, root: String, s: ViewSpec,
       asOf: Option[String] = None): Seq[String] = Seq(
     s"DROP TABLE IF EXISTS dune_${chain}_cached_${s.table}",
     s"CREATE TABLE dune_${chain}_cached_${s.table} " +
-      s"USING PARQUET PARTITIONED BY (log_dt) AS " +
-      s"SELECT * FROM parquet.`$root/${s.table}` " +
-      s"WHERE ${whereBody(s, asOf)}")
+      "USING PARQUET " +
+      (if (s.tsCol == null) "" else "PARTITIONED BY (log_dt) ") +
+      s"AS SELECT * FROM parquet.`$root/${s.table}`" +
+      whereClause(s, asOf))
 
   /** Emit the whole DDL script for a chain, one statement per spec in
     * spec order (no filesystem checks — text generation is pure; pair
@@ -145,8 +165,10 @@ object Views {
       asOf: java.sql.Timestamp,
       specs: Seq[ViewSpec] = defaultSpecs): Map[String, DataFrame] =
     tablesWithData(spark, root, specs).map { s =>
-      val base = spark.read.parquet(s"$root/${s.table}")
-        .filter(col(s.tsCol) >=
+      val whole = spark.read.parquet(s"$root/${s.table}")
+      val base =
+        if (s.tsCol == null) whole // dimension: the whole table
+        else whole.filter(col(s.tsCol) >=
           lit(asOf) - expr(s"INTERVAL $RecencyDays DAYS"))
       val filtered = noisePredicate(s) match {
         case Some(p) => base.filter(expr(p))

@@ -447,6 +447,29 @@ class EtlSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dune_kusama_cached_calls")
       .collect().head.getLong(0) == 1L) // windowed + noise-filtered
     spark.sql("DROP TABLE dune_kusama_cached_calls")
+    // dimension views (tsCol = null): whole table, no window — the
+    // stale 2023 rows that the entity views drop stay visible
+    Seq((2000, "{\"Token\":\"OLD\"}"), (2004, "{\"Token\":\"NEW\"}"))
+      .toDF("para_id", "asset")
+      .write.mode("overwrite").parquet(s"$root/assets")
+    val dimSpec = Views.defaultSpecs.find(_.table == "assets").get
+    assert(dimSpec.tsCol == null)
+    val dimSql = Views.viewSql("kusama", root, dimSpec,
+      asOf = Some("2024-03-02 00:00:00"))
+    assert(!dimSql.contains("WHERE")) // no window on a dimension
+    spark.sql(dimSql)
+    assert(spark.sql("SELECT count(*) FROM dune_kusama_assets")
+      .collect().head.getLong(0) == 2L)
+    spark.sql("DROP VIEW dune_kusama_assets")
+    val dimViews = Views.register(spark, "dim", root, asOf,
+      specs = Seq(dimSpec))
+    assert(dimViews("assets").count() == 2)
+    val dimCtas = Views.cachedTableSqls("kusama", root, dimSpec)
+    assert(!dimCtas.exists(_.contains("PARTITIONED BY")))
+    dimCtas.foreach(spark.sql(_))
+    assert(spark.sql("SELECT count(*) FROM dune_kusama_cached_assets")
+      .collect().head.getLong(0) == 2L)
+    spark.sql("DROP TABLE dune_kusama_cached_assets")
   }
 
   test("xcmtransfers export: matched rows in the origination/destination " +
