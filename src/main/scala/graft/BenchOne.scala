@@ -34,12 +34,20 @@ object BenchOne {
               sys.error(s"unknown query $name"))
             () => fn(spark, sfDir).count(): Unit
         }
+      val isStage = Bench.stages.exists(_._1 == name)
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%s: min ${reps.min}%.3f s  reps ${
+      // stages split two ways: MEMOIZED ones (lsh_pairs, cc labels)
+      // only work on rep 1 — their min is a memo hit in milliseconds —
+      // while re-running ones (dump_day) warm up across reps; print
+      // first AND min for stages so neither reading misleads
+      val headline =
+        if (isStage) f"first ${reps.head}%.3f s  min ${reps.min}%.3f s"
+        else f"min ${reps.min}%.3f s"
+      println(f"$name%s: $headline  reps ${
         reps.map(r => f"$r%.3f").mkString(" ")}")
     }
     spark.stop()

@@ -46,7 +46,13 @@ object EvmDecode {
         receipts.select(
           col("transaction_hash"),
           col("status").as("receipt_status"),
-          col("gas_used"), col("effective_gas_price"), col("logs"),
+          col("gas_used"), col("effective_gas_price"),
+          // a receipts frame without logs (the evmtxs-only contract,
+          // EvmDump.evmtxsOf's doc) is valid — the column nulls out
+          // and the transfer extractors simply find no logs
+          opt("logs",
+            "array<struct<address:string,topics:array<string>," +
+              "data:string>>"),
           opt("cumulative_gas_used", "long"),
           opt("contract_address", "string")),
         Seq("transaction_hash"), "left")

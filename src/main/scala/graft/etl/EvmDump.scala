@@ -188,7 +188,10 @@ object EvmDump {
         col("from_address"), col("to_address"),
         nullStr.as("value"), lit(null).cast(D38).as("raw_value"),
         nullStr.as("operator"),
-        concat(lit("["), col("token_id_str"), lit("]")).as("token_ids"),
+        // guarded-null ids render as JSON null — concat would null
+        // the whole column, erasing that a transfer happened
+        concat(lit("["), coalesce(col("token_id_str"), lit("null")),
+          lit("]")).as("token_ids"),
         nullStr.as("token_values"),
         lit("ERC721").as("transfer_type")) ++ meta: _*)
     // numeric sort key for unbounded non-negative decimal strings:
@@ -205,12 +208,15 @@ object EvmDump {
         col("from_address"), col("to_address"),
         nullStr.as("value"), lit(null).cast(D38).as("raw_value"),
         col("operator"),
+        // coalesce INSIDE the transform: concat_ws silently drops null
+        // elements, which would misalign the pairwise arrays when one
+        // word of a pair is guarded-null garbage
         concat(lit("["), concat_ws(",",
-          expr("transform(pairs, p -> p.id)")), lit("]"))
-          .as("token_ids"),
+          expr("transform(pairs, p -> coalesce(p.id, 'null'))")),
+          lit("]")).as("token_ids"),
         concat(lit("["), concat_ws(",",
-          expr("transform(pairs, p -> p.v)")), lit("]"))
-          .as("token_values"),
+          expr("transform(pairs, p -> coalesce(p.v, 'null'))")),
+          lit("]")).as("token_values"),
         lit("ERC1155").as("transfer_type")) ++ meta: _*)
     val unioned = erc20.unionByName(erc721).unionByName(erc1155)
     val decorated = (usd, tokenDecimals) match {

@@ -28,10 +28,12 @@ object Views {
     * (sectionCol, methodCol, suppressed-set) noise filter if any.
     * `tsCol = null` marks a DIMENSION table (assets, xcmassets,
     * chains — the reference's non-date-partitioned tables): the view
-    * is the whole table, no recency window. */
+    * is the whole table, no recency window. `partitionCol` is the
+    * layout's partition column for the CTAS face (log_dt for the
+    * daily tables, month_dt for blocklogstats; null ⇒ unpartitioned). */
   final case class ViewSpec(table: String, tsCol: String,
       sectionCol: String = null, methodCol: String = null,
-      noise: Seq[String] = Seq.empty)
+      noise: Seq[String] = Seq.empty, partitionCol: String = "log_dt")
 
   /** Per-table specs mirroring dune-generaterecent.sql:2-9 — the
     * extrinsics/events/calls noise lists are the reference's verbatim;
@@ -71,12 +73,13 @@ object Views {
     ViewSpec("accountsevmpassive", "ts"),
     // chain-metrics rollups window on their partition date
     ViewSpec("blocklog", "log_dt"),
-    ViewSpec("blocklogstats", "month_dt"),
+    ViewSpec("blocklogstats", "month_dt", partitionCol = "month_dt"),
     // dimension snapshots: whole-table views, no window (the
-    // reference's non-date-partitioned system/registry tables)
-    ViewSpec("assets", null),
-    ViewSpec("xcmassets", null),
-    ViewSpec("chains", null))
+    // reference's non-date-partitioned system/registry tables);
+    // assets/xcmassets lay out by relay, chains is one flat table
+    ViewSpec("assets", null, partitionCol = "relay_chain"),
+    ViewSpec("xcmassets", null, partitionCol = "relay_chain"),
+    ViewSpec("chains", null, partitionCol = null))
 
   private def noisePredicate(s: ViewSpec): Option[String] =
     if (s.noise.isEmpty) None
@@ -115,15 +118,18 @@ object Views {
     * so partitioning reuses it instead of re-deriving DATE(ts)).
     * Emitted as DROP-IF-EXISTS + CREATE because `CREATE OR REPLACE
     * TABLE … AS SELECT` needs a v2 catalog — the pair runs on the
-    * stock v1 session catalog (EtlSpec executes it). Dimension specs
-    * materialize whole and unpartitioned (they carry no log_dt; the
-    * reference loads them with a bare `--replace`). */
+    * stock v1 session catalog (EtlSpec executes it). The partition
+    * column follows the spec's LAYOUT column (month_dt for
+    * blocklogstats, relay_chain for the registry dims, none for
+    * chains — the reference loads the flat tables with a bare
+    * `--replace`). */
   def cachedTableSqls(chain: String, root: String, s: ViewSpec,
       asOf: Option[String] = None): Seq[String] = Seq(
     s"DROP TABLE IF EXISTS dune_${chain}_cached_${s.table}",
     s"CREATE TABLE dune_${chain}_cached_${s.table} " +
       "USING PARQUET " +
-      (if (s.tsCol == null) "" else "PARTITIONED BY (log_dt) ") +
+      Option(s.partitionCol).map(c => s"PARTITIONED BY ($c) ")
+        .getOrElse("") +
       s"AS SELECT * FROM parquet.`$root/${s.table}`" +
       whereClause(s, asOf))
 

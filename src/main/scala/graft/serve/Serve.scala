@@ -357,10 +357,12 @@ object Serve {
       if (idOrAsset.matches("0x[0-9a-fA-F]{40}")) {
         // precompile hop: interior keys whose contract map carries the
         // H160 for this chain (a bounded in-list — the registry is a
-        // dimension)
+        // dimension). Case-insensitive: the map stores EIP-55
+        // checksummed addresses (GarRegistry.xcContractAddress), while
+        // callers routinely pass lowercase or vice versa
         val keys = xcmassets
-          .filter(get_json_object(col("xc_contract_address"),
-            s"$$['$paraId']") === idOrAsset)
+          .filter(lower(get_json_object(col("xc_contract_address"),
+            s"$$['$paraId']")) === idOrAsset.toLowerCase)
           .select(col("xcm_interior_key"))
           .collect().map(_.getString(0)).toSeq
         direct || col("xcm_interior_key").isin(keys: _*)

@@ -449,9 +449,11 @@ class EtlSpec extends AnyFunSuite {
     spark.sql("DROP TABLE dune_kusama_cached_calls")
     // dimension views (tsCol = null): whole table, no window — the
     // stale 2023 rows that the entity views drop stay visible
-    Seq((2000, "{\"Token\":\"OLD\"}"), (2004, "{\"Token\":\"NEW\"}"))
-      .toDF("para_id", "asset")
-      .write.mode("overwrite").parquet(s"$root/assets")
+    Seq((2000, "{\"Token\":\"OLD\"}", "polkadot"),
+      (2004, "{\"Token\":\"NEW\"}", "polkadot"))
+      .toDF("para_id", "asset", "relay_chain")
+      .write.mode("overwrite").partitionBy("relay_chain")
+      .parquet(s"$root/assets")
     val dimSpec = Views.defaultSpecs.find(_.table == "assets").get
     assert(dimSpec.tsCol == null)
     val dimSql = Views.viewSql("kusama", root, dimSpec,
@@ -464,12 +466,22 @@ class EtlSpec extends AnyFunSuite {
     val dimViews = Views.register(spark, "dim", root, asOf,
       specs = Seq(dimSpec))
     assert(dimViews("assets").count() == 2)
+    // the CTAS partition column follows the spec's LAYOUT column —
+    // relay_chain for the registry dims, none for the flat chains
+    // table, month_dt for blocklogstats (NOT log_dt, which the
+    // monthly table does not carry)
     val dimCtas = Views.cachedTableSqls("kusama", root, dimSpec)
-    assert(!dimCtas.exists(_.contains("PARTITIONED BY")))
+    assert(dimCtas.exists(_.contains("PARTITIONED BY (relay_chain)")))
     dimCtas.foreach(spark.sql(_))
     assert(spark.sql("SELECT count(*) FROM dune_kusama_cached_assets")
       .collect().head.getLong(0) == 2L)
     spark.sql("DROP TABLE dune_kusama_cached_assets")
+    assert(!Views.cachedTableSqls("kusama", root,
+      Views.defaultSpecs.find(_.table == "chains").get)
+      .exists(_.contains("PARTITIONED BY")))
+    assert(Views.cachedTableSqls("kusama", root,
+      Views.defaultSpecs.find(_.table == "blocklogstats").get)
+      .exists(_.contains("PARTITIONED BY (month_dt)")))
   }
 
   test("xcmtransfers export: matched rows in the origination/destination " +

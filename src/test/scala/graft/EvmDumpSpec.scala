@@ -161,6 +161,38 @@ class EvmDumpSpec extends AnyFunSuite {
       "transfer(address,uint256)")
   }
 
+  test("evmtxsOf accepts the documented slim receipt frame (no logs)") {
+    val txs = Seq(txRow("0xl", is1559 = false)).toDF(txCols: _*)
+    val slim = Seq(("0xl", 1, 21000L, 42000L, BigDecimal(10),
+      None: Option[String]))
+      .toDF("transaction_hash", "status", "gas_used",
+        "cumulative_gas_used", "effective_gas_price",
+        "contract_address")
+    val out = EvmDump.evmtxsOf(txs, slim, "2024-03-01").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[java.math.BigDecimal]("fee").longValue ==
+      21000L * 10)
+  }
+
+  test("guarded-null 1155 word renders JSON null, arrays stay aligned") {
+    val from = "0x" + "aa" * 20
+    val to = "0x" + "bb" * 20
+    val op = "0x" + "cc" * 20
+    // TransferSingle data: id word is non-hex garbage (guarded null),
+    // value word valid — the pair must export as [null] / [5]
+    val garbageData = "0x" + "zz" * 32 + word(5)
+    val logs = Seq(EvmLog("0xnft",
+      Seq(EvmDecode.TransferSingleTopic, pad32(op), pad32(from),
+        pad32(to)), garbageData))
+    val txs = Seq(txRow("0xt1", is1559 = false)).toDF(txCols: _*)
+    val rx = Seq(("0xt1", 1, 21000L, 21000L, BigDecimal(10),
+      None: Option[String], logs)).toDF(rxCols: _*)
+    val out = EvmDump.evmtransfersOf(txs, rx, "2024-03-01").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("token_ids") == "[null]")
+    assert(out.head.getAs[String]("token_values") == "[5]")
+  }
+
   test("accountsevm rollups: anti-join + empty-day read-back") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_evmacct_spec").toString
