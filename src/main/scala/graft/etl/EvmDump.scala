@@ -271,6 +271,40 @@ object EvmDump {
     finally combined.unpersist(): Unit
   }
 
+  /** Streaming twin of [[dumpEvmDay]] for `foreachBatch`: the realtime
+    * indexer merges each transaction with its receipt AT INDEX TIME,
+    * per block (ref ethTool.js:830 decorateTxn — there is no separate
+    * receipt stream), so the micro-batch is ONE row per tx with the
+    * receipt nested as a struct (null = pending). The projections are
+    * the same combined-frame forms the batch dump uses; writes append
+    * (a micro-batch is a slice of the day, not a replacement), and
+    * because every projection is row-/log-local over the combined
+    * frame, per-batch ∪ = whole-day — the parity StreamingEvmSpec
+    * pins frame-equality against [[dumpEvmDay]].
+    *
+    * `receipt` struct fields: status, gas_used, cumulative_gas_used,
+    * effective_gas_price, contract_address, logs. */
+  def dumpEvmMicroBatch(txsWithReceipt: DataFrame, logDT: String,
+      outRoot: String, usd: Option[Dump.UsdDims] = None,
+      tokenDecimals: Option[DataFrame] = None,
+      signatures: Option[DataFrame] = None): Unit = {
+    val txs = txsWithReceipt.drop("receipt")
+    val receipts = txsWithReceipt
+      .filter(col("receipt").isNotNull)
+      .select(col("transaction_hash"), col("receipt.*"))
+    val combined = EvmDecode.combineTxReceipt(txs, receipts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Map(
+        "evmtxs" -> evmtxsOfCombined(combined, logDT, signatures),
+        "evmtransfers" -> evmtransfersOfCombined(combined, logDT, usd,
+          tokenDecimals))
+        .foreach { case (name, df) =>
+          df.write.mode("append").partitionBy("log_dt")
+            .parquet(s"$outRoot/$name")
+        }
+    finally combined.unpersist(): Unit
+  }
+
   /** The EVM account rollups over the dumped tables (schemas
     * substrateetl/accountsevm{active,passive}.json):
     *
