@@ -26,15 +26,15 @@ object BenchOne {
       // stage lines ("stage:dump_day") run their warm function — the
       // storm-prone long stages are exactly what needs focused
       // re-measurement; a stage memoizes, so only rep 1 is the number
-      val run: () => Unit =
-        Bench.stages.find(_._1 == name) match {
-          case Some((_, f)) => () => f(spark, sfDir)
-          case None =>
-            val fn = SparkEntry.queries.getOrElse(name,
-              sys.error(s"unknown query $name"))
-            () => fn(spark, sfDir).count(): Unit
-        }
-      val isStage = Bench.stages.exists(_._1 == name)
+      val stage = Bench.stages.find(_._1 == name)
+      val run: () => Unit = stage match {
+        case Some((_, f)) => () => f(spark, sfDir)
+        case None =>
+          val fn = SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown query $name"))
+          () => fn(spark, sfDir).count(): Unit
+      }
+      val isStage = stage.isDefined
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run()

@@ -62,6 +62,30 @@ object EvmDecode {
       .withColumn("success", col("receipt_status") === 1)
   }
 
+  /** Row-local twin of [[combineTxReceipt]] for the realtime shape:
+    * one row per tx with the receipt NESTED as a struct (the indexer
+    * merges them per block, ethTool.js:830 — no separate receipt
+    * stream exists). Each row's own struct is authoritative, so a
+    * pending emission and a later mined re-emission of the same hash
+    * stay two independent rows — a split-and-rejoin on the hash would
+    * fan the one receipt onto BOTH rows and resurrect the pending row
+    * as a duplicate mined row. Zero exchanges: pure projection. */
+  def combineNested(txsWithReceipt: DataFrame): DataFrame =
+    txsWithReceipt
+      .withColumn("receipt_status", col("receipt.status"))
+      .withColumn("gas_used", col("receipt.gas_used"))
+      .withColumn("effective_gas_price",
+        col("receipt.effective_gas_price"))
+      .withColumn("logs", col("receipt.logs"))
+      .withColumn("cumulative_gas_used",
+        col("receipt.cumulative_gas_used"))
+      .withColumn("contract_address", col("receipt.contract_address"))
+      .drop("receipt")
+      .withColumn("fee_wei",
+        col("gas_used").cast("decimal(38,0)") *
+          col("effective_gas_price").cast("decimal(38,0)"))
+      .withColumn("success", col("receipt_status") === 1)
+
   // explicit DecimalType(38,0): the inferred type for a BigDecimal
   // return is Decimal(38,18), whose integer range (<1e20) silently
   // NULLs routine 18-decimal token amounts like 10^21. Java UDF API:

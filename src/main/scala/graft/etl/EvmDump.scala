@@ -249,20 +249,35 @@ object EvmDump {
   /** Write the day's two EVM tables as idempotent date partitions and
     * return schema-supplied read-backs of the written layout (empty
     * days carry no parquet footers — the dumpAccountsDay contract). */
+  /** The day's two projections off ONE combined frame — the single
+    * source of truth both the batch and streaming writers consume, so
+    * a third table (or a changed projection argument) cannot silently
+    * diverge the pair the parity spec pins. */
+  private def evmProjections(combined: DataFrame, logDT: String,
+      usd: Option[Dump.UsdDims], tokenDecimals: Option[DataFrame],
+      signatures: Option[DataFrame]): Map[String, DataFrame] = Map(
+    "evmtxs" -> evmtxsOfCombined(combined, logDT, signatures),
+    "evmtransfers" -> evmtransfersOfCombined(combined, logDT, usd,
+      tokenDecimals))
+
   def dumpEvmDay(txs: DataFrame, receipts: DataFrame, logDT: String,
       outRoot: String, usd: Option[Dump.UsdDims] = None,
       tokenDecimals: Option[DataFrame] = None,
       signatures: Option[DataFrame] = None): Map[String, DataFrame] = {
     val spark = txs.sparkSession
+    // a receipts frame without logs would null the column through
+    // combineTxReceipt's slim-frame tolerance and write an EMPTY
+    // evmtransfers partition with no error — the day dump demands the
+    // column (the evmtxs-only path, evmtxsOf, stays lenient)
+    require(receipts.columns.contains("logs"),
+      "dumpEvmDay needs receipt logs — a logs-less frame would " +
+        "silently export an empty evmtransfers table")
     // ONE tx⋈receipt join for the day, persisted across the two write
     // actions — the evmtxs projection and the transfer extraction both
     // consume it (the header's shuffle claim, made true structurally)
     val combined = EvmDecode.combineTxReceipt(txs, receipts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Map(
-        "evmtxs" -> evmtxsOfCombined(combined, logDT, signatures),
-        "evmtransfers" -> evmtransfersOfCombined(combined, logDT, usd,
-          tokenDecimals))
+    try evmProjections(combined, logDT, usd, tokenDecimals, signatures)
         .map { case (name, df) =>
           Writers.overwritePartitions(df, s"$outRoot/$name",
             Seq("log_dt"))
@@ -275,32 +290,36 @@ object EvmDump {
     * indexer merges each transaction with its receipt AT INDEX TIME,
     * per block (ref ethTool.js:830 decorateTxn — there is no separate
     * receipt stream), so the micro-batch is ONE row per tx with the
-    * receipt nested as a struct (null = pending). The projections are
-    * the same combined-frame forms the batch dump uses; writes append
-    * (a micro-batch is a slice of the day, not a replacement), and
-    * because every projection is row-/log-local over the combined
-    * frame, per-batch ∪ = whole-day — the parity StreamingEvmSpec
-    * pins frame-equality against [[dumpEvmDay]].
+    * receipt nested as a struct (null = pending), projected row-locally
+    * by [[EvmDecode.combineNested]] — NO join: a split-and-rejoin on
+    * the hash would fan one receipt across a pending re-emission of
+    * the same tx, and it costs an exchange on every trigger. The
+    * projections are the same [[evmProjections]] the batch dump uses.
+    *
+    * Exactly-once: `foreachBatch` is at-least-once — a restart re-runs
+    * the last uncommitted micro-batch — so each write lands as a
+    * (log_dt, batch_id) DYNAMIC-OVERWRITE partition keyed by the
+    * harness's batchId: a replay replaces its own partition instead of
+    * appending a duplicate. Readers see the same day regardless of
+    * batching (drop batch_id or read the directory whole); a re-emitted
+    * tx (pending in one batch, mined in a later one) is one row per
+    * emission — dedupe at read with the Q9 latest-per-key pattern, the
+    * realtime-table semantics.
     *
     * `receipt` struct fields: status, gas_used, cumulative_gas_used,
     * effective_gas_price, contract_address, logs. */
-  def dumpEvmMicroBatch(txsWithReceipt: DataFrame, logDT: String,
-      outRoot: String, usd: Option[Dump.UsdDims] = None,
+  def dumpEvmMicroBatch(txsWithReceipt: DataFrame, batchId: Long,
+      logDT: String, outRoot: String,
+      usd: Option[Dump.UsdDims] = None,
       tokenDecimals: Option[DataFrame] = None,
       signatures: Option[DataFrame] = None): Unit = {
-    val txs = txsWithReceipt.drop("receipt")
-    val receipts = txsWithReceipt
-      .filter(col("receipt").isNotNull)
-      .select(col("transaction_hash"), col("receipt.*"))
-    val combined = EvmDecode.combineTxReceipt(txs, receipts)
+    val combined = EvmDecode.combineNested(txsWithReceipt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Map(
-        "evmtxs" -> evmtxsOfCombined(combined, logDT, signatures),
-        "evmtransfers" -> evmtransfersOfCombined(combined, logDT, usd,
-          tokenDecimals))
+    try evmProjections(combined, logDT, usd, tokenDecimals, signatures)
         .foreach { case (name, df) =>
-          df.write.mode("append").partitionBy("log_dt")
-            .parquet(s"$outRoot/$name")
+          Writers.overwritePartitions(
+            df.withColumn("batch_id", lit(batchId)),
+            s"$outRoot/$name", Seq("log_dt", "batch_id"))
         }
     finally combined.unpersist(): Unit
   }

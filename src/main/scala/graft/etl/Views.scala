@@ -24,16 +24,32 @@ object Views {
     * (dune-generaterecent.sql TIMESTAMP_SUB(..., INTERVAL 109 DAY)). */
   val RecencyDays = 109
 
+  /** Sentinel default for [[ViewSpec.partitionCol]] — resolved by
+    * [[ViewSpec.layoutPartition]] from the spec's windowed/dimension
+    * nature. */
+  val DerivedPartition = "__derived__"
+
   /** One view definition: entity table, its time column, and the
     * (sectionCol, methodCol, suppressed-set) noise filter if any.
     * `tsCol = null` marks a DIMENSION table (assets, xcmassets,
     * chains — the reference's non-date-partitioned tables): the view
     * is the whole table, no recency window. `partitionCol` is the
-    * layout's partition column for the CTAS face (log_dt for the
-    * daily tables, month_dt for blocklogstats; null ⇒ unpartitioned). */
+    * layout's partition column for the CTAS face; the default DERIVES
+    * it — log_dt for windowed tables, unpartitioned for dimensions —
+    * so a new dimension spec cannot inherit a log_dt the table does
+    * not carry (the blocklogstats bug class). Override where the
+    * layout differs (month_dt, relay_chain). */
   final case class ViewSpec(table: String, tsCol: String,
       sectionCol: String = null, methodCol: String = null,
-      noise: Seq[String] = Seq.empty, partitionCol: String = "log_dt")
+      noise: Seq[String] = Seq.empty,
+      partitionCol: String = Views.DerivedPartition) {
+    /** Resolved CTAS partition column, None = unpartitioned. */
+    def layoutPartition: Option[String] = partitionCol match {
+      case Views.DerivedPartition => Option(tsCol).map(_ => "log_dt")
+      case null => None
+      case c => Some(c)
+    }
+  }
 
   /** Per-table specs mirroring dune-generaterecent.sql:2-9 — the
     * extrinsics/events/calls noise lists are the reference's verbatim;
@@ -77,9 +93,10 @@ object Views {
     // dimension snapshots: whole-table views, no window (the
     // reference's non-date-partitioned system/registry tables);
     // assets/xcmassets lay out by relay, chains is one flat table
+    // (unpartitioned by derivation)
     ViewSpec("assets", null, partitionCol = "relay_chain"),
     ViewSpec("xcmassets", null, partitionCol = "relay_chain"),
-    ViewSpec("chains", null, partitionCol = null))
+    ViewSpec("chains", null))
 
   private def noisePredicate(s: ViewSpec): Option[String] =
     if (s.noise.isEmpty) None
@@ -128,7 +145,7 @@ object Views {
     s"DROP TABLE IF EXISTS dune_${chain}_cached_${s.table}",
     s"CREATE TABLE dune_${chain}_cached_${s.table} " +
       "USING PARQUET " +
-      Option(s.partitionCol).map(c => s"PARTITIONED BY ($c) ")
+      s.layoutPartition.map(c => s"PARTITIONED BY ($c) ")
         .getOrElse("") +
       s"AS SELECT * FROM parquet.`$root/${s.table}`" +
       whereClause(s, asOf))

@@ -80,8 +80,8 @@ class EvmDumpSpec extends AnyFunSuite {
     assert(p.get(p.fieldIndex("receipt_status")) == null)
   }
 
-  private def pad32(hex20: String) = "0x" + "0" * 24 + hex20.drop(2)
-  private def word(v: Long) = f"${v}%064x".takeRight(64)
+  import EvmWire.pad32
+  private def word(v: Long) = EvmWire.wordOf(v)
 
   test("evmtransfers: 1155 batch regroup + ERC20 value_usd") {
     val from = "0x" + "aa" * 20

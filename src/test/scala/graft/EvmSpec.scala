@@ -7,6 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Keccak golden vectors + the EVM decode shapes (P11). */
 case class EvmLog(address: String, topics: Seq[String], data: String)
 
+/** EVM wire-format test helpers — ONE copy across the EVM specs
+  * (EvmSpec, EvmDumpSpec, StreamingEvmSpec). */
+object EvmWire {
+  /** 20-byte address left-padded to a 32-byte topic word. */
+  def pad32(hex20: String): String = "0x" + "0" * 24 + hex20.drop(2)
+  /** 32-byte hex word of a non-negative integer (no 0x prefix). */
+  def word(v: BigInt): String = f"${v}%064x"
+  def wordOf(v: Long): String = word(BigInt(v))
+}
+
 class EvmSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
@@ -24,7 +34,7 @@ class EvmSpec extends AnyFunSuite {
       Keccak.keccak256(big), Keccak.keccak256(big.take(499))))
   }
 
-  private def pad32(hex20: String) = "0x" + "0" * 24 + hex20.drop(2)
+  import EvmWire.{pad32, word, wordOf}
 
   test("tx+receipt merge resolves status and fee") {
     val txs = Seq(
@@ -74,8 +84,6 @@ class EvmSpec extends AnyFunSuite {
       .toBigInteger.toString == "1000000000000000000000")
   }
 
-  private def word(v: BigInt): String = f"${v}%064x" // 32-byte hex word
-  private def wordOf(v: Long): String = word(BigInt(v))
 
   test("ERC-721 transfer: 4-topic form with indexed tokenId") {
     val from = "0x" + "aa" * 20

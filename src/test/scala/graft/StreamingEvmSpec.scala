@@ -38,8 +38,8 @@ class StreamingEvmSpec extends AnyFunSuite {
   private val Receipt = EvmStreamReceipt
 
   private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
-  private def pad32(hex20: String) = "0x" + "0" * 24 + hex20.drop(2)
-  private def word(v: Long) = f"${v}%064x".takeRight(64)
+  import EvmWire.pad32
+  private def word(v: Long) = EvmWire.wordOf(v)
 
   private val from = "0x" + "aa" * 20
   private val to = "0x" + "bb" * 20
@@ -98,9 +98,9 @@ class StreamingEvmSpec extends AnyFunSuite {
       .writeStream
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          EvmDump.dumpEvmMicroBatch(b, "2024-03-01", streamRoot,
-            signatures = Some(sigs))
+         batchId: Long) =>
+          EvmDump.dumpEvmMicroBatch(b, batchId, "2024-03-01",
+            streamRoot, signatures = Some(sigs))
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -108,16 +108,29 @@ class StreamingEvmSpec extends AnyFunSuite {
     assert(q.awaitTermination(180000), "streaming batches timed out")
     q.stop()
 
-    def frame(dir: String): Seq[String] = {
-      val df = spark.read.parquet(dir)
+    // the stream layout adds the batch_id idempotence partition —
+    // readers see the same day once it is dropped
+    def frame(dir: String, drop: Seq[String] = Seq.empty): Seq[String] = {
+      val df0 = spark.read.parquet(dir)
+      val df = drop.foldLeft(df0)(_ drop _)
       df.select(df.columns.sorted.map(col): _*)
         .collect().map(_.toString).toSeq.sorted
     }
     Seq("evmtxs", "evmtransfers").foreach { t =>
-      assert(frame(s"$batchRoot/$t") == frame(s"$streamRoot/$t"),
+      assert(frame(s"$batchRoot/$t") ==
+        frame(s"$streamRoot/$t", drop = Seq("batch_id")),
         s"stream/batch divergence in $t")
     }
     // non-vacuous: the pending tx row and both transfer rows exist
+    assert(spark.read.parquet(s"$streamRoot/evmtxs").count() == 4)
+    assert(spark.read.parquet(s"$streamRoot/evmtransfers").count() == 2)
+
+    // at-least-once replay: re-running a micro-batch with the SAME
+    // batchId replaces its own (log_dt, batch_id) partition — no
+    // duplicates (the foreachBatch restart contract)
+    val replay = corpus.take(2).toDS().toDF() // = batch 0 (part0)
+    EvmDump.dumpEvmMicroBatch(replay, 0L, "2024-03-01", streamRoot,
+      signatures = Some(sigs))
     assert(spark.read.parquet(s"$streamRoot/evmtxs").count() == 4)
     assert(spark.read.parquet(s"$streamRoot/evmtransfers").count() == 2)
   }
