@@ -327,9 +327,12 @@ object Bench {
   *    steal_ticks 75, yet 11 untouched queries read 3-6x high, among
   *    them the frozen scan+agg canary x1). If any
   *    [[BenchTrend.CanaryPrefixes]] query — code that never changes —
-  *    inflates >= [[BenchTrend.CanaryStormFactor]] vs the previous
-  *    round, the run is host-contaminated and slowdowns demote to
-  *    "suspect, re-measure locally" exactly like a steal storm.
+  *    inflates >= [[BenchTrend.CanaryStormFactor]] vs its ABSOLUTE
+  *    pinned clean band ([[BenchTrend.CanaryCleanBand]] — never the
+  *    previous artifact, which round 11 showed can itself be inflated
+  *    and mask the next storm), the run is host-contaminated and
+  *    slowdowns demote to "suspect, re-measure locally" exactly like a
+  *    steal storm.
   *
   * The flag rule matches tools/bench_diff.py exactly — `new > floor
   * AND new > factor×old` — closing the old spec's `old ≥ 0.5 s` arming
@@ -350,13 +353,30 @@ object BenchTrend {
     * steal saw nothing. Prefix-normalized keys. */
   val CanaryPrefixes: Seq[String] = Seq("p0", "x1", "d1")
 
-  /** Any canary at or beyond this ratio vs the previous round marks the
-    * newer run host-contaminated (max-of-canaries, not median: the r09
-    * slowdown was bursty, hitting only part of the run, so the median
-    * canary read flat while x1 — measured inside the burst — read 3.4x).
-    * Genuine regressions cannot move a canary: nothing in their code
-    * changes. Throwing queries stay hard failures regardless. */
+  /** Any canary at or beyond this ratio vs its ABSOLUTE pinned clean
+    * band marks the newer run host-contaminated (max-of-canaries, not
+    * median: the r09 slowdown was bursty, hitting only part of the run,
+    * so the median canary read flat while x1 — measured inside the
+    * burst — read 3.4x). Genuine regressions cannot move a canary:
+    * nothing in their code changes. Throwing queries stay hard failures
+    * regardless. */
   val CanaryStormFactor = 2.0
+
+  /** ABSOLUTE clean-host canary band (seconds), pinned from the
+    * committed clean-round data — BENCH_r03/r04/r08 (steal ≤ 207) read
+    * p0 0.15–0.18 / x1 0.13–0.18 / d1 0.10–0.11; every storm round
+    * reads above. The ratio in [[compare]] is measured against THIS,
+    * never against the previous artifact: round 11 proved the relative
+    * form has a masking blind spot — BENCH_r10's canaries were
+    * themselves storm-inflated (p0 0.40), so BENCH_r11's p0 0.37 read
+    * 1.14× "clean" relatively while sitting ~2.1× the true band, and a
+    * 13× storm-absorbed stage line (s:lrdist 3.65→47.8) went HARD
+    * instead of demoting. Consecutive storm artifacts must not be able
+    * to vouch for each other; a fixed band cannot be dragged upward by
+    * a contaminated prior round. Re-pin only from a multi-run idle-host
+    * record (steal < 2k, documented in docs/BENCH.md). */
+  val CanaryCleanBand: Map[String, Double] =
+    Map("p0" -> 0.18, "x1" -> 0.15, "d1" -> 0.11)
 
   final case class Trend(
       regressions: Seq[String], // hard failures (clean-run slowdowns, throws)
@@ -438,12 +458,13 @@ object BenchTrend {
     val stormySet = stormyOf(currTxt)
     val ticks = stealTicksOf(currTxt)
     val stormRun = ticks > StormRunTicks
-    // canary normalization: worst new/old ratio over the frozen-trivial
-    // canaries present in both files (old must be a real reading — the
-    // driver maps are 2-decimal-rounded, so require >= 0.02 s)
-    val canaryFactor = CanaryPrefixes.flatMap { k =>
-      for (p <- prev.get(k); c <- curr.get(k); if p >= 0.02 && c >= 0)
-        yield c / p
+    // canary normalization: worst ratio of the newer run's canaries vs
+    // the ABSOLUTE pinned clean band ([[CanaryCleanBand]] — NOT the
+    // previous artifact, whose canaries may themselves be inflated; the
+    // r10→r11 consecutive-storm masking). The previous file plays no
+    // role: a contaminated prior round cannot raise the bar.
+    val canaryFactor = CanaryCleanBand.flatMap { case (k, band) =>
+      for (c <- curr.get(k); if c >= 0) yield c / band
     }.foldLeft(1.0)(math.max)
     val canaryRun = canaryFactor >= CanaryStormFactor
     val hard = scala.collection.mutable.ArrayBuffer[String]()

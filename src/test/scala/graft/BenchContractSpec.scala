@@ -166,7 +166,8 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("trend guard: canary inflation demotes slowdowns (r09 lesson)") {
     // steal_ticks LOW (the steal counter is blind to this slowdown
-    // class) but canary x1 reads 3.4x — the exact BENCH_r09 shape
+    // class) but canary x1 reads 3.4x the pinned band — the exact
+    // BENCH_r09 shape
     val old =
       """{"queries":{"x1":0.15,"t2":0.75,"w2":0.10},"steal_ticks":21}"""
     val canaryHot =
@@ -177,6 +178,32 @@ class BenchContractSpec extends AnyFunSuite {
     assert(t.stormExempt.size == 2 && t.canaryFactor > 3.0, s"$t")
   }
 
+  test("trend guard: consecutive storm artifacts cannot mask each other " +
+      "(r11 lesson — absolute canary band)") {
+    // BENCH_r10's canaries were themselves storm-inflated (p0 0.40 vs
+    // the pinned 0.18 clean band), so a RELATIVE canary check read
+    // BENCH_r11's p0 0.37 as 1.14x "clean" and let a 13x storm-absorbed
+    // stage line (s:lrdist 3.65 -> 47.8, steal 0) through as a HARD
+    // regression. The band is anchored to committed clean-round data,
+    // not the prior artifact — the second storm run must still demote.
+    val stormPrev =
+      """{"queries":{"p0":0.40,"s:lrdist":3.65,"q9":0.15},"steal_ticks":0}"""
+    val stormCurr =
+      """{"queries":{"p0":0.37,"s:lrdist":47.8,"q9":0.14},"steal_ticks":0}"""
+    val t = BenchTrend.compare(stormPrev, stormCurr)
+    assert(t.canaryFactor >= BenchTrend.CanaryStormFactor,
+      s"p0 0.37 is ~2.1x the absolute band; a relative check reads 0.93x: $t")
+    assert(t.regressions.isEmpty && t.stormExempt.exists(
+      _.startsWith("s:lrdist")), s"masked storm must demote, not fail: $t")
+  }
+
+  test("trend guard: pinned canary band matches the documented clean data") {
+    // re-pin only from a multi-run idle-host record (docs/BENCH.md);
+    // this fixture keeps silent drift out of the band
+    assert(BenchTrend.CanaryCleanBand ==
+      Map("p0" -> 0.18, "x1" -> 0.15, "d1" -> 0.11))
+  }
+
   test("trend guard: flat canaries keep a real regression hard") {
     val old =
       """{"queries":{"x1":0.15,"d1":0.10,"t2":0.75},"steal_ticks":21}"""
@@ -185,7 +212,7 @@ class BenchContractSpec extends AnyFunSuite {
     val t = BenchTrend.compare(old, flatCanaries)
     assert(t.regressions.exists(_.startsWith("t2")),
       s"flat canaries = healthy host = a 5x slowdown is real: $t")
-    assert(t.canaryFactor < 1.2, s"$t")
+    assert(t.canaryFactor < BenchTrend.CanaryStormFactor, s"$t")
   }
 
   test("trend guard: a THROWING query is a hard failure even in a storm") {

@@ -27,11 +27,17 @@ CANARY-AWARE (round-9 lesson: /proc/stat steal is blind to whole-host
 slowdowns that are not hypervisor steal — BENCH_r09 read steal_ticks 75
 yet inflated 11 untouched queries 3-6x, among them the frozen scan+agg
 canary x1 0.15->0.51): if any CANARY query — p0/x1/d1, trivial shapes
-whose code never changes round to round — inflates >= 2x vs the old
-bench, the run is host-contaminated and ALL slowdowns demote to
-SUSPECT, same as a steal storm. Max-of-canaries, not median: the r09
-slowdown was bursty, so canaries measured outside the burst read flat.
-Exit 1 only on hard regressions.
+whose code never changes round to round — inflates >= 2x vs its
+ABSOLUTE pinned clean band, the run is host-contaminated and ALL
+slowdowns demote to SUSPECT, same as a steal storm. Max-of-canaries,
+not median: the r09 slowdown was bursty, so canaries measured outside
+the burst read flat. The band is ABSOLUTE (round-11 lesson: BENCH_r10's
+canaries were themselves storm-inflated, p0 0.40, so r11's p0 0.37 read
+1.14x "clean" RELATIVELY while sitting ~2.1x the true band —
+consecutive storm artifacts masked each other and a 13x storm-absorbed
+stage line went hard). Band pinned from the committed clean rounds
+r03/r04/r08 (steal <= 207); keep in sync with BenchTrend.CanaryCleanBand
+and docs/BENCH.md. Exit 1 only on hard regressions.
 """
 import argparse
 import json
@@ -39,7 +45,9 @@ import re
 import sys
 
 STORM_RUN_TICKS = 500
-CANARY_PREFIXES = ("p0", "x1", "d1")
+# absolute clean-host canary band (s) — see module docstring; mirrors
+# BenchTrend.CanaryCleanBand
+CANARY_BAND = {"p0": 0.18, "x1": 0.15, "d1": 0.11}
 CANARY_STORM_FACTOR = 2.0
 SUB_SECOND_BAND = 1.0
 MAX_ISOLATED_SUB_SECOND = 2
@@ -100,12 +108,12 @@ def main():
         sys.exit("ERROR: no overlapping query keys between the two "
                  "files — refusing to report 'no regressions' on a "
                  "vacuous comparison")
-    # canary normalization: worst new/old ratio over the frozen-trivial
-    # canaries present in both files (old >= 0.02 s — driver maps are
-    # 2-decimal-rounded, a 0.00 old would make any reading "infinite")
+    # canary normalization: worst ratio of the newer run's canaries vs
+    # the ABSOLUTE pinned clean band — never the previous artifact,
+    # whose canaries may themselves be storm-inflated (r10->r11 masking)
     canary_factor = max(
-        (new_q[k] / old_q[k] for k in CANARY_PREFIXES
-         if old_q.get(k, 0) >= 0.02 and new_q.get(k, -1) >= 0),
+        (new_q[k] / band for k, band in CANARY_BAND.items()
+         if new_q.get(k, -1) >= 0),
         default=1.0)
     canary_run = canary_factor >= CANARY_STORM_FACTOR
     regressions, suspects, improved, new_only = [], [], [], []
