@@ -502,13 +502,22 @@ object Dump {
   }
 
   /** Streaming twin of [[dumpTracesDay]] — one micro-batch of raw
-    * trace cells appended into the same date-partitioned layout (drive
+    * trace cells landed into the same date-partitioned layout (drive
     * from `foreachBatch` like [[dumpMicroBatch]]). Both projections
     * are row-wise against the broadcast storage-key dim — no
     * cross-trace state — so micro-batching commutes with the batch
-    * plan exactly as the block-side tables do. */
+    * plan exactly as the block-side tables do.
+    *
+    * Exactly-once: `foreachBatch` is at-least-once — a restart re-runs
+    * the last uncommitted micro-batch — so each write lands as a
+    * (log_dt, batch_id) DYNAMIC-OVERWRITE partition keyed by the
+    * harness's batchId: a replay replaces its own partition instead of
+    * appending duplicate trace/balance rows (the same contract as
+    * [[EvmDump.dumpEvmMicroBatch]]). Readers see the same day
+    * regardless of batching — drop batch_id or read the directory
+    * whole. */
   def dumpTracesMicroBatch(rawTraces: DataFrame, dim: DataFrame,
-      logDT: String, outRoot: String, decimals: Int = 10,
+      batchId: Long, logDT: String, outRoot: String, decimals: Int = 10,
       ss58Network: Int = 42): Unit = {
     val day = dayTraces(rawTraces, logDT)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -516,8 +525,9 @@ object Dump {
       "traces" -> tracesOf(day, dim, logDT),
       "balances" -> balancesOf(day, dim, logDT, decimals, ss58Network)
     ).foreach { case (name, df) =>
-      df.write.mode("append").partitionBy("log_dt")
-        .parquet(s"$outRoot/$name")
+      Writers.overwritePartitions(
+        df.withColumn("batch_id", lit(batchId)),
+        s"$outRoot/$name", Seq("log_dt", "batch_id"))
     } finally day.unpersist(): Unit
   }
 
@@ -722,19 +732,24 @@ object Dump {
     * Drive it from `foreachBatch` over the candidate stream:
     *
     * {{{
-    * rawStream.writeStream.foreachBatch { (b, _) =>
-    *   Dump.dumpMicroBatch(b, logDT, outRoot) }
+    * rawStream.writeStream.foreachBatch { (b, id) =>
+    *   Dump.dumpMicroBatch(b, id, logDT, outRoot) }
     * }}}
     *
-    * The batch path's partition-replace idempotency is carried instead
-    * by the stream checkpoint's exactly-once source tracking
-    * (FileStreamSpec proves the stop→append→restart case). Every
-    * projection is row-wise per raw block — no cross-block state — so
-    * micro-batching commutes with the batch plan and stream output ≡
-    * batch output on the same corpus (StreamingParitySpec pins all eight
-    * tables frame-equal). */
-  def dumpMicroBatch(raw: DataFrame, logDT: String, outRoot: String,
-      usd: Option[UsdDims] = None): Unit = {
+    * Exactly-once: the stream checkpoint's source tracking makes a
+    * clean stop→restart admit only new files (FileStreamSpec), but
+    * `foreachBatch` itself is at-least-once — a crash after the write
+    * but before the checkpoint commit REPLAYS the batch — so each
+    * write lands as a (log_dt, batch_id) DYNAMIC-OVERWRITE partition
+    * keyed by the harness's batchId: the replay replaces its own
+    * partition instead of appending duplicates (the same contract as
+    * [[EvmDump.dumpEvmMicroBatch]]; readers drop batch_id or read the
+    * directory whole). Every projection is row-wise per raw block — no
+    * cross-block state — so micro-batching commutes with the batch
+    * plan and stream output ≡ batch output on the same corpus
+    * (StreamingParitySpec pins all eight tables frame-equal). */
+  def dumpMicroBatch(raw: DataFrame, batchId: Long, logDT: String,
+      outRoot: String, usd: Option[UsdDims] = None): Unit = {
     Udfs.register(raw.sparkSession)
     val day = dayBlocks(raw, logDT)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -742,8 +757,9 @@ object Dump {
     // projections themselves: it is row-wise against STATIC broadcast
     // dims (price intervals, chain registry), no cross-block state
     try projections(day, logDT, usd).foreach { case (name, df) =>
-      df.write.mode("append").partitionBy("log_dt")
-        .parquet(s"$outRoot/$name")
+      Writers.overwritePartitions(
+        df.withColumn("batch_id", lit(batchId)),
+        s"$outRoot/$name", Seq("log_dt", "batch_id"))
     } finally day.unpersist()
   }
 }

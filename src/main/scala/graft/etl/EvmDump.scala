@@ -39,8 +39,10 @@ object EvmDump {
     *
     * where base_fee is the receipt's effective gas price when the tx
     * carries 1559 fields (the reference reads effectiveGasPrice as the
-    * inclusion price, ethTool.js:857) and 0 for legacy txs, which also
-    * zeroes burned_fee/txn_saving. A tx with no receipt yet is pending:
+    * inclusion price, ethTool.js:857) and 0 for legacy txs, which
+    * zeroes burned_fee and NULLS txn_saving — the reference deletes
+    * txnSaving for legacy txs and for negative savings before export
+    * (ethTool.js:909-915). A tx with no receipt yet is pending:
     * receipt_* and the fee columns stay null (combineTxReceipt's
     * left-join contract).
     *
@@ -91,12 +93,16 @@ object EvmDump {
       .withColumn("fee",
         (gasUsed * col("gas_price").cast(D38)).cast(D38))
       .withColumn("burned_fee", (gasUsed * baseFee).cast(D38))
-      .withColumn("txn_saving",
-        when(is1559,
+      // txn_saving exports NULL for legacy txs AND for negative
+      // savings (max_fee below the inclusion price), matching the
+      // reference's delete-the-field export (ethTool.js:909-915);
+      // a pending 1559 tx (gas_used null) also stays null
+      .withColumn("txn_saving", {
+        val saving =
           ((col("max_fee_per_gas").cast(D38) - baseFee) * gasUsed)
-            .cast(D38))
-          .otherwise(when(col("receipt_gas_used").isNotNull, lit(0))
-            .cast(D38)))
+            .cast(D38)
+        when(is1559 && saving >= 0, saving)
+      })
       // decode, don't reject: a sub-10-char input (plain value send)
       // has no selector — method_id stays null, like the reference's
       // getMethodID miss path

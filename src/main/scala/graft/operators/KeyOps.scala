@@ -647,7 +647,7 @@ object KeyOps {
       |   THEN gas_used * (event_id % 7 + 2)
       |   ELSE gas_used * 0 END) AS BIGINT) AS sum_burned,
       | CAST(sum(CASE WHEN transaction_type = 2 THEN gas_used
-      |   ELSE gas_used * 0 END) AS BIGINT) AS sum_saving,
+      |   ELSE NULL END) AS BIGINT) AS sum_saving,
       | CAST(sum(value) AS BIGINT) AS sum_value,
       | count(created) AS n_creates,
       | count(has_method) AS n_methods,

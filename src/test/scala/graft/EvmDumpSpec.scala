@@ -55,11 +55,13 @@ class EvmDumpSpec extends AnyFunSuite {
       .toDF("selector", "signature")
     val out = EvmDump.evmtxsOf(txs, rx, "2024-03-01", Some(sigs))
       .collect().map(r => r.getAs[String]("hash") -> r).toMap
-    // legacy (ethTool.js:853): fee = gas_used × gas_price; no burn/save
+    // legacy (ethTool.js:853): fee = gas_used × gas_price; burn zeroes,
+    // and txn_saving exports NULL — the reference DELETES txnSaving for
+    // legacy txs (ethTool.js:909-911), it does not export 0
     val l = out("0xl")
     assert(l.getAs[java.math.BigDecimal]("fee").longValue == 21000L * 10)
     assert(l.getAs[java.math.BigDecimal]("burned_fee").longValue == 0L)
-    assert(l.getAs[java.math.BigDecimal]("txn_saving").longValue == 0L)
+    assert(l.getAs[java.math.BigDecimal]("txn_saving") == null)
     assert(l.getAs[String]("method_id") == "0xa9059cbb")
     assert(l.getAs[String]("signature") == "transfer(address,uint256)")
     // 1559 (ethTool.js:857-861): base = effective_gas_price; burned =
@@ -78,6 +80,18 @@ class EvmDumpSpec extends AnyFunSuite {
     assert(p.getAs[java.math.BigDecimal]("burned_fee") == null)
     assert(p.getAs[java.math.BigDecimal]("txn_saving") == null)
     assert(p.get(p.fieldIndex("receipt_status")) == null)
+  }
+
+  test("evmtxs: negative txn_saving exports NULL (ethTool.js:913-915)") {
+    // a 1559 tx whose max_fee (14) sits BELOW the inclusion price (20)
+    // would compute a negative saving — the reference deletes the field
+    val txs = Seq(txRow("0xn", is1559 = true)).toDF(txCols: _*)
+    val rx = Seq(rxRow("0xn", effective = 20)).toDF(rxCols: _*)
+    val out = EvmDump.evmtxsOf(txs, rx, "2024-03-01").collect().head
+    assert(out.getAs[java.math.BigDecimal]("txn_saving") == null)
+    // burned_fee is NOT clamped: it stays gas_used × effective
+    assert(out.getAs[java.math.BigDecimal]("burned_fee").longValue ==
+      21000L * 20)
   }
 
   import EvmWire.pad32

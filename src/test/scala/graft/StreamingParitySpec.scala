@@ -124,8 +124,8 @@ class StreamingParitySpec extends AnyFunSuite {
       .option("recursiveFileLookup", "true")
       .parquet(landing)
       .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Dump.dumpMicroBatch(b, "2024-03-01", streamRoot)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Dump.dumpMicroBatch(b, id, "2024-03-01", streamRoot)
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -133,16 +133,29 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(q.awaitTermination(180000), "streaming batches timed out")
     q.stop()
 
-    def frame(dir: String): Seq[String] = {
-      val df = spark.read.parquet(dir)
+    // the stream layout adds the batch_id idempotence partition —
+    // readers see the same day once it is dropped
+    def frame(dir: String, drop: Seq[String] = Seq.empty): Seq[String] = {
+      val df0 = spark.read.parquet(dir)
+      val df = drop.foldLeft(df0)(_ drop _)
       df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
         .collect().map(_.toString).toSeq.sorted
     }
     for (t <- tables) {
-      val b = frame(s"$batchRoot/$t"); val s = frame(s"$streamRoot/$t")
+      val b = frame(s"$batchRoot/$t")
+      val s = frame(s"$streamRoot/$t", drop = Seq("batch_id"))
       assert(b.nonEmpty, s"$t: batch output empty")
       assert(b == s, s"$t: stream output != batch output")
     }
+
+    // at-least-once replay: re-running a micro-batch with the SAME
+    // batchId replaces its own (log_dt, batch_id) partition — no
+    // duplicates (the foreachBatch restart contract)
+    val before = spark.read.parquet(s"$streamRoot/events").count()
+    Dump.dumpMicroBatch(corpus.take(2).toDS().toDF(), 0L, "2024-03-01",
+      streamRoot)
+    assert(spark.read.parquet(s"$streamRoot/events").count() == before,
+      "replaying batch 0 must not duplicate rows")
   }
 
   test("dumpTracesDay through foreachBatch == batch, both trace tables") {
@@ -178,24 +191,33 @@ class StreamingParitySpec extends AnyFunSuite {
       .option("recursiveFileLookup", "true")
       .parquet(landing)
       .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        Dump.dumpTracesMicroBatch(b, dim, "2024-03-01", streamRoot)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Dump.dumpTracesMicroBatch(b, dim, id, "2024-03-01", streamRoot)
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     assert(q.awaitTermination(180000), "streaming batches timed out")
     q.stop()
-    def frame(dir: String): Seq[String] = {
-      val df = spark.read.parquet(dir)
+    def frame(dir: String, drop: Seq[String] = Seq.empty): Seq[String] = {
+      val df0 = spark.read.parquet(dir)
+      val df = drop.foldLeft(df0)(_ drop _)
       df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
         .collect().map(_.toString).toSeq.sorted
     }
     for (t <- Seq("traces", "balances")) {
-      val b = frame(s"$batchRoot/$t"); val s = frame(s"$streamRoot/$t")
+      val b = frame(s"$batchRoot/$t")
+      val s = frame(s"$streamRoot/$t", drop = Seq("batch_id"))
       assert(b.nonEmpty, s"$t: batch output empty")
       assert(b == s, s"$t: stream output != batch output")
     }
+
+    // replaying a micro-batch with the same batchId must not duplicate
+    val before = spark.read.parquet(s"$streamRoot/traces").count()
+    Dump.dumpTracesMicroBatch(traces.take(2).toDS().toDF(), dim, 0L,
+      "2024-03-01", streamRoot)
+    assert(spark.read.parquet(s"$streamRoot/traces").count() == before,
+      "replaying trace batch 0 must not duplicate rows")
   }
 
   test("parity survives stop -> more files land -> restart") {
@@ -212,8 +234,8 @@ class StreamingParitySpec extends AnyFunSuite {
         .option("recursiveFileLookup", "true")
         .parquet(landing)
         .writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          Dump.dumpMicroBatch(b, "2024-03-01", streamRoot)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          Dump.dumpMicroBatch(b, id, "2024-03-01", streamRoot)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -229,13 +251,15 @@ class StreamingParitySpec extends AnyFunSuite {
           // of wave 0 would duplicate rows and break frame equality
     Dump.dumpDay(corpus.toDS().toDF(), "2024-03-01", batchRoot)
 
-    def frame(dir: String): Seq[String] = {
-      val df = spark.read.parquet(dir)
+    def frame(dir: String, drop: Seq[String] = Seq.empty): Seq[String] = {
+      val df0 = spark.read.parquet(dir)
+      val df = drop.foldLeft(df0)(_ drop _)
       df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
         .collect().map(_.toString).toSeq.sorted
     }
     for (t <- tables)
-      assert(frame(s"$batchRoot/$t") == frame(s"$streamRoot/$t"),
+      assert(frame(s"$batchRoot/$t") ==
+        frame(s"$streamRoot/$t", drop = Seq("batch_id")),
         s"$t: restart broke stream/batch parity")
   }
 }
