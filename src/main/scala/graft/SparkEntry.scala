@@ -33,7 +33,8 @@ object SparkEntry {
       VectorOps.queries ++
       MultimodalOps.queries ++
       FlattenOps.queries ++
-      KeyOps.queries
+      KeyOps.queries ++
+      ContractOps.queries
 
   def oracleSql: Map[String, String] =
     Flagship.oracles ++
@@ -49,7 +50,8 @@ object SparkEntry {
       VectorOps.oracles ++
       MultimodalOps.oracles ++
       FlattenOps.oracles ++
-      KeyOps.oracles
+      KeyOps.oracles ++
+      ContractOps.oracles
 
   /** The single manifest of deliberately rows-only queries (no SQL oracle
     * exists: engine-specific hash/sketch layouts or the media-decode stub).

@@ -1,0 +1,176 @@
+package graft
+
+import graft.etl.Contracts
+import graft.functions.Codec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts — the WASM contracts/contractscode/contractscall export
+  * composition (ref substrateetl.js:2520-2645). The oracled queries pin
+  * the write→read round trip cross-engine; this spec pins the branches
+  * the rollups flatten: last-store-wins per code hash, the Instantiated
+  * gate, the numeric gates on gas/deposit/value, message decode through
+  * the selector registry, and the caller_ss58 divergence. */
+class ContractsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+  private def pk(b: Byte) = Codec.bytesToHex(Array.fill[Byte](32)(b))
+  private def ss58(b: Byte, net: Int = 42) =
+    Codec.ss58Encode(Array.fill[Byte](32)(b), net)
+
+  private val eventCols = Seq("chain_id", "event_id", "section",
+    "method", "data", "extrinsic_id", "extrinsic_hash", "block_time",
+    "block_number", "block_hash")
+
+  private def event(eid: String, section: String, method: String,
+      data: String, bn: Long) =
+    (22000, eid, section, method, data, eid.split("-").take(2)
+      .mkString("-"), s"0xe$eid", ts(1700000000L + bn), bn, s"0xb$bn")
+
+  // code 0xc1 stored twice (block 10 by signer aa, block 20 by bb —
+  // the LAST wins); code 0xc2 stored once by an unsigned extrinsic
+  private lazy val events = Seq(
+    event("10-0-0", "contracts", "CodeStored", """["0xc1"]""", 10L),
+    event("20-0-0", "contracts", "CodeStored", """["0xc1"]""", 20L),
+    event("30-0-0", "contracts", "CodeStored", """["0xc2"]""", 30L),
+    event("40-0-0", "contracts", "Instantiated",
+      s"""["${ss58(3)}","${ss58(4)}"]""", 40L),
+    event("41-0-0", "balances", "Transfer", """["x"]""", 41L)
+  ).toDF(eventCols: _*)
+
+  private lazy val extrinsics = Seq(
+    (22000, "10-0", pk(1)),
+    (22000, "20-0", pk(2)),
+    (22000, "40-0", pk(4)),
+    (22000, "50-0", pk(5))
+  ).toDF("chain_id", "extrinsic_id", "signer_pub_key")
+
+  // state side: contract addr 3 runs code c1; addr 9 (never
+  // instantiated in-window) runs c2
+  private lazy val contractInfo = Seq(
+    (22000, pk(3), "0xc1", "100", "5", "50", "10", "60"),
+    (22000, pk(9), "0xc2", "7", "1", "3", "1", "4")
+  ).toDF("chain_id", "address_pub_key", "code_hash", "storage_bytes",
+    "storage_items", "storage_byte_deposit", "storage_item_deposit",
+    "storage_base_deposit")
+
+  private lazy val chains =
+    Seq((22000, "karura", 8)).toDF("chain_id", "id", "ss58_prefix")
+
+  private def callRow(eid: String, dest: String, gas: String,
+      sdl: String, value: String, data: String) =
+    (22000, eid, s"0xe$eid", ts(1700005000L), 50L, "0xb50",
+      "contracts", "call",
+      s"""{"dest":{"id":"$dest"},"gas_limit":$gas,""" +
+        s""""storage_deposit_limit":$sdl,"value":$value,""" +
+        s""""data":"$data"}""")
+
+  private lazy val calls = Seq(
+    // known contract, numeric gas, hex deposit, hex value, flip() call
+    callRow("50-0", ss58(3), "\"10000\"", "\"0x0400\"", "\"0x64\"",
+      "0x633aa551"),
+    // weights-v2 gas object -> "0"; short deposit -> "0"; unknown
+    // selector survives with null decoded_call
+    callRow("50-1", ss58(3),
+      """{"ref_time":"1000","proof_size":"100"}""", "null", "\"25\"",
+      "0xdeadbeef"),
+    // call to a contract outside the dim drops (inner join)
+    callRow("50-2", ss58(7), "\"1\"", "null", "\"0\"", "0x633aa551")
+  ).toDF("chain_id", "extrinsic_id", "extrinsic_hash", "block_time",
+    "block_number", "block_hash", "call_section", "call_method",
+    "call_args")
+
+  private lazy val specs = Seq(("0xc1", "0x633aa551", "flip",
+    Seq.empty[String])).toDF("code_hash", "selector", "method",
+    "arg_types")
+
+  test("wasmCodeRows: last store wins per code hash, signer enriched") {
+    graft.functions.Udfs.register(spark)
+    val rows = Contracts.wasmCodeRows(events, extrinsics)
+      .collect().map(r => r.getAs[String]("code_hash") -> r).toMap
+    assert(rows.size == 2)
+    val c1 = rows("0xc1")
+    assert(c1.getAs[Long]("block_number") == 20L)
+    assert(c1.getAs[String]("storer_pub_key") == pk(2))
+    assert(c1.getAs[String]("extrinsic_id") == "20-0")
+    // unsigned extrinsic: storer stays null, the row survives
+    assert(rows("0xc2").getAs[String]("storer_pub_key") == null)
+  }
+
+  test("contracts export: instantiate gate, code join, ss58 round trip") {
+    graft.functions.Udfs.register(spark)
+    val dim = Contracts.chainDimOf(chains)
+    assert(dim.collect().head.getAs[String]("relay_chain") == "kusama")
+    assert(dim.collect().head.getAs[Int]("para_id") == 2000)
+    val code = Contracts.wasmCodeRows(events, extrinsics)
+    val contract = Contracts.contractRows(contractInfo, events)
+    val out = Contracts.contracts(contract, code, dim).collect()
+    // addr 9 was never Instantiated in-window -> dropped (ref :2697)
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("address_pub_key") == pk(3))
+    // ss58 encodes with the CHAIN prefix and round-trips to the pubkey
+    assert(Codec.bytesToHex(
+      Codec.ss58Decode(r.getAs[String]("address_ss58"))._2) == pk(3))
+    assert(Codec.ss58Decode(r.getAs[String]("address_ss58"))._1 == 8)
+    assert(r.getAs[String]("deployer_pub_key") == pk(4))
+    assert(r.getAs[String]("block_number_stored") == "20")
+    assert(r.getAs[String]("block_number_instantiated") == "40")
+    assert(r.getAs[String]("storage_bytes") == "100")
+    assert(r.getAs[String]("contract_name") == null)
+  }
+
+  test("contractscall: gates, decode, unknown-contract drop, " +
+      "caller_ss58 divergence") {
+    graft.functions.Udfs.register(spark)
+    val dim = Contracts.chainDimOf(chains)
+    val code = Contracts.wasmCodeRows(events, extrinsics)
+    val contract = Contracts.contractRows(contractInfo, events)
+    val rows = Contracts.contractsCalls(
+      Contracts.contractCallRows(calls, extrinsics), contract, code,
+      dim, specs = Some(specs))
+      .collect().map(r => r.getAs[String]("extrinsic_id") -> r).toMap
+    assert(rows.size == 2, "the unknown-contract call must drop")
+    val a = rows("50-0")
+    assert(a.getAs[String]("gas_limit") == "10000")
+    assert(a.getAs[String]("storage_deposit_limit") == "1024")
+    assert(a.getAs[String]("value") == "100")
+    assert(a.getAs[String]("decoded_call") != null &&
+      a.getAs[String]("decoded_call").contains("flip"))
+    assert(a.getAs[String]("code_hash") == "0xc1")
+    // the reference gates caller_ss58 on DEPLOYER presence (:2674, a
+    // wrong-guard bug); here the caller encodes whenever known
+    assert(a.getAs[String]("caller_pub_key") == pk(5))
+    assert(Codec.bytesToHex(Codec.ss58Decode(
+      a.getAs[String]("caller_ss58"))._2) == pk(5))
+    val b = rows("50-1")
+    assert(b.getAs[String]("gas_limit") == "0",
+      "weights-v2 object gas must gate to 0")
+    assert(b.getAs[String]("storage_deposit_limit") == "0")
+    assert(b.getAs[String]("value") == "25")
+    assert(b.getAs[String]("decoded_call") == null,
+      "unknown selector keeps the row with null decode")
+  }
+
+  test("dumpContracts: three whole-table replaces, re-run idempotent") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_contracts").toString
+    def run() = Contracts.dumpContracts(events, extrinsics, calls,
+      contractInfo, chains, root, specs = Some(specs))
+    val t1 = run()
+    val counts1 = t1.map { case (n, df) => n -> df.count() }
+    assert(counts1 == Map("contractscode" -> 2L, "contracts" -> 1L,
+      "contractscall" -> 2L))
+    // whole-table replace: a second publish replaces, never appends
+    val t2 = run()
+    assert(t2.map { case (n, df) => n -> df.count() } == counts1)
+    // published schema field check against contracts.json essentials
+    val cols = t1("contracts").columns.toSet
+    for (c <- Seq("relay_chain", "id", "para_id", "address_pub_key",
+        "address_ss58", "deployer_ss58", "code_hash", "deployed_ts",
+        "storage_base_deposit", "constructor", "salt"))
+      assert(cols.contains(c), s"contracts missing $c")
+  }
+}
