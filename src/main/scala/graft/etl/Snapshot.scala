@@ -126,6 +126,81 @@ object Snapshot {
         (ordCol +: valueCols).map(c => col(s"m.$c").as(c)): _*)
   }
 
+  /** Project a decoded state frame into the PUBLISHED `snapshots` row
+    * shape (schema/substrateetl/snapshots.json; the reference's
+    * snapshotter emits one such rec per state entry via
+    * setRecSnapShotInfo, snapshot/snapshotter.js:90-121, each chain's
+    * extractor filling address/track/kv/pv — e.g. polkadot.js:412
+    * staking pv, :441 conviction-voting voter recs, astar.js:55 era
+    * track_val).
+    *
+    * One call = one snapshot SOURCE (`section.storage` pair) at one
+    * block placement; union several for a chain's full snapshot and
+    * land them with [[dumpSnapshots]]. Columns:
+    *
+    *  - address: `addressCol` names the pubkey column in `state`
+    *    (ss58 derived with the chain prefix); absent → null pair
+    *    (chain-level rows like totalIssuance);
+    *  - `kvCols` → `kv` (JSON of the storage-key parts), `pvCols` →
+    *    `pv` (JSON of the decoded value) — null when empty, like the
+    *    reference's commented-out defaults;
+    *  - `track` — optional (name, value column) identifier, e.g.
+    *    ("era", lit(1423)) on staking rows.
+    *
+    * The projection is row-wise (no shuffle); the heavy lifting
+    * happened in [[stateAt]]'s single argmax aggregation. */
+  def snapshotRecs(state: DataFrame, sectionStorage: String,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long, ss58Prefix: Int = 42,
+      addressCol: Option[String] = None,
+      kvCols: Seq[String] = Nil, pvCols: Seq[String] = Nil,
+      track: Option[(String, org.apache.spark.sql.Column)] = None)
+      : DataFrame = {
+    val pieces = sectionStorage.split('.')
+    require(pieces.length == 2,
+      s"invalid section_storage=$sectionStorage — want 'section.storage'" +
+        " (the reference's setRecSnapShotInfo guard)")
+    graft.functions.Udfs.register(state.sparkSession)
+    def jsonOf(cols: Seq[String]) =
+      if (cols.isEmpty) lit(null).cast("string")
+      else to_json(struct(cols.map(col): _*))
+    val addr = addressCol.map(col)
+      .getOrElse(lit(null).cast("string"))
+    state.select(
+      lit(chainName).as("chain_name"),
+      lit(tsSec).cast("timestamp").as("ts"),
+      lit(blockNumber).as("block_number"),
+      lit(blockHash).as("block_hash"),
+      call_udf("ss58_encode", addr, lit(ss58Prefix)).as("address_ss58"),
+      addr.as("address_pubkey"),
+      lit(pieces(0)).as("section"),
+      lit(pieces(1)).as("storage"),
+      track.map(t => lit(t._1)).getOrElse(lit(null).cast("string"))
+        .as("track"),
+      track.map(_._2.cast("string"))
+        .getOrElse(lit(null).cast("string")).as("track_val"),
+      jsonOf(kvCols).as("kv"),
+      jsonOf(pvCols).as("pv"),
+      lit(source).as("source"))
+  }
+
+  /** Land published-shape snapshot recs as an idempotent date
+    * partition (the reference ships one file per (chain, date, hour)
+    * into a date-decorated BigQuery load, substrateetl.js:8591
+    * dump_snapshot → cpSnapshotToGS; a re-run replaces the day). All
+    * sources union into ONE table — the published dataset is a single
+    * `snapshots` table, discriminated by section/storage/source. */
+  def dumpSnapshots(recs: Seq[DataFrame], logDT: String,
+      outRoot: String): DataFrame = {
+    require(recs.nonEmpty, "no snapshot sources")
+    val out = recs.reduce(_ unionByName _)
+      .withColumn("log_dt", lit(logDT))
+    Writers.overwritePartitions(out, s"$outRoot/snapshots",
+      Seq("log_dt"))
+    out.sparkSession.read.schema(out.schema)
+      .parquet(s"$outRoot/snapshots")
+  }
+
   /** Idempotent snapshot write: partitioned by `snapshot_at`, dynamic
     * partition overwrite — re-running a snapshot replaces exactly its
     * own partition and leaves every other block's snapshot untouched

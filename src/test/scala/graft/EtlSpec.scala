@@ -101,6 +101,56 @@ class EtlSpec extends AnyFunSuite {
     assert(out == naive)
   }
 
+  test("snapshots published shape: recs projection, ss58 round trip, " +
+      "idempotent day partition") {
+    import graft.etl.Snapshot
+    import graft.functions.Codec
+    val pk = Codec.bytesToHex(Array.fill[Byte](32)(7))
+    val state = Seq((pk, 55L, 3L)).toDF("pubkey", "free", "nonce")
+    val recs = Snapshot.snapshotRecs(state, "system.account",
+      chainName = "Polkadot", source = "polkaholic",
+      blockNumber = 100L, blockHash = "0xb100", tsSec = 1700000000L,
+      ss58Prefix = 0, addressCol = Some("pubkey"),
+      pvCols = Seq("free", "nonce"))
+    val r = recs.collect().head
+    // the published 13-column schema, in the schema's own order
+    assert(recs.columns.toSeq == Seq("chain_name", "ts", "block_number",
+      "block_hash", "address_ss58", "address_pubkey", "section",
+      "storage", "track", "track_val", "kv", "pv", "source"))
+    assert(r.getAs[String]("section") == "system" &&
+      r.getAs[String]("storage") == "account")
+    // ss58 carries the chain prefix and round-trips to the pubkey
+    val (net, bytes) = Codec.ss58Decode(r.getAs[String]("address_ss58"))
+    assert(net == 0 && Codec.bytesToHex(bytes) == pk)
+    assert(r.getAs[String]("pv") == """{"free":55,"nonce":3}""")
+    assert(r.getAs[String]("kv") == null)
+    assert(r.getAs[String]("track") == null)
+    // chain-level rows: no address, kv + track carried
+    val level = Snapshot.snapshotRecs(
+      Seq(Tuple1(99L)).toDF("total"), "balances.totalIssuance",
+      chainName = "Polkadot", source = "polkaholic",
+      blockNumber = 100L, blockHash = "0xb100", tsSec = 1700000000L,
+      kvCols = Seq("total"),
+      track = Some(("era", org.apache.spark.sql.functions.lit(7))))
+      .collect().head
+    assert(level.getAs[String]("address_ss58") == null &&
+      level.getAs[String]("address_pubkey") == null)
+    assert(level.getAs[String]("kv") == """{"total":99}""")
+    assert(level.getAs[String]("track") == "era" &&
+      level.getAs[String]("track_val") == "7")
+    // a malformed section.storage fails loudly (the reference's
+    // setRecSnapShotInfo guard)
+    intercept[IllegalArgumentException] {
+      Snapshot.snapshotRecs(state, "noseparator", "x", "y", 1L, "h", 0L)
+    }
+    // day-partition publish: a re-run replaces, never appends
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapdump").toString
+    val n1 = Snapshot.dumpSnapshots(Seq(recs), "2024-03-01", dir).count()
+    val n2 = Snapshot.dumpSnapshots(Seq(recs), "2024-03-01", dir).count()
+    assert(n1 == 1L && n2 == 1L)
+  }
+
   test("upsert: updates win on key, inserts appended") {
     val base = Seq((1L, "old", 1L), (2L, "keep", 1L))
       .toDF("k", "v", "ver")
