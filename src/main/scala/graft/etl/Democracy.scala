@@ -1,0 +1,117 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The OpenGov democracy export — `votes` + `delegation` tables off the
+  * `convictionVoting.votingFor` state walk (ref substrateetl.js:2141
+  * dump_democracy: one state read at the finalized block, Casting
+  * entries → per-(account, track, poll) vote rows with conviction-
+  * weighted aye/nay, Delegating entries → per-(account, track)
+  * delegation rows; track names from the classID map at :2142-2159,
+  * conviction multipliers at :2160-2168).
+  *
+  * Input seam: the state walk arrives as two decoded frames (the same
+  * split the reference's forEach makes on `v.Casting`/`v.Delegating`) —
+  * vote bytes stay raw (bit 7 = direction, low nibble = conviction,
+  * the GovAnalytics encoding), balances stay raw plancks; this module
+  * owns the export-shape arithmetic: direction split, name maps,
+  * multiplier application, decimal scaling. Row-wise projections only —
+  * the state walk is already latest-per-key, so no shuffle happens
+  * here at all.
+  */
+object Democracy {
+
+  /** classID → track name (ref substrateetl.js:2142-2159; ids outside
+    * the map export a null name, the JS undefined-splice behavior). */
+  val TrackNames: Map[Int, String] = Map(
+    0 -> "Root", 1 -> "Whitelisted Caller",
+    10 -> "Staking Admin", 11 -> "Treasurer", 12 -> "Lease Admin",
+    13 -> "Fellowship Admin", 14 -> "General Admin",
+    15 -> "Auction Admin",
+    20 -> "Referendum Canceller", 21 -> "Referendum Killer",
+    30 -> "Small Tipper", 31 -> "Big Tipper", 32 -> "Small Spender",
+    33 -> "Medium Spender", 34 -> "Big Spender")
+
+  def trackName(classId: Column): Column =
+    element_at(typedLit(TrackNames), classId.cast("int"))
+
+  /** Conviction ordinal → display name (toHuman's rendering). */
+  def convictionName(c: Column): Column =
+    when(c === 0, lit("None"))
+      .otherwise(concat(lit("Locked"), c.cast("string"), lit("x")))
+
+  /** Conviction ordinal → vote multiplier (ref convictionMap with the
+    * `: 1` fallback for names outside the map, :2270). */
+  def convictionMult(c: Column): Column =
+    when(c === 0, lit(0.1))
+      .when(c >= 1 && c <= 6, c.cast("double"))
+      .otherwise(lit(1.0))
+
+  /** `votes` export rows. `casting` columns: chain_id, account_ss58,
+    * class_id, poll_id, vote_kind ('standard' | 'split' |
+    * 'splitabstain'), vote_byte (standard only), balance / aye / nay /
+    * abstain (raw plancks). Mirrors ref :2236-2272: standard routes
+    * the whole balance by bit 7, split/splitAbstain carry their own
+    * amounts at conviction None, weighted columns multiply AFTER the
+    * decimal scaling (ayec/nayc; abstain is never weighted). */
+  def votes(casting: DataFrame, decimals: Int = 10): DataFrame = {
+    val standard = col("vote_kind") === "standard"
+    val isAye = col("vote_byte") >= 128
+    val conv = when(standard, col("vote_byte") % 16).otherwise(lit(0))
+    val scale = math.pow(10.0, decimals)
+    def scaled(c: Column) = c.cast("double") / scale
+    casting.select(
+      col("chain_id"), col("account_ss58"), col("class_id"),
+      col("poll_id"),
+      when(standard, when(isAye, lit("Aye")).otherwise(lit("Nay")))
+        .when(col("vote_kind") === "split", lit("Split"))
+        .otherwise(lit("SplitAbstain")).as("vote"),
+      scaled(when(standard, when(isAye, col("balance")).otherwise(lit(0)))
+        .otherwise(col("aye"))).as("aye"),
+      scaled(when(standard, when(isAye, lit(0)).otherwise(col("balance")))
+        .otherwise(col("nay"))).as("nay"),
+      scaled(when(col("vote_kind") === "splitabstain", col("abstain"))
+        .otherwise(lit(0))).as("abstain"),
+      trackName(col("class_id")).as("class_name"),
+      convictionName(conv).as("conviction"),
+      convictionMult(conv).as("mult"))
+      .withColumn("ayec", col("aye") * col("mult"))
+      .withColumn("nayc", col("nay") * col("mult"))
+      .drop("mult")
+      .select(col("chain_id"), col("account_ss58"), col("class_id"),
+        col("poll_id"), col("vote"), col("aye"), col("ayec"),
+        col("nay"), col("nayc"), col("abstain"), col("class_name"),
+        col("conviction"))
+  }
+
+  /** `delegation` export rows. `delegating` columns: chain_id,
+    * account_ss58, class_id, target_ss58, balance (raw plancks),
+    * conviction (ordinal). Ref :2280-2287. */
+  def delegations(delegating: DataFrame, decimals: Int = 10)
+      : DataFrame =
+    delegating.select(
+      col("chain_id"), col("account_ss58"), col("class_id"),
+      convictionName(col("conviction")).as("conviction"),
+      col("target_ss58"),
+      (col("balance").cast("double") / math.pow(10.0, decimals))
+        .as("balance"),
+      trackName(col("class_id")).as("class_name"))
+
+  /** Publish both tables, chain-partition overwrite: a re-walk of one
+    * chain replaces exactly that chain's rows (the reference upserts
+    * into per-chain MySQL tables `votes{chainID}` / `delegation
+    * {chainID}` with full-value replace — same semantics, one table). */
+  def dumpDemocracy(casting: DataFrame, delegating: DataFrame,
+      outRoot: String, decimals: Int = 10): Map[String, DataFrame] = {
+    val spark = casting.sparkSession
+    val tables = Map(
+      "votes" -> votes(casting, decimals),
+      "delegation" -> delegations(delegating, decimals))
+    tables.map { case (name, df) =>
+      Writers.overwritePartitions(df, s"$outRoot/$name",
+        Seq("chain_id"))
+      name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
+    }
+  }
+}

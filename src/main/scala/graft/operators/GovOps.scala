@@ -133,11 +133,132 @@ object GovOps {
        | ${sqlDecOut("sum(delegated_votes)")} AS delegated_votes
        |FROM contrib GROUP BY 1, 2 ORDER BY track, poll""".stripMargin
 
+  // G5/G6 — the dump_democracy export tables THROUGH THE WRITER
+  // (etl/Democracy.dumpDemocracy; ref substrateetl.js:2141): a
+  // deterministic votingFor state walk synthesized off `events` —
+  // standard/split/splitAbstain kinds, the bit-7 direction split, the
+  // None/LockedNx conviction map with its 0.1×/fallback-1× multipliers,
+  // known and UNKNOWN track ids (null class_name, the JS
+  // undefined-splice behavior) — lands via chain-partition overwrite
+  // and reads back; the DuckDB twin re-derives every exported column
+  // from the synthesis arithmetic.
+  private def demoDump(s: SparkSession, d: String)
+      : Map[String, DataFrame] = {
+    val e = Tables.events(s, d).filter(col("event_id") < 900)
+      .select(col("event_id"))
+    val raw = (c: org.apache.spark.sql.Column) =>
+      (c.cast("decimal(38,0)") * lit(1000000000L)).cast("decimal(38,0)")
+    val casting = e.select(
+      lit(22000).as("chain_id"),
+      concat(lit("a"), col("event_id")).as("account_ss58"),
+      (col("event_id") % 40).cast("int").as("class_id"),
+      (col("event_id") % 25).as("poll_id"),
+      when(col("event_id") % 3 === 0, lit("standard"))
+        .when(col("event_id") % 3 === 1, lit("split"))
+        .otherwise(lit("splitabstain")).as("vote_kind"),
+      (col("event_id") % 256).cast("int").as("vote_byte"),
+      raw(col("event_id") % 1000 + 1).as("balance"),
+      raw(col("event_id") % 500).as("aye"),
+      raw(col("event_id") % 300).as("nay"),
+      raw(col("event_id") % 200).as("abstain"))
+    val delegating = e.filter(col("event_id") % 5 === 0).select(
+      lit(22000).as("chain_id"),
+      concat(lit("d"), col("event_id")).as("account_ss58"),
+      (col("event_id") % 16).cast("int").as("class_id"),
+      concat(lit("t"), col("event_id") % 50).as("target_ss58"),
+      raw(col("event_id") % 700 + 3).as("balance"),
+      (col("event_id") % 8).cast("int").as("conviction"))
+    graft.etl.Democracy.dumpDemocracy(casting, delegating,
+      queryDumpDir("graft_democracy_dump"))
+  }
+
+  private def g5(s: SparkSession, d: String): DataFrame =
+    demoDump(s, d)("votes")
+      .select(col("account_ss58"), col("class_id"), col("poll_id"),
+        col("vote"), round(col("aye"), 6).as("aye"),
+        round(col("ayec"), 6).as("ayec"),
+        round(col("nay"), 6).as("nay"),
+        round(col("nayc"), 6).as("nayc"),
+        round(col("abstain"), 6).as("abstain"),
+        col("class_name"), col("conviction"))
+      .orderBy(col("account_ss58"))
+
+  private val trackCaseSql =
+    """CASE class_id WHEN 0 THEN 'Root' WHEN 1 THEN 'Whitelisted Caller'
+      |  WHEN 10 THEN 'Staking Admin' WHEN 11 THEN 'Treasurer'
+      |  WHEN 12 THEN 'Lease Admin' WHEN 13 THEN 'Fellowship Admin'
+      |  WHEN 14 THEN 'General Admin' WHEN 15 THEN 'Auction Admin'
+      |  WHEN 20 THEN 'Referendum Canceller'
+      |  WHEN 21 THEN 'Referendum Killer' WHEN 30 THEN 'Small Tipper'
+      |  WHEN 31 THEN 'Big Tipper' WHEN 32 THEN 'Small Spender'
+      |  WHEN 33 THEN 'Medium Spender' WHEN 34 THEN 'Big Spender'
+      |  END""".stripMargin
+
+  private val g5Sql =
+    s"""WITH c AS (
+       | SELECT event_id AS e, CAST(event_id % 40 AS INT) AS class_id,
+       |  event_id % 25 AS poll_id, event_id % 3 AS kind,
+       |  event_id % 256 AS vb
+       | FROM events WHERE event_id < 900),
+       |v AS (
+       | SELECT 'a' || CAST(e AS VARCHAR) AS account_ss58, class_id,
+       |  poll_id,
+       |  CASE WHEN kind = 0 THEN
+       |    CASE WHEN vb >= 128 THEN 'Aye' ELSE 'Nay' END
+       |   WHEN kind = 1 THEN 'Split' ELSE 'SplitAbstain' END AS vote,
+       |  CASE WHEN kind = 0 THEN
+       |    CASE WHEN vb >= 128 THEN (e % 1000 + 1) * CAST(0.1 AS DOUBLE) ELSE 0.0 END
+       |   ELSE (e % 500) * CAST(0.1 AS DOUBLE) END AS aye,
+       |  CASE WHEN kind = 0 THEN
+       |    CASE WHEN vb >= 128 THEN 0.0 ELSE (e % 1000 + 1) * CAST(0.1 AS DOUBLE) END
+       |   ELSE (e % 300) * CAST(0.1 AS DOUBLE) END AS nay,
+       |  CASE WHEN kind = 2 THEN (e % 200) * CAST(0.1 AS DOUBLE) ELSE 0.0 END
+       |   AS abstain,
+       |  CASE WHEN kind = 0 AND vb % 16 <> 0 THEN
+       |    CASE WHEN vb % 16 <= 6 THEN CAST(vb % 16 AS DOUBLE)
+       |     ELSE 1.0 END
+       |   ELSE CAST(0.1 AS DOUBLE) END AS mult,
+       |  CASE WHEN kind = 0 AND vb % 16 <> 0 THEN
+       |    'Locked' || CAST(vb % 16 AS VARCHAR) || 'x'
+       |   ELSE 'None' END AS conviction
+       | FROM c)
+       |SELECT account_ss58, class_id, poll_id, vote,
+       | round(aye, 6) AS aye, round(aye * mult, 6) AS ayec,
+       | round(nay, 6) AS nay, round(nay * mult, 6) AS nayc,
+       | round(abstain, 6) AS abstain,
+       | $trackCaseSql AS class_name,
+       | conviction
+       |FROM v ORDER BY account_ss58""".stripMargin
+
+  private def g6(s: SparkSession, d: String): DataFrame =
+    demoDump(s, d)("delegation")
+      .select(col("account_ss58"), col("class_id"), col("conviction"),
+        col("target_ss58"), round(col("balance"), 6).as("balance"),
+        col("class_name"))
+      .orderBy(col("account_ss58"))
+
+  private val g6Sql =
+    s"""SELECT 'd' || CAST(event_id AS VARCHAR) AS account_ss58,
+       | CAST(event_id % 16 AS INT) AS class_id,
+       | CASE WHEN event_id % 8 = 0 THEN 'None'
+       |  ELSE 'Locked' || CAST(event_id % 8 AS VARCHAR) || 'x' END
+       |  AS conviction,
+       | 't' || CAST(event_id % 50 AS VARCHAR) AS target_ss58,
+       | round((event_id % 700 + 3) * CAST(0.1 AS DOUBLE), 6) AS balance,
+       | $trackCaseSql AS class_name
+       |FROM (SELECT event_id, CAST(event_id % 16 AS INT) AS class_id
+       | FROM events WHERE event_id < 900 AND event_id % 5 = 0)
+       |ORDER BY account_ss58""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_conviction_tally" -> (g1 _),
+    "g5_democracy_votes_dump" -> (g5 _),
+    "g6_delegation_dump" -> (g6 _),
   )
 
   val oracles: Map[String, String] = Map(
     "g1_conviction_tally" -> g1Sql,
+    "g5_democracy_votes_dump" -> g5Sql,
+    "g6_delegation_dump" -> g6Sql,
   )
 }

@@ -66,4 +66,71 @@ class GovSpec extends AnyFunSuite {
     assert(out(0).getDouble(0) == 100.0)
     assert(out(0).getDouble(1) == 0.0)
   }
+
+  test("democracy votes export: direction split, conviction map, gates " +
+      "(ref substrateetl.js:2236-2272)") {
+    import graft.etl.Democracy
+    def bal(k: Long) = BigDecimal(k) * BigDecimal(10).pow(10)
+    val casting = Seq(
+      // aye at Locked3x (byte 131 = 0x80|3): aye = 20, ayec = 60
+      (0, "v1", 0, 7L, "standard", 131, bal(20), null, null, null),
+      // nay at None (byte 0): nay = 5, nayc = 0.5
+      (0, "v2", 1, 7L, "standard", 0, bal(5), null, null, null),
+      // split: own amounts, conviction None, 0.1x weighting
+      (0, "v3", 99, 8L, "split", 0, null, bal(10), bal(4), null),
+      // splitAbstain: abstain carried UNWEIGHTED
+      (0, "v4", 34, 9L, "splitabstain", 0, null, bal(2), bal(1), bal(6))
+    ).toDF("chain_id", "account_ss58", "class_id", "poll_id",
+      "vote_kind", "vote_byte", "balance", "aye", "nay", "abstain")
+    val out = Democracy.votes(casting).collect()
+      .map(r => r.getAs[String]("account_ss58") -> r).toMap
+    val v1 = out("v1")
+    assert(v1.getAs[String]("vote") == "Aye" &&
+      v1.getAs[Double]("aye") == 20.0 && v1.getAs[Double]("ayec") == 60.0)
+    assert(v1.getAs[String]("conviction") == "Locked3x")
+    assert(v1.getAs[String]("class_name") == "Root")
+    val v2 = out("v2")
+    assert(v2.getAs[String]("vote") == "Nay" &&
+      v2.getAs[Double]("nay") == 5.0 &&
+      math.abs(v2.getAs[Double]("nayc") - 0.5) < 1e-9)
+    assert(v2.getAs[String]("conviction") == "None")
+    val v3 = out("v3")
+    assert(v3.getAs[String]("vote") == "Split" &&
+      v3.getAs[Double]("aye") == 10.0 &&
+      math.abs(v3.getAs[Double]("ayec") - 1.0) < 1e-9)
+    // unknown class id exports a null name (JS undefined behavior)
+    assert(v3.getAs[String]("class_name") == null)
+    val v4 = out("v4")
+    assert(v4.getAs[String]("vote") == "SplitAbstain" &&
+      v4.getAs[Double]("abstain") == 6.0)
+    assert(v4.getAs[String]("class_name") == "Big Spender")
+  }
+
+  test("democracy delegation export + chain-partition replace") {
+    import graft.etl.Democracy
+    val deleg = Seq(
+      (0, "d1", 11, "t1", BigDecimal(30) * BigDecimal(10).pow(10), 2),
+      (0, "d2", 3, "t2", BigDecimal(7) * BigDecimal(10).pow(10), 0)
+    ).toDF("chain_id", "account_ss58", "class_id", "target_ss58",
+      "balance", "conviction")
+    val rows = Democracy.delegations(deleg).collect()
+      .map(r => r.getAs[String]("account_ss58") -> r).toMap
+    assert(rows("d1").getAs[String]("conviction") == "Locked2x" &&
+      rows("d1").getAs[Double]("balance") == 30.0 &&
+      rows("d1").getAs[String]("class_name") == "Treasurer")
+    assert(rows("d2").getAs[String]("conviction") == "None" &&
+      rows("d2").getAs[String]("class_name") == null)
+    // a re-walk of the same chain replaces its partition, never appends
+    val casting = Seq((0, "v1", 0, 1L, "standard", 131,
+      BigDecimal(10).pow(11), null, null, null))
+      .toDF("chain_id", "account_ss58", "class_id", "poll_id",
+        "vote_kind", "vote_byte", "balance", "aye", "nay", "abstain")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_democracy").toString
+    val c1 = Democracy.dumpDemocracy(casting, deleg, dir)
+      .map { case (n, df) => n -> df.count() }
+    val c2 = Democracy.dumpDemocracy(casting, deleg, dir)
+      .map { case (n, df) => n -> df.count() }
+    assert(c1 == Map("votes" -> 1L, "delegation" -> 2L) && c2 == c1)
+  }
 }
