@@ -34,7 +34,8 @@ object SparkEntry {
       MultimodalOps.queries ++
       FlattenOps.queries ++
       KeyOps.queries ++
-      ContractOps.queries
+      ContractOps.queries ++
+      DimOps.queries
 
   def oracleSql: Map[String, String] =
     Flagship.oracles ++
@@ -51,7 +52,8 @@ object SparkEntry {
       MultimodalOps.oracles ++
       FlattenOps.oracles ++
       KeyOps.oracles ++
-      ContractOps.oracles
+      ContractOps.oracles ++
+      DimOps.oracles
 
   /** The single manifest of deliberately rows-only queries (no SQL oracle
     * exists: engine-specific hash/sketch layouts or the media-decode stub).

@@ -388,4 +388,20 @@ object Serve {
           pubkey),
         identities, "related_pub")
       .orderBy(col("relation"), col("related_pub"))
+
+  /** Account label lookup over the PUBLISHED dims (query.js getAccount
+    * joins the identity row with the attribution nickname): point
+    * filters on both dumped tables — each pushes to its parquet scan —
+    * full-outer'd so either side alone still answers. */
+  def accountLabel(identity: DataFrame, knownpubs: DataFrame,
+      pubkey: String): DataFrame = {
+    val id = identity.filter(col("pubkey") === pubkey)
+      .select(col("pubkey"), col("polkadot_ss58"), col("kusama_ss58"),
+        col("polkadot_fullname"), col("kusama_fullname"),
+        col("polkadot_judgement_verified"))
+    val kp = knownpubs.filter(col("address_pubkey") === pubkey)
+      .select(col("address_pubkey").as("pubkey"),
+        col("address_nickname"), col("account_type"))
+    id.join(kp, Seq("pubkey"), "full_outer")
+  }
 }

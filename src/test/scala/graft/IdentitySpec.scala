@@ -160,4 +160,56 @@ class IdentitySpec extends AnyFunSuite {
     assert(dec(hx(charlie)) == ((null, false)))
     assert(dec(hx(bob)) == ((null, true)))
   }
+
+  test("published identity/exchanges/knownpubs dims + serve lookup " +
+      "(ref identityManager.js:41, substrateetl.js:671)") {
+    // polkadot = the end-to-end dim; kusama = empty (outer-join nulls)
+    val kusama = dim.limit(0)
+    val identity = Identity.identityExport(dim, kusama)
+    val rows = identity.collect()
+      .map(r => r.getAs[String]("pubkey") -> r).toMap
+    // charlie is alice's sub: inherits name/verified, "parent/sub"
+    // fullname, and both ss58 renderings carry the REAL prefixes
+    val c = rows(hx(charlie))
+    assert(c.getAs[Boolean]("polkadot_is_subidentity"))
+    assert(c.getAs[String]("polkadot_name") == "alice")
+    assert(c.getAs[String]("polkadot_fullname") == "alice/alice/hot")
+    assert(c.getAs[Boolean]("polkadot_judgement_verified"))
+    assert(c.getAs[String]("polkadot_parent") == hx(alice))
+    val (net0, back) = Codec.ss58Decode(c.getAs[String]("polkadot_ss58"))
+    assert(net0 == 0 && Codec.bytesToHex(back) == hx(charlie))
+    assert(Codec.ss58Decode(c.getAs[String]("kusama_ss58"))._1 == 2)
+    // kusama side is all-null on an empty relay
+    assert(c.get(c.fieldIndex("kusama_name")) == null &&
+      c.get(c.fieldIndex("kusama_judgement_verified")) == null)
+    // alice: own identity, info JSON rendered, verified by KnownGood
+    val a = rows(hx(alice))
+    assert(a.getAs[String]("polkadot_info")
+      .contains(""""display":"alice""""))
+    assert(a.get(a.fieldIndex("polkadot_is_subidentity")) == null)
+
+    // attribution: real ss58 addresses round-trip through the pubkey
+    // gate; the malformed row drops
+    val labels = Seq(
+      (Codec.ss58Encode(charlie, 0), "Kraken", "Exchange"),
+      (Codec.ss58Encode(alice, 2), "W3F", "Foundation"),
+      (Codec.ss58Encode(bob, 42), "Joe", "User"),
+      ("not-an-address", "X", "Exchange")
+    ).toDF("address", "label", "kind")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dims").toString
+    val out = Identity.dumpIdentityDims(identity,
+      Identity.attributedAccounts(labels), dir)
+    assert(out("exchanges").count() == 1)      // Kraken only
+    assert(out("knownpubs").count() == 2)      // User + malformed drop
+    // serve lookup over the WRITTEN layout: identity + attribution
+    val hit = graft.serve.Serve.accountLabel(out("identity"),
+      out("knownpubs"), hx(charlie)).collect()
+    assert(hit.length == 1)
+    assert(hit.head.getAs[String]("polkadot_fullname") ==
+      "alice/alice/hot")
+    assert(hit.head.getAs[String]("address_nickname") ==
+      "Kraken Exchange")
+    assert(hit.head.getAs[String]("account_type") == "Exchange")
+  }
 }
