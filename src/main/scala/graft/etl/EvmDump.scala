@@ -255,6 +255,108 @@ object EvmDump {
   /** Write the day's two EVM tables as idempotent date partitions and
     * return schema-supplied read-backs of the written layout (empty
     * days carry no parquet footers — the dumpAccountsDay contract). */
+  /** `evm.logs` export (schema substrateetl/evm/logs.json — the
+    * eth-etl-style flattened log stream): one row per receipt log with
+    * tx/block placement, topic0 resolved against an optional broadcast
+    * event-signature registry (topic0, signature — deduped to one
+    * deterministic row per topic like the evmtxs selector registry).
+    * The `events` column (per-log ABI-decoded params JSON) exports
+    * null: decoding it needs the per-contract ABI repo
+    * (`evm.abirepo`), which is outside the substrate decode path — the
+    * transfer families the engine DOES decode land in evmtransfers /
+    * token_transfers. Pending txs (null logs) yield no rows: the log
+    * stream is mined-only by construction. */
+  private[etl] def evmLogsOf(combined: DataFrame, logDT: String,
+      chains: Option[DataFrame] = None,
+      eventSigs: Option[DataFrame] = None): DataFrame = {
+    val lg = combined.select(
+      col("chain_id"), col("transaction_hash"),
+      col("transaction_index"), col("block_timestamp"),
+      col("block_number"), col("block_hash"),
+      posexplode(col("logs")).as(Seq("log_index", "lg")))
+      .withColumn("topic0", element_at(col("lg.topics"), 1))
+    val named = withChainName(lg, chains)
+    val sigd = eventSigs match {
+      case Some(reg) => named.join(
+          broadcast(reg.groupBy(col("topic0"))
+            .agg(min(col("signature")).as("signature"))),
+          Seq("topic0"), "left")
+      case None =>
+        named.withColumn("signature", lit(null).cast("string"))
+    }
+    sigd.select(
+      col("chain_id"), col("id"), col("log_index"),
+      col("transaction_hash"), col("transaction_index"),
+      col("lg.address").as("address"), col("lg.data").as("data"),
+      col("lg.topics").as("topics"),
+      col("block_timestamp"), col("block_number"), col("block_hash"),
+      col("signature"),
+      lit(null).cast("string").as("events"))
+      .withColumn("log_dt", lit(logDT))
+  }
+
+  /** `evm.token_transfers` export (schema substrateetl/evm/
+    * token_transfers.json — the eth-etl minimal shape): ERC-20 and
+    * ERC-721 Transfer logs normalized to one row each, `value`
+    * carrying the amount (20) or the token id (721) as the unbounded
+    * decimal string, exactly ethereum-etl's column semantics. The
+    * richer multi-family view (1155 batches, USD) is evmtransfers. */
+  private[etl] def evmTokenTransfersOf(combined: DataFrame,
+      logDT: String, chains: Option[DataFrame] = None): DataFrame = {
+    def shape(df: DataFrame, value: org.apache.spark.sql.Column) =
+      df.select(col("chain_id"), col("token_address"),
+        col("from_address"), col("to_address"), value.as("value"),
+        col("transaction_hash"), col("log_index"),
+        col("block_timestamp"), col("block_number"), col("block_hash"))
+    val unioned = shape(EvmDecode.erc20Transfers(combined),
+        col("raw_value_str"))
+      .unionByName(shape(EvmDecode.erc721Transfers(combined),
+        col("token_id_str")))
+    withChainName(unioned, chains)
+      .select(col("chain_id"), col("id"), col("token_address"),
+        col("from_address"), col("to_address"), col("value"),
+        col("transaction_hash"), col("log_index"),
+        col("block_timestamp"), col("block_number"), col("block_hash"))
+      .withColumn("log_dt", lit(logDT))
+  }
+
+  /** The eth-etl `id` chain-name column off an optional broadcast
+    * (chain_id, id) dim; absent → typed null. */
+  private def withChainName(df: DataFrame,
+      chains: Option[DataFrame]): DataFrame = chains match {
+    case Some(c) => df.join(
+        broadcast(c.select(col("chain_id"), col("id"))),
+        Seq("chain_id"), "left")
+    case None => df.withColumn("id", lit(null).cast("string"))
+  }
+
+  /** The composable slice of the standalone `evm.*` dataset family
+    * (schemas substrateetl/evm/): `logs` + `token_transfers` as
+    * idempotent date partitions off the SAME one tx⋈receipt join the
+    * substrate-face dump uses. The rest of the family is a documented
+    * scope decision (docs/COVERAGE.md): `transactions` is the already-
+    * exported evmtxs shape minus the substrate extrinsic identity;
+    * `blocks`/`tokens`/`contracts`/`traces`/`abirepo` need inputs the
+    * substrate decode path does not carry (RPC headers, eth_call state
+    * reads, bytecode, debug traces, a curated ABI registry). */
+  def dumpEvmDataset(txs: DataFrame, receipts: DataFrame,
+      logDT: String, outRoot: String,
+      chains: Option[DataFrame] = None,
+      eventSigs: Option[DataFrame] = None): Map[String, DataFrame] = {
+    val spark = txs.sparkSession
+    require(receipts.columns.contains("logs"),
+      "dumpEvmDataset needs receipt logs — both tables project them")
+    val combined = EvmDecode.combineTxReceipt(txs, receipts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try Map(
+      "logs" -> evmLogsOf(combined, logDT, chains, eventSigs),
+      "token_transfers" -> evmTokenTransfersOf(combined, logDT, chains)
+    ).map { case (name, df) =>
+      Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
+      name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
+    } finally combined.unpersist(): Unit
+  }
+
   /** The day's two projections off ONE combined frame — the single
     * source of truth both the batch and streaming writers consume, so
     * a third table (or a changed projection argument) cannot silently

@@ -754,6 +754,117 @@ object KeyOps {
       |   END) AS max_tids
       |FROM t GROUP BY 1 ORDER BY transfer_type""".stripMargin
 
+  // K21/K22 — the composable slice of the standalone `evm.*` dataset
+  // (EvmDump.dumpEvmDataset → logs + token_transfers; schemas
+  // substrateetl/evm/{logs,token_transfers}.json, the eth-etl shapes):
+  // receipt logs synthesize ERC-20 / ERC-721 / custom-topic kinds on
+  // real wire layouts, some txs carry NO logs (pending-style rows must
+  // yield nothing), topic0 resolves against a broadcast event-signature
+  // registry (the custom topic stays unresolved), and both tables
+  // write as date partitions and read back.
+  private def evmDatasetDump(s: SparkSession, d: String)
+      : Map[String, DataFrame] = {
+    import s.implicits._
+    val e = Tables.events(s, d).filter(col("event_id") < 1500)
+      .select(col("event_id"), col("user_id"))
+    val kind = pmod(col("event_id"), lit(3))
+    val bn = expr("event_id div 10")
+    def topicOf(c: org.apache.spark.sql.Column) =
+      concat(lit("0x"), lit("0" * 24), format_string("%040x", c))
+    val fromT = topicOf(col("user_id") % 1000)
+    val toT = topicOf(col("event_id") % 700 + 2000000)
+    val lg = struct(
+      concat(lit("0xt"), (col("event_id") % 5).cast("string"))
+        .as("address"),
+      when(kind === 0, array(lit(graft.decode.EvmDecode.TransferTopic),
+          fromT, toT))
+        .when(kind === 1, array(lit(graft.decode.EvmDecode.TransferTopic),
+          fromT, toT, topicOf(col("event_id") % 997)))
+        .otherwise(array(topicOf(lit(77)), fromT)).as("topics"),
+      when(kind === 0, concat(lit("0x"),
+          format_string("%064x", col("event_id") % 100000 + 1)))
+        .when(kind === 1, lit("0x"))
+        .otherwise(lit("0xdead")).as("data"))
+    val hash = concat(lit("0x"),
+      md5(col("event_id").cast("string").cast("binary")))
+    val txs = e.select(
+      lit(0).as("chain_id"),
+      hash.as("transaction_hash"),
+      (col("event_id") % 100).cast("int").as("transaction_index"),
+      bn.as("block_number"),
+      format_string("0xb%d", bn).as("block_hash"),
+      (lit(1709251200L) + pmod(bn, lit(86400L))).cast("timestamp")
+        .as("block_timestamp"))
+    val rec = e.select(
+      hash.as("transaction_hash"),
+      lit(1).as("status"), lit(21000L).as("gas_used"),
+      lit(1).cast("decimal(38,0)").as("effective_gas_price"),
+      when(col("event_id") % 13 === 0, array().cast(
+          "array<struct<address:string,topics:array<string>,data:string>>"))
+        .otherwise(array(lg)).as("logs"))
+    val sigs = Seq((graft.decode.EvmDecode.TransferTopic,
+      "Transfer(address,address,uint256)")).toDF("topic0", "signature")
+    val chains = Seq((0, "moonbeam")).toDF("chain_id", "id")
+    graft.etl.EvmDump.dumpEvmDataset(txs, rec, "2024-03-01",
+      queryDumpDir("graft_evmds_dump"), Some(chains), Some(sigs))
+  }
+
+  private def k21(s: SparkSession, d: String): DataFrame =
+    evmDatasetDump(s, d)("logs")
+      .select(col("id"), col("transaction_hash"),
+        col("transaction_index"), col("log_index"), col("address"),
+        col("data"), size(col("topics")).as("n_topics"),
+        element_at(col("topics"), 1).as("topic0"),
+        col("signature"), col("block_number"))
+      .orderBy(col("transaction_hash"))
+
+  private val TransferTopicSql =
+    "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+  private val k21Sql =
+    s"""WITH t AS (
+       | SELECT event_id AS e, user_id AS u, event_id % 3 AS kind
+       | FROM events WHERE event_id < 1500 AND event_id % 13 <> 0)
+       |SELECT 'moonbeam' AS id,
+       | '0x' || md5(CAST(e AS VARCHAR)) AS transaction_hash,
+       | CAST(e % 100 AS INT) AS transaction_index,
+       | CAST(0 AS INT) AS log_index,
+       | '0xt' || CAST(e % 5 AS VARCHAR) AS address,
+       | CASE WHEN kind = 0 THEN '0x' || printf('%064x', e % 100000 + 1)
+       |  WHEN kind = 1 THEN '0x' ELSE '0xdead' END AS data,
+       | CAST(CASE kind WHEN 0 THEN 3 WHEN 1 THEN 4 ELSE 2 END AS INT)
+       |  AS n_topics,
+       | CASE WHEN kind < 2 THEN '$TransferTopicSql'
+       |  ELSE '0x' || repeat('0', 24) || printf('%040x', 77) END
+       |  AS topic0,
+       | CASE WHEN kind < 2 THEN 'Transfer(address,address,uint256)'
+       |  END AS signature,
+       | e // 10 AS block_number
+       |FROM t ORDER BY transaction_hash""".stripMargin
+
+  private def k22(s: SparkSession, d: String): DataFrame =
+    evmDatasetDump(s, d)("token_transfers")
+      .select(col("id"), col("token_address"), col("from_address"),
+        col("to_address"), col("value"), col("transaction_hash"),
+        col("log_index"), col("block_number"))
+      .orderBy(col("transaction_hash"))
+
+  private val k22Sql =
+    """WITH t AS (
+      | SELECT event_id AS e, user_id AS u, event_id % 3 AS kind
+      | FROM events
+      | WHERE event_id < 1500 AND event_id % 13 <> 0 AND event_id % 3 < 2)
+      |SELECT 'moonbeam' AS id,
+      | '0xt' || CAST(e % 5 AS VARCHAR) AS token_address,
+      | '0x' || printf('%040x', u % 1000) AS from_address,
+      | '0x' || printf('%040x', e % 700 + 2000000) AS to_address,
+      | CASE WHEN kind = 0 THEN CAST(e % 100000 + 1 AS VARCHAR)
+      |  ELSE CAST(e % 997 AS VARCHAR) END AS value,
+      | '0x' || md5(CAST(e AS VARCHAR)) AS transaction_hash,
+      | CAST(0 AS INT) AS log_index,
+      | e // 10 AS block_number
+      |FROM t ORDER BY transaction_hash""".stripMargin
+
   // K14 — the EVM account rollups over the dumped tables (EvmDump.
   // dumpEvmAccountsDay; schemas substrateetl/accountsevm{active,
   // passive}.json): senders synthesize from user ids, recipients from a
@@ -1040,6 +1151,8 @@ object KeyOps {
     "k15_assets_dim" -> (k15 _),
     "k16_xcmassets_dim" -> (k16 _),
     "k17_chains_dim" -> (k17 _),
+    "k21_evm_logs_dump" -> (k21 _),
+    "k22_token_transfers_dump" -> (k22 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -1060,6 +1173,8 @@ object KeyOps {
     "k15_assets_dim" -> k15Sql,
     "k16_xcmassets_dim" -> k16Sql,
     "k17_chains_dim" -> k17Sql,
+    "k21_evm_logs_dump" -> k21Sql,
+    "k22_token_transfers_dump" -> k22Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,

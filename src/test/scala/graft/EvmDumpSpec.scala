@@ -82,6 +82,34 @@ class EvmDumpSpec extends AnyFunSuite {
     assert(p.get(p.fieldIndex("receipt_status")) == null)
   }
 
+  test("evm dataset logs/token_transfers: registry-less nulls, " +
+      "pending rows drop") {
+    val txs = Seq(
+      txRow("0xa", is1559 = false),
+      txRow("0xp", is1559 = true) // pending: no receipt, no log rows
+    ).toDF(txCols: _*)
+    val lg = EvmLog("0xt1",
+      Seq(EvmDecode.TransferTopic,
+        "0x" + "0" * 24 + "a" * 40, "0x" + "0" * 24 + "b" * 40),
+      "0x" + "0" * 63 + "7")
+    val rx = Seq((("0xa"), 1, 21000L, 42000L, BigDecimal(10),
+      Option.empty[String], Seq(lg))).toDF(rxCols: _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evmds").toString
+    val out = graft.etl.EvmDump.dumpEvmDataset(txs, rx, "2024-03-01",
+      dir)
+    val logs = out("logs").collect()
+    assert(logs.length == 1, "pending tx must yield no log rows")
+    // no chains/signature registries: typed-null id + signature
+    assert(logs.head.getAs[String]("id") == null &&
+      logs.head.getAs[String]("signature") == null)
+    assert(logs.head.getSeq[String](
+      logs.head.fieldIndex("topics")).length == 3)
+    val tt = out("token_transfers").collect()
+    assert(tt.length == 1 && tt.head.getAs[String]("value") == "7")
+    assert(tt.head.getAs[String]("to_address") == "0x" + "b" * 40)
+  }
+
   test("evmtxs: negative txn_saving exports NULL (ethTool.js:913-915)") {
     // a 1559 tx whose max_fee (14) sits BELOW the inclusion price (20)
     // would compute a negative saving — the reference deletes the field
