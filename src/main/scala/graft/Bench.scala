@@ -387,8 +387,14 @@ object BenchTrend {
         * exactly this way). An empty comparison must be an ERROR, not
         * a green "no regressions" (bench_diff.py exits the same way). */
       vacuous: Boolean,
-      /** Worst canary inflation ratio new/old (1.0 when no canary is
-        * present in both files — the synthetic-fixture case). */
+      /** Worst canary inflation ratio of the NEWER run: against the
+        * absolute [[CanaryCleanBand]] when the run measured the band's
+        * scale (sf0.1, or no sf recorded), else against the previous
+        * file's canaries (the relative fallback — the band's seconds
+        * mean nothing at another scale: at sf1 every canary reads ~10x
+        * band and the guard would demote every real regression; at
+        * sf0.01 a genuine storm reads under-band and its inflated
+        * lines would go hard). 1.0 when no canary is measurable. */
       canaryFactor: Double = 1.0)
 
   private def pfx(k: String): String =
@@ -427,6 +433,14 @@ object BenchTrend {
     if (ms.isEmpty) 0L else ms.max
   }
 
+  /** The scale the bench file recorded (`"sf":"sf0.1"` or a full
+    * `/root/testdata/sf0.1` path; matches the escaped tail copy too).
+    * None when the file carries no sf — synthetic fixtures and hand
+    * runs, treated as the band's scale. */
+  def sfOf(txt: String): Option[String] =
+    """sf\\?"\s*:\s*\\?"([^"\\]+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1))
+
   /** Storm-marked query names from the newer bench, prefix-normalized.
     * The token class includes ':' so a stage key ("stage:ccdist_labels")
     * survives tokenization whole and prefix-normalizes to the same
@@ -462,10 +476,21 @@ object BenchTrend {
     // the ABSOLUTE pinned clean band ([[CanaryCleanBand]] — NOT the
     // previous artifact, whose canaries may themselves be inflated; the
     // r10→r11 consecutive-storm masking). The previous file plays no
-    // role: a contaminated prior round cannot raise the bar.
-    val canaryFactor = CanaryCleanBand.flatMap { case (k, band) =>
-      for (c <- curr.get(k); if c >= 0) yield c / band
-    }.foldLeft(1.0)(math.max)
+    // role: a contaminated prior round cannot raise the bar. The band
+    // is pinned at the driver's bench scale — a run recorded at a
+    // DIFFERENT sf falls back to the relative form (its absolute
+    // seconds are incomparable to the band; see Trend.canaryFactor).
+    val bandScale = sfOf(currTxt).forall(_.contains("sf0.1"))
+    val canaryFactor =
+      if (bandScale)
+        CanaryCleanBand.flatMap { case (k, band) =>
+          for (c <- curr.get(k); if c >= 0) yield c / band
+        }.foldLeft(1.0)(math.max)
+      else
+        CanaryPrefixes.flatMap { k =>
+          for (p <- prev.get(k); c <- curr.get(k);
+               if p >= 0.02 && c >= 0) yield c / p
+        }.foldLeft(1.0)(math.max)
     val canaryRun = canaryFactor >= CanaryStormFactor
     val hard = scala.collection.mutable.ArrayBuffer[String]()
     val soft = scala.collection.mutable.ArrayBuffer[String]()

@@ -59,6 +59,25 @@ object Contracts {
     else null
   }
 
+  /** Address value → lowercase pubkey hex. The engine's decode tier
+    * renders AccountId/MultiAddress args as 0x pubkey hex (the
+    * Identity dimension consumes `$.sub` directly), while the
+    * reference's JSON carries ss58 strings — accept both, like the
+    * reference's getPubKey normalization. Malformed input → null (the
+    * ss58_pubkey guard). */
+  private def pubkeyOf(c: Column): Column =
+    when(c.startsWith("0x"), lower(c))
+      .otherwise(call_udf("ss58_pubkey", c))
+
+  /** Event-data field access tolerant of BOTH shapes the wild carries:
+    * the engine's decode tier emits named-arg objects
+    * (MetaDecode ItemDef names), the reference's stored JSON is a
+    * positional array (`JSON.parse(r.data)[0]`,
+    * substrateetl.js:2533/2556). */
+  private def dataField(names: Seq[String], pos: Int): Column =
+    coalesce(names.map(n => get_json_object(col("data"), s"$$.$n")) :+
+      get_json_object(col("data"), s"$$[$pos]"): _*)
+
   /** Chain identity for the export tier: chain_id → (id, relay_chain,
     * para_id, ss58_prefix). relay_chain/para_id per the reference's id
     * arithmetic (paraTool.js getParaIDfromChainID /
@@ -101,18 +120,22 @@ object Contracts {
       .filter(col("section") === "contracts" &&
         col("method") === "CodeStored")
       .select(col("chain_id"),
-        get_json_object(col("data"), "$[0]").as("code_hash"),
+        dataField(Seq("code_hash", "codeHash"), 0).as("code_hash"),
         col("extrinsic_id"), col("extrinsic_hash"),
         col("block_number"), col("block_time"))
       .filter(col("code_hash").isNotNull)
     withSigner(stored, extrinsics)
       .groupBy(col("chain_id"), col("code_hash"))
+      // same-block ties break on the NUMERIC extrinsic id — the string
+      // would rank "20-9" above "20-10" (the idKey lesson)
       .agg(max(struct(
         col("block_number"),
+        idKey(col("extrinsic_id")).as("ord"),
         col("block_time").as("code_stored_ts"),
         col("extrinsic_id"), col("extrinsic_hash"),
         col("signer_pub_key").as("storer_pub_key"))).as("w"))
       .select(col("chain_id"), col("code_hash"), col("w.*"))
+      .drop("ord")
   }
 
   /** The reference's contract staging table as a frame: the
@@ -135,20 +158,20 @@ object Contracts {
       .filter(col("section") === "contracts" &&
         col("method") === "Instantiated")
       .select(col("chain_id"),
-        expr("ss58_pubkey(get_json_object(data, '$[0]'))")
-          .as("address_pub_key"),
-        expr("ss58_pubkey(get_json_object(data, '$[1]'))")
-          .as("deployer_pub_key"),
+        pubkeyOf(dataField(Seq("contract"), 0)).as("address_pub_key"),
+        pubkeyOf(dataField(Seq("deployer"), 1)).as("deployer_pub_key"),
         col("extrinsic_id"), col("extrinsic_hash"),
         col("block_number"), col("block_time"))
       .filter(col("address_pub_key").isNotNull)
       .groupBy(col("chain_id"), col("address_pub_key"))
       .agg(max(struct(
         col("block_number").as("block_number_instantiated"),
+        idKey(col("extrinsic_id")).as("ord"),
         col("block_time").as("deployed_ts"),
         col("deployer_pub_key"),
         col("extrinsic_id"), col("extrinsic_hash"))).as("w"))
       .select(col("chain_id"), col("address_pub_key"), col("w.*"))
+      .drop("ord")
     contractInfo.join(broadcast(inst),
       Seq("chain_id", "address_pub_key"), "left")
   }
@@ -168,7 +191,12 @@ object Contracts {
       .select(col("chain_id"), col("extrinsic_id"),
         col("extrinsic_hash"), col("block_time"), col("block_number"),
         col("block_hash"),
-        expr("ss58_pubkey(get_json_object(call_args, '$.dest.id'))")
+        // dest: the reference's params JSON nests the MultiAddress as
+        // {id: ss58}; the engine's flattened call_args renders it as
+        // the bare pubkey — accept both
+        pubkeyOf(coalesce(
+          get_json_object(col("call_args"), "$.dest.id"),
+          get_json_object(col("call_args"), "$.dest")))
           .as("address_pub_key"),
         get_json_object(col("call_args"), "$.gas_limit")
           .as("gas_limit_raw"),
@@ -276,13 +304,18 @@ object Contracts {
   }
 
   /** `contractscall` export (schema contracts/contractscall.json):
-    * every `contracts.call` joined to its contract's code identity
-    * (INNER, like the reference's three-way staging join at :2652 —
-    * calls to contracts outside the dim drop) and decoded against the
-    * optional broadcast message registry (code_hash, selector, method,
-    * arg_types) via [[WasmDecode.decodeMessages]] — where the
-    * reference left decodedCall for an offline ABI pass (:2596-2602),
-    * the selector dim makes it part of the export plan.
+    * every `contracts.call` joined to its contract (INNER, like the
+    * reference's three-way staging join at :2652 — calls to contracts
+    * outside the dim drop) and LEFT-joined to the code identity: the
+    * reference's wasmCode comes from a codeStorage STATE scan and is
+    * complete, but this composition's wasmCode is event-derived, so a
+    * call to a contract whose CodeStored predates the corpus keeps its
+    * row with null storer/verify columns instead of vanishing (the
+    * same history-gap tolerance [[contracts]] applies). Decode runs
+    * against the optional broadcast message registry (code_hash,
+    * selector, method, arg_types) via [[WasmDecode.decodeMessages]] —
+    * where the reference left decodedCall for an offline ABI pass
+    * (:2596-2602), the selector dim makes it part of the export plan.
     *
     * Deliberate divergence: the reference nulls caller_ss58 whenever
     * the DEPLOYER is unknown (`r.deployer ? encodeAddress(r.caller…`,
@@ -301,7 +334,7 @@ object Contracts {
     val joined = callRows
       .join(broadcast(contractDim),
         Seq("chain_id", "address_pub_key"))
-      .join(broadcast(code), Seq("chain_id", "code_hash"))
+      .join(broadcast(code), Seq("chain_id", "code_hash"), "left")
     val decoded = specs match {
       case Some(sp) =>
         WasmDecode.decodeMessages(joined, sp)

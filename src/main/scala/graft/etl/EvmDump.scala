@@ -266,14 +266,31 @@ object EvmDump {
     * transfer families the engine DOES decode land in evmtransfers /
     * token_transfers. Pending txs (null logs) yield no rows: the log
     * stream is mined-only by construction. */
-  private[etl] def evmLogsOf(combined: DataFrame, logDT: String,
-      chains: Option[DataFrame] = None,
-      eventSigs: Option[DataFrame] = None): DataFrame = {
-    val lg = combined.select(
+  /** Exploded log rows with BOTH indexes: `tx_log_pos` (position in
+    * the receipt's own list) and the eth-etl `log_index`, which is
+    * BLOCK-scoped — (block_number, log_index) is the uniqueness key
+    * eth-etl consumers join on, so a per-tx position would collide
+    * across transactions in one block. The receipt struct carries no
+    * original index, so the block index is reconstructed as a
+    * per-block window over (transaction_index, position) — the
+    * partition is one block's logs, bounded by gas however large the
+    * chain history gets. */
+  private def evmLogRows(combined: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chain_id"), col("block_number"))
+      .orderBy(col("transaction_index"), col("tx_log_pos"))
+    combined.select(
       col("chain_id"), col("transaction_hash"),
       col("transaction_index"), col("block_timestamp"),
       col("block_number"), col("block_hash"),
-      posexplode(col("logs")).as(Seq("log_index", "lg")))
+      posexplode(col("logs")).as(Seq("tx_log_pos", "lg")))
+      .withColumn("log_index", row_number().over(w) - 1)
+  }
+
+  private[etl] def evmLogsOf(combined: DataFrame, logDT: String,
+      chains: Option[DataFrame] = None,
+      eventSigs: Option[DataFrame] = None): DataFrame = {
+    val lg = evmLogRows(combined)
       .withColumn("topic0", element_at(col("lg.topics"), 1))
     val named = withChainName(lg, chains)
     val sigd = eventSigs match {
@@ -303,16 +320,25 @@ object EvmDump {
     * richer multi-family view (1155 batches, USD) is evmtransfers. */
   private[etl] def evmTokenTransfersOf(combined: DataFrame,
       logDT: String, chains: Option[DataFrame] = None): DataFrame = {
+    // the extractors' log_index is the per-tx position; rename it and
+    // join the block-scoped index off the same exploded frame so
+    // logs.log_index and token_transfers.log_index agree row-for-row
     def shape(df: DataFrame, value: org.apache.spark.sql.Column) =
       df.select(col("chain_id"), col("token_address"),
         col("from_address"), col("to_address"), value.as("value"),
-        col("transaction_hash"), col("log_index"),
+        col("transaction_hash"),
+        col("log_index").as("tx_log_pos"),
         col("block_timestamp"), col("block_number"), col("block_hash"))
     val unioned = shape(EvmDecode.erc20Transfers(combined),
         col("raw_value_str"))
       .unionByName(shape(EvmDecode.erc721Transfers(combined),
         col("token_id_str")))
-    withChainName(unioned, chains)
+    val blockIdx = evmLogRows(combined)
+      .select(col("transaction_hash"), col("tx_log_pos"),
+        col("log_index"))
+    withChainName(
+        unioned.join(blockIdx, Seq("transaction_hash", "tx_log_pos")),
+        chains)
       .select(col("chain_id"), col("id"), col("token_address"),
         col("from_address"), col("to_address"), col("value"),
         col("transaction_hash"), col("log_index"),

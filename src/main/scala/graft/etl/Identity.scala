@@ -78,7 +78,19 @@ object Identity {
 
   /** Judgement state per account: n_judgements + verified flag from the
     * latest judgement per (target, registrar). */
-  def judgements(events: DataFrame): DataFrame = {
+  def judgements(events: DataFrame): DataFrame =
+    latestJudgements(events)
+      .groupBy(col("pubkey"))
+      .agg(count(lit(1)).as("n_judgements"),
+        max(col("judgement").isin("KnownGood", "Reasonable"))
+          .as("verified"))
+
+  /** Latest judgement per (target, registrar) — the shared frame both
+    * the verified-flag rollup ([[judgements]]) and the published
+    * JSON-list rendering ([[judgementDetails]]) reduce, so the
+    * JudgementGiven parse and the per-registrar argmax exist exactly
+    * once. */
+  private def latestJudgements(events: DataFrame): DataFrame = {
     val j = events
       .filter(col("section") === "identity" &&
         col("method") === "JudgementGiven")
@@ -92,10 +104,7 @@ object Identity {
     val w = Window.partitionBy(col("pubkey"), col("registrar"))
       .orderBy(col("block_number").desc, idKey(col("event_id")).desc)
     j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("pubkey"))
-      .agg(count(lit(1)).as("n_judgements"),
-        max(col("judgement").isin("KnownGood", "Reasonable"))
-          .as("verified"))
+      .select(col("pubkey"), col("registrar"), col("judgement"))
   }
 
   /** The full identity dimension: any account with an identity, a
@@ -125,25 +134,12 @@ object Identity {
     * published dim carries (identityManager.js parses the stored list
     * per account). Sorted by registrar so the rendering is
     * partition-order independent. */
-  def judgementDetails(events: DataFrame): DataFrame = {
-    val j = events
-      .filter(col("section") === "identity" &&
-        col("method") === "JudgementGiven")
-      .select(
-        get_json_object(col("data"), "$.target").as("pubkey"),
-        get_json_object(col("data"), "$.registrarIndex").cast("int")
-          .as("registrar"),
-        get_json_object(col("data"), "$.judgement.variant")
-          .as("judgement"),
-        col("block_number"), col("event_id"))
-    val w = Window.partitionBy(col("pubkey"), col("registrar"))
-      .orderBy(col("block_number").desc, idKey(col("event_id")).desc)
-    j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+  def judgementDetails(events: DataFrame): DataFrame =
+    latestJudgements(events)
       .groupBy(col("pubkey"))
       .agg(to_json(sort_array(collect_list(
         struct(col("registrar"), col("judgement")))))
         .as("judgements_json"))
-  }
 
   /** One relay's column group for the published dim: name/fullname/
     * info/judgements with SUB-IDENTITY INHERITANCE (identityManager.js

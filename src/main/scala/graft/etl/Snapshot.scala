@@ -184,11 +184,15 @@ object Snapshot {
       lit(source).as("source"))
   }
 
-  /** Land published-shape snapshot recs as an idempotent date
-    * partition (the reference ships one file per (chain, date, hour)
-    * into a date-decorated BigQuery load, substrateetl.js:8591
-    * dump_snapshot → cpSnapshotToGS; a re-run replaces the day). All
-    * sources union into ONE table — the published dataset is a single
+  /** Land published-shape snapshot recs as idempotent
+    * (log_dt, chain_name) partitions (the reference ships one file per
+    * (chain, date, hour) into a date-decorated BigQuery load,
+    * substrateetl.js:8591 dump_snapshot → cpSnapshotToGS). The chain
+    * rides the partition spec because snapshot runs are PER CHAIN: a
+    * day-only partition would let Kusama's publish dynamically
+    * overwrite the day and silently erase Polkadot's rows. A re-run of
+    * one (chain, day) replaces exactly its own partition. All sources
+    * union into ONE table — the published dataset is a single
     * `snapshots` table, discriminated by section/storage/source. */
   def dumpSnapshots(recs: Seq[DataFrame], logDT: String,
       outRoot: String): DataFrame = {
@@ -196,7 +200,7 @@ object Snapshot {
     val out = recs.reduce(_ unionByName _)
       .withColumn("log_dt", lit(logDT))
     Writers.overwritePartitions(out, s"$outRoot/snapshots",
-      Seq("log_dt"))
+      Seq("log_dt", "chain_name"))
     out.sparkSession.read.schema(out.schema)
       .parquet(s"$outRoot/snapshots")
   }

@@ -828,7 +828,8 @@ object KeyOps {
        |SELECT 'moonbeam' AS id,
        | '0x' || md5(CAST(e AS VARCHAR)) AS transaction_hash,
        | CAST(e % 100 AS INT) AS transaction_index,
-       | CAST(0 AS INT) AS log_index,
+       | CAST(row_number() OVER (PARTITION BY e // 10 ORDER BY e % 100)
+       |   - 1 AS INT) AS log_index,
        | '0xt' || CAST(e % 5 AS VARCHAR) AS address,
        | CASE WHEN kind = 0 THEN '0x' || printf('%064x', e % 100000 + 1)
        |  WHEN kind = 1 THEN '0x' ELSE '0xdead' END AS data,
@@ -852,8 +853,11 @@ object KeyOps {
   private val k22Sql =
     """WITH t AS (
       | SELECT event_id AS e, user_id AS u, event_id % 3 AS kind
-      | FROM events
-      | WHERE event_id < 1500 AND event_id % 13 <> 0 AND event_id % 3 < 2)
+      | FROM events WHERE event_id < 1500 AND event_id % 13 <> 0),
+      |ix AS (
+      | SELECT t.*, CAST(row_number() OVER (
+      |   PARTITION BY e // 10 ORDER BY e % 100) - 1 AS INT) AS li
+      | FROM t)
       |SELECT 'moonbeam' AS id,
       | '0xt' || CAST(e % 5 AS VARCHAR) AS token_address,
       | '0x' || printf('%040x', u % 1000) AS from_address,
@@ -861,9 +865,9 @@ object KeyOps {
       | CASE WHEN kind = 0 THEN CAST(e % 100000 + 1 AS VARCHAR)
       |  ELSE CAST(e % 997 AS VARCHAR) END AS value,
       | '0x' || md5(CAST(e AS VARCHAR)) AS transaction_hash,
-      | CAST(0 AS INT) AS log_index,
+      | li AS log_index,
       | e // 10 AS block_number
-      |FROM t ORDER BY transaction_hash""".stripMargin
+      |FROM ix WHERE kind < 2 ORDER BY transaction_hash""".stripMargin
 
   // K14 — the EVM account rollups over the dumped tables (EvmDump.
   // dumpEvmAccountsDay; schemas substrateetl/accountsevm{active,

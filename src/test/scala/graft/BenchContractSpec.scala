@@ -197,6 +197,32 @@ class BenchContractSpec extends AnyFunSuite {
       _.startsWith("s:lrdist")), s"masked storm must demote, not fail: $t")
   }
 
+  test("trend guard: off-band-scale runs fall back to the relative " +
+      "canary check") {
+    // sf0.01: canaries read ~10x UNDER the sf0.1 band — the absolute
+    // form would read a genuine 3.5x host storm as 0.5x "clean" and
+    // let its inflated lines go hard; relative catches it
+    val old001 = """{"queries":{"x1":0.02,"t2":0.30},"sf":"sf0.01"}"""
+    val storm001 =
+      """{"queries":{"x1":0.07,"t2":1.50},"steal_ticks":0,"sf":"/root/testdata/sf0.01"}"""
+    val t = BenchTrend.compare(old001, storm001)
+    assert(t.canaryFactor >= BenchTrend.CanaryStormFactor &&
+      t.regressions.isEmpty, s"off-scale storm must demote: $t")
+    // sf1: canaries read ~10x OVER the band — the absolute form would
+    // read every run as a storm and demote every real regression
+    val old1 = """{"queries":{"x1":1.40,"t2":3.00},"sf":"sf1"}"""
+    val slow1 =
+      """{"queries":{"x1":1.45,"t2":12.00},"steal_ticks":0,"sf":"sf1"}"""
+    val t1 = BenchTrend.compare(old1, slow1)
+    assert(t1.canaryFactor < BenchTrend.CanaryStormFactor &&
+      t1.regressions.exists(_.startsWith("t2")),
+      s"flat relative canaries at sf1 keep a 4x regression hard: $t1")
+    // the driver's sf0.1 spelling (full path) stays on the absolute band
+    assert(BenchTrend.sfOf(
+      """{"queries":{},"sf":"/root/testdata/sf0.1"}""")
+      .exists(_.contains("sf0.1")))
+  }
+
   test("trend guard: pinned canary band matches the documented clean data") {
     // re-pin only from a multi-run idle-host record (docs/BENCH.md);
     // this fixture keeps silent drift out of the band

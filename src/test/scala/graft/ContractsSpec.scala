@@ -154,6 +154,56 @@ class ContractsSpec extends AnyFunSuite {
       "unknown selector keeps the row with null decode")
   }
 
+  test("event-data tolerance: named-object args with pubkey hex (the " +
+      "engine's decode shape), numeric same-block tie-break, " +
+      "code-gap left join") {
+    graft.functions.Udfs.register(spark)
+    val ev = Seq(
+      // the decode tier's shape: named args, AccountId as 0x pubkey
+      event("60-0-0", "contracts", "CodeStored",
+        """{"code_hash":"0xc9"}""", 60L),
+      event("61-0-0", "contracts", "Instantiated",
+        s"""{"deployer":"${pk(4)}","contract":"${pk(3)}"}""", 61L),
+      // same-block double store: extrinsic indices 9 and 10 tie on
+      // block_number — the NUMERIC id must rank 10 over 9
+      (22000, "70-9-0", "contracts", "CodeStored", """["0xc9"]""",
+        "70-9", "0xe709", ts(1700000070L), 70L, "0xb70"),
+      (22000, "70-10-0", "contracts", "CodeStored", """["0xc9"]""",
+        "70-10", "0xe710", ts(1700000070L), 70L, "0xb70")
+    ).toDF(eventCols: _*)
+    val code = Contracts.wasmCodeRows(ev, extrinsics)
+      .collect().map(r => r.getAs[String]("code_hash") -> r).toMap
+    assert(code("0xc9").getAs[String]("extrinsic_id") == "70-10",
+      "string ordering would pick 70-9 over 70-10")
+    val contract = Contracts.contractRows(contractInfo, ev)
+      .collect().map(r => r.getAs[String]("address_pub_key") -> r).toMap
+    assert(contract(pk(3)).getAs[String]("deployer_pub_key") == pk(4))
+    assert(contract(pk(3)).getAs[Long]("block_number_instantiated")
+      == 61L)
+    // a call to a contract whose code was stored BEFORE the corpus:
+    // the contract dim knows it (state), wasmCode doesn't — the call
+    // row must survive with null storer (left code join)
+    val info = Seq((22000, pk(6), "0xff", "1", "1", "1", "1", "1"))
+      .toDF(contractInfo.columns: _*)
+    val calls2 = Seq(callRow("50-0", ss58(6), "\"5\"", "null", "\"1\"",
+      "0x633aa551")).toDF(calls.columns: _*)
+    val rows = Contracts.contractsCalls(
+      Contracts.contractCallRows(calls2, extrinsics),
+      Contracts.contractRows(info, ev.limit(0)),
+      Contracts.wasmCodeRows(ev, extrinsics),
+      Contracts.chainDimOf(chains)).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("code_hash")
+      == "0xff")
+    assert(rows.head.getAs[String]("storer_pub_key") == null)
+    // flat-pubkey dest (the flattened call_args shape) also resolves
+    val calls3 = Seq((22000, "50-0", "0xe50", ts(1700005000L), 50L,
+      "0xb50", "contracts", "call",
+      s"""{"dest":"${pk(6)}","value":"1","data":"0x633aa551"}"""))
+      .toDF(calls.columns: _*)
+    assert(Contracts.contractCallRows(calls3, extrinsics)
+      .collect().head.getAs[String]("address_pub_key") == pk(6))
+  }
+
   test("dumpContracts: three whole-table replaces, re-run idempotent") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_contracts").toString

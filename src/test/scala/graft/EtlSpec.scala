@@ -143,12 +143,23 @@ class EtlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Snapshot.snapshotRecs(state, "noseparator", "x", "y", 1L, "h", 0L)
     }
-    // day-partition publish: a re-run replaces, never appends
+    // (log_dt, chain_name)-partition publish: a re-run replaces, never
+    // appends — and ANOTHER chain's publish for the same day must not
+    // clobber this chain's rows (snapshot runs are per chain)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_snapdump").toString
     val n1 = Snapshot.dumpSnapshots(Seq(recs), "2024-03-01", dir).count()
     val n2 = Snapshot.dumpSnapshots(Seq(recs), "2024-03-01", dir).count()
     assert(n1 == 1L && n2 == 1L)
+    val kusama = Snapshot.snapshotRecs(state, "system.account",
+      chainName = "Kusama", source = "polkaholic",
+      blockNumber = 200L, blockHash = "0xk200", tsSec = 1700000600L,
+      ss58Prefix = 2, addressCol = Some("pubkey"),
+      pvCols = Seq("free", "nonce"))
+    val both = Snapshot.dumpSnapshots(Seq(kusama), "2024-03-01", dir)
+    assert(both.count() == 2L,
+      "a second chain's same-day publish erased the first chain")
+    assert(both.select("chain_name").distinct().count() == 2L)
   }
 
   test("upsert: updates win on key, inserts appended") {

@@ -45,8 +45,11 @@ import re
 import sys
 
 STORM_RUN_TICKS = 500
-# absolute clean-host canary band (s) — see module docstring; mirrors
-# BenchTrend.CanaryCleanBand
+# absolute clean-host canary band (s), pinned AT sf0.1 — see module
+# docstring; mirrors BenchTrend.CanaryCleanBand. A run recorded at a
+# different sf falls back to the relative check: the band's seconds are
+# incomparable off-scale (sf1 canaries read ~10x band and would demote
+# every real regression; sf0.01 storms read under-band and go hard).
 CANARY_BAND = {"p0": 0.18, "x1": 0.15, "d1": 0.11}
 CANARY_STORM_FACTOR = 2.0
 SUB_SECOND_BAND = 1.0
@@ -54,10 +57,12 @@ MAX_ISOLATED_SUB_SECOND = 2
 
 
 def load(path):
-    """-> (query_times, total, steal_ticks, stormy_prefixes)."""
+    """-> (query_times, total, steal_ticks, stormy_prefixes, sf)."""
     with open(path) as f:
         txt = f.read()
     d = json.loads(txt)
+    m = re.search(r'sf\\?"\s*:\s*\\?"([^"\\]+)', txt)
+    sf = m.group(1) if m else None
     # annotations live on the bench_detail line: top-level in raw
     # output, inside the escaped "tail" string in a driver file — regex
     # over the raw text catches both (max = the run-level figure)
@@ -76,7 +81,7 @@ def load(path):
     if not isinstance(q, dict) or not q:
         sys.exit(f"ERROR: no per-query map in {path}")
     return ({k: float(v) for k, v in q.items()},
-            float(d.get("value", 0)), ticks, stormy)
+            float(d.get("value", 0)), ticks, stormy, sf)
 
 
 def main():
@@ -88,8 +93,8 @@ def main():
     ap.add_argument("--floor", type=float, default=0.3)
     ns = ap.parse_args()
     factor, floor = ns.factor, ns.floor
-    old_q, old_total, _, _ = load(ns.old)
-    new_q, new_total, ticks, stormy = load(ns.new)
+    old_q, old_total, _, _, _ = load(ns.old)
+    new_q, new_total, ticks, stormy, new_sf = load(ns.new)
     storm_run = ticks > STORM_RUN_TICKS
     # bench keys may be prefixes of verify names (j16 vs j16_asof) in
     # one file and full names in the other; normalize BOTH sides to the
@@ -110,11 +115,18 @@ def main():
                  "vacuous comparison")
     # canary normalization: worst ratio of the newer run's canaries vs
     # the ABSOLUTE pinned clean band — never the previous artifact,
-    # whose canaries may themselves be storm-inflated (r10->r11 masking)
-    canary_factor = max(
-        (new_q[k] / band for k, band in CANARY_BAND.items()
-         if new_q.get(k, -1) >= 0),
-        default=1.0)
+    # whose canaries may themselves be storm-inflated (r10->r11
+    # masking). Off the band's scale, fall back to the relative form.
+    if new_sf is None or "sf0.1" in new_sf:
+        canary_factor = max(
+            (new_q[k] / band for k, band in CANARY_BAND.items()
+             if new_q.get(k, -1) >= 0),
+            default=1.0)
+    else:
+        canary_factor = max(
+            (new_q[k] / old_q[k] for k in CANARY_BAND
+             if old_q.get(k, 0) >= 0.02 and new_q.get(k, -1) >= 0),
+            default=1.0)
     canary_run = canary_factor >= CANARY_STORM_FACTOR
     regressions, suspects, improved, new_only = [], [], [], []
     # isolated sub-second slowdowns demote to suspect (round-10 lesson:
