@@ -335,6 +335,26 @@ object MetaDecode {
         ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
           "registrarIndex" -> U32, "judgement" -> Judgement))))
 
+    /** Contracts (ink!/WASM) pallet subset — the event + call surface
+      * the contracts dataset composes (ref substrateetl.js:2529-2607;
+      * `etl/Contracts`). `gas_limit` is the pre-weights-v2
+      * Compact<u64> shape; a weights-v2 runtime carries a two-field
+      * struct, which the export's numeric gate zeroes anyway. */
+    def contracts(index: Int): PalletDef = PalletDef(index, "contracts",
+      calls = Seq(
+        ItemDef(6, "call", Seq(
+          "dest" -> MultiAddress,
+          "value" -> CompactInt,
+          "gas_limit" -> CompactInt,
+          "storage_deposit_limit" -> Opt(CompactInt),
+          "data" -> Bytes))),
+      events = Seq(
+        ItemDef(0, "Instantiated", Seq(
+          "deployer" -> AccountId, "contract" -> AccountId)),
+        ItemDef(1, "Terminated", Seq(
+          "contract" -> AccountId, "beneficiary" -> AccountId)),
+        ItemDef(2, "CodeStored", Seq("code_hash" -> FixedBytes(32)))))
+
     /** Astar-style dApp-staking pallet (ref chains/astar.js:889):
       * the Reward event names its smart contract as an Evm(H160) /
       * Wasm(AccountId32) enum. */

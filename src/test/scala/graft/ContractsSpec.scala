@@ -204,6 +204,89 @@ class ContractsSpec extends AnyFunSuite {
       .collect().head.getAs[String]("address_pub_key") == pk(6))
   }
 
+  test("end-to-end from raw bytes: contracts pallet decode feeds the " +
+      "three exports (StandardPallets.contracts)") {
+    import graft.decode.BlockDecode
+    import graft.decode.BlockDecode.RuntimeMeta
+    import graft.decode.MetaDecode.StandardPallets
+    import graft.functions.{Codec, Udfs}
+    Udfs.register(spark)
+    def cp(v: Long) = Codec.compactEncode(BigInt(v))
+    def u32le(v: Long) = Array.tabulate(4)(i =>
+      ((v >> (8 * i)) & 0xff).toByte)
+    def b(xs: Array[Byte]*) = xs.flatten.toArray
+    val alice = Array.fill[Byte](32)(0xa1.toByte)
+    val charlie = Array.fill[Byte](32)(0xc3.toByte)
+    val codeHash = Array.fill[Byte](32)(0xc1.toByte)
+    val sig = Array.fill[Byte](64)(1)
+    val meta = RuntimeMeta(100, 10,
+      calls = Seq.empty, events = Seq(
+        graft.decode.BlockDecode.EventMeta(0, 0, "system",
+          "ExtrinsicSuccess")),
+      pallets = Seq(StandardPallets.contracts(8)))
+    def envelope(signer: Array[Byte], call: Array[Byte]) = {
+      val body = b(Array(0x84.toByte), Array(0.toByte), signer, sig,
+        Array(0.toByte), cp(7), cp(0), call)
+      Codec.bytesToHex(b(cp(body.length), body))
+    }
+    def success(i: Int) = b(Array(0.toByte), u32le(i),
+      Array(0.toByte, 0.toByte), cp(1000), cp(0),
+      Array(0.toByte, 0.toByte), cp(0))
+    // contracts.call(dest=Id(charlie), value 100, gas 5000, sdl None,
+    // data = the flip() selector)
+    val callBytes = b(Array(8.toByte, 6.toByte), Array(0.toByte),
+      charlie, cp(100), cp(5000), Array(0.toByte), cp(4),
+      Codec.hexToBytes("0x633aa551"))
+    val codeStored = b(Array(0.toByte), u32le(0),
+      Array(8.toByte, 2.toByte), codeHash, cp(0))
+    val instantiated = b(Array(0.toByte), u32le(0),
+      Array(8.toByte, 0.toByte), alice, charlie, cp(0))
+    def eventsHex(evs: Array[Byte]*) =
+      Codec.bytesToHex(b(cp(evs.length.toLong) +: evs: _*))
+    val raw = Seq((22000, 1L, "0xb1", "0xb0",
+      new java.sql.Timestamp(1709251200000L), true, "0xaa",
+      Seq(envelope(alice, callBytes)),
+      eventsHex(success(0), codeStored, instantiated))
+    ).toDF("chain_id", "number", "hash", "parent_hash", "block_time",
+      "finalized", "author_pub", "extrinsics_hex", "events_hex")
+    val decoded = BlockDecode.decodeBlocks(raw,
+      Seq((1L, 100)).toDF("block_number", "spec_version"),
+      Seq(meta)).toDF()
+    val info = Seq((22000, Codec.bytesToHex(charlie),
+      Codec.bytesToHex(codeHash), "9", "2", "3", "1", "4"))
+      .toDF(contractInfo.columns: _*)
+    val out = Contracts.dumpContracts(
+      graft.etl.Dump.events(decoded, "2024-03-01"),
+      graft.etl.Dump.extrinsics(decoded, "2024-03-01"),
+      graft.etl.Dump.calls(decoded, "2024-03-01"),
+      info, chains,
+      java.nio.file.Files.createTempDirectory("graft_c2e").toString,
+      specs = Some(Seq((Codec.bytesToHex(codeHash), "0x633aa551",
+        "flip", Seq.empty[String]))
+        .toDF("code_hash", "selector", "method", "arg_types")))
+    val code = out("contractscode").collect()
+    assert(code.length == 1 &&
+      code.head.getAs[String]("code_hash") == Codec.bytesToHex(codeHash))
+    assert(code.head.getAs[String]("storer_pub_key") ==
+      Codec.bytesToHex(alice))
+    val contracts = out("contracts").collect()
+    assert(contracts.length == 1)
+    assert(contracts.head.getAs[String]("address_pub_key") ==
+      Codec.bytesToHex(charlie))
+    assert(contracts.head.getAs[String]("deployer_pub_key") ==
+      Codec.bytesToHex(alice))
+    assert(contracts.head.getAs[String]("block_number_stored") == "1")
+    val call = out("contractscall").collect()
+    assert(call.length == 1)
+    assert(call.head.getAs[String]("gas_limit") == "5000")
+    assert(call.head.getAs[String]("value") == "100")
+    assert(call.head.getAs[String]("storage_deposit_limit") == "0")
+    assert(call.head.getAs[String]("caller_pub_key") ==
+      Codec.bytesToHex(alice))
+    assert(Option(call.head.getAs[String]("decoded_call"))
+      .exists(_.contains("flip")))
+  }
+
   test("dumpContracts: three whole-table replaces, re-run idempotent") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_contracts").toString
