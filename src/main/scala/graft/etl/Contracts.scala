@@ -59,16 +59,6 @@ object Contracts {
     else null
   }
 
-  /** Address value → lowercase pubkey hex. The engine's decode tier
-    * renders AccountId/MultiAddress args as 0x pubkey hex (the
-    * Identity dimension consumes `$.sub` directly), while the
-    * reference's JSON carries ss58 strings — accept both, like the
-    * reference's getPubKey normalization. Malformed input → null (the
-    * ss58_pubkey guard). */
-  private def pubkeyOf(c: Column): Column =
-    when(c.startsWith("0x"), lower(c))
-      .otherwise(call_udf("ss58_pubkey", c))
-
   /** Event-data field access tolerant of BOTH shapes the wild carries:
     * the engine's decode tier emits named-arg objects
     * (MetaDecode ItemDef names), the reference's stored JSON is a

@@ -98,6 +98,63 @@ object Democracy {
         .as("balance"),
       trackName(col("class_id")).as("class_name"))
 
+  /** The conviction-voting SNAPSHOT sources in the published
+    * snapshots rec shape (ref snapshot/polkadot.js:424-470
+    * handleSnapshot): one `convictionVoting.votingFor` rec per
+    * (account, track) — casting state under track "opengov_voter",
+    * delegating under "opengov_delegator", track_val = the readable
+    * track name — plus one `convictionVoting.delegatee` rec per
+    * (target, track) aggregating the incoming delegations, track
+    * "opengov". The pv JSON carries RAW planck amounts (the reference
+    * stores the toHuman state verbatim) — integers, so the rendering
+    * is deterministic across engines and partitionings.
+    *
+    * Returns the three rec frames, ready for
+    * [[Snapshot.dumpSnapshots]]. */
+  def votingForSnapshots(casting: DataFrame, delegating: DataFrame,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long, ss58Prefix: Int = 42)
+      : Seq[DataFrame] = {
+    graft.functions.Udfs.register(casting.sparkSession)
+    def recsOf(state: DataFrame, sectionStorage: String,
+        track: String) =
+      Snapshot.snapshotRecs(state, sectionStorage,
+        chainName = chainName, source = source,
+        blockNumber = blockNumber, blockHash = blockHash,
+        tsSec = tsSec, ss58Prefix = ss58Prefix,
+        addressCol = Some("pub"), pvCols = Seq("state"),
+        track = Some((track, trackName(col("class_id")))))
+        // pv is the state JSON itself, not a {"state": …} wrapper
+        .withColumn("pv", get_json_object(col("pv"), "$.state"))
+    val castingState = casting
+      .groupBy(col("account_ss58"), col("class_id"))
+      .agg(to_json(struct(struct(sort_array(collect_list(struct(
+        col("poll_id"), col("vote_kind"), col("vote_byte"),
+        col("balance"), col("aye"), col("nay"), col("abstain"))))
+        .as("votes")).as("casting"))).as("state"))
+      .withColumn("pub", pubkeyOf(col("account_ss58")))
+    val delegState = delegating.select(col("account_ss58"),
+        col("class_id"),
+        to_json(struct(struct(col("target_ss58"), col("balance"),
+          convictionName(col("conviction")).as("conviction"))
+          .as("delegating"))).as("state"))
+      .withColumn("pub", pubkeyOf(col("account_ss58")))
+    // delegatee side: incoming capital per (target, track)
+    val delegatee = delegating
+      .groupBy(col("target_ss58"), col("class_id"))
+      .agg(to_json(struct(
+        count(lit(1)).as("delegators"),
+        sum(col("balance")).cast("decimal(38,0)").as("capital")))
+        .as("state"))
+      .withColumn("pub", pubkeyOf(col("target_ss58")))
+    Seq(
+      recsOf(castingState, "convictionVoting.votingFor",
+        "opengov_voter"),
+      recsOf(delegState, "convictionVoting.votingFor",
+        "opengov_delegator"),
+      recsOf(delegatee, "convictionVoting.delegatee", "opengov"))
+  }
+
   /** Publish both tables, chain-partition overwrite: a re-walk of one
     * chain replaces exactly that chain's rows (the reference upserts
     * into per-chain MySQL tables `votes{chainID}` / `delegation

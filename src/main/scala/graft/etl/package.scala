@@ -21,4 +21,13 @@ package object etl {
     * raw string puts `"0_1_10"` before `"0_1_9"`. */
   def callPathKey(id: Column): Column =
     transform(split(id, "_"), x => x.cast("int"))
+
+  /** Address value → lowercase pubkey hex (ref paraTool.js getPubKey):
+    * the engine's decode tier renders AccountId args as 0x pubkey hex
+    * already, while reference-shaped JSON carries ss58 strings — accept
+    * both; malformed input → null (the ss58_pubkey kernel guard).
+    * Callers must have `Udfs.register`ed the session. */
+  def pubkeyOf(c: Column): Column =
+    when(c.startsWith("0x"), lower(c))
+      .otherwise(call_udf("ss58_pubkey", c))
 }

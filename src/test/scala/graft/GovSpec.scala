@@ -106,6 +106,56 @@ class GovSpec extends AnyFunSuite {
     assert(v4.getAs[String]("class_name") == "Big Spender")
   }
 
+  test("conviction-voting snapshot sources in the published rec shape " +
+      "(ref polkadot.js:424-470)") {
+    import graft.etl.{Democracy, Snapshot}
+    import graft.functions.Codec
+    val pk1 = Codec.bytesToHex(Array.fill[Byte](32)(1))
+    val pk2 = Codec.bytesToHex(Array.fill[Byte](32)(2))
+    def raw(k: Long) = BigDecimal(k) * BigDecimal(10).pow(10)
+    val casting = Seq(
+      (0, pk1, 11, 5L, "standard", 131, raw(20), null, null, null),
+      (0, pk1, 11, 6L, "split", 0, null, raw(3), raw(2), null)
+    ).toDF("chain_id", "account_ss58", "class_id", "poll_id",
+      "vote_kind", "vote_byte", "balance", "aye", "nay", "abstain")
+    val delegating = Seq(
+      (0, pk2, 11, pk1, raw(30), 2)
+    ).toDF("chain_id", "account_ss58", "class_id", "target_ss58",
+      "balance", "conviction")
+    val recs = Democracy.votingForSnapshots(casting, delegating,
+      chainName = "Polkadot", source = "polkaholic",
+      blockNumber = 77L, blockHash = "0xb77", tsSec = 1700000300L,
+      ss58Prefix = 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cvsnap").toString
+    val out = Snapshot.dumpSnapshots(recs, "2024-03-01", dir).collect()
+    assert(out.length == 3)
+    val byTrack = out.map(r => r.getAs[String]("track") -> r).toMap
+    // voter rec: both polls collected under one (account, track) rec,
+    // readable track name, RAW planck amounts in the pv
+    val v = byTrack("opengov_voter")
+    assert(v.getAs[String]("section") == "convictionVoting" &&
+      v.getAs[String]("storage") == "votingFor")
+    assert(v.getAs[String]("address_pubkey") == pk1)
+    assert(v.getAs[String]("track_val") == "Treasurer")
+    val pv = v.getAs[String]("pv")
+    assert(pv.startsWith("""{"casting":{"votes":["""))
+    assert(pv.contains("\"poll_id\":5") && pv.contains("\"poll_id\":6"))
+    assert(pv.contains("200000000000"), "pv must carry RAW plancks")
+    // delegator rec: the delegating state with the conviction name
+    val d = byTrack("opengov_delegator")
+    assert(d.getAs[String]("address_pubkey") == pk2)
+    assert(d.getAs[String]("pv").contains("\"conviction\":\"Locked2x\""))
+    // delegatee rec: incoming capital aggregated onto the TARGET
+    val t = byTrack("opengov")
+    assert(t.getAs[String]("storage") == "delegatee")
+    assert(t.getAs[String]("address_pubkey") == pk1)
+    assert(t.getAs[String]("pv").contains("\"delegators\":1") &&
+      t.getAs[String]("pv").contains("300000000000"))
+    // ss58 rides the chain prefix
+    assert(Codec.ss58Decode(v.getAs[String]("address_ss58"))._1 == 0)
+  }
+
   test("democracy delegation export + chain-partition replace") {
     import graft.etl.Democracy
     val deleg = Seq(
