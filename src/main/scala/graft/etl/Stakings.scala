@@ -61,6 +61,39 @@ object Stakings {
         Seq(col("pv"), col("snapshot_at").as("era_end_block")): _*)
   }
 
+  /** The chain-level `stakings.info` SNAPSHOT rec in the published
+    * snapshots shape (ref snapshot/polkadot.js:395-412: one rec per
+    * era with {era, totalStaked, totalValidators, nominators, pools,
+    * poolMembers} in the pv, track = era): ONE aggregation pass over a
+    * [[stakingsAtEras]] era slice — the same per-kind counting the
+    * reference does with separate paginated state reads. Amounts stay
+    * raw integer-valued (the reference's dechexToInt values), so the
+    * pv rendering is deterministic. */
+  def stakingInfoSnapshot(stakings: DataFrame, era: Long,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long): DataFrame = {
+    val slice = stakings.filter(col("era") === era)
+    val info = slice.agg(
+      first(lit(era)).as("era"),
+      sum(when(col("storage") === "ErasStakers",
+        col("validator_total"))).cast("decimal(38,0)")
+        .as("total_staked"),
+      count(when(col("storage") === "ErasStakers", lit(1)))
+        .as("total_validators"),
+      count(when(col("storage") === "Nominators", lit(1)))
+        .as("nominators"),
+      count(when(col("storage") === "BondedPools", lit(1)))
+        .as("pools"),
+      count(when(col("storage") === "PoolMembers", lit(1)))
+        .as("pool_members"))
+    Snapshot.snapshotRecs(info, "stakings.info",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      pvCols = Seq("era", "total_staked", "total_validators",
+        "nominators", "pools", "pool_members"),
+      track = Some(("era", lit(era))))
+  }
+
   /** Write the stakings table as idempotent date partitions next to the
     * other entity tables (ref substrateetl.js:7500). */
   def dumpStakingsDay(updates: DataFrame, eraEnds: Seq[(Long, Long)],

@@ -163,5 +163,23 @@ class StakingSpec extends AnyFunSuite {
       .filter(col("era") === 1)
       .select("validator").collect().map(_.getString(0)).toSet
     assert(edges == Set("0xv1", "0xv2"))
+
+    // the stakings.info snapshot rec off the SAME dumped layout (ref
+    // polkadot.js:395-412: per-era pv with totals/counts, track=era)
+    val rec = graft.etl.Stakings.stakingInfoSnapshot(dumped, era = 1L,
+      chainName = "Polkadot", source = "polkaholic",
+      blockNumber = 200L, blockHash = "0xb200", tsSec = 1700000900L)
+      .collect().head
+    assert(rec.getAs[String]("section") == "stakings" &&
+      rec.getAs[String]("storage") == "info")
+    assert(rec.getAs[String]("track") == "era" &&
+      rec.getAs[String]("track_val") == "1")
+    val infoPv = rec.getAs[String]("pv")
+    assert(infoPv.contains("\"total_staked\":1700"), infoPv) // 1200+500
+    assert(infoPv.contains("\"total_validators\":2") &&
+      infoPv.contains("\"nominators\":1") &&
+      infoPv.contains("\"pools\":0"))
+    assert(rec.getAs[String]("address_pubkey") == null,
+      "stakings.info is a chain-level rec")
   }
 }
