@@ -44,4 +44,23 @@ object JsonFeed {
       .schema("address STRING, label STRING, kind STRING")
       .csv(path)
       .filter(col("address").isNotNull)
+
+  /** Audience/user export CSV → the published `users` shape (schema
+    * substrateetl/users.json; ref tools/createAudience.js: the
+    * id,evmAddress,substrateAddress,… export with the pubkey derived
+    * from the ss58 column; rows keep whichever address side they
+    * have — the reference emits the fields conditionally). */
+  def userAudience(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.Udfs.register(spark)
+    spark.read.option("header", "true")
+      .schema("id STRING, evmAddress STRING, substrateAddress STRING," +
+        " twitterHandle STRING, username STRING, twitterUrl STRING")
+      .csv(path)
+      .select(col("id"),
+        col("substrateAddress").as("ss58_address"),
+        lower(col("evmAddress")).as("evm_address"),
+        call_udf("ss58_pubkey", col("substrateAddress"))
+          .as("account_pubkey"))
+      .filter(col("id").isNotNull)
+  }
 }

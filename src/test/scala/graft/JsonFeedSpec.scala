@@ -37,4 +37,31 @@ class JsonFeedSpec extends AnyFunSuite {
     assert(out == Map("0xabc" -> ("Binance 1", "exchange"),
       "0xdef" -> ("Treasury", "system")))
   }
+
+  test("user audience CSV → the published users shape " +
+      "(ref tools/createAudience.js)") {
+    import graft.functions.Codec
+    val pk = Array.fill[Byte](32)(9)
+    val ss58 = Codec.ss58Encode(pk, 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_users")
+    val f = dir.resolve("user_export.csv")
+    java.nio.file.Files.writeString(f,
+      "id,evmAddress,substrateAddress,twitterHandle,username,twitterUrl\n" +
+        s"u1,0xAbCd000000000000000000000000000000000001,$ss58,,alice,\n" +
+        "u2,0xdead000000000000000000000000000000000002,,,bob,\n" +
+        "u3,,not-an-address,,carol,\n")
+    val rows = JsonFeed.userAudience(spark, f.toString).collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    assert(rows.size == 3)
+    // ss58 side decodes to the pubkey; evm side lowercases
+    assert(rows("u1").getAs[String]("account_pubkey") ==
+      Codec.bytesToHex(pk))
+    assert(rows("u1").getAs[String]("evm_address")
+      .startsWith("0xabcd"))
+    // evm-only row keeps null substrate columns (the conditional emit)
+    assert(rows("u2").getAs[String]("ss58_address") == null &&
+      rows("u2").getAs[String]("account_pubkey") == null)
+    // malformed ss58 → guarded-null pubkey, row survives
+    assert(rows("u3").getAs[String]("account_pubkey") == null)
+  }
 }
