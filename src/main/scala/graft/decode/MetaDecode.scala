@@ -335,11 +335,14 @@ object MetaDecode {
         ItemDef(2, "JudgementGiven", Seq("target" -> AccountId,
           "registrarIndex" -> U32, "judgement" -> Judgement))))
 
-    /** Contracts (ink!/WASM) pallet subset — the event + call surface
-      * the contracts dataset composes (ref substrateetl.js:2529-2607;
-      * `etl/Contracts`). `gas_limit` is the pre-weights-v2
-      * Compact<u64> shape; a weights-v2 runtime carries a two-field
-      * struct, which the export's numeric gate zeroes anyway. */
+    /** Contracts (ink!/WASM) pallet, pre-weights-v2 shape — the event
+      * + call surface the contracts dataset composes (ref
+      * substrateetl.js:2529-2607; `etl/Contracts`). `gas_limit` is the
+      * legacy Compact<u64>; for runtimes past the weights-v2 upgrade
+      * use [[contractsV2]] — decoding a v2 call with THIS definition
+      * would misalign the SCALE cursor (one compact consumed where two
+      * sit), corrupting every later arg. Dispatch per spec version,
+      * like every other pallet-shape change. */
     def contracts(index: Int): PalletDef = PalletDef(index, "contracts",
       calls = Seq(
         ItemDef(6, "call", Seq(
@@ -354,6 +357,32 @@ object MetaDecode {
         ItemDef(1, "Terminated", Seq(
           "contract" -> AccountId, "beneficiary" -> AccountId)),
         ItemDef(2, "CodeStored", Seq("code_hash" -> FixedBytes(32)))))
+
+    /** Weights-v2 era contracts pallet (Astar/Shiden since 2023):
+      * `gas_limit` is sp_weights::Weight — a struct of two compacts —
+      * which renders as a JSON OBJECT, exactly what the export's
+      * isNumeric gate zeroes (the reference's behavior for v2 calls,
+      * substrateetl.js:2584); CodeStored grew deposit_held +
+      * uploader. */
+    def contractsV2(index: Int): PalletDef = PalletDef(index,
+      "contracts",
+      calls = Seq(
+        ItemDef(6, "call", Seq(
+          "dest" -> MultiAddress,
+          "value" -> CompactInt,
+          "gas_limit" -> Struct(Seq(
+            "ref_time" -> CompactInt, "proof_size" -> CompactInt)),
+          "storage_deposit_limit" -> Opt(CompactInt),
+          "data" -> Bytes))),
+      events = Seq(
+        ItemDef(0, "Instantiated", Seq(
+          "deployer" -> AccountId, "contract" -> AccountId)),
+        ItemDef(1, "Terminated", Seq(
+          "contract" -> AccountId, "beneficiary" -> AccountId)),
+        ItemDef(2, "CodeStored", Seq(
+          "code_hash" -> FixedBytes(32),
+          "deposit_held" -> U128,
+          "uploader" -> AccountId))))
 
     /** Astar-style dApp-staking pallet (ref chains/astar.js:889):
       * the Reward event names its smart contract as an Evm(H160) /

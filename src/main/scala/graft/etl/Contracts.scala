@@ -198,8 +198,15 @@ object Contracts {
       .withColumn("gas_limit",
         coalesce(intStr(col("gas_limit_raw")), lit("0")))
       .withColumn("storage_deposit_limit",
-        coalesce(when(length(col("sdl_raw")) > 4,
-          intStr(col("sdl_raw"))), lit("0")))
+        // the reference's `length > 4` gate screens its HEX-string
+        // shape ("0x…" junk shorter than one meaningful byte); a
+        // decimal value from the engine's own decode has no such
+        // prefix and must not lose 256-9999 to a hex-calibrated gate
+        coalesce(
+          when(col("sdl_raw").startsWith("0x"),
+            when(length(col("sdl_raw")) > 4, intStr(col("sdl_raw"))))
+            .otherwise(intStr(col("sdl_raw"))),
+          lit("0")))
       .withColumn("value", coalesce(intStr(col("value_raw")), lit("0")))
       .drop("gas_limit_raw", "sdl_raw", "value_raw")
     withSigner(c, extrinsics)

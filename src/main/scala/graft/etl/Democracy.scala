@@ -122,12 +122,14 @@ object Democracy {
         chainName = chainName, source = source,
         blockNumber = blockNumber, blockHash = blockHash,
         tsSec = tsSec, ss58Prefix = ss58Prefix,
-        addressCol = Some("pub"), pvCols = Seq("state"),
+        addressCol = Some("pub"), pvJsonCol = Some("state"),
         track = Some((track, trackName(col("class_id")))))
-        // pv is the state JSON itself, not a {"state": …} wrapper
-        .withColumn("pv", get_json_object(col("pv"), "$.state"))
+    // every grouping keys on chain_id too: per-chain invocation is the
+    // contract (chainName labels the recs, like the reference's
+    // per-chain snapshotter), but a multi-chain frame must never MERGE
+    // one account's state across chains
     val castingState = casting
-      .groupBy(col("account_ss58"), col("class_id"))
+      .groupBy(col("chain_id"), col("account_ss58"), col("class_id"))
       .agg(to_json(struct(struct(sort_array(collect_list(struct(
         col("poll_id"), col("vote_kind"), col("vote_byte"),
         col("balance"), col("aye"), col("nay"), col("abstain"))))
@@ -141,7 +143,7 @@ object Democracy {
       .withColumn("pub", pubkeyOf(col("account_ss58")))
     // delegatee side: incoming capital per (target, track)
     val delegatee = delegating
-      .groupBy(col("target_ss58"), col("class_id"))
+      .groupBy(col("chain_id"), col("target_ss58"), col("class_id"))
       .agg(to_json(struct(
         count(lit(1)).as("delegators"),
         sum(col("balance")).cast("decimal(38,0)").as("capital")))

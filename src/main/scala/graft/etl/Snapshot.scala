@@ -154,8 +154,12 @@ object Snapshot {
       blockHash: String, tsSec: Long, ss58Prefix: Int = 42,
       addressCol: Option[String] = None,
       kvCols: Seq[String] = Nil, pvCols: Seq[String] = Nil,
-      track: Option[(String, org.apache.spark.sql.Column)] = None)
-      : DataFrame = {
+      track: Option[(String, org.apache.spark.sql.Column)] = None,
+      /** a column that IS already a JSON document — carried into `pv`
+        * verbatim (extractors that collect nested state render their
+        * own JSON; re-wrapping it through pvCols would escape-encode
+        * the whole document into a string field). Wins over pvCols. */
+      pvJsonCol: Option[String] = None): DataFrame = {
     val pieces = sectionStorage.split('.')
     require(pieces.length == 2,
       s"invalid section_storage=$sectionStorage — want 'section.storage'" +
@@ -164,6 +168,7 @@ object Snapshot {
     def jsonOf(cols: Seq[String]) =
       if (cols.isEmpty) lit(null).cast("string")
       else to_json(struct(cols.map(col): _*))
+    val pvCol = pvJsonCol.map(col).getOrElse(jsonOf(pvCols))
     val addr = addressCol.map(col)
       .getOrElse(lit(null).cast("string"))
     state.select(
@@ -180,7 +185,7 @@ object Snapshot {
       track.map(_._2.cast("string"))
         .getOrElse(lit(null).cast("string")).as("track_val"),
       jsonOf(kvCols).as("kv"),
-      jsonOf(pvCols).as("pv"),
+      pvCol.as("pv"),
       lit(source).as("source"))
   }
 

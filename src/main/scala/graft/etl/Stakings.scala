@@ -66,17 +66,34 @@ object Stakings {
     * era with {era, totalStaked, totalValidators, nominators, pools,
     * poolMembers} in the pv, track = era): ONE aggregation pass over a
     * [[stakingsAtEras]] era slice — the same per-kind counting the
-    * reference does with separate paginated state reads. Amounts stay
-    * raw integer-valued (the reference's dechexToInt values), so the
-    * pv rendering is deterministic. */
+    * reference does with separate paginated state reads. Sums cast to
+    * decimal BEFORE aggregating (a double sum over planck-scale totals
+    * is lossy past 2^53 AND partition-order dependent — it would break
+    * the deterministic-pv contract); the aggregation groups on
+    * chain_id, so a multi-chain table yields no cross-chain merge and
+    * an era with no rows yields NO rec (the reference emits nothing
+    * where there is no state). Per-chain invocation is the contract,
+    * like the reference's per-chain snapshotter — `chainName` labels
+    * every emitted rec.
+    *
+    * `eraStartBlock`: the stakings table carries state FORWARD across
+    * eras (the b4 carry-forward contract), but on-chain ErasStakers /
+    * Nominators are re-written each era — pass the era's first block
+    * to count only entries WRITTEN within the era (the exact per-era
+    * active set the reference reads); absent, counts reflect the
+    * table's carry-forward semantics (everything live as of the era
+    * end). */
   def stakingInfoSnapshot(stakings: DataFrame, era: Long,
       chainName: String, source: String, blockNumber: Long,
-      blockHash: String, tsSec: Long): DataFrame = {
-    val slice = stakings.filter(col("era") === era)
-    val info = slice.agg(
-      first(lit(era)).as("era"),
+      blockHash: String, tsSec: Long,
+      eraStartBlock: Option[Long] = None): DataFrame = {
+    val slice = eraStartBlock.foldLeft(
+      stakings.filter(col("era") === era))(
+      (df, start) => df.filter(col("block_number") >= start))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val info = slice.groupBy(col("chain_id")).agg(
       sum(when(col("storage") === "ErasStakers",
-        col("validator_total"))).cast("decimal(38,0)")
+        d38(col("validator_total")))).cast("decimal(38,0)")
         .as("total_staked"),
       count(when(col("storage") === "ErasStakers", lit(1)))
         .as("total_validators"),
@@ -86,6 +103,8 @@ object Stakings {
         .as("pools"),
       count(when(col("storage") === "PoolMembers", lit(1)))
         .as("pool_members"))
+      .withColumn("era", lit(era))
+      .drop("chain_id")
     Snapshot.snapshotRecs(info, "stakings.info",
       chainName = chainName, source = source,
       blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,

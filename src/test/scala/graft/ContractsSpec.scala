@@ -232,10 +232,11 @@ class ContractsSpec extends AnyFunSuite {
     def success(i: Int) = b(Array(0.toByte), u32le(i),
       Array(0.toByte, 0.toByte), cp(1000), cp(0),
       Array(0.toByte, 0.toByte), cp(0))
-    // contracts.call(dest=Id(charlie), value 100, gas 5000, sdl None,
-    // data = the flip() selector)
+    // contracts.call(dest=Id(charlie), value 100, gas 5000,
+    // sdl Some(7000) — a 4-char DECIMAL the reference's hex-length
+    // gate must not zero — data = the flip() selector)
     val callBytes = b(Array(8.toByte, 6.toByte), Array(0.toByte),
-      charlie, cp(100), cp(5000), Array(0.toByte), cp(4),
+      charlie, cp(100), cp(5000), Array(1.toByte), cp(7000), cp(4),
       Codec.hexToBytes("0x633aa551"))
     val codeStored = b(Array(0.toByte), u32le(0),
       Array(8.toByte, 2.toByte), codeHash, cp(0))
@@ -280,11 +281,76 @@ class ContractsSpec extends AnyFunSuite {
     assert(call.length == 1)
     assert(call.head.getAs[String]("gas_limit") == "5000")
     assert(call.head.getAs[String]("value") == "100")
-    assert(call.head.getAs[String]("storage_deposit_limit") == "0")
+    assert(call.head.getAs[String]("storage_deposit_limit") == "7000")
     assert(call.head.getAs[String]("caller_pub_key") ==
       Codec.bytesToHex(alice))
     assert(Option(call.head.getAs[String]("decoded_call"))
       .exists(_.contains("flip")))
+  }
+
+  test("weights-v2 runtime: contractsV2 keeps the cursor aligned and " +
+      "the object gas_limit gates to 0") {
+    import graft.decode.BlockDecode
+    import graft.decode.BlockDecode.RuntimeMeta
+    import graft.decode.MetaDecode.StandardPallets
+    import graft.functions.{Codec, Udfs}
+    Udfs.register(spark)
+    def cp(v: Long) = Codec.compactEncode(BigInt(v))
+    def u32le(v: Long) = Array.tabulate(4)(i =>
+      ((v >> (8 * i)) & 0xff).toByte)
+    def b(xs: Array[Byte]*) = xs.flatten.toArray
+    val alice = Array.fill[Byte](32)(0xa1.toByte)
+    val dave = Array.fill[Byte](32)(0xd4.toByte)
+    val codeHash = Array.fill[Byte](32)(0xc2.toByte)
+    val meta = RuntimeMeta(200, 10,
+      calls = Seq.empty, events = Seq(
+        graft.decode.BlockDecode.EventMeta(0, 0, "system",
+          "ExtrinsicSuccess")),
+      pallets = Seq(StandardPallets.contractsV2(8)))
+    def envelope(signer: Array[Byte], call: Array[Byte]) = {
+      val body = b(Array(0x84.toByte), Array(0.toByte), signer,
+        Array.fill[Byte](64)(1), Array(0.toByte), cp(7), cp(0), call)
+      Codec.bytesToHex(b(cp(body.length), body))
+    }
+    def success(i: Int) = b(Array(0.toByte), u32le(i),
+      Array(0.toByte, 0.toByte), cp(1000), cp(0),
+      Array(0.toByte, 0.toByte), cp(0))
+    // gas_limit = Weight{ref_time: 9000, proof_size: 64} — two
+    // compacts; the args AFTER it must still decode correctly
+    val callBytes = b(Array(8.toByte, 6.toByte), Array(0.toByte),
+      dave, cp(100), cp(9000), cp(64), Array(1.toByte), cp(7000),
+      cp(4), Codec.hexToBytes("0x633aa551"))
+    // v2 CodeStored: code_hash + deposit_held(u128) + uploader
+    val codeStored = b(Array(0.toByte), u32le(0),
+      Array(8.toByte, 2.toByte), codeHash,
+      Array.fill[Byte](16)(0), alice, cp(0))
+    val raw = Seq((22000, 5L, "0xb5", "0xb4",
+      new java.sql.Timestamp(1709251500000L), true, "0xaa",
+      Seq(envelope(alice, callBytes)),
+      Codec.bytesToHex(b(cp(2L), success(0), codeStored)))
+    ).toDF("chain_id", "number", "hash", "parent_hash", "block_time",
+      "finalized", "author_pub", "extrinsics_hex", "events_hex")
+    val decoded = BlockDecode.decodeBlocks(raw,
+      Seq((5L, 200)).toDF("block_number", "spec_version"),
+      Seq(meta)).toDF()
+    val callRows = Contracts.contractCallRows(
+      graft.etl.Dump.calls(decoded, "2024-03-01"),
+      graft.etl.Dump.extrinsics(decoded, "2024-03-01"))
+      .collect()
+    assert(callRows.length == 1)
+    val r = callRows.head
+    // the object-shaped gas gates to "0" (ref isNumeric), and the
+    // LATER args survive the two-compact Weight — the cursor stayed
+    // aligned
+    assert(r.getAs[String]("gas_limit") == "0")
+    assert(r.getAs[String]("storage_deposit_limit") == "7000")
+    assert(r.getAs[String]("value") == "100")
+    assert(r.getAs[String]("address_pub_key") == Codec.bytesToHex(dave))
+    val code = Contracts.wasmCodeRows(
+      graft.etl.Dump.events(decoded, "2024-03-01"),
+      graft.etl.Dump.extrinsics(decoded, "2024-03-01")).collect()
+    assert(code.length == 1 &&
+      code.head.getAs[String]("code_hash") == Codec.bytesToHex(codeHash))
   }
 
   test("dumpContracts: three whole-table replaces, re-run idempotent") {
