@@ -250,15 +250,137 @@ object GovOps {
        | FROM events WHERE event_id < 900 AND event_id % 5 = 0)
        |ORDER BY account_ss58""".stripMargin
 
+  // B6 — the conviction-voting SNAPSHOT sources THROUGH THE WRITER
+  // (Democracy.votingForSnapshots → Snapshot.dumpSnapshots; ref
+  // snapshot/polkadot.js:424-470): pubkey-hex accounts keyed on
+  // residues so voter recs AGGREGATE multiple polls per (account,
+  // track), delegatee recs aggregate multiple delegations per target,
+  // known and unknown track names, and the pv JSON — raw plancks,
+  // struct-ordered, sort_array'd — re-rendered character-exact in
+  // DuckDB.
+  private def b6(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).filter(col("event_id") < 900)
+      .select(col("event_id"))
+    def mh(c: org.apache.spark.sql.Column) = md5(c.cast("binary"))
+    def pk(seed: org.apache.spark.sql.Column) =
+      concat(lit("0x"), mh(seed.cast("string")),
+        mh(concat(seed.cast("string"), lit("q"))))
+    val raw = (c: org.apache.spark.sql.Column) =>
+      (c.cast("decimal(38,0)") * lit(1000000000L)).cast("decimal(38,0)")
+    // account = residue mod 120 → the (account, class=acct%40) rec
+    // collects ~7 polls; vote kinds/bytes cycle like g5's walk
+    val casting = e.select(
+      lit(22000).as("chain_id"),
+      pk(col("event_id") % 120).as("account_ss58"),
+      (col("event_id") % 120 % 40).cast("int").as("class_id"),
+      (col("event_id") % 25).as("poll_id"),
+      when(col("event_id") % 3 === 0, lit("standard"))
+        .when(col("event_id") % 3 === 1, lit("split"))
+        .otherwise(lit("splitabstain")).as("vote_kind"),
+      (col("event_id") % 256).cast("int").as("vote_byte"),
+      raw(col("event_id") % 1000 + 1).as("balance"),
+      raw(col("event_id") % 500).as("aye"),
+      raw(col("event_id") % 300).as("nay"),
+      raw(col("event_id") % 200).as("abstain"))
+    val delegating = e.filter(col("event_id") % 5 === 0).select(
+      lit(22000).as("chain_id"),
+      pk(concat(col("event_id"), lit("d"))).as("account_ss58"),
+      (col("event_id") % 16).cast("int").as("class_id"),
+      pk(concat(col("event_id") % 50, lit("t"))).as("target_ss58"),
+      raw(col("event_id") % 700 + 3).as("balance"),
+      (col("event_id") % 8).cast("int").as("conviction"))
+    val recs = graft.etl.Democracy.votingForSnapshots(casting,
+      delegating, chainName = "Polkadot", source = "polkaholic",
+      blockNumber = 600L, blockHash = "0xb600", tsSec = 1709251800L)
+    graft.etl.Snapshot.dumpSnapshots(recs, "2024-03-01",
+      queryDumpDir("graft_cvsnap_dump"))
+      .select(col("section"), col("storage"), col("track"),
+        col("address_pubkey"), col("track_val"), col("pv"),
+        col("block_number"), us(col("ts")).as("ts_us"), col("source"))
+      .orderBy(col("storage"), col("track"), col("address_pubkey"),
+        asc_nulls_first("track_val"), col("pv"))
+  }
+
+  private val b6Sql = {
+    val accPk = (seed: String) =>
+      s"'0x' || md5($seed) || md5($seed || 'q')"
+    s"""WITH e AS (SELECT event_id AS ev FROM events WHERE event_id < 900),
+       |cast1 AS (
+       | SELECT ${accPk("CAST(ev % 120 AS VARCHAR)")} AS pub,
+       |  CAST(ev % 120 % 40 AS INT) AS class_id,
+       |  '{"poll_id":' || CAST(ev % 25 AS VARCHAR)
+       |   || ',"vote_kind":"' || (CASE WHEN ev % 3 = 0 THEN 'standard'
+       |     WHEN ev % 3 = 1 THEN 'split' ELSE 'splitabstain' END)
+       |   || '","vote_byte":' || CAST(ev % 256 AS VARCHAR)
+       |   || ',"balance":' || CAST(CAST(ev % 1000 + 1 AS BIGINT)
+       |     * 1000000000 AS VARCHAR)
+       |   || ',"aye":' || CAST(CAST(ev % 500 AS BIGINT)
+       |     * 1000000000 AS VARCHAR)
+       |   || ',"nay":' || CAST(CAST(ev % 300 AS BIGINT)
+       |     * 1000000000 AS VARCHAR)
+       |   || ',"abstain":' || CAST(CAST(ev % 200 AS BIGINT)
+       |     * 1000000000 AS VARCHAR) || '}' AS vote_json,
+       |  ev % 25 AS poll_id, ev % 3 AS kind, ev % 256 AS vb,
+       |  (ev % 1000 + 1) AS bal, ev % 500 AS a2, ev % 300 AS n2,
+       |  ev % 200 AS ab2
+       | FROM e),
+       |voter AS (
+       | SELECT 'convictionVoting' AS section, 'votingFor' AS storage,
+       |  'opengov_voter' AS track, pub AS address_pubkey,
+       |  $trackCaseSql AS track_val,
+       |  '{"casting":{"votes":['
+       |   || array_to_string(list(vote_json ORDER BY poll_id,
+       |     CASE WHEN kind = 0 THEN 'standard' WHEN kind = 1
+       |      THEN 'split' ELSE 'splitabstain' END, vb, bal, a2, n2,
+       |     ab2), ',')
+       |   || ']}}' AS pv
+       | FROM cast1 GROUP BY pub, class_id),
+       |dele AS (
+       | SELECT ev, ${accPk("CAST(ev AS VARCHAR) || 'd'")} AS pub,
+       |  CAST(ev % 16 AS INT) AS class_id,
+       |  ${accPk("CAST(ev % 50 AS VARCHAR) || 't'")} AS target,
+       |  CAST(ev % 700 + 3 AS BIGINT) * 1000000000 AS bal,
+       |  ev % 8 AS conv
+       | FROM e WHERE ev % 5 = 0),
+       |delegator AS (
+       | SELECT 'convictionVoting' AS section, 'votingFor' AS storage,
+       |  'opengov_delegator' AS track, pub AS address_pubkey,
+       |  $trackCaseSql AS track_val,
+       |  '{"delegating":{"target_ss58":"' || target
+       |   || '","balance":' || CAST(bal AS VARCHAR)
+       |   || ',"conviction":"' || (CASE WHEN conv = 0 THEN 'None'
+       |     ELSE 'Locked' || CAST(conv AS VARCHAR) || 'x' END)
+       |   || '"}}' AS pv
+       | FROM dele),
+       |delegatee AS (
+       | SELECT 'convictionVoting' AS section, 'delegatee' AS storage,
+       |  'opengov' AS track, target AS address_pubkey,
+       |  $trackCaseSql AS track_val,
+       |  '{"delegators":' || CAST(count(*) AS VARCHAR)
+       |   || ',"capital":' || CAST(CAST(sum(bal) AS DECIMAL(38,0))
+       |     AS VARCHAR) || '}' AS pv
+       | FROM dele GROUP BY target, class_id)
+       |SELECT section, storage, track, address_pubkey, track_val, pv,
+       | CAST(600 AS BIGINT) AS block_number,
+       | CAST(1709251800 AS BIGINT) * 1000000 AS ts_us,
+       | 'polkaholic' AS source
+       |FROM (SELECT * FROM voter UNION ALL SELECT * FROM delegator
+       | UNION ALL SELECT * FROM delegatee)
+       |ORDER BY storage, track, address_pubkey,
+       | track_val NULLS FIRST, pv""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_conviction_tally" -> (g1 _),
     "g5_democracy_votes_dump" -> (g5 _),
     "g6_delegation_dump" -> (g6 _),
+    "b6_votingfor_snapshot" -> (b6 _),
   )
 
   val oracles: Map[String, String] = Map(
     "g1_conviction_tally" -> g1Sql,
     "g5_democracy_votes_dump" -> g5Sql,
     "g6_delegation_dump" -> g6Sql,
+    "b6_votingfor_snapshot" -> b6Sql,
   )
 }
