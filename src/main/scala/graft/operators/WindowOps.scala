@@ -411,6 +411,97 @@ object WindowOps {
       |FROM st WHERE storage = 'ErasStakers'
       |GROUP BY era ORDER BY era""".stripMargin
 
+  // B7 — the stakings.info SNAPSHOT rec THROUGH THE WRITER
+  // (Stakings.stakingInfoSnapshot → Snapshot.dumpSnapshots; ref
+  // snapshot/polkadot.js:395-412): two eras off the SAME dumped
+  // stakings layout b4 verifies — era 1 with the era-start filter
+  // (exact per-era active set: only entries WRITTEN in the era) and
+  // era 2 in carry-forward mode — and the DuckDB twin replays the grid
+  // argmax, both count modes, and the pv JSON character-exact.
+  private def b7(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val nul = lit(null).cast("double")
+    val updates = ev.select(
+      lit(0).as("chain_id"),
+      col("event_id").as("number"),
+      when(col("event_type") === "purchase", "ErasStakers")
+        .otherwise("Nominators").as("storage"),
+      concat(lit("u"), col("user_id")).as("address_pubkey"),
+      when(col("event_type") === "purchase",
+        (col("event_id") % 977).cast("double")).as("validator_total"),
+      nul.as("validator_own"), nul.as("validator_commission"),
+      when(col("event_type") === "purchase",
+        (col("event_id") % 91).cast("double"))
+        .as("validator_reward_points"),
+      nul.as("member_bonded"),
+      lit(null).cast("long").as("nominationpools_id"),
+      nul.as("nominationpools_total"),
+      nul.as("nominationpools_commission"),
+      lit(null).cast("string").as("targets"))
+    val eraEnds = Seq((0L, 500L), (1L, 1500L), (2L, 4500L))
+    val dir = queryDumpDir("graft_stakinfo_dump")
+    graft.etl.Stakings.dumpStakingsDay(updates, eraEnds,
+      "2024-03-01", dir)
+    val dumped = s.read.parquet(s"$dir/stakings")
+    import graft.etl.Stakings
+    val recs = Seq(
+      Stakings.stakingInfoSnapshot(dumped, era = 1L,
+        chainName = "Polkadot", source = "polkaholic",
+        blockNumber = 1500L, blockHash = "0xb1500",
+        tsSec = 1709251800L, eraStartBlock = Some(501L)),
+      Stakings.stakingInfoSnapshot(dumped, era = 2L,
+        chainName = "Polkadot", source = "polkaholic",
+        blockNumber = 4500L, blockHash = "0xb4500",
+        tsSec = 1709338200L))
+    graft.etl.Snapshot.dumpSnapshots(recs, "2024-03-01",
+      queryDumpDir("graft_stakinfo_snap"))
+      .select(col("section"), col("storage"), col("track"),
+        col("track_val"), col("pv"), col("block_number"),
+        us(col("ts")).as("ts_us"))
+      .orderBy(col("track_val"))
+  }
+
+  private val b7Sql =
+    """WITH upd AS (
+      | SELECT event_id AS number,
+      |  CASE WHEN event_type = 'purchase' THEN 'ErasStakers'
+      |   ELSE 'Nominators' END AS storage,
+      |  'u' || CAST(user_id AS VARCHAR) AS addr,
+      |  CASE WHEN event_type = 'purchase'
+      |   THEN CAST(event_id % 977 AS DOUBLE) END AS vt
+      | FROM events),
+      |st AS (
+      | SELECT g, storage, addr, arg_max(vt, number) AS vt,
+      |  max(number) AS n
+      | FROM upd JOIN (VALUES (1500), (4500)) AS grid(g)
+      |  ON upd.number <= grid.g
+      | GROUP BY g, storage, addr),
+      |eras AS (
+      | SELECT 1 AS era, storage, vt FROM st
+      |  WHERE g = 1500 AND n >= 501
+      | UNION ALL
+      | SELECT 2 AS era, storage, vt FROM st WHERE g = 4500),
+      |agg AS (
+      | SELECT era,
+      |  CAST(sum(CASE WHEN storage = 'ErasStakers'
+      |   THEN CAST(vt AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+      |   AS total_staked,
+      |  count(CASE WHEN storage = 'ErasStakers' THEN 1 END) AS n_v,
+      |  count(CASE WHEN storage = 'Nominators' THEN 1 END) AS n_n
+      | FROM eras GROUP BY era)
+      |SELECT 'stakings' AS section, 'info' AS storage,
+      | 'era' AS track, CAST(era AS VARCHAR) AS track_val,
+      | '{"era":' || CAST(era AS VARCHAR)
+      |  || ',"total_staked":' || CAST(total_staked AS VARCHAR)
+      |  || ',"total_validators":' || CAST(n_v AS VARCHAR)
+      |  || ',"nominators":' || CAST(n_n AS VARCHAR)
+      |  || ',"pools":0,"pool_members":0}' AS pv,
+      | CASE WHEN era = 1 THEN CAST(1500 AS BIGINT)
+      |  ELSE CAST(4500 AS BIGINT) END AS block_number,
+      | CASE WHEN era = 1 THEN CAST(1709251800 AS BIGINT) * 1000000
+      |  ELSE CAST(1709338200 AS BIGINT) * 1000000 END AS ts_us
+      |FROM agg ORDER BY track_val""".stripMargin
+
   // B5 — the `snapshots` PUBLISHED-shape export THROUGH THE WRITER
   // (Snapshot.snapshotRecs → dumpSnapshots; ref snapshotter.js:90-121
   // setRecSnapShotInfo + substrateetl.js:8591 dump_snapshot; schema
@@ -885,6 +976,7 @@ object WindowOps {
     "b3_snapshot_series" -> (b3 _),
     "b4_stakings_dump" -> (b4 _),
     "b5_snapshots_dump" -> (b5 _),
+    "b7_stakinginfo_snapshot" -> (b7 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -913,5 +1005,6 @@ object WindowOps {
     "b3_snapshot_series" -> b3Sql,
     "b4_stakings_dump" -> b4Sql,
     "b5_snapshots_dump" -> b5Sql,
+    "b7_stakinginfo_snapshot" -> b7Sql,
   )
 }
