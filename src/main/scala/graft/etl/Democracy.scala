@@ -157,6 +157,93 @@ object Democracy {
       recsOf(delegatee, "convictionVoting.delegatee", "opengov"))
   }
 
+  /** `referenda.referendumInfoFor` snapshot recs (ref
+    * snapshot/polkadot.js:471-485 + process_referenda :49-95): one rec
+    * per referendum, track "referenda", track_val = the referendum id,
+    * pv carrying status/deposits/tally. Amounts stay RAW plancks —
+    * the reference divides to floats at this seam, a lossy rendering a
+    * reader can apply; raw integers keep the pv deterministic. Null
+    * detail columns drop from the JSON like the reference's
+    * conditional fields (closed referenda carry no tally).
+    *
+    * `referenda` columns: chain_id, ref_id, status, plus any of
+    * submission_depositor, submission_deposit, decision_deposit,
+    * tally_ayes, tally_nays, tally_support (raw, nullable). */
+  def referendaSnapshots(referenda: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      referenda.withColumn("pvj", to_json(struct(
+        col("ref_id"), col("status"), col("submission_depositor"),
+        col("submission_deposit"), col("decision_deposit"),
+        col("tally_ayes"), col("tally_nays"), col("tally_support")))),
+      "referenda.referendumInfoFor", chainName = chainName,
+      source = source, blockNumber = blockNumber,
+      blockHash = blockHash, tsSec = tsSec,
+      pvJsonCol = Some("pvj"),
+      track = Some(("referenda", col("ref_id"))))
+
+  /** `treasury.proposals` snapshot recs (ref polkadot.js:487-504 +
+    * process_treasury_proposals :315-334): one rec per proposal keyed
+    * by the BENEFICIARY address, track "treasury", track_val = the
+    * proposal id; the reference skips a hand-maintained blacklist of
+    * proposal ids — accepted as data, not hardcoded.
+    *
+    * `proposals` columns: chain_id, proposal_id, proposer,
+    * beneficiary (ss58 or pubkey hex — normalized), value, bond
+    * (raw plancks). */
+  def treasurySnapshots(proposals: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, ss58Prefix: Int = 42,
+      blacklist: Seq[Long] = Nil): DataFrame = {
+    graft.functions.Udfs.register(proposals.sparkSession)
+    val kept =
+      if (blacklist.isEmpty) proposals
+      else proposals.filter(!col("proposal_id").isin(blacklist: _*))
+    Snapshot.snapshotRecs(
+      kept
+        .withColumn("pub", pubkeyOf(col("beneficiary")))
+        .withColumn("pvj", to_json(struct(
+          col("proposal_id").as("treasury_index"),
+          pubkeyOf(col("proposer")).as("proposer_pubkey"),
+          col("value"), col("bond")))),
+      "treasury.proposals", chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      ss58Prefix = ss58Prefix, addressCol = Some("pub"),
+      pvJsonCol = Some("pvj"),
+      track = Some(("treasury", col("proposal_id"))))
+  }
+
+  /** `bounties.bounties` snapshot recs (ref polkadot.js:506-521 +
+    * process_bounties :336-369): one rec per bounty keyed by the
+    * PROPOSER, track "bounty"; the pv carries value/fee/deposit/bond/
+    * status plus curator/update_due when the status detail has them
+    * (null → dropped from the JSON, the reference's conditional
+    * fields).
+    *
+    * `bounties` columns: chain_id, bounty_id, proposer, value, fee,
+    * curator_deposit, bond (raw), status, curator (nullable),
+    * update_due (nullable). */
+  def bountySnapshots(bounties: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, ss58Prefix: Int = 42): DataFrame = {
+    graft.functions.Udfs.register(bounties.sparkSession)
+    Snapshot.snapshotRecs(
+      bounties
+        .withColumn("pub", pubkeyOf(col("proposer")))
+        .withColumn("pvj", to_json(struct(
+          col("bounty_id").as("bounty_index"),
+          col("value"), col("fee"), col("curator_deposit"),
+          col("bond"), col("status").as("bounty_status"),
+          pubkeyOf(col("curator")).as("curator_pubkey"),
+          col("update_due")))),
+      "bounties.bounties", chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      ss58Prefix = ss58Prefix, addressCol = Some("pub"),
+      pvJsonCol = Some("pvj"),
+      track = Some(("bounty", col("bounty_id"))))
+  }
+
   /** Publish both tables, chain-partition overwrite: a re-walk of one
     * chain replaces exactly that chain's rows (the reference upserts
     * into per-chain MySQL tables `votes{chainID}` / `delegation

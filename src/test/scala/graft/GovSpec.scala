@@ -156,6 +156,68 @@ class GovSpec extends AnyFunSuite {
     assert(Codec.ss58Decode(v.getAs[String]("address_ss58"))._1 == 0)
   }
 
+  test("referenda/treasury/bounty snapshot recs " +
+      "(ref polkadot.js:471-521)") {
+    import graft.etl.Democracy
+    import graft.functions.Codec
+    val pkA = Codec.bytesToHex(Array.fill[Byte](32)(0xa.toByte))
+    val pkB = Codec.bytesToHex(Array.fill[Byte](32)(0xb.toByte))
+    val nulD = null.asInstanceOf[java.lang.Long]
+    // referenda: an ongoing one with a tally, a closed one without
+    val refs = Seq(
+      (0, 101L, "ongoing", pkA, 100L, java.lang.Long.valueOf(2000L),
+        java.lang.Long.valueOf(70L), java.lang.Long.valueOf(30L),
+        java.lang.Long.valueOf(50L)),
+      (0, 102L, "approved", pkB, 100L, nulD, nulD, nulD, nulD)
+    ).toDF("chain_id", "ref_id", "status", "submission_depositor",
+      "submission_deposit", "decision_deposit", "tally_ayes",
+      "tally_nays", "tally_support")
+    val r = Democracy.referendaSnapshots(refs, "Polkadot",
+      "polkaholic", 500L, "0xb500", 1700001000L)
+      .collect().map(x => x.getAs[String]("track_val") -> x).toMap
+    assert(r("101").getAs[String]("track") == "referenda")
+    assert(r("101").getAs[String]("pv").contains("\"tally_ayes\":70"))
+    // closed referendum: null tally fields DROP from the pv
+    assert(!r("102").getAs[String]("pv").contains("tally_ayes"))
+    assert(r("102").getAs[String]("pv").contains("\"status\":\"approved\""))
+
+    // treasury: beneficiary keys the rec; the blacklist drops by id
+    val props = Seq(
+      (0, 7L, pkA, pkB, 5000L, 50L),
+      (0, 309L, pkA, pkB, 1L, 1L) // blacklisted
+    ).toDF("chain_id", "proposal_id", "proposer", "beneficiary",
+      "value", "bond")
+    val t = Democracy.treasurySnapshots(props, "Polkadot",
+      "polkaholic", 500L, "0xb500", 1700001000L, ss58Prefix = 0,
+      blacklist = Seq(309L)).collect()
+    assert(t.length == 1)
+    assert(t.head.getAs[String]("address_pubkey") == pkB)
+    assert(t.head.getAs[String]("track") == "treasury" &&
+      t.head.getAs[String]("track_val") == "7")
+    assert(t.head.getAs[String]("pv")
+      .contains(s""""proposer_pubkey":"$pkA""""))
+
+    // bounties: proposer keys the rec; curator only when present
+    val bounties = Seq(
+      (0, 3L, pkA, 900L, 9L, 4L, 2L, "active", pkB,
+        java.lang.Long.valueOf(12345L)),
+      (0, 4L, pkB, 100L, 1L, 0L, 1L, "proposed",
+        null.asInstanceOf[String], nulD)
+    ).toDF("chain_id", "bounty_id", "proposer", "value", "fee",
+      "curator_deposit", "bond", "status", "curator", "update_due")
+    val b = Democracy.bountySnapshots(bounties, "Polkadot",
+      "polkaholic", 500L, "0xb500", 1700001000L)
+      .collect().map(x => x.getAs[String]("track_val") -> x).toMap
+    assert(b("3").getAs[String]("address_pubkey") == pkA)
+    assert(b("3").getAs[String]("pv")
+      .contains(s""""curator_pubkey":"$pkB"""") &&
+      b("3").getAs[String]("pv").contains("\"update_due\":12345"))
+    assert(!b("4").getAs[String]("pv").contains("curator_pubkey"),
+      "a proposed bounty has no curator in the pv")
+    assert(b("4").getAs[String]("pv")
+      .contains("\"bounty_status\":\"proposed\""))
+  }
+
   test("democracy delegation export + chain-partition replace") {
     import graft.etl.Democracy
     val deleg = Seq(
