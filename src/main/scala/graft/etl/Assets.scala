@@ -223,4 +223,41 @@ object Assets {
         name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
       }
   }
+
+  /** Per-token `totalIssuance` snapshot recs — the shared shape of the
+    * per-chain snapshot extractors (ref snapshot/bifrost.js:45-108:
+    * balances/tokens.totalIssuance recs with track "asset", kv = the
+    * bare storage key, track_val upgraded to the SYMBOL when the asset
+    * registry knows the key; astar/hydradx/interlay emit the same
+    * rec family). pv carries the raw amount plus, for registry-known
+    * assets, the truncate-to-4-fraction-digits humanAmount the
+    * reference computes with BN division (floor(raw / 10^(dec-4)) /
+    * 1e4 — integer floor, not float division, so partitioning cannot
+    * change it).
+    *
+    * `issuance`: (asset_key JSON-string, raw DECIMAL(38,0));
+    * `registry`: broadcast dim (asset_key, name, symbol, decimals). */
+  def issuanceSnapshots(issuance: DataFrame, registry: DataFrame,
+      sectionStorage: String, chainName: String, source: String,
+      blockNumber: Long, blockHash: String, tsSec: Long): DataFrame = {
+    val dim = registry.select(col("asset_key"), col("name"),
+      col("symbol"), col("decimals").cast("int").as("decimals"))
+    val joined = issuance
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        Seq("asset_key"), "left")
+      .withColumn("human_amount",
+        when(col("decimals").isNotNull && col("decimals") >= 4,
+          floor(col("raw") /
+            pow(lit(10.0), col("decimals") - 4).cast("decimal(38,0)"))
+            .cast("double") / 10000.0))
+      .withColumn("pvj", to_json(struct(
+        col("raw"), col("human_amount").as("humanAmount"),
+        col("name"), col("symbol"))))
+    Snapshot.snapshotRecs(joined, sectionStorage,
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      pvJsonCol = Some("pvj"), kvJsonCol = Some("asset_key"),
+      track = Some(("asset",
+        coalesce(col("symbol"), col("asset_key")))))
+  }
 }

@@ -159,7 +159,11 @@ object Snapshot {
         * verbatim (extractors that collect nested state render their
         * own JSON; re-wrapping it through pvCols would escape-encode
         * the whole document into a string field). Wins over pvCols. */
-      pvJsonCol: Option[String] = None): DataFrame = {
+      pvJsonCol: Option[String] = None,
+      /** same, for `kv` — the reference stores the bare storage KEY
+        * there (a JSON scalar or array, bifrost.js:60 `kv = kVal`),
+        * not an object wrapper. Wins over kvCols. */
+      kvJsonCol: Option[String] = None): DataFrame = {
     val pieces = sectionStorage.split('.')
     require(pieces.length == 2,
       s"invalid section_storage=$sectionStorage — want 'section.storage'" +
@@ -169,6 +173,7 @@ object Snapshot {
       if (cols.isEmpty) lit(null).cast("string")
       else to_json(struct(cols.map(col): _*))
     val pvCol = pvJsonCol.map(col).getOrElse(jsonOf(pvCols))
+    val kvCol = kvJsonCol.map(col).getOrElse(jsonOf(kvCols))
     val addr = addressCol.map(col)
       .getOrElse(lit(null).cast("string"))
     state.select(
@@ -184,7 +189,7 @@ object Snapshot {
         .as("track"),
       track.map(_._2.cast("string"))
         .getOrElse(lit(null).cast("string")).as("track_val"),
-      jsonOf(kvCols).as("kv"),
+      kvCol.as("kv"),
       pvCol.as("pv"),
       lit(source).as("source"))
   }

@@ -145,4 +145,31 @@ class AssetsSpec extends AnyFunSuite {
     assert(again("xcmassets").count() == 2)
     assert(again("assets").count() == 1)
   }
+
+  test("per-token issuance snapshot recs (ref bifrost.js:45-108)") {
+    val issuance = Seq(
+      ("\"BNC\"", BigDecimal("80000012345678901234")),   // known, 12 dec
+      ("{\"vToken\":\"KSM\"}", BigDecimal(500))          // unknown key
+    ).toDF("asset_key", "raw")
+    val reg = Seq(("\"BNC\"", "Bifrost Native Token", "BNC", 12))
+      .toDF("asset_key", "name", "symbol", "decimals")
+    val recs = Assets.issuanceSnapshots(issuance, reg,
+      "tokens.totalIssuance", "Bifrost", "polkaholic",
+      blockNumber = 900L, blockHash = "0xb900", tsSec = 1700002000L)
+      .collect().map(r => r.getAs[String]("kv") -> r).toMap
+    val known = recs("\"BNC\"")
+    assert(known.getAs[String]("track") == "asset" &&
+      known.getAs[String]("track_val") == "BNC")
+    // floor(raw / 10^8) / 1e4 = 80000012.3456 — truncation, not round
+    assert(known.getAs[String]("pv")
+      .contains("\"humanAmount\":8.00000123456E7") ||
+      known.getAs[String]("pv").contains("\"humanAmount\":80000012.3456"),
+      known.getAs[String]("pv"))
+    assert(known.getAs[String]("pv").contains("\"symbol\":\"BNC\""))
+    // unknown asset: bare key as track_val, no humanAmount/name/symbol
+    val unk = recs("{\"vToken\":\"KSM\"}")
+    assert(unk.getAs[String]("track_val") == "{\"vToken\":\"KSM\"}")
+    assert(!unk.getAs[String]("pv").contains("humanAmount") &&
+      unk.getAs[String]("pv").contains("\"raw\":500"))
+  }
 }
