@@ -242,14 +242,22 @@ object Assets {
       blockNumber: Long, blockHash: String, tsSec: Long): DataFrame = {
     val dim = registry.select(col("asset_key"), col("name"),
       col("symbol"), col("decimals").cast("int").as("decimals"))
+    // truncate, don't round: Spark decimal division rounds HALF_UP at
+    // the result scale, so floor(raw / p) could still round UP across
+    // the integer boundary — subtract the remainder first, making the
+    // quotient exact. Low-decimal assets keep ALL their fraction
+    // digits (kept = min(decimals, 4)); 10^k doubles are exact
+    // (2^k·5^k, 5^k < 2^53 for every real chain decimals).
+    val kept = least(col("decimals"), lit(4))
+    val p = pow(lit(10.0), col("decimals") - kept).cast("decimal(38,0)")
     val joined = issuance
       .join(org.apache.spark.sql.functions.broadcast(dim),
         Seq("asset_key"), "left")
       .withColumn("human_amount",
-        when(col("decimals").isNotNull && col("decimals") >= 4,
-          floor(col("raw") /
-            pow(lit(10.0), col("decimals") - 4).cast("decimal(38,0)"))
-            .cast("double") / 10000.0))
+        when(col("decimals").isNotNull,
+          ((col("raw") - pmod(col("raw"), p)) / p)
+            .cast("decimal(38,0)").cast("double") /
+            pow(lit(10.0), kept)))
       .withColumn("pvj", to_json(struct(
         col("raw"), col("human_amount").as("humanAmount"),
         col("name"), col("symbol"))))

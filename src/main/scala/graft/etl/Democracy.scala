@@ -171,10 +171,16 @@ object Democracy {
     * tally_ayes, tally_nays, tally_support (raw, nullable). */
   def referendaSnapshots(referenda: DataFrame, chainName: String,
       source: String, blockNumber: Long, blockHash: String,
-      tsSec: Long): DataFrame =
+      tsSec: Long): DataFrame = {
+    graft.functions.Udfs.register(referenda.sparkSession)
     Snapshot.snapshotRecs(
       referenda.withColumn("pvj", to_json(struct(
-        col("ref_id"), col("status"), col("submission_depositor"),
+        col("ref_id"), col("status"),
+        // normalized like the sibling extractors' proposer/curator —
+        // an ss58-form walk must not leak two address renderings into
+        // one snapshots table
+        pubkeyOf(col("submission_depositor"))
+          .as("submission_depositor"),
         col("submission_deposit"), col("decision_deposit"),
         col("tally_ayes"), col("tally_nays"), col("tally_support")))),
       "referenda.referendumInfoFor", chainName = chainName,
@@ -182,6 +188,7 @@ object Democracy {
       blockHash = blockHash, tsSec = tsSec,
       pvJsonCol = Some("pvj"),
       track = Some(("referenda", col("ref_id"))))
+  }
 
   /** `treasury.proposals` snapshot recs (ref polkadot.js:487-504 +
     * process_treasury_proposals :315-334): one rec per proposal keyed

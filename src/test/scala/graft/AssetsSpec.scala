@@ -149,9 +149,16 @@ class AssetsSpec extends AnyFunSuite {
   test("per-token issuance snapshot recs (ref bifrost.js:45-108)") {
     val issuance = Seq(
       ("\"BNC\"", BigDecimal("80000012345678901234")),   // known, 12 dec
-      ("{\"vToken\":\"KSM\"}", BigDecimal(500))          // unknown key
+      ("{\"vToken\":\"KSM\"}", BigDecimal(500)),         // unknown key
+      // quotient fraction .99999999 — decimal division HALF_UP would
+      // round ACROSS the integer boundary; truncation must not
+      ("\"EDG\"", BigDecimal("99999999999999")),         // 12 dec
+      ("\"CTY\"", BigDecimal(12345))                     // 2 dec (< 4)
     ).toDF("asset_key", "raw")
-    val reg = Seq(("\"BNC\"", "Bifrost Native Token", "BNC", 12))
+    val reg = Seq(
+      ("\"BNC\"", "Bifrost Native Token", "BNC", 12),
+      ("\"EDG\"", "Edge", "EDG", 12),
+      ("\"CTY\"", "Cents", "CTY", 2))
       .toDF("asset_key", "name", "symbol", "decimals")
     val recs = Assets.issuanceSnapshots(issuance, reg,
       "tokens.totalIssuance", "Bifrost", "polkaholic",
@@ -171,5 +178,12 @@ class AssetsSpec extends AnyFunSuite {
     assert(unk.getAs[String]("track_val") == "{\"vToken\":\"KSM\"}")
     assert(!unk.getAs[String]("pv").contains("humanAmount") &&
       unk.getAs[String]("pv").contains("\"raw\":500"))
+    // TRUNCATION at the boundary: 99.99999999999999 tokens must render
+    // 99.9999, never round up to 100.0
+    assert(recs("\"EDG\"").getAs[String]("pv")
+      .contains("\"humanAmount\":99.9999"), recs("\"EDG\"").toString)
+    // low-decimal asset keeps ALL its fraction digits (d < 4)
+    assert(recs("\"CTY\"").getAs[String]("pv")
+      .contains("\"humanAmount\":123.45"), recs("\"CTY\"").toString)
   }
 }

@@ -177,6 +177,9 @@ class GovSpec extends AnyFunSuite {
       .collect().map(x => x.getAs[String]("track_val") -> x).toMap
     assert(r("101").getAs[String]("track") == "referenda")
     assert(r("101").getAs[String]("pv").contains("\"tally_ayes\":70"))
+    // the depositor normalizes like the sibling extractors' addresses
+    assert(r("101").getAs[String]("pv")
+      .contains(s""""submission_depositor":"$pkA""""))
     // closed referendum: null tally fields DROP from the pv
     assert(!r("102").getAs[String]("pv").contains("tally_ayes"))
     assert(r("102").getAs[String]("pv").contains("\"status\":\"approved\""))
