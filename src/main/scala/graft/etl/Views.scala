@@ -96,7 +96,24 @@ object Views {
     // (unpartitioned by derivation)
     ViewSpec("assets", null, partitionCol = "relay_chain"),
     ViewSpec("xcmassets", null, partitionCol = "relay_chain"),
-    ViewSpec("chains", null))
+    ViewSpec("chains", null),
+    // the round-12 export surface: snapshots windows on its partition
+    // date; the WASM contracts dataset and the account dims are
+    // whole-table replaces (non-partitioned, the reference's bq load
+    // --replace tier); democracy tables lay out per chain; the evm.*
+    // dataset slice rides the block timestamp like evmtxs
+    ViewSpec("snapshots", "log_dt"),
+    ViewSpec("contracts", null),
+    ViewSpec("contractscode", null),
+    ViewSpec("contractscall", null),
+    ViewSpec("votes", null, partitionCol = "chain_id"),
+    ViewSpec("delegation", null, partitionCol = "chain_id"),
+    ViewSpec("identity", null),
+    ViewSpec("exchanges", null),
+    ViewSpec("knownpubs", null))
+  // (the evm.* dataset slice — logs/token_transfers — registers with
+  // the SAME machinery against its own dataset root: its "logs" would
+  // collide with the substrate digest-log table inside one catalog)
 
   private def noisePredicate(s: ViewSpec): Option[String] =
     if (s.noise.isEmpty) None
