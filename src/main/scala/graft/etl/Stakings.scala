@@ -113,6 +113,45 @@ object Stakings {
       track = Some(("era", lit(era))))
   }
 
+  /** Astar-family `dappStaking.stakerInfo` snapshot recs (ref
+    * snapshot/astar.js:174-209): one rec per (staker, dApp) — address
+    * = the staker, pv carrying the staked amounts, loyalty flag, and
+    * the dApp identity with its Evm/Wasm enum tag split out
+    * (dAppType/dAppAddress, the reference's key unpacking), track =
+    * the protocol era (setRecSnapShotEra). Amounts stay RAW plancks —
+    * the reference divides to floats at this seam — keeping the pv
+    * deterministic.
+    *
+    * `stakerInfo` columns: staker (ss58 or pubkey hex — normalized),
+    * dapp_type ('Evm' | 'Wasm'), dapp_address, staked_voting,
+    * staked_build_and_earn (raw), era, period, loyal_staker. */
+  def dappStakingSnapshots(stakerInfo: DataFrame, era: Long,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long, ss58Prefix: Int = 5)
+      : DataFrame = {
+    graft.functions.Udfs.register(stakerInfo.sparkSession)
+    Snapshot.snapshotRecs(
+      stakerInfo
+        .withColumn("pub", pubkeyOf(col("staker")))
+        // scale-0 renders "0", not the Decimal(38,18) default's
+        // "0E-18" (and callers must supply (38,0) plancks to begin
+        // with — an inferred (38,18) nulls amounts >= 1e20)
+        .withColumn("pvj", to_json(struct(
+          struct(col("staked_voting").cast("decimal(38,0)")
+              .as("voting"),
+            col("staked_build_and_earn").cast("decimal(38,0)")
+              .as("buildAndEarn"),
+            col("era"), col("period")).as("staked"),
+          col("loyal_staker").as("loyalStaker"),
+          col("dapp_type").as("dAppType"),
+          col("dapp_address").as("dAppAddress")))),
+      "dappStaking.stakerInfo", chainName = chainName,
+      source = source, blockNumber = blockNumber,
+      blockHash = blockHash, tsSec = tsSec, ss58Prefix = ss58Prefix,
+      addressCol = Some("pub"), pvJsonCol = Some("pvj"),
+      track = Some(("era", lit(era))))
+  }
+
   /** Write the stakings table as idempotent date partitions next to the
     * other entity tables (ref substrateetl.js:7500). */
   def dumpStakingsDay(updates: DataFrame, eraEnds: Seq[(Long, Long)],

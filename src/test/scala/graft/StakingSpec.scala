@@ -182,4 +182,42 @@ class StakingSpec extends AnyFunSuite {
     assert(rec.getAs[String]("address_pubkey") == null,
       "stakings.info is a chain-level rec")
   }
+
+  test("dappStaking.stakerInfo snapshot recs (ref astar.js:174-209)") {
+    import graft.functions.Codec
+    val pk = Codec.bytesToHex(Array.fill[Byte](32)(6))
+    val h160 = "0xf3824888ecca4514dd776f0db38d6530ab8fb280"
+    // amounts as STRINGS cast to decimal(38,0): a Seq[BigDecimal]
+    // infers Decimal(38,18), whose integer range silently NULLS
+    // planck amounts >= 1e20 (the EvmDecode lesson)
+    val info = Seq(
+      (pk, "Evm", h160, "1000000000000000000000", "0", 4346L, 3L, true),
+      (Codec.ss58Encode(Array.fill[Byte](32)(7), 5), "Wasm",
+        "WasmAddr", "5", "2", 4346L, 3L, false)
+    ).toDF("staker", "dapp_type", "dapp_address", "staked_voting",
+      "staked_build_and_earn", "era", "period", "loyal_staker")
+      .withColumn("staked_voting",
+        org.apache.spark.sql.functions.col("staked_voting")
+          .cast("decimal(38,0)"))
+      .withColumn("staked_build_and_earn",
+        org.apache.spark.sql.functions.col("staked_build_and_earn")
+          .cast("decimal(38,0)"))
+    val recs = graft.etl.Stakings.dappStakingSnapshots(info, era = 4346L,
+      chainName = "Astar", source = "polkaholic", blockNumber = 999L,
+      blockHash = "0xb999", tsSec = 1700003000L)
+      .collect().map(r => r.getAs[String]("address_pubkey") -> r).toMap
+    val evm = recs(pk)
+    assert(evm.getAs[String]("section") == "dappStaking" &&
+      evm.getAs[String]("storage") == "stakerInfo")
+    assert(evm.getAs[String]("track") == "era" &&
+      evm.getAs[String]("track_val") == "4346")
+    val pv = evm.getAs[String]("pv")
+    assert(pv.contains(""""staked":{"voting":1000000000000000000000"""))
+    assert(pv.contains(s""""dAppType":"Evm","dAppAddress":"$h160""""))
+    assert(pv.contains("\"loyalStaker\":true"))
+    // ss58-form staker normalizes to pubkey like every extractor
+    val w = recs(Codec.bytesToHex(Array.fill[Byte](32)(7)))
+    assert(w.getAs[String]("pv").contains("\"dAppType\":\"Wasm\""))
+    assert(Codec.ss58Decode(w.getAs[String]("address_ss58"))._1 == 5)
+  }
 }
