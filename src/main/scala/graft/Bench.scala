@@ -395,7 +395,13 @@ object BenchTrend {
         * band and the guard would demote every real regression; at
         * sf0.01 a genuine storm reads under-band and its inflated
         * lines would go hard). 1.0 when no canary is measurable. */
-      canaryFactor: Double = 1.0)
+      canaryFactor: Double = 1.0,
+      /** Slowdowns excused by a committed, human-reviewed entry in the
+        * adjudications ledger ([[adjudicatedFor]]) — reported as info,
+        * never red. Throws are NEVER adjudicable: an adjudication
+        * records "this artifact's TIMING is a host burst", and steal
+        * makes queries slow, not wrong. */
+      adjudicated: Seq[String] = Nil)
 
   private def pfx(k: String): String =
     // "stage:" compresses to "s:" on the tightest contract rung —
@@ -452,6 +458,44 @@ object BenchTrend {
       .flatMap(m => """[A-Za-z0-9_:]+""".r.findAllIn(m.group(1)))
       .map(pfx).toSet
 
+  /** The committed adjudications ledger (the round-12 judge's loop
+    * fix: four consecutive rounds opened with a red suite on a
+    * post-session driver artifact measuring UNTOUCHED code — each
+    * round's triage lived only in docs/BENCH.md prose, invisible to
+    * the guard). `BENCH_ADJUDICATIONS.json` turns that triage into
+    * reviewed DATA: one entry per (bench file, query) whose slowdown a
+    * human adjudicated as a host artifact, with the evidence written
+    * down. [[compare]] demotes a matching slowdown to an info row;
+    * anything unadjudicated stays hard. Scope rules:
+    *  - an entry binds ONE file to ONE query — it cannot pre-excuse
+    *    the next round's artifact or a sibling query;
+    *  - throws (-1) are never adjudicable (steal makes queries slow,
+    *    not wrong);
+    *  - the ledger is committed and review-gated like any code change;
+    *    tools/bench_diff.py reads the same file. */
+  val AdjudicationsFile = "BENCH_ADJUDICATIONS.json"
+
+  /** Prefix-normalized query names adjudicated for `benchFileName`
+    * (e.g. "BENCH_r12.json"). Regex field-extraction, same zero-dep
+    * style as the other artifact parsers: entries are flat objects
+    * with "file" and "query" string fields. */
+  def adjudicatedFor(benchFileName: String,
+      ledgerDir: String = "."): Set[String] = {
+    val f = new java.io.File(ledgerDir, AdjudicationsFile)
+    if (!f.isFile) Set.empty
+    else {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      """\{[^{}]*\}""".r.findAllIn(txt).flatMap { obj =>
+        val field = (n: String) =>
+          ("\"" + n + """"\s*:\s*"([^"]+)"""").r
+            .findFirstMatchIn(obj).map(_.group(1))
+        for (file <- field("file"); q <- field("query");
+             if file == benchFileName) yield pfx(q)
+      }.toSet
+    }
+  }
+
   /** Sub-second slowdowns are only HARD when they are a pattern:
     * seven same-code sf0.1 runs in one round-10 session showed lone
     * untouched lines swinging ×3.4-3.7 under a second (a14
@@ -466,7 +510,8 @@ object BenchTrend {
   val MaxIsolatedSubSecond = 2
 
   def compare(prevTxt: String, currTxt: String, factor: Double = 3.0,
-              floor: Double = 0.3): Trend = {
+              floor: Double = 0.3,
+              adjudicatedQs: Set[String] = Set.empty): Trend = {
     val prev = queryTimes(prevTxt)
     val curr = queryTimes(currTxt)
     val stormySet = stormyOf(currTxt)
@@ -494,13 +539,16 @@ object BenchTrend {
     val canaryRun = canaryFactor >= CanaryStormFactor
     val hard = scala.collection.mutable.ArrayBuffer[String]()
     val soft = scala.collection.mutable.ArrayBuffer[String]()
+    val adj = scala.collection.mutable.ArrayBuffer[String]()
     val slowSub = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, p) <- prev.toSeq.sortBy(_._1); c <- curr.get(name)) {
       if (c < 0 && p >= 0)
+        // a throw is NEVER adjudicable — see [[AdjudicationsFile]]
         hard += f"$name: $p%.2f s -> FAILED (-1)"
       else if (c > floor && p >= 0 && c > factor * p) {
         val line = f"$name: $p%.2f s -> $c%.2f s (x${c / math.max(p, 1e-9)}%.1f)"
-        if (stormySet.contains(pfx(name)) || stormRun || canaryRun)
+        if (adjudicatedQs.contains(pfx(name))) adj += line
+        else if (stormySet.contains(pfx(name)) || stormRun || canaryRun)
           soft += line
         else if (c < SubSecondBand) slowSub += line
         else hard += line
@@ -510,6 +558,6 @@ object BenchTrend {
     else hard ++= slowSub
     Trend(hard.toSeq, soft.toSeq, ticks,
       vacuous = (prev.keySet & curr.keySet).isEmpty,
-      canaryFactor = canaryFactor)
+      canaryFactor = canaryFactor, adjudicated = adj.toSeq)
   }
 }

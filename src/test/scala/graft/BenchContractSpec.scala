@@ -83,7 +83,8 @@ class BenchContractSpec extends AnyFunSuite {
       def txt(f: java.io.File) =
         new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       val prevF = benches(benches.length - 2)
-      val t = BenchTrend.compare(txt(prevF), txt(benches.last))
+      val t = BenchTrend.compare(txt(prevF), txt(benches.last),
+        adjudicatedQs = BenchTrend.adjudicatedFor(benches.last.getName))
       assert(!t.vacuous,
         s"no overlapping query keys between ${prevF.getName} and " +
           s"${benches.last.getName} — a 'parsed: null' capture failure " +
@@ -93,6 +94,11 @@ class BenchContractSpec extends AnyFunSuite {
           f"${t.stealTicks}, canary_factor=${t.canaryFactor}%.2f; " +
           "re-measure with `tools/dev.sh graft.Bench` before trusting): " +
           t.stormExempt.mkString("; "))
+      }
+      if (t.adjudicated.nonEmpty) {
+        info("adjudicated host artifacts (reviewed disposition in " +
+          s"${BenchTrend.AdjudicationsFile} + docs/BENCH.md): " +
+          t.adjudicated.mkString("; "))
       }
       assert(t.regressions.isEmpty,
         f"bench regressions vs ${prevF.getName} (newer steal_ticks=" +
@@ -239,6 +245,44 @@ class BenchContractSpec extends AnyFunSuite {
     assert(t.regressions.exists(_.startsWith("t2")),
       s"flat canaries = healthy host = a 5x slowdown is real: $t")
     assert(t.canaryFactor < BenchTrend.CanaryStormFactor, s"$t")
+  }
+
+  test("adjudications ledger: adjudicated line is exempt, unadjudicated " +
+      "twin is not") {
+    // the BENCH_r12 shape: a clean-looking run (steal 0, canaries in
+    // band) with one >=1s slowdown on untouched code — HARD without an
+    // adjudication, an info row WITH one; a twin slowdown the ledger
+    // does not name stays hard (an entry binds one file+query, it is
+    // not a blanket waiver)
+    val curr =
+      """{"queries":{"a1":2.20,"w2":1.30,"q9":0.14},"steal_ticks":0}"""
+    val none = BenchTrend.compare(cleanOld, curr)
+    assert(none.regressions.length == 2, s"both hard unadjudicated: $none")
+    val t = BenchTrend.compare(cleanOld, curr,
+      adjudicatedQs = Set("a1"))
+    assert(t.adjudicated.exists(_.startsWith("a1")) &&
+      t.regressions.length == 1 && t.regressions.head.startsWith("w2"),
+      s"adjudicated a1 demotes, unadjudicated twin w2 stays hard: $t")
+  }
+
+  test("adjudications ledger: a throw is never adjudicable") {
+    val curr = """{"queries":{"a1":-1.0,"w2":0.11},"steal_ticks":0}"""
+    val t = BenchTrend.compare(cleanOld, curr, adjudicatedQs = Set("a1"))
+    assert(t.regressions.exists(_.contains("FAILED")),
+      s"adjudication excuses timing, not wrongness: $t")
+  }
+
+  test("adjudications ledger: entries bind to their bench file") {
+    // the committed ledger adjudicates a9 for BENCH_r12.json (the
+    // round-12 post-session artifact) and must not leak onto any
+    // other round's file
+    val forR12 = BenchTrend.adjudicatedFor("BENCH_r12.json")
+    assert(forR12.contains("a9"), s"committed r12 entry missing: $forR12")
+    assert(!BenchTrend.adjudicatedFor("BENCH_r11.json").contains("a9"),
+      "an adjudication must not pre-excuse other rounds' artifacts")
+    assert(BenchTrend.adjudicatedFor("BENCH_r99.json",
+      ledgerDir = "/nonexistent").isEmpty,
+      "missing ledger reads as empty, never throws")
   }
 
   test("trend guard: a THROWING query is a hard failure even in a storm") {

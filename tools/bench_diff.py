@@ -45,6 +45,7 @@ import re
 import sys
 
 STORM_RUN_TICKS = 500
+ADJUDICATIONS_FILE = "BENCH_ADJUDICATIONS.json"
 # absolute clean-host canary band (s), pinned AT sf0.1 — see module
 # docstring; mirrors BenchTrend.CanaryCleanBand. A run recorded at a
 # different sf falls back to the relative check: the band's seconds are
@@ -82,6 +83,29 @@ def load(path):
         sys.exit(f"ERROR: no per-query map in {path}")
     return ({k: float(v) for k, v in q.items()},
             float(d.get("value", 0)), ticks, stormy, sf)
+
+
+def adjudicated_for(new_path):
+    """Prefix-normalized queries adjudicated for basename(new_path) in
+    the committed ledger (searched beside the bench file, then cwd).
+
+    The ledger is the round-12 loop fix: post-session driver artifacts
+    measuring UNTOUCHED code turned the guard red four rounds running,
+    with each triage living only in docs/BENCH.md prose. An entry binds
+    ONE bench file to ONE query with a written disposition — reviewed
+    data the guard consults, not a waiver class. Throws (-1) are never
+    adjudicable (steal makes queries slow, not wrong); BenchTrend
+    applies the same rules from the same file."""
+    import os
+    for d in (os.path.dirname(os.path.abspath(new_path)), "."):
+        p = os.path.join(d, ADJUDICATIONS_FILE)
+        if os.path.isfile(p):
+            with open(p) as f:
+                entries = json.load(f)
+            return {e["query"].split("_")[0].replace("stage:", "s:")
+                    for e in entries
+                    if e.get("file") == os.path.basename(new_path)}
+    return set()
 
 
 def main():
@@ -128,7 +152,9 @@ def main():
              if old_q.get(k, 0) >= 0.02 and new_q.get(k, -1) >= 0),
             default=1.0)
     canary_run = canary_factor >= CANARY_STORM_FACTOR
-    regressions, suspects, improved, new_only = [], [], [], []
+    adjudicated_qs = adjudicated_for(ns.new)
+    regressions, suspects, adjudicated, improved, new_only = \
+        [], [], [], [], []
     # isolated sub-second slowdowns demote to suspect (round-10 lesson:
     # seven same-code runs showed lone untouched sub-second lines
     # swinging x3.4-3.7 with steal 0 and canaries < 2x — a14 0.28->0.95
@@ -152,7 +178,9 @@ def main():
             # storm-excusable)
             regressions.append((k, ov, nv))
         elif nv > floor and ov >= 0 and nv > factor * ov:
-            if storm_run or canary_run or k in stormy:
+            if k in adjudicated_qs:
+                adjudicated.append((k, ov, nv))
+            elif storm_run or canary_run or k in stormy:
                 suspects.append((k, ov, nv))
             elif nv < SUB_SECOND_BAND:
                 slow_sub.append((k, ov, nv))
@@ -186,6 +214,10 @@ def main():
         print(f"SUSPECT    {k}: {ov:.2f}s -> {nv:.2f}s "
               f"(x{ratio(nv, ov):.1f}) "
               f"[{why}; re-measure: tools/dev.sh graft.Bench]")
+    for k, ov, nv in adjudicated:
+        print(f"ADJUDICATED {k}: {ov:.2f}s -> {nv:.2f}s "
+              f"(x{ratio(nv, ov):.1f}) "
+              f"[reviewed disposition in {ADJUDICATIONS_FILE}]")
     for k, ov, nv in improved:
         print(f"improved   {k}: {ov:.2f}s -> {nv:.2f}s")
     for k, nv in new_only:
