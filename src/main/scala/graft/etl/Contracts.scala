@@ -69,18 +69,34 @@ object Contracts {
       get_json_object(col("data"), s"$$[$pos]"): _*)
 
   /** Chain identity for the export tier: chain_id → (id, relay_chain,
-    * para_id, ss58_prefix). relay_chain/para_id per the reference's id
-    * arithmetic (paraTool.js getParaIDfromChainID /
-    * getRelayChainByChainID: Kusama chain ids are paraID + 20000). */
-  def chainDimOf(chains: DataFrame): DataFrame =
+    * para_id, ss58_prefix). relay_chain/para_id mirror the reference's
+    * id arithmetic exactly (paraTool.js:745 getRelayChainByChainID,
+    * :809 getParaIDfromChainID): the relay derives from the
+    * chainID/10000 PREFIX (0 polkadot, 2 kusama, 3 shibuya, 4 rococo,
+    * else unknown) — not a single ≥20000 threshold, which misread the
+    * Kusama relay itself (id 2) as a Polkadot para and 30000/40000
+    * chains as Kusama paras with bogus ids; the relay chain ids
+    * {0, 2, 30000, 40000, 60000, 80000} carry para_id 0, and subsocial
+    * keeps the reference's 22100→2101 renumbering special case. */
+  def chainDimOf(chains: DataFrame): DataFrame = {
+    val prefix = floor(col("chain_id") / 10000)
     chains.select(
       col("chain_id"),
       col("id"),
-      when(col("chain_id") >= 20000, lit("kusama"))
-        .otherwise(lit("polkadot")).as("relay_chain"),
-      when(col("chain_id") >= 20000, col("chain_id") - 20000)
-        .otherwise(col("chain_id")).cast("int").as("para_id"),
+      when(col("chain_id") === 0, lit("polkadot"))
+        .when(col("chain_id") === 2, lit("kusama"))
+        .when(prefix === 0, lit("polkadot"))
+        .when(prefix === 2, lit("kusama"))
+        .when(prefix === 3, lit("shibuya"))
+        .when(prefix === 4, lit("rococo"))
+        .otherwise(lit("unknown")).as("relay_chain"),
+      when(col("chain_id").isin(0, 2, 30000, 40000, 60000, 80000),
+        lit(0))
+        .when(col("chain_id") === 22100, lit(2101))
+        .otherwise(pmod(col("chain_id"), lit(10000)))
+        .cast("int").as("para_id"),
       col("ss58_prefix").cast("int").as("ss58_prefix"))
+  }
 
   /** Enrich a small event/call-derived frame with the extrinsic
     * signer without shuffling the extrinsics table: broadcast the

@@ -333,11 +333,16 @@ object EvmDump {
         col("raw_value_str"))
       .unionByName(shape(EvmDecode.erc721Transfers(combined),
         col("token_id_str")))
+    // chain_id rides the join keys: a combined multi-chain frame can
+    // carry the SAME tx hash on two chains (pre-EIP-155 legacy txs
+    // replay across sibling chains), and a (hash, pos)-only join would
+    // fan those rows out with the other chain's log_index
     val blockIdx = evmLogRows(combined)
-      .select(col("transaction_hash"), col("tx_log_pos"),
-        col("log_index"))
+      .select(col("chain_id"), col("transaction_hash"),
+        col("tx_log_pos"), col("log_index"))
     withChainName(
-        unioned.join(blockIdx, Seq("transaction_hash", "tx_log_pos")),
+        unioned.join(blockIdx,
+          Seq("chain_id", "transaction_hash", "tx_log_pos")),
         chains)
       .select(col("chain_id"), col("id"), col("token_address"),
         col("from_address"), col("to_address"), col("value"),

@@ -201,7 +201,10 @@ object Identity {
     * exactly once, with the sub-inheritance columns winning — a
     * deduplicated dimension joins without fanout. */
   def identityExport(polkadot: DataFrame, kusama: DataFrame)
-      : DataFrame =
+      : DataFrame = {
+    // defensive registration like the sibling entry points — the
+    // ss58_encode expr below fails unresolved on a fresh session
+    graft.functions.Udfs.register(polkadot.sparkSession)
     relayGroup(polkadot, "polkadot")
       .join(relayGroup(kusama, "kusama"), Seq("pubkey"), "full_outer")
       .select(Seq(
@@ -212,6 +215,7 @@ object Identity {
           Seq("parent", "is_subidentity", "fullname", "name", "subname",
             "info", "judgements", "judgement_verified")
             .map(c => col(s"${p}_$c"))): _*)
+  }
 
   /** The wallet-attribution account dim off the S13 CSV/label ingest
     * (ref substrateetl.js:444 ingestWalletAttribution): address →

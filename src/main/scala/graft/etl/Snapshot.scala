@@ -195,22 +195,28 @@ object Snapshot {
   }
 
   /** Land published-shape snapshot recs as idempotent
-    * (log_dt, chain_name) partitions (the reference ships one file per
-    * (chain, date, hour) into a date-decorated BigQuery load,
-    * substrateetl.js:8591 dump_snapshot → cpSnapshotToGS). The chain
-    * rides the partition spec because snapshot runs are PER CHAIN: a
-    * day-only partition would let Kusama's publish dynamically
-    * overwrite the day and silently erase Polkadot's rows. A re-run of
-    * one (chain, day) replaces exactly its own partition. All sources
-    * union into ONE table — the published dataset is a single
-    * `snapshots` table, discriminated by section/storage/source. */
+    * (log_dt, chain_name, hr) partitions (the reference ships one file
+    * per (chain, date, HOUR) into a date-decorated BigQuery load —
+    * substrateetl.js:8591 dump_snapshot iterates hr 0..23, one GS file
+    * each). The chain rides the partition spec because snapshot runs
+    * are PER CHAIN (a day-only partition would let Kusama's publish
+    * erase Polkadot's rows); the HOUR — derived from each rec's own
+    * `ts`, every rec of a placement carries the block's timestamp —
+    * rides it because publishes are per PLACEMENT: without it an
+    * hourly-cadence publisher would silently erase the same chain-day's
+    * earlier hours on every call. A re-run of one (chain, day, hour)
+    * replaces exactly its own partition, same collision surface as the
+    * reference's per-hour file overwrite. All sources union into ONE
+    * table — the published dataset is a single `snapshots` table,
+    * discriminated by section/storage/source. */
   def dumpSnapshots(recs: Seq[DataFrame], logDT: String,
       outRoot: String): DataFrame = {
     require(recs.nonEmpty, "no snapshot sources")
     val out = recs.reduce(_ unionByName _)
       .withColumn("log_dt", lit(logDT))
+      .withColumn("hr", hour(col("ts")))
     Writers.overwritePartitions(out, s"$outRoot/snapshots",
-      Seq("log_dt", "chain_name"))
+      Seq("log_dt", "chain_name", "hr"))
     out.sparkSession.read.schema(out.schema)
       .parquet(s"$outRoot/snapshots")
   }
