@@ -35,7 +35,8 @@ object SparkEntry {
       FlattenOps.queries ++
       KeyOps.queries ++
       ContractOps.queries ++
-      DimOps.queries
+      DimOps.queries ++
+      SnapshotOps.queries
 
   def oracleSql: Map[String, String] =
     Flagship.oracles ++
@@ -53,7 +54,8 @@ object SparkEntry {
       FlattenOps.oracles ++
       KeyOps.oracles ++
       ContractOps.oracles ++
-      DimOps.oracles
+      DimOps.oracles ++
+      SnapshotOps.oracles
 
   /** The single manifest of deliberately rows-only queries (no SQL oracle
     * exists: engine-specific hash/sketch layouts or the media-decode stub).

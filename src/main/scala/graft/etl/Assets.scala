@@ -268,4 +268,296 @@ object Assets {
       track = Some(("asset",
         coalesce(col("symbol"), col("asset_key")))))
   }
+
+  /** AssetHub `asset.asset` registry snapshot recs (ref
+    * snapshot/polkadot_assethub.js:44-63): one rec per tracked
+    * currency — track "stablecoin", track_val = symbol, kv =
+    * {currencyID, symbol}, pv = the registry row's numeric fields.
+    * The reference runs every numeric through toNumWithoutComma,
+    * which RETURNS A STRING (paraTool.js:423 — split/join), so the
+    * published pv values are JSON strings; rendered the same here.
+    *
+    * `assetState` columns: currency_id STRING, symbol, supply,
+    * deposit, min_balance, accounts, sufficients, approvals (any
+    * numeric type; cast to the string rendering). One row per asset —
+    * a dimension-sized frame, the projection is row-wise. */
+  def assetRegistrySnapshots(assetState: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, track: String = "stablecoin"): DataFrame = {
+    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val shaped = assetState.withColumn("pvj", to_json(struct(
+        s("supply").as("supply"), s("deposit").as("deposit"),
+        s("min_balance").as("minBalance"), s("accounts").as("accounts"),
+        s("sufficients").as("sufficients"),
+        s("approvals").as("approvals"))))
+      .withColumn("kvj", to_json(struct(
+        col("currency_id").as("currencyID"), col("symbol"))))
+    Snapshot.snapshotRecs(shaped, "asset.asset",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      pvJsonCol = Some("pvj"), kvJsonCol = Some("kvj"),
+      track = Some((track, col("symbol"))))
+  }
+
+  /** AssetHub `asset.account` holder snapshot recs with the
+    * small-holder rollup (ref snapshot/polkadot_assethub.js:66-137):
+    * a holder publishes as its OWN rec when it is a named module
+    * account (pubKeyHex2ASCII — para/sibl/modl tags), when the asset
+    * is small (registry holder count ≤ `targetMaxHolders`), or when
+    * its share of issuance exceeds `minShare`; everything else rolls
+    * into one "holders" rec per currency carrying the summed balance
+    * and the dropped-holder count. kv keeps the reference's exact
+    * key shapes — {name, currencyID, symbol} with name present-but-
+    * null on unnamed kept holders (JSON.stringify renders JS null;
+    * to_json must not drop it) — and pv {balance, balance_raw}
+    * with balance_raw a STRING (toNumWithoutComma/BN.toString).
+    *
+    * Documented divergence: the reference accumulates the rollup's
+    * float `balance` by sequential addition in walk order — order-
+    * dependent at the 1e-16 level; here it is the EXACT decimal sum
+    * of raw units divided once, deterministic under any partitioning.
+    *
+    * 100 TB shape: totals is a dimension (one row per asset) —
+    * broadcast; the only shuffle is the rollup's groupBy on the
+    * (already small) dropped slice. `holdings`: currency_id, symbol,
+    * decimals INT, address_pubkey (0x hex), balance_raw; `assetState`
+    * as in [[assetRegistrySnapshots]] (supply + accounts drive the
+    * share and small-asset gates). */
+  def assetHolderSnapshots(holdings: DataFrame, assetState: DataFrame,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long, ss58Prefix: Int = 0,
+      targetMaxHolders: Long = 5000, minShare: Double = 0.0025,
+      track: String = "stablecoin"): DataFrame = {
+    graft.functions.Udfs.register(holdings.sparkSession)
+    val totals = assetState.select(col("currency_id"),
+      col("supply").cast("decimal(38,0)").as("t_supply"),
+      col("accounts").cast("long").as("t_holders"))
+    val noDrop = Map("ignoreNullFields" -> "false")
+    val h = holdings.filter(col("balance_raw").isNotNull)
+      .join(broadcast(totals), Seq("currency_id"), "left")
+      .withColumn("ascii_name",
+        call_udf("pubkey_ascii", col("address_pubkey")))
+      .withColumn("balance", col("balance_raw").cast("double") /
+        pow(lit(10.0), col("decimals")))
+      // share test on raw units — same ratio the reference computes
+      // after dividing both sides by 10^decimals
+      .withColumn("keep", col("ascii_name").isNotNull ||
+        col("t_holders") <= targetMaxHolders ||
+        col("balance_raw").cast("double") >
+          col("t_supply").cast("double") * minShare)
+    val kept = h.filter(col("keep"))
+      .withColumn("kvj", to_json(struct(
+        col("ascii_name").as("name"),
+        col("currency_id").as("currencyID"), col("symbol")), noDrop))
+      .withColumn("pvj", to_json(struct(col("balance"),
+        col("balance_raw").cast("decimal(38,0)").cast("string")
+          .as("balance_raw"))))
+    val rolled = h.filter(!col("keep"))
+      .groupBy(col("currency_id"), col("symbol"), col("decimals"))
+      .agg(sum(col("balance_raw")).cast("decimal(38,0)").as("raw_sum"),
+        count(lit(1)).as("holders"))
+      .withColumn("kvj", to_json(struct(lit("holders").as("name"),
+        col("currency_id").as("currencyID"), col("symbol"))))
+      .withColumn("pvj", to_json(struct(
+        (col("raw_sum").cast("double") /
+          pow(lit(10.0), col("decimals"))).as("balance"),
+        col("raw_sum").cast("string").as("balance_raw"),
+        col("holders"))))
+    def recs(st: DataFrame, addr: Option[String]) =
+      Snapshot.snapshotRecs(st, "asset.account",
+        chainName = chainName, source = source,
+        blockNumber = blockNumber, blockHash = blockHash,
+        tsSec = tsSec, ss58Prefix = ss58Prefix, addressCol = addr,
+        kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
+        track = Some((track, col("symbol"))))
+    recs(kept, Some("address_pubkey"))
+      .unionByName(recs(rolled, None))
+  }
+
+  /** HydraDX-family `tokens.accounts` balance snapshot recs at a
+    * NAMED account (ref snapshot/hydradx.js:136-185: the treasury and
+    * omnipool walks — paginated_fetch scoped to one address, one rec
+    * per held asset). kv = {account, pubKey, asset_id, ticker} with
+    * ticker OMITTED when the registry does not know the asset (the
+    * reference's `?.symbol` yields JS undefined, which
+    * JSON.stringify drops — to_json's default null-dropping matches);
+    * pv = {free, reserved, frozen} as the dechexToIntStr strings.
+    *
+    * `balances`: address_pubkey, asset_id INT, free/reserved/frozen
+    * (numeric); `registry` broadcast dim: asset_id, symbol. The
+    * `trackVal` names the walk ("treasury" / "omnipool"). */
+  def tokenAccountSnapshots(balances: DataFrame, registry: DataFrame,
+      trackVal: String, chainName: String, source: String,
+      blockNumber: Long, blockHash: String, tsSec: Long,
+      ss58Prefix: Int = 63): DataFrame = {
+    graft.functions.Udfs.register(balances.sparkSession)
+    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val shaped = balances
+      .join(broadcast(registry.select(col("asset_id"),
+        col("symbol").as("ticker"))), Seq("asset_id"), "left")
+      .withColumn("kvj", to_json(struct(
+        call_udf("ss58_encode", col("address_pubkey"),
+          lit(ss58Prefix)).as("account"),
+        col("address_pubkey").as("pubKey"),
+        col("asset_id"), col("ticker"))))
+      .withColumn("pvj", to_json(struct(s("free").as("free"),
+        s("reserved").as("reserved"), s("frozen").as("frozen"))))
+    Snapshot.snapshotRecs(shaped, "tokens.accounts",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      ss58Prefix = ss58Prefix, addressCol = Some("address_pubkey"),
+      kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
+      track = Some(("balance", lit(trackVal))))
+  }
+
+  /** HydraDX omnipool liquidity snapshot recs (ref hydradx.js:200-221
+    * `omnipool.assets`): one rec per pool asset — track "omniasset",
+    * track_val = the asset id, kv = {id, ticker}, pv = the pool-state
+    * struct with the u128 fields as dechexToIntStr strings.
+    *
+    * `poolAssets`: asset_id INT, hub_reserve, shares, protocol_shares,
+    * cap (numeric), tradable STRING (the enum rendering). */
+  def omnipoolAssetSnapshots(poolAssets: DataFrame, registry: DataFrame,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long): DataFrame = {
+    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val shaped = poolAssets
+      .join(broadcast(registry.select(col("asset_id"),
+        col("symbol").as("ticker"))), Seq("asset_id"), "left")
+      .withColumn("kvj", to_json(struct(
+        col("asset_id").cast("string").as("id"), col("ticker"))))
+      .withColumn("pvj", to_json(struct(
+        s("hub_reserve").as("hubReserve"), s("shares").as("shares"),
+        s("protocol_shares").as("protocolShares"), s("cap").as("cap"),
+        col("tradable"))))
+    Snapshot.snapshotRecs(shaped, "omnipool.assets",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
+      track = Some(("omniasset", col("asset_id"))))
+  }
+
+  /** HydraDX omnipool LP-position snapshot recs (ref
+    * hydradx.js:223-246 `omnipool.positions`): one rec per NFT
+    * position — track "liquidity", track_val = the position's asset,
+    * kv = {id, ticker}, pv = {assetId, amount, shares, price_1,
+    * price_2} (the reference splits the price pair and deletes the
+    * original array).
+    *
+    * `positions`: position_id, asset_id INT, amount, shares, price_1,
+    * price_2 (numeric u128s → string rendering). */
+  def omnipoolPositionSnapshots(positions: DataFrame,
+      registry: DataFrame, chainName: String, source: String,
+      blockNumber: Long, blockHash: String, tsSec: Long): DataFrame = {
+    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val shaped = positions
+      .join(broadcast(registry.select(col("asset_id"),
+        col("symbol").as("ticker"))), Seq("asset_id"), "left")
+      .withColumn("kvj", to_json(struct(
+        col("position_id").cast("string").as("id"), col("ticker"))))
+      .withColumn("pvj", to_json(struct(
+        col("asset_id").cast("string").as("assetId"),
+        s("amount").as("amount"), s("shares").as("shares"),
+        s("price_1").as("price_1"), s("price_2").as("price_2"))))
+    Snapshot.snapshotRecs(shaped, "omnipool.positions",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
+      track = Some(("liquidity", col("asset_id"))))
+  }
+
+  /** HydraDX XYK pool snapshot recs (ref hydradx.js:81-133
+    * `pools.xyk`): one rec per pool — track "xykpool", address = the
+    * pool account, kv = {account, pubKey, shareToken, assetA, assetB}
+    * (all strings, the reference's toString renderings), pv =
+    * {totalLiquidity, positions: [{assetId, free}, {assetId, free}]}
+    * — the two reserve balances in (assetA, assetB) order.
+    *
+    * `pools`: pool_pubkey (0x hex), share_token, asset_a, asset_b
+    * INT, total_liquidity, free_a, free_b (numeric). */
+  def xykPoolSnapshots(pools: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, ss58Prefix: Int = 63): DataFrame = {
+    graft.functions.Udfs.register(pools.sparkSession)
+    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    def pos(asset: String, free: String) = struct(
+      col(asset).cast("string").as("assetId"), s(free).as("free"))
+    val shaped = pools
+      .withColumn("kvj", to_json(struct(
+        call_udf("ss58_encode", col("pool_pubkey"),
+          lit(ss58Prefix)).as("account"),
+        col("pool_pubkey").as("pubKey"),
+        col("share_token").cast("string").as("shareToken"),
+        col("asset_a").cast("string").as("assetA"),
+        col("asset_b").cast("string").as("assetB"))))
+      .withColumn("pvj", to_json(struct(
+        s("total_liquidity").as("totalLiquidity"),
+        array(pos("asset_a", "free_a"), pos("asset_b", "free_b"))
+          .as("positions"))))
+    Snapshot.snapshotRecs(shaped, "pools.xyk",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      ss58Prefix = ss58Prefix, addressCol = Some("pool_pubkey"),
+      kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
+      track = Some(("xykpool", lit(null).cast("string"))))
+  }
+
+  /** HydraDX `uniques.asset` NFT-ownership snapshot recs (ref
+    * hydradx.js:247-268): one rec per (collection, instance) — track
+    * "nft", track_val = the collection id, kv = {id, nft}, pv = the
+    * ownership value with the owner's decoded pubkey spliced in and
+    * deposit as the dechexToIntStr string.
+    *
+    * `nfts`: collection_id, nft_id, owner_pubkey (0x hex), deposit
+    * (numeric), is_frozen BOOLEAN. */
+  def uniquesAssetSnapshots(nfts: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, ss58Prefix: Int = 63): DataFrame = {
+    graft.functions.Udfs.register(nfts.sparkSession)
+    val shaped = nfts
+      .withColumn("kvj", to_json(struct(
+        col("collection_id").cast("string").as("id"),
+        col("nft_id").cast("string").as("nft"))))
+      .withColumn("pvj", to_json(struct(
+        call_udf("ss58_encode", col("owner_pubkey"), lit(ss58Prefix))
+          .as("owner"),
+        col("owner_pubkey").as("address_pubkey"),
+        col("deposit").cast("decimal(38,0)").cast("string")
+          .as("deposit"),
+        col("is_frozen").as("isFrozen"))))
+    Snapshot.snapshotRecs(shaped, "uniques.asset",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
+      track = Some(("nft", col("collection_id"))))
+  }
+
+  /** Bifrost `vtokenMinting.tokenPool` liquid-staking pool recs (ref
+    * snapshot/bifrost.js:110-132): one rec per registry-KNOWN pool
+    * token (the reference `continue`s on registry misses — an inner
+    * join) — track "vtoken", track_val = symbol, kv = the bare token
+    * key JSON (bifrost keys are token enums like
+    * {"vToken":{"Token":"DOT"}}), pv = {raw (string), symbol, name,
+    * humanAmount (raw / 10^decimals, the reference's float division)}.
+    *
+    * `pools`: token_key (compact JSON string), raw (numeric);
+    * `registry` broadcast dim: token_key, symbol, name, decimals. */
+  def tokenPoolSnapshots(pools: DataFrame, registry: DataFrame,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long): DataFrame = {
+    val shaped = pools
+      .join(broadcast(registry.select(col("token_key"), col("symbol"),
+        col("name"), col("decimals").cast("int").as("decimals"))),
+        Seq("token_key"))
+      .withColumn("pvj", to_json(struct(
+        col("raw").cast("decimal(38,0)").cast("string").as("raw"),
+        col("symbol"), col("name"),
+        (col("raw").cast("double") /
+          pow(lit(10.0), col("decimals"))).as("humanAmount"))))
+    Snapshot.snapshotRecs(shaped, "vtokenMinting.tokenPool",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      kvJsonCol = Some("token_key"), pvJsonCol = Some("pvj"),
+      track = Some(("vtoken", col("symbol"))))
+  }
 }

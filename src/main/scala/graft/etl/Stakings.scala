@@ -152,6 +152,161 @@ object Stakings {
       track = Some(("era", lit(era))))
   }
 
+  // ---- Astar dappStaking chain-level recs (ref snapshot/astar.js) ----
+  // Each is a pv projection of already-decoded state beside the
+  // per-staker extractor above; amounts arrive PRE-SCALED to token
+  // units (double) where the reference divides by 10^decimals, and
+  // RAW where it doesn't — noted per extractor.
+
+  /** `dappStaking.activeProtocolState` singleton (astar.js:108-128,
+    * re-emitted verbatim at :161-172): pv = {era, nextEraStart,
+    * periodInfo: {number, subperiod, nextSubperiodStartEra},
+    * maintenance}. `state` (one row): era, next_era_start,
+    * period_number, subperiod, next_subperiod_start_era, maintenance.
+    * This is also where the reference latches currentEra
+    * (setCurrentEra) — here the caller threads the era into the
+    * sibling extractors' `era` parameter. */
+  def dappStakingProtocolState(state: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, era: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      state.withColumn("pvj", to_json(struct(
+        col("era"), col("next_era_start").as("nextEraStart"),
+        struct(col("period_number").as("number"), col("subperiod"),
+          col("next_subperiod_start_era").as("nextSubperiodStartEra"))
+          .as("periodInfo"),
+        col("maintenance")))),
+      "dappStaking.activeProtocolState", chainName = chainName,
+      source = source, blockNumber = blockNumber,
+      blockHash = blockHash, tsSec = tsSec, pvJsonCol = Some("pvj"),
+      track = Some(("era", lit(era))))
+
+  /** `dappStaking.currentEraInfo` singleton (astar.js:130-146): the
+    * era's lock/stake totals, all divided to token units by the
+    * reference — pass doubles. `state` (one row): total_locked,
+    * unlocking, current_voting, current_build_and_earn, next_voting,
+    * next_build_and_earn. */
+  def dappStakingEraInfo(state: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, era: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      state.withColumn("pvj", to_json(struct(
+        col("total_locked").as("totalLocked"), col("unlocking"),
+        struct(col("current_voting").as("voting"),
+          col("current_build_and_earn").as("buildAndEarn"))
+          .as("currentStakeAmount"),
+        struct(col("next_voting").as("voting"),
+          col("next_build_and_earn").as("buildAndEarn"))
+          .as("nextStakeAmount")))),
+      "dappStaking.currentEraInfo", chainName = chainName,
+      source = source, blockNumber = blockNumber,
+      blockHash = blockHash, tsSec = tsSec, pvJsonCol = Some("pvj"),
+      track = Some(("era", lit(era))))
+
+  /** `inflation.inflationParams` / `inflation.activeInflationConfig`
+    * singletons (astar.js:211-280): the reference scales every
+    * present field by 10^decimals and keeps the key set as-is — the
+    * one-row `state` frame arrives pre-scaled with the reference's
+    * camelCase column names, so pv is a direct struct of ALL columns
+    * (absent pallet fields simply aren't columns; to_json drops
+    * nulls like JSON.stringify drops undefined). */
+  def inflationSnapshot(state: DataFrame, storage: String,
+      chainName: String, source: String, blockNumber: Long,
+      blockHash: String, tsSec: Long, era: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      state.withColumn("pvj",
+        to_json(struct(state.columns.map(col): _*))),
+      s"inflation.$storage", chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      pvJsonCol = Some("pvj"), track = Some(("era", lit(era))))
+
+  /** `dappStaking.integratedDApps` recs (astar.js:282-296): one per
+    * registered dApp — pv = the registry value with the Evm key
+    * spliced in ({owner, id, state, Evm}). `dapps`: owner (ss58),
+    * dapp_id, state, evm_address. */
+  def dappStakingIntegratedDApps(dapps: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, era: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      dapps.withColumn("pvj", to_json(struct(
+        col("owner"), col("dapp_id").as("id"), col("state"),
+        col("evm_address").as("Evm")))),
+      "dappStaking.integratedDApps", chainName = chainName,
+      source = source, blockNumber = blockNumber,
+      blockHash = blockHash, tsSec = tsSec, pvJsonCol = Some("pvj"),
+      track = Some(("era", lit(era))))
+
+  /** `dappStaking.dAppTiers` recs (astar.js:298-322): one per era
+    * entry — pv = {rewards (token units), dapps, era, dappsList}.
+    * Documented divergences from the reference's JS shapes, both
+    * determinism-driven: dappsList entries are NAMED structs
+    * {dapp, tier, reward} rather than positional [id, tier, reward]
+    * tuples (heterogeneous arrays don't exist in a typed engine),
+    * and they are SORTED by dApp id (Object.entries insertion order
+    * is not reproducible under distributed decode). `tiers`: era,
+    * rewards ARRAY<DOUBLE> (pre-scaled), dapps MAP<STRING,INT>
+    * (dApp id → tier index). */
+  def dappStakingTiers(tiers: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      tiers.withColumn("pvj", to_json(struct(
+        col("rewards"),
+        // render the map in sorted-key order — map storage order is
+        // an engine artifact, and pv must be deterministic
+        map_from_entries(array_sort(map_entries(col("dapps"))))
+          .as("dapps"),
+        col("era"),
+        transform(array_sort(map_entries(col("dapps"))),
+          e => struct(e("key").as("dapp"), e("value").as("tier"),
+            element_at(col("rewards"), e("value") + 1)
+              .as("reward"))).as("dappsList")))),
+      "dappStaking.dAppTiers", chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
+      pvJsonCol = Some("pvj"),
+      track = Some(("era", col("era"))))
+
+  /** `dappStaking.contractStake` recs (astar.js:324-345): one per
+    * dApp — pv = {staked: {voting, buildAndEarn, era, period},
+    * stakedFuture (nullable struct), dAppID}. Stake amounts token-
+    * scaled (double). `stakes`: dapp_id, voting, build_and_earn, era,
+    * period, future_voting, future_build_and_earn, future_era,
+    * future_period (future_* null ⇒ stakedFuture omitted, like the
+    * reference's absent field). */
+  def dappStakingContractStake(stakes: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long, era: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      stakes.withColumn("pvj", to_json(struct(
+        struct(col("voting"), col("build_and_earn").as("buildAndEarn"),
+          col("era"), col("period")).as("staked"),
+        when(col("future_voting").isNotNull,
+          struct(col("future_voting").as("voting"),
+            col("future_build_and_earn").as("buildAndEarn"),
+            col("future_era").as("era"),
+            col("future_period").as("period"))).as("stakedFuture"),
+        col("dapp_id").as("dAppID")))),
+      "dappStaking.contractStake", chainName = chainName,
+      source = source, blockNumber = blockNumber,
+      blockHash = blockHash, tsSec = tsSec, pvJsonCol = Some("pvj"),
+      track = Some(("era", lit(era))))
+
+  /** `dappStaking.eraRewards` recs (astar.js:347-368): one per span
+    * key — pv = {span: [{stakerRewardPool, staked, dappRewardPool}…],
+    * era}. Pool amounts token-scaled. `rewards`: span_era, spans
+    * ARRAY<STRUCT<stakerRewardPool DOUBLE, staked DOUBLE,
+    * dappRewardPool DOUBLE>>. */
+  def dappStakingEraRewards(rewards: DataFrame, chainName: String,
+      source: String, blockNumber: Long, blockHash: String,
+      tsSec: Long): DataFrame =
+    Snapshot.snapshotRecs(
+      rewards.withColumn("pvj", to_json(struct(
+        col("spans").as("span"), col("span_era").as("era")))),
+      "dappStaking.eraRewards", chainName = chainName,
+      source = source, blockNumber = blockNumber,
+      blockHash = blockHash, tsSec = tsSec, pvJsonCol = Some("pvj"),
+      track = Some(("era", col("span_era"))))
+
   /** Write the stakings table as idempotent date partitions next to the
     * other entity tables (ref substrateetl.js:7500). */
   def dumpStakingsDay(updates: DataFrame, eraEnds: Seq[(Long, Long)],

@@ -408,6 +408,42 @@ object Codec {
   def toBaseUnit(raw: BigInt, decimals: Int): Double =
     (BigDecimal(raw) / BigDecimal(10).pow(decimals)).toDouble
 
+  /** Module-account name decode (ref paraTool.js:378
+    * pubKey_hex2ascii): substrate runtime accounts are ASCII-tagged
+    * pubkeys — `para`/`sibl` sovereign accounts and `modl` pallet
+    * accounts — padded with zero bytes. Recognized prefixes decode to
+    * the readable tag (letters and '/' kept in order), with any
+    * leftover non-ASCII bytes (≤ 2, e.g. the LE-encoded para id)
+    * appended as ":<int>"; anything else → null. Mirrors the
+    * reference byte-for-byte: "0x70617261d007…00" → "para:2000". */
+  def pubkeyAscii(pubkey: String): String = {
+    if (pubkey == null) return null
+    val inp = if (pubkey.startsWith("0x")) pubkey.substring(2) else pubkey
+    if (inp.length < 8) return null
+    def byteAt(pos: Int): Int =
+      try Integer.parseInt(inp.substring(pos, pos + 2), 16)
+      catch { case _: NumberFormatException => -1 }
+    val prefix = inp.substring(0, 8).toLowerCase
+    if (prefix != "70617261" && prefix != "7369626c" &&
+      prefix != "6d6f646c") return null
+    // trim trailing zero BYTES (the fixed-width pubkey padding)
+    var j = inp.length
+    while (j > 2 && byteAt(j - 2) == 0) j -= 2
+    val out = new StringBuilder
+    var remaining = ""
+    var i = 0
+    while (i < j) {
+      val c = byteAt(i)
+      if (c == '/' || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'))
+        out.append(c.toChar)
+      else remaining = inp.substring(i, i + 2) + remaining
+      i += 2
+    }
+    if (remaining.nonEmpty && remaining.length <= 4)
+      out.append(":").append(Integer.parseInt(remaining, 16))
+    out.toString
+  }
+
   // ---------- derived account ids ----------
 
   /** Multisig account id (ref paraTool.js:311 computeMultisig, tested by

@@ -77,6 +77,10 @@ object Udfs {
     native(spark, "asset_chain", "assetChain", StringType,
       Seq(StringType, IntegerType))
 
+    // module-account name decode (ref paraTool.js:378
+    // pubKey_hex2ascii — the assethub snapshotter's named-holder gate)
+    u.register("pubkey_ascii", (s: String) => Codec.pubkeyAscii(s))
+
     // substrate↔EVM account mapping (ref paraTool.js:517,522)
     native(spark, "pubkey_to_h160", "pubkeyToH160", StringType,
       Seq(StringType))

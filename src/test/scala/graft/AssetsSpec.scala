@@ -186,4 +186,191 @@ class AssetsSpec extends AnyFunSuite {
     assert(recs("\"CTY\"").getAs[String]("pv")
       .contains("\"humanAmount\":123.45"), recs("\"CTY\"").toString)
   }
+
+  test("assethub asset.asset registry recs " +
+      "(ref polkadot_assethub.js:44-63)") {
+    val reg = Seq(
+      ("1984", "USDT", BigDecimal("77000000000000"), BigDecimal(10),
+        BigDecimal(1000), BigDecimal(6000), BigDecimal(5900),
+        BigDecimal(3)))
+      .toDF("currency_id", "symbol", "supply", "deposit", "min_balance",
+        "accounts", "sufficients", "approvals")
+    val r = Assets.assetRegistrySnapshots(reg, "Polkadot_AssetHub",
+      "polkaholic", 7000000L, "0xb7m", 1700003000L).collect().head
+    assert(r.getAs[String]("section") == "asset" &&
+      r.getAs[String]("storage") == "asset")
+    assert(r.getAs[String]("track") == "stablecoin" &&
+      r.getAs[String]("track_val") == "USDT")
+    assert(r.getAs[String]("kv") ==
+      """{"currencyID":"1984","symbol":"USDT"}""")
+    // pv values are STRINGS — the reference's toNumWithoutComma
+    // returns strings (paraTool.js:423)
+    assert(r.getAs[String]("pv") ==
+      """{"supply":"77000000000000","deposit":"10",""" +
+        """"minBalance":"1000","accounts":"6000",""" +
+        """"sufficients":"5900","approvals":"3"}""")
+    assert(r.getAs[String]("address_pubkey") == null)
+  }
+
+  test("assethub asset.account recs: named/small/share keeps, " +
+      "small-holder rollup (ref polkadot_assethub.js:66-137)") {
+    import graft.functions.Codec
+    val para2000 = "0x70617261d007" + "00" * 26 // pubkeyAscii para:2000
+    val pkB = "0x" + "22" * 32
+    val pkC = "0x" + "33" * 32
+    val pkD = "0x" + "44" * 32
+    val pkE = "0x" + "55" * 32
+    // USDT: 6000 holders (> 5000 — small-asset gate OFF), supply 1e10
+    // raw = 10000 USDT; USDC: 10 holders (small-asset gate ON)
+    val reg = Seq(
+      ("1984", "USDT", BigDecimal("10000000000"), BigDecimal(6000)),
+      ("1337", "USDC", BigDecimal("500000000"), BigDecimal(10)))
+      .toDF("currency_id", "symbol", "supply", "accounts")
+    val holdings = Seq(
+      ("1984", "USDT", 6, para2000, BigDecimal(1000)),      // named
+      ("1984", "USDT", 6, pkB, BigDecimal(100000000)),      // 1% share
+      ("1984", "USDT", 6, pkC, BigDecimal(1000000)),        // rolls up
+      ("1984", "USDT", 6, pkD, BigDecimal(2000000)),        // rolls up
+      ("1337", "USDC", 6, pkE, BigDecimal(7)))              // small asset
+      .toDF("currency_id", "symbol", "decimals", "address_pubkey",
+        "balance_raw")
+    val out = Assets.assetHolderSnapshots(holdings, reg,
+      "Polkadot_AssetHub", "polkaholic", 7000000L, "0xb7m",
+      1700003000L, ss58Prefix = 0).collect()
+    assert(out.length == 4, out.mkString("\n")) // 3 kept + 1 rollup
+    val byKv = out.map(r => r.getAs[String]("kv") -> r).toMap
+    // named module account: ascii name in kv, own rec despite tiny share
+    val named = byKv(
+      """{"name":"para:2000","currencyID":"1984","symbol":"USDT"}""")
+    assert(named.getAs[String]("address_pubkey") == para2000)
+    assert(Codec.ss58Decode(named.getAs[String]("address_ss58"))._1 == 0)
+    assert(named.getAs[String]("pv") ==
+      """{"balance":0.001,"balance_raw":"1000"}""")
+    // share-kept holder: kv carries the reference's literal null name
+    val big = byKv("""{"name":null,"currencyID":"1984","symbol":"USDT"}""")
+    assert(big.getAs[String]("address_pubkey") == pkB)
+    assert(big.getAs[String]("pv") ==
+      """{"balance":100.0,"balance_raw":"100000000"}""")
+    // small-asset holder: kept regardless of share
+    assert(byKv(
+      """{"name":null,"currencyID":"1337","symbol":"USDC"}""")
+      .getAs[String]("address_pubkey") == pkE)
+    // the rollup: no address, exact decimal raw sum, holder count
+    val rolled = byKv(
+      """{"name":"holders","currencyID":"1984","symbol":"USDT"}""")
+    assert(rolled.getAs[String]("address_pubkey") == null)
+    assert(rolled.getAs[String]("pv") ==
+      """{"balance":3.0,"balance_raw":"3000000","holders":2}""")
+    assert(rolled.getAs[String]("track") == "stablecoin" &&
+      rolled.getAs[String]("track_val") == "USDT")
+  }
+
+  test("hydradx tokens.accounts / omnipool / xyk / uniques rec shapes " +
+      "(ref hydradx.js:81-268)") {
+    import graft.functions.Codec
+    val reg = Seq((5, "DOT"), (0, "HDX")).toDF("asset_id", "symbol")
+    val pk = "0x" + "ab" * 32
+    // tokens.accounts at a named wallet: ticker joined where known,
+    // OMITTED where not (JS undefined drops from JSON.stringify)
+    val bal = Seq((5, pk, BigDecimal(100), BigDecimal(7), BigDecimal(0)),
+      (9, pk, BigDecimal(50), BigDecimal(0), BigDecimal(0)))
+      .toDF("asset_id", "address_pubkey", "free", "reserved", "frozen")
+    val ta = Assets.tokenAccountSnapshots(bal, reg, "treasury",
+      "HydraDx", "polkaholic", 4400000L, "0xh44", 1700004000L)
+      .collect().map(r => r.getAs[String]("kv") -> r).toMap
+    val ss = Codec.ss58Encode(
+      Codec.hexToBytes(pk), 63)
+    assert(ta.keys.exists(_.contains("\"ticker\":\"DOT\"")))
+    val known = ta.find(_._1.contains("\"asset_id\":5")).get._2
+    assert(known.getAs[String]("kv") ==
+      s"""{"account":"$ss","pubKey":"$pk","asset_id":5,"ticker":"DOT"}""")
+    assert(known.getAs[String]("pv") ==
+      """{"free":"100","reserved":"7","frozen":"0"}""")
+    assert(known.getAs[String]("track") == "balance" &&
+      known.getAs[String]("track_val") == "treasury")
+    val unknown = ta.find(_._1.contains("\"asset_id\":9")).get._2
+    assert(!unknown.getAs[String]("kv").contains("ticker"))
+    // omnipool.assets: u128 strings + tradable enum
+    val oa = Assets.omnipoolAssetSnapshots(
+      // u128-sized reserve rides in as a STRING — scale-18 decimal
+      // inference would overflow 38 digits (the extractor casts)
+      Seq((5, "123456789012345678901", BigDecimal(10),
+        BigDecimal(3), BigDecimal(500000), "{\"tradable\":15}"))
+        .toDF("asset_id", "hub_reserve", "shares", "protocol_shares",
+          "cap", "tradable"),
+      reg, "HydraDx", "polkaholic", 4400000L, "0xh44", 1700004000L)
+      .collect().head
+    assert(oa.getAs[String]("kv") == """{"id":"5","ticker":"DOT"}""")
+    assert(oa.getAs[String]("pv") ==
+      """{"hubReserve":"123456789012345678901","shares":"10",""" +
+        """"protocolShares":"3","cap":"500000",""" +
+        """"tradable":"{\"tradable\":15}"}""")
+    assert(oa.getAs[String]("track") == "omniasset" &&
+      oa.getAs[String]("track_val") == "5")
+    // omnipool.positions: price pair split (price_1/price_2)
+    val op = Assets.omnipoolPositionSnapshots(
+      Seq((777L, 5, BigDecimal(1000), BigDecimal(900),
+        BigDecimal("45000000"), BigDecimal("1000000")))
+        .toDF("position_id", "asset_id", "amount", "shares",
+          "price_1", "price_2"),
+      reg, "HydraDx", "polkaholic", 4400000L, "0xh44", 1700004000L)
+      .collect().head
+    assert(op.getAs[String]("kv") == """{"id":"777","ticker":"DOT"}""")
+    assert(op.getAs[String]("pv") ==
+      """{"assetId":"5","amount":"1000","shares":"900",""" +
+        """"price_1":"45000000","price_2":"1000000"}""")
+    assert(op.getAs[String]("track") == "liquidity" &&
+      op.getAs[String]("track_val") == "5")
+    // pools.xyk: pool address + the two reserve positions in order
+    val xy = Assets.xykPoolSnapshots(
+      Seq((pk, 1000001L, 0, 5, BigDecimal(888),
+        BigDecimal(300), BigDecimal(40)))
+        .toDF("pool_pubkey", "share_token", "asset_a", "asset_b",
+          "total_liquidity", "free_a", "free_b"),
+      "HydraDx", "polkaholic", 4400000L, "0xh44", 1700004000L)
+      .collect().head
+    assert(xy.getAs[String]("kv") ==
+      s"""{"account":"$ss","pubKey":"$pk","shareToken":"1000001",""" +
+        """"assetA":"0","assetB":"5"}""")
+    assert(xy.getAs[String]("pv") ==
+      """{"totalLiquidity":"888","positions":[""" +
+        """{"assetId":"0","free":"300"},{"assetId":"5","free":"40"}]}""")
+    assert(xy.getAs[String]("track") == "xykpool" &&
+      xy.getAs[String]("track_val") == null)
+    assert(xy.getAs[String]("address_pubkey") == pk)
+    // uniques.asset: NFT ownership with decoded owner pubkey
+    val un = Assets.uniquesAssetSnapshots(
+      Seq((1337L, 42L, pk, BigDecimal(5000), false))
+        .toDF("collection_id", "nft_id", "owner_pubkey", "deposit",
+          "is_frozen"),
+      "HydraDx", "polkaholic", 4400000L, "0xh44", 1700004000L)
+      .collect().head
+    assert(un.getAs[String]("kv") == """{"id":"1337","nft":"42"}""")
+    assert(un.getAs[String]("pv") ==
+      s"""{"owner":"$ss","address_pubkey":"$pk",""" +
+        """"deposit":"5000","isFrozen":false}""")
+    assert(un.getAs[String]("track") == "nft" &&
+      un.getAs[String]("track_val") == "1337")
+  }
+
+  test("bifrost vtokenMinting.tokenPool recs: registry-gated, human " +
+      "amount (ref bifrost.js:110-132)") {
+    val reg = Seq(("{\"Token\":\"DOT\"}", "DOT", "Polkadot", 10))
+      .toDF("token_key", "symbol", "name", "decimals")
+    val pools = Seq(
+      ("{\"Token\":\"DOT\"}", BigDecimal("123450000000")),
+      ("{\"Token\":\"UNREG\"}", BigDecimal(1))) // registry miss: drops
+      .toDF("token_key", "raw")
+    val out = Assets.tokenPoolSnapshots(pools, reg, "Bifrost",
+      "polkaholic", 900L, "0xb900", 1700002000L).collect()
+    assert(out.length == 1, "registry misses must drop (the " +
+      "reference's continue)")
+    val r = out.head
+    assert(r.getAs[String]("kv") == "{\"Token\":\"DOT\"}")
+    assert(r.getAs[String]("pv") ==
+      """{"raw":"123450000000","symbol":"DOT","name":"Polkadot",""" +
+        """"humanAmount":12.345}""")
+    assert(r.getAs[String]("track") == "vtoken" &&
+      r.getAs[String]("track_val") == "DOT")
+  }
 }

@@ -237,4 +237,25 @@ class CodecSpec extends AnyFunSuite {
   test("toBaseUnit scales by decimals") {
     assert(Codec.toBaseUnit(BigInt("12345678901"), 10) == 1.2345678901)
   }
+
+  test("pubkeyAscii: module-account name decode (paraTool.js:378)") {
+    // sovereign para account: "para" ++ u32-LE(2000) ++ zero padding
+    assert(Codec.pubkeyAscii("0x70617261d007" + "00" * 26)
+      == "para:2000")
+    // sibling variant, para 2004
+    assert(Codec.pubkeyAscii("0x7369626cd407" + "00" * 26)
+      == "sibl:2004")
+    // pallet account: "modl" ++ "py/trsry" ++ padding — pure ASCII,
+    // no numeric remainder
+    val modl = Codec.bytesToHex(
+      "modlpy/trsry".getBytes("US-ASCII")) + "00" * 20
+    assert(Codec.pubkeyAscii(modl) == "modlpy/trsry")
+    // unprefixed pubkeys are not module accounts
+    assert(Codec.pubkeyAscii("0x" + "11" * 32) == null)
+    assert(Codec.pubkeyAscii(null) == null)
+    assert(Codec.pubkeyAscii("0x7061") == null) // < 4 bytes
+    // >2 leftover non-ASCII bytes: the ":<int>" suffix is dropped
+    // (the reference's remaining.length <= 4 guard)
+    assert(Codec.pubkeyAscii("0x70617261d0d1d2" + "00" * 25) == "para")
+  }
 }

@@ -220,4 +220,101 @@ class StakingSpec extends AnyFunSuite {
     assert(w.getAs[String]("pv").contains("\"dAppType\":\"Wasm\""))
     assert(Codec.ss58Decode(w.getAs[String]("address_ss58"))._1 == 5)
   }
+
+  test("astar dappStaking chain-level recs: singletons + per-entry " +
+      "families (ref astar.js:108-368)") {
+    import graft.etl.Stakings
+    // activeProtocolState singleton (the reference's doc sample values)
+    val aps = Stakings.dappStakingProtocolState(
+      Seq((742L, 5872888L, 8L, "BuildAndEarn", 763L, false))
+        .toDF("era", "next_era_start", "period_number", "subperiod",
+          "next_subperiod_start_era", "maintenance"),
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L, era = 742L)
+      .collect().head
+    assert(aps.getAs[String]("section") == "dappStaking" &&
+      aps.getAs[String]("storage") == "activeProtocolState")
+    assert(aps.getAs[String]("pv") ==
+      """{"era":742,"nextEraStart":5872888,"periodInfo":""" +
+        """{"number":8,"subperiod":"BuildAndEarn",""" +
+        """"nextSubperiodStartEra":763},"maintenance":false}""")
+    assert(aps.getAs[String]("track") == "era" &&
+      aps.getAs[String]("track_val") == "742")
+    // currentEraInfo singleton: token-scaled doubles, nested pairs
+    val cei = Stakings.dappStakingEraInfo(
+      Seq((1000.5, 2.25, 300.0, 700.5, 310.0, 690.5))
+        .toDF("total_locked", "unlocking", "current_voting",
+          "current_build_and_earn", "next_voting",
+          "next_build_and_earn"),
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L, era = 742L)
+      .collect().head
+    assert(cei.getAs[String]("pv") ==
+      """{"totalLocked":1000.5,"unlocking":2.25,""" +
+        """"currentStakeAmount":{"voting":300.0,"buildAndEarn":700.5},""" +
+        """"nextStakeAmount":{"voting":310.0,"buildAndEarn":690.5}}""")
+    // inflation singletons: pv = ALL columns, camelCase pass-through
+    val inf = Stakings.inflationSnapshot(
+      Seq((0.07, 0.05, 0.0325)).toDF("maxInflationRate",
+        "treasuryPart", "collatorsPart"),
+      "inflationParams", "Astar", "polkaholic", 5700000L, "0xa57",
+      1700005000L, era = 742L).collect().head
+    assert(inf.getAs[String]("section") == "inflation" &&
+      inf.getAs[String]("storage") == "inflationParams")
+    assert(inf.getAs[String]("pv") ==
+      """{"maxInflationRate":0.07,"treasuryPart":0.05,""" +
+        """"collatorsPart":0.0325}""")
+    // integratedDApps: the Evm key splice
+    val dapp = Stakings.dappStakingIntegratedDApps(
+      Seq(("ownerSS58", 3L, "Registered", "0xdapp"))
+        .toDF("owner", "dapp_id", "state", "evm_address"),
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L,
+      era = 742L).collect().head
+    assert(dapp.getAs[String]("pv") ==
+      """{"owner":"ownerSS58","id":3,"state":"Registered",""" +
+        """"Evm":"0xdapp"}""")
+    // dAppTiers: dappsList sorted by dApp id, reward looked up by tier
+    val tiers = Stakings.dappStakingTiers(
+      Seq((742L, Seq(100.0, 50.0), Map("0xb" -> 1, "0xa" -> 0)))
+        .toDF("era", "rewards", "dapps"),
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L)
+      .collect().head
+    assert(tiers.getAs[String]("pv") ==
+      """{"rewards":[100.0,50.0],"dapps":{"0xa":0,"0xb":1},""" +
+        """"era":742,"dappsList":[""" +
+        """{"dapp":"0xa","tier":0,"reward":100.0},""" +
+        """{"dapp":"0xb","tier":1,"reward":50.0}]}""",
+      tiers.getAs[String]("pv"))
+    assert(tiers.getAs[String]("track_val") == "742")
+    // contractStake: stakedFuture omitted when the pallet omits it
+    val cs = Stakings.dappStakingContractStake(
+      Seq((3L, 10.0, 20.0, 742L, 8L, Some(11.0), Some(21.0),
+          Some(743L), Some(8L)),
+        (4L, 1.0, 2.0, 742L, 8L, None, None, None, None))
+        .toDF("dapp_id", "voting", "build_and_earn", "era", "period",
+          "future_voting", "future_build_and_earn", "future_era",
+          "future_period"),
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L,
+      era = 742L).collect()
+      .map(r => r.getAs[String]("pv")).sorted
+    assert(cs.exists(_.contains(
+      """"stakedFuture":{"voting":11.0,"buildAndEarn":21.0,""" +
+        """"era":743,"period":8},"dAppID":3""")), cs.mkString("\n"))
+    assert(cs.exists(p => !p.contains("stakedFuture") &&
+      p.contains("\"dAppID\":4")), cs.mkString("\n"))
+    // eraRewards: span array + era from the span key
+    val er = Stakings.dappStakingEraRewards(
+      Seq((736L, Seq((500.0, 10000.0, 125.0))))
+        .toDF("span_era", "spans")
+        .select(org.apache.spark.sql.functions.col("span_era"),
+          org.apache.spark.sql.functions.expr(
+            "transform(spans, s -> named_struct(" +
+              "'stakerRewardPool', s._1, 'staked', s._2, " +
+              "'dappRewardPool', s._3))").as("spans")),
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L)
+      .collect().head
+    assert(er.getAs[String]("pv") ==
+      """{"span":[{"stakerRewardPool":500.0,"staked":10000.0,""" +
+        """"dappRewardPool":125.0}],"era":736}""")
+    assert(er.getAs[String]("track") == "era" &&
+      er.getAs[String]("track_val") == "736")
+  }
 }
