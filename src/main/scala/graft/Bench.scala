@@ -476,9 +476,15 @@ object BenchTrend {
   val AdjudicationsFile = "BENCH_ADJUDICATIONS.json"
 
   /** Prefix-normalized query names adjudicated for `benchFileName`
-    * (e.g. "BENCH_r12.json"). Regex field-extraction, same zero-dep
-    * style as the other artifact parsers: entries are flat objects
-    * with "file" and "query" string fields. */
+    * (e.g. "BENCH_r12.json"). Zero-dep field extraction that stays
+    * correct when an entry's evidence prose contains braces or
+    * escaped quotes (a blob-split regex would shear such an entry in
+    * half and silently skip it while bench_diff.py's json.load reads
+    * it — re-opening the exact red-suite loop the ledger closes):
+    * scan the `"file"`/`"query"` fields in document order and pair
+    * each file with its following query. Ledger contract, validated
+    * loudly: every entry carries `file` then `query`, and evidence
+    * text never embeds those literal field spellings. */
   def adjudicatedFor(benchFileName: String,
       ledgerDir: String = "."): Set[String] = {
     val f = new java.io.File(ledgerDir, AdjudicationsFile)
@@ -486,13 +492,21 @@ object BenchTrend {
     else {
       val txt = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      """\{[^{}]*\}""".r.findAllIn(txt).flatMap { obj =>
-        val field = (n: String) =>
-          ("\"" + n + """"\s*:\s*"([^"]+)"""").r
-            .findFirstMatchIn(obj).map(_.group(1))
-        for (file <- field("file"); q <- field("query");
-             if file == benchFileName) yield pfx(q)
-      }.toSet
+      val fields =
+        """"(file|query)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2)).toList
+      val pairs = fields.sliding(2).collect {
+        case List(("file", fl), ("query", q)) => fl -> q
+      }.toList
+      val (files, queries) =
+        (fields.count(_._1 == "file"), fields.count(_._1 == "query"))
+      require(pairs.size == files && pairs.size == queries,
+        s"$AdjudicationsFile: malformed — expected adjacent " +
+          s"file/query per entry, saw $files file / $queries query " +
+          s"fields pairing to ${pairs.size}")
+      pairs.collect { case (fl, q) if fl == benchFileName => pfx(q) }
+        .toSet
     }
   }
 

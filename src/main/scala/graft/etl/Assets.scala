@@ -72,6 +72,16 @@ object Assets {
       .otherwise(concat(lit("["), net, lit(","), interior, lit("]")))
   }
 
+  /** u128-safe integer-string rendering for snapshot pv/kv fields
+    * (the reference's dechexToIntStr/toNumWithoutComma keep arbitrary
+    * precision as strings): decimal(38,0) normalizes every real
+    * amount; a 39-digit u128 (max ~3.4e38) overflows that cast to
+    * null, so the raw string text passes through instead — the field
+    * must never silently vanish from the JSON. */
+  private def intStr(c: String): Column =
+    coalesce(col(c).cast("decimal(38,0)").cast("string"),
+      col(c).cast("string"))
+
   /** The registry lookup predicate of
     * lookup_xcmRegistry_xcmInteriorKey (substrateetl.js:3363): a
     * registry row serves a (para_id, symbol) asset when the symbol
@@ -284,7 +294,7 @@ object Assets {
   def assetRegistrySnapshots(assetState: DataFrame, chainName: String,
       source: String, blockNumber: Long, blockHash: String,
       tsSec: Long, track: String = "stablecoin"): DataFrame = {
-    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val s = intStr _
     val shaped = assetState.withColumn("pvj", to_json(struct(
         s("supply").as("supply"), s("deposit").as("deposit"),
         s("min_balance").as("minBalance"), s("accounts").as("accounts"),
@@ -318,11 +328,14 @@ object Assets {
     * of raw units divided once, deterministic under any partitioning.
     *
     * 100 TB shape: totals is a dimension (one row per asset) —
-    * broadcast; the only shuffle is the rollup's groupBy on the
-    * (already small) dropped slice. `holdings`: currency_id, symbol,
-    * decimals INT, address_pubkey (0x hex), balance_raw; `assetState`
-    * as in [[assetRegistrySnapshots]] (supply + accounts drive the
-    * share and small-asset gates). */
+    * broadcast; the gate-annotated holder frame is PERSISTED once and
+    * both branches (kept pass-through, rollup groupBy) read the cached
+    * copy, so the holder scan + name-decode UDF run once, not twice;
+    * the rollup's shuffle keys on the (tiny) currency list with
+    * map-side combine. `holdings`: currency_id, symbol, decimals INT,
+    * address_pubkey (0x hex), balance_raw; `assetState` as in
+    * [[assetRegistrySnapshots]] (supply + accounts drive the share
+    * and small-asset gates). */
   def assetHolderSnapshots(holdings: DataFrame, assetState: DataFrame,
       chainName: String, source: String, blockNumber: Long,
       blockHash: String, tsSec: Long, ss58Prefix: Int = 0,
@@ -340,18 +353,24 @@ object Assets {
       .withColumn("balance", col("balance_raw").cast("double") /
         pow(lit(10.0), col("decimals")))
       // share test on raw units — same ratio the reference computes
-      // after dividing both sides by 10^decimals
-      .withColumn("keep", col("ascii_name").isNotNull ||
+      // after dividing both sides by 10^decimals. coalesce(false): a
+      // currency MISSING from assetState makes both numeric gates
+      // NULL, and three-valued logic would drop the holder from BOTH
+      // branches — JS undefined comparisons are false, sending it to
+      // the rollup, and so does this
+      .withColumn("keep", coalesce(col("ascii_name").isNotNull ||
         col("t_holders") <= targetMaxHolders ||
         col("balance_raw").cast("double") >
-          col("t_supply").cast("double") * minShare)
+          col("t_supply").cast("double") * minShare, lit(false)))
+      // one holder scan feeds both branches (blocks age out with the
+      // job; a long-lived session may unpersist via the catalog)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = h.filter(col("keep"))
       .withColumn("kvj", to_json(struct(
         col("ascii_name").as("name"),
         col("currency_id").as("currencyID"), col("symbol")), noDrop))
       .withColumn("pvj", to_json(struct(col("balance"),
-        col("balance_raw").cast("decimal(38,0)").cast("string")
-          .as("balance_raw"))))
+        intStr("balance_raw").as("balance_raw"))))
     val rolled = h.filter(!col("keep"))
       .groupBy(col("currency_id"), col("symbol"), col("decimals"))
       .agg(sum(col("balance_raw")).cast("decimal(38,0)").as("raw_sum"),
@@ -361,7 +380,7 @@ object Assets {
       .withColumn("pvj", to_json(struct(
         (col("raw_sum").cast("double") /
           pow(lit(10.0), col("decimals"))).as("balance"),
-        col("raw_sum").cast("string").as("balance_raw"),
+        intStr("raw_sum").as("balance_raw"),
         col("holders"))))
     def recs(st: DataFrame, addr: Option[String]) =
       Snapshot.snapshotRecs(st, "asset.account",
@@ -391,7 +410,7 @@ object Assets {
       blockNumber: Long, blockHash: String, tsSec: Long,
       ss58Prefix: Int = 63): DataFrame = {
     graft.functions.Udfs.register(balances.sparkSession)
-    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val s = intStr _
     val shaped = balances
       .join(broadcast(registry.select(col("asset_id"),
         col("symbol").as("ticker"))), Seq("asset_id"), "left")
@@ -420,7 +439,7 @@ object Assets {
   def omnipoolAssetSnapshots(poolAssets: DataFrame, registry: DataFrame,
       chainName: String, source: String, blockNumber: Long,
       blockHash: String, tsSec: Long): DataFrame = {
-    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val s = intStr _
     val shaped = poolAssets
       .join(broadcast(registry.select(col("asset_id"),
         col("symbol").as("ticker"))), Seq("asset_id"), "left")
@@ -449,7 +468,7 @@ object Assets {
   def omnipoolPositionSnapshots(positions: DataFrame,
       registry: DataFrame, chainName: String, source: String,
       blockNumber: Long, blockHash: String, tsSec: Long): DataFrame = {
-    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val s = intStr _
     val shaped = positions
       .join(broadcast(registry.select(col("asset_id"),
         col("symbol").as("ticker"))), Seq("asset_id"), "left")
@@ -479,7 +498,7 @@ object Assets {
       source: String, blockNumber: Long, blockHash: String,
       tsSec: Long, ss58Prefix: Int = 63): DataFrame = {
     graft.functions.Udfs.register(pools.sparkSession)
-    val s = (c: String) => col(c).cast("decimal(38,0)").cast("string")
+    val s = intStr _
     def pos(asset: String, free: String) = struct(
       col(asset).cast("string").as("assetId"), s(free).as("free"))
     val shaped = pools
@@ -522,8 +541,7 @@ object Assets {
         call_udf("ss58_encode", col("owner_pubkey"), lit(ss58Prefix))
           .as("owner"),
         col("owner_pubkey").as("address_pubkey"),
-        col("deposit").cast("decimal(38,0)").cast("string")
-          .as("deposit"),
+        intStr("deposit").as("deposit"),
         col("is_frozen").as("isFrozen"))))
     Snapshot.snapshotRecs(shaped, "uniques.asset",
       chainName = chainName, source = source,
@@ -550,7 +568,7 @@ object Assets {
         col("name"), col("decimals").cast("int").as("decimals"))),
         Seq("token_key"))
       .withColumn("pvj", to_json(struct(
-        col("raw").cast("decimal(38,0)").cast("string").as("raw"),
+        intStr("raw").as("raw"),
         col("symbol"), col("name"),
         (col("raw").cast("double") /
           pow(lit(10.0), col("decimals"))).as("humanAmount"))))

@@ -51,13 +51,22 @@ object Snapshotter {
     Extractor(section, inputs, (m, p) => Seq(f(m, p)))
 
   /** tokens/balances.totalIssuance — the shape every chain shares
-    * (bifrost.js:45-108, interlay.js:40, moonbeam.js, astar.js:44-60);
-    * the registry dim upgrades track_val to the symbol where known. */
+    * (bifrost.js:45-108, interlay.js:40, moonbeam.js, astar.js:44-60).
+    * The registry dim only UPGRADES track_val/humanAmount where known
+    * (issuanceSnapshots left-joins it), so it is not a gating input:
+    * a bundle without "registry.issuance" still publishes every rec
+    * with the bare asset key — the reference does the same when its
+    * asset file has no entry. */
   private def issuance(section: String) =
-    one(section, Seq(section, "registry.issuance")) { (m, p) =>
-      Assets.issuanceSnapshots(m(section), m("registry.issuance"),
-        section, p.chainName, p.source, p.blockNumber, p.blockHash,
-        p.tsSec)
+    one(section, Seq(section)) { (m, p) =>
+      val reg = m.getOrElse("registry.issuance", {
+        val sp = m(section).sparkSession
+        import sp.implicits._
+        Seq.empty[(String, String, String, Int)]
+          .toDF("asset_key", "name", "symbol", "decimals")
+      })
+      Assets.issuanceSnapshots(m(section), reg, section, p.chainName,
+        p.source, p.blockNumber, p.blockHash, p.tsSec)
     }
 
   /** The relay catalog (polkadot.js:395-520; kusama.js subclasses it

@@ -419,7 +419,11 @@ object Codec {
   def pubkeyAscii(pubkey: String): String = {
     if (pubkey == null) return null
     val inp = if (pubkey.startsWith("0x")) pubkey.substring(2) else pubkey
-    if (inp.length < 8) return null
+    // decode, don't reject — but never THROW either: this runs as the
+    // keep gate over the full holder scan, so one malformed
+    // address_pubkey row must not kill the snapshot job (odd-length
+    // hex would index past the end; non-hex pairs would fail parseInt)
+    if (inp.length < 8 || inp.length % 2 != 0) return null
     def byteAt(pos: Int): Int =
       try Integer.parseInt(inp.substring(pos, pos + 2), 16)
       catch { case _: NumberFormatException => -1 }
@@ -440,7 +444,12 @@ object Codec {
       i += 2
     }
     if (remaining.nonEmpty && remaining.length <= 4)
-      out.append(":").append(Integer.parseInt(remaining, 16))
+      // a non-hex remainder (malformed input) just drops the suffix —
+      // parse BEFORE appending ':' so a failure leaves no dangling mark
+      try {
+        val n = Integer.parseInt(remaining, 16)
+        out.append(":").append(n)
+      } catch { case _: NumberFormatException => }
     out.toString
   }
 

@@ -68,9 +68,11 @@ object SnapshotOps {
         when(col("currency_id") === "1984", 6000L).otherwise(10L))
       .withColumn("approvals", lit(0L))
 
-  /** One catalog dispatch + write per query run (b8 and b9 read
-    * different slices of the same dumped day; each runs its own dump —
-    * the writer is idempotent, so the second is a byte-equal replace). */
+  /** One catalog dispatch + write per query run: b8 and b9 each dump
+    * the same composed day into their OWN fresh temp dir (queryDumpDir
+    * is per-call) and read their slice back — two independent
+    * compose→write→read chains over identical data. (Writer replace
+    * idempotence is exercised by SnapshotterSpec, not here.) */
   private def dumped(s: SparkSession, d: String): DataFrame = {
     val h = holdingsOf(s, d)
     graft.etl.Snapshotter.dumpChainSnapshot("Polkadot_AssetHub",

@@ -263,6 +263,17 @@ class AssetsSpec extends AnyFunSuite {
       """{"balance":3.0,"balance_raw":"3000000","holders":2}""")
     assert(rolled.getAs[String]("track") == "stablecoin" &&
       rolled.getAs[String]("track_val") == "USDT")
+    // a holder of a currency MISSING from assetState must not vanish
+    // in three-valued logic — the null gates read false (JS undefined
+    // comparisons), sending it to the rollup
+    val orphan = Assets.assetHolderSnapshots(
+      Seq(("9999", "MYST", 6, pkB, BigDecimal(42)))
+        .toDF("currency_id", "symbol", "decimals", "address_pubkey",
+          "balance_raw"),
+      reg, "Polkadot_AssetHub", "polkaholic", 7000000L, "0xb7m",
+      1700003000L, ss58Prefix = 0).collect()
+    assert(orphan.length == 1 && orphan.head.getAs[String]("kv")
+      .contains("\"name\":\"holders\""), orphan.mkString("\n"))
   }
 
   test("hydradx tokens.accounts / omnipool / xyk / uniques rec shapes " +

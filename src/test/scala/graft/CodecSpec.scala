@@ -257,5 +257,9 @@ class CodecSpec extends AnyFunSuite {
     // >2 leftover non-ASCII bytes: the ":<int>" suffix is dropped
     // (the reference's remaining.length <= 4 guard)
     assert(Codec.pubkeyAscii("0x70617261d0d1d2" + "00" * 25) == "para")
+    // malformed hex must NEVER throw — this runs as the keep gate
+    // over the full holder scan (non-hex pair, odd length)
+    assert(Codec.pubkeyAscii("0x70617261zz" + "00" * 26) == "para")
+    assert(Codec.pubkeyAscii("0x70617261d07") == null)
   }
 }

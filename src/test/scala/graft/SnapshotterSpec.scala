@@ -62,6 +62,16 @@ class SnapshotterSpec extends AnyFunSuite {
     assert(recs.length == 1)
     assert(recs.head.select("section", "storage").collect().head
       .toSeq == Seq("pools", "xyk"))
+    // the registry dim is an UPGRADE, not a gate: issuance state
+    // without "registry.issuance" still publishes bare-key recs
+    val noReg = Map("tokens.totalIssuance" ->
+      Seq(("\"GLMR\"", BigDecimal(123))).toDF("asset_key", "raw"))
+    val moon = Snapshotter.handleSnapshot("Moonbeam", noReg,
+      Placement("Moonbeam", "polkaholic", 9L, "0xm", 1700004000L))
+    assert(moon.length == 1)
+    val mrow = moon.head.collect().head
+    assert(mrow.getAs[String]("track_val") == "\"GLMR\"" &&
+      mrow.getAs[String]("pv").contains("\"raw\":123"))
     // a bundle matching NO extractor refuses to dump an empty day
     intercept[IllegalArgumentException] {
       Snapshotter.dumpChainSnapshot("HydraDx", Map.empty,

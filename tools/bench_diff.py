@@ -178,7 +178,10 @@ def main():
             # storm-excusable)
             regressions.append((k, ov, nv))
         elif nv > floor and ov >= 0 and nv > factor * ov:
-            if k in adjudicated_qs:
+            # match at PREFIX granularity like BenchTrend: driver bench
+            # files carry prefix keys only, and the inventory pins
+            # prefix uniqueness (BenchContractSpec), so prefix == query
+            if k.split("_")[0].replace("stage:", "s:") in adjudicated_qs:
                 adjudicated.append((k, ov, nv))
             elif storm_run or canary_run or k in stormy:
                 suspects.append((k, ov, nv))
