@@ -247,6 +247,40 @@ class BenchContractSpec extends AnyFunSuite {
     assert(t.canaryFactor < BenchTrend.CanaryStormFactor, s"$t")
   }
 
+  test("stage clean band: an in-band long-stage swing is info, an " +
+      "above-band one stays hard (r12 task: judge long stages against " +
+      "their own band, not sub-second canaries)") {
+    val old =
+      """{"queries":{"s:dump":3.00,"x1":0.15,"q9":0.15},"sf":"sf0.1"}"""
+    // x4 ratio trip but 12s <= the 13s pinned clean ceiling — the
+    // 3.0s comparison artifact was merely fast (memo-warm min-of-reps)
+    val inBand =
+      """{"queries":{"s:dump":12.0,"x1":0.16,"q9":0.14},"steal_ticks":0}"""
+    val t1 = BenchTrend.compare(old, inBand)
+    assert(t1.regressions.isEmpty &&
+      t1.inCleanBand.exists(_.startsWith("s:dump")), s"$t1")
+    // above the ceiling with flat canaries: the normal rules apply
+    val above =
+      """{"queries":{"s:dump":40.0,"x1":0.16,"q9":0.14},"steal_ticks":0}"""
+    val t2 = BenchTrend.compare(old, above)
+    assert(t2.regressions.exists(_.startsWith("s:dump")) &&
+      t2.inCleanBand.isEmpty, s"$t2")
+    // the band is sf0.1 data — at another scale it must not excuse
+    val old001 =
+      """{"queries":{"s:dump":0.40,"x1":0.02},"sf":"sf0.01"}"""
+    val slow001 =
+      """{"queries":{"s:dump":2.0,"x1":0.02},"steal_ticks":0,"sf":"sf0.01"}"""
+    val t3 = BenchTrend.compare(old001, slow001)
+    assert(t3.inCleanBand.isEmpty &&
+      t3.regressions.exists(_.startsWith("s:dump")), s"$t3")
+  }
+
+  test("stage clean band: pinned values match the documented idle-host " +
+      "records") {
+    assert(BenchTrend.StageCleanBand == Map("s:dump" -> 13.0,
+      "s:dumpsynth" -> 2.6, "s:dedup" -> 4.8, "s:lrdist" -> 4.4))
+  }
+
   test("adjudications ledger: adjudicated line is exempt, unadjudicated " +
       "twin is not") {
     // the BENCH_r12 shape: a clean-looking run (steal 0, canaries in

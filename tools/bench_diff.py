@@ -52,6 +52,14 @@ ADJUDICATIONS_FILE = "BENCH_ADJUDICATIONS.json"
 # incomparable off-scale (sf1 canaries read ~10x band and would demote
 # every real regression; sf0.01 storms read under-band and go hard).
 CANARY_BAND = {"p0": 0.18, "x1": 0.15, "d1": 0.11}
+# clean-host UPPER bands (s, sf0.1) for the storm-absorbing long
+# stages: a line tripping the ratio rule but AT/UNDER its pinned clean
+# ceiling is the stage performing exactly as its committed clean record
+# says (the comparison artifact was merely fast) — info, never red.
+# Mirrors BenchTrend.StageCleanBand; re-pin only from idle-host records
+# noted in docs/BENCH.md.
+STAGE_CLEAN_BAND = {"s:dump": 13.0, "s:dumpsynth": 2.6,
+                    "s:dedup": 4.8, "s:lrdist": 4.4}
 CANARY_STORM_FACTOR = 2.0
 SUB_SECOND_BAND = 1.0
 MAX_ISOLATED_SUB_SECOND = 2
@@ -153,8 +161,9 @@ def main():
             default=1.0)
     canary_run = canary_factor >= CANARY_STORM_FACTOR
     adjudicated_qs = adjudicated_for(ns.new)
-    regressions, suspects, adjudicated, improved, new_only = \
-        [], [], [], [], []
+    band_scale = new_sf is None or "sf0.1" in new_sf
+    regressions, suspects, adjudicated, in_band, improved, new_only = \
+        [], [], [], [], [], []
     # isolated sub-second slowdowns demote to suspect (round-10 lesson:
     # seven same-code runs showed lone untouched sub-second lines
     # swinging x3.4-3.7 with steal 0 and canaries < 2x — a14 0.28->0.95
@@ -183,6 +192,10 @@ def main():
             # prefix uniqueness (BenchContractSpec), so prefix == query
             if k.split("_")[0].replace("stage:", "s:") in adjudicated_qs:
                 adjudicated.append((k, ov, nv))
+            elif band_scale and nv <= STAGE_CLEAN_BAND.get(
+                    k.split("_")[0].replace("stage:", "s:"),
+                    float("-inf")):
+                in_band.append((k, ov, nv))
             elif storm_run or canary_run or k in stormy:
                 suspects.append((k, ov, nv))
             elif nv < SUB_SECOND_BAND:
@@ -221,6 +234,11 @@ def main():
         print(f"ADJUDICATED {k}: {ov:.2f}s -> {nv:.2f}s "
               f"(x{ratio(nv, ov):.1f}) "
               f"[reviewed disposition in {ADJUDICATIONS_FILE}]")
+    for k, ov, nv in in_band:
+        print(f"INBAND     {k}: {ov:.2f}s -> {nv:.2f}s "
+              f"(x{ratio(nv, ov):.1f}) "
+              f"[inside the pinned clean band "
+              f"{STAGE_CLEAN_BAND[k.split('_')[0].replace('stage:', 's:')]}s]")
     for k, ov, nv in improved:
         print(f"improved   {k}: {ov:.2f}s -> {nv:.2f}s")
     for k, nv in new_only:
