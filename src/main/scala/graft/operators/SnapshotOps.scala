@@ -175,11 +175,135 @@ object SnapshotOps {
        |ORDER BY track_val, name NULLS FIRST,
        | address_pubkey NULLS FIRST""".stripMargin
 
+  // B10 — TWO chains' catalogs composed into ONE snapshots table
+  // (the snapshotter dispatch itself, ref snapshot/snapshotter.js +
+  // substrateetl.js picking the subclass per chain): AssetHub's day at
+  // 06:00 and a synthetic Bifrost walk at 09:00 land through separate
+  // dumpChainSnapshot calls into the same outRoot, and the query
+  // aggregates the READ-BACK layout per (chain, section, storage, hr)
+  // — so chain isolation, the hour-partition derivation, extractor
+  // counts, and the registry-upgrade track_vals all compare
+  // cross-engine.
+  private def bifrostFramesOf(s: SparkSession, d: String)
+      : Map[String, DataFrame] = {
+    val t = (col("user_id") % 5).cast("int")
+    val iss = Tables.events(s, d).filter(col("event_id") < 500)
+      .groupBy(t.as("t"))
+      .agg(sum(col("event_id")).cast("decimal(38,0)").as("raw"))
+    val issuance = iss.select(
+      concat(lit("\"T"), col("t"), lit("\"")).as("asset_key"),
+      col("raw"))
+    // registry knows the EVEN tokens only — odd keys publish bare
+    val reg = iss.filter(col("t") % 2 === 0).select(
+      concat(lit("\"T"), col("t"), lit("\"")).as("asset_key"),
+      concat(lit("Token "), col("t")).as("name"),
+      concat(lit("T"), col("t")).as("symbol"),
+      lit(6).as("decimals"))
+    // the tokenPool walk: keys for t < 3, registry for t < 2 — the
+    // inner gate drops t=2 (the reference's `continue`)
+    val pool = iss.filter(col("t") < 3).select(
+      concat(lit("{\"Token\":\"T"), col("t"), lit("\"}"))
+        .as("token_key"),
+      (col("raw") + 7).as("raw"))
+    val poolReg = iss.filter(col("t") < 2).select(
+      concat(lit("{\"Token\":\"T"), col("t"), lit("\"}"))
+        .as("token_key"),
+      concat(lit("T"), col("t")).as("symbol"),
+      concat(lit("Token "), col("t")).as("name"),
+      lit(10).as("decimals"))
+    Map("tokens.totalIssuance" -> issuance,
+      "registry.issuance" -> reg,
+      "vtokenMinting.tokenPool" -> pool,
+      "registry.tokens" -> poolReg)
+  }
+
+  private def b10(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Snapshotter
+    val dir = queryDumpDir("graft_snapcat_dump")
+    val h = holdingsOf(s, d)
+    Snapshotter.dumpChainSnapshot("Polkadot_AssetHub",
+      Map("assets.asset" -> assetStateOf(h), "assets.account" -> h),
+      Snapshotter.Placement("Polkadot_AssetHub", "polkaholic",
+        7000000L, "0xahb", 1709272800L, ss58Prefix = 0),
+      "2024-03-01", dir)
+    Snapshotter.dumpChainSnapshot("Bifrost", bifrostFramesOf(s, d),
+      Snapshotter.Placement("Bifrost", "polkaholic", 5300000L,
+        "0xbfb", 1709283600L, ss58Prefix = 6),
+      "2024-03-01", dir)
+      .groupBy(col("chain_name"), col("section"), col("storage"),
+        col("hr"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(coalesce(col("track_val"), lit("")))
+          .as("n_tracks"),
+        count(col("address_pubkey")).as("n_addr"),
+        sum(col("block_number")).as("bn_sum"))
+      .orderBy(col("chain_name"), col("section"), col("storage"))
+  }
+
+  private val b10Sql =
+    """WITH h0 AS (
+      | SELECT CASE WHEN user_id % 2 = 0 THEN '1984' ELSE '1337' END
+      |   AS cur, user_id, sum(event_id) AS esum
+      | FROM events WHERE event_id < 800 GROUP BY 1, 2),
+      |h AS (
+      | SELECT cur,
+      |  CAST(CASE WHEN user_id % 7 = 0 THEN (esum + 1) * 100000
+      |   ELSE user_id % 97 + 1 END AS DECIMAL(38,0)) AS raw,
+      |  CAST(NULL AS VARCHAR) AS nm
+      | FROM h0
+      | UNION ALL SELECT '1984', CAST(3 AS DECIMAL(38,0)), 'para:2000'),
+      |t AS (
+      | SELECT cur, CAST(sum(raw) AS DOUBLE) AS supply,
+      |  CASE WHEN cur = '1984' THEN 6000 ELSE 10 END AS holder_cnt
+      | FROM h GROUP BY 1),
+      |k AS (
+      | SELECT h.*,
+      |  (nm IS NOT NULL OR holder_cnt <= 5000
+      |   OR CAST(raw AS DOUBLE) > supply * 0.0025) AS keep
+      | FROM h JOIN t ON h.cur = t.cur),
+      |acct AS (
+      | SELECT count(*) FILTER (WHERE keep)
+      |   + count(DISTINCT CASE WHEN NOT keep THEN cur END) AS n,
+      |  count(DISTINCT cur) AS n_tracks,
+      |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_addr
+      | FROM k),
+      |bt AS (
+      | SELECT CAST(user_id % 5 AS INT) AS t FROM events
+      | WHERE event_id < 500 GROUP BY 1)
+      |SELECT * FROM (
+      | SELECT 'Bifrost' AS chain_name, 'tokens' AS section,
+      |  'totalIssuance' AS storage, 9 AS hr,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_tracks,
+      |  CAST(0 AS BIGINT) AS n_addr,
+      |  CAST(count(*) * 5300000 AS BIGINT) AS bn_sum
+      | FROM bt
+      | UNION ALL
+      | SELECT 'Bifrost', 'vtokenMinting', 'tokenPool', 9,
+      |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(0 AS BIGINT),
+      |  CAST(count(*) * 5300000 AS BIGINT)
+      | FROM bt WHERE t < 2
+      | UNION ALL
+      | SELECT 'Polkadot_AssetHub', 'asset', 'account', 6,
+      |  CAST(n AS BIGINT), CAST(n_tracks AS BIGINT), n_addr,
+      |  CAST(n * 7000000 AS BIGINT)
+      | FROM acct
+      | UNION ALL
+      | SELECT 'Polkadot_AssetHub', 'asset', 'asset', 6,
+      |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+      |  CAST(0 AS BIGINT),
+      |  CAST(count(*) * 7000000 AS BIGINT)
+      | FROM t)
+      |ORDER BY chain_name, section, storage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b8_assethub_asset" -> (b8 _),
-    "b9_assethub_holders" -> (b9 _))
+    "b9_assethub_holders" -> (b9 _),
+    "b10_snapshot_catalog" -> (b10 _))
 
   val oracles: Map[String, String] = Map(
     "b8_assethub_asset" -> b8Sql,
-    "b9_assethub_holders" -> b9Sql)
+    "b9_assethub_holders" -> b9Sql,
+    "b10_snapshot_catalog" -> b10Sql)
 }
