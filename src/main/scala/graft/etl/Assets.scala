@@ -326,16 +326,22 @@ object Assets {
     * float `balance` by sequential addition in walk order — order-
     * dependent at the 1e-16 level; here it is the EXACT decimal sum
     * of raw units divided once, deterministic under any partitioning.
+    * A rollup whose raw sum exceeds decimal(38,0) publishes explicit
+    * JSON nulls for balance/balance_raw (a visible sentinel beside
+    * the live `holders` count), never silently dropped fields.
     *
-    * 100 TB shape: totals is a dimension (one row per asset) —
-    * broadcast; the gate-annotated holder frame is PERSISTED once and
-    * both branches (kept pass-through, rollup groupBy) read the cached
-    * copy, so the holder scan + name-decode UDF run once, not twice;
-    * the rollup's shuffle keys on the (tiny) currency list with
-    * map-side combine. `holdings`: currency_id, symbol, decimals INT,
-    * address_pubkey (0x hex), balance_raw; `assetState` as in
-    * [[assetRegistrySnapshots]] (supply + accounts drive the share
-    * and small-asset gates). */
+    * 100 TB shape: SINGLE-PASS — one scan, one shuffle. Both output
+    * families come out of ONE aggregation keyed on (currency,
+    * keep ? address : null): kept holders form singleton groups
+    * (their own rec, addressed), dropped holders collapse into the
+    * per-currency null-address group (the rollup rec) with map-side
+    * combine. No second scan, no cached copy to manage. totals is a
+    * dimension (one row per asset): broadcast. `holdings`:
+    * currency_id, symbol, decimals INT, address_pubkey (0x hex),
+    * balance_raw; `assetState` as in [[assetRegistrySnapshots]]
+    * (supply + accounts drive the share and small-asset gates —
+    * supply compares as DOUBLE so the gate stays live at u128
+    * magnitudes where a decimal(38,0) narrowing would null it). */
   def assetHolderSnapshots(holdings: DataFrame, assetState: DataFrame,
       chainName: String, source: String, blockNumber: Long,
       blockHash: String, tsSec: Long, ss58Prefix: Int = 0,
@@ -343,15 +349,13 @@ object Assets {
       track: String = "stablecoin"): DataFrame = {
     graft.functions.Udfs.register(holdings.sparkSession)
     val totals = assetState.select(col("currency_id"),
-      col("supply").cast("decimal(38,0)").as("t_supply"),
+      col("supply").cast("double").as("t_supply"),
       col("accounts").cast("long").as("t_holders"))
     val noDrop = Map("ignoreNullFields" -> "false")
     val h = holdings.filter(col("balance_raw").isNotNull)
       .join(broadcast(totals), Seq("currency_id"), "left")
       .withColumn("ascii_name",
         call_udf("pubkey_ascii", col("address_pubkey")))
-      .withColumn("balance", col("balance_raw").cast("double") /
-        pow(lit(10.0), col("decimals")))
       // share test on raw units — same ratio the reference computes
       // after dividing both sides by 10^decimals. coalesce(false): a
       // currency MISSING from assetState makes both numeric gates
@@ -361,36 +365,47 @@ object Assets {
       .withColumn("keep", coalesce(col("ascii_name").isNotNull ||
         col("t_holders") <= targetMaxHolders ||
         col("balance_raw").cast("double") >
-          col("t_supply").cast("double") * minShare, lit(false)))
-      // one holder scan feeds both branches (blocks age out with the
-      // job; a long-lived session may unpersist via the catalog)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = h.filter(col("keep"))
-      .withColumn("kvj", to_json(struct(
-        col("ascii_name").as("name"),
-        col("currency_id").as("currencyID"), col("symbol")), noDrop))
-      .withColumn("pvj", to_json(struct(col("balance"),
-        intStr("balance_raw").as("balance_raw"))))
-    val rolled = h.filter(!col("keep"))
-      .groupBy(col("currency_id"), col("symbol"), col("decimals"))
-      .agg(sum(col("balance_raw")).cast("decimal(38,0)").as("raw_sum"),
+          col("t_supply") * minShare, lit(false)))
+    val grouped = h
+      .groupBy(col("currency_id"), col("symbol"), col("decimals"),
+        when(col("keep"), col("address_pubkey")).as("addr_key"))
+      .agg(
+        sum(col("balance_raw").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("raw_sum"),
+        // singleton kept groups keep the RAW text so u128 amounts
+        // overflowing the decimal render verbatim (intStr semantics)
+        max(col("balance_raw").cast("string")).as("raw_str"),
+        max(col("ascii_name")).as("ascii_name"),
         count(lit(1)).as("holders"))
-      .withColumn("kvj", to_json(struct(lit("holders").as("name"),
-        col("currency_id").as("currencyID"), col("symbol"))))
-      .withColumn("pvj", to_json(struct(
-        (col("raw_sum").cast("double") /
-          pow(lit(10.0), col("decimals"))).as("balance"),
-        intStr("raw_sum").as("balance_raw"),
-        col("holders"))))
-    def recs(st: DataFrame, addr: Option[String]) =
-      Snapshot.snapshotRecs(st, "asset.account",
-        chainName = chainName, source = source,
-        blockNumber = blockNumber, blockHash = blockHash,
-        tsSec = tsSec, ss58Prefix = ss58Prefix, addressCol = addr,
-        kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
-        track = Some((track, col("symbol"))))
-    recs(kept, Some("address_pubkey"))
-      .unionByName(recs(rolled, None))
+    val isKept = col("addr_key").isNotNull
+    val keptRawStr =
+      coalesce(col("raw_sum").cast("string"), col("raw_str"))
+    val balance = (c: Column) =>
+      c.cast("double") / pow(lit(10.0), col("decimals"))
+    val shaped = grouped
+      .withColumn("kvj", when(isKept,
+        to_json(struct(col("ascii_name").as("name"),
+          col("currency_id").as("currencyID"), col("symbol")), noDrop))
+        .otherwise(to_json(struct(lit("holders").as("name"),
+          col("currency_id").as("currencyID"), col("symbol")))))
+      .withColumn("pvj", when(isKept,
+        to_json(struct(
+          balance(coalesce(col("raw_sum").cast("double"),
+            col("raw_str").cast("double"))).as("balance"),
+          keptRawStr.as("balance_raw"))))
+        // noDrop: an overflowed rollup sum renders explicit nulls —
+        // the field must never silently vanish from the JSON
+        .otherwise(to_json(struct(
+          balance(col("raw_sum")).as("balance"),
+          col("raw_sum").cast("string").as("balance_raw"),
+          col("holders")), noDrop)))
+    Snapshot.snapshotRecs(shaped, "asset.account",
+      chainName = chainName, source = source,
+      blockNumber = blockNumber, blockHash = blockHash,
+      tsSec = tsSec, ss58Prefix = ss58Prefix,
+      addressCol = Some("addr_key"),
+      kvJsonCol = Some("kvj"), pvJsonCol = Some("pvj"),
+      track = Some((track, col("symbol"))))
   }
 
   /** HydraDX-family `tokens.accounts` balance snapshot recs at a

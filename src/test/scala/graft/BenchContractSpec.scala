@@ -277,8 +277,8 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("stage clean band: pinned values match the documented idle-host " +
       "records") {
-    assert(BenchTrend.StageCleanBand == Map("s:dump" -> 13.0,
-      "s:dumpsynth" -> 2.6, "s:dedup" -> 4.8, "s:lrdist" -> 4.4))
+    assert(BenchTrend.StageCleanBand == Map("s:dump" -> 14.7,
+      "s:dumpsynth" -> 2.1, "s:dedup" -> 5.2, "s:lrdist" -> 4.2))
   }
 
   test("adjudications ledger: adjudicated line is exempt, unadjudicated " +

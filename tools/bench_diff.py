@@ -58,8 +58,8 @@ CANARY_BAND = {"p0": 0.18, "x1": 0.15, "d1": 0.11}
 # says (the comparison artifact was merely fast) — info, never red.
 # Mirrors BenchTrend.StageCleanBand; re-pin only from idle-host records
 # noted in docs/BENCH.md.
-STAGE_CLEAN_BAND = {"s:dump": 13.0, "s:dumpsynth": 2.6,
-                    "s:dedup": 4.8, "s:lrdist": 4.4}
+STAGE_CLEAN_BAND = {"s:dump": 14.7, "s:dumpsynth": 2.1,
+                    "s:dedup": 5.2, "s:lrdist": 4.2}
 CANARY_STORM_FACTOR = 2.0
 SUB_SECOND_BAND = 1.0
 MAX_ISOLATED_SUB_SECOND = 2
@@ -145,11 +145,14 @@ def main():
         sys.exit("ERROR: no overlapping query keys between the two "
                  "files — refusing to report 'no regressions' on a "
                  "vacuous comparison")
+    # one scale predicate for both band consumers (canary + stage) —
+    # a drift between two spellings would apply one band off-scale
+    band_scale = new_sf is None or "sf0.1" in new_sf
     # canary normalization: worst ratio of the newer run's canaries vs
     # the ABSOLUTE pinned clean band — never the previous artifact,
     # whose canaries may themselves be storm-inflated (r10->r11
     # masking). Off the band's scale, fall back to the relative form.
-    if new_sf is None or "sf0.1" in new_sf:
+    if band_scale:
         canary_factor = max(
             (new_q[k] / band for k, band in CANARY_BAND.items()
              if new_q.get(k, -1) >= 0),
@@ -161,7 +164,6 @@ def main():
             default=1.0)
     canary_run = canary_factor >= CANARY_STORM_FACTOR
     adjudicated_qs = adjudicated_for(ns.new)
-    band_scale = new_sf is None or "sf0.1" in new_sf
     regressions, suspects, adjudicated, in_band, improved, new_only = \
         [], [], [], [], [], []
     # isolated sub-second slowdowns demote to suspect (round-10 lesson:
