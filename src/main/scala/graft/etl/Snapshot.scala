@@ -221,6 +221,34 @@ object Snapshot {
       .parquet(s"$outRoot/snapshots")
   }
 
+  /** The external balances-feed transform (ref substrateetl.js:544
+    * dump_snapshot_transform): an NDJSON feed of {AccountId, Free,
+    * Locked, Reserved, Total} rows — the shape external per-chain
+    * indexers hand over — normalizes to the published
+    * (address_ss58, address_pubkey, free, locked, reserved, total)
+    * row and lands it in `fmt` (the reference emits csv or mysql
+    * VALUES; here any Writers-supported format). AccountId arrives as
+    * ss58 OR 0x pubkey — both normalize through ss58_pubkey, and rows
+    * whose address fails to decode DROP like the reference's
+    * try/catch-per-line. Row-wise projection; no shuffle. */
+  def transformBalancesFeed(feed: DataFrame, outDir: String,
+      format: String = "csv", ss58Prefix: Int = 0): DataFrame = {
+    graft.functions.Udfs.register(feed.sparkSession)
+    val out = feed.select(
+      pubkeyOf(col("AccountId")).as("address_pubkey"),
+      col("Free").as("free"), col("Locked").as("locked"),
+      col("Reserved").as("reserved"), col("Total").as("total"))
+      .filter(col("address_pubkey").isNotNull)
+      .select(
+        call_udf("ss58_encode", col("address_pubkey"),
+          lit(ss58Prefix)).as("address_ss58"),
+        col("address_pubkey"), col("free"), col("locked"),
+        col("reserved"), col("total"))
+    out.write.mode("overwrite").format(format)
+      .option("header", "true").save(outDir)
+    out
+  }
+
   /** Idempotent snapshot write: partitioned by `snapshot_at`, dynamic
     * partition overwrite — re-running a snapshot replaces exactly its
     * own partition and leaves every other block's snapshot untouched

@@ -128,6 +128,29 @@ class SnapshotterSpec extends AnyFunSuite {
       d5.filter(col("chain_name") === "Bifrost").count() == 4)
   }
 
+  test("external balances-feed transform: ss58/pubkey normalize, " +
+      "bad-address drop, csv round trip (ref substrateetl.js:544)") {
+    import graft.functions.Codec
+    val pk = "0x" + "cd" * 32
+    val ss = Codec.ss58Encode(Codec.hexToBytes(pk), 0)
+    val feed = Seq(
+      (ss, "10", "0", "1", "11"),          // ss58-form AccountId
+      (pk, "5", "2", "0", "7"),            // pubkey-form AccountId
+      ("not-an-address", "9", "9", "9", "9")) // drops
+      .toDF("AccountId", "Free", "Locked", "Reserved", "Total")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snaptransform").toString + "/out"
+    val out = graft.etl.Snapshot.transformBalancesFeed(feed, dir)
+    assert(out.count() == 2, "undecodable address must drop")
+    assert(out.select("address_pubkey").distinct().count() == 1,
+      "ss58 and pubkey forms of ONE account normalize to one pubkey")
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2 && back.columns.toSeq == Seq(
+      "address_ss58", "address_pubkey", "free", "locked", "reserved",
+      "total"))
+    assert(back.filter(col("address_ss58") === ss).count() == 2)
+  }
+
   test("relay + dappStaking catalogs dispatch the gov/staking " +
       "extractor families") {
     // Astar with just the two singleton frames: exactly those recs
