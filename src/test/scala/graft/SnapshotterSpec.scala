@@ -128,6 +128,28 @@ class SnapshotterSpec extends AnyFunSuite {
       d5.filter(col("chain_name") === "Bifrost").count() == 4)
   }
 
+  test("snapshots layout: a (chain, hour) serve query prunes " +
+      "partitions at the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_snapprune").toString
+    val bf = Placement("Bifrost", "polkaholic", 5300000L, "0xbfb",
+      1709272800L, ss58Prefix = 6)
+    Snapshotter.dumpChainSnapshot("Bifrost", bifrostFrames, bf,
+      "2024-03-01", dir)
+    Snapshotter.dumpChainSnapshot("Bifrost", bifrostFrames,
+      bf.copy(tsSec = 1709283600L), "2024-03-01", dir)
+    val read = spark.read.parquet(s"$dir/snapshots")
+      .filter(col("chain_name") === "Bifrost" && col("hr") === 9 &&
+        col("log_dt") === "2024-03-01")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("hr") && !plan.replaceAll("\\s", "")
+        .contains("PartitionFilters:[]"),
+      s"the (log_dt, chain_name, hr) predicate must prune at the " +
+        s"scan, not filter rows:\n$plan")
+    assert(read.count() == 2) // one hour's recs only
+  }
+
   test("external balances-feed transform: ss58/pubkey normalize, " +
       "bad-address drop, csv round trip (ref substrateetl.js:544)") {
     import graft.functions.Codec
