@@ -297,13 +297,224 @@ object SnapshotOps {
       | FROM t)
       |ORDER BY chain_name, section, storage""".stripMargin
 
+  // B11 — the HydraDX balance/liquidity walks THROUGH THE CATALOG
+  // (ref snapshot/hydradx.js:136-246: the treasury and omnipool
+  // tokens.accounts walks, omnipool.assets, omnipool.positions):
+  // every pv here is integer-strings + symbols, so the JSON compares
+  // character-exact cross-engine; kv compares on its DERIVABLE fields
+  // (asset_id/id/ticker — the `account` ss58 rendering is the
+  // engine's own codec, pinned by AssetsSpec's real-key round trip).
+  private def hydraFramesOf(s: SparkSession, d: String)
+      : Map[String, DataFrame] = {
+    val ev = Tables.events(s, d).filter(col("event_id") < 600)
+    val perAsset = ev.groupBy((col("user_id") % 9).cast("int").as("a"))
+      .agg(sum(col("event_id")).as("esum"),
+        count(lit(1)).as("n"))
+    val reg = perAsset.filter(col("a") % 2 === 0)
+      .select(col("a").as("asset_id"),
+        concat(lit("H"), col("a")).as("symbol"))
+    def accounts(pubkey: String, shift: Int) = perAsset.select(
+      col("a").as("asset_id"),
+      lit(pubkey).as("address_pubkey"),
+      (col("esum") + shift).cast("decimal(38,0)").as("free"),
+      (col("a") % 3).cast("decimal(38,0)").as("reserved"),
+      lit(0).cast("decimal(38,0)").as("frozen"))
+    val omniAssets = perAsset.select(
+      col("a").as("asset_id"),
+      (col("esum") * 3).cast("decimal(38,0)").as("hub_reserve"),
+      col("n").cast("decimal(38,0)").as("shares"),
+      (col("n") % 5).cast("decimal(38,0)").as("protocol_shares"),
+      lit(500000).cast("decimal(38,0)").as("cap"),
+      concat(lit("tradable:"), col("a")).as("tradable"))
+    val positions = perAsset.select(
+      (col("a") + 100).cast("long").as("position_id"),
+      col("a").as("asset_id"),
+      col("esum").cast("decimal(38,0)").as("amount"),
+      (col("esum") % 977).cast("decimal(38,0)").as("shares"),
+      (col("esum") * 2).cast("decimal(38,0)").as("price_1"),
+      lit(1000000).cast("decimal(38,0)").as("price_2"))
+    Map("registry.assets" -> reg,
+      "tokens.accounts.treasury" -> accounts("0x" + "77" * 32, 0),
+      "tokens.accounts.omnipool" -> accounts("0x" + "88" * 32, 1),
+      "omnipool.assets" -> omniAssets,
+      "omnipool.positions" -> positions)
+  }
+
+  private def b11(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Snapshotter
+    Snapshotter.dumpChainSnapshot("HydraDx", hydraFramesOf(s, d),
+      Snapshotter.Placement("HydraDx", "polkaholic", 4400000L,
+        "0xh44", 1709272800L, ss58Prefix = 63),
+      "2024-03-01", queryDumpDir("graft_hydradx_dump"))
+      .select(col("section"), col("storage"), col("track"),
+        col("track_val"),
+        coalesce(get_json_object(col("kv"), "$.asset_id"),
+          get_json_object(col("kv"), "$.id")).as("kv_id"),
+        get_json_object(col("kv"), "$.ticker").as("ticker"),
+        col("pv"), col("block_number"), us(col("ts")).as("ts_us"))
+      .orderBy(col("storage"), col("track_val"), col("kv_id"))
+  }
+
+  private val b11Sql =
+    """WITH pa AS (
+      | SELECT CAST(user_id % 9 AS INT) AS a, sum(event_id) AS esum,
+      |  count(*) AS n
+      | FROM events WHERE event_id < 600 GROUP BY 1),
+      |px AS (SELECT pa.*,
+      | CASE WHEN a % 2 = 0 THEN 'H' || CAST(a AS VARCHAR) END
+      |  AS ticker FROM pa),
+      |acct AS (
+      | SELECT 'tokens' AS section, 'accounts' AS storage,
+      |  'balance' AS track, w.track_val,
+      |  CAST(a AS VARCHAR) AS kv_id, ticker,
+      |  '{"free":"' || CAST(esum + w.shift AS VARCHAR)
+      |   || '","reserved":"' || CAST(a % 3 AS VARCHAR)
+      |   || '","frozen":"0"}' AS pv
+      | FROM px CROSS JOIN (VALUES ('treasury', 0), ('omnipool', 1))
+      |  AS w(track_val, shift)),
+      |oa AS (
+      | SELECT 'omnipool', 'assets', 'omniasset', CAST(a AS VARCHAR),
+      |  CAST(a AS VARCHAR), ticker,
+      |  '{"hubReserve":"' || CAST(esum * 3 AS VARCHAR)
+      |   || '","shares":"' || CAST(n AS VARCHAR)
+      |   || '","protocolShares":"' || CAST(n % 5 AS VARCHAR)
+      |   || '","cap":"500000","tradable":"tradable:'
+      |   || CAST(a AS VARCHAR) || '"}'
+      | FROM px),
+      |op AS (
+      | SELECT 'omnipool', 'positions', 'liquidity', CAST(a AS VARCHAR),
+      |  CAST(a + 100 AS VARCHAR), ticker,
+      |  '{"assetId":"' || CAST(a AS VARCHAR)
+      |   || '","amount":"' || CAST(esum AS VARCHAR)
+      |   || '","shares":"' || CAST(esum % 977 AS VARCHAR)
+      |   || '","price_1":"' || CAST(esum * 2 AS VARCHAR)
+      |   || '","price_2":"1000000"}'
+      | FROM px)
+      |SELECT section, storage, track, track_val, kv_id, ticker, pv,
+      | CAST(4400000 AS BIGINT) AS block_number,
+      | CAST(1709272800 AS BIGINT) * 1000000 AS ts_us
+      |FROM (SELECT * FROM acct UNION ALL SELECT * FROM oa
+      | UNION ALL SELECT * FROM op)
+      |ORDER BY storage, track_val, kv_id""".stripMargin
+
+  // B12 — the Astar dappStaking family THROUGH THE CATALOG (ref
+  // snapshot/astar.js:108-296): the activeProtocolState singleton,
+  // the per-staker stakerInfo walk, and the integratedDApps registry —
+  // the three family members whose pv is integers/strings/bools end
+  // to end, so the JSON documents compare CHARACTER-EXACT in DuckDB
+  // (the double-valued members — eraInfo, tiers, eraRewards,
+  // contractStake — are pinned by StakingSpec's exact-string rows).
+  private def astarFramesOf(s: SparkSession, d: String)
+      : Map[String, DataFrame] = {
+    val ev = Tables.events(s, d)
+    val aps = ev.agg((max(col("event_id")) % 997).as("era"))
+      .select(col("era"), (col("era") * 8000).as("next_era_start"),
+        (col("era") % 16).as("period_number"),
+        when(col("era") % 2 === 0, "BuildAndEarn").otherwise("Voting")
+          .as("subperiod"),
+        (col("era") + 21).as("next_subperiod_start_era"),
+        (col("era") % 5 === 0).as("maintenance"))
+    val stakers = ev.filter(col("event_id") < 300)
+      .groupBy(col("user_id"))
+      .agg(sum(col("event_id")).as("esum"))
+      .select(pk(col("user_id")).as("staker"),
+        when(col("user_id") % 2 === 0, "Evm").otherwise("Wasm")
+          .as("dapp_type"),
+        concat(lit("0xd"), col("user_id")).as("dapp_address"),
+        col("esum").cast("decimal(38,0)").as("staked_voting"),
+        (col("user_id") % 13).cast("decimal(38,0)")
+          .as("staked_build_and_earn"),
+        (col("user_id") % 50 + 1).as("era"),
+        (col("user_id") % 7).as("period"),
+        (col("user_id") % 3 === 0).as("loyal_staker"))
+    val dapps = ev.filter(col("event_id") < 300)
+      .groupBy((col("user_id") % 20).cast("int").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .select(concat(lit("o"), col("g")).as("owner"),
+        col("g").cast("long").as("dapp_id"),
+        when(col("g") % 4 === 0, "Unregistered").otherwise("Registered")
+          .as("state"),
+        concat(lit("0xd"), col("g")).as("evm_address"))
+    Map("dappStaking.activeProtocolState" -> aps,
+      "dappStaking.stakerInfo" -> stakers,
+      "dappStaking.integratedDApps" -> dapps)
+  }
+
+  private def b12(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Snapshotter
+    Snapshotter.dumpChainSnapshot("Astar", astarFramesOf(s, d),
+      Snapshotter.Placement("Astar", "polkaholic", 5700000L, "0xa57",
+        1709272800L, ss58Prefix = 5, era = 742L),
+      "2024-03-01", queryDumpDir("graft_astar_dump"))
+      .select(col("section"), col("storage"), col("track"),
+        col("track_val"), col("address_pubkey"), col("pv"),
+        col("block_number"), us(col("ts")).as("ts_us"))
+      .orderBy(col("storage"), col("address_pubkey").asc_nulls_first,
+        col("pv"))
+  }
+
+  private val b12Sql =
+    """WITH aps AS (
+      | SELECT CAST(max(event_id) % 997 AS BIGINT) AS era FROM events),
+      |st AS (
+      | SELECT user_id, sum(event_id) AS esum FROM events
+      | WHERE event_id < 300 GROUP BY 1),
+      |dg AS (
+      | SELECT CAST(user_id % 20 AS INT) AS g FROM events
+      | WHERE event_id < 300 GROUP BY 1)
+      |SELECT * FROM (
+      | SELECT 'dappStaking' AS section,
+      |  'activeProtocolState' AS storage, 'era' AS track,
+      |  '742' AS track_val, CAST(NULL AS VARCHAR) AS address_pubkey,
+      |  '{"era":' || CAST(era AS VARCHAR)
+      |   || ',"nextEraStart":' || CAST(era * 8000 AS VARCHAR)
+      |   || ',"periodInfo":{"number":' || CAST(era % 16 AS VARCHAR)
+      |   || ',"subperiod":"'
+      |   || CASE WHEN era % 2 = 0 THEN 'BuildAndEarn'
+      |      ELSE 'Voting' END
+      |   || '","nextSubperiodStartEra":' || CAST(era + 21 AS VARCHAR)
+      |   || '},"maintenance":'
+      |   || CASE WHEN era % 5 = 0 THEN 'true' ELSE 'false' END
+      |   || '}' AS pv
+      | FROM aps
+      | UNION ALL
+      | SELECT 'dappStaking', 'integratedDApps', 'era', '742', NULL,
+      |  '{"owner":"o' || CAST(g AS VARCHAR)
+      |   || '","id":' || CAST(g AS VARCHAR)
+      |   || ',"state":"'
+      |   || CASE WHEN g % 4 = 0 THEN 'Unregistered'
+      |      ELSE 'Registered' END
+      |   || '","Evm":"0xd' || CAST(g AS VARCHAR) || '"}'
+      | FROM dg
+      | UNION ALL
+      | SELECT 'dappStaking', 'stakerInfo', 'era', '742',
+      |  '0x' || md5(CAST(user_id AS VARCHAR))
+      |   || md5(CAST(user_id AS VARCHAR) || 'x'),
+      |  '{"staked":{"voting":' || CAST(esum AS VARCHAR)
+      |   || ',"buildAndEarn":' || CAST(user_id % 13 AS VARCHAR)
+      |   || ',"era":' || CAST(user_id % 50 + 1 AS VARCHAR)
+      |   || ',"period":' || CAST(user_id % 7 AS VARCHAR)
+      |   || '},"loyalStaker":'
+      |   || CASE WHEN user_id % 3 = 0 THEN 'true' ELSE 'false' END
+      |   || ',"dAppType":"'
+      |   || CASE WHEN user_id % 2 = 0 THEN 'Evm' ELSE 'Wasm' END
+      |   || '","dAppAddress":"0xd' || CAST(user_id AS VARCHAR) || '"}'
+      | FROM st)
+      |CROSS JOIN (SELECT CAST(5700000 AS BIGINT) AS block_number,
+      | CAST(1709272800 AS BIGINT) * 1000000 AS ts_us)
+      |ORDER BY storage, address_pubkey NULLS FIRST, pv""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b8_assethub_asset" -> (b8 _),
     "b9_assethub_holders" -> (b9 _),
-    "b10_snapshot_catalog" -> (b10 _))
+    "b10_snapshot_catalog" -> (b10 _),
+    "b11_hydradx_walks" -> (b11 _),
+    "b12_astar_family" -> (b12 _))
 
   val oracles: Map[String, String] = Map(
     "b8_assethub_asset" -> b8Sql,
     "b9_assethub_holders" -> b9Sql,
-    "b10_snapshot_catalog" -> b10Sql)
+    "b10_snapshot_catalog" -> b10Sql,
+    "b11_hydradx_walks" -> b11Sql,
+    "b12_astar_family" -> b12Sql)
 }
