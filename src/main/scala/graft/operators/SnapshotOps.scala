@@ -428,8 +428,7 @@ object SnapshotOps {
         (col("user_id") % 7).as("period"),
         (col("user_id") % 3 === 0).as("loyal_staker"))
     val dapps = ev.filter(col("event_id") < 300)
-      .groupBy((col("user_id") % 20).cast("int").as("g"))
-      .agg(count(lit(1)).as("n"))
+      .select((col("user_id") % 20).cast("int").as("g")).distinct()
       .select(concat(lit("o"), col("g")).as("owner"),
         col("g").cast("long").as("dapp_id"),
         when(col("g") % 4 === 0, "Unregistered").otherwise("Registered")
