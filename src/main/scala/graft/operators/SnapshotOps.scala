@@ -333,11 +333,24 @@ object SnapshotOps {
       (col("esum") % 977).cast("decimal(38,0)").as("shares"),
       (col("esum") * 2).cast("decimal(38,0)").as("price_1"),
       lit(1000000).cast("decimal(38,0)").as("price_2"))
+    // xyk pools: one per user_id%4 group — pv (totalLiquidity + the
+    // two reserve positions) is integer-strings, oracle-derivable;
+    // the kv account/ss58 rendering is pinned by AssetsSpec
+    val xyk = ev.groupBy((col("user_id") % 4).cast("int").as("g"))
+      .agg(sum(col("event_id")).as("esum"))
+      .select(concat(lit("0x"), lpad(col("g").cast("string"), 64, "9"))
+          .as("pool_pubkey"),
+        (col("g") + 1000000).cast("long").as("share_token"),
+        lit(0).as("asset_a"), (col("g") + 1).cast("int").as("asset_b"),
+        col("esum").cast("decimal(38,0)").as("total_liquidity"),
+        (col("esum") % 1009).cast("decimal(38,0)").as("free_a"),
+        (col("esum") % 997).cast("decimal(38,0)").as("free_b"))
     Map("registry.assets" -> reg,
       "tokens.accounts.treasury" -> accounts("0x" + "77" * 32, 0),
       "tokens.accounts.omnipool" -> accounts("0x" + "88" * 32, 1),
       "omnipool.assets" -> omniAssets,
-      "omnipool.positions" -> positions)
+      "omnipool.positions" -> positions,
+      "xyk.pools" -> xyk)
   }
 
   private def b11(s: SparkSession, d: String): DataFrame = {
@@ -352,7 +365,8 @@ object SnapshotOps {
           get_json_object(col("kv"), "$.id")).as("kv_id"),
         get_json_object(col("kv"), "$.ticker").as("ticker"),
         col("pv"), col("block_number"), us(col("ts")).as("ts_us"))
-      .orderBy(col("storage"), col("track_val"), col("kv_id"))
+      .orderBy(col("storage"), col("track_val").asc_nulls_first,
+        col("kv_id").asc_nulls_first, col("pv"))
   }
 
   private val b11Sql =
@@ -389,13 +403,25 @@ object SnapshotOps {
       |   || '","shares":"' || CAST(esum % 977 AS VARCHAR)
       |   || '","price_1":"' || CAST(esum * 2 AS VARCHAR)
       |   || '","price_2":"1000000"}'
-      | FROM px)
+      | FROM px),
+      |xy AS (
+      | SELECT 'pools', 'xyk', 'xykpool', CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |  '{"totalLiquidity":"' || CAST(esum AS VARCHAR)
+      |   || '","positions":[{"assetId":"0","free":"'
+      |   || CAST(esum % 1009 AS VARCHAR)
+      |   || '"},{"assetId":"' || CAST(g + 1 AS VARCHAR)
+      |   || '","free":"' || CAST(esum % 997 AS VARCHAR) || '"}]}'
+      | FROM (SELECT CAST(user_id % 4 AS INT) AS g,
+      |   sum(event_id) AS esum FROM events
+      |   WHERE event_id < 600 GROUP BY 1))
       |SELECT section, storage, track, track_val, kv_id, ticker, pv,
       | CAST(4400000 AS BIGINT) AS block_number,
       | CAST(1709272800 AS BIGINT) * 1000000 AS ts_us
       |FROM (SELECT * FROM acct UNION ALL SELECT * FROM oa
-      | UNION ALL SELECT * FROM op)
-      |ORDER BY storage, track_val, kv_id""".stripMargin
+      | UNION ALL SELECT * FROM op UNION ALL SELECT * FROM xy)
+      |ORDER BY storage, track_val NULLS FIRST, kv_id NULLS FIRST,
+      | pv""".stripMargin
 
   // B12 — the Astar dappStaking family THROUGH THE CATALOG (ref
   // snapshot/astar.js:108-296): the activeProtocolState singleton,
