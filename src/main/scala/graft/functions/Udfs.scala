@@ -79,7 +79,8 @@ object Udfs {
 
     // module-account name decode (ref paraTool.js:378
     // pubKey_hex2ascii — the assethub snapshotter's named-holder gate)
-    u.register("pubkey_ascii", (s: String) => Codec.pubkeyAscii(s))
+    native(spark, "pubkey_ascii", "pubkeyAscii", StringType,
+      Seq(StringType))
 
     // substrate↔EVM account mapping (ref paraTool.js:517,522)
     native(spark, "pubkey_to_h160", "pubkeyToH160", StringType,

@@ -34,6 +34,14 @@ object CodecKernels {
     utf8(guard(
       Codec.bytesToHex(Codec.ss58Decode(address.toString)._2)))
 
+  /** Module-account name decode (pubKey_hex2ascii) — runs as the
+    * named-holder keep gate over full holder scans, so it rides
+    * StaticInvoke inside whole-stage codegen like the other address
+    * kernels (a Scala UDF here would fence the gate's stage). The
+    * kernel itself never throws on malformed input (Codec guard). */
+  def pubkeyAscii(pubkey: UTF8String): UTF8String =
+    utf8(Codec.pubkeyAscii(pubkey.toString))
+
   def twox128Hex(s: UTF8String): UTF8String =
     utf8(Codec.bytesToHex(
       Codec.twox128(s.toString.getBytes("UTF-8")), prefix = false))
