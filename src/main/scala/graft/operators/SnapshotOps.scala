@@ -529,17 +529,170 @@ object SnapshotOps {
       | CAST(1709272800 AS BIGINT) * 1000000 AS ts_us)
       |ORDER BY storage, address_pubkey NULLS FIRST, pv""".stripMargin
 
+  // B13 — the DOUBLE-valued Astar dappStaking members through the
+  // catalog (eraInfo, contractStake incl. the optional stakedFuture,
+  // dAppTiers with the sorted dappsList lookup, eraRewards spans,
+  // and the inflation pass-through; ref astar.js:130-368). Raw JSON
+  // text with doubles is engine-specific, so the query EXTRACTS the
+  // numeric fields back out of the dumped pv and compares them AS
+  // DOUBLES: each field is one (integer aggregate) / (power-of-ten)
+  // IEEE expression both engines evaluate bit-identically, and
+  // get_json_object → cast(double) restores Jackson's shortest-round-
+  // trip rendering exactly (the dmean/decOut playbook).
+  private def astarScaledFramesOf(s: SparkSession, d: String)
+      : Map[String, DataFrame] = {
+    val ev = Tables.events(s, d)
+    val ag = ev.agg(sum(col("event_id")).as("es"),
+      count(lit(1)).as("n"))
+    val eraInfo = ag.select(
+      (col("es") / 10000.0).as("total_locked"),
+      (col("n") / 100.0).as("unlocking"),
+      ((col("es") % 1000003) / 100.0).as("current_voting"),
+      ((col("es") % 999983) / 100.0).as("current_build_and_earn"),
+      ((col("n") % 997) / 10.0).as("next_voting"),
+      ((col("n") % 991) / 10.0).as("next_build_and_earn"))
+    val contractStake = ev.filter(col("event_id") < 400)
+      .groupBy((col("user_id") % 10).cast("int").as("g"))
+      .agg(sum(col("event_id")).as("es"), count(lit(1)).as("n"))
+      .select(col("g").cast("long").as("dapp_id"),
+        (col("es") / 100.0).as("voting"),
+        (col("n") / 10.0).as("build_and_earn"),
+        lit(742L).as("era"), lit(8L).as("period"),
+        when(col("g") % 2 === 0, col("es") / 50.0).as("future_voting"),
+        when(col("g") % 2 === 0, col("n") / 5.0)
+          .as("future_build_and_earn"),
+        when(col("g") % 2 === 0, lit(743L)).as("future_era"),
+        when(col("g") % 2 === 0, lit(8L)).as("future_period"))
+    val tiers = ag.select(lit(742L).as("era"),
+      array(col("es") / 1000.0, col("n") / 10.0).as("rewards"),
+      typedLit(Map("0xa" -> 0, "0xb" -> 1)).as("dapps"))
+    val eraRewards = ag.select(
+      (col("es") % 499).as("span_era"),
+      array(struct((col("es") / 10000.0).as("stakerRewardPool"),
+        (col("es") / 100.0).as("staked"),
+        (col("n") / 10.0).as("dappRewardPool"))).as("spans"))
+    val inflation = ag.select(
+      ((col("es") % 97) / 1000.0).as("maxInflationRate"),
+      ((col("es") % 89) / 1000.0).as("treasuryPart"),
+      ((col("n") % 83) / 1000.0).as("collatorsPart"))
+    Map("dappStaking.currentEraInfo" -> eraInfo,
+      "dappStaking.contractStake" -> contractStake,
+      "dappStaking.dAppTiers" -> tiers,
+      "dappStaking.eraRewards" -> eraRewards,
+      "inflation.inflationParams" -> inflation)
+  }
+
+  private def b13(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Snapshotter
+    def g(p: String) = get_json_object(col("pv"), p).cast("double")
+    Snapshotter.dumpChainSnapshot("Astar", astarScaledFramesOf(s, d),
+      Snapshotter.Placement("Astar", "polkaholic", 5700000L, "0xa57",
+        1709272800L, ss58Prefix = 5, era = 742L),
+      "2024-03-01", queryDumpDir("graft_astar_scaled_dump"))
+      .select(col("storage"),
+        when(col("storage") === "contractStake",
+          get_json_object(col("pv"), "$.dAppID"))
+          .when(col("storage").isin("currentEraInfo",
+            "inflationParams"), lit(null).cast("string"))
+          .otherwise(get_json_object(col("pv"), "$.era")).as("k"),
+        when(col("storage") === "currentEraInfo", g("$.totalLocked"))
+          .when(col("storage") === "contractStake",
+            g("$.staked.voting"))
+          .when(col("storage") === "dAppTiers", g("$.rewards[0]"))
+          .when(col("storage") === "inflationParams",
+            g("$.maxInflationRate"))
+          .otherwise(g("$.span[0].stakerRewardPool")).as("d1"),
+        when(col("storage") === "currentEraInfo", g("$.unlocking"))
+          .when(col("storage") === "contractStake",
+            g("$.staked.buildAndEarn"))
+          .when(col("storage") === "dAppTiers", g("$.rewards[1]"))
+          .when(col("storage") === "inflationParams",
+            g("$.treasuryPart"))
+          .otherwise(g("$.span[0].staked")).as("d2"),
+        when(col("storage") === "currentEraInfo",
+          g("$.currentStakeAmount.voting"))
+          .when(col("storage") === "contractStake", g("$.staked.era"))
+          .when(col("storage") === "dAppTiers",
+            g("$.dappsList[0].tier"))
+          .when(col("storage") === "inflationParams",
+            g("$.collatorsPart"))
+          .otherwise(g("$.span[0].dappRewardPool")).as("d3"),
+        when(col("storage") === "currentEraInfo",
+          g("$.currentStakeAmount.buildAndEarn"))
+          .when(col("storage") === "contractStake",
+            g("$.staked.period"))
+          .when(col("storage") === "dAppTiers",
+            g("$.dappsList[0].reward")).as("d4"),
+        when(col("storage") === "currentEraInfo",
+          g("$.nextStakeAmount.voting"))
+          .when(col("storage") === "contractStake",
+            g("$.stakedFuture.voting"))
+          .when(col("storage") === "dAppTiers",
+            g("$.dappsList[1].tier")).as("d5"),
+        when(col("storage") === "currentEraInfo",
+          g("$.nextStakeAmount.buildAndEarn"))
+          .when(col("storage") === "contractStake",
+            g("$.stakedFuture.era"))
+          .when(col("storage") === "dAppTiers",
+            g("$.dappsList[1].reward")).as("d6"))
+      .orderBy(col("storage"), col("k").asc_nulls_first)
+  }
+
+  private val b13Sql =
+    """WITH ag AS (
+      | SELECT sum(event_id) AS es, count(*) AS n FROM events),
+      |cs AS (
+      | SELECT CAST(user_id % 10 AS INT) AS g, sum(event_id) AS es,
+      |  count(*) AS n
+      | FROM events WHERE event_id < 400 GROUP BY 1)
+      |SELECT * FROM (
+      | SELECT 'currentEraInfo' AS storage, CAST(NULL AS VARCHAR) AS k,
+      |  CAST(es AS DOUBLE) / 10000.0 AS d1,
+      |  CAST(n AS DOUBLE) / 100.0 AS d2,
+      |  CAST(es % 1000003 AS DOUBLE) / 100.0 AS d3,
+      |  CAST(es % 999983 AS DOUBLE) / 100.0 AS d4,
+      |  CAST(n % 997 AS DOUBLE) / 10.0 AS d5,
+      |  CAST(n % 991 AS DOUBLE) / 10.0 AS d6
+      | FROM ag
+      | UNION ALL
+      | SELECT 'contractStake', CAST(g AS VARCHAR),
+      |  CAST(es AS DOUBLE) / 100.0, CAST(n AS DOUBLE) / 10.0,
+      |  742.0, 8.0,
+      |  CASE WHEN g % 2 = 0 THEN CAST(es AS DOUBLE) / 50.0 END,
+      |  CASE WHEN g % 2 = 0 THEN 743.0 END
+      | FROM cs
+      | UNION ALL
+      | SELECT 'dAppTiers', '742',
+      |  CAST(es AS DOUBLE) / 1000.0, CAST(n AS DOUBLE) / 10.0,
+      |  0.0, CAST(es AS DOUBLE) / 1000.0,
+      |  1.0, CAST(n AS DOUBLE) / 10.0
+      | FROM ag
+      | UNION ALL
+      | SELECT 'eraRewards', CAST(es % 499 AS VARCHAR),
+      |  CAST(es AS DOUBLE) / 10000.0, CAST(es AS DOUBLE) / 100.0,
+      |  CAST(n AS DOUBLE) / 10.0, NULL, NULL, NULL
+      | FROM ag
+      | UNION ALL
+      | SELECT 'inflationParams', NULL,
+      |  CAST(es % 97 AS DOUBLE) / 1000.0,
+      |  CAST(es % 89 AS DOUBLE) / 1000.0,
+      |  CAST(n % 83 AS DOUBLE) / 1000.0, NULL, NULL, NULL
+      | FROM ag)
+      |ORDER BY storage, k NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b8_assethub_asset" -> (b8 _),
     "b9_assethub_holders" -> (b9 _),
     "b10_snapshot_catalog" -> (b10 _),
     "b11_hydradx_walks" -> (b11 _),
-    "b12_astar_family" -> (b12 _))
+    "b12_astar_family" -> (b12 _),
+    "b13_astar_scaled" -> (b13 _))
 
   val oracles: Map[String, String] = Map(
     "b8_assethub_asset" -> b8Sql,
     "b9_assethub_holders" -> b9Sql,
     "b10_snapshot_catalog" -> b10Sql,
     "b11_hydradx_walks" -> b11Sql,
-    "b12_astar_family" -> b12Sql)
+    "b12_astar_family" -> b12Sql,
+    "b13_astar_scaled" -> b13Sql)
 }
