@@ -233,13 +233,63 @@ object DimOps {
       |FROM l WHERE kind NOT IN ('Unknown', 'User')
       |ORDER BY address_pubkey""".stripMargin
 
+  // I4 — the `users` audience dim THROUGH THE CSV SEAM (ref
+  // tools/createAudience.js; schema substrateetl/users.json): the
+  // query WRITES the reference-shaped export CSV (id, evmAddress,
+  // substrateAddress, twitter…) with REAL ss58 addresses encoded by
+  // the engine's codec, reads it back through JsonFeed.userAudience,
+  // and compares the projection. The oracle cannot compute ss58, but
+  // it doesn't need to: account_pubkey must equal the ORIGINAL pubkey
+  // the address was encoded from (the decode∘encode identity), which
+  // DuckDB derives directly — so the round trip, the evm lowering,
+  // the null-id drop, and the evm-only null pass-through all compare
+  // cross-engine; the ss58 text column itself is pinned by
+  // JsonFeedSpec.
+  private def i4(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Udfs.register(s)
+    val dir = queryDumpDir("graft_users_csv") + "/users"
+    Tables.events(s, d).filter(col("event_id") < 700)
+      .select(col("user_id").as("u")).distinct()
+      .select(
+        // every 13th row: a feed line with no id — must drop
+        when(col("u") % 13 =!= 0, concat(lit("u"), str(col("u"))))
+          .as("id"),
+        // mixed-case evm address — the export lowercases
+        when(col("u") % 3 =!= 0,
+          concat(lit("0xAbCd"), str(col("u")))).as("evmAddress"),
+        // every 5th user is evm-only (no substrate side)
+        when(col("u") % 5 =!= 0,
+          call_udf("ss58_encode", pk(col("u")), lit(42)))
+          .as("substrateAddress"),
+        lit(null).cast("string").as("twitterHandle"),
+        concat(lit("n"), str(col("u"))).as("username"),
+        lit(null).cast("string").as("twitterUrl"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    graft.sources.JsonFeed.userAudience(s, dir)
+      .select(col("id"), col("evm_address"), col("account_pubkey"))
+      .orderBy(col("id"))
+  }
+
+  private val i4Sql =
+    """SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS id,
+      | CASE WHEN user_id % 3 <> 0
+      |  THEN '0xabcd' || CAST(user_id AS VARCHAR) END AS evm_address,
+      | CASE WHEN user_id % 5 <> 0
+      |  THEN '0x' || md5(CAST(user_id AS VARCHAR))
+      |   || md5(CAST(user_id AS VARCHAR) || 'x') END AS account_pubkey
+      |FROM events
+      |WHERE event_id < 700 AND user_id % 13 <> 0
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_identity_export" -> (i1 _),
     "i2_exchanges_dim" -> (i2 _),
-    "i3_knownpubs_dim" -> (i3 _))
+    "i3_knownpubs_dim" -> (i3 _),
+    "i4_users_audience" -> (i4 _))
 
   val oracles: Map[String, String] = Map(
     "i1_identity_export" -> i1Sql,
     "i2_exchanges_dim" -> i2Sql,
-    "i3_knownpubs_dim" -> i3Sql)
+    "i3_knownpubs_dim" -> i3Sql,
+    "i4_users_audience" -> i4Sql)
 }
