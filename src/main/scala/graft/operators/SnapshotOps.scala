@@ -680,13 +680,141 @@ object SnapshotOps {
       | FROM ag)
       |ORDER BY storage, k NULLS FIRST""".stripMargin
 
+  // B14 — the relay gov extractors through the Polkadot catalog
+  // (referenda.referendumInfoFor, treasury.proposals,
+  // bounties.bounties; ref polkadot.js:471-521): every pv field is
+  // ints + strings + pubkeyOf-normalized addresses, and 0x-hex
+  // addresses pass through pubkeyOf verbatim — so with hex fixture
+  // addresses the pv JSON AND the rec address compare character-exact
+  // in DuckDB (the ss58 rendering of address_ss58 stays the codec's,
+  // pinned by GovSpec).
+  private def relayGovFramesOf(s: SparkSession, d: String)
+      : Map[String, DataFrame] = {
+    val ev = Tables.events(s, d).filter(col("event_id") < 500)
+    def hx(tag: String, c: Column) =
+      concat(lit("0x"), md5(concat(lit(tag), c.cast("string"))
+        .cast("binary")))
+    val referenda = ev.groupBy((col("user_id") % 30).cast("long")
+        .as("ref_id"))
+      .agg(sum(col("event_id")).as("es"), count(lit(1)).as("n"))
+      .select(col("ref_id"),
+        element_at(typedLit(Seq("Ongoing", "Approved", "Rejected")),
+          (col("ref_id") % 3).cast("int") + 1).as("status"),
+        hx("dep", col("ref_id")).as("submission_depositor"),
+        (col("es") % 1009).as("submission_deposit"),
+        (col("es") % 997).as("decision_deposit"),
+        col("es").as("tally_ayes"), (col("es") % 991).as("tally_nays"),
+        col("n").as("tally_support"))
+    val treasury = ev.groupBy((col("user_id") % 15).cast("long")
+        .as("proposal_id"))
+      .agg(sum(col("event_id")).as("es"))
+      .select(col("proposal_id"),
+        hx("prop", col("proposal_id")).as("proposer"),
+        hx("ben", col("proposal_id")).as("beneficiary"),
+        col("es").cast("decimal(38,0)").as("value"),
+        (col("es") % 977).cast("decimal(38,0)").as("bond"))
+    val bounties = ev.groupBy((col("user_id") % 8).cast("long")
+        .as("bounty_id"))
+      .agg(sum(col("event_id")).as("es"))
+      .select(col("bounty_id"),
+        hx("bp", col("bounty_id")).as("proposer"),
+        col("es").cast("decimal(38,0)").as("value"),
+        (col("es") % 499).cast("decimal(38,0)").as("fee"),
+        (col("es") % 503).cast("decimal(38,0)")
+          .as("curator_deposit"),
+        (col("es") % 509).cast("decimal(38,0)").as("bond"),
+        when(col("bounty_id") % 2 === 0, "Active")
+          .otherwise("Proposed").as("status"),
+        // curator + update_due present together (Active bounties)
+        when(col("bounty_id") % 2 === 0, hx("cur", col("bounty_id")))
+          .as("curator"),
+        when(col("bounty_id") % 2 === 0, col("es") % 100000)
+          .as("update_due"))
+    Map("referenda.referendumInfoFor" -> referenda,
+      "treasury.proposals" -> treasury,
+      "bounties.bounties" -> bounties)
+  }
+
+  private def b14(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.Snapshotter
+    Snapshotter.dumpChainSnapshot("Polkadot", relayGovFramesOf(s, d),
+      Snapshotter.Placement("Polkadot", "polkaholic", 20000000L,
+        "0xp20", 1709272800L, ss58Prefix = 0, era = 1400L),
+      "2024-03-01", queryDumpDir("graft_relaygov_dump"))
+      .select(col("section"), col("storage"), col("track"),
+        col("track_val"), col("address_pubkey"), col("pv"),
+        col("block_number"), us(col("ts")).as("ts_us"))
+      .orderBy(col("storage"), col("track"), col("track_val"))
+  }
+
+  private val b14Sql =
+    """WITH ev AS (SELECT * FROM events WHERE event_id < 500),
+      |r AS (
+      | SELECT CAST(user_id % 30 AS BIGINT) AS ref_id,
+      |  sum(event_id) AS es, count(*) AS n
+      | FROM ev GROUP BY 1),
+      |t AS (
+      | SELECT CAST(user_id % 15 AS BIGINT) AS pid, sum(event_id) AS es
+      | FROM ev GROUP BY 1),
+      |b AS (
+      | SELECT CAST(user_id % 8 AS BIGINT) AS bid, sum(event_id) AS es
+      | FROM ev GROUP BY 1)
+      |SELECT * FROM (
+      | SELECT 'referenda' AS section, 'referendumInfoFor' AS storage,
+      |  'referenda' AS track, CAST(ref_id AS VARCHAR) AS track_val,
+      |  CAST(NULL AS VARCHAR) AS address_pubkey,
+      |  '{"ref_id":' || CAST(ref_id AS VARCHAR)
+      |   || ',"status":"' || CASE CAST(ref_id % 3 AS INT)
+      |      WHEN 0 THEN 'Ongoing' WHEN 1 THEN 'Approved'
+      |      ELSE 'Rejected' END
+      |   || '","submission_depositor":"0x'
+      |   || md5('dep' || CAST(ref_id AS VARCHAR))
+      |   || '","submission_deposit":' || CAST(es % 1009 AS VARCHAR)
+      |   || ',"decision_deposit":' || CAST(es % 997 AS VARCHAR)
+      |   || ',"tally_ayes":' || CAST(es AS VARCHAR)
+      |   || ',"tally_nays":' || CAST(es % 991 AS VARCHAR)
+      |   || ',"tally_support":' || CAST(n AS VARCHAR) || '}' AS pv
+      | FROM r
+      | UNION ALL
+      | SELECT 'treasury', 'proposals', 'treasury',
+      |  CAST(pid AS VARCHAR),
+      |  '0x' || md5('ben' || CAST(pid AS VARCHAR)),
+      |  '{"treasury_index":' || CAST(pid AS VARCHAR)
+      |   || ',"proposer_pubkey":"0x'
+      |   || md5('prop' || CAST(pid AS VARCHAR))
+      |   || '","value":' || CAST(es AS VARCHAR)
+      |   || ',"bond":' || CAST(es % 977 AS VARCHAR) || '}'
+      | FROM t
+      | UNION ALL
+      | SELECT 'bounties', 'bounties', 'bounty', CAST(bid AS VARCHAR),
+      |  '0x' || md5('bp' || CAST(bid AS VARCHAR)),
+      |  '{"bounty_index":' || CAST(bid AS VARCHAR)
+      |   || ',"value":' || CAST(es AS VARCHAR)
+      |   || ',"fee":' || CAST(es % 499 AS VARCHAR)
+      |   || ',"curator_deposit":' || CAST(es % 503 AS VARCHAR)
+      |   || ',"bond":' || CAST(es % 509 AS VARCHAR)
+      |   || ',"bounty_status":"'
+      |   || CASE WHEN bid % 2 = 0 THEN 'Active' ELSE 'Proposed' END
+      |   || '"'
+      |   || CASE WHEN bid % 2 = 0 THEN
+      |      ',"curator_pubkey":"0x'
+      |      || md5('cur' || CAST(bid AS VARCHAR))
+      |      || '","update_due":' || CAST(es % 100000 AS VARCHAR)
+      |     ELSE '' END
+      |   || '}'
+      | FROM b)
+      |CROSS JOIN (SELECT CAST(20000000 AS BIGINT) AS block_number,
+      | CAST(1709272800 AS BIGINT) * 1000000 AS ts_us)
+      |ORDER BY storage, track, track_val""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b8_assethub_asset" -> (b8 _),
     "b9_assethub_holders" -> (b9 _),
     "b10_snapshot_catalog" -> (b10 _),
     "b11_hydradx_walks" -> (b11 _),
     "b12_astar_family" -> (b12 _),
-    "b13_astar_scaled" -> (b13 _))
+    "b13_astar_scaled" -> (b13 _),
+    "b14_relay_gov" -> (b14 _))
 
   val oracles: Map[String, String] = Map(
     "b8_assethub_asset" -> b8Sql,
@@ -694,5 +822,6 @@ object SnapshotOps {
     "b10_snapshot_catalog" -> b10Sql,
     "b11_hydradx_walks" -> b11Sql,
     "b12_astar_family" -> b12Sql,
-    "b13_astar_scaled" -> b13Sql)
+    "b13_astar_scaled" -> b13Sql,
+    "b14_relay_gov" -> b14Sql)
 }
