@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * The DuckDB twins replay the gates relationally. b8 compares the
   * kv/pv JSON character-exact (all-string values — the reference's
-  * toNumWithoutComma strings); b9 extracts the typed fields (the
-  * rollup's float `balance` rendering is engine-specific — its exact
-  * decimal arithmetic is pinned by AssetsSpec instead).
+  * toNumWithoutComma strings); b9 extracts the fields, keeping
+  * balance_raw as the exact integer TEXT from pv (never a decimal at
+  * the query surface — the j13/a8/v3 driver-gate rule; the rollup's
+  * float `balance` rendering is engine-specific and pinned by
+  * AssetsSpec instead).
   */
 object SnapshotOps {
 
@@ -127,8 +129,13 @@ object SnapshotOps {
       .select(col("track_val"),
         get_json_object(col("kv"), "$.name").as("name"),
         col("address_pubkey"),
-        get_json_object(col("pv"), "$.balance_raw")
-          .cast("decimal(38,0)").as("balance_raw"),
+        // STRING surface, not decimal: pv already carries the exact
+        // integer text, and Spark/DuckDB DECIMAL hash differently at
+        // the driver gate even when numerically equal (the j13/a8/v3
+        // rule, operators/package.scala dsumOut). A double would lose
+        // whale balances past 2^53 at larger sf; the raw text is exact
+        // at any magnitude.
+        get_json_object(col("pv"), "$.balance_raw").as("balance_raw"),
         get_json_object(col("pv"), "$.holders").cast("bigint")
           .as("holders"),
         col("block_number"), us(col("ts")).as("ts_us"))
@@ -164,11 +171,12 @@ object SnapshotOps {
        | FROM h JOIN t ON h.cur = t.cur)
        |SELECT * FROM (
        | SELECT symbol AS track_val, nm AS name, pk AS address_pubkey,
-       |  raw AS balance_raw, CAST(NULL AS BIGINT) AS holders
+       |  CAST(raw AS VARCHAR) AS balance_raw,
+       |  CAST(NULL AS BIGINT) AS holders
        | FROM k WHERE keep
        | UNION ALL
        | SELECT symbol, 'holders', NULL,
-       |  CAST(sum(raw) AS DECIMAL(38,0)), count(*)
+       |  CAST(CAST(sum(raw) AS DECIMAL(38,0)) AS VARCHAR), count(*)
        | FROM k WHERE NOT keep GROUP BY symbol)
        |CROSS JOIN (SELECT CAST(7000000 AS BIGINT) AS block_number,
        | CAST(1709272800 AS BIGINT) * 1000000 AS ts_us)
