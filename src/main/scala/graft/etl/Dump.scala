@@ -401,6 +401,127 @@ object Dump {
         lit(logDT).as("log_dt"))
   }
 
+  /** Relay-level crowdloan day repackaging (E22 — ref
+    * substrateetl.js:4766-4860 dump_relaychain_crowdloan): the relay
+    * chain's own (paraID 0) `crowdloan$YYYYMMDD` table — ONE ROW PER
+    * crowdloan `Contributed` EVENT, decorated with the parent
+    * extrinsic's hash and section:method. This is deliberately NOT
+    * the per-chain E1 entity ([[crowdloan]]): the reference's relay
+    * SQL takes only Contributed events with no MemoUpdated pairing
+    * and no last-write-wins collapse.
+    *
+    * The reference composes it as a BigQuery left join of the
+    * published events0/extrinsics0 tables (:4811-4821). Both
+    * projections come off the same raw day here, so the parent
+    * extrinsic's columns ride the explode and the join disappears —
+    * the plan is prune (block-level crowdloan exists()) → explode →
+    * row-wise project → write, with no shuffle at any scale.
+    *
+    * USD decoration mirrors [[rewards]]: the contribution is in the
+    * relay's native token, resolved through the chains registry dim
+    * (broadcast) and as-of-priced at block time; null-emitted without
+    * dims so the table schema stays partition-invariant.
+    * `projects` is an optional broadcast dim (para_id, project_name)
+    * standing in for the reference's decorated projectName. */
+  def relayCrowdloan(raw: DataFrame, logDT: String,
+      relayChainId: Int = 0, usd: Option[UsdDims] = None,
+      projects: Option[DataFrame] = None): DataFrame = {
+    Udfs.register(raw.sparkSession)
+    val day = dayBlocks(raw, logDT)
+      .filter(col("chain_id") === relayChainId)
+      .filter(expr(
+        """exists(extrinsics, x -> exists(x.events,
+          |  e -> e.section = 'crowdloan' AND e.method = 'Contributed'))"""
+          .stripMargin))
+    val base = day
+      .select(col("chain_id"), col("number"), col("block_time"),
+        explode(col("extrinsics")).as("ex"))
+      .select(col("chain_id"), col("number"), col("block_time"),
+        col("ex.idx").as("ext_idx"),
+        col("ex.hash").as("extrinsic_hash"),
+        col("ex.section").as("x_section"),
+        col("ex.method").as("x_method"),
+        explode(col("ex.events")).as("ev"))
+      .filter(col("ev.section") === "crowdloan" &&
+        col("ev.method") === "Contributed")
+      .select(
+        col("chain_id"),
+        concat(col("number"), lit("-"), col("ext_idx"), lit("-"),
+          col("ev.event_idx")).as("event_id"),
+        concat(col("number"), lit("-"), col("ext_idx"))
+          .as("extrinsic_id"),
+        col("extrinsic_hash"),
+        concat(col("x_section"), lit(":"), col("x_method"))
+          .as("extrinsic_section_method"),
+        concat(col("ev.section"), lit("("), col("ev.method"), lit(")"))
+          .as("event_section_method"),
+        get_json_object(col("ev.data"), "$.who")
+          .as("contributor_pubkey"),
+        expr("ss58_encode(get_json_object(ev.data, '$.who'), 0)")
+          .as("contributor"),
+        coalesce(get_json_object(col("ev.data"), "$.fundIndex"),
+          get_json_object(col("ev.data"), "$.paraId")).cast("long")
+          .as("para_id"),
+        get_json_object(col("ev.data"), "$.amount")
+          .cast("decimal(38,0)").as("amount_raw"),
+        // stays `block_time` through the as-of price join (its default
+        // fact-side timestamp); the final select renames it `ts`
+        col("block_time"))
+    val named = projects match {
+      case Some(p) => base.join(
+        broadcast(p.select(col("para_id"), col("project_name"))),
+        Seq("para_id"), "left")
+      case None =>
+        base.withColumn("project_name", lit(null).cast("string"))
+    }
+    val decorated = usd match {
+      case Some(u) =>
+        graft.analytics.PriceSeries.withAsOfPrice(
+            named.join(broadcast(u.chains.select(col("chain_id"),
+                col("native_asset").as("asset"), col("decimals"))),
+              Seq("chain_id"), "left"),
+            u.priceLog)
+          .withColumn("contribution",
+            col("amount_raw").cast("double") /
+              pow(lit(10.0), col("decimals")))
+          .withColumn("contribution_usd",
+            col("contribution") * col("price_usd"))
+          .withColumn("contribution_symbol",
+            substring_index(col("asset"), "~", 1))
+          .drop("asset", "decimals", "price_usd")
+      case None => named
+        .withColumn("contribution", lit(null).cast("double"))
+        .withColumn("contribution_usd", lit(null).cast("double"))
+        .withColumn("contribution_symbol", lit(null).cast("string"))
+    }
+    decorated.select(
+        col("event_id"), col("extrinsic_id"), col("extrinsic_hash"),
+        col("extrinsic_section_method"), col("event_section_method"),
+        col("contributor_pubkey"), col("contributor"),
+        col("para_id"), col("project_name"),
+        col("contribution"), col("contribution_usd"),
+        col("contribution_symbol"), col("amount_raw"),
+        col("block_time").as("ts"),
+        lit(logDT).as("log_dt"))
+      .orderBy(col("contributor_pubkey"))
+  }
+
+  /** Land [[relayCrowdloan]] as an idempotent date partition — the
+    * `crowdloan$YYYYMMDD --replace` twin, like dumpDay's tables.
+    * `outRoot` is the RELAY dataset root (the reference writes into
+    * `get_relayChain_dataset(...)`, a different dataset than the
+    * per-chain tables — do not point this at a per-chain dumpDay root
+    * or the relay table will shadow the E1 entity). */
+  def dumpRelayCrowdloanDay(raw: DataFrame, logDT: String,
+      outRoot: String, relayChainId: Int = 0,
+      usd: Option[UsdDims] = None,
+      projects: Option[DataFrame] = None): DataFrame = {
+    val out = relayCrowdloan(raw, logDT, relayChainId, usd, projects)
+    Writers.overwritePartitions(out, s"$outRoot/crowdloan",
+      Seq("log_dt"))
+    out
+  }
+
   /** logs projection: digest-log posexplode with log ids (P8,
     * ref substrateetl.js:6462-6473). */
   def logs(raw: DataFrame, logDT: String): DataFrame =

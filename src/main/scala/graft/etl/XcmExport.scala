@@ -135,6 +135,47 @@ object XcmExport {
     } finally ms.unpersist(): Unit
   }
 
+  /** The Dune hand-off projection of xcmtransfer rows (ref
+    * substrateetl.js:526-541 dump_dune_xcmtransfer): exactly five
+    * columns — ts, from/to rendered as relay ss58, source and dest
+    * chain ids — newest-first. The reference's render guard is
+    * `length > 42`: a 32-byte pubkey (0x + 64 hex) encodes with the
+    * relay prefix, while an H160 EVM address (0x + 40 hex, length 42)
+    * and null pass through verbatim; a malformed long value renders
+    * null via the kernel's guard, like paraTool.getAddress throwing
+    * out of the row. Row-wise projection, no shuffle — the global
+    * sort exists only for the CSV consumer (`order by sourceTS desc`)
+    * and coalesces naturally in the single-file hand-off write.
+    *
+    * `transfers` carries (source_ts, from_address, dest_address,
+    * chain_id, chain_id_dest) — the xcmtransfer row grain [[dumpXcmDay]]
+    * matches and exports. */
+  def duneXcmTransfers(transfers: DataFrame,
+      ss58Prefix: Int = 0): DataFrame = {
+    graft.functions.Udfs.register(transfers.sparkSession)
+    def render(c: Column): Column =
+      when(c.isNotNull && length(c) > 42,
+        call_udf("ss58_encode", c, lit(ss58Prefix))).otherwise(c)
+    transfers.select(
+      col("source_ts").as("ts"),
+      render(col("from_address")).as("from_ss58"),
+      render(col("dest_address")).as("to_ss58"),
+      col("chain_id").as("src_chain_id"),
+      col("chain_id_dest").as("dest_chain_id"))
+      .orderBy(col("ts").desc)
+  }
+
+  /** Write the Dune projection as a headered CSV hand-off (the
+    * reference writes one /root/xcmtransfers.csv file). The export is
+    * a bounded analytics extract, not a daily partition table — a
+    * plain overwrite of the target dir is the file-replace twin. */
+  def dumpDuneXcmTransfers(transfers: DataFrame, outDir: String,
+      ss58Prefix: Int = 0): DataFrame = {
+    val out = duneXcmTransfers(transfers, ss58Prefix)
+    out.write.mode("overwrite").option("header", "true").csv(outDir)
+    out
+  }
+
   /** Run the matcher and write the export as an idempotent date
     * partition (ref dump_xcm writes `xcmtransfers-{relay}-{logDT}`
     * into a date-decorated table). Returns the exported frame. */

@@ -444,4 +444,74 @@ class DumpSpec extends AnyFunSuite {
     assert(blocks.filter(col("log_dt") === "2024-03-02").count() == 1)
     assert(blocks.filter(col("chain_id") === 2000).count() == 1)
   }
+
+  // ---- E22: relay-level crowdloan repackaging (ref substrateetl.js:
+  // 4766-4860 dump_relaychain_crowdloan) ----
+
+  test("relay crowdloan: one row per Contributed event, parent " +
+      "extrinsic decoration, no memo pairing, relay-only") {
+    // rewardRaw: chain 0 block 200 ext 1 (utility.batch, 0xe8) carries
+    // Contributed(alice, 2000, 999) + MemoUpdated + Contributed(bob,
+    // 2001, 888) — the relay table takes the two Contributed EVENTS
+    // and never the memo pair
+    val c = Dump.relayCrowdloan(rewardRaw, "2024-03-01")
+      .orderBy("para_id").collect()
+    assert(c.length == 2)
+    assert(c.map(_.getAs[String]("event_id")).toSeq ==
+      Seq("200-1-0", "200-1-2"))
+    val r0 = c(0)
+    assert(r0.getAs[String]("extrinsic_id") == "200-1" &&
+      r0.getAs[String]("extrinsic_hash") == "0xe8")
+    assert(r0.getAs[String]("extrinsic_section_method") ==
+      "utility:batch")
+    assert(r0.getAs[String]("event_section_method") ==
+      "crowdloan(Contributed)")
+    assert(r0.getAs[String]("contributor_pubkey") == alice)
+    // relay prefix 0, not the generic 42 the per-chain entity uses
+    assert(r0.getAs[String]("contributor") ==
+      "15oF4uVJwmo4TdGW7VfQxNLavjCXviqxT9S1MgbjMNHr6Sp5")
+    assert(c(1).getAs[String]("contributor") ==
+      Codec.ss58Encode(Codec.hexToBytes(bob), 0))
+    assert(r0.getAs[Long]("para_id") == 2000L &&
+      r0.getAs[java.math.BigDecimal]("amount_raw")
+        .longValueExact == 999L)
+    // dims-less: decorated columns present as nulls (partition-
+    // invariant schema, like the other daily tables)
+    assert(r0.isNullAt(r0.fieldIndex("contribution")) &&
+      r0.isNullAt(r0.fieldIndex("project_name")))
+    // a para chain's blocks never leak into the relay table
+    assert(Dump.relayCrowdloan(rewardRaw, "2024-03-01",
+      relayChainId = 2000).count() == 0)
+  }
+
+  test("relay crowdloan: usd + project decoration, idempotent " +
+      "partition write") {
+    val priceLog = Seq(("DOT~0", 0,
+        ts("2024-03-01 00:00:00"), 7.0))
+      .toDF("asset", "chain_id", "index_ts", "price_usd")
+    val chains = Seq((0, "DOT~0", 10))
+      .toDF("chain_id", "native_asset", "decimals")
+    val projects = Seq((2000L, "Acala"), (2001L, "Moonbeam"))
+      .toDF("para_id", "project_name")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_relay_cl").toString
+    val out = Dump.dumpRelayCrowdloanDay(rewardRaw, "2024-03-01", dir,
+        usd = Some(Dump.UsdDims(priceLog, chains)),
+        projects = Some(projects))
+      .orderBy("para_id").collect()
+    assert(out.length == 2)
+    val exp = 999d / 1e10
+    assert(out(0).getAs[Double]("contribution") == exp)
+    assert(out(0).getAs[Double]("contribution_usd") == exp * 7.0)
+    assert(out(0).getAs[String]("contribution_symbol") == "DOT")
+    assert(out(0).getAs[String]("project_name") == "Acala" &&
+      out(1).getAs[String]("project_name") == "Moonbeam")
+    // replace semantics: re-dumping the day does not duplicate it
+    Dump.dumpRelayCrowdloanDay(rewardRaw, "2024-03-01", dir,
+      usd = Some(Dump.UsdDims(priceLog, chains)),
+      projects = Some(projects))
+    val back = spark.read.parquet(s"$dir/crowdloan")
+    assert(back.count() == 2)
+    assert(back.columns.contains("log_dt"))
+  }
 }

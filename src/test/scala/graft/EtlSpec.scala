@@ -636,6 +636,49 @@ class EtlSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 4L)
   }
 
+  test("dune xcmtransfer hand-off: 5-column shape, length-42 render " +
+      "guard, newest-first order, headered csv") {
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val alice =
+      "d43593c715fdd31c61141abd04a99fd6822c8558854ccde39a5684e7a56da27d"
+    val h160 = "0x" + "ab" * 20 // 42 chars — EVM address, pass-through
+    val transfers = Seq(
+      (ts(5000), "0x" + alice, h160, 2000, 2004),
+      (ts(6000), null.asInstanceOf[String], "0x" + alice, 2004, 2000),
+      (ts(4000), h160, null.asInstanceOf[String], 2006, 2000))
+      .toDF("source_ts", "from_address", "dest_address", "chain_id",
+        "chain_id_dest")
+    val out = graft.etl.XcmExport.duneXcmTransfers(transfers).collect()
+    // ref substrateetl.js:527 `order by sourceTS desc`
+    assert(out.map(_.getAs[java.sql.Timestamp]("ts").getTime / 1000)
+      .toSeq == Seq(6000L, 5000L, 4000L))
+    val aliceRelay = graft.functions.Codec.ss58Encode(
+      graft.functions.Codec.hexToBytes(alice), 0)
+    assert(aliceRelay ==
+      "15oF4uVJwmo4TdGW7VfQxNLavjCXviqxT9S1MgbjMNHr6Sp5")
+    val byTs = out.map(r =>
+      r.getAs[java.sql.Timestamp]("ts").getTime / 1000 -> r).toMap
+    // > 42 chars → relay ss58; exactly 42 (H160) and null pass through
+    assert(byTs(5000L).getAs[String]("from_ss58") == aliceRelay &&
+      byTs(5000L).getAs[String]("to_ss58") == h160)
+    assert(byTs(6000L).getAs[String]("from_ss58") == null &&
+      byTs(6000L).getAs[String]("to_ss58") == aliceRelay)
+    assert(byTs(4000L).getAs[String]("from_ss58") == h160 &&
+      byTs(4000L).getAs[String]("to_ss58") == null)
+    assert(byTs(5000L).getAs[Int]("src_chain_id") == 2000 &&
+      byTs(5000L).getAs[Int]("dest_chain_id") == 2004)
+    // the csv hand-off: headered, same five columns, re-readable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dune_xcm").toString + "/out"
+    graft.etl.XcmExport.dumpDuneXcmTransfers(transfers, dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq ==
+      Seq("ts", "from_ss58", "to_ss58", "src_chain_id", "dest_chain_id"))
+    assert(back.count() == 3)
+    assert(back.filter(col("from_ss58") === aliceRelay).count() == 1)
+  }
+
   test("xcm messages export: matched pairs with payload, para ids, " +
       "relay placement") {
     import org.apache.spark.sql.functions._
