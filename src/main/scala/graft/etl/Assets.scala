@@ -415,7 +415,15 @@ object Assets {
     * ticker OMITTED when the registry does not know the asset (the
     * reference's `?.symbol` yields JS undefined, which
     * JSON.stringify drops — to_json's default null-dropping matches);
-    * pv = {free, reserved, frozen} as the dechexToIntStr strings.
+    * pv = {free, reserved, frozen} as integer strings.
+    *
+    * Documented divergence: the reference normalizes pv through
+    * dechexToIntStr only on the OMNIPOOL walk (hydradx.js:175-180);
+    * the treasury walk publishes raw `res[1].toJSON()` — JS numbers,
+    * or 0x-hex once a u128 exceeds 2^53 (hydradx.js:152). This
+    * extractor renders BOTH walks as the exact integer strings: one
+    * deterministic typed shape per storage key, no
+    * magnitude-dependent number/hex switch.
     *
     * `balances`: address_pubkey, asset_id INT, free/reserved/frozen
     * (numeric); `registry` broadcast dim: asset_id, symbol. The
@@ -446,8 +454,10 @@ object Assets {
 
   /** HydraDX omnipool liquidity snapshot recs (ref hydradx.js:200-221
     * `omnipool.assets`): one rec per pool asset — track "omniasset",
-    * track_val = the asset id, kv = {id, ticker}, pv = the pool-state
-    * struct with the u128 fields as dechexToIntStr strings.
+    * track_val = the asset id, kv = {id, ticker} with id a JSON
+    * NUMBER (the reference's `kVal = args[0].toJSON()` of the u32
+    * key), pv = the pool-state struct with the u128 fields as
+    * dechexToIntStr strings.
     *
     * `poolAssets`: asset_id INT, hub_reserve, shares, protocol_shares,
     * cap (numeric), tradable STRING (the enum rendering). */
@@ -459,7 +469,7 @@ object Assets {
       .join(broadcast(registry.select(col("asset_id"),
         col("symbol").as("ticker"))), Seq("asset_id"), "left")
       .withColumn("kvj", to_json(struct(
-        col("asset_id").cast("string").as("id"), col("ticker"))))
+        col("asset_id").as("id"), col("ticker"))))
       .withColumn("pvj", to_json(struct(
         s("hub_reserve").as("hubReserve"), s("shares").as("shares"),
         s("protocol_shares").as("protocolShares"), s("cap").as("cap"),
@@ -474,9 +484,12 @@ object Assets {
   /** HydraDX omnipool LP-position snapshot recs (ref
     * hydradx.js:223-246 `omnipool.positions`): one rec per NFT
     * position — track "liquidity", track_val = the position's asset,
-    * kv = {id, ticker}, pv = {assetId, amount, shares, price_1,
-    * price_2} (the reference splits the price pair and deletes the
-    * original array).
+    * kv = {id, ticker} with id a JSON NUMBER (the position key's
+    * toJSON), pv = {assetId, amount, shares, price_1, price_2} —
+    * assetId stays the JSON NUMBER toJSON leaves it (only the u128
+    * amount/shares/price fields are rewritten to dechexToIntStr
+    * strings); the reference splits the price pair and deletes the
+    * original array.
     *
     * `positions`: position_id, asset_id INT, amount, shares, price_1,
     * price_2 (numeric u128s → string rendering). */
@@ -488,9 +501,9 @@ object Assets {
       .join(broadcast(registry.select(col("asset_id"),
         col("symbol").as("ticker"))), Seq("asset_id"), "left")
       .withColumn("kvj", to_json(struct(
-        col("position_id").cast("string").as("id"), col("ticker"))))
+        col("position_id").as("id"), col("ticker"))))
       .withColumn("pvj", to_json(struct(
-        col("asset_id").cast("string").as("assetId"),
+        col("asset_id").as("assetId"),
         s("amount").as("amount"), s("shares").as("shares"),
         s("price_1").as("price_1"), s("price_2").as("price_2"))))
     Snapshot.snapshotRecs(shaped, "omnipool.positions",

@@ -214,7 +214,14 @@ object Snapshot {
     require(recs.nonEmpty, "no snapshot sources")
     val out = recs.reduce(_ unionByName _)
       .withColumn("log_dt", lit(logDT))
-      .withColumn("hr", hour(col("ts")))
+      // UTC hour derived timezone-INDEPENDENTLY: hour(ts) reads
+      // spark.sql.session.timeZone, so a caller-built non-UTC session
+      // would land recs in shifted hour partitions (and a re-run under
+      // a different tz would not replace the same partition). The
+      // epoch arithmetic yields the same UTC hour under any session tz
+      .withColumn("hr",
+        (pmod(unix_timestamp(col("ts")), lit(86400L)) / 3600L)
+          .cast("int"))
     Writers.overwritePartitions(out, s"$outRoot/snapshots",
       Seq("log_dt", "chain_name", "hr"))
     out.sparkSession.read.schema(out.schema)

@@ -139,7 +139,8 @@ object Snapshotter {
     one("dappStaking.dAppTiers", Seq("dappStaking.dAppTiers")) {
       (m, p) =>
         Stakings.dappStakingTiers(m("dappStaking.dAppTiers"),
-          p.chainName, p.source, p.blockNumber, p.blockHash, p.tsSec)
+          p.chainName, p.source, p.blockNumber, p.blockHash, p.tsSec,
+          p.era)
     },
     one("dappStaking.contractStake", Seq("dappStaking.contractStake")) {
       (m, p) =>
@@ -150,7 +151,8 @@ object Snapshotter {
     one("dappStaking.eraRewards", Seq("dappStaking.eraRewards")) {
       (m, p) =>
         Stakings.dappStakingEraRewards(m("dappStaking.eraRewards"),
-          p.chainName, p.source, p.blockNumber, p.blockHash, p.tsSec)
+          p.chainName, p.source, p.blockNumber, p.blockHash, p.tsSec,
+          p.era)
     })
 
   /** chain_name → ordered extractor set, mirroring each reference

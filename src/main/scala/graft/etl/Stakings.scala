@@ -245,10 +245,17 @@ object Stakings {
     * and they are SORTED by dApp id (Object.entries insertion order
     * is not reproducible under distributed decode). `tiers`: era,
     * rewards ARRAY<DOUBLE> (pre-scaled), dapps MAP<STRING,INT>
-    * (dApp id → tier index). */
+    * (dApp id → tier index).
+    *
+    * track_val is the LATCHED current era (`era` param), not the
+    * per-entry key: the reference stamps every rec with the
+    * currentEra activeProtocolState latched
+    * (snapshotter.js:116-124 setRecSnapShotEra), so a non-current
+    * dAppTiers entry still tracks the snapshot's era — the entry's
+    * own era lives in pv. */
   def dappStakingTiers(tiers: DataFrame, chainName: String,
       source: String, blockNumber: Long, blockHash: String,
-      tsSec: Long): DataFrame =
+      tsSec: Long, era: Long): DataFrame =
     Snapshot.snapshotRecs(
       tiers.withColumn("pvj", to_json(struct(
         col("rewards"),
@@ -264,7 +271,7 @@ object Stakings {
       "dappStaking.dAppTiers", chainName = chainName, source = source,
       blockNumber = blockNumber, blockHash = blockHash, tsSec = tsSec,
       pvJsonCol = Some("pvj"),
-      track = Some(("era", col("era"))))
+      track = Some(("era", lit(era))))
 
   /** `dappStaking.contractStake` recs (astar.js:324-345): one per
     * dApp — pv = {staked: {voting, buildAndEarn, era, period},
@@ -295,17 +302,21 @@ object Stakings {
     * key — pv = {span: [{stakerRewardPool, staked, dappRewardPool}…],
     * era}. Pool amounts token-scaled. `rewards`: span_era, spans
     * ARRAY<STRUCT<stakerRewardPool DOUBLE, staked DOUBLE,
-    * dappRewardPool DOUBLE>>. */
+    * dappRewardPool DOUBLE>>.
+    *
+    * track_val is the LATCHED current era like [[dappStakingTiers]]
+    * (snapshotter.js:116-124) — a historical span still tracks the
+    * snapshot's era; the span's own era lives in pv. */
   def dappStakingEraRewards(rewards: DataFrame, chainName: String,
       source: String, blockNumber: Long, blockHash: String,
-      tsSec: Long): DataFrame =
+      tsSec: Long, era: Long): DataFrame =
     Snapshot.snapshotRecs(
       rewards.withColumn("pvj", to_json(struct(
         col("spans").as("span"), col("span_era").as("era")))),
       "dappStaking.eraRewards", chainName = chainName,
       source = source, blockNumber = blockNumber,
       blockHash = blockHash, tsSec = tsSec, pvJsonCol = Some("pvj"),
-      track = Some(("era", col("span_era"))))
+      track = Some(("era", lit(era))))
 
   /** Write the stakings table as idempotent date partitions next to the
     * other entity tables (ref substrateetl.js:7500). */

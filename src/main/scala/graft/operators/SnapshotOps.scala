@@ -406,8 +406,8 @@ object SnapshotOps {
       |op AS (
       | SELECT 'omnipool', 'positions', 'liquidity', CAST(a AS VARCHAR),
       |  CAST(a + 100 AS VARCHAR), ticker,
-      |  '{"assetId":"' || CAST(a AS VARCHAR)
-      |   || '","amount":"' || CAST(esum AS VARCHAR)
+      |  '{"assetId":' || CAST(a AS VARCHAR)
+      |   || ',"amount":"' || CAST(esum AS VARCHAR)
       |   || '","shares":"' || CAST(esum % 977 AS VARCHAR)
       |   || '","price_1":"' || CAST(esum * 2 AS VARCHAR)
       |   || '","price_2":"1000000"}'

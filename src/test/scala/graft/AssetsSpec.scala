@@ -311,7 +311,8 @@ class AssetsSpec extends AnyFunSuite {
           "cap", "tradable"),
       reg, "HydraDx", "polkaholic", 4400000L, "0xh44", 1700004000L)
       .collect().head
-    assert(oa.getAs[String]("kv") == """{"id":"5","ticker":"DOT"}""")
+    // kv.id is a JSON NUMBER — the reference's toJSON key
+    assert(oa.getAs[String]("kv") == """{"id":5,"ticker":"DOT"}""")
     assert(oa.getAs[String]("pv") ==
       """{"hubReserve":"123456789012345678901","shares":"10",""" +
         """"protocolShares":"3","cap":"500000",""" +
@@ -326,9 +327,12 @@ class AssetsSpec extends AnyFunSuite {
           "price_1", "price_2"),
       reg, "HydraDx", "polkaholic", 4400000L, "0xh44", 1700004000L)
       .collect().head
-    assert(op.getAs[String]("kv") == """{"id":"777","ticker":"DOT"}""")
+    // kv.id and pv.assetId stay JSON NUMBERS (toJSON leaves them);
+    // only the u128 amount/shares/price fields are rewritten to
+    // dechexToIntStr strings
+    assert(op.getAs[String]("kv") == """{"id":777,"ticker":"DOT"}""")
     assert(op.getAs[String]("pv") ==
-      """{"assetId":"5","amount":"1000","shares":"900",""" +
+      """{"assetId":5,"amount":"1000","shares":"900",""" +
         """"price_1":"45000000","price_2":"1000000"}""")
     assert(op.getAs[String]("track") == "liquidity" &&
       op.getAs[String]("track_val") == "5")

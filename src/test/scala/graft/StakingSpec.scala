@@ -275,8 +275,8 @@ class StakingSpec extends AnyFunSuite {
     val tiers = Stakings.dappStakingTiers(
       Seq((742L, Seq(100.0, 50.0), Map("0xb" -> 1, "0xa" -> 0)))
         .toDF("era", "rewards", "dapps"),
-      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L)
-      .collect().head
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L,
+      era = 742L).collect().head
     assert(tiers.getAs[String]("pv") ==
       """{"rewards":[100.0,50.0],"dapps":{"0xa":0,"0xb":1},""" +
         """"era":742,"dappsList":[""" +
@@ -300,7 +300,10 @@ class StakingSpec extends AnyFunSuite {
         """"era":743,"period":8},"dAppID":3""")), cs.mkString("\n"))
     assert(cs.exists(p => !p.contains("stakedFuture") &&
       p.contains("\"dAppID\":4")), cs.mkString("\n"))
-    // eraRewards: span array + era from the span key
+    // eraRewards: span array keeps ITS era in pv, while track_val is
+    // the LATCHED currentEra (snapshotter.js setRecSnapShotEra stamps
+    // every rec) — a historical span (736) under a current era (742)
+    // must show the distinction
     val er = Stakings.dappStakingEraRewards(
       Seq((736L, Seq((500.0, 10000.0, 125.0))))
         .toDF("span_era", "spans")
@@ -309,12 +312,12 @@ class StakingSpec extends AnyFunSuite {
             "transform(spans, s -> named_struct(" +
               "'stakerRewardPool', s._1, 'staked', s._2, " +
               "'dappRewardPool', s._3))").as("spans")),
-      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L)
-      .collect().head
+      "Astar", "polkaholic", 5700000L, "0xa57", 1700005000L,
+      era = 742L).collect().head
     assert(er.getAs[String]("pv") ==
       """{"span":[{"stakerRewardPool":500.0,"staked":10000.0,""" +
         """"dappRewardPool":125.0}],"era":736}""")
     assert(er.getAs[String]("track") == "era" &&
-      er.getAs[String]("track_val") == "736")
+      er.getAs[String]("track_val") == "742")
   }
 }
