@@ -386,6 +386,146 @@ object FlattenOps {
        | ${sqlDecOut("sum(CAST(amount_usd AS DECIMAL(38,6)))")} AS sum_usd
        |FROM dec GROUP BY asset ORDER BY asset""".stripMargin
 
+  // B16 — the RELAY-LEVEL crowdloan day table through the writer
+  // (graft.etl.Dump.dumpRelayCrowdloanDay — ref substrateetl.js:
+  // 4766-4860 dump_relaychain_crowdloan): a nested raw day is
+  // synthesized one block/extrinsic per non-view event row —
+  // purchase rows carry a crowdloan Contributed event (who = a
+  // md5-derived 32-byte pubkey; fundIndex vs paraId key alternating
+  // on the mod-7 lane, exercising the coalesce), signup rows carry
+  // only MemoUpdated (the relay table must NOT pair or publish them),
+  // click rows only noise; mod-11 blocks sit on a para chain (relay
+  // filter), mod-19 are unfinalized, mod-13 land on the next day —
+  // all three exclusion gates replayed by the oracle. The REAL
+  // pipeline runs end to end (explode with parent-extrinsic
+  // decoration, broadcast projects dim, chains-dim native-token
+  // as-of USD valuation, partition-overwrite write) and the query
+  // reads the WRITTEN layout back row-exact. ss58 is certified by
+  // round trip (contributor_rt = ss58_pubkey(contributor) must equal
+  // the md5-recomputable contributor_pubkey); amount_raw surfaces as
+  // its exact integer STRING (the j13/a8/v3 decimal-gate rule);
+  // contribution/contribution_usd are single IEEE ops off exact
+  // integers, bit-identical cross-engine (the p9 template).
+  private def b16(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Udfs.register(s)
+    val ev = Tables.events(s, d)
+    val base = 1709251200L // 2024-03-01T00:00:00Z
+    val sid = col("event_id")
+    def pkOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("0x"), md5(e.cast("binary")),
+        md5(concat(e, lit("x")).cast("binary")))
+    def evt(sec: String, meth: String, idx: Int, data: org.apache.spark.sql.Column) =
+      struct(lit(sec).as("section"), lit(meth).as("method"),
+        lit(idx).as("event_idx"), data.as("data"))
+    val who = pkOf(col("user_id").cast("string"))
+    val fundId = lit(2000L) + pmod(sid, lit(4L))
+    val amount = pmod(sid, lit(100000L)) + lit(1L)
+    val contribData = when(pmod(sid, lit(7)) === 0,
+      format_string("""{"who":"%s","paraId":%d,"amount":%d}""",
+        who, fundId, amount))
+      .otherwise(format_string(
+        """{"who":"%s","fundIndex":%d,"amount":%d}""",
+        who, fundId, amount))
+    val contribEvt = evt("crowdloan", "Contributed", 0, contribData)
+    val memoEvt = evt("crowdloan", "MemoUpdated", 0,
+      format_string("""{"who":"%s","paraId":%d,"memo":"m"}""",
+        who, fundId))
+    val noiseEvt = evt("system", "ExtrinsicSuccess", 1, lit("{}"))
+    val mod3 = (pmod(sid, lit(3)) + 1).cast("int")
+    val raw = ev.filter(col("event_type") =!= "view").select(
+      when(pmod(sid, lit(11)) === 0, 2000).otherwise(0)
+        .as("chain_id"),
+      sid.as("number"),
+      timestamp_seconds(
+        when(pmod(sid, lit(13)) === 0, lit(base + 90000L))
+          .otherwise(lit(base) + pmod(sid, lit(80000L))))
+        .as("block_time"),
+      (pmod(sid, lit(19)) =!= 0).as("finalized"),
+      array(struct(
+        lit(0).as("idx"),
+        format_string("0xe%d", sid).as("hash"),
+        element_at(array(lit("utility"), lit("crowdloan"),
+          lit("proxy")), mod3).as("section"),
+        element_at(array(lit("batch"), lit("contribute"),
+          lit("proxy")), mod3).as("method"),
+        when(col("event_type") === "purchase",
+          array(contribEvt, noiseEvt))
+          .when(col("event_type") === "signup",
+            array(memoEvt, noiseEvt))
+          .otherwise(array(noiseEvt)).as("events"))).as("extrinsics"))
+    val priceLog = ev.filter(col("event_type") === "view").select(
+      lit("DOT~0").as("asset"), lit(0).as("chain_id"),
+      (lit(base) + pmod(sid, lit(288L)) * lit(300L))
+        .cast("timestamp").as("index_ts"),
+      (pmod(sid, lit(1000L)).cast("double") / lit(100.0))
+        .as("price_usd"))
+    val chains = s.range(1).select(lit(0).as("chain_id"),
+      lit("DOT~0").as("native_asset"), lit(10).as("decimals"))
+    val projects = s.range(2).select(
+      (lit(2000L) + col("id")).as("para_id"),
+      concat(lit("proj"), col("id")).as("project_name"))
+    val dir = queryDumpDir("graft_relay_cl")
+    graft.etl.Dump.dumpRelayCrowdloanDay(raw, "2024-03-01", dir,
+      usd = Some(graft.etl.Dump.UsdDims(priceLog, chains)),
+      projects = Some(projects))
+    s.read.parquet(s"$dir/crowdloan")
+      .select(col("event_id"), col("extrinsic_id"),
+        col("extrinsic_hash"), col("extrinsic_section_method"),
+        col("event_section_method"), col("contributor_pubkey"),
+        call_udf("ss58_pubkey", col("contributor"))
+          .as("contributor_rt"),
+        col("para_id"), col("project_name"),
+        col("contribution"), col("contribution_usd"),
+        col("contribution_symbol"),
+        col("amount_raw").cast("string").as("amount_raw"),
+        us(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val b16Sql =
+    s"""WITH e AS (
+       | SELECT event_id AS sid, user_id AS uid FROM events
+       | WHERE event_type = 'purchase'
+       |  AND event_id % 11 <> 0
+       |  AND event_id % 19 <> 0
+       |  AND event_id % 13 <> 0),
+       |r AS (
+       | SELECT sid,
+       |  CAST(sid AS VARCHAR) || '-0-0' AS event_id,
+       |  CAST(sid AS VARCHAR) || '-0' AS extrinsic_id,
+       |  '0xe' || CAST(sid AS VARCHAR) AS extrinsic_hash,
+       |  (CASE sid % 3 WHEN 0 THEN 'utility' WHEN 1 THEN 'crowdloan'
+       |    ELSE 'proxy' END) || ':' ||
+       |  (CASE sid % 3 WHEN 0 THEN 'batch' WHEN 1 THEN 'contribute'
+       |    ELSE 'proxy' END) AS extrinsic_section_method,
+       |  'crowdloan(Contributed)' AS event_section_method,
+       |  '0x' || md5(CAST(uid AS VARCHAR))
+       |   || md5(CAST(uid AS VARCHAR) || 'x') AS contributor_pubkey,
+       |  CAST(2000 + sid % 4 AS BIGINT) AS para_id,
+       |  sid % 100000 + 1 AS amt,
+       |  1709251200 + sid % 80000 AS ts_s
+       | FROM e),
+       |px AS (
+       | SELECT 1709251200 + (event_id % 288) * 300 AS b_s,
+       |  max(CAST(event_id % 1000 AS DOUBLE) / 100.0) AS px
+       | FROM events WHERE event_type = 'view' GROUP BY 1),
+       |dec AS (
+       | SELECT r.*, p.px FROM r ASOF LEFT JOIN px p ON r.ts_s >= p.b_s)
+       |SELECT event_id, extrinsic_id, extrinsic_hash,
+       | extrinsic_section_method, event_section_method,
+       | contributor_pubkey,
+       | contributor_pubkey AS contributor_rt,
+       | para_id,
+       | CASE WHEN para_id <= 2001
+       |  THEN 'proj' || CAST(para_id - 2000 AS VARCHAR)
+       | END AS project_name,
+       | CAST(amt AS DOUBLE) / 10000000000.0 AS contribution,
+       | (CAST(amt AS DOUBLE) / 10000000000.0) * px AS contribution_usd,
+       | 'DOT' AS contribution_symbol,
+       | CAST(amt AS VARCHAR) AS amount_raw,
+       | ts_s * CAST(1000000 AS BIGINT) AS ts_us
+       |FROM dec ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p3_json_extract" -> (p3 _),
     "p4_call_flatten" -> (p4 _),
@@ -395,6 +535,7 @@ object FlattenOps {
     "p7b_crowdloan_pairs" -> (p7b _),
     "p8_posexplode" -> (p8 _),
     "p9_dump_usd" -> (p9 _),
+    "b16_relay_crowdloan" -> (b16 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,5 +547,6 @@ object FlattenOps {
     "p7b_crowdloan_pairs" -> p7bSql,
     "p8_posexplode" -> p8Sql,
     "p9_dump_usd" -> p9Sql,
+    "b16_relay_crowdloan" -> b16Sql,
   )
 }

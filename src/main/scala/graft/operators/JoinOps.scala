@@ -1199,12 +1199,113 @@ object JoinOps {
        |   CAST(cd AS VARCHAR)) AS n_routes
        |FROM win GROUP BY 1 ORDER BY msg_type""".stripMargin
 
+  // B15 — the Dune xcmtransfer CSV HAND-OFF through the writer
+  // (graft.etl.XcmExport.dumpDuneXcmTransfers — ref substrateetl.js:
+  // 526-541 dump_dune_xcmtransfer): transfer rows synthesized from
+  // purchase events carry all three render classes — 32-byte pubkeys
+  // (0x + 64 hex, length 66 > 42 → ss58-rendered at the relay
+  // prefix), H160 EVM addresses (length 42 → verbatim), and nulls —
+  // the REAL export writes the 5-column headered CSV, and the query
+  // reads the WRITTEN FILES back for a per-dest-chain rollup. The
+  // encode path is certified cross-engine by ROUND-TRIPPING:
+  // ss58_pubkey(rendered) must re-derive the md5-synthesized pubkey
+  // hex, which DuckDB recomputes directly — a wrong checksum, prefix
+  // byte, or base58 alphabet breaks the round trip — and every
+  // prefix-0 address must start with '1' (the base58 leading-zero of
+  // the 0x00 network byte), which the oracle pins as
+  // n_prefix0 = n_from_rendered. Timestamps truncate to seconds at
+  // synthesis so the CSV round trip is exact.
+  private def b15(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Udfs.register(s)
+    def pkOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("0x"), md5(e.cast("binary")),
+        md5(concat(e, lit("x")).cast("binary")))
+    def h160Of(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(lit("0x"), substring(md5(e.cast("binary")), 1, 40))
+    val sid = col("event_id")
+    val sidS = sid.cast("string")
+    val transfers = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(
+        timestamp_seconds((us(col("ts")) / lit(1000000L)).cast("long"))
+          .as("source_ts"),
+        when(pmod(sid, lit(3)) === 0, pkOf(sidS))
+          .when(pmod(sid, lit(3)) === 1, h160Of(sidS))
+          .as("from_address"), // % 3 == 2 → null, passes through
+        when(pmod(sid, lit(2)) === 0,
+          pkOf(concat(sidS, lit("d"))))
+          .otherwise(h160Of(concat(sidS, lit("d"))))
+          .as("dest_address"),
+        lit(21000).as("chain_id"),
+        (lit(2000) + pmod(sid, lit(5))).cast("int")
+          .as("chain_id_dest"))
+    val dir = queryDumpDir("graft_dune_csv")
+    graft.etl.XcmExport.dumpDuneXcmTransfers(transfers, dir)
+    val back = s.read.option("header", "true").csv(dir)
+    val fromRendered = col("from_ss58").isNotNull &&
+      !col("from_ss58").startsWith("0x")
+    val toRendered = !col("to_ss58").startsWith("0x")
+    back.groupBy(col("dest_chain_id").cast("int").as("dest_chain_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(fromRendered, 1)).as("n_from_rendered"),
+        count(when(col("from_ss58").startsWith("1"), 1))
+          .as("n_prefix0"),
+        count(when(col("from_ss58").startsWith("0x"), 1))
+          .as("n_from_h160"),
+        count(when(col("from_ss58").isNull, 1)).as("n_from_null"),
+        min(when(col("from_ss58").startsWith("0x"), col("from_ss58")))
+          .as("min_from_h160"),
+        min(when(fromRendered, call_udf("ss58_pubkey",
+          col("from_ss58")))).as("min_from_rt"),
+        max(when(fromRendered, call_udf("ss58_pubkey",
+          col("from_ss58")))).as("max_from_rt"),
+        countDistinct(when(toRendered, call_udf("ss58_pubkey",
+          col("to_ss58")))).as("n_to_rt"),
+        min((us(col("ts").cast("timestamp")) / lit(1000000L))
+          .cast("long")).as("min_ts_s"),
+        max((us(col("ts").cast("timestamp")) / lit(1000000L))
+          .cast("long")).as("max_ts_s"))
+      .orderBy(col("dest_chain_id"))
+  }
+
+  private val b15Sql =
+    s"""WITH src AS (
+       | SELECT event_id AS sid,
+       |  ${sqlUs(TS)} // CAST(1000000 AS BIGINT) AS s
+       | FROM events WHERE event_type = 'purchase'),
+       |r AS (
+       | SELECT sid, s,
+       |  CAST(2000 + sid % 5 AS INTEGER) AS dest,
+       |  CASE WHEN sid % 3 = 0 THEN '0x' || md5(CAST(sid AS VARCHAR))
+       |    || md5(CAST(sid AS VARCHAR) || 'x') END AS from_pk,
+       |  CASE WHEN sid % 3 = 1 THEN
+       |   '0x' || substr(md5(CAST(sid AS VARCHAR)), 1, 40)
+       |  END AS from_h160,
+       |  CASE WHEN sid % 2 = 0 THEN
+       |   '0x' || md5(CAST(sid AS VARCHAR) || 'd')
+       |    || md5(CAST(sid AS VARCHAR) || 'dx') END AS to_pk
+       | FROM src)
+       |SELECT dest AS dest_chain_id, count(*) AS n_rows,
+       | count(from_pk) AS n_from_rendered,
+       | count(from_pk) AS n_prefix0,
+       | count(from_h160) AS n_from_h160,
+       | count(CASE WHEN from_pk IS NULL AND from_h160 IS NULL
+       |   THEN 1 END) AS n_from_null,
+       | min(from_h160) AS min_from_h160,
+       | min(from_pk) AS min_from_rt,
+       | max(from_pk) AS max_from_rt,
+       | count(DISTINCT to_pk) AS n_to_rt,
+       | min(s) AS min_ts_s, max(s) AS max_ts_s
+       |FROM r GROUP BY 1 ORDER BY dest_chain_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j18_trace_spans" -> (j18 _),
     "j21_dest_waterfall" -> (j21 _),
     "j25_skew_salted" -> (j25 _),
     "j26_xcm_export" -> (j26 _),
     "j27_xcm_msg_export" -> (j27 _),
+    "b15_dune_csv" -> (b15 _),
     "j19_transact_spans" -> (j19 _),
     "j20_xcm_fee_model" -> (j20 _),
     "j22_last_touch" -> (j22 _),
@@ -1231,6 +1332,7 @@ object JoinOps {
     "j25_skew_salted" -> j25Sql,
     "j26_xcm_export" -> j26Sql,
     "j27_xcm_msg_export" -> j27Sql,
+    "b15_dune_csv" -> b15Sql,
     "j19_transact_spans" -> j19Sql,
     "j20_xcm_fee_model" -> j20Sql,
     "j16b_asof_native" -> j16bSql,
