@@ -503,7 +503,13 @@ object Dump {
         col("contribution_symbol"), col("amount_raw"),
         col("block_time").as("ts"),
         lit(logDT).as("log_dt"))
-      .orderBy(col("contributor_pubkey"))
+    // deliberate divergence: the reference SQL ends `order by
+    // contributor_pubkey` (substrateetl.js:4820), but a BigQuery
+    // TABLE write does not preserve row order and every consumer
+    // (DumpSpec, b16) re-sorts after read — mirroring it here would
+    // spend a global sort exchange on the whole day for nothing, so
+    // the dump stays the shuffle-free prune → explode → project →
+    // write plan the docs describe
   }
 
   /** Land [[relayCrowdloan]] as an idempotent date partition — the

@@ -143,9 +143,10 @@ object XcmExport {
     * relay prefix, while an H160 EVM address (0x + 40 hex, length 42)
     * and null pass through verbatim; a malformed long value renders
     * null via the kernel's guard, like paraTool.getAddress throwing
-    * out of the row. Row-wise projection, no shuffle — the global
-    * sort exists only for the CSV consumer (`order by sourceTS desc`)
-    * and coalesces naturally in the single-file hand-off write.
+    * out of the row. Row-wise projection — the global sort exists
+    * only for the CSV consumer (`order by sourceTS desc`);
+    * [[dumpDuneXcmTransfers]] coalesces it to the one file the
+    * hand-off contract needs.
     *
     * `transfers` carries (source_ts, from_address, dest_address,
     * chain_id, chain_id_dest) — the xcmtransfer row grain [[dumpXcmDay]]
@@ -168,11 +169,19 @@ object XcmExport {
   /** Write the Dune projection as a headered CSV hand-off (the
     * reference writes one /root/xcmtransfers.csv file). The export is
     * a bounded analytics extract, not a daily partition table — a
-    * plain overwrite of the target dir is the file-replace twin. */
+    * plain overwrite of the target dir is the file-replace twin, and
+    * `coalesce(1)` keeps the single-file contract: without it the
+    * sorted write emits one part file PER RANGE PARTITION, each with
+    * its own header row, and a consumer concatenating the directory
+    * reads stray headers mid-data. coalesce after the sort preserves
+    * the global newest-first order (range partitions merge in index
+    * order), and the single write task is fine at this export's
+    * bounded hand-off size. */
   def dumpDuneXcmTransfers(transfers: DataFrame, outDir: String,
       ss58Prefix: Int = 0): DataFrame = {
     val out = duneXcmTransfers(transfers, ss58Prefix)
-    out.write.mode("overwrite").option("header", "true").csv(outDir)
+    out.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(outDir)
     out
   }
 

@@ -17,9 +17,7 @@ import org.apache.spark.sql.functions._
 object DimOps {
 
   private def str(c: Column): Column = c.cast("string")
-  private def pk(e: Column): Column =
-    concat(lit("0x"), md5(e.cast("string").cast("binary")),
-      md5(concat(e.cast("string"), lit("x")).cast("binary")))
+  private def pk(e: Column): Column = synthPk(e.cast("string"))
 
   // I1 — identity export: two synthesized relay frames (the
   // identities() output shape) with overlapping and disjoint pubkey

@@ -411,13 +411,10 @@ object FlattenOps {
     val ev = Tables.events(s, d)
     val base = 1709251200L // 2024-03-01T00:00:00Z
     val sid = col("event_id")
-    def pkOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat(lit("0x"), md5(e.cast("binary")),
-        md5(concat(e, lit("x")).cast("binary")))
     def evt(sec: String, meth: String, idx: Int, data: org.apache.spark.sql.Column) =
       struct(lit(sec).as("section"), lit(meth).as("method"),
         lit(idx).as("event_idx"), data.as("data"))
-    val who = pkOf(col("user_id").cast("string"))
+    val who = synthPk(col("user_id").cast("string"))
     val fundId = lit(2000L) + pmod(sid, lit(4L))
     val amount = pmod(sid, lit(100000L)) + lit(1L)
     val contribData = when(pmod(sid, lit(7)) === 0,

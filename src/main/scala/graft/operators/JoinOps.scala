@@ -1217,11 +1217,6 @@ object JoinOps {
   // synthesis so the CSV round trip is exact.
   private def b15(s: SparkSession, d: String): DataFrame = {
     graft.functions.Udfs.register(s)
-    def pkOf(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat(lit("0x"), md5(e.cast("binary")),
-        md5(concat(e, lit("x")).cast("binary")))
-    def h160Of(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      concat(lit("0x"), substring(md5(e.cast("binary")), 1, 40))
     val sid = col("event_id")
     val sidS = sid.cast("string")
     val transfers = Tables.events(s, d)
@@ -1229,12 +1224,12 @@ object JoinOps {
       .select(
         timestamp_seconds((us(col("ts")) / lit(1000000L)).cast("long"))
           .as("source_ts"),
-        when(pmod(sid, lit(3)) === 0, pkOf(sidS))
-          .when(pmod(sid, lit(3)) === 1, h160Of(sidS))
+        when(pmod(sid, lit(3)) === 0, synthPk(sidS))
+          .when(pmod(sid, lit(3)) === 1, synthH160(sidS))
           .as("from_address"), // % 3 == 2 → null, passes through
         when(pmod(sid, lit(2)) === 0,
-          pkOf(concat(sidS, lit("d"))))
-          .otherwise(h160Of(concat(sidS, lit("d"))))
+          synthPk(concat(sidS, lit("d"))))
+          .otherwise(synthH160(concat(sidS, lit("d"))))
           .as("dest_address"),
         lit(21000).as("chain_id"),
         (lit(2000) + pmod(sid, lit(5))).cast("int")

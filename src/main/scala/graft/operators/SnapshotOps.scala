@@ -31,9 +31,7 @@ import org.apache.spark.sql.functions._
   */
 object SnapshotOps {
 
-  private def pk(e: Column): Column =
-    concat(lit("0x"), md5(e.cast("string").cast("binary")),
-      md5(concat(e.cast("string"), lit("x")).cast("binary")))
+  private def pk(e: Column): Column = synthPk(e.cast("string"))
 
   private val Para2000 = "0x70617261d007" + "00" * 26
 

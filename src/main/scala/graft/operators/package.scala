@@ -105,6 +105,21 @@ package object operators {
     java.nio.file.Files.createTempDirectory(queryDumpRoot, prefix)
       .toString
 
+  /** Synthetic 32-byte pubkey hex from a string seed — the one
+    * md5-based scheme every oracle that exercises ss58/identity
+    * surfaces re-derives in DuckDB as
+    * `'0x' || md5(seed) || md5(seed || 'x')`. Keep Scala and SQL in
+    * lockstep: changing this formula means changing every oracle twin
+    * that spells it out (i1, i4, b15, b16, ...). */
+  def synthPk(seed: Column): Column =
+    concat(lit("0x"), md5(seed.cast("binary")),
+      md5(concat(seed, lit("x")).cast("binary")))
+
+  /** Synthetic H160 (EVM address) hex from a string seed — DuckDB
+    * twin: `'0x' || substr(md5(seed), 1, 40)`. */
+  def synthH160(seed: Column): Column =
+    concat(lit("0x"), substring(md5(seed.cast("binary")), 1, 40))
+
   /** UTC day key as a string — unambiguous across engines. */
   def dayKey(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
 
