@@ -361,25 +361,84 @@ object EvmDump {
     case None => df.withColumn("id", lit(null).cast("string"))
   }
 
+  /** `evm.transactions` export (schema substrateetl/evm/
+    * transactions.json — the eth-etl transaction stream): the evmtxs
+    * projection re-shaped to the standalone dataset's contract —
+    * substrate extrinsic identity dropped, the `id` chain name joined
+    * (broadcast dim), and the three fee columns re-scaled from wei to
+    * ETHER as FLOATs (the schema's "in ether, 10^18"): one exact
+    * decimal→double cast (fees sit far below 2^53 wei) and ONE IEEE
+    * division by 1e18, so a consumer re-deriving
+    * `receipt_gas_used × gas_price / 1e18` lands bit-identically.
+    * `decoded` = the selector registry resolved a signature (the only
+    * input-decode tier the substrate path carries); `params` exports
+    * null like logs.events (per-tx ABI decode needs the abirepo) and
+    * `receipt_root` / `access_list` export null — substrate EVM
+    * receipts are post-Byzantium (status, not state root) and the
+    * decoded tx struct does not surface EIP-2930 access lists. Row
+    * pass-through otherwise: no shuffle beyond the shared tx⋈receipt
+    * join. */
+  private[etl] def evmTransactionsOf(combined: DataFrame,
+      logDT: String, chains: Option[DataFrame] = None,
+      signatures: Option[DataFrame] = None): DataFrame = {
+    def ether(c: org.apache.spark.sql.Column) =
+      c.cast("double") / lit(1.0e18)
+    val nullStr = lit(null).cast("string")
+    // the standalone dataset's tx frame carries NO substrate extrinsic
+    // identity (this export exists to drop it) — null-fill the two
+    // columns the shared evmtxs projection passes through, so a pure
+    // eth-etl input is valid here while the substrate-face dump stays
+    // strict
+    val withExt = Seq("extrinsic_id", "extrinsic_hash")
+      .foldLeft(combined)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast("string")))
+    withChainName(evmtxsOfCombined(withExt, logDT, signatures), chains)
+      .select(
+        col("chain_id"), col("id"), col("hash"),
+        col("nonce"), col("transaction_index"),
+        col("from_address"), col("to_address"), col("value"),
+        col("gas"), col("gas_price"), col("input"),
+        col("receipt_cumulative_gas_used"), col("receipt_gas_used"),
+        col("receipt_contract_address"),
+        nullStr.as("receipt_root"),
+        col("receipt_status"),
+        col("block_timestamp"), col("block_number"), col("block_hash"),
+        col("max_fee_per_gas"), col("max_priority_fee_per_gas"),
+        col("transaction_type"), col("receipt_effective_gas_price"),
+        ether(col("fee")).as("fee"),
+        ether(col("txn_saving")).as("txn_saving"),
+        ether(col("burned_fee")).as("burned_fee"),
+        col("signature").isNotNull.as("decoded"),
+        col("method_id"), col("signature"),
+        nullStr.as("access_list"), nullStr.as("params"),
+        col("log_dt"))
+  }
+
   /** The composable slice of the standalone `evm.*` dataset family
-    * (schemas substrateetl/evm/): `logs` + `token_transfers` as
-    * idempotent date partitions off the SAME one tx⋈receipt join the
-    * substrate-face dump uses. The rest of the family is a documented
-    * scope decision (docs/COVERAGE.md): `transactions` is the already-
-    * exported evmtxs shape minus the substrate extrinsic identity;
+    * (schemas substrateetl/evm/): `transactions` + `logs` +
+    * `token_transfers` as idempotent date partitions off the SAME one
+    * tx⋈receipt join the substrate-face dump uses. The rest of the
+    * family is a documented scope decision (docs/COVERAGE.md):
     * `blocks`/`tokens`/`contracts`/`traces`/`abirepo` need inputs the
     * substrate decode path does not carry (RPC headers, eth_call state
-    * reads, bytecode, debug traces, a curated ABI registry). */
+    * reads, bytecode, debug traces, a curated ABI registry).
+    * `eventSigs` resolves log topic0 (event signatures); `signatures`
+    * resolves the 4-byte tx selector (call signatures) — the same two
+    * registries the substrate-face dump uses. */
   def dumpEvmDataset(txs: DataFrame, receipts: DataFrame,
       logDT: String, outRoot: String,
       chains: Option[DataFrame] = None,
-      eventSigs: Option[DataFrame] = None): Map[String, DataFrame] = {
+      eventSigs: Option[DataFrame] = None,
+      signatures: Option[DataFrame] = None): Map[String, DataFrame] = {
     val spark = txs.sparkSession
     require(receipts.columns.contains("logs"),
       "dumpEvmDataset needs receipt logs — both tables project them")
     val combined = EvmDecode.combineTxReceipt(txs, receipts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try Map(
+      "transactions" -> evmTransactionsOf(combined, logDT, chains,
+        signatures),
       "logs" -> evmLogsOf(combined, logDT, chains, eventSigs),
       "token_transfers" -> evmTokenTransfersOf(combined, logDT, chains)
     ).map { case (name, df) =>

@@ -787,10 +787,33 @@ object KeyOps {
         .otherwise(lit("0xdead")).as("data"))
     val hash = concat(lit("0x"),
       md5(col("event_id").cast("string").cast("binary")))
+    // full eth-etl tx columns (the k12 fee synthesis) so the SAME
+    // dump also produces evm.transactions for k23: all txs mined
+    // (status 1, gas_used 21000, effective price 1 wei), types split
+    // on the mod-3 lane, the input rotating no-selector / unresolved
+    // selector / registry-resolved transfer()
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val is1559 = col("event_id") % 3 === 0
+    val word = format_string("%064x", col("event_id") % 1000000 + 1)
     val txs = e.select(
       lit(0).as("chain_id"),
       hash.as("transaction_hash"),
+      (col("event_id") % 50).cast("int").as("nonce"),
       (col("event_id") % 100).cast("int").as("transaction_index"),
+      format_string("0x%040x", col("user_id")).as("from_address"),
+      format_string("0x%040x", col("event_id") % 700).as("to_address"),
+      d38((col("event_id") % 1000 + 1) * lit(1000000000L)).as("value"),
+      (lit(21000) + col("event_id") % 1000).cast("long").as("gas"),
+      d38(col("event_id") % 7 + 1).as("gas_price"),
+      when(is1559, d38(col("event_id") % 7 + 3)).as("max_fee_per_gas"),
+      when(is1559, d38(lit(1))).as("max_priority_fee_per_gas"),
+      when(is1559, lit(2)).otherwise(lit(0)).cast("int")
+        .as("transaction_type"),
+      when(col("event_id") % 5 === 0, lit("0x"))
+        .when(col("event_id") % 7 === 0, concat(lit("0x12345678"), word))
+        .otherwise(concat(lit("0xa9059cbb"), lit("0" * 24),
+          format_string("%040x", col("event_id") % 700), word))
+        .as("input"),
       bn.as("block_number"),
       format_string("0xb%d", bn).as("block_hash"),
       (lit(1709251200L) + pmod(bn, lit(86400L))).cast("timestamp")
@@ -798,15 +821,19 @@ object KeyOps {
     val rec = e.select(
       hash.as("transaction_hash"),
       lit(1).as("status"), lit(21000L).as("gas_used"),
+      lit(21000L).as("cumulative_gas_used"),
       lit(1).cast("decimal(38,0)").as("effective_gas_price"),
       when(col("event_id") % 13 === 0, array().cast(
           "array<struct<address:string,topics:array<string>,data:string>>"))
         .otherwise(array(lg)).as("logs"))
     val sigs = Seq((graft.decode.EvmDecode.TransferTopic,
       "Transfer(address,address,uint256)")).toDF("topic0", "signature")
+    val callSigs = Seq(("0xa9059cbb", "transfer(address,uint256)"))
+      .toDF("selector", "signature")
     val chains = Seq((0, "moonbeam")).toDF("chain_id", "id")
     graft.etl.EvmDump.dumpEvmDataset(txs, rec, "2024-03-01",
-      queryDumpDir("graft_evmds_dump"), Some(chains), Some(sigs))
+      queryDumpDir("graft_evmds_dump"), Some(chains), Some(sigs),
+      Some(callSigs))
   }
 
   private def k21(s: SparkSession, d: String): DataFrame =
@@ -868,6 +895,75 @@ object KeyOps {
       | li AS log_index,
       | e // 10 AS block_number
       |FROM ix WHERE kind < 2 ORDER BY transaction_hash""".stripMargin
+
+  // K23 — the `evm.transactions` export off the SAME dataset dump
+  // (EvmDump.evmTransactionsOf; schema substrateetl/evm/
+  // transactions.json, the eth-etl transaction stream): the evmtxs
+  // shape minus substrate extrinsic identity, chain name joined, and
+  // fee/burned_fee/txn_saving re-scaled from wei DECIMALs to ETHER
+  // doubles. The rollup certifies the ether scaling BIT-EXACTLY by
+  // re-deriving each fee off the written integer columns
+  // (receipt_gas_used × gas_price / 1e18 — the same two exact-product
+  // IEEE ops the export performs) and counting equality row-for-row,
+  // then pins the selector-registry decode, the chain-name dim, the
+  // always-null receipt_root/access_list/params contract, and the
+  // value sum. Oracle = the synthesis arithmetic replayed in DuckDB.
+  private def k23(s: SparkSession, d: String): DataFrame = {
+    val eth = lit(1.0e18)
+    val gu = col("receipt_gas_used").cast("double")
+    evmDatasetDump(s, d)("transactions")
+      .groupBy(col("transaction_type"))
+      .agg(
+        count(lit(1)).as("n_txs"),
+        count(col("id")).as("n_named"),
+        count(when(col("fee") ===
+          gu * col("gas_price").cast("double") / eth, 1))
+          .as("n_fee_exact"),
+        count(when(col("burned_fee") ===
+          when(col("transaction_type") === 2,
+            gu * col("receipt_effective_gas_price").cast("double"))
+            .otherwise(lit(0.0)) / eth, 1))
+          .as("n_burned_exact"),
+        count(when(col("txn_saving") ===
+          (col("max_fee_per_gas").cast("double") -
+            col("receipt_effective_gas_price").cast("double")) * gu /
+            eth, 1)).as("n_saving_exact"),
+        count(when(col("decoded"), 1)).as("n_decoded"),
+        count(col("signature")).as("n_sigs"),
+        count(col("method_id")).as("n_methods"),
+        count(col("receipt_root")).as("n_root"),
+        count(col("access_list")).as("n_access"),
+        count(col("params")).as("n_params"),
+        sum(col("value")).cast("long").as("sum_value"),
+        min(col("id")).as("chain_name"))
+      .orderBy(col("transaction_type"))
+  }
+
+  private val k23Sql =
+    """WITH r AS (
+      | SELECT event_id AS e,
+      |  CASE WHEN event_id % 3 = 0 THEN 2 ELSE 0 END
+      |    AS transaction_type,
+      |  (event_id % 1000 + 1) * CAST(1000000000 AS BIGINT) AS value,
+      |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE 1 END AS has_method,
+      |  CASE WHEN event_id % 5 = 0 OR event_id % 7 = 0 THEN NULL
+      |   ELSE 1 END AS has_sig
+      | FROM events WHERE event_id < 1500)
+      |SELECT transaction_type, count(*) AS n_txs,
+      | count(*) AS n_named,
+      | count(*) AS n_fee_exact,
+      | count(*) AS n_burned_exact,
+      | count(CASE WHEN transaction_type = 2 THEN 1 END)
+      |  AS n_saving_exact,
+      | count(has_sig) AS n_decoded,
+      | count(has_sig) AS n_sigs,
+      | count(has_method) AS n_methods,
+      | CAST(0 AS BIGINT) AS n_root,
+      | CAST(0 AS BIGINT) AS n_access,
+      | CAST(0 AS BIGINT) AS n_params,
+      | CAST(sum(value) AS BIGINT) AS sum_value,
+      | 'moonbeam' AS chain_name
+      |FROM r GROUP BY 1 ORDER BY transaction_type""".stripMargin
 
   // K14 — the EVM account rollups over the dumped tables (EvmDump.
   // dumpEvmAccountsDay; schemas substrateetl/accountsevm{active,
@@ -1157,6 +1253,7 @@ object KeyOps {
     "k17_chains_dim" -> (k17 _),
     "k21_evm_logs_dump" -> (k21 _),
     "k22_token_transfers_dump" -> (k22 _),
+    "k23_evm_transactions" -> (k23 _),
     "k1_sovereign_accounts" -> (k1 _),
     "k2_derived_key_join" -> (k2 _),
     "k3_author_attribution" -> (k3 _),
@@ -1179,6 +1276,7 @@ object KeyOps {
     "k17_chains_dim" -> k17Sql,
     "k21_evm_logs_dump" -> k21Sql,
     "k22_token_transfers_dump" -> k22Sql,
+    "k23_evm_transactions" -> k23Sql,
     "k1_sovereign_accounts" -> k1Sql,
     "k2_derived_key_join" -> k2Sql,
     "k3_author_attribution" -> k3Sql,

@@ -110,6 +110,46 @@ class EvmDumpSpec extends AnyFunSuite {
     assert(tt.head.getAs[String]("to_address") == "0x" + "b" * 40)
   }
 
+  test("evm dataset transactions: ether scaling, pending kept, " +
+      "identity dropped, null receipt_root/access_list/params") {
+    val txs = Seq(
+      txRow("0xl", is1559 = false, input = "0xa9059cbb" + "0" * 64),
+      txRow("0xp", is1559 = true) // pending: receipt columns null
+    ).toDF(txCols: _*)
+    val rx = Seq((("0xl"), 1, 21000L, 42000L, BigDecimal(10),
+      Option.empty[String], Seq.empty[EvmLog])).toDF(rxCols: _*)
+    val sigs = Seq(("0xa9059cbb", "transfer(address,uint256)"))
+      .toDF("selector", "signature")
+    val chains = Seq((0, "moonbeam")).toDF("chain_id", "id")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evmds_tx").toString
+    val out = graft.etl.EvmDump.dumpEvmDataset(txs, rx, "2024-03-01",
+      dir, chains = Some(chains), signatures = Some(sigs))
+    val t = out("transactions").collect()
+      .map(r => r.getAs[String]("hash") -> r).toMap
+    // pending rows stay (eth-etl's stream has them; only receipt
+    // columns null) — unlike logs/token_transfers which drop them
+    assert(t.size == 2)
+    val l = t("0xl")
+    // wei → ether: one exact decimal→double cast + ONE division
+    assert(l.getAs[Double]("fee") == 21000.0 * 10 / 1.0e18)
+    assert(l.getAs[Double]("burned_fee") == 0.0)
+    assert(l.getAs[String]("id") == "moonbeam")
+    assert(l.getAs[Boolean]("decoded") &&
+      l.getAs[String]("signature") == "transfer(address,uint256)")
+    // the substrate identity is gone; the eth-etl-only columns export
+    // typed nulls (post-Byzantium receipts, no access lists, no
+    // abirepo params — the logs.events scope note)
+    assert(!t("0xl").schema.fieldNames.contains("extrinsic_id"))
+    assert(l.getAs[String]("receipt_root") == null &&
+      l.getAs[String]("access_list") == null &&
+      l.getAs[String]("params") == null)
+    val p = t("0xp")
+    assert(p.get(p.fieldIndex("fee")) == null &&
+      p.get(p.fieldIndex("receipt_status")) == null)
+    assert(!p.getAs[Boolean]("decoded")) // 0x value send: no selector
+  }
+
   test("evmtxs: negative txn_saving exports NULL (ethTool.js:913-915)") {
     // a 1559 tx whose max_fee (14) sits BELOW the inclusion price (20)
     // would compute a negative saving — the reference deletes the field
