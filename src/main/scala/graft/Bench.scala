@@ -207,7 +207,11 @@ object Bench {
     "stage:dumpsynth_raw" ->
       ((s, d) => etl.Dump.warmRawDay(s, d)),
     "stage:dump_day" ->
-      ((s, d) => etl.Dump.warmDumpDay(s, d)))
+      ((s, d) => etl.Dump.warmDumpDay(s, d)),
+    // the evm.* dataset dump shared by k21/k22/k23 (one tx⋈receipt
+    // join + three table writes, memoized like stage:lsh_pairs)
+    "stage:evmds_dump" ->
+      ((s, d) => operators.KeyOps.warmEvmDataset(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

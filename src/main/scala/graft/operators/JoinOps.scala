@@ -1275,7 +1275,8 @@ object JoinOps {
        |  CASE WHEN sid % 3 = 0 THEN '0x' || md5(CAST(sid AS VARCHAR))
        |    || md5(CAST(sid AS VARCHAR) || 'x') END AS from_pk,
        |  CASE WHEN sid % 3 = 1 THEN
-       |   '0x' || substr(md5(CAST(sid AS VARCHAR)), 1, 40)
+       |   '0x' || substr(md5(CAST(sid AS VARCHAR))
+       |     || md5(CAST(sid AS VARCHAR) || 'x'), 1, 40)
        |  END AS from_h160,
        |  CASE WHEN sid % 2 = 0 THEN
        |   '0x' || md5(CAST(sid AS VARCHAR) || 'd')

@@ -448,10 +448,7 @@ object KeyOps {
     val transferAbi =
       """{"type":"function","name":"transfer","inputs":[
         {"name":"to","type":"address"},{"name":"value","type":"uint256"}]}"""
-    val addr40 = substring(concat(
-      md5(col("user_id").cast("string").cast("binary")),
-      md5(concat(col("user_id").cast("string"), lit("x"))
-        .cast("binary"))), 1, 40) // md5 is 32 chars; two halves -> 40
+    val addr40 = synthHex40(col("user_id").cast("string"))
     val value = col("event_id") % 1000000 + 1
     val txs = Tables.events(s, d)
       .filter(col("event_id") < 1500)
@@ -556,10 +553,7 @@ object KeyOps {
     val bn = expr("event_id div 10")
     val hash = concat(lit("0x"),
       md5(col("event_id").cast("string").cast("binary")))
-    val from40 = substring(concat(
-      md5(col("user_id").cast("string").cast("binary")),
-      md5(concat(col("user_id").cast("string"), lit("x"))
-        .cast("binary"))), 1, 40)
+    val from40 = synthHex40(col("user_id").cast("string"))
     val word = format_string("%064x", col("event_id") % 1000000 + 1)
     val txs = e.select(
       lit(0).as("chain_id"),
@@ -762,7 +756,30 @@ object KeyOps {
   // yield nothing), topic0 resolves against a broadcast event-signature
   // registry (the custom topic stays unresolved), and both tables
   // write as date partitions and read back.
+  // one-slot memo: k21/k22/k23 are three consumers of ONE dataset
+  // dump (the d3/d12 shared-stage lesson — without it each query
+  // re-joins and re-writes all three tables). Bench times the cold
+  // build + writes as `stage:evmds_dump`; the queries read memo-warm.
+  @volatile private var evmDsMemo
+      : Option[((SparkSession, String), Map[String, DataFrame])] = None
+
   private def evmDatasetDump(s: SparkSession, d: String)
+      : Map[String, DataFrame] = synchronized {
+    evmDsMemo match {
+      case Some(((ms, md), m)) if (ms eq s) && md == d => m
+      case _ =>
+        val m = buildEvmDataset(s, d)
+        evmDsMemo = Some(((s, d), m))
+        m
+    }
+  }
+
+  /** Bench hook: build + write the shared evm.* dataset dump. */
+  def warmEvmDataset(s: SparkSession, d: String): Unit = {
+    evmDatasetDump(s, d); ()
+  }
+
+  private def buildEvmDataset(s: SparkSession, d: String)
       : Map[String, DataFrame] = {
     import s.implicits._
     val e = Tables.events(s, d).filter(col("event_id") < 1500)

@@ -518,10 +518,7 @@ object WindowOps {
       keyCols = Seq("user_id"), ordCol = "event_id", atOrd = 600L,
       valueCols = Seq("event_type", "value"))
       .select(col("user_id"), col("event_id"))
-      .withColumn("pubkey", concat(lit("0x"),
-        md5(col("user_id").cast("string").cast("binary")),
-        md5(concat(col("user_id").cast("string"), lit("x"))
-          .cast("binary"))))
+      .withColumn("pubkey", synthPk(col("user_id").cast("string")))
       .withColumn("free", (col("event_id") * 7 + 1).cast("long"))
       .withColumn("nonce", (col("event_id") % 5).cast("long"))
     val accounts = Snapshot.snapshotRecs(st, "system.account",

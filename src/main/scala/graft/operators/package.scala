@@ -115,10 +115,20 @@ package object operators {
     concat(lit("0x"), md5(seed.cast("binary")),
       md5(concat(seed, lit("x")).cast("binary")))
 
-  /** Synthetic H160 (EVM address) hex from a string seed — DuckDB
-    * twin: `'0x' || substr(md5(seed), 1, 40)`. */
+  /** Bare 40-hex synthetic address body — the synthetic pubkey's first
+    * 40 hex chars (one md5 is only 32, so two halves slice to 40).
+    * DuckDB twin: `substr(md5(seed) || md5(seed || 'x'), 1, 40)`. */
+  def synthHex40(seed: Column): Column =
+    substring(concat(md5(seed.cast("binary")),
+      md5(concat(seed, lit("x")).cast("binary"))), 1, 40)
+
+  /** Synthetic H160 (EVM address) from a string seed — a REAL 42-char
+    * `0x` + 40-hex address, so fixtures exercise the exact address
+    * length (e.g. the dune render guard's `length > 42` boundary).
+    * DuckDB twin: `'0x' || substr(md5(seed) || md5(seed || 'x'), 1,
+    * 40)`. */
   def synthH160(seed: Column): Column =
-    concat(lit("0x"), substring(md5(seed.cast("binary")), 1, 40))
+    concat(lit("0x"), synthHex40(seed))
 
   /** UTC day key as a string — unambiguous across engines. */
   def dayKey(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
