@@ -148,4 +148,120 @@ object Metrics {
     chainReg.sparkSession.read.schema(out.schema)
       .parquet(s"$outRoot/chains")
   }
+
+  /** paraID → chainID under a relay (ref paraTool.js
+    * getChainIDFromParaIDAndRelayChain — the inverse of
+    * [[Contracts.chainDimOf]]'s prefix split): chainID =
+    * relayPrefix×10000 + paraID, the relay itself (paraID 0) keeps its
+    * own id {polkadot 0, kusama 2, shibuya 30000, rococo 40000}, and
+    * kusama's subsocial renumbering (2101 → 22100) is the one special
+    * case. Unknown relay names throw at plan time, not silently. */
+  def chainIdOfPara(relayChain: String)(
+      paraId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (prefix, relayId) = relayChain match {
+      case "polkadot" => (0, 0)
+      case "kusama"   => (2, 2)
+      case "shibuya"  => (3, 30000)
+      case "rococo"   => (4, 40000)
+      case other => throw new IllegalArgumentException(
+        s"unknown relay chain: $other")
+    }
+    when(paraId === 0, lit(relayId))
+      .when(lit(prefix) === 2 && paraId === 2101, lit(22100))
+      .otherwise(lit(prefix) * 10000 + paraId)
+      .cast("int")
+  }
+
+  /** `update_xcm_summary` step 1 (ref substrateetl.js:5221-5268): the
+    * four per-(day, para) rollups off the published xcmtransfers/xcm
+    * tables, merged into ONE summary frame keyed (chain_id, log_dt) —
+    * incoming transfers keyed by destination para with the SENT-side
+    * USD value, outgoing by origination para with the RECEIVED-side
+    * value (the reference's exact, asymmetric column choice), message
+    * counts likewise, each `having logDT < today` so the running day
+    * never publishes a partial row. Unpriced rows count as 0 USD
+    * (`sum(if(usd is Null, 0, usd))`). Four hash aggregations with
+    * map-side combine + a full-outer key merge — no fact re-scan; at
+    * 100 TB the inputs are the day-pruned published tables, and the
+    * output is one row per (chain, day).
+    *
+    * USD sums ride exact decimals rendered as rounded doubles (the
+    * repo determinism contract) — the reference's MySQL float adds
+    * are insertion-order-dependent, a bug at scale, not a semantic. */
+  def xcmDailySummary(xcmtransfers: DataFrame, xcmMessages: DataFrame,
+      relayChain: String, today: String): DataFrame = {
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+    def out(c: org.apache.spark.sql.Column) =
+      round(c.cast("double"), 6)
+    def dayOf(c: org.apache.spark.sql.Column) =
+      date_format(c, "yyyy-MM-dd")
+    def roll(df: DataFrame, para: String, usd: Option[String],
+        nCol: String, vCol: String): DataFrame = {
+      val g = df
+        .withColumn("log_dt", dayOf(col("origination_ts")))
+        .filter(col("log_dt") < lit(today))
+        .groupBy(col("log_dt"),
+          chainIdOfPara(relayChain)(col(para)).as("chain_id"))
+      usd match {
+        case Some(u) => g.agg(
+          count(lit(1)).as(nCol),
+          out(sum(dec6(coalesce(col(u), lit(0.0))))).as(vCol))
+        case None => g.agg(count(lit(1)).as(nCol))
+      }
+    }
+    val keys = Seq("log_dt", "chain_id")
+    roll(xcmtransfers, "destination_para_id",
+        Some("origination_amount_sent_usd"),
+        "num_xcm_transfers_in", "val_xcm_transfer_incoming_usd")
+      .join(roll(xcmtransfers, "origination_para_id",
+        Some("destination_amount_received_usd"),
+        "num_xcm_transfers_out", "val_xcm_transfer_outgoing_usd"),
+        keys, "full_outer")
+      .join(roll(xcmMessages, "destination_para_id", None,
+        "num_xcm_messages_in", "_v1").drop("_v1"),
+        keys, "full_outer")
+      .join(roll(xcmMessages, "origination_para_id", None,
+        "num_xcm_messages_out", "_v2").drop("_v2"),
+        keys, "full_outer")
+  }
+
+  /** `update_xcm_summary` step 2: the per-(chain, day) UPDATE of
+    * blocklog — a left join keeping every blocklog row; days with no
+    * xcm activity keep null summary columns (the reference's UPDATE
+    * simply never touches them). */
+  def blocklogWithXcm(blocklog: DataFrame,
+      summary: DataFrame): DataFrame =
+    blocklog.join(summary, Seq("chain_id", "log_dt"), "left")
+
+  /** `update_xcm_summary` step 3 (ref :5271-5320): the 7d/30d/all-time
+    * per-chain rollup view off the xcm-decorated blocklog (the
+    * reference re-reads MySQL blocklog per range and updates the chain
+    * registry columns). `ranges` follows the reference's
+    * {7, 30, 99999}-day windows anchored at `asOf`; the range tag
+    * renders "7d"/"30d"/"" exactly like the reference's column-suffix
+    * scheme. One scan per range over the already-tiny blocklog. */
+  def xcmRangeView(blocklog: DataFrame, asOf: String,
+      ranges: Seq[Int] = Seq(7, 30, 99999)): DataFrame = {
+    def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
+    def out(c: org.apache.spark.sql.Column) =
+      round(c.cast("double"), 6)
+    ranges.map { r =>
+      val tag = if (r > 9999) "" else s"${r}d"
+      blocklog
+        .filter(col("log_dt") >=
+          date_format(date_sub(lit(asOf).cast("date"), r),
+            "yyyy-MM-dd"))
+        .groupBy(col("chain_id"))
+        .agg(
+          sum(col("num_xcm_transfers_in")).cast("long")
+            .as("num_xcm_transfer_incoming"),
+          out(sum(dec6(col("val_xcm_transfer_incoming_usd"))))
+            .as("val_xcm_transfer_incoming_usd"),
+          sum(col("num_xcm_transfers_out")).cast("long")
+            .as("num_xcm_transfer_outgoing"),
+          out(sum(dec6(col("val_xcm_transfer_outgoing_usd"))))
+            .as("val_xcm_transfer_outgoing_usd"))
+        .withColumn("range", lit(tag))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -1014,6 +1014,183 @@ object Aggregates {
       | a.l AS first_transfer
       |FROM att ORDER BY user_pubkey""".stripMargin
 
+  // A25/A26 — the xcm summary → blocklog decoration → rolling ranges
+  // chain (graft.etl.Metrics.{xcmDailySummary, blocklogWithXcm,
+  // xcmRangeView} — ref substrateetl.js:5221-5320 update_xcm_summary):
+  // xcmtransfer and xcm-message day frames synthesized from events
+  // under the KUSAMA relay so the paraID→chainID mapping exercises all
+  // three lanes (relay itself: para 0 → chain 2; the subsocial
+  // renumbering 2101 → 22100; the generic prefix 2×10000+para),
+  // today-rows synthesized and excluded by the `having logDT < today`
+  // gate, unpriced rows counted at 0 USD, and the blocklog grid
+  // carrying a chain with NO xcm activity (null summary columns — the
+  // reference's untouched UPDATE rows). a25 reads the decorated
+  // blocklog; a26 rolls the 7d/30d/all-time view on top. Oracles
+  // replay the four rollups, the key merge, the left-join decoration,
+  // and the range windows with exact-decimal USD sums.
+  private def xcmSummaryMerged(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val today = "2024-03-01"
+    val base = 1709251200L // today 00:00:00Z
+    val ev = Tables.events(s, d)
+    val sid = col("event_id")
+    // in-range rows land 1..45 days before today; every 31st row lands
+    // ON today and must drop out of the summary
+    def ts(of: org.apache.spark.sql.Column) =
+      timestamp_seconds(lit(base) - of * 86400L + pmod(sid, lit(80000L)))
+    val dayOff = when(pmod(sid, lit(31)) === 0, 0)
+      .otherwise(pmod(sid, lit(45)) + 1)
+    val destPara = when(pmod(sid, lit(9)) === 0, 0L)
+      .when(pmod(sid, lit(13)) === 0, 2101L)
+      .otherwise(lit(2000L) + pmod(sid, lit(4L)))
+    val origPara = when(pmod(sid, lit(11)) === 0, 0L)
+      .otherwise(lit(2000L) + pmod(sid + 1, lit(4L)))
+    val transfers = ev.filter(col("event_type") === "purchase").select(
+      ts(dayOff).as("origination_ts"),
+      destPara.as("destination_para_id"),
+      origPara.as("origination_para_id"),
+      when(pmod(sid, lit(5)) =!= 0,
+        pmod(sid, lit(100)).cast("double") / lit(10.0))
+        .as("origination_amount_sent_usd"),
+      when(pmod(sid, lit(7)) =!= 0,
+        pmod(sid, lit(80)).cast("double") / lit(8.0))
+        .as("destination_amount_received_usd"))
+    val messages = ev.filter(col("event_type") === "signup").select(
+      ts(dayOff).as("origination_ts"),
+      destPara.as("destination_para_id"),
+      origPara.as("origination_para_id"))
+    // blocklog grid: kusama chain ids incl. one (25555) that never
+    // sees xcm, per (chain, day) metric deterministic off the key
+    val grid = ev.select(
+      element_at(array(lit(2), lit(22000), lit(22001), lit(22002),
+        lit(22003), lit(22100), lit(25555)),
+        (pmod(col("user_id"), lit(7)) + 1).cast("int")).as("chain_id"),
+      date_format(date_sub(lit(today).cast("date"),
+        (pmod(sid, lit(45)) + 1).cast("int")), "yyyy-MM-dd")
+        .as("log_dt")).distinct()
+    val blocklog = grid.withColumn("n_blocks",
+      (dayofmonth(col("log_dt").cast("date")) +
+        pmod(col("chain_id"), lit(1000))).cast("long"))
+    val summary = graft.etl.Metrics.xcmDailySummary(
+      transfers, messages, "kusama", today)
+    graft.etl.Metrics.blocklogWithXcm(blocklog, summary)
+  }
+
+  private def a25(s: SparkSession, d: String): DataFrame =
+    xcmSummaryMerged(s, d)
+      .orderBy(col("chain_id"), col("log_dt"))
+
+  // the shared synthesis CTEs both oracles replay
+  private val xcmSummarySqlCtes =
+    """WITH tf AS (
+      | SELECT event_id AS sid,
+      |  CASE WHEN event_id % 31 = 0 THEN 0
+      |   ELSE event_id % 45 + 1 END AS dayoff
+      | FROM events WHERE event_type = 'purchase'),
+      |tfr AS (
+      | SELECT CAST(DATE '2024-03-01' - CAST(dayoff AS INTEGER) AS VARCHAR) AS log_dt,
+      |  CASE WHEN sid % 9 = 0 THEN 2 WHEN sid % 13 = 0 THEN 22100
+      |   ELSE 22000 + sid % 4 END AS dest_chain,
+      |  CASE WHEN sid % 11 = 0 THEN 2
+      |   ELSE 22000 + (sid + 1) % 4 END AS orig_chain,
+      |  CASE WHEN sid % 5 <> 0
+      |   THEN CAST(sid % 100 AS DOUBLE) / 10.0 END AS sent_usd,
+      |  CASE WHEN sid % 7 <> 0
+      |   THEN CAST(sid % 80 AS DOUBLE) / 8.0 END AS recv_usd
+      | FROM tf WHERE dayoff > 0),
+      |ms AS (
+      | SELECT event_id AS sid,
+      |  CASE WHEN event_id % 31 = 0 THEN 0
+      |   ELSE event_id % 45 + 1 END AS dayoff
+      | FROM events WHERE event_type = 'signup'),
+      |msr AS (
+      | SELECT CAST(DATE '2024-03-01' - CAST(dayoff AS INTEGER) AS VARCHAR) AS log_dt,
+      |  CASE WHEN sid % 9 = 0 THEN 2 WHEN sid % 13 = 0 THEN 22100
+      |   ELSE 22000 + sid % 4 END AS dest_chain,
+      |  CASE WHEN sid % 11 = 0 THEN 2
+      |   ELSE 22000 + (sid + 1) % 4 END AS orig_chain
+      | FROM ms WHERE dayoff > 0),
+      |tin AS (
+      | SELECT log_dt, dest_chain AS chain_id,
+      |  count(*) AS num_xcm_transfers_in,
+      |  round(CAST(sum(CAST(coalesce(sent_usd, 0.0) AS DECIMAL(38,6)))
+      |   AS DOUBLE), 6) AS val_xcm_transfer_incoming_usd
+      | FROM tfr GROUP BY 1, 2),
+      |tout AS (
+      | SELECT log_dt, orig_chain AS chain_id,
+      |  count(*) AS num_xcm_transfers_out,
+      |  round(CAST(sum(CAST(coalesce(recv_usd, 0.0) AS DECIMAL(38,6)))
+      |   AS DOUBLE), 6) AS val_xcm_transfer_outgoing_usd
+      | FROM tfr GROUP BY 1, 2),
+      |min_ AS (
+      | SELECT log_dt, dest_chain AS chain_id,
+      |  count(*) AS num_xcm_messages_in
+      | FROM msr GROUP BY 1, 2),
+      |mout AS (
+      | SELECT log_dt, orig_chain AS chain_id,
+      |  count(*) AS num_xcm_messages_out
+      | FROM msr GROUP BY 1, 2),
+      |grid AS (
+      | SELECT DISTINCT
+      |  CASE user_id % 7 WHEN 0 THEN 2 WHEN 1 THEN 22000
+      |   WHEN 2 THEN 22001 WHEN 3 THEN 22002 WHEN 4 THEN 22003
+      |   WHEN 5 THEN 22100 ELSE 25555 END AS chain_id,
+      |  CAST(DATE '2024-03-01' - CAST(event_id % 45 + 1 AS INTEGER) AS VARCHAR)
+      |   AS log_dt
+      | FROM events),
+      |bl AS (
+      | SELECT chain_id, log_dt,
+      |  CAST(EXTRACT(day FROM CAST(log_dt AS DATE)) + chain_id % 1000
+      |   AS BIGINT) AS n_blocks
+      | FROM grid),
+      |merged AS (
+      | SELECT bl.chain_id, bl.log_dt, bl.n_blocks,
+      |  tin.num_xcm_transfers_in, tin.val_xcm_transfer_incoming_usd,
+      |  tout.num_xcm_transfers_out, tout.val_xcm_transfer_outgoing_usd,
+      |  min_.num_xcm_messages_in, mout.num_xcm_messages_out
+      | FROM bl
+      | LEFT JOIN tin ON bl.chain_id = tin.chain_id
+      |  AND bl.log_dt = tin.log_dt
+      | LEFT JOIN tout ON bl.chain_id = tout.chain_id
+      |  AND bl.log_dt = tout.log_dt
+      | LEFT JOIN min_ ON bl.chain_id = min_.chain_id
+      |  AND bl.log_dt = min_.log_dt
+      | LEFT JOIN mout ON bl.chain_id = mout.chain_id
+      |  AND bl.log_dt = mout.log_dt)
+      |""".stripMargin
+
+  private val a25Sql = xcmSummarySqlCtes +
+    """SELECT * FROM merged ORDER BY chain_id, log_dt""".stripMargin
+
+  private def a26(s: SparkSession, d: String): DataFrame =
+    // production reads the DECORATED blocklog back as a table before
+    // rolling ranges; the localCheckpoint is that materialization's
+    // cheap twin — without it each of the three range windows would
+    // recompute the whole summary chain
+    graft.etl.Metrics.xcmRangeView(
+        xcmSummaryMerged(s, d).localCheckpoint(), "2024-03-01")
+      .orderBy(col("range"), col("chain_id"))
+
+  private val a26Sql = xcmSummarySqlCtes +
+    """, rng AS (SELECT unnest([7, 30, 99999]) AS r)
+      |SELECT chain_id,
+      | CAST(sum(num_xcm_transfers_in) AS BIGINT)
+      |  AS num_xcm_transfer_incoming,
+      | round(CAST(sum(CAST(val_xcm_transfer_incoming_usd
+      |  AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  AS val_xcm_transfer_incoming_usd,
+      | CAST(sum(num_xcm_transfers_out) AS BIGINT)
+      |  AS num_xcm_transfer_outgoing,
+      | round(CAST(sum(CAST(val_xcm_transfer_outgoing_usd
+      |  AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  AS val_xcm_transfer_outgoing_usd,
+      | CASE WHEN r > 9999 THEN '' ELSE CAST(r AS VARCHAR) || 'd' END
+      |  AS range
+      |FROM merged CROSS JOIN rng
+      |WHERE log_dt >= CAST(DATE '2024-03-01' - CAST(r AS INTEGER) AS VARCHAR)
+      |GROUP BY chain_id, r
+      |ORDER BY range, chain_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
@@ -1023,6 +1200,8 @@ object Aggregates {
     "a22_blocklog_dump" -> (a22 _),
     "a23_blocklogstats" -> (a23 _),
     "a24_users_tags" -> (a24 _),
+    "a25_xcm_summary" -> (a25 _),
+    "a26_xcm_ranges" -> (a26 _),
     "a1_order_stats" -> (a1 _),
     "a2_daily_metrics" -> (a2 _),
     "a3_trailing_rollup" -> (a3 _),
@@ -1054,6 +1233,8 @@ object Aggregates {
     "a22_blocklog_dump" -> a22Sql,
     "a23_blocklogstats" -> a23Sql,
     "a24_users_tags" -> a24Sql,
+    "a25_xcm_summary" -> a25Sql,
+    "a26_xcm_ranges" -> a26Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
     "a3_trailing_rollup" -> a3Sql,

@@ -198,4 +198,66 @@ class AccountsSpec extends AnyFunSuite {
       col("para_id") === 0), dir)
     assert(out2.count() == 1)
   }
+
+  test("chainIdOfPara: relay-self ids, subsocial renumbering, prefix " +
+      "arithmetic, unknown relay throws (ref paraTool " +
+      "getChainIDFromParaIDAndRelayChain)") {
+    import graft.etl.Metrics.chainIdOfPara
+    val paras = Seq(0L, 2000L, 2101L).toDF("p")
+    def ids(relay: String): Seq[Int] = paras
+      .select(chainIdOfPara(relay)(col("p")).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    // polkadot: relay itself is chain 0; paras pass through
+    assert(ids("polkadot") == Seq(0, 2000, 2101))
+    // kusama: relay is chain 2, subsocial 2101 renumbers to 22100
+    assert(ids("kusama") == Seq(2, 22000, 22100))
+    // shibuya relay id is 30000, not prefix*10000 + 0 = 30000 (equal
+    // by coincidence) — rococo pins the distinct-value case
+    assert(ids("rococo") == Seq(40000, 42000, 42101))
+    intercept[IllegalArgumentException](chainIdOfPara("westend")(lit(0L)))
+  }
+
+  test("xcm summary: having-today gate, zero-coalesced USD, left-join " +
+      "null-keep (ref substrateetl.js:5221 update_xcm_summary)") {
+    val today = "2024-03-01"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val tf = Seq(
+      // day -1, dest para 2000: priced in, unpriced out leg elsewhere
+      (ts("2024-02-29 10:00:00"), 2000L, 2001L, Some(5.0), None: Option[Double]),
+      (ts("2024-02-29 11:00:00"), 2000L, 0L, None: Option[Double], Some(3.0)),
+      // TODAY: must not publish
+      (ts("2024-03-01 01:00:00"), 2000L, 2001L, Some(99.0), Some(99.0))
+    ).toDF("origination_ts", "destination_para_id",
+      "origination_para_id", "origination_amount_sent_usd",
+      "destination_amount_received_usd")
+    val ms = Seq((ts("2024-02-29 12:00:00"), 2101L, 0L))
+      .toDF("origination_ts", "destination_para_id",
+        "origination_para_id")
+    val sum = graft.etl.Metrics.xcmDailySummary(tf, ms, "kusama", today)
+    val rows = sum.collect().map(r =>
+      r.getAs[Int]("chain_id") -> r).toMap
+    // dest 2000 → kusama 22000: two in-transfers, the unpriced one at 0
+    val in = rows(22000)
+    assert(in.getAs[String]("log_dt") == "2024-02-29")
+    assert(in.getAs[Long]("num_xcm_transfers_in") == 2 &&
+      in.getAs[Double]("val_xcm_transfer_incoming_usd") == 5.0)
+    // orig para 0 → relay chain 2 carries the RECEIVED-side value out
+    assert(rows(2).getAs[Long]("num_xcm_transfers_out") == 1 &&
+      rows(2).getAs[Double]("val_xcm_transfer_outgoing_usd") == 3.0 &&
+      rows(2).getAs[Long]("num_xcm_messages_out") == 1)
+    // message to subsocial renumbers
+    assert(rows(22100).getAs[Long]("num_xcm_messages_in") == 1)
+    // today's 99-USD row is nowhere
+    assert(!sum.collect().exists(r =>
+      Option(r.getAs[Any]("val_xcm_transfer_incoming_usd"))
+        .contains(99.0)))
+    // decoration keeps xcm-less blocklog rows with nulls
+    val bl = Seq((22000, "2024-02-29", 10L), (25555, "2024-02-29", 7L))
+      .toDF("chain_id", "log_dt", "n_blocks")
+    val dec = graft.etl.Metrics.blocklogWithXcm(bl, sum).collect()
+      .map(r => r.getAs[Int]("chain_id") -> r).toMap
+    assert(dec(22000).getAs[Long]("num_xcm_transfers_in") == 2)
+    assert(dec(25555).isNullAt(
+      dec(25555).fieldIndex("num_xcm_transfers_in")))
+  }
 }
