@@ -171,4 +171,38 @@ object Accounts {
         col("att.from_pub_key").as("first_transfer_sender_pub_key"),
         col("att.known_label").as("first_transfer"))
   }
+
+  /** Per-account role labels (ref substrateetl.js:366-441
+    * update_account_labels + write_account_labels): each role frame's
+    * `account` column (ss58 string or 0x-hex, the two forms the
+    * reference's getPubKey accepts) normalizes through [[pubkeyOf]],
+    * and only 32-byte pubkeys (66 chars) survive — the reference's
+    * length gate drops EVM H160s and malformed rows before the label
+    * store write. One (address_pubkey, label) row per role
+    * membership, distinct AFTER normalization (the KV upsert is
+    * idempotent, and two renderings of one account must not
+    * double-label it). Each input is one scan into a distinct agg;
+    * the union is a plan-level concat with no extra shuffle.
+    * Callers must have `Udfs.register`ed the session (the ss58
+    * decode kernel). */
+  def accountLabels(roleFrames: Seq[(String, DataFrame)]): DataFrame =
+    roleFrames.map { case (label, df) =>
+      df.select(pubkeyOf(col("account")).as("address_pubkey"))
+        .filter(length(col("address_pubkey")) === 66)
+        .distinct()
+        .withColumn("label", lit(label))
+    }.reduce(_.unionByName(_))
+
+  /** Whole-table replace publish of the labels dim (the BigTable
+    * `labels` column family's relational twin — the reference
+    * re-derives the full membership per run and upserts, so replace
+    * is the batch-equivalent). */
+  def dumpAccountLabels(roleFrames: Seq[(String, DataFrame)],
+      outRoot: String): DataFrame = {
+    val out = accountLabels(roleFrames)
+    out.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outRoot/account_labels")
+    roleFrames.head._2.sparkSession.read.schema(out.schema)
+      .parquet(s"$outRoot/account_labels")
+  }
 }

@@ -1191,7 +1191,85 @@ object Aggregates {
       |GROUP BY chain_id, r
       |ORDER BY range, chain_id""".stripMargin
 
+  // A27 — per-account role labels through the whole-table-replace
+  // writer (graft.etl.Accounts.dumpAccountLabels — ref
+  // substrateetl.js:366-441 update_account_labels: distinct accounts
+  // per role query, getPubKey normalization, the 66-char pubkey gate,
+  // BigTable labels upsert): four role frames synthesized from events
+  // exercising both address forms and both drop lanes — validator
+  // accounts arrive as REAL ss58 strings (the decode kernel
+  // round-trips them to md5-re-derivable pubkeys), nominator hex
+  // arrives mixed-case (pins the lower() normalization), poolmember
+  // rows include H160s (dropped by the length gate) and a malformed
+  // address (decode-guard null, dropped), voter is the reference's
+  // votes ∪ delegation union. The query reads the WRITTEN dim back
+  // and rolls up per label; DuckDB re-derives members and bounds.
+  private def a27(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Udfs.register(s)
+    val ev = Tables.events(s, d)
+    val uidS = col("user_id").cast("string")
+    def pkBody(seed: org.apache.spark.sql.Column) =
+      substring(synthPk(seed), 3, 64)
+    val validator = ev.filter(col("event_type") === "purchase")
+      .select(call_udf("ss58_encode",
+        synthPk(pmod(col("user_id"), lit(50)).cast("string")), lit(0))
+        .as("account"))
+    val nominator = ev.filter(col("event_type") === "signup")
+      .select(concat(lit("0x"),
+        when(pmod(col("user_id"), lit(4)) === 0, upper(pkBody(uidS)))
+          .otherwise(pkBody(uidS))).as("account"))
+    val poolmember = ev.filter(col("event_type") === "view")
+      .select(
+        when(pmod(col("user_id"), lit(17)) === 0, lit("junk"))
+          .when(pmod(col("user_id"), lit(3)) === 0, synthH160(uidS))
+          .otherwise(synthPk(uidS)).as("account"))
+    val voter = ev.filter(col("event_type") === "click")
+      .select(synthPk(uidS).as("account"))
+      .unionByName(ev.filter(col("event_type") === "click")
+        .select(synthPk(concat(uidS, lit("d"))).as("account")))
+    val dir = queryDumpDir("graft_labels_dump")
+    graft.etl.Accounts.dumpAccountLabels(Seq(
+      "validator0" -> validator, "nominator0" -> nominator,
+      "poolmember0" -> poolmember, "voter0" -> voter), dir)
+    s.read.parquet(s"$dir/account_labels")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_accounts"),
+        min(col("address_pubkey")).as("min_pub"),
+        max(col("address_pubkey")).as("max_pub"))
+      .orderBy(col("label"))
+  }
+
+  private val a27Sql =
+    """WITH pk AS (
+      | SELECT DISTINCT user_id AS u, event_type FROM events),
+      |members AS (
+      | SELECT 'validator0' AS label,
+      |  '0x' || md5(CAST(u % 50 AS VARCHAR))
+      |   || md5(CAST(u % 50 AS VARCHAR) || 'x') AS a
+      | FROM pk WHERE event_type = 'purchase'
+      | UNION
+      | SELECT 'nominator0',
+      |  '0x' || md5(CAST(u AS VARCHAR)) || md5(CAST(u AS VARCHAR) || 'x')
+      | FROM pk WHERE event_type = 'signup'
+      | UNION
+      | SELECT 'poolmember0',
+      |  '0x' || md5(CAST(u AS VARCHAR)) || md5(CAST(u AS VARCHAR) || 'x')
+      | FROM pk WHERE event_type = 'view' AND u % 17 <> 0 AND u % 3 <> 0
+      | UNION
+      | SELECT 'voter0',
+      |  '0x' || md5(CAST(u AS VARCHAR)) || md5(CAST(u AS VARCHAR) || 'x')
+      | FROM pk WHERE event_type = 'click'
+      | UNION
+      | SELECT 'voter0',
+      |  '0x' || md5(CAST(u AS VARCHAR) || 'd')
+      |   || md5(CAST(u AS VARCHAR) || 'dx')
+      | FROM pk WHERE event_type = 'click')
+      |SELECT label, count(*) AS n_accounts,
+      | min(a) AS min_pub, max(a) AS max_pub
+      |FROM members GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a27_account_labels" -> (a27 _),
     "a17_salted_agg" -> (a17 _),
     "a18_cohort_retention" -> (a18 _),
     "a19_anomaly" -> (a19 _),
@@ -1234,6 +1312,7 @@ object Aggregates {
     "a23_blocklogstats" -> a23Sql,
     "a24_users_tags" -> a24Sql,
     "a25_xcm_summary" -> a25Sql,
+    "a27_account_labels" -> a27Sql,
     "a26_xcm_ranges" -> a26Sql,
     "a1_order_stats" -> a1Sql,
     "a2_daily_metrics" -> a2Sql,
