@@ -174,20 +174,24 @@ object Accounts {
 
   /** Per-account role labels (ref substrateetl.js:366-441
     * update_account_labels + write_account_labels): each role frame's
-    * `account` column (ss58 string or 0x-hex, the two forms the
-    * reference's getPubKey accepts) normalizes through [[pubkeyOf]],
-    * and only 32-byte pubkeys (66 chars) survive — the reference's
-    * length gate drops EVM H160s and malformed rows before the label
-    * store write. One (address_pubkey, label) row per role
-    * membership, distinct AFTER normalization (the KV upsert is
-    * idempotent, and two renderings of one account must not
-    * double-label it). Each input is one scan into a distinct agg;
-    * the union is a plan-level concat with no extra shuffle.
-    * Callers must have `Udfs.register`ed the session (the ss58
-    * decode kernel). */
+    * `account` column normalizes through [[pubkeyOf]] in ALL THREE
+    * forms the reference's getPubKey accepts — ss58 strings, 0x-hex,
+    * and BARE hex (getPubKey pads the missing `0x` before treating it
+    * as a key; a bare 64-hex account must label, not fall into the
+    * base58 decoder and silently drop) — and only 32-byte pubkeys
+    * (66 chars) survive: the reference's length gate drops EVM H160s
+    * and malformed rows before the label store write. One
+    * (address_pubkey, label) row per role membership, distinct AFTER
+    * normalization (the KV upsert is idempotent, and two renderings
+    * of one account must not double-label it). Each input is one scan
+    * into a distinct agg; the union is a plan-level concat with no
+    * extra shuffle. Callers must have `Udfs.register`ed the session
+    * (the ss58 decode kernel). */
   def accountLabels(roleFrames: Seq[(String, DataFrame)]): DataFrame =
     roleFrames.map { case (label, df) =>
-      df.select(pubkeyOf(col("account")).as("address_pubkey"))
+      val padded = when(col("account").rlike("^[0-9a-fA-F]{64}$"),
+        concat(lit("0x"), col("account"))).otherwise(col("account"))
+      df.select(pubkeyOf(padded).as("address_pubkey"))
         .filter(length(col("address_pubkey")) === 66)
         .distinct()
         .withColumn("label", lit(label))

@@ -152,10 +152,16 @@ object Metrics {
   /** paraID → chainID under a relay (ref paraTool.js
     * getChainIDFromParaIDAndRelayChain — the inverse of
     * [[Contracts.chainDimOf]]'s prefix split): chainID =
-    * relayPrefix×10000 + paraID, the relay itself (paraID 0) keeps its
-    * own id {polkadot 0, kusama 2, shibuya 30000, rococo 40000}, and
-    * kusama's subsocial renumbering (2101 → 22100) is the one special
-    * case. Unknown relay names throw at plan time, not silently. */
+    * relayPrefix×10000 + paraID, and the relay itself (paraID 0)
+    * keeps its own id {polkadot 0, kusama 2, shibuya 30000,
+    * rococo 40000}. Kusama's subsocial renumbering (2101 → 22100) is
+    * a DELIBERATE FIX, not reference fidelity: the reference's
+    * forward map returns 20000+2101 = 22101 while its inverse
+    * (getParaIDfromChainID, paraTool.js:813) keys subsocial as 22100,
+    * so its blocklog UPDATE targets a chain id that never exists and
+    * silently no-ops for every kusama/2101 day — we renumber forward
+    * so the summary lands on the real row. Unknown relay names throw
+    * at plan time, not silently. */
   def chainIdOfPara(relayChain: String)(
       paraId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val (prefix, relayId) = relayChain match {
@@ -193,36 +199,34 @@ object Metrics {
     def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
     def out(c: org.apache.spark.sql.Column) =
       round(c.cast("double"), 6)
-    def dayOf(c: org.apache.spark.sql.Column) =
-      date_format(c, "yyyy-MM-dd")
-    def roll(df: DataFrame, para: String, usd: Option[String],
-        nCol: String, vCol: String): DataFrame = {
+    def roll(df: DataFrame, para: String, nCol: String,
+        usd: Option[(String, String)]): DataFrame = {
       val g = df
-        .withColumn("log_dt", dayOf(col("origination_ts")))
+        .withColumn("log_dt",
+          graft.operators.dayKey(col("origination_ts")))
         .filter(col("log_dt") < lit(today))
         .groupBy(col("log_dt"),
           chainIdOfPara(relayChain)(col(para)).as("chain_id"))
       usd match {
-        case Some(u) => g.agg(
+        case Some((u, vCol)) => g.agg(
           count(lit(1)).as(nCol),
           out(sum(dec6(coalesce(col(u), lit(0.0))))).as(vCol))
         case None => g.agg(count(lit(1)).as(nCol))
       }
     }
     val keys = Seq("log_dt", "chain_id")
-    roll(xcmtransfers, "destination_para_id",
-        Some("origination_amount_sent_usd"),
-        "num_xcm_transfers_in", "val_xcm_transfer_incoming_usd")
+    roll(xcmtransfers, "destination_para_id", "num_xcm_transfers_in",
+        Some(("origination_amount_sent_usd",
+          "val_xcm_transfer_incoming_usd")))
       .join(roll(xcmtransfers, "origination_para_id",
-        Some("destination_amount_received_usd"),
-        "num_xcm_transfers_out", "val_xcm_transfer_outgoing_usd"),
+        "num_xcm_transfers_out",
+        Some(("destination_amount_received_usd",
+          "val_xcm_transfer_outgoing_usd"))),
         keys, "full_outer")
-      .join(roll(xcmMessages, "destination_para_id", None,
-        "num_xcm_messages_in", "_v1").drop("_v1"),
-        keys, "full_outer")
-      .join(roll(xcmMessages, "origination_para_id", None,
-        "num_xcm_messages_out", "_v2").drop("_v2"),
-        keys, "full_outer")
+      .join(roll(xcmMessages, "destination_para_id",
+        "num_xcm_messages_in", None), keys, "full_outer")
+      .join(roll(xcmMessages, "origination_para_id",
+        "num_xcm_messages_out", None), keys, "full_outer")
   }
 
   /** `update_xcm_summary` step 2: the per-(chain, day) UPDATE of
@@ -239,7 +243,16 @@ object Metrics {
     * registry columns). `ranges` follows the reference's
     * {7, 30, 99999}-day windows anchored at `asOf`; the range tag
     * renders "7d"/"30d"/"" exactly like the reference's column-suffix
-    * scheme. One scan per range over the already-tiny blocklog. */
+    * scheme. The window is STRICT at the old edge (`log_dt > asOf−r`):
+    * MySQL's `logDT >= DATE_SUB(Now(), INTERVAL r DAY)` compares the
+    * DATE against a DATETIME cutoff, so the boundary day's midnight
+    * value is excluded for any run after 00:00 — the strict form is
+    * the reference's behavior at every realistic run time, and unlike
+    * the reference it does not drift with the wall clock. Chains with
+    * no xcm activity in a window publish ZEROS, not nulls — the
+    * reference coerces with `s.num… ? … : 0` before the chain-table
+    * upsert (:5285-5288). One scan per range over the already-tiny
+    * blocklog. */
   def xcmRangeView(blocklog: DataFrame, asOf: String,
       ranges: Seq[Int] = Seq(7, 30, 99999)): DataFrame = {
     def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
@@ -248,19 +261,19 @@ object Metrics {
     ranges.map { r =>
       val tag = if (r > 9999) "" else s"${r}d"
       blocklog
-        .filter(col("log_dt") >=
+        .filter(col("log_dt") >
           date_format(date_sub(lit(asOf).cast("date"), r),
             "yyyy-MM-dd"))
         .groupBy(col("chain_id"))
         .agg(
-          sum(col("num_xcm_transfers_in")).cast("long")
-            .as("num_xcm_transfer_incoming"),
-          out(sum(dec6(col("val_xcm_transfer_incoming_usd"))))
-            .as("val_xcm_transfer_incoming_usd"),
-          sum(col("num_xcm_transfers_out")).cast("long")
-            .as("num_xcm_transfer_outgoing"),
-          out(sum(dec6(col("val_xcm_transfer_outgoing_usd"))))
-            .as("val_xcm_transfer_outgoing_usd"))
+          coalesce(sum(col("num_xcm_transfers_in")).cast("long"),
+            lit(0L)).as("num_xcm_transfer_incoming"),
+          coalesce(out(sum(dec6(col("val_xcm_transfer_incoming_usd")))),
+            lit(0.0)).as("val_xcm_transfer_incoming_usd"),
+          coalesce(sum(col("num_xcm_transfers_out")).cast("long"),
+            lit(0L)).as("num_xcm_transfer_outgoing"),
+          coalesce(out(sum(dec6(col("val_xcm_transfer_outgoing_usd")))),
+            lit(0.0)).as("val_xcm_transfer_outgoing_usd"))
         .withColumn("range", lit(tag))
     }.reduce(_.unionByName(_))
   }

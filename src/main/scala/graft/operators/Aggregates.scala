@@ -1174,20 +1174,20 @@ object Aggregates {
   private val a26Sql = xcmSummarySqlCtes +
     """, rng AS (SELECT unnest([7, 30, 99999]) AS r)
       |SELECT chain_id,
-      | CAST(sum(num_xcm_transfers_in) AS BIGINT)
-      |  AS num_xcm_transfer_incoming,
-      | round(CAST(sum(CAST(val_xcm_transfer_incoming_usd
-      |  AS DECIMAL(38,6))) AS DOUBLE), 6)
+      | COALESCE(CAST(sum(num_xcm_transfers_in) AS BIGINT),
+      |  CAST(0 AS BIGINT)) AS num_xcm_transfer_incoming,
+      | COALESCE(round(CAST(sum(CAST(val_xcm_transfer_incoming_usd
+      |  AS DECIMAL(38,6))) AS DOUBLE), 6), 0.0)
       |  AS val_xcm_transfer_incoming_usd,
-      | CAST(sum(num_xcm_transfers_out) AS BIGINT)
-      |  AS num_xcm_transfer_outgoing,
-      | round(CAST(sum(CAST(val_xcm_transfer_outgoing_usd
-      |  AS DECIMAL(38,6))) AS DOUBLE), 6)
+      | COALESCE(CAST(sum(num_xcm_transfers_out) AS BIGINT),
+      |  CAST(0 AS BIGINT)) AS num_xcm_transfer_outgoing,
+      | COALESCE(round(CAST(sum(CAST(val_xcm_transfer_outgoing_usd
+      |  AS DECIMAL(38,6))) AS DOUBLE), 6), 0.0)
       |  AS val_xcm_transfer_outgoing_usd,
       | CASE WHEN r > 9999 THEN '' ELSE CAST(r AS VARCHAR) || 'd' END
       |  AS range
       |FROM merged CROSS JOIN rng
-      |WHERE log_dt >= CAST(DATE '2024-03-01' - CAST(r AS INTEGER) AS VARCHAR)
+      |WHERE log_dt > CAST(DATE '2024-03-01' - CAST(r AS INTEGER) AS VARCHAR)
       |GROUP BY chain_id, r
       |ORDER BY range, chain_id""".stripMargin
 
@@ -1222,6 +1222,10 @@ object Aggregates {
       .select(
         when(pmod(col("user_id"), lit(17)) === 0, lit("junk"))
           .when(pmod(col("user_id"), lit(3)) === 0, synthH160(uidS))
+          // BARE 64-hex lane: getPubKey pads the 0x, so these rows
+          // normalize to the SAME pubkey the 0x lane produces — the
+          // oracle's member set is unchanged, pinning the pad
+          .when(pmod(col("user_id"), lit(5)) === 0, pkBody(uidS))
           .otherwise(synthPk(uidS)).as("account"))
     val voter = ev.filter(col("event_type") === "click")
       .select(synthPk(uidS).as("account"))

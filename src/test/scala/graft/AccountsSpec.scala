@@ -220,17 +220,22 @@ class AccountsSpec extends AnyFunSuite {
   test("xcm summary: having-today gate, zero-coalesced USD, left-join " +
       "null-keep (ref substrateetl.js:5221 update_xcm_summary)") {
     val today = "2024-03-01"
-    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // instants built from epoch seconds — Timestamp.valueOf parses in
+    // the JVM DEFAULT timezone, which would shift the today-gate
+    // boundary row on a non-UTC host (the session tz is pinned UTC,
+    // the JVM's is not)
+    val feb29 = 1709164800L // 2024-02-29T00:00:00Z
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
     val tf = Seq(
       // day -1, dest para 2000: priced in, unpriced out leg elsewhere
-      (ts("2024-02-29 10:00:00"), 2000L, 2001L, Some(5.0), None: Option[Double]),
-      (ts("2024-02-29 11:00:00"), 2000L, 0L, None: Option[Double], Some(3.0)),
-      // TODAY: must not publish
-      (ts("2024-03-01 01:00:00"), 2000L, 2001L, Some(99.0), Some(99.0))
+      (ts(feb29 + 36000), 2000L, 2001L, Some(5.0), None: Option[Double]),
+      (ts(feb29 + 39600), 2000L, 0L, None: Option[Double], Some(3.0)),
+      // TODAY (01:00Z): must not publish
+      (ts(feb29 + 86400 + 3600), 2000L, 2001L, Some(99.0), Some(99.0))
     ).toDF("origination_ts", "destination_para_id",
       "origination_para_id", "origination_amount_sent_usd",
       "destination_amount_received_usd")
-    val ms = Seq((ts("2024-02-29 12:00:00"), 2101L, 0L))
+    val ms = Seq((ts(feb29 + 43200), 2101L, 0L))
       .toDF("origination_ts", "destination_para_id",
         "origination_para_id")
     val sum = graft.etl.Metrics.xcmDailySummary(tf, ms, "kusama", today)
