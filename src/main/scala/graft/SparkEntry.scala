@@ -36,7 +36,8 @@ object SparkEntry {
       KeyOps.queries ++
       ContractOps.queries ++
       DimOps.queries ++
-      SnapshotOps.queries
+      SnapshotOps.queries ++
+      graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     Flagship.oracles ++
@@ -55,7 +56,8 @@ object SparkEntry {
       KeyOps.oracles ++
       ContractOps.oracles ++
       DimOps.oracles ++
-      SnapshotOps.oracles
+      SnapshotOps.oracles ++
+      graft.streaming.StreamQueries.oracles
 
   /** The single manifest of deliberately rows-only queries (no SQL oracle
     * exists: engine-specific hash/sketch layouts or the media-decode stub).

@@ -187,7 +187,9 @@ object Accounts {
     * into a distinct agg; the union is a plan-level concat with no
     * extra shuffle. Callers must have `Udfs.register`ed the session
     * (the ss58 decode kernel). */
-  def accountLabels(roleFrames: Seq[(String, DataFrame)]): DataFrame =
+  def accountLabels(roleFrames: Seq[(String, DataFrame)]): DataFrame = {
+    require(roleFrames.nonEmpty,
+      "accountLabels needs at least one role frame")
     roleFrames.map { case (label, df) =>
       val padded = when(col("account").rlike("^[0-9a-fA-F]{64}$"),
         concat(lit("0x"), col("account"))).otherwise(col("account"))
@@ -196,6 +198,7 @@ object Accounts {
         .distinct()
         .withColumn("label", lit(label))
     }.reduce(_.unionByName(_))
+  }
 
   /** Whole-table replace publish of the labels dim (the BigTable
     * `labels` column family's relational twin — the reference

@@ -366,10 +366,13 @@ object EvmDump {
     * projection re-shaped to the standalone dataset's contract —
     * substrate extrinsic identity dropped, the `id` chain name joined
     * (broadcast dim), and the three fee columns re-scaled from wei to
-    * ETHER as FLOATs (the schema's "in ether, 10^18"): one exact
-    * decimal→double cast (fees sit far below 2^53 wei) and ONE IEEE
-    * division by 1e18, so a consumer re-deriving
-    * `receipt_gas_used × gas_price / 1e18` lands bit-identically.
+    * ETHER as FLOATs (the schema's "in ether, 10^18"): one
+    * decimal→double cast and ONE IEEE division by 1e18. Realistic
+    * fees DO exceed 2^53 wei (1M gas × 100 gwei = 1e17), so the cast
+    * itself rounds — the bit-identical property holds because both
+    * paths (our cast and a consumer's `receipt_gas_used × gas_price`)
+    * round the SAME exact integer product to double exactly once,
+    * then divide by the same 1e18, landing on the same IEEE value.
     * `decoded` = the selector registry resolved a signature (the only
     * input-decode tier the substrate path carries); `params` exports
     * null like logs.events (per-tx ABI decode needs the abirepo) and

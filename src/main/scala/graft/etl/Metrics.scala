@@ -160,7 +160,14 @@ object Metrics {
     * (getParaIDfromChainID, paraTool.js:813) keys subsocial as 22100,
     * so its blocklog UPDATE targets a chain id that never exists and
     * silently no-ops for every kusama/2101 day — we renumber forward
-    * so the summary lands on the real row. Unknown relay names throw
+    * so the summary lands on the real row. Second (dormant) divergence
+    * lane rider: the renumbering makes kusama paras 2100 and 2101 BOTH
+    * map to 22100, and [[xcmDailySummary]] groups by the MAPPED id, so
+    * a day with traffic on both paras would SUM into one row where the
+    * reference's per-paraID UPDATEs last-write-win. Para 2100
+    * (subsocial's retired first lease) has no live traffic, so this
+    * cannot fire today; if it ever does, group by paraID and map to
+    * chain_id after the rollup. Unknown relay names throw
     * at plan time, not silently. */
   def chainIdOfPara(relayChain: String)(
       paraId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -173,10 +173,12 @@ object XcmExport {
     * `coalesce(1)` keeps the single-file contract: without it the
     * sorted write emits one part file PER RANGE PARTITION, each with
     * its own header row, and a consumer concatenating the directory
-    * reads stray headers mid-data. coalesce after the sort preserves
-    * the global newest-first order (range partitions merge in index
-    * order), and the single write task is fine at this export's
-    * bounded hand-off size. */
+    * reads stray headers mid-data. The output is still globally
+    * newest-first, but note the mechanism: Spark collapses the sort's
+    * range exchange UNDER coalesce(1), so the whole global sort runs
+    * inside the one write task rather than as parallel range
+    * partitions merged in order — acceptable at this export's bounded
+    * hand-off size, and the price of the single-file contract. */
   def dumpDuneXcmTransfers(transfers: DataFrame, outDir: String,
       ss58Prefix: Int = 0): DataFrame = {
     val out = duneXcmTransfers(transfers, ss58Prefix)

@@ -28,4 +28,45 @@ object CorpusStream {
 
   /** Batch twin over the same expression tree — the parity oracle. */
   def tokenCountsBatch(docs: DataFrame): DataFrame = tokenCounts(docs)
+
+  /** ST4/ST8 — the micro-batched corpus dump path END TO END: a file
+    * source replays the landed corpus one file per micro-batch
+    * (ref indexer.js:7036's micro-batched decode loop), the stateful
+    * aggregation maintains the running counts, and `foreachBatch`
+    * REPLACES the published parquet with each batch's complete state —
+    * the replay-idempotent writer (ref substrateetl.js:5170's
+    * WRITE_TRUNCATE loads): re-running any micro-batch, or the whole
+    * stream from scratch, lands the identical final table. Complete
+    * output mode is correct here because the published artifact is the
+    * whole (vocabulary-bounded) aggregate, not an append log — the
+    * same shape the batch dump writes, so the batch dump's SQL is the
+    * oracle. `Trigger.AvailableNow` drains the landing directory and
+    * terminates — the scheduled-catch-up twin of the always-on tip
+    * stream (same checkpoint, same state store).
+    *
+    * Returns the number of micro-batches that carried rows, so callers
+    * can assert the aggregation genuinely accumulated across batches
+    * rather than collapsing into one. */
+  def dumpTokenCounts(spark: org.apache.spark.sql.SparkSession,
+      landingDir: String, schema: org.apache.spark.sql.types.StructType,
+      outDir: String, checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): Long = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    val q = tokenCounts(stream)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000),
+      "streaming corpus dump timed out")
+    q.stop()
+    q.recentProgress.count(_.numInputRows > 0).toLong
+  }
 }

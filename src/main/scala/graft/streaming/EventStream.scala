@@ -228,16 +228,27 @@ object EventStream {
       }
   }
 
-  def streamIntervalJoin(src: DataFrame, dst: DataFrame): DataFrame = {
-    val s = src.withWatermark("ts", "2 minutes")
+  /** `intervalSeconds` defaults to the reference's 120 s XCM
+    * source→dest window; callers on sparser fixtures widen it. With
+    * both sides watermarked, Spark keys per-side state off the
+    * interval condition and evicts a src row once the global watermark
+    * proves no future dst row can land inside its window — state is
+    * O(in-flight interval), not O(history). When each side's landing
+    * replays in event-time order (no late data), the emitted matches
+    * are EXACTLY the batch interval join. */
+  def streamIntervalJoin(src: DataFrame, dst: DataFrame,
+      intervalSeconds: Long = 120L,
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    val s = src.withWatermark("ts", watermarkDelay)
       .select(col("user_id").as("s_user"), col("event_id").as("s_event_id"),
         col("ts").as("s_ts"))
-    val d = dst.withWatermark("ts", "2 minutes")
+    val d = dst.withWatermark("ts", watermarkDelay)
       .select(col("user_id").as("d_user"), col("event_id").as("d_event_id"),
         col("ts").as("d_ts"))
     s.join(d,
       col("s_user") === col("d_user") &&
         col("d_ts") >= col("s_ts") &&
-        col("d_ts") <= col("s_ts") + expr("INTERVAL 120 SECONDS"))
+        col("d_ts") <= col("s_ts") +
+          expr(s"INTERVAL $intervalSeconds SECONDS"))
   }
 }
