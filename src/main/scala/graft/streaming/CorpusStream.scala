@@ -44,9 +44,14 @@ object CorpusStream {
     * terminates — the scheduled-catch-up twin of the always-on tip
     * stream (same checkpoint, same state store).
     *
-    * Returns the number of micro-batches that carried rows, so callers
-    * can assert the aggregation genuinely accumulated across batches
-    * rather than collapsing into one. */
+    * Returns the number of micro-batches that carried input rows —
+    * a LOWER BOUND, read off `recentProgress`, which retains only the
+    * last `spark.sql.streaming.numRecentProgressUpdates` updates
+    * (default 100) and so saturates for larger landings. That is
+    * exactly enough for its one job (letting callers assert the
+    * aggregation genuinely accumulated across ≥2 batches rather than
+    * collapsing into one); it is NOT a drained-file accounting — the
+    * checkpoint's file log is the authority for that. */
   def dumpTokenCounts(spark: org.apache.spark.sql.SparkSession,
       landingDir: String, schema: org.apache.spark.sql.types.StructType,
       outDir: String, checkpointDir: String,
@@ -64,9 +69,11 @@ object CorpusStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000),
+    // stop() in finally: a timed-out require must not leak a live
+    // query that keeps draining the landing dir into outDir
+    try require(q.awaitTermination(300000),
       "streaming corpus dump timed out")
-    q.stop()
+    finally q.stop()
     q.recentProgress.count(_.numInputRows > 0).toLong
   }
 }

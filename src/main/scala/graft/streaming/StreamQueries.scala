@@ -22,13 +22,22 @@ import org.apache.spark.sql.functions._
   *    through a checkpointed parquet sink and oracles the read-back
   *    against the batch interval join.
   *
-  * Determinism contract (what makes a STREAMING query oracle-able):
-  * each landed file covers a disjoint event-time range and the file
-  * source replays files in mod-time order, so no row is ever late
-  * against the watermark — under that arrival order Spark's
-  * stream-stream join and stateful aggregation emit EXACTLY the batch
-  * result regardless of where the micro-batch boundaries fall. The
-  * out-of-order/late lanes (where stream and batch legitimately
+  * Determinism (what makes a STREAMING query oracle-able) — two
+  * DIFFERENT arguments, one per query:
+  *  - st2 (watermarked state): each landed file covers a disjoint
+  *    event-time range and the file source replays files in mod-time
+  *    order (stamped by [[landTimeOrdered]]), so no row is ever late
+  *    against the watermark — under that arrival order the
+  *    stream-stream join emits EXACTLY the batch result regardless of
+  *    where the micro-batch boundaries fall.
+  *  - st1 (no watermark): the complete-mode aggregation is
+  *    arrival-order INDEPENDENT — counts commute — so its landing
+  *    needs no time ordering at all (plain repartition, real
+  *    mod-times); the final replace is the full state whatever the
+  *    batch boundaries were. Do NOT copy st1's un-stamped landing
+  *    into a future query that carries event-time state: that path
+  *    needs st2's contract.
+  * The out-of-order/late lanes (where stream and batch legitimately
   * diverge) are pinned by StreamingParitySpec instead, where ScalaTest
   * can assert the drop/evict behavior directly.
   *
@@ -51,7 +60,10 @@ object StreamQueries {
     val parts = new java.io.File(dir).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(1700000000000L + i * 1000L): Unit
+      // a silent stamp failure voids the no-late-data contract and
+      // surfaces later as an inexplicable oracle mismatch — fail here
+      require(f.setLastModified(1700000000000L + i * 1000L),
+        s"could not stamp mod-time on $f")
     }
   }
 
@@ -77,7 +89,7 @@ object StreamQueries {
     * (xcmmanager.js:423); the synthetic events table is ~1000× sparser
     * per user, so the fixture widens to 6 h to exercise matches —
     * the state/eviction machinery is identical at any width. */
-  private val St2IntervalSec = 21600L
+  private[graft] val St2IntervalSec = 21600L
 
   private def st2(s: SparkSession, d: String): DataFrame = {
     val root = queryDumpDir("graft_stream_xcm")
@@ -104,9 +116,9 @@ object StreamQueries {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(300000),
+    try require(q.awaitTermination(300000),
       "stream-stream interval join timed out")
-    q.stop()
+    finally q.stop()
     s.read.parquet(out)
       .select(col("s_user").as("user_id"), col("s_event_id"),
         col("d_event_id"), us(col("s_ts")).as("s_us"),

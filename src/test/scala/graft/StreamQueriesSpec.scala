@@ -52,18 +52,15 @@ class StreamQueriesSpec extends AnyFunSuite {
     val q = StreamQueries.queries("st2_xcm_stream_match")(
       spark, SparkTestBase.sf)
     val ev = Tables.events(spark, SparkTestBase.sf)
-    val s = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("s_event_id"),
-        col("ts").as("s_ts"))
-    val d = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("d_user"),
-        col("event_id").as("d_event_id"), col("ts").as("d_ts"))
-    val batch = s.join(d,
-        col("user_id") === col("d_user") &&
-          col("d_ts") >= col("s_ts") &&
-          col("d_ts") <= col("s_ts") + expr("INTERVAL 21600 SECONDS"))
-      .select(col("user_id"), col("s_event_id"), col("d_event_id"),
-        unix_micros(col("s_ts")).as("s_us"),
+    def side(typ: String) = ev.filter(col("event_type") === typ)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // the batch twin is the SAME streamIntervalJoin expression tree on
+    // batch frames (withWatermark is a no-op there) with the one shared
+    // interval constant — one spelling of the predicate under test
+    val batch = EventStream.streamIntervalJoin(side("view"),
+        side("click"), StreamQueries.St2IntervalSec)
+      .select(col("s_user").as("user_id"), col("s_event_id"),
+        col("d_event_id"), unix_micros(col("s_ts")).as("s_us"),
         unix_micros(col("d_ts")).as("d_us"))
       .orderBy(col("user_id"), col("s_event_id"), col("d_event_id"))
     val got = q.collect().map(_.toSeq).toSeq
@@ -91,7 +88,7 @@ class StreamQueriesSpec extends AnyFunSuite {
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    assert(q.awaitTermination(120000)); q.stop()
+    try assert(q.awaitTermination(120000)) finally q.stop()
     val got = spark.read.parquet(out)
       .select(col("s_event_id"), col("d_event_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
