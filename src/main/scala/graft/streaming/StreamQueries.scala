@@ -139,11 +139,89 @@ object StreamQueries {
        |   + ${St2IntervalSec}000000
        |ORDER BY user_id, s_event_id, d_event_id""".stripMargin
 
+  /** ST1/ST5 — [[EventStream.finalizeStream]] (the reference's tip vs
+    * finalized duality, crawler.js:1572-1669) under the driver gate.
+    * The fixture derives a candidate stream from `events`: key =
+    * (user_id%4, event_id%499), every event a fork candidate with its
+    * own hash, EXACTLY ONE finalized per key (the min-event_id row —
+    * event_ids are unique, so no ties), plus a VERBATIM duplicate of
+    * each finalized row (the redundant-crawler re-delivery, ST5).
+    * Why this is oracle-able: emission picks the first finalized
+    * candidate in arrival order, which is only order-sensitive when a
+    * key carries ≥2 DISTINCT finalized rows — one winner + identical
+    * duplicates emit the same row under any arrival order and any
+    * micro-batch split, and the tombstone absorbs the re-delivery
+    * (re-emission needs a finalized arrival after tombstone EVICTION,
+    * which the 100-day retention keeps outside the fixture's one-month
+    * span — the eviction/timeout lanes stay ScalaTest-pinned in
+    * StreamingSpec where they belong). Output: exactly one finalized
+    * row per key, oracled by DuckDB's min-event_id winner pick. */
+  private def st3(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val root = queryDumpDir("graft_stream_finality")
+    val base = Tables.events(s, d).select(
+      (col("user_id") % 4).cast("int").as("chain_id"),
+      (col("event_id") % 499).as("block_number"),
+      col("event_id"), col("ts"))
+    val w = Window.partitionBy(col("chain_id"), col("block_number"))
+    val cand = base
+      .withColumn("finalized",
+        col("event_id") === min(col("event_id")).over(w))
+      .withColumn("block_hash", concat(lit("0x"),
+        md5(concat_ws(":", col("chain_id"), col("block_number"),
+          col("event_id")).cast("binary"))))
+      .select(col("chain_id"), col("block_number"), col("block_hash"),
+        col("finalized"), col("ts"))
+    val landing = s"$root/landing"
+    landTimeOrdered(cand.unionByName(cand.filter(col("finalized"))),
+      landing, 4)
+    val stream = s.readStream.schema(cand.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .as[EventStream.Candidate]
+    val out = s"$root/out"
+    val q = EventStream.finalizeStream(stream,
+        stateRetentionMs = 100L * 24 * 3600 * 1000)(s)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "finality stream timed out")
+    finally q.stop()
+    s.read.parquet(out)
+      .select(col("chain_id"), col("block_number"), col("block_hash"),
+        us(col("ts")).as("ts_us"))
+      .orderBy(col("chain_id"), col("block_number"))
+  }
+
+  private val st3Sql =
+    """WITH c AS (
+      | SELECT CAST(user_id % 4 AS INT) AS chain_id,
+      |  CAST(event_id % 499 AS BIGINT) AS block_number,
+      |  event_id, CAST(ts AS TIMESTAMP) AS tsm
+      | FROM events),
+      |w AS (
+      | SELECT chain_id, block_number, min(event_id) AS win
+      | FROM c GROUP BY 1, 2)
+      |SELECT c.chain_id, c.block_number,
+      | '0x' || md5(CAST(c.chain_id AS VARCHAR) || ':'
+      |  || CAST(c.block_number AS VARCHAR) || ':'
+      |  || CAST(c.event_id AS VARCHAR)) AS block_hash,
+      | epoch_us(c.tsm) AS ts_us
+      |FROM c JOIN w ON c.chain_id = w.chain_id
+      | AND c.block_number = w.block_number AND c.event_id = w.win
+      |ORDER BY c.chain_id, c.block_number""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_corpus_stream_dump" -> (st1 _),
-    "st2_xcm_stream_match" -> (st2 _))
+    "st2_xcm_stream_match" -> (st2 _),
+    "st3_finality_stream" -> (st3 _))
 
   val oracles: Map[String, String] = Map(
     "st1_corpus_stream_dump" -> st1Sql,
-    "st2_xcm_stream_match" -> st2Sql)
+    "st2_xcm_stream_match" -> st2Sql,
+    "st3_finality_stream" -> st3Sql)
 }
