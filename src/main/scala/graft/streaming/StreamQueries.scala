@@ -150,11 +150,17 @@ object StreamQueries {
     * candidate in arrival order, which is only order-sensitive when a
     * key carries ≥2 DISTINCT finalized rows — one winner + identical
     * duplicates emit the same row under any arrival order and any
-    * micro-batch split, and the tombstone absorbs the re-delivery
-    * (re-emission needs a finalized arrival after tombstone EVICTION,
-    * which the 100-day retention keeps outside the fixture's one-month
-    * span — the eviction/timeout lanes stay ScalaTest-pinned in
-    * StreamingSpec where they belong). Output: exactly one finalized
+    * micro-batch split. The duplicates land as a SEPARATE
+    * last-stamped file, so every key's re-delivery arrives in a LATER
+    * micro-batch than its emission and is absorbed by the TOMBSTONE
+    * branch, not by same-batch find — flatMapGroupsWithState does no
+    * late-input filtering, so the month-old rows reach the state fn;
+    * if the tombstone ever regressed to state.remove-after-emit, the
+    * re-delivery would re-emit and the oracle would catch the
+    * duplicate rows. (Re-emission via tombstone EVICTION needs the
+    * 100-day retention to pass inside the fixture's one-month span —
+    * it can't; the eviction/timeout lanes stay ScalaTest-pinned in
+    * StreamingSpec where they belong.) Output: exactly one finalized
     * row per key, oracled by DuckDB's min-event_id winner pick. */
   private def st3(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -165,6 +171,9 @@ object StreamQueries {
       (col("event_id") % 499).as("block_number"),
       col("event_id"), col("ts"))
     val w = Window.partitionBy(col("chain_id"), col("block_number"))
+    // persisted: the fixture frame feeds two writes (the candidate
+    // landing and the duplicate re-delivery file) — without the pin
+    // the events scan + window min would run twice
     val cand = base
       .withColumn("finalized",
         col("event_id") === min(col("event_id")).over(w))
@@ -173,9 +182,24 @@ object StreamQueries {
           col("event_id")).cast("binary"))))
       .select(col("chain_id"), col("block_number"), col("block_hash"),
         col("finalized"), col("ts"))
+      .persist()
     val landing = s"$root/landing"
-    landTimeOrdered(cand.unionByName(cand.filter(col("finalized"))),
-      landing, 4)
+    landTimeOrdered(cand, landing, 4)
+    // the ST5 redundant re-delivery: every finalized row again, in ONE
+    // file stamped strictly AFTER the candidate files — so each key's
+    // duplicate arrives in a micro-batch later than its emission and
+    // must be absorbed by the tombstone, not by same-batch dedup
+    val dupTmp = s"$root/dup"
+    cand.filter(col("finalized")).coalesce(1).write.parquet(dupTmp)
+    cand.unpersist()
+    new java.io.File(dupTmp).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        val tgt = new java.io.File(landing, s"dup-$i.parquet")
+        require(f.renameTo(tgt), s"could not move $f into the landing")
+        require(tgt.setLastModified(1700000100000L + i * 1000L),
+          s"could not stamp mod-time on $tgt")
+      }
     val stream = s.readStream.schema(cand.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
       .as[EventStream.Candidate]
