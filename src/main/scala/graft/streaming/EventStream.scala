@@ -251,4 +251,34 @@ object EventStream {
         col("d_ts") <= col("s_ts") +
           expr(s"INTERVAL $intervalSeconds SECONDS"))
   }
+
+  /** ST7's straggler lane — the LEFT OUTER stream-stream interval
+    * join: matched pairs emit like [[streamIntervalJoin]], and a
+    * source row whose window closes unmatched emits ONCE with null
+    * dst columns as soon as the watermark passes `s_ts + interval +
+    * delay` — the reference's unmatched-XCM timeout (xcmmanager.js
+    * `matched=0` rows left for xcmCleaner.js:1018's lookback sweep to
+    * mark failed/incomplete). Spark only emits the null-extended row
+    * on watermark passage, so rows still inside their window at
+    * end-of-input stay in state for the NEXT run (checkpointed) —
+    * exactly the reference's "still matchable" pending set; the
+    * periodic batch rematch (`XcmMatcher` over a lookback window,
+    * idempotent overwrite) remains the authority for stragglers
+    * older than any retention. */
+  def streamIntervalJoinOuter(src: DataFrame, dst: DataFrame,
+      intervalSeconds: Long = 120L,
+      watermarkDelay: String = "2 minutes"): DataFrame = {
+    val s = src.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("s_user"), col("event_id").as("s_event_id"),
+        col("ts").as("s_ts"))
+    val d = dst.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("d_user"), col("event_id").as("d_event_id"),
+        col("ts").as("d_ts"))
+    s.join(d,
+      col("s_user") === col("d_user") &&
+        col("d_ts") >= col("s_ts") &&
+        col("d_ts") <= col("s_ts") +
+          expr(s"INTERVAL $intervalSeconds SECONDS"),
+      "leftOuter")
+  }
 }

@@ -225,4 +225,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(out == Set((1L, 10L)))
     } finally q.stop()
   }
+
+  test("outer interval join emits unmatched sources on watermark passage") {
+    val src = MemoryStream[(Long, Long, Timestamp)](spark)
+    val dst = MemoryStream[(Long, Long, Timestamp)](spark)
+    val joined = EventStream.streamIntervalJoinOuter(
+      src.toDS().toDF("user_id", "event_id", "ts"),
+      dst.toDS().toDF("user_id", "event_id", "ts"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_outer_out").outputMode("append").start()
+    try {
+      // u7 matches inside the 120s window; u8 never gets a dst row —
+      // the reference's unmatched XCM awaiting the cleaner sweep
+      src.addData((7L, 1L, ts(1000)), (8L, 2L, ts(1000)))
+      dst.addData((7L, 10L, ts(1050)))
+      q.processAllAvailable()
+      val early = spark.table("ss_outer_out")
+        .filter(col("s_user") === 8).count()
+      assert(early == 0, "unmatched row emitted before its window closed")
+      // sentinel rows push both watermarks past 1000+120+120 → u8's
+      // window is provably closed and the null-extended row emits
+      src.addData((9L, 99L, ts(9000)))
+      dst.addData((9L, 98L, ts(9000)))
+      q.processAllAvailable()
+      src.addData((9L, 97L, ts(9500)))
+      dst.addData((9L, 96L, ts(9500)))
+      q.processAllAvailable()
+      val out = spark.table("ss_outer_out")
+        .filter(col("s_user").isin(7, 8))
+        .select(col("s_event_id"),
+          col("d_event_id")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(out == Set((1L, 10L), (2L, -1L)))
+    } finally q.stop()
+  }
 }
