@@ -42,7 +42,13 @@ object CorpusStream {
     * same shape the batch dump writes, so the batch dump's SQL is the
     * oracle. `Trigger.AvailableNow` drains the landing directory and
     * terminates — the scheduled-catch-up twin of the always-on tip
-    * stream (same checkpoint, same state store).
+    * stream (same checkpoint, same state store). One knob changes for
+    * a real 100 TB catch-up drain: complete mode republishes the whole
+    * aggregate every micro-batch, so `maxFilesPerTrigger=1` (chosen
+    * here so the spec can prove multi-batch accumulation) rewrites the
+    * table once per landed file — a production drain over N files
+    * raises `maxFilesPerTrigger` (fewer, larger batches) or gates the
+    * foreachBatch write on the final batch so the table lands once.
     *
     * Returns the number of micro-batches that carried input rows —
     * a LOWER BOUND, read off `recentProgress`, which retains only the

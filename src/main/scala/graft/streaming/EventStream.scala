@@ -104,12 +104,17 @@ object EventStream {
   }
 
   /** ST6 — tumbling-window aggregation with watermark (the streaming twin
-    * of Aggregates a12; ref priceManager.js:223 five-minute buckets). */
+    * of Aggregates a12; ref priceManager.js:223 five-minute buckets).
+    * The float sum runs through the engine-identical DECIMAL(38,6)
+    * template (operators.dsumOut) so the emitted value is independent
+    * of partial-aggregation order — what lets st4 put this operator
+    * under the cross-engine hash gate. */
   def windowedCounts(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.dsumOut(col("value")).as("sum_value"))
       .select(col("window.start").as("hr_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -173,37 +178,57 @@ object EventStream {
     * view→click→purchase step times maintained across micro-batches
     * with `flatMapGroupsWithState`, REPAIRING out-of-order arrivals
     * (a click processed before its view still counts once the view
-    * lands, because ta only ever decreases and candidates are kept).
-    * Emits a snapshot per touched user per micro-batch (update mode);
-    * `seq` orders a user's snapshots so a sink can keep latest-wins.
+    * lands, because ta only ever decreases and candidates are kept —
+    * repair reaches back as far as `watermarkDelay`: events older than
+    * the watermark are dropped by the engine's late-input filter
+    * before they reach the state function, which is the price of the
+    * state bound below). Emits a snapshot per touched user per
+    * micro-batch (update mode); `seq` orders a user's snapshots so a
+    * sink can keep latest-wins.
     *
-    * State bound: one long + the candidate click/purchase times that
-    * can still qualify — anything past minView + 2·window is pruned
-    * (the windows only move EARLIER as ta decreases, so pruned times
-    * can never re-qualify), times are deduplicated, and candidates
-    * predating any possible future view expire with the source's
-    * watermark in a production deployment. StreamingSpec pins the
-    * final snapshots frame-equal to the batch
-    * `WindowOps.funnelSteps` on the same rows. */
+    * State bound — two mechanisms, both wired here: (1) per-entry
+    * size: one long + the candidate click/purchase times that can
+    * still qualify — anything past minView + 2·window is pruned (the
+    * windows only move EARLIER as ta decreases, so pruned times can
+    * never re-qualify) and times are deduplicated; (2) entry COUNT:
+    * EventTimeTimeout evicts a user once the watermark passes their
+    * last funnel activity + `stateRetentionMs`, so a user with clicks
+    * but no view does NOT hold a candidate list forever — total state
+    * is O(users active within retention), not O(users ever seen).
+    * StreamingSpec pins the final snapshots frame-equal to the batch
+    * `WindowOps.funnelSteps` on the same rows, and pins the eviction
+    * lane (a stale user's state is gone after the watermark passes). */
   def funnelStream(ev: org.apache.spark.sql.Dataset[FunnelEvent],
-      stepWindowUs: Long = 604800000000L)(
+      stepWindowUs: Long = 604800000000L,
+      watermarkDelay: String = "30 days",
+      stateRetentionMs: Long = 30L * 24 * 3600 * 1000)(
       implicit spark: SparkSession): org.apache.spark.sql.Dataset[FunnelSnap] = {
     import spark.implicits._
     // drop non-funnel events BEFORE keying: otherwise every user who
-    // never touches the funnel gets a permanent state entry (NoTimeout)
+    // never touches the funnel gets a state entry (idle until eviction)
     // and an all-null snapshot the batch funnelSteps (which filters
     // isin(steps) first) would never emit
     ev.filter((e: FunnelEvent) => e.event_type == "view" ||
         e.event_type == "click" || e.event_type == "purchase")
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .withWatermark("ts", watermarkDelay)
+      .as[FunnelEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], st: GroupState[FunnelState]) =>
+          if (st.hasTimedOut) {
+            st.remove() // watermark passed last activity + retention
+            Iterator.empty
+          } else {
           val prev = st.getOption
             .getOrElse(FunnelState(Long.MaxValue, Nil, Nil, 0L))
           var mv = prev.minView
           var clicks = prev.clicks
           var purchases = prev.purchases
+          var maxUs = Long.MinValue
           it.foreach { e =>
+            if (e.tus > maxUs) maxUs = e.tus
             e.event_type match {
               case "view" => if (e.tus < mv) mv = e.tus
               case "click" => clicks ::= e.tus
@@ -224,7 +249,14 @@ object EventStream {
             .filter(t => t > b && t <= b + stepWindowUs).minOption)
           val seq = prev.seq + 1
           st.update(FunnelState(mv, clicks, purchases, seq))
+          // setTimeoutTimestamp must exceed the current watermark;
+          // late-filtered input guarantees maxUs/1000 ≥ watermark only
+          // when the batch is non-empty for this key, so clamp anyway
+          st.setTimeoutTimestamp(
+            math.max(maxUs / 1000L, st.getCurrentWatermarkMs()) +
+              stateRetentionMs)
           Iterator(FunnelSnap(uid, seq, ta, tb, tc))
+          }
       }
   }
 

@@ -139,33 +139,42 @@ object StreamQueries {
        |   + ${St2IntervalSec}000000
        |ORDER BY user_id, s_event_id, d_event_id""".stripMargin
 
-  /** ST1/ST5 — [[EventStream.finalizeStream]] (the reference's tip vs
-    * finalized duality, crawler.js:1572-1669) under the driver gate.
-    * The fixture derives a candidate stream from `events`: key =
-    * (user_id%4, event_id%499), every event a fork candidate with its
-    * own hash, EXACTLY ONE finalized per key (the min-event_id row —
-    * event_ids are unique, so no ties), plus a VERBATIM duplicate of
-    * each finalized row (the redundant-crawler re-delivery, ST5).
-    * Why this is oracle-able: emission picks the first finalized
-    * candidate in arrival order, which is only order-sensitive when a
-    * key carries ≥2 DISTINCT finalized rows — one winner + identical
-    * duplicates emit the same row under any arrival order and any
-    * micro-batch split. The duplicates land as a SEPARATE
-    * last-stamped file, so every key's re-delivery arrives in a LATER
-    * micro-batch than its emission and is absorbed by the TOMBSTONE
-    * branch, not by same-batch find — flatMapGroupsWithState does no
-    * late-input filtering, so the month-old rows reach the state fn;
-    * if the tombstone ever regressed to state.remove-after-emit, the
-    * re-delivery would re-emit and the oracle would catch the
-    * duplicate rows. (Re-emission via tombstone EVICTION needs the
-    * 100-day retention to pass inside the fixture's one-month span —
-    * it can't; the eviction/timeout lanes stay ScalaTest-pinned in
-    * StreamingSpec where they belong.) Output: exactly one finalized
-    * row per key, oracled by DuckDB's min-event_id winner pick. */
-  private def st3(s: SparkSession, d: String): DataFrame = {
+  /** Watermark delay for the st3/st5 fixture lanes — WIDER than the
+    * candidate fixture's ~30-day event-time span, on purpose: Spark's
+    * stateful operators (FlatMapGroupsWithStateExec under
+    * EventTimeTimeout, streaming dedup) filter late input below the
+    * watermark, so at a production-width delay the later-stamped
+    * re-delivery file would be silently absorbed by the LATE FILTER
+    * and never reach the state store — leaving st3's tombstone guard
+    * and st5's state-store-drop guard vacuous. One constant for both
+    * lanes; if the fixture's span ever grows past it, BOTH guards go
+    * vacuous together, so change it here only with the span in view. */
+  private[graft] val FixtureWatermarkDelay = "45 days"
+
+  /** The st3/st5 shared fixture: fork candidates derived from `events`
+    * — key = (user_id%4, event_id%499), every event a candidate with
+    * its own hash, exactly one finalized per key (min event_id), plus
+    * a VERBATIM re-delivery of each finalized row landed as ONE file
+    * stamped strictly AFTER the candidate files, so every duplicate
+    * arrives in a LATER micro-batch than the original (the redundant-
+    * crawler model). Returns (landingDir, schema); memoized per
+    * (session, sfDir) — st3 and st5 stream from the SAME read-only
+    * landing (checkpoints/sinks stay per-query), so a gate run pays
+    * the events scan + window-min + 5-file landing once, not twice. */
+  private val landingMemo =
+    scala.collection.mutable.Map[(SparkSession, String),
+      (String, org.apache.spark.sql.types.StructType)]()
+
+  private def candidateLanding(s: SparkSession, d: String)
+      : (String, org.apache.spark.sql.types.StructType) =
+    landingMemo.synchronized {
+      landingMemo.getOrElseUpdate((s, d),
+        buildCandidateLanding(s, d, queryDumpDir("graft_stream_cand")))
+    }
+
+  private def buildCandidateLanding(s: SparkSession, d: String,
+      root: String): (String, org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val root = queryDumpDir("graft_stream_finality")
     val base = Tables.events(s, d).select(
       (col("user_id") % 4).cast("int").as("chain_id"),
       (col("event_id") % 499).as("block_number"),
@@ -185,12 +194,9 @@ object StreamQueries {
       .persist()
     val landing = s"$root/landing"
     landTimeOrdered(cand, landing, 4)
-    // the ST5 redundant re-delivery: every finalized row again, in ONE
-    // file stamped strictly AFTER the candidate files — so each key's
-    // duplicate arrives in a micro-batch later than its emission and
-    // must be absorbed by the tombstone, not by same-batch dedup
     val dupTmp = s"$root/dup"
     cand.filter(col("finalized")).coalesce(1).write.parquet(dupTmp)
+    val schema = cand.schema
     cand.unpersist()
     new java.io.File(dupTmp).listFiles()
       .filter(_.getName.startsWith("part-")).sortBy(_.getName)
@@ -200,11 +206,41 @@ object StreamQueries {
         require(tgt.setLastModified(1700000100000L + i * 1000L),
           s"could not stamp mod-time on $tgt")
       }
-    val stream = s.readStream.schema(cand.schema)
+    (landing, schema)
+  }
+
+  /** ST1/ST5 — [[EventStream.finalizeStream]] (the reference's tip vs
+    * finalized duality, crawler.js:1572-1669) under the driver gate,
+    * on the [[candidateLanding]] fixture. Why this is oracle-able:
+    * emission picks the first finalized candidate in arrival order,
+    * which is only order-sensitive when a key carries ≥2 DISTINCT
+    * finalized rows — one winner (the min-event_id row; event_ids are
+    * unique, so no ties) + identical duplicates emit the same row
+    * under any arrival order and any micro-batch split. The
+    * re-delivery file arrives in a LATER micro-batch than each key's
+    * emission and must be absorbed by the TOMBSTONE branch, not by
+    * same-batch find — [[FixtureWatermarkDelay]] keeps the watermark
+    * below every duplicate's event time so the rows genuinely reach
+    * the state fn (see that constant's late-filter note); if the
+    * tombstone ever regressed to state.remove-after-emit, the
+    * re-emission would double the rows and fail the oracle hash
+    * (verified by a round-16 regression experiment: 1740 vs 870 rows).
+    * (Re-emission via tombstone EVICTION needs the 100-day retention
+    * to pass inside the fixture's span — it can't; the
+    * eviction/timeout and late-drop lanes stay ScalaTest-pinned in
+    * StreamingSpec/StreamingParitySpec where they belong.) Output:
+    * exactly one finalized row per key, oracled by DuckDB's
+    * min-event_id winner pick. */
+  private def st3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = queryDumpDir("graft_stream_finality")
+    val (landing, schema) = candidateLanding(s, d)
+    val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
       .as[EventStream.Candidate]
     val out = s"$root/out"
     val q = EventStream.finalizeStream(stream,
+        watermarkDelay = FixtureWatermarkDelay,
         stateRetentionMs = 100L * 24 * 3600 * 1000)(s)
       .writeStream
       .format("parquet")
@@ -239,13 +275,114 @@ object StreamQueries {
       | AND c.block_number = w.block_number AND c.event_id = w.win
       |ORDER BY c.chain_id, c.block_number""".stripMargin
 
+  /** ST6 — [[EventStream.windowedCounts]] (the reference's 5-min/hourly
+    * price-bucket tier, priceManager.js:223) under the driver gate: the
+    * watermarked tumbling-window aggregation runs through a checkpointed
+    * foreachBatch replace-writer (complete mode — the same
+    * replay-idempotent publish st1 uses) and the read-back is oracled
+    * against DuckDB's date_trunc group-by. Determinism is st1's
+    * argument: complete-mode aggregation state is arrival-order
+    * independent (counts commute; the float sum runs through the
+    * engine-identical DECIMAL(38,6) template inside windowedCounts), so
+    * the landing needs no time ordering and the final replace is the
+    * full state whatever the micro-batch boundaries were. */
+  private def st4(s: SparkSession, d: String): DataFrame = {
+    val root = queryDumpDir("graft_stream_windowed")
+    val landing = s"$root/landing"
+    val out = s"$root/out"
+    val ev = Tables.events(s, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    ev.repartition(3).write.parquet(landing)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "windowed-counts stream timed out")
+    finally q.stop()
+    s.read.parquet(out)
+      .select(us(col("hr_start")).as("hr_us"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hr_us"), col("event_type"))
+  }
+
+  private val st4Sql =
+    """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hr_us,
+      | event_type, count(*) AS n,
+      | round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+      |  AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hr_us, event_type""".stripMargin
+
+  /** ST5 — [[EventStream.dedupExactStream]]
+    * (dropDuplicatesWithinWatermark, the at-least-once →
+    * effectively-once gate in front of bronze) under the driver gate,
+    * on the same fixture as st3: candidate rows unique per (chain,
+    * block, hash) except the finalized rows' VERBATIM re-deliveries,
+    * which land as a later-stamped file and therefore arrive in a
+    * later micro-batch — the drop must come from the state store, not
+    * same-batch dedup. Determinism: duplicates are verbatim, so
+    * whichever arrival is kept carries identical values;
+    * [[FixtureWatermarkDelay]] (wider than the fixture span — the
+    * late-filter trap documented there) keeps every key's dedup state
+    * alive and no row late for the whole drain, so the emitted set is
+    * exactly DISTINCT over the landing. A regressed state store
+    * (duplicates re-emitted) doubles the finalized rows and fails the
+    * oracle hash. */
+  private def st5(s: SparkSession, d: String): DataFrame = {
+    val root = queryDumpDir("graft_stream_dedup")
+    val (landing, schema) = candidateLanding(s, d)
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val out = s"$root/out"
+    val q = EventStream.dedupExactStream(stream.toDF(),
+        watermarkDelay = FixtureWatermarkDelay)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "exact-dedup stream timed out")
+    finally q.stop()
+    s.read.parquet(out)
+      .select(col("chain_id"), col("block_number"), col("block_hash"),
+        col("finalized"), us(col("ts")).as("ts_us"))
+      .orderBy(col("chain_id"), col("block_number"), col("block_hash"))
+  }
+
+  private val st5Sql =
+    """SELECT CAST(user_id % 4 AS INT) AS chain_id,
+      | CAST(event_id % 499 AS BIGINT) AS block_number,
+      | '0x' || md5(CAST(user_id % 4 AS VARCHAR) || ':'
+      |  || CAST(event_id % 499 AS VARCHAR) || ':'
+      |  || CAST(event_id AS VARCHAR)) AS block_hash,
+      | event_id = min(event_id) OVER (
+      |  PARTITION BY user_id % 4, event_id % 499) AS finalized,
+      | epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |FROM events
+      |ORDER BY chain_id, block_number, block_hash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_corpus_stream_dump" -> (st1 _),
     "st2_xcm_stream_match" -> (st2 _),
-    "st3_finality_stream" -> (st3 _))
+    "st3_finality_stream" -> (st3 _),
+    "st4_windowed_stream" -> (st4 _),
+    "st5_dedup_stream" -> (st5 _))
 
   val oracles: Map[String, String] = Map(
     "st1_corpus_stream_dump" -> st1Sql,
     "st2_xcm_stream_match" -> st2Sql,
-    "st3_finality_stream" -> st3Sql)
+    "st3_finality_stream" -> st3Sql,
+    "st4_windowed_stream" -> st4Sql,
+    "st5_dedup_stream" -> st5Sql)
 }

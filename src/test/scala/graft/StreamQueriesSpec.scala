@@ -68,6 +68,77 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("windowed stream dump: replay-idempotent, equals the batch agg") {
+    val root = Files.createTempDirectory("graft_sq4").toString
+    val landing = s"$root/landing"
+    val ev = Tables.events(spark, SparkTestBase.sf)
+      .select(col("ts"), col("event_type"), col("value"))
+    ev.repartition(3).write.parquet(landing)
+    def dump(out: String, ckpt: String): Unit = {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = EventStream.windowedCounts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+    }
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    dump(s"$root/out1", s"$root/ckpt1")
+    dump(s"$root/out2", s"$root/ckpt2") // fresh checkpoint = full replay
+    val a = asMap(spark.read.parquet(s"$root/out1"))
+    val b = asMap(spark.read.parquet(s"$root/out2"))
+    assert(a.nonEmpty && a == b)
+    // batch twin: the SAME windowedCounts expression tree on the batch
+    // frame (withWatermark is a no-op there) — one spelling under test
+    assert(a == asMap(EventStream.windowedCounts(ev)))
+  }
+
+  test("exact-dedup stream drops a later-file replay via state") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_sq5").toString
+    val landing = new java.io.File(s"$root/landing")
+    landing.mkdirs()
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val a = Seq((1, 100L, "0xa", false, ts(10)), (1, 101L, "0xb", true, ts(20)))
+      .toDF("chain_id", "block_number", "block_hash", "finalized", "ts")
+    val b = Seq((1, 100L, "0xa", false, ts(10))) // verbatim replay of row 1
+      .toDF("chain_id", "block_number", "block_hash", "finalized", "ts")
+    def land(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long)
+        : Unit = {
+      val tmp = s"$root/$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val tgt = new java.io.File(landing, s"$name.parquet")
+      assert(part.renameTo(tgt) && tgt.setLastModified(mtime))
+    }
+    land(a, "a", 1700000000000L)
+    land(b, "b", 1700000001000L) // strictly later -> later micro-batch
+    val stream = spark.readStream.schema(a.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing.toString)
+    val out = s"$root/out"
+    val q = EventStream.dedupExactStream(stream, watermarkDelay = "45 days")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    // maxFilesPerTrigger=1 put the replay in its own micro-batch, so
+    // the drop can only have come from the dedup STATE STORE
+    val got = spark.read.parquet(out)
+      .select("chain_id", "block_number", "block_hash").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    assert(got.length == 2)
+    assert(got.toSet == Set((1, 100L, "0xa"), (1, 101L, "0xb")))
+  }
+
   test("interval join default window stays the reference's 120s") {
     // the fixture widens the window; the API default is reference
     // fidelity (xcmmanager.js:423) — pin it so a refactor can't

@@ -91,6 +91,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel state is evicted once the watermark passes retention") {
+    implicit val s = spark
+    import EventStream.{FunnelEvent, FunnelSnap}
+    val SEC = 1000000L // micros
+    val input = MemoryStream[FunnelEvent](spark)
+    val q = EventStream.funnelStream(input.toDS(),
+        stepWindowUs = 3600 * SEC,
+        watermarkDelay = "10 seconds", stateRetentionMs = 10000L)
+      .writeStream.format("memory").queryName("funnel_evict_out")
+      .outputMode("update").start()
+    try {
+      // user 1 anchors a view at t=100s
+      input.addData(FunnelEvent(1, "view", 100 * SEC))
+      q.processAllAvailable()
+      // unrelated traffic drives the watermark to 990s — far past
+      // user 1's timeout (last activity 100s + 10s retention)
+      input.addData(FunnelEvent(2, "view", 1000 * SEC))
+      q.processAllAvailable()
+      // timeouts fire for keys WITHOUT data in a batch that runs with
+      // the advanced watermark — one more unrelated batch guarantees
+      // user 1's EventTimeTimeout branch runs and removes the state
+      input.addData(FunnelEvent(2, "view", 1001 * SEC))
+      q.processAllAvailable()
+      // user 1 returns with a click at 1005s (not late vs the 990s
+      // watermark): with the old state evicted, seq RESTARTS at 1 and
+      // the 100s view is GONE — the new snapshot is all-None. Under
+      // NoTimeout this batch would instead emit seq=2 with ta=100s.
+      input.addData(FunnelEvent(1, "click", 1005 * SEC))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_evict_out").as[FunnelSnap].collect()
+        .filter(_.user_id == 1L).toSet
+      assert(!u1.exists(_.seq > 1L), "state entry must have been evicted")
+      assert(u1 == Set(
+        FunnelSnap(1L, 1L, Some(100 * SEC), None, None), // before
+        FunnelSnap(1L, 1L, None, None, None)))           // after evict
+    } finally q.stop()
+  }
+
   test("batch dedup keeps finalized-preferred latest candidate") {
     val bronze = Seq(
       (1, 100L, "0xa", false, ts(10)),
