@@ -372,17 +372,184 @@ object StreamQueries {
       |FROM events
       |ORDER BY chain_id, block_number, block_hash""".stripMargin
 
+  /** The WATERMARK-ADVANCING SENTINEL — what lets APPEND-mode stateful
+    * emission (closed sessions, timed-out outer-join rows) run under
+    * the batch oracle at all. Append mode only emits a session / an
+    * unmatched row once the watermark passes its close, and the
+    * watermark computed from batch N applies in batch N+1 — so the
+    * tail of any finite drain would stay unemitted in state and the
+    * read-back could never equal the batch twin. Fix: land TWO
+    * sentinel files per source, stamped after all data files, each
+    * carrying one `user_id = -1` row far enough in the future
+    * (sentinel A pushes the watermark past every real row's close;
+    * sentinel B's batch then runs with that watermark and flushes the
+    * emissions — relying on nothing about no-data-batch scheduling).
+    * Sentinel rows are filtered from the read-back; their own state
+    * (never closed by any later watermark) dies with the drain. */
+  private def landSentinels(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): Unit =
+    rows.zipWithIndex.foreach { case (row, i) =>
+      val tmp = s"$dir-sentinel-$i"
+      s.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(row)), schema)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val tgt = new java.io.File(dir, s"sentinel-$i.parquet")
+      require(part.renameTo(tgt), s"could not move $part into $dir")
+      require(tgt.setLastModified(1700009000000L + i * 1000L),
+        s"could not stamp mod-time on $tgt")
+    }
+
+  /** ST6 (session half) — [[EventStream.sessionize]] under the driver
+    * gate: event-time SESSION windows in APPEND mode through a
+    * checkpointed parquet sink, emission forced by the sentinel
+    * technique above. Determinism: the time-ordered landing means no
+    * late data, session-window merging is arrival-order independent
+    * (the closed session is the union of its events whatever the
+    * micro-batch split), and append mode emits each closed session
+    * exactly once — so the read-back (sentinels filtered) is exactly
+    * the batch session_window result, oracled by the same
+    * gaps-and-islands SQL as the batch w6 query. */
+  private def st6(s: SparkSession, d: String): DataFrame = {
+    val root = queryDumpDir("graft_stream_session")
+    val landing = s"$root/landing"
+    val ev = Tables.events(s, d).filter(col("user_id") < 50)
+      .select(col("user_id"), col("ts"))
+    landTimeOrdered(ev, landing, 3)
+    val maxTs = ev.agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0).getTime // ms; one-row agg, not a data collect
+    val schema = ev.schema
+    def sentinel(offsetMs: Long) = org.apache.spark.sql.Row(
+      -1L, new java.sql.Timestamp(maxTs + offsetMs))
+    // A: +8h (> gap 6h + delay 10m past every real session close);
+    // B: +16h (> A + gap + delay, so A's flush batch genuinely runs)
+    landSentinels(s, landing, schema,
+      Seq(sentinel(8L * 3600 * 1000), sentinel(16L * 3600 * 1000)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+    val out = s"$root/out"
+    val q = EventStream.sessionize(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "session stream timed out")
+    finally q.stop()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("sess_start_us"), col("last_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+  }
+
+  // the same gaps-and-islands oracle as the batch w6 query (one
+  // spelling of session semantics across the batch and stream tiers)
+  private val st6Sql =
+    """WITH e AS (SELECT user_id,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us_ts FROM events
+      |  WHERE user_id < 50),
+      |g AS (SELECT user_id, us_ts,
+      |  CASE WHEN lag(us_ts) OVER (PARTITION BY user_id ORDER BY us_ts)
+      |        IS NULL
+      |       OR us_ts - lag(us_ts) OVER (PARTITION BY user_id
+      |        ORDER BY us_ts) >= CAST(21600000000 AS BIGINT)
+      |   THEN 1 ELSE 0 END AS brk FROM e),
+      |s AS (SELECT user_id, us_ts, sum(brk) OVER (PARTITION BY user_id
+      |  ORDER BY us_ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+      |SELECT user_id, min(us_ts) AS sess_start_us, max(us_ts) AS last_us,
+      | count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start_us""".stripMargin
+
+  /** ST7 (straggler lane) — [[EventStream.streamIntervalJoinOuter]]
+    * under the driver gate: the LEFT OUTER stream-stream interval join
+    * through a checkpointed sink — matched pairs emit on arrival,
+    * unmatched sources emit null-extended once the watermark passes
+    * their window (the reference's matched=0 XCM rows awaiting
+    * xcmCleaner's sweep, xcmCleaner.js:1018). The sentinel pair on
+    * BOTH sides (the global watermark is the min across sources)
+    * closes every real source row's window before the drain ends, so
+    * the read-back (sentinels filtered) is exactly the batch left
+    * outer interval join. */
+  private def st7(s: SparkSession, d: String): DataFrame = {
+    val root = queryDumpDir("graft_stream_outer")
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+    val maxTs = ev.agg(max(col("ts"))).collect()(0)
+      .getTimestamp(0).getTime
+    val sideSchema = ev.drop("event_type").schema
+    def side(name: String, typ: String): String = {
+      val dir = s"$root/$name"
+      landTimeOrdered(
+        ev.filter(col("event_type") === typ).drop("event_type"), dir, 3)
+      // A clears every real window (interval 6h + delay 2m); B forces
+      // A's flush batch. Same ts on both sides: the global watermark
+      // is the min, and the sentinels' own (-1, -1) match is filtered.
+      def sentinel(offsetMs: Long) = org.apache.spark.sql.Row(
+        -1L, -1L, new java.sql.Timestamp(maxTs + offsetMs))
+      landSentinels(s, dir, sideSchema,
+        Seq(sentinel(8L * 3600 * 1000), sentinel(16L * 3600 * 1000)))
+      dir
+    }
+    val srcDir = side("src", "view")
+    val dstDir = side("dst", "click")
+    def rs(dir: String) = s.readStream.schema(sideSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = s"$root/out"
+    val q = EventStream.streamIntervalJoinOuter(rs(srcDir), rs(dstDir),
+        intervalSeconds = St2IntervalSec)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000),
+      "outer interval join stream timed out")
+    finally q.stop()
+    s.read.parquet(out)
+      .filter(col("s_user") >= 0)
+      .select(col("s_user").as("user_id"), col("s_event_id"),
+        col("d_event_id"), us(col("s_ts")).as("s_us"),
+        us(col("d_ts")).as("d_us"))
+      .orderBy(col("user_id"), col("s_event_id"), col("d_event_id"))
+  }
+
+  private val st7Sql =
+    s"""SELECT s.user_id AS user_id,
+       | s.event_id AS s_event_id, d.event_id AS d_event_id,
+       | epoch_us(CAST(s.ts AS TIMESTAMP)) AS s_us,
+       | epoch_us(CAST(d.ts AS TIMESTAMP)) AS d_us
+       |FROM (SELECT * FROM events WHERE event_type = 'view') s
+       |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') d
+       | ON s.user_id = d.user_id
+       | AND epoch_us(CAST(d.ts AS TIMESTAMP))
+       |  BETWEEN epoch_us(CAST(s.ts AS TIMESTAMP))
+       |  AND epoch_us(CAST(s.ts AS TIMESTAMP))
+       |   + ${St2IntervalSec}000000
+       |ORDER BY user_id, s_event_id, d_event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_corpus_stream_dump" -> (st1 _),
     "st2_xcm_stream_match" -> (st2 _),
     "st3_finality_stream" -> (st3 _),
     "st4_windowed_stream" -> (st4 _),
-    "st5_dedup_stream" -> (st5 _))
+    "st5_dedup_stream" -> (st5 _),
+    "st6_session_stream" -> (st6 _),
+    "st7_outer_stream" -> (st7 _))
 
   val oracles: Map[String, String] = Map(
     "st1_corpus_stream_dump" -> st1Sql,
     "st2_xcm_stream_match" -> st2Sql,
     "st3_finality_stream" -> st3Sql,
     "st4_windowed_stream" -> st4Sql,
-    "st5_dedup_stream" -> st5Sql)
+    "st5_dedup_stream" -> st5Sql,
+    "st6_session_stream" -> st6Sql,
+    "st7_outer_stream" -> st7Sql)
 }

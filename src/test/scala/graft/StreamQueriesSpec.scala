@@ -139,6 +139,27 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(got.toSet == Set((1, 100L, "0xa"), (1, 101L, "0xb")))
   }
 
+  test("session/outer driver rows gate non-vacuous fixtures") {
+    // the DuckDB oracle proves read-back == batch twin but cannot see
+    // WHETHER the interesting lanes were exercised — pin that here:
+    // st6 must contain multi-event sessions AND gap-split users (else
+    // the session-merge machinery idled), st7 must contain BOTH
+    // matched pairs and null-extended stragglers (else the outer lane
+    // degenerated to the inner join or to all-unmatched)
+    val s6 = StreamQueries.queries("st6_session_stream")(
+      spark, SparkTestBase.sf)
+    assert(s6.filter(col("n_events") > 1).count() > 0)
+    assert(s6.groupBy("user_id").count().filter(col("count") > 1)
+      .count() > 0)
+    assert(s6.filter(col("user_id") < 0).count() == 0) // sentinels gone
+    val s7 = StreamQueries.queries("st7_outer_stream")(
+      spark, SparkTestBase.sf)
+    val matched = s7.filter(col("d_event_id").isNotNull).count()
+    val straggler = s7.filter(col("d_event_id").isNull).count()
+    assert(matched > 0 && straggler > 0)
+    assert(s7.filter(col("user_id") < 0).count() == 0)
+  }
+
   test("interval join default window stays the reference's 120s") {
     // the fixture widens the window; the API default is reference
     // fidelity (xcmmanager.js:423) — pin it so a refactor can't
