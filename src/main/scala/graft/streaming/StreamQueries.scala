@@ -67,6 +67,54 @@ object StreamQueries {
     }
   }
 
+  /** Move the single part-file of a `coalesce(1)` parquet write from
+    * `tmp` into `dir/name` with an explicit mod-time — the one
+    * spelling of the land-and-stamp step every fixture file that must
+    * replay in a KNOWN micro-batch position goes through. */
+  private def landFileStamped(tmp: String, dir: String, name: String,
+      mtime: Long): Unit = {
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val tgt = new java.io.File(dir, name)
+    require(part.renameTo(tgt), s"could not move $part to $tgt")
+    require(tgt.setLastModified(mtime),
+      s"could not stamp mod-time on $tgt")
+  }
+
+  /** The checkpointed parquet-sink drain every append-mode row uses:
+    * writeStream → parquet + checkpoint → Trigger.AvailableNow →
+    * awaitTermination-or-die (stop() in finally so a timeout cannot
+    * leak a live query into the shared session). */
+  private def drainToParquet(df: DataFrame, out: String, ckpt: String,
+      what: String): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000), s"$what timed out")
+    finally q.stop()
+  }
+
+  /** The complete-mode replace-writer drain (st1's ST8 shape, reused
+    * by st4 and by StreamQueriesSpec so the spec exercises the SAME
+    * production path it pins): every micro-batch overwrites `out`
+    * with the full aggregate — replay-idempotent by construction. */
+  private[graft] def drainCompleteReplace(agg: DataFrame, out: String,
+      ckpt: String, what: String): Unit = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000), s"$what timed out")
+    finally q.stop()
+  }
+
   private def st1(s: SparkSession, d: String): DataFrame = {
     val root = queryDumpDir("graft_stream_corpus")
     val landing = s"$root/landing"
@@ -108,17 +156,9 @@ object StreamQueries {
     def rs(dir: String) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = s"$root/out"
-    val q = EventStream.streamIntervalJoin(rs(srcDir), rs(dstDir),
-        intervalSeconds = St2IntervalSec)
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "stream-stream interval join timed out")
-    finally q.stop()
+    drainToParquet(EventStream.streamIntervalJoin(rs(srcDir), rs(dstDir),
+        intervalSeconds = St2IntervalSec),
+      out, s"$root/ckpt", "stream-stream interval join")
     s.read.parquet(out)
       .select(col("s_user").as("user_id"), col("s_event_id"),
         col("d_event_id"), us(col("s_ts")).as("s_us"),
@@ -198,14 +238,7 @@ object StreamQueries {
     cand.filter(col("finalized")).coalesce(1).write.parquet(dupTmp)
     val schema = cand.schema
     cand.unpersist()
-    new java.io.File(dupTmp).listFiles()
-      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      .zipWithIndex.foreach { case (f, i) =>
-        val tgt = new java.io.File(landing, s"dup-$i.parquet")
-        require(f.renameTo(tgt), s"could not move $f into the landing")
-        require(tgt.setLastModified(1700000100000L + i * 1000L),
-          s"could not stamp mod-time on $tgt")
-      }
+    landFileStamped(dupTmp, landing, "dup-0.parquet", 1700000100000L)
     (landing, schema)
   }
 
@@ -239,18 +272,10 @@ object StreamQueries {
       .option("maxFilesPerTrigger", 1).parquet(landing)
       .as[EventStream.Candidate]
     val out = s"$root/out"
-    val q = EventStream.finalizeStream(stream,
+    drainToParquet(EventStream.finalizeStream(stream,
         watermarkDelay = FixtureWatermarkDelay,
-        stateRetentionMs = 100L * 24 * 3600 * 1000)(s)
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "finality stream timed out")
-    finally q.stop()
+        stateRetentionMs = 100L * 24 * 3600 * 1000)(s).toDF(),
+      out, s"$root/ckpt", "finality stream")
     s.read.parquet(out)
       .select(col("chain_id"), col("block_number"), col("block_hash"),
         us(col("ts")).as("ts_us"))
@@ -295,18 +320,8 @@ object StreamQueries {
     ev.repartition(3).write.parquet(landing)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
-    val q = EventStream.windowedCounts(stream)
-      .writeStream
-      .outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "windowed-counts stream timed out")
-    finally q.stop()
+    drainCompleteReplace(EventStream.windowedCounts(stream), out,
+      s"$root/ckpt", "windowed-counts stream")
     s.read.parquet(out)
       .select(us(col("hr_start")).as("hr_us"), col("event_type"),
         col("n"), col("sum_value"))
@@ -343,17 +358,9 @@ object StreamQueries {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
     val out = s"$root/out"
-    val q = EventStream.dedupExactStream(stream.toDF(),
-        watermarkDelay = FixtureWatermarkDelay)
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "exact-dedup stream timed out")
-    finally q.stop()
+    drainToParquet(EventStream.dedupExactStream(stream.toDF(),
+        watermarkDelay = FixtureWatermarkDelay),
+      out, s"$root/ckpt", "exact-dedup stream")
     s.read.parquet(out)
       .select(col("chain_id"), col("block_number"), col("block_hash"),
         col("finalized"), us(col("ts")).as("ts_us"))
@@ -391,15 +398,10 @@ object StreamQueries {
       rows: Seq[org.apache.spark.sql.Row]): Unit =
     rows.zipWithIndex.foreach { case (row, i) =>
       val tmp = s"$dir-sentinel-$i"
-      s.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(row)), schema)
+      s.createDataFrame(java.util.Collections.singletonList(row), schema)
         .coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.startsWith("part-")).head
-      val tgt = new java.io.File(dir, s"sentinel-$i.parquet")
-      require(part.renameTo(tgt), s"could not move $part into $dir")
-      require(tgt.setLastModified(1700009000000L + i * 1000L),
-        s"could not stamp mod-time on $tgt")
+      landFileStamped(tmp, dir, s"sentinel-$i.parquet",
+        1700009000000L + i * 1000L)
     }
 
   /** ST6 (session half) — [[EventStream.sessionize]] under the driver
@@ -430,16 +432,8 @@ object StreamQueries {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(landing)
     val out = s"$root/out"
-    val q = EventStream.sessionize(stream)
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "session stream timed out")
-    finally q.stop()
+    drainToParquet(EventStream.sessionize(stream), out, s"$root/ckpt",
+      "session stream")
     s.read.parquet(out)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("sess_start_us"), col("last_us"),
@@ -447,24 +441,12 @@ object StreamQueries {
       .orderBy(col("user_id"), col("sess_start_us"))
   }
 
-  // the same gaps-and-islands oracle as the batch w6 query (one
-  // spelling of session semantics across the batch and stream tiers)
+  // LITERALLY the batch w6 oracle — one spelling of session semantics
+  // across the batch and stream tiers (same fixture filter, same gap,
+  // same output columns); if w6 evolves, the gate holds st6's Spark
+  // side to the same change
   private val st6Sql =
-    """WITH e AS (SELECT user_id,
-      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us_ts FROM events
-      |  WHERE user_id < 50),
-      |g AS (SELECT user_id, us_ts,
-      |  CASE WHEN lag(us_ts) OVER (PARTITION BY user_id ORDER BY us_ts)
-      |        IS NULL
-      |       OR us_ts - lag(us_ts) OVER (PARTITION BY user_id
-      |        ORDER BY us_ts) >= CAST(21600000000 AS BIGINT)
-      |   THEN 1 ELSE 0 END AS brk FROM e),
-      |s AS (SELECT user_id, us_ts, sum(brk) OVER (PARTITION BY user_id
-      |  ORDER BY us_ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
-      |SELECT user_id, min(us_ts) AS sess_start_us, max(us_ts) AS last_us,
-      | count(*) AS n_events
-      |FROM s GROUP BY user_id, sid
-      |ORDER BY user_id, sess_start_us""".stripMargin
+    graft.operators.WindowOps.oracles("w6_sessionize")
 
   /** ST7 (straggler lane) — [[EventStream.streamIntervalJoinOuter]]
     * under the driver gate: the LEFT OUTER stream-stream interval join
@@ -502,17 +484,9 @@ object StreamQueries {
     def rs(dir: String) = s.readStream.schema(sideSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = s"$root/out"
-    val q = EventStream.streamIntervalJoinOuter(rs(srcDir), rs(dstDir),
-        intervalSeconds = St2IntervalSec)
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000),
-      "outer interval join stream timed out")
-    finally q.stop()
+    drainToParquet(EventStream.streamIntervalJoinOuter(rs(srcDir),
+        rs(dstDir), intervalSeconds = St2IntervalSec),
+      out, s"$root/ckpt", "outer interval join stream")
     s.read.parquet(out)
       .filter(col("s_user") >= 0)
       .select(col("s_user").as("user_id"), col("s_event_id"),

@@ -74,18 +74,12 @@ class StreamQueriesSpec extends AnyFunSuite {
     val ev = Tables.events(spark, SparkTestBase.sf)
       .select(col("ts"), col("event_type"), col("value"))
     ev.repartition(3).write.parquet(landing)
+    // the SAME production drain st4 runs — the spec pins the real path
     def dump(out: String, ckpt: String): Unit = {
       val stream = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
-      val q = EventStream.windowedCounts(stream)
-        .writeStream.outputMode("complete")
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.write.mode("overwrite").parquet(out)
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try assert(q.awaitTermination(120000)) finally q.stop()
+      StreamQueries.drainCompleteReplace(
+        EventStream.windowedCounts(stream), out, ckpt, "windowed dump")
     }
     def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) ->
@@ -124,7 +118,8 @@ class StreamQueriesSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(a.schema)
       .option("maxFilesPerTrigger", 1).parquet(landing.toString)
     val out = s"$root/out"
-    val q = EventStream.dedupExactStream(stream, watermarkDelay = "45 days")
+    val q = EventStream.dedupExactStream(stream,
+        watermarkDelay = StreamQueries.FixtureWatermarkDelay)
       .writeStream.format("parquet").option("path", out)
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
