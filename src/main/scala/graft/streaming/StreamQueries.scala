@@ -509,6 +509,83 @@ object StreamQueries {
        |   + ${St2IntervalSec}000000
        |ORDER BY user_id, s_event_id, d_event_id""".stripMargin
 
+  /** ST7 variant (incremental funnel) — [[EventStream.funnelStream]]
+    * under the driver gate: the per-user view→click→purchase repair
+    * machinery runs across micro-batches in UPDATE mode (snapshots
+    * appended through foreachBatch — the parquet sink itself is
+    * append-only), and the read-back keeps each user's LATEST snapshot
+    * (argmax seq; seq is strictly increasing per user, so no ties).
+    * Why this is oracle-able: a user's final snapshot is computed from
+    * their complete event set whatever the micro-batch split
+    * (StreamingSpec pins stream ≡ batch funnelSteps), the time-ordered
+    * landing means no late drops, and [[FixtureWatermarkDelay]] + a
+    * 100-day retention keep every user's state alive for the whole
+    * drain (no mid-drain eviction). Oracle: the per-user CTE of the
+    * batch w9 funnel (ta = first view, tb = first qualifying click,
+    * tc = first qualifying purchase, 7-day step windows). */
+  private def st8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val root = queryDumpDir("graft_stream_funnel")
+    val landing = s"$root/landing"
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        us(col("ts")).as("tus"))
+    landTimeOrdered(ev, landing, 4)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(landing)
+      .select(col("user_id"), col("event_type"), col("tus"))
+      .as[EventStream.FunnelEvent]
+    val out = s"$root/out"
+    val q = EventStream.funnelStream(stream,
+        watermarkDelay = FixtureWatermarkDelay,
+        stateRetentionMs = 100L * 24 * 3600 * 1000)(s)
+      .toDF()
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(300000), "funnel stream timed out")
+    finally q.stop()
+    val latest = Window.partitionBy(col("user_id"))
+      .orderBy(col("seq").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ta"), col("tb"), col("tc"))
+      .orderBy(col("user_id"))
+  }
+
+  // the per-user CTE of the batch w9 oracle (WindowOps.w9Sql) — same
+  // step windows, same repair semantics, stopped before w9's final
+  // corpus-level rollup so each user's (ta, tb, tc) is visible
+  private val st8Sql =
+    """WITH stepped AS (
+      | SELECT user_id, event_type, tus,
+      |  min(CASE WHEN event_type = 'view' THEN tus END)
+      |    OVER (PARTITION BY user_id) AS ta
+      | FROM (SELECT user_id, event_type,
+      |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase'))),
+      |s2 AS (
+      | SELECT *, min(CASE WHEN event_type = 'click' AND tus > ta
+      |   AND tus <= ta + CAST(604800000000 AS BIGINT) THEN tus END)
+      |   OVER (PARTITION BY user_id) AS tb
+      | FROM stepped),
+      |s3 AS (
+      | SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > tb
+      |   AND tus <= tb + CAST(604800000000 AS BIGINT) THEN tus END)
+      |   OVER (PARTITION BY user_id) AS tc
+      | FROM s2)
+      |SELECT user_id, min(ta) AS ta, min(tb) AS tb, min(tc) AS tc
+      |FROM s3 GROUP BY 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_corpus_stream_dump" -> (st1 _),
     "st2_xcm_stream_match" -> (st2 _),
@@ -516,7 +593,8 @@ object StreamQueries {
     "st4_windowed_stream" -> (st4 _),
     "st5_dedup_stream" -> (st5 _),
     "st6_session_stream" -> (st6 _),
-    "st7_outer_stream" -> (st7 _))
+    "st7_outer_stream" -> (st7 _),
+    "st8_funnel_stream" -> (st8 _))
 
   val oracles: Map[String, String] = Map(
     "st1_corpus_stream_dump" -> st1Sql,
@@ -525,5 +603,6 @@ object StreamQueries {
     "st4_windowed_stream" -> st4Sql,
     "st5_dedup_stream" -> st5Sql,
     "st6_session_stream" -> st6Sql,
-    "st7_outer_stream" -> st7Sql)
+    "st7_outer_stream" -> st7Sql,
+    "st8_funnel_stream" -> st8Sql)
 }

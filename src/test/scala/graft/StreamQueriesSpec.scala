@@ -153,6 +153,12 @@ class StreamQueriesSpec extends AnyFunSuite {
     val straggler = s7.filter(col("d_event_id").isNull).count()
     assert(matched > 0 && straggler > 0)
     assert(s7.filter(col("user_id") < 0).count() == 0)
+    // st8: the funnel must reach full conversion for SOME user and
+    // drop off for another — else the step-window logic idled
+    val s8 = StreamQueries.queries("st8_funnel_stream")(
+      spark, SparkTestBase.sf)
+    assert(s8.filter(col("tc").isNotNull).count() > 0)
+    assert(s8.filter(col("tc").isNull).count() > 0)
   }
 
   test("interval join default window stays the reference's 120s") {
