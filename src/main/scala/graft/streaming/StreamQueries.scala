@@ -71,12 +71,17 @@ object StreamQueries {
     * `tmp` into `dir/name` with an explicit mod-time — the one
     * spelling of the land-and-stamp step every fixture file that must
     * replay in a KNOWN micro-batch position goes through. */
-  private def landFileStamped(tmp: String, dir: String, name: String,
-      mtime: Long): Unit = {
-    val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.startsWith("part-")).head
+  private[graft] def landFileStamped(tmp: String, dir: String,
+      name: String, mtime: Long): Unit = {
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    // a non-coalesced write landed here would silently drop rows and
+    // surface much later as an inexplicable oracle mismatch — fail now
+    require(parts.length == 1,
+      s"$tmp has ${parts.length} part files; caller must coalesce(1)")
     val tgt = new java.io.File(dir, name)
-    require(part.renameTo(tgt), s"could not move $part to $tgt")
+    require(parts.head.renameTo(tgt),
+      s"could not move ${parts.head} to $tgt")
     require(tgt.setLastModified(mtime),
       s"could not stamp mod-time on $tgt")
   }
@@ -97,16 +102,15 @@ object StreamQueries {
     finally q.stop()
   }
 
-  /** The complete-mode replace-writer drain (st1's ST8 shape, reused
-    * by st4 and by StreamQueriesSpec so the spec exercises the SAME
-    * production path it pins): every micro-batch overwrites `out`
-    * with the full aggregate — replay-idempotent by construction. */
-  private[graft] def drainCompleteReplace(agg: DataFrame, out: String,
-      ckpt: String, what: String): Unit = {
-    val q = agg.writeStream
-      .outputMode("complete")
+  /** The foreachBatch drain core — one spelling of the
+    * checkpoint/AvailableNow/awaitTermination-or-die guard for the
+    * sinks the parquet writer can't express directly. */
+  private def drainForeachBatch(df: DataFrame, outputMode: String,
+      saveMode: String, out: String, ckpt: String, what: String): Unit = {
+    val q = df.writeStream
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
+        batch.write.mode(saveMode).parquet(out)
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -114,6 +118,20 @@ object StreamQueries {
     try require(q.awaitTermination(300000), s"$what timed out")
     finally q.stop()
   }
+
+  /** The complete-mode replace-writer drain (st1's ST8 shape, reused
+    * by st4 and by StreamQueriesSpec so the spec exercises the SAME
+    * production path it pins): every micro-batch overwrites `out`
+    * with the full aggregate — replay-idempotent by construction. */
+  private[graft] def drainCompleteReplace(agg: DataFrame, out: String,
+      ckpt: String, what: String): Unit =
+    drainForeachBatch(agg, "complete", "overwrite", out, ckpt, what)
+
+  /** The update-mode append-log drain (st8's shape): each micro-batch
+    * appends its snapshots; the reader keeps latest-wins. */
+  private def drainUpdateAppend(df: DataFrame, out: String,
+      ckpt: String, what: String): Unit =
+    drainForeachBatch(df, "update", "append", out, ckpt, what)
 
   private def st1(s: SparkSession, d: String): DataFrame = {
     val root = queryDumpDir("graft_stream_corpus")
@@ -141,9 +159,11 @@ object StreamQueries {
 
   private def st2(s: SparkSession, d: String): DataFrame = {
     val root = queryDumpDir("graft_stream_xcm")
+    // persisted: the frame feeds both side writes — two scans otherwise
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"))
+      .persist()
     def side(name: String, typ: String): String = {
       val dir = s"$root/$name"
       landTimeOrdered(
@@ -153,6 +173,7 @@ object StreamQueries {
     val srcDir = side("src", "view")
     val dstDir = side("dst", "click")
     val schema = ev.drop("event_type").schema
+    ev.unpersist()
     def rs(dir: String) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = s"$root/out"
@@ -417,12 +438,15 @@ object StreamQueries {
   private def st6(s: SparkSession, d: String): DataFrame = {
     val root = queryDumpDir("graft_stream_session")
     val landing = s"$root/landing"
+    // persisted: the frame feeds the landing write AND the max-ts agg
     val ev = Tables.events(s, d).filter(col("user_id") < 50)
       .select(col("user_id"), col("ts"))
+      .persist()
     landTimeOrdered(ev, landing, 3)
     val maxTs = ev.agg(max(col("ts"))).collect()(0)
       .getTimestamp(0).getTime // ms; one-row agg, not a data collect
     val schema = ev.schema
+    ev.unpersist()
     def sentinel(offsetMs: Long) = org.apache.spark.sql.Row(
       -1L, new java.sql.Timestamp(maxTs + offsetMs))
     // A: +8h (> gap 6h + delay 10m past every real session close);
@@ -460,9 +484,12 @@ object StreamQueries {
     * outer interval join. */
   private def st7(s: SparkSession, d: String): DataFrame = {
     val root = queryDumpDir("graft_stream_outer")
+    // persisted: the frame feeds the max-ts agg and BOTH side writes —
+    // three events scans otherwise
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type"))
+      .persist()
     val maxTs = ev.agg(max(col("ts"))).collect()(0)
       .getTimestamp(0).getTime
     val sideSchema = ev.drop("event_type").schema
@@ -481,6 +508,7 @@ object StreamQueries {
     }
     val srcDir = side("src", "view")
     val dstDir = side("dst", "click")
+    ev.unpersist()
     def rs(dir: String) = s.readStream.schema(sideSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = s"$root/out"
@@ -538,20 +566,10 @@ object StreamQueries {
       .select(col("user_id"), col("event_type"), col("tus"))
       .as[EventStream.FunnelEvent]
     val out = s"$root/out"
-    val q = EventStream.funnelStream(stream,
+    drainUpdateAppend(EventStream.funnelStream(stream,
         watermarkDelay = FixtureWatermarkDelay,
-        stateRetentionMs = 100L * 24 * 3600 * 1000)(s)
-      .toDF()
-      .writeStream
-      .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
-      }
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try require(q.awaitTermination(300000), "funnel stream timed out")
-    finally q.stop()
+        stateRetentionMs = 100L * 24 * 3600 * 1000)(s).toDF(),
+      out, s"$root/ckpt", "funnel stream")
     val latest = Window.partitionBy(col("user_id"))
       .orderBy(col("seq").desc)
     s.read.parquet(out)

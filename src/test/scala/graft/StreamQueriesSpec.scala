@@ -154,11 +154,15 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(matched > 0 && straggler > 0)
     assert(s7.filter(col("user_id") < 0).count() == 0)
     // st8: the funnel must reach full conversion for SOME user and
-    // drop off for another — else the step-window logic idled
+    // stop short at SOME step for another — else the step-window
+    // logic idled. (At sf0.001 the incomplete side is a single user —
+    // a knife edge by fixture, so the assertion accepts a drop-off at
+    // EITHER step; a testdata regeneration that fully converts every
+    // user should widen the fixture, not delete the assertion.)
     val s8 = StreamQueries.queries("st8_funnel_stream")(
       spark, SparkTestBase.sf)
     assert(s8.filter(col("tc").isNotNull).count() > 0)
-    assert(s8.filter(col("tc").isNull).count() > 0)
+    assert(s8.filter(col("tb").isNull || col("tc").isNull).count() > 0)
   }
 
   test("interval join default window stays the reference's 120s") {

@@ -76,10 +76,8 @@ class StreamRecoverySpec extends AnyFunSuite {
         : Unit = {
       val tmp = s"$root/tmp-${dir.getName}-$stamp"
       df.coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.startsWith("part-")).head
-      val tgt = new java.io.File(dir, s"f-$stamp.parquet")
-      assert(part.renameTo(tgt) && tgt.setLastModified(stamp))
+      graft.streaming.StreamQueries.landFileStamped(
+        tmp, dir.toString, s"f-$stamp.parquet", stamp)
       stamp += 1000L
     }
     // phase-1 landing: (u1,100)↔(u1,200) same-run match; (u2,101) a
