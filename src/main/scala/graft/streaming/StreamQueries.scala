@@ -73,7 +73,10 @@ object StreamQueries {
     * replay in a KNOWN micro-batch position goes through. */
   private[graft] def landFileStamped(tmp: String, dir: String,
       name: String, mtime: Long): Unit = {
-    val parts = new java.io.File(tmp).listFiles()
+    // listFiles() is null (not empty) on a missing dir — guard so a
+    // failed upstream write hits the require diagnostic, not an NPE
+    val parts = Option(new java.io.File(tmp).listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.startsWith("part-"))
     // a non-coalesced write landed here would silently drop rows and
     // surface much later as an inexplicable oracle mismatch — fail now
@@ -153,9 +156,12 @@ object StreamQueries {
 
   /** The reference's window is 120 s on real XCM traffic
     * (xcmmanager.js:423); the synthetic events table is ~1000× sparser
-    * per user, so the fixture widens to 6 h to exercise matches —
-    * the state/eviction machinery is identical at any width. */
-  private[graft] val St2IntervalSec = 21600L
+    * per user, so the FIXTURE widens to 6 h to exercise matches —
+    * the state/eviction machinery is identical at any width. Shared
+    * by st2 (inner) and st7 (left outer): one constant so the two
+    * rows gate the SAME interval predicate, diverging only in the
+    * straggler lane. */
+  private[graft] val FixtureIntervalSec = 21600L
 
   private def st2(s: SparkSession, d: String): DataFrame = {
     val root = queryDumpDir("graft_stream_xcm")
@@ -178,7 +184,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = s"$root/out"
     drainToParquet(EventStream.streamIntervalJoin(rs(srcDir), rs(dstDir),
-        intervalSeconds = St2IntervalSec),
+        intervalSeconds = FixtureIntervalSec),
       out, s"$root/ckpt", "stream-stream interval join")
     s.read.parquet(out)
       .select(col("s_user").as("user_id"), col("s_event_id"),
@@ -197,7 +203,7 @@ object StreamQueries {
        | AND epoch_us(CAST(d.ts AS TIMESTAMP))
        |  BETWEEN epoch_us(CAST(s.ts AS TIMESTAMP))
        |  AND epoch_us(CAST(s.ts AS TIMESTAMP))
-       |   + ${St2IntervalSec}000000
+       |   + ${FixtureIntervalSec}000000
        |ORDER BY user_id, s_event_id, d_event_id""".stripMargin
 
   /** Watermark delay for the st3/st5 fixture lanes — WIDER than the
@@ -226,11 +232,33 @@ object StreamQueries {
     scala.collection.mutable.Map[(SparkSession, String),
       (String, org.apache.spark.sql.types.StructType)]()
 
+  /** Scope note: the memo is sized for the gate runner's lifetime —
+    * ONE session, a handful of sfDirs, entries never evicted (a
+    * stopped session's key would pin it and its landing path; no such
+    * process exists today). A cache hit re-validates the landing's
+    * CONTENTS — all four candidate part files and the later-stamped
+    * dup-0.parquet re-delivery — so a cleaned or half-cleaned temp
+    * tree rebuilds instead of streaming st3/st5 from a gutted fixture
+    * (losing dup-0 alone would leave st3's tombstone lane silently
+    * unexercised while the oracle stays green). */
+  private def landingIntact(landing: String): Boolean = {
+    val files = Option(new java.io.File(landing).listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+    files.count(_.startsWith("part-")) == 4 &&
+      files.contains("dup-0.parquet")
+  }
+
   private def candidateLanding(s: SparkSession, d: String)
       : (String, org.apache.spark.sql.types.StructType) =
     landingMemo.synchronized {
-      landingMemo.getOrElseUpdate((s, d),
-        buildCandidateLanding(s, d, queryDumpDir("graft_stream_cand")))
+      landingMemo.get((s, d)) match {
+        case Some(hit) if landingIntact(hit._1) => hit
+        case _ =>
+          val built = buildCandidateLanding(s, d,
+            queryDumpDir("graft_stream_cand"))
+          landingMemo.update((s, d), built)
+          built
+      }
     }
 
   private def buildCandidateLanding(s: SparkSession, d: String,
@@ -513,7 +541,7 @@ object StreamQueries {
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val out = s"$root/out"
     drainToParquet(EventStream.streamIntervalJoinOuter(rs(srcDir),
-        rs(dstDir), intervalSeconds = St2IntervalSec),
+        rs(dstDir), intervalSeconds = FixtureIntervalSec),
       out, s"$root/ckpt", "outer interval join stream")
     s.read.parquet(out)
       .filter(col("s_user") >= 0)
@@ -534,7 +562,7 @@ object StreamQueries {
        | AND epoch_us(CAST(d.ts AS TIMESTAMP))
        |  BETWEEN epoch_us(CAST(s.ts AS TIMESTAMP))
        |  AND epoch_us(CAST(s.ts AS TIMESTAMP))
-       |   + ${St2IntervalSec}000000
+       |   + ${FixtureIntervalSec}000000
        |ORDER BY user_id, s_event_id, d_event_id""".stripMargin
 
   /** ST7 variant (incremental funnel) — [[EventStream.funnelStream]]
@@ -550,7 +578,16 @@ object StreamQueries {
     * 100-day retention keep every user's state alive for the whole
     * drain (no mid-drain eviction). Oracle: the per-user CTE of the
     * batch w9 funnel (ta = first view, tb = first qualifying click,
-    * tc = first qualifying purchase, 7-day step windows). */
+    * tc = first qualifying purchase, 7-day step windows).
+    *
+    * Fixture churn: the synthetic events table converts almost every
+    * user end-to-end, so the interesting funnel lanes (stopped at
+    * view, stopped at click) would ride on 1-2 accidental users — a
+    * knife edge any testdata regeneration could erase. The fixture
+    * therefore deterministically DROPS clicks for `user_id % 5 = 2`
+    * and purchases for `user_id % 5 = 3` (both sides of the oracle,
+    * input filter only — step semantics stay w9's), guaranteeing a
+    * multi-user population at every funnel stage at every SF. */
   private def st8(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -558,6 +595,8 @@ object StreamQueries {
     val landing = s"$root/landing"
     val ev = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
+      .filter(!(col("event_type") === "click" && col("user_id") % 5 === 2)
+        && !(col("event_type") === "purchase" && col("user_id") % 5 === 3))
       .select(col("user_id"), col("event_type"), col("ts"),
         us(col("ts")).as("tus"))
     landTimeOrdered(ev, landing, 4)
@@ -589,7 +628,9 @@ object StreamQueries {
       |    OVER (PARTITION BY user_id) AS ta
       | FROM (SELECT user_id, event_type,
       |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
-      |  WHERE event_type IN ('view', 'click', 'purchase'))),
+      |  WHERE event_type IN ('view', 'click', 'purchase')
+      |   AND NOT (event_type = 'click' AND user_id % 5 = 2)
+      |   AND NOT (event_type = 'purchase' AND user_id % 5 = 3))),
       |s2 AS (
       | SELECT *, min(CASE WHEN event_type = 'click' AND tus > ta
       |   AND tus <= ta + CAST(604800000000 AS BIGINT) THEN tus END)

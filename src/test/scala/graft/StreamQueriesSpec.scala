@@ -58,7 +58,7 @@ class StreamQueriesSpec extends AnyFunSuite {
     // batch frames (withWatermark is a no-op there) with the one shared
     // interval constant — one spelling of the predicate under test
     val batch = EventStream.streamIntervalJoin(side("view"),
-        side("click"), StreamQueries.St2IntervalSec)
+        side("click"), StreamQueries.FixtureIntervalSec)
       .select(col("s_user").as("user_id"), col("s_event_id"),
         col("d_event_id"), unix_micros(col("s_ts")).as("s_us"),
         unix_micros(col("d_ts")).as("d_us"))
@@ -134,35 +134,45 @@ class StreamQueriesSpec extends AnyFunSuite {
     assert(got.toSet == Set((1, 100L, "0xa"), (1, 101L, "0xb")))
   }
 
-  test("session/outer driver rows gate non-vacuous fixtures") {
-    // the DuckDB oracle proves read-back == batch twin but cannot see
-    // WHETHER the interesting lanes were exercised — pin that here:
-    // st6 must contain multi-event sessions AND gap-split users (else
-    // the session-merge machinery idled), st7 must contain BOTH
-    // matched pairs and null-extended stragglers (else the outer lane
-    // degenerated to the inner join or to all-unmatched)
+  // The DuckDB oracle proves read-back == batch twin but cannot see
+  // WHETHER the interesting lanes were exercised — the three tests
+  // below pin fixture non-vacuity, one drain per test so a failure
+  // names its query.
+
+  test("st6 session fixture is non-vacuous") {
+    // multi-event sessions AND gap-split users must both occur, else
+    // the session-merge machinery idled
     val s6 = StreamQueries.queries("st6_session_stream")(
       spark, SparkTestBase.sf)
     assert(s6.filter(col("n_events") > 1).count() > 0)
     assert(s6.groupBy("user_id").count().filter(col("count") > 1)
       .count() > 0)
     assert(s6.filter(col("user_id") < 0).count() == 0) // sentinels gone
+  }
+
+  test("st7 outer-join fixture is non-vacuous") {
+    // BOTH matched pairs and null-extended stragglers must occur, else
+    // the outer lane degenerated to the inner join or to all-unmatched
     val s7 = StreamQueries.queries("st7_outer_stream")(
       spark, SparkTestBase.sf)
     val matched = s7.filter(col("d_event_id").isNotNull).count()
     val straggler = s7.filter(col("d_event_id").isNull).count()
     assert(matched > 0 && straggler > 0)
     assert(s7.filter(col("user_id") < 0).count() == 0)
-    // st8: the funnel must reach full conversion for SOME user and
-    // stop short at SOME step for another — else the step-window
-    // logic idled. (At sf0.001 the incomplete side is a single user —
-    // a knife edge by fixture, so the assertion accepts a drop-off at
-    // EITHER step; a testdata regeneration that fully converts every
-    // user should widen the fixture, not delete the assertion.)
+  }
+
+  test("st8 funnel fixture populates every stage multi-user") {
+    // the fixture's deterministic churn (clicks dropped for
+    // user_id%5=2, purchases for user_id%5=3 — see st8's scaladoc)
+    // guarantees each funnel stage a population that no testdata
+    // regeneration can collapse to a knife edge: full conversions,
+    // >1 user stopped at view, >1 user stopped at click
     val s8 = StreamQueries.queries("st8_funnel_stream")(
       spark, SparkTestBase.sf)
-    assert(s8.filter(col("tc").isNotNull).count() > 0)
-    assert(s8.filter(col("tb").isNull || col("tc").isNull).count() > 0)
+    assert(s8.filter(col("tc").isNotNull).count() > 1)
+    assert(s8.filter(col("tb").isNull).count() > 1)
+    assert(s8.filter(col("tb").isNotNull && col("tc").isNull)
+      .count() > 1)
   }
 
   test("interval join default window stays the reference's 120s") {
