@@ -37,6 +37,7 @@ object SparkEntry {
       ContractOps.queries ++
       DimOps.queries ++
       SnapshotOps.queries ++
+      graft.etl.WriterQueries.queries ++
       graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -57,6 +58,7 @@ object SparkEntry {
       ContractOps.oracles ++
       DimOps.oracles ++
       SnapshotOps.oracles ++
+      graft.etl.WriterQueries.oracles ++
       graft.streaming.StreamQueries.oracles
 
   /** The single manifest of deliberately rows-only queries (no SQL oracle

@@ -142,3 +142,105 @@ object Writers {
       .drop("_src", "_rn")
   }
 }
+
+/** The driver-gate face of [[Writers.upsert]] (S9/J15) — the one
+  * writer whose merge-key resolution was previously pinned only by
+  * EtlSpec. Shape follows the streaming rows: the query applies TWO
+  * update waves over a persisted base table THROUGH the writer
+  * (write → read back → upsert → write → read back), and the final
+  * read-back is oracled against DuckDB's latest-wins pick over
+  * base ∪ waves (ref polkaholicDB.js `on duplicate key update`;
+  * the Delta `MERGE INTO` twin).
+  *
+  * Fixture lanes (all multi-customer at sf0.001 AND sf0.01 — chosen
+  * against the orders date histogram):
+  *  - base = even-custkey customers only → odd custkeys with orders
+  *    exercise the INSERT lane; even custkeys with no orders in either
+  *    window survive untouched (base lane);
+  *  - wave 1 (ver 1) = order stats over [1995-01-01, 1995-07-01) —
+  *    customers active there but not in wave 2 keep the ver-1 row
+  *    through the second merge (carry-forward lane);
+  *  - wave 2 = TWO versions in one updates frame: ver 2 over
+  *    [1996-01-01, 1996-04-01) and ver 3 over [1996-01-01,
+  *    1996-07-01) for every ver-2 key and more — upsert's versionCol
+  *    order must pick ver 3; a regressed ascending pick would surface
+  *    as ver=2 rows with the narrower counts and fail the hash.
+  *
+  * Scale: each upsert is ONE shuffle on the merge key (window
+  * row_number) — the MERGE shape; the name-enrichment join is a dim
+  * lookup (broadcast here; co-partitioned at 100 TB). The waves are
+  * date-pruned aggregates of orders, so a production refresh reads
+  * only the new window, never the standing table's history twice. */
+object WriterQueries {
+  import graft.Tables
+  import graft.operators.{queryDumpDir, us}
+
+  private val keyCols = Seq("c_custkey")
+
+  private def j15(s: SparkSession, d: String): DataFrame = {
+    val root = queryDumpDir("graft_upsert")
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    // wave = per-customer order stats over [start, end), stamped ver
+    def wave(start: String, end: String, ver: Long): DataFrame =
+      Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit(start).cast("timestamp")
+          && col("o_orderdate") < lit(end).cast("timestamp"))
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("order_count"),
+          us(max(col("o_orderdate")).cast("timestamp"))
+            .as("last_order_us"))
+        .join(broadcast(cust), keyCols)
+        .select(col("c_custkey"), col("c_name"), col("order_count"),
+          col("last_order_us"), lit(ver).as("ver"))
+    val base = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        lit(0L).as("order_count"), lit(0L).as("last_order_us"),
+        lit(0L).as("ver"))
+    // the standing table lives as parquet between waves — each merge
+    // reads the CURRENT table back (a lazy self-overwrite would read
+    // the files it is replacing), upserts, and publishes the next
+    val t0 = s"$root/t0"; base.write.parquet(t0)
+    val after1 = Writers.upsert(s.read.parquet(t0),
+      wave("1995-01-01", "1995-07-01", 1L), keyCols, "ver")
+    val t1 = s"$root/t1"; after1.write.parquet(t1)
+    val wave2 = wave("1996-01-01", "1996-04-01", 2L)
+      .unionByName(wave("1996-01-01", "1996-07-01", 3L))
+    val after2 = Writers.upsert(s.read.parquet(t1), wave2, keyCols, "ver")
+    val t2 = s"$root/t2"; after2.write.parquet(t2)
+    s.read.parquet(t2).orderBy(col("c_custkey"))
+  }
+
+  private val j15Sql =
+    """WITH w1 AS (
+      | SELECT o_custkey AS c_custkey, count(*) AS order_count,
+      |  epoch_us(max(CAST(o_orderdate AS TIMESTAMP))) AS last_order_us
+      | FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      | GROUP BY 1),
+      |w3 AS (
+      | SELECT o_custkey AS c_custkey, count(*) AS order_count,
+      |  epoch_us(max(CAST(o_orderdate AS TIMESTAMP))) AS last_order_us
+      | FROM orders
+      | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      | GROUP BY 1)
+      |SELECT c.c_custkey, c.c_name,
+      | CAST(coalesce(w3.order_count, w1.order_count, 0) AS BIGINT)
+      |  AS order_count,
+      | CAST(coalesce(w3.last_order_us, w1.last_order_us, 0) AS BIGINT)
+      |  AS last_order_us,
+      | CAST(CASE WHEN w3.c_custkey IS NOT NULL THEN 3
+      |  WHEN w1.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |  AS ver
+      |FROM customer c
+      |LEFT JOIN w1 ON c.c_custkey = w1.c_custkey
+      |LEFT JOIN w3 ON c.c_custkey = w3.c_custkey
+      |WHERE c.c_custkey % 2 = 0 OR w1.c_custkey IS NOT NULL
+      | OR w3.c_custkey IS NOT NULL
+      |ORDER BY c.c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("j15_upsert_waves" -> (j15 _))
+  val oracles: Map[String, String] = Map("j15_upsert_waves" -> j15Sql)
+}
