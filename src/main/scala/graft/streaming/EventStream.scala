@@ -157,10 +157,16 @@ object EventStream {
     * exactly-once across restarts (each file processed exactly once —
     * proven by FileStreamSpec's stop/append/restart case). */
   def jsonFileSource(spark: SparkSession, dir: String,
-      schema: StructType, maxFilesPerTrigger: Int = 10): DataFrame =
+      schema: StructType, maxFilesPerTrigger: Int = 10,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .options(options) // reader options (e.g. timestampFormat) —
+                        // landing formats vary by producer; applied
+                        // LAST so an explicit map entry (incl.
+                        // maxFilesPerTrigger) is never silently
+                        // overwritten by the parameter default
       .json(dir)
 
   /** ST2/ST7 — stream-stream interval join with watermarks: the XCM

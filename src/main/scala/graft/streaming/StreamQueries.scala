@@ -261,26 +261,40 @@ object StreamQueries {
       }
     }
 
-  private def buildCandidateLanding(s: SparkSession, d: String,
-      root: String): (String, org.apache.spark.sql.types.StructType) = {
+  /** The ONE spelling of the candidate fixture derivation (chain =
+    * user%4, block = event%499, md5 hash, min-event finality marker)
+    * shared by the st3/st5 landing and the st10 ranking fixture — a
+    * key/hash change edited in one place cannot leave the two tiers
+    * gating silently different fixtures (their SQL twins still need
+    * the matching edit, but the gate hash fails loudly if missed).
+    * `sparseFinality` restricts the finalized flag to
+    * `block_number % 3 != 0` groups (st10's both-branches fixture). */
+  private def candidateFrame(s: SparkSession, d: String,
+      sparseFinality: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Tables.events(s, d).select(
       (col("user_id") % 4).cast("int").as("chain_id"),
       (col("event_id") % 499).as("block_number"),
       col("event_id"), col("ts"))
     val w = Window.partitionBy(col("chain_id"), col("block_number"))
-    // persisted: the fixture frame feeds two writes (the candidate
-    // landing and the duplicate re-delivery file) — without the pin
-    // the events scan + window min would run twice
-    val cand = base
+    val isMin = col("event_id") === min(col("event_id")).over(w)
+    base
       .withColumn("finalized",
-        col("event_id") === min(col("event_id")).over(w))
+        if (sparseFinality) isMin && col("block_number") % 3 =!= 0
+        else isMin)
       .withColumn("block_hash", concat(lit("0x"),
         md5(concat_ws(":", col("chain_id"), col("block_number"),
           col("event_id")).cast("binary"))))
       .select(col("chain_id"), col("block_number"), col("block_hash"),
         col("finalized"), col("ts"))
-      .persist()
+  }
+
+  private def buildCandidateLanding(s: SparkSession, d: String,
+      root: String): (String, org.apache.spark.sql.types.StructType) = {
+    // persisted: the fixture frame feeds two writes (the candidate
+    // landing and the duplicate re-delivery file) — without the pin
+    // the events scan + window min would run twice
+    val cand = candidateFrame(s, d, sparseFinality = false).persist()
     val landing = s"$root/landing"
     landTimeOrdered(cand, landing, 4)
     val dupTmp = s"$root/dup"
@@ -645,6 +659,86 @@ object StreamQueries {
       |FROM s3 GROUP BY 1
       |ORDER BY user_id""".stripMargin
 
+  /** S10/ST3 — [[EventStream.jsonFileSource]] under the driver gate:
+    * the NDJSON landing-directory ingest (the reference's sidecar-dump
+    * → object-store landing → `bq load` flow, substrateetl.js
+    * :6212-6216) streamed through a checkpointed parquet sink.
+    * Determinism: the pipeline is STATELESS pass-through — the emitted
+    * set is exactly the landed set under any micro-batch split — and
+    * the JSON roundtrip is lossless (timestamps serialize at micros,
+    * doubles at shortest-roundtrip repr), so the read-back is oracled
+    * directly against the source table. What this gates cross-engine
+    * that st1-st8 don't: the TEXT → typed-schema coercion of the
+    * landing format itself (timestamp parse, double parse, nulls). */
+  private def st9(s: SparkSession, d: String): DataFrame = {
+    val root = queryDumpDir("graft_stream_json")
+    val landing = s"$root/landing"
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"))
+    // Spark's default JSON timestampFormat truncates to millis on
+    // write — pin a micros format on BOTH sides or ts_us loses the
+    // sub-milli digits and the hash diverges
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.repartition(4).write.option("timestampFormat", tsFmt)
+      .json(landing)
+    val stream = EventStream.jsonFileSource(s, landing, ev.schema,
+      maxFilesPerTrigger = 1,
+      options = Map("timestampFormat" -> tsFmt))
+    val out = s"$root/out"
+    drainToParquet(stream, out, s"$root/ckpt", "json ingest stream")
+    s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), us(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val st9Sql =
+    """SELECT event_id, user_id, event_type, value,
+      | epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** ST1 (ranking face) — [[EventStream.dedupCandidates]] under the
+    * driver gate: the batch finalized-preferred-latest pick over a
+    * bronze candidate table (the silver compaction twin of st3's
+    * streaming finality; ref crawler.js:1658-1669 losing-fork delete).
+    * Fixture: candidates from `events` with SPARSE finality —
+    * only `block_number % 3 != 0` groups carry a finalized row — so
+    * BOTH branches of the (finalized DESC, ts DESC, hash) ordering are
+    * exercised: 290/870 groups at sf0.001 pick latest-unfinalized, and
+    * 85 groups hold a finalized row that is NOT the latest by ts
+    * (StreamQueriesSpec pins both non-vacuous). Deterministic: hashes
+    * are unique per candidate, so the ordering has no ties. */
+  private def st10(s: SparkSession, d: String): DataFrame =
+    EventStream.dedupCandidates(
+        candidateFrame(s, d, sparseFinality = true))
+      .select(col("chain_id"), col("block_number"), col("block_hash"),
+        col("finalized"), us(col("ts")).as("ts_us"))
+      .orderBy(col("chain_id"), col("block_number"))
+
+  private val st10Sql =
+    """WITH c AS (
+      | SELECT CAST(user_id % 4 AS INT) AS chain_id,
+      |  CAST(event_id % 499 AS BIGINT) AS block_number,
+      |  '0x' || md5(CAST(user_id % 4 AS VARCHAR) || ':'
+      |   || CAST(event_id % 499 AS VARCHAR) || ':'
+      |   || CAST(event_id AS VARCHAR)) AS block_hash,
+      |  (event_id = min(event_id) OVER (
+      |    PARTITION BY user_id % 4, event_id % 499))
+      |   AND (event_id % 499) % 3 <> 0 AS finalized,
+      |  CAST(ts AS TIMESTAMP) AS tsm
+      | FROM events),
+      |r AS (
+      | SELECT *, row_number() OVER (
+      |   PARTITION BY chain_id, block_number
+      |   ORDER BY finalized DESC, tsm DESC, block_hash) AS rn
+      | FROM c)
+      |SELECT chain_id, block_number, block_hash, finalized,
+      | epoch_us(tsm) AS ts_us
+      |FROM r WHERE rn = 1
+      |ORDER BY chain_id, block_number""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_corpus_stream_dump" -> (st1 _),
     "st2_xcm_stream_match" -> (st2 _),
@@ -653,7 +747,9 @@ object StreamQueries {
     "st5_dedup_stream" -> (st5 _),
     "st6_session_stream" -> (st6 _),
     "st7_outer_stream" -> (st7 _),
-    "st8_funnel_stream" -> (st8 _))
+    "st8_funnel_stream" -> (st8 _),
+    "st9_json_ingest" -> (st9 _),
+    "st10_candidate_pick" -> (st10 _))
 
   val oracles: Map[String, String] = Map(
     "st1_corpus_stream_dump" -> st1Sql,
@@ -663,5 +759,7 @@ object StreamQueries {
     "st5_dedup_stream" -> st5Sql,
     "st6_session_stream" -> st6Sql,
     "st7_outer_stream" -> st7Sql,
-    "st8_funnel_stream" -> st8Sql)
+    "st8_funnel_stream" -> st8Sql,
+    "st9_json_ingest" -> st9Sql,
+    "st10_candidate_pick" -> st10Sql)
 }

@@ -175,6 +175,65 @@ class StreamQueriesSpec extends AnyFunSuite {
       .count() > 1)
   }
 
+  test("st9 json ingest is multi-batch and roundtrips types exactly") {
+    // the oracle proves read-back == source; pin HERE that the drain
+    // genuinely crossed micro-batches (4 landed files at
+    // maxFilesPerTrigger=1) and that the text roundtrip preserved the
+    // lossy-prone types bit-for-bit (micros timestamps, full doubles)
+    val s9 = StreamQueries.queries("st9_json_ingest")(
+      spark, SparkTestBase.sf)
+    // multi-batch pin: the landing must hold >= 2 json part files —
+    // at maxFilesPerTrigger=1 that IS the micro-batch count; a
+    // repartition(4) -> coalesce(1) edit (or a writer that merged the
+    // landing) would collapse the drain to one batch and leave the
+    // multi-batch claim vacuous while the oracle stayed green. The
+    // landing dirs live under the process's query-dump root; count
+    // part files in the landing dirs only (never the parquet sink's).
+    val walk = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")))
+    val landings =
+      try walk.filter { p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.toString.contains("graft_stream_json") &&
+          p.getParent.getFileName.toString == "landing"
+      }.count()
+      finally walk.close()
+    assert(landings >= 2,
+      s"json landing holds $landings part files — single micro-batch")
+    val src = Tables.events(spark, SparkTestBase.sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+    val got = s9.collect().map(_.toSeq).toSeq
+    val want = src.collect().map(_.toSeq).toSeq
+    assert(want.size > 100 && got == want)
+    // sub-milli digits present in the fixture — else the micros
+    // timestampFormat pin (st9's whole point vs default millis) is
+    // vacuous
+    assert(src.filter(col("ts_us") % 1000 =!= 0).count() > 0)
+  }
+
+  test("st10 candidate pick exercises both ordering branches") {
+    // sparse finality (block_number % 3 == 0 groups carry none) must
+    // leave BOTH branches load-bearing: some groups pick the
+    // latest-unfinalized candidate, and in some groups the finalized
+    // winner is NOT the latest by ts (so finalized-preference, not
+    // recency, decided)
+    val s10 = StreamQueries.queries("st10_candidate_pick")(
+      spark, SparkTestBase.sf)
+    assert(s10.filter(!col("finalized")).count() > 1)
+    val cand = Tables.events(spark, SparkTestBase.sf).select(
+        (col("user_id") % 4).cast("int").as("chain_id"),
+        (col("event_id") % 499).as("block_number"),
+        unix_micros(col("ts")).as("tus"))
+      .groupBy("chain_id", "block_number")
+      .agg(max(col("tus")).as("max_tus"))
+    val finNotLatest = s10.filter(col("finalized"))
+      .join(cand, Seq("chain_id", "block_number"))
+      .filter(col("ts_us") < col("max_tus"))
+    assert(finNotLatest.count() > 1)
+  }
+
   test("interval join default window stays the reference's 120s") {
     // the fixture widens the window; the API default is reference
     // fidelity (xcmmanager.js:423) — pin it so a refactor can't
