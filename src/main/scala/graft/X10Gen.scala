@@ -41,6 +41,17 @@ object X10Gen {
         println(s"wrote $out/$t.parquet")
       }
     }
+
+    // dim tables copied UNSCALED: facts grow, dims don't (the realistic
+    // 100 TB shape) — j15's ×10 measurement reads customer from here
+    Seq("customer", "nation", "region").foreach { t =>
+      val in = s"$src/$t.parquet"
+      if (new java.io.File(in).exists) {
+        spark.read.parquet(in).write.mode("overwrite")
+          .parquet(s"$out/$t.parquet")
+        println(s"wrote $out/$t.parquet (dim, unscaled)")
+      }
+    }
     spark.stop()
   }
 }
