@@ -91,6 +91,7 @@ object Bench {
     operators.VectorOps.resetPca()
     operators.TextOps.resetLr()
     operators.VectorOps.resetPqAdc()
+    operators.ContractOps.resetContractsDump()
     etl.Dump.resetRawDay()
     // a failing stage goes into the SAME errors map as a failing query —
     // the -1 sentinel alone made stage failures near-undiagnosable from
@@ -211,7 +212,13 @@ object Bench {
     // the evm.* dataset dump shared by k21/k22/k23 (one tx⋈receipt
     // join + three table writes, memoized like stage:lsh_pairs)
     "stage:evmds_dump" ->
-      ((s, d) => operators.KeyOps.warmEvmDataset(s, d)))
+      ((s, d) => operators.KeyOps.warmEvmDataset(s, d)),
+    // the WASM contracts dump shared by k18/k19/k20 (one synthesis +
+    // three whole-table writes, memoized like stage:evmds_dump —
+    // round 18: previously each of the three queries re-ran the full
+    // dump, tripling its cost across the suite)
+    "stage:contracts_dump" ->
+      ((s, d) => operators.ContractOps.warmContractsDump(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

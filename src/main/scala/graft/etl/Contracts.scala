@@ -406,11 +406,13 @@ object Contracts {
         "contractscall" -> contractsCalls(
           contractCallRows(calls, extrinsics), contract, code, dim,
           specs, verified))
-      tables.map { case (name, df) =>
+      // three independent whole-table writes off the two persisted
+      // frames — concurrent submission back-fills each write's tail
+      Writers.concurrently(spark, tables.toSeq) { case (name, df) =>
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$outRoot/$name")
         name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
-      }
+      }.toMap
     } finally {
       code.unpersist(); contract.unpersist(): Unit
     }

@@ -621,8 +621,11 @@ object Dump {
       val tables = Map(
         "traces" -> tracesOf(day, dim, logDT),
         "balances" -> balancesOf(day, dim, logDT, decimals, ss58Network))
-      tables.foreach { case (name, df) =>
-        Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
+      // both writes are independent jobs to distinct paths — submit
+      // them concurrently so the second back-fills the first's tail
+      Writers.concurrently(rawTraces.sparkSession, tables.toSeq) {
+        case (name, df) =>
+          Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
       }
       tables
     } finally day.unpersist()
@@ -648,10 +651,10 @@ object Dump {
       ss58Network: Int = 42): Unit = {
     val day = dayTraces(rawTraces, logDT)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Map(
+    try Writers.concurrently(rawTraces.sparkSession, Map(
       "traces" -> tracesOf(day, dim, logDT),
       "balances" -> balancesOf(day, dim, logDT, decimals, ss58Network)
-    ).foreach { case (name, df) =>
+    ).toSeq) { case (name, df) =>
       Writers.overwritePartitions(
         df.withColumn("batch_id", lit(batchId)),
         s"$outRoot/$name", Seq("log_dt", "batch_id"))
@@ -672,8 +675,14 @@ object Dump {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val tables = projections(day, logDT, usd)
-      tables.foreach { case (name, df) =>
-        Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
+      // the eight writes are independent jobs off the ONE persisted day
+      // scan — submitted concurrently (guide §2.6) each write's task
+      // tail back-fills with the next table's tasks instead of idling
+      // the cluster eight times; cache-block locks keep the persisted
+      // day computed once even under concurrent first readers
+      Writers.concurrently(raw.sparkSession, tables.toSeq) {
+        case (name, df) =>
+          Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
       }
       tables
     } finally day.unpersist()
@@ -883,7 +892,8 @@ object Dump {
     // the USD decoration commutes with micro-batching like the
     // projections themselves: it is row-wise against STATIC broadcast
     // dims (price intervals, chain registry), no cross-block state
-    try projections(day, logDT, usd).foreach { case (name, df) =>
+    try Writers.concurrently(raw.sparkSession,
+      projections(day, logDT, usd).toSeq) { case (name, df) =>
       Writers.overwritePartitions(
         df.withColumn("batch_id", lit(batchId)),
         s"$outRoot/$name", Seq("log_dt", "batch_id"))

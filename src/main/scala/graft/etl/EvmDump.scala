@@ -439,15 +439,15 @@ object EvmDump {
       "dumpEvmDataset needs receipt logs — both tables project them")
     val combined = EvmDecode.combineTxReceipt(txs, receipts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try Map(
+    try Writers.concurrently(spark, Map(
       "transactions" -> evmTransactionsOf(combined, logDT, chains,
         signatures),
       "logs" -> evmLogsOf(combined, logDT, chains, eventSigs),
       "token_transfers" -> evmTokenTransfersOf(combined, logDT, chains)
-    ).map { case (name, df) =>
+    ).toSeq) { case (name, df) =>
       Writers.overwritePartitions(df, s"$outRoot/$name", Seq("log_dt"))
       name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
-    } finally combined.unpersist(): Unit
+    }.toMap finally combined.unpersist(): Unit
   }
 
   /** The day's two projections off ONE combined frame — the single
@@ -478,12 +478,13 @@ object EvmDump {
     // consume it (the header's shuffle claim, made true structurally)
     val combined = EvmDecode.combineTxReceipt(txs, receipts)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try evmProjections(combined, logDT, usd, tokenDecimals, signatures)
-        .map { case (name, df) =>
+    try Writers.concurrently(spark,
+      evmProjections(combined, logDT, usd, tokenDecimals, signatures)
+        .toSeq) { case (name, df) =>
           Writers.overwritePartitions(df, s"$outRoot/$name",
             Seq("log_dt"))
           name -> spark.read.schema(df.schema).parquet(s"$outRoot/$name")
-        }
+        }.toMap
     finally combined.unpersist(): Unit
   }
 
@@ -516,8 +517,9 @@ object EvmDump {
       signatures: Option[DataFrame] = None): Unit = {
     val combined = EvmDecode.combineNested(txsWithReceipt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try evmProjections(combined, logDT, usd, tokenDecimals, signatures)
-        .foreach { case (name, df) =>
+    try Writers.concurrently(txsWithReceipt.sparkSession,
+      evmProjections(combined, logDT, usd, tokenDecimals, signatures)
+        .toSeq) { case (name, df) =>
           Writers.overwritePartitions(
             df.withColumn("batch_id", lit(batchId)),
             s"$outRoot/$name", Seq("log_dt", "batch_id"))

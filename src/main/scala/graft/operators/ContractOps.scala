@@ -40,8 +40,35 @@ object ContractOps {
 
   /** Run the full three-table dump over the synthesis and return the
     * read-backs. Events < 900 so the slice is identical at every SF
-    * (sf0.001 has exactly 1000 dense event ids). */
+    * (sf0.001 has exactly 1000 dense event ids).
+    *
+    * One-slot memo: k18/k19/k20 are three consumers of ONE dataset
+    * dump (the d3/d12/evmds shared-stage lesson — without it each
+    * query re-synthesizes and re-writes all three tables, tripling the
+    * dump cost across the gate run). Bench times the cold build +
+    * writes as `stage:contracts_dump`; the queries read memo-warm. */
+  @volatile private var contractsDumpMemo
+      : Option[((SparkSession, String), Map[String, DataFrame])] = None
+
   private def dumped(s: SparkSession, d: String)
+      : Map[String, DataFrame] = synchronized {
+    contractsDumpMemo match {
+      case Some(((ms, md), m)) if (ms eq s) && md == d => m
+      case _ =>
+        val m = buildContractsDump(s, d)
+        contractsDumpMemo = Some(((s, d), m))
+        m
+    }
+  }
+
+  /** Bench hooks: build + write the shared contracts dump / drop the
+    * memo so the bench times the stage cold (Bench.main resets). */
+  def warmContractsDump(s: SparkSession, d: String): Unit = {
+    dumped(s, d); ()
+  }
+  def resetContractsDump(): Unit = { contractsDumpMemo = None }
+
+  private def buildContractsDump(s: SparkSession, d: String)
       : Map[String, DataFrame] = {
     import s.implicits._
     graft.functions.Udfs.register(s)
