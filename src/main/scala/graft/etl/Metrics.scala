@@ -193,10 +193,13 @@ object Metrics {
     * value (the reference's exact, asymmetric column choice), message
     * counts likewise, each `having logDT < today` so the running day
     * never publishes a partial row. Unpriced rows count as 0 USD
-    * (`sum(if(usd is Null, 0, usd))`). Four hash aggregations with
-    * map-side combine + a full-outer key merge — no fact re-scan; at
-    * 100 TB the inputs are the day-pruned published tables, and the
-    * output is one row per (chain, day).
+    * (`sum(if(usd is Null, 0, usd))`). ONE hash aggregation with
+    * map-side combine over the direction-exploded union of the two
+    * facts (each fact scanned once, one exchange total — round 18; the
+    * old four-rollup + three-full-outer-join shape scanned each fact
+    * twice and shuffled seven times); at 100 TB the inputs are the
+    * day-pruned published tables, and the output is one row per
+    * (chain, day).
     *
     * USD sums ride exact decimals rendered as rounded doubles (the
     * repo determinism contract) — the reference's MySQL float adds
@@ -206,34 +209,52 @@ object Metrics {
     def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(38,6)")
     def out(c: org.apache.spark.sql.Column) =
       round(c.cast("double"), 6)
-    def roll(df: DataFrame, para: String, nCol: String,
-        usd: Option[(String, String)]): DataFrame = {
-      val g = df
-        .withColumn("log_dt",
+    val chainOf = chainIdOfPara(relayChain) _
+    // Round-18 shuffle rework: the old shape ran FOUR per-key rollups
+    // (each fact scanned twice — once keyed by destination, once by
+    // origination) merged by THREE full-outer joins — 7 exchanges and
+    // 4 fact passes. Each fact row instead explodes into its two
+    // directed rows (in → destination para with the SENT-side USD,
+    // out → origination para with the RECEIVED-side value — the
+    // reference's exact, asymmetric column choice preserved), the two
+    // sources union, and ONE conditional aggregation produces all six
+    // metric columns: one exchange, one pass per fact table. A metric
+    // with no rows in a (chain, day) group yields NULL (sum over an
+    // empty when-set), exactly the column the old full-outer merge
+    // left null — the reference's UPDATE never touches such rows.
+    def directed(df: DataFrame, src: String,
+        usdIn: org.apache.spark.sql.Column,
+        usdOut: org.apache.spark.sql.Column): DataFrame =
+      df.withColumn("log_dt",
           graft.operators.dayKey(col("origination_ts")))
         .filter(col("log_dt") < lit(today))
-        .groupBy(col("log_dt"),
-          chainIdOfPara(relayChain)(col(para)).as("chain_id"))
-      usd match {
-        case Some((u, vCol)) => g.agg(
-          count(lit(1)).as(nCol),
-          out(sum(dec6(coalesce(col(u), lit(0.0))))).as(vCol))
-        case None => g.agg(count(lit(1)).as(nCol))
-      }
-    }
-    val keys = Seq("log_dt", "chain_id")
-    roll(xcmtransfers, "destination_para_id", "num_xcm_transfers_in",
-        Some(("origination_amount_sent_usd",
-          "val_xcm_transfer_incoming_usd")))
-      .join(roll(xcmtransfers, "origination_para_id",
-        "num_xcm_transfers_out",
-        Some(("destination_amount_received_usd",
-          "val_xcm_transfer_outgoing_usd"))),
-        keys, "full_outer")
-      .join(roll(xcmMessages, "destination_para_id",
-        "num_xcm_messages_in", None), keys, "full_outer")
-      .join(roll(xcmMessages, "origination_para_id",
-        "num_xcm_messages_out", None), keys, "full_outer")
+        .select(col("log_dt"), lit(src).as("src"),
+          explode(array(
+            struct(lit("in").as("dir"),
+              chainOf(col("destination_para_id")).as("chain_id"),
+              usdIn.as("usd")),
+            struct(lit("out").as("dir"),
+              chainOf(col("origination_para_id")).as("chain_id"),
+              usdOut.as("usd")))).as("x"))
+        .select(col("log_dt"), col("x.chain_id").as("chain_id"),
+          col("src"), col("x.dir").as("dir"), col("x.usd").as("usd"))
+    val nullUsd = lit(null).cast("double")
+    val rows = directed(xcmtransfers, "t",
+        col("origination_amount_sent_usd").cast("double"),
+        col("destination_amount_received_usd").cast("double"))
+      .unionByName(directed(xcmMessages, "m", nullUsd, nullUsd))
+    def isTf(dir: String) = col("src") === "t" && col("dir") === dir
+    def isMsg(dir: String) = col("src") === "m" && col("dir") === dir
+    def n(cond: org.apache.spark.sql.Column) = sum(when(cond, 1L))
+    def usdSum(cond: org.apache.spark.sql.Column) =
+      out(sum(when(cond, dec6(coalesce(col("usd"), lit(0.0))))))
+    rows.groupBy(col("log_dt"), col("chain_id")).agg(
+      n(isTf("in")).as("num_xcm_transfers_in"),
+      usdSum(isTf("in")).as("val_xcm_transfer_incoming_usd"),
+      n(isTf("out")).as("num_xcm_transfers_out"),
+      usdSum(isTf("out")).as("val_xcm_transfer_outgoing_usd"),
+      n(isMsg("in")).as("num_xcm_messages_in"),
+      n(isMsg("out")).as("num_xcm_messages_out"))
   }
 
   /** `update_xcm_summary` step 2: the per-(chain, day) UPDATE of

@@ -704,12 +704,17 @@ object TextOps {
       .select(col("source"), explode(toks).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("tok"))
-      .agg(countDistinct(col("source")).as("df"))
+    // df via a window over tf instead of a groupBy+self-join (round
+    // 18): tf is UNIQUE per (source, tok), so count(*) over the tok
+    // partition IS countDistinct(source) — one exchange on tok
+    // replaces the df aggregation's exchange PLUS the join-side
+    // re-exchange, and the tokenize+tf subtree runs once, not twice
+    val df = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("tfidf").desc, col("tok"))
-    tf.join(df, "tok")
+    tf.withColumn("df", df)
       .crossJoin(broadcast(ns))
       .withColumn("tfidf",
         round(col("tf").cast("double") * log(col("n") / col("df")), 6))
@@ -832,10 +837,12 @@ object TextOps {
   // relational: doc bigrams ⋈ c2 ⋈ c1, p(w2|w1) = (c2+1)/(c1+V),
   // per-doc mean negative log-prob. Scale shape: bigram extraction is a
   // per-row ARRAY transform (no token-explode shuffle before the count
-  // aggs); both count tables are map-side-combined aggregations bounded
-  // by the observed vocabulary, reusable across every scoring run (the
-  // offline-KenLM analogue); V is a 1-row broadcast; scoring shuffles
-  // only on the (w1[,w2]) join keys. nll values go through
+  // aggs); c1/c2 ride ONE w1-partitioned window pass over the bigram
+  // instances (round 18 — see the inline note: the old aggregate-and-
+  // join-back shape shuffled the instance stream twice and planned the
+  // tokenize subtree three times; an offline registry run would still
+  // materialize the aggregated tables once, the KenLM analogue); V is
+  // a 1-row broadcast. nll values go through
   // DECIMAL(38,6) before the per-doc sum (order-independent), mean
   // rounded at 6 (repo convention, same as tfidf/bm25's ln discipline).
   private def x16(s: SparkSession, d: String): DataFrame = {
@@ -846,13 +853,25 @@ object TextOps {
           "struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
           "p -> p.w2 IS NOT NULL)")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = bi.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = spread(Tables.documents(s, d))
       .select(explode(toks).as("tok"))
       .agg(countDistinct(col("tok")).cast("double").as("v"))
-    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // c1/c2 as windows over ONE w1-partitioned pass (round 18): the
+    // old shape aggregated c2(w1,w2) and c1(w1) as separate tables and
+    // joined both back — the tokenize+bigram subtree planned THREE
+    // times and the instance stream shuffled twice (once on (w1,w2),
+    // once on w1). Partitioning by w1 clusters every (w1,w2) group too
+    // (hash(w1) satisfies the pair window's clustering), so both
+    // counts ride one exchange + one in-partition sort; the w1-hot-key
+    // skew profile is UNCHANGED — the old plan's c1 join shuffled every
+    // bigram instance by w1 already. Counts over the identical
+    // multiset — bit-equal nll.
+    val wCtx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"), col("w2"))
+    bi.withColumn("c1", count(lit(1)).over(wCtx))
+      .withColumn("c2", count(lit(1)).over(wPair))
       .crossJoin(broadcast(v))
       .withColumn("nll",
         -log((col("c2") + lit(1.0)) / (col("c1") + col("v"))))
@@ -901,25 +920,35 @@ object TextOps {
   // the closed-form remainder folds in every corpus token the source
   // never uses (Σ_w c_w = T), so only source-present tokens ever join.
   // Scale shape: one map-side-combined (source, token) count shuffle,
-  // corpus counts re-aggregated FROM those partials (the token never
-  // shuffles twice), a token-keyed join, and a per-source rollup;
-  // totals ride as broadcast 1-row/|sources|-row frames. Products run
+  // corpus counts and source totals as WINDOW sums over those partials
+  // (the raw token stream never shuffles at all — both windows move
+  // only the aggregated (source, token) rows), and a per-source rollup
+  // that reuses the source window's partitioning; the grand total
+  // rides as a broadcast 1-row frame. Products run
   // in DECIMAL(38,0) — exact where BIGINT would overflow at 100 TB.
   private def x17(s: SparkSession, d: String): DataFrame = {
     val srcCnt = Tables.documents(s, d)
       .select(col("source"), explode(toks).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c_sw"))
-    val corpCnt = srcCnt.groupBy(col("w"))
-      .agg(sum(col("c_sw")).as("c_w"))
-    val totS = srcCnt.groupBy(col("source"))
-      .agg(sum(col("c_sw")).as("t_s"))
-    val totAll = corpCnt.agg(sum(col("c_w")).as("t_all"))
+    // c_w and t_s as windows over srcCnt (round 18): the old shape
+    // re-derived the scan+tokenize+count subtree FOUR times (corpCnt,
+    // totS, the join input, totAll-via-corpCnt) and paid a token-keyed
+    // join plus a broadcast join; the window form runs the subtree
+    // twice (once for the scored rows, once for the 1-row grand total)
+    // with the same exchange keys. The final per-source rollup reuses
+    // the source window's partitioning — no fifth exchange.
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val totAll = srcCnt.agg(sum(col("c_sw")).as("t_all"))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val dev = abs(dec(col("c_sw")) * dec(col("t_all")) -
       dec(col("c_w")) * dec(col("t_s")))
-    srcCnt.join(corpCnt, Seq("w"))
-      .join(broadcast(totS), Seq("source"))
+    srcCnt
+      .withColumn("c_w", sum(col("c_sw")).over(wTok))
+      .withColumn("t_s", sum(col("c_sw")).over(wSrc))
       .crossJoin(broadcast(totAll))
       .groupBy(col("source"), col("t_s"), col("t_all"))
       .agg(count(lit(1)).as("n_vocab"),
