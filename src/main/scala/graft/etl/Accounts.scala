@@ -184,7 +184,9 @@ object Accounts {
     * (address_pubkey, label) row per role membership, distinct AFTER
     * normalization (the KV upsert is idempotent, and two renderings
     * of one account must not double-label it). Each input is one scan
-    * into a distinct agg; the union is a plan-level concat with no
+    * into a raw-rendering distinct (map-side partial dedup before the
+    * decode kernel) then a post-normalization distinct over the
+    * already-unique accounts; the union is a plan-level concat with no
     * extra shuffle. Callers must have `Udfs.register`ed the session
     * (the ss58 decode kernel). */
   def accountLabels(roleFrames: Seq[(String, DataFrame)]): DataFrame = {
@@ -193,7 +195,13 @@ object Accounts {
     roleFrames.map { case (label, df) =>
       val padded = when(col("account").rlike("^[0-9a-fA-F]{64}$"),
         concat(lit("0x"), col("account"))).otherwise(col("account"))
-      df.select(pubkeyOf(padded).as("address_pubkey"))
+      // distinct the RAW rendering first (map-side partial dedup —
+      // round 18): the ss58/base58 decode kernel then runs once per
+      // unique account, not once per fact row; the post-normalization
+      // distinct (unchanged) still collapses two renderings of one
+      // account, so the (pubkey, label) set is identical.
+      df.select(padded.as("account")).distinct()
+        .select(pubkeyOf(col("account")).as("address_pubkey"))
         .filter(length(col("address_pubkey")) === 66)
         .distinct()
         .withColumn("label", lit(label))

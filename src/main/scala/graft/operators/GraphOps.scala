@@ -59,7 +59,12 @@ object GraphOps {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+    // outdeg is a per-round-INVARIANT edge property — attach it to the
+    // edge list ONCE, outside the loop (round 18): the old loop paid
+    // the ranks⋈deg join every round, i.e. K extra joins whose inputs
+    // never change. One join per round (ranks ⋈ degreed edges) is the
+    // irreducible PageRank shuffle.
+    val edgesDeg = edges.join(deg, Seq("src")).localCheckpoint()
     // N rides along as a broadcast 1-row cross join — no driver collect
     val nRow = nodes.agg(count(lit(1)).as("nn"))
     var ranks = nodes.crossJoin(broadcast(nRow))
@@ -67,8 +72,7 @@ object GraphOps {
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = ranks
-        .join(deg, ranks("node") === deg("src"))
-        .join(edges, Seq("src"))
+        .join(edgesDeg, ranks("node") === edgesDeg("src"))
         // round BEFORE the decimal cast: a raw double→DECIMAL(38,12)
         // cast rounds HALF_UP in Spark but half-even in DuckDB, so an
         // exact dyadic midpoint quotient (rank/2^k) would diverge; both
