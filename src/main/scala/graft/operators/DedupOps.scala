@@ -969,17 +969,34 @@ object DedupOps {
   private def c2(s: SparkSession, d: String): DataFrame = {
     val sh = docShingles(s, d, 2000)
     val ev = sh.filter(col("doc_id") % 100 === 0)
+    // localCheckpoint: the bit set feeds K broadcast probes below —
+    // without the pin each probe join re-derives the eval scan +
+    // explode + distinct (the subtree would plan k times)
     val bits = ev.select(explode(bloomPositions(col("w"))).as("bit"))
       .distinct()
+      .localCheckpoint()
     val evSet = ev.select(col("w")).distinct().withColumn("exact", lit(1))
-    val probed = sh.filter(col("doc_id") % 100 =!= 0)
-      .select(col("doc_id").as("tid"), col("source"), col("w"),
-        size(bloomPositions(col("w"))).as("need"))
-      .withColumn("bit", explode(bloomPositions(col("w"))))
-      .join(broadcast(bits), Seq("bit"))
-      .groupBy(col("tid"), col("source"), col("w"), col("need"))
-      .agg(count(lit(1)).as("got"))
-      .filter(col("got") === col("need"))
+    // Membership as K BROADCAST probes (round 18): the old shape
+    // EXPLODED the corpus stream k-fold, broadcast-joined the bit set,
+    // and SHUFFLED the exploded stream back into a per-shingle
+    // got==need count — the one corpus-side exchange in the query.
+    // Each raw probe position now left-joins the broadcast bit set on
+    // its own key: all-k-present ⟺ the old all-DISTINCT-present
+    // (duplicate positions are present-or-absent together), and
+    // shingles3 is array_distinct'd per doc, so row multiplicity
+    // matches the old per-(tid, w) group exactly. The corpus stream
+    // now reaches the per-doc rollup with NO exchange at all — the
+    // doc-comment's 100 TB contract, made true structurally.
+    val train = sh.filter(col("doc_id") % 100 =!= 0)
+      .select(col("doc_id").as("tid"), col("source"), col("w"))
+    val probed = (0 until BloomK).foldLeft(train) { (df, j) =>
+      df.join(broadcast(bits.select(col("bit").as(s"q$j"),
+          lit(1).as(s"m$j"))),
+        h32(col("w"), 1 + 8 * j) % BloomBits === col(s"q$j"), "left")
+        .drop(s"q$j")
+    }.filter((0 until BloomK).map(j => col(s"m$j").isNotNull)
+        .reduce(_ && _))
+      .select(col("tid"), col("source"), col("w"))
     probed
       .join(broadcast(evSet), Seq("w"), "left")
       .groupBy(col("tid"), col("source"))
