@@ -198,18 +198,26 @@ object TextOps {
     val t = Tables.documents(s, d)
       .withColumn("w", toks)
       .filter(size(col("w")) >= 2)
-    val b = t
+    // the per-doc scalars (nw/nb/db) RIDE the top-word aggregation as
+    // functionally-dependent keys (round 18): the old shape derived
+    // them on a second scan of documents and joined the two frames
+    // back on doc_id — one scan + one join for columns the explode
+    // already carries. Map-side partial aggregation still collapses
+    // token instances to per-doc-distinct tokens before the shuffle,
+    // so the wider key adds bytes only on the combined rows.
+    val docCols = Seq(col("doc_id"), col("source"),
+      col("nw"), col("nb"), col("db"))
+    t
       .withColumn("nw", size(col("w")).cast("double"))
       .withColumn("nb", (size(col("w")) - 1).cast("double"))
       .withColumn("db", size(array_distinct(expr(
         "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")))
         .cast("double"))
-    val topw = t.select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
+      .select(docCols :+ explode(col("w")).as("tok"): _*)
+      .groupBy(docCols :+ col("tok"): _*)
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
+      .groupBy(docCols: _*)
       .agg(max(col("c")).cast("double").as("topc"))
-    b.join(topw, Seq("doc_id"))
       .withColumn("dup_bi", (col("nb") - col("db")) / col("nb"))
       .withColumn("top_frac", col("topc") / col("nw"))
       .groupBy(col("source"))
