@@ -129,14 +129,16 @@ object FlattenOps {
   // (ref indexer.js:4228 map_feedTransfers_to_transfers; dup note
   // docs/DEFINITIONS.md:255-258; detector substrateetl.js:5324).
   private def p6(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-    val raw = ev.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_raw"))
-    val deduped = ev
-      .dropDuplicates("user_id", "event_type", "value")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_dedup"))
-    raw.join(deduped, Seq("event_type"))
+    // one pass (round 18, guide §2.4): the raw count and the
+    // dedup count are both per-event_type aggregates, so they ride one
+    // scan and one distinct-aggregate plan instead of two scans merged
+    // by a join. The struct wrapper keeps dropDuplicates' null
+    // semantics — a null user_id/value combination still counts as a
+    // distinct identity (bare countDistinct would drop it).
+    Tables.events(s, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_raw"),
+        countDistinct(struct(col("user_id"), col("value")))
+          .as("n_dedup"))
       .withColumn("n_dups", col("n_raw") - col("n_dedup"))
       .orderBy(col("event_type"))
   }

@@ -400,7 +400,14 @@ object JoinOps {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts"))
+    // the dedup and the as-of exec share ONE hash(user_id) exchange
+    // (round 18, guide §2.4): repartitioning by the join key FIRST lets
+    // the (user_id, ts) aggregation run in place (hash(user_id)
+    // clusters every (user_id, ts) group) and already satisfies the
+    // as-of's ClusteredDistribution — the old groupBy shuffled on
+    // (user_id, ts) and then re-shuffled the deduped stream on user_id
     val clicks = ev.filter(col("event_type") === "click")
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("ts").as("c_ts"))
       .agg(max(col("event_id")).as("click_id"))
       .select(col("user_id"), col("c_ts"), col("click_id"))

@@ -117,7 +117,7 @@ object KeyOps {
   // getRelated; library face etl/AccountRelations over real decoded
   // calls). Synthetic edges: each event is an add (event_id%5≠0) or
   // remove (%5=0) of a (delegator=user_id, delegate) relation; the
-  // LATEST action per edge wins (argmax window keyed on the edge —
+  // LATEST action per edge wins (max_by argmax keyed on the edge —
   // hash-distributed, the same shape proxyAccounts uses), live edges
   // then serve a both-directions related lookup for accounts < 30.
   private def k4(s: SparkSession, d: String): DataFrame = {
@@ -127,10 +127,24 @@ object KeyOps {
         .as("delegate"),
       (col("event_id") % 5 =!= 0).as("is_add"),
       us(col("ts")).as("ts_us"), col("event_id"))
-    val w = Window.partitionBy(col("delegator"), col("delegate"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
-    val live = actions.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("is_add"))
+    // the account < 30 lookup gate is applied POST-explode on a derived
+    // column, which the optimizer cannot push back through the explode
+    // or the argmax — but an edge can only surface a row if one of its
+    // endpoints is < 30, so the equivalent endpoint disjunction prunes
+    // the stream BEFORE the heavy shuffle (round 18, guide §2.3: at
+    // corpus scale this drops ~everything ahead of the exchange). The
+    // argmax per surviving edge is untouched: the window keys are the
+    // filter columns, so whole partitions drop, never rows within one.
+    // max_by instead of the row_number window: the latest-action pick
+    // is an aggregation, so the map side combines repeat actions per
+    // edge before the shuffle (event_id unique ⇒ the struct max is
+    // exactly the old (ts DESC, event_id DESC) rank-1 row).
+    val live = actions
+      .filter(col("delegator") < 30 || col("delegate") < 30)
+      .groupBy(col("delegator"), col("delegate"))
+      .agg(max_by(col("is_add"),
+        struct(col("ts_us"), col("event_id"))).as("is_add"))
+      .filter(col("is_add"))
       .select(col("delegator"), col("delegate"))
     // both directions from ONE pass over the live edges (a two-branch
     // union would scan + re-run the argmax window twice)
@@ -177,33 +191,45 @@ object KeyOps {
   // clear actions resolve latest-wins per account, judgements resolve
   // latest-wins per (account, registrar) then roll up to a verified
   // flag, and the dimension is the FULL OUTER union of accounts with an
-  // identity or a judgement — the three keyed windows + outer join the
-  // real pipeline runs, hash-verified end-to-end.
+  // identity or a judgement — the keyed latest-wins picks + outer join
+  // the real pipeline runs, hash-verified end-to-end.
   private def k5(s: SparkSession, d: String): DataFrame = {
+    // the account < 50 gate sat AFTER the full-outer join, on the
+    // coalesced using-column — unpushable through a full outer join, so
+    // every account's history rode both latest-wins shuffles only to be
+    // dropped at the end. The join key equals the filter column on both
+    // sides, so filtering the SOURCE is equivalent (an account survives
+    // the post-join gate iff it survives on whichever side it came
+    // from) and bounds everything downstream to the lookup slice
+    // (round 18, guide §2.3).
     val ev = Tables.events(s, d).select(
       col("user_id").cast("long").as("account"),
       (col("event_id") % 3).as("kind"), // 0=set 1=clear 2=judgement
       (col("event_id") % 5).cast("int").as("registrar"),
       (col("value") > 50).as("good"),
       us(col("ts")).as("ts_us"), col("event_id"))
-    val w = Window.partitionBy(col("account"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .filter(col("account") < 50)
+    // both latest-wins picks as max_by aggregations instead of
+    // row_number windows: map-side combine collapses each account's
+    // (or (account, registrar)'s) action history before the shuffle,
+    // and event_id uniqueness makes the struct max the old rank-1 row
     val info = ev.filter(col("kind") < 2)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("kind") === 0)
+      .groupBy(col("account"))
+      .agg(max_by(col("kind"),
+        struct(col("ts_us"), col("event_id"))).as("last_kind"))
+      .filter(col("last_kind") === 0)
       .select(col("account"),
         concat(lit("name-"), col("account")).as("display"))
-    val wj = Window.partitionBy(col("account"), col("registrar"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
     val judg = ev.filter(col("kind") === 2)
-      .withColumn("rn", row_number().over(wj)).filter(col("rn") === 1)
+      .groupBy(col("account"), col("registrar"))
+      .agg(max_by(col("good"),
+        struct(col("ts_us"), col("event_id"))).as("good"))
       .groupBy(col("account"))
       .agg(count(lit(1)).as("n_judgements"),
         max(col("good")).as("verified"))
     info.join(judg, Seq("account"), "full_outer")
       .withColumn("verified", coalesce(col("verified"), lit(false)))
       .withColumn("n_judgements", coalesce(col("n_judgements"), lit(0L)))
-      .filter(col("account") < 50)
       .select(col("account"), col("display"), col("n_judgements"),
         col("verified"))
       .orderBy(col("account"))

@@ -741,11 +741,11 @@ object TextOps {
   // pipeline (query-relevance subsetting); shape at scale: the doc
   // length RIDES the (doc_id, tok) aggregation key (functionally
   // dependent on doc_id — no separate doclen aggregation or join),
-  // corpus stats are a shuffle-free 1-row scan broadcast in, query
-  // terms a vocab-sized broadcast, and the top-k is one window. The
-  // tokenize+tf subtree is still planned twice (df derivation + the
-  // scoring join) — at 100 TB materialize tf once and feed both, the
-  // x12 shared-stage pattern. Per-term scores go through
+  // corpus stats are a tf-derived 1-row broadcast, query terms a
+  // vocab-sized broadcast, and the top-k is one window. The tokenize+tf
+  // subtree materializes once (localCheckpoint) and feeds the scoring
+  // join, the query-term derivation AND the corpus stats — the x12
+  // shared-stage pattern. Per-term scores go through
   // DECIMAL(38,6) before summing so the per-doc total is
   // partition-order-independent, and the top-20 ranks on the ROUNDED
   // total (repo convention) with doc_id tie-break.
@@ -753,14 +753,26 @@ object TextOps {
     // len is projected BEFORE the explode — selecting size(toks) and
     // explode(toks) in one projection would re-evaluate the split per
     // EXPLODED row (~tokens-per-doc times), measured 5x slower
+    // tf materializes ONCE (round 18 — the materialize-once shape this
+    // scaladoc prescribed): the scoring join, the query-term derivation
+    // and the corpus stats all read the checkpointed frame, so the
+    // scan + tokenize runs once instead of three times (the scoring
+    // side's pushed join-key null filter made its tf subtree differ
+    // from the derivation side's, defeating exchange reuse).
     val tf = spread(Tables.documents(s, d))
       .select(col("doc_id"), size(toks).as("len"), toks.as("ts"))
       .select(col("doc_id"), col("len"), explode(col("ts")).as("tok"))
       .groupBy(col("doc_id"), col("len"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val stats = spread(Tables.documents(s, d)).agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      (sum(size(toks)).cast("double") / count(lit(1))).as("avg_len"))
+      .localCheckpoint()
+    // corpus stats from tf, not a second documents pass: every doc has
+    // >= 1 token (split of an empty string is [""]), so the distinct
+    // doc grain of tf IS the documents grain, len is functionally
+    // dependent on doc_id, and avg() over longs evaluates as
+    // sum.cast(double) / count — bit-identical to the old expression
+    val stats = tf.groupBy(col("doc_id")).agg(max(col("len")).as("len"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("len")).as("avg_len"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val qterms = dfreq.orderBy(col("df").desc, col("tok")).limit(8)
     val byDoc = tf

@@ -640,13 +640,17 @@ object WindowOps {
     val obs = Tables.events(s, d)
       .filter(col("value") >= 18) // sparse quote stream: ~15% of hours gap
       .withColumn("bucket", date_trunc("hour", col("ts")))
-    // latest observation per (series, hour) wins — ts then event_id
-    val latestW = Window.partitionBy(col("event_type"), col("bucket"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val latest = obs.withColumn("rn", row_number().over(latestW))
-      .filter(col("rn") === 1)
-      .select(col("event_type"), col("bucket"),
-        col("value").as("obs_price"))
+    // latest observation per (series, hour) wins — ts then event_id.
+    // max_by instead of a row_number window (round 18): the argmax is
+    // an aggregation, so the map side combines raw quotes down to one
+    // row per (series, hour) per partition BEFORE the shuffle — the
+    // window shape shuffled and sorted every observation. event_id is
+    // unique, so the lexicographic struct max is the same row the
+    // (ts DESC, event_id DESC) rank-1 pick was.
+    val latest = obs
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max_by(col("value"),
+        struct(col("ts"), col("event_id"))).as("obs_price"))
     val spine = latest.groupBy(col("event_type"))
       .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
       .select(col("event_type"),
