@@ -153,14 +153,19 @@ object Aggregates {
     Tables.events(s, d)
       .select(to_date(col("ts")).as("dt"), col("user_id")).distinct()
 
+  // "no row on d-1" via lag over each user's SORTED DISTINCT days
+  // instead of a du ⋈ du anti-join (round 18, guide §2.4): the distinct
+  // day grain shuffles once (the window) instead of twice (both join
+  // sides), and the second scan+distinct of events vanishes. Days are
+  // distinct within a user, so d-1 exists iff it is the immediate
+  // predecessor — lag(dt) = d-1 ⟺ the anti-join would drop the row.
   private def a7(s: SparkSession, d: String): DataFrame = {
-    val du = dailyUsers(s, d).alias("a")
-    val prev = dailyUsers(s, d)
-      .select(col("user_id").as("p_user_id"), col("dt").as("prev_dt"))
-      .alias("p")
-    du.join(prev,
-        col("a.user_id") === col("p_user_id") &&
-          col("prev_dt") === date_sub(col("a.dt"), 1), "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+    dailyUsers(s, d)
+      .withColumn("prev_dt", lag(col("dt"), 1).over(w))
+      .filter(col("prev_dt").isNull ||
+        col("prev_dt") =!= date_sub(col("dt"), 1))
       .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"))
       .agg(count(lit(1)).as("n_new"))
       .orderBy(col("log_dt"))
@@ -174,15 +179,16 @@ object Aggregates {
        |  WHERE b.user_id = a.user_id AND b.dt = a.dt - 1)
        |GROUP BY 1 ORDER BY log_dt""".stripMargin
 
-  // A7b — reaped accounts: present on day d, absent on d+1.
+  // A7b — reaped accounts: present on day d, absent on d+1. Same
+  // one-pass lead-window shape as a7 (lead(dt) = d+1 ⟺ the anti-join
+  // would drop the row).
   private def a7b(s: SparkSession, d: String): DataFrame = {
-    val du = dailyUsers(s, d).alias("a")
-    val next = dailyUsers(s, d)
-      .select(col("user_id").as("n_user_id"), col("dt").as("next_dt"))
-      .alias("n")
-    du.join(next,
-        col("a.user_id") === col("n_user_id") &&
-          col("next_dt") === date_add(col("a.dt"), 1), "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+    dailyUsers(s, d)
+      .withColumn("next_dt", lead(col("dt"), 1).over(w))
+      .filter(col("next_dt").isNull ||
+        col("next_dt") =!= date_add(col("dt"), 1))
       .groupBy(date_format(col("dt"), "yyyy-MM-dd").as("log_dt"))
       .agg(count(lit(1)).as("n_reaped"))
       .orderBy(col("log_dt"))
@@ -1206,7 +1212,17 @@ object Aggregates {
   // and rolls up per label; DuckDB re-derives members and bounds.
   private def a27(s: SparkSession, d: String): DataFrame = {
     graft.functions.Udfs.register(s)
+    // every role's account expression is a function of user_id alone,
+    // so the fact table collapses to the DISTINCT (event_type, user_id)
+    // dim ONCE before any branch work (round 18, guide §1.2: the
+    // oracle's own `pk AS (SELECT DISTINCT user_id, event_type)` shape)
+    // — the old shape scanned events five times (one per role frame,
+    // voter twice) and ran the synth/encode expressions per fact row.
+    // localCheckpoint, not reuse-by-plan: a filter on the group key
+    // pushes below the distinct and makes the four subtrees differ.
     val ev = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
     val uidS = col("user_id").cast("string")
     def pkBody(seed: org.apache.spark.sql.Column) =
       substring(synthPk(seed), 3, 64)
