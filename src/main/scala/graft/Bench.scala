@@ -92,6 +92,7 @@ object Bench {
     operators.TextOps.resetLr()
     operators.VectorOps.resetPqAdc()
     operators.ContractOps.resetContractsDump()
+    operators.KeyOps.resetEvmDataset()
     etl.Dump.resetRawDay()
     // a failing stage goes into the SAME errors map as a failing query —
     // the -1 sentinel alone made stage failures near-undiagnosable from
@@ -411,13 +412,17 @@ object BenchTrend {
     * – 7.13 (storm-tinted run 2) — the old 14.7 ceiling would have let
     * a 2× regression of the optimized dump hide as "in band", so it
     * re-pins to 7.13 × 1.15 ≈ 8.2. s:dumpsynth's clean record now
-    * spans 0.95–2.25 → ceiling 2.6. s:dedup (4.23–5.14 this round)
-    * and s:lrdist (2.53; its once-per-run JIT-absorption outlier 6.15
-    * is a documented cold-stage shape, not a band) keep their pins. */
+    * spans 0.95–2.25 → ceiling 2.6. s:dedup's clean records reached
+    * 5.14 this round, so the max × 1.15 policy puts its ceiling at
+    * 5.9 (the old 5.2 left ~1% headroom over the record — routine
+    * variance would have read as a hard regression). s:lrdist keeps
+    * 4.2: its committed WARM records span 2.05–3.65 and the 6.15
+    * first-rep is the documented once-per-run JIT-absorption cold
+    * shape, excluded from the band by round-12/18 measurements. */
   val StageCleanBand: Map[String, Double] = Map(
     "s:dump" -> 8.2,
     "s:dumpsynth" -> 2.6,
-    "s:dedup" -> 5.2,
+    "s:dedup" -> 5.9,
     "s:lrdist" -> 4.2)
 
   final case class Trend(

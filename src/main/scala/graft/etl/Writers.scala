@@ -43,12 +43,20 @@ object Writers {
           pool.submit(new java.util.concurrent.Callable[B] {
             def call(): B = f(it)
           }))
-        fs.map(fut =>
-          try fut.get()
+        // drain EVERY future before surfacing a failure — rethrowing on
+        // the first get() would leave orphan write jobs running against
+        // paths and cached frames the caller's error path is about to
+        // clean up or retry over (and their own exceptions unobserved)
+        val results = fs.map { fut =>
+          try Right(fut.get()): Either[Throwable, B]
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
-          })
+              Left(e.getCause)
+            case e: InterruptedException => Left(e)
+          }
+        }
+        results.collectFirst { case Left(e) => throw e }
+        results.map(_.toOption.get)
       } finally pool.shutdown()
     }
   }

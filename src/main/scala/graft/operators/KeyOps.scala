@@ -800,10 +800,14 @@ object KeyOps {
     }
   }
 
-  /** Bench hook: build + write the shared evm.* dataset dump. */
+  /** Bench hooks: build + write the shared evm.* dataset dump / drop
+    * the memo so the bench times the stage cold (Bench.main resets —
+    * the hook its contractsDump sibling always had; nothing cached to
+    * release, the memo holds parquet read-backs). */
   def warmEvmDataset(s: SparkSession, d: String): Unit = {
     evmDatasetDump(s, d); ()
   }
+  def resetEvmDataset(): Unit = { evmDsMemo = None }
 
   private def buildEvmDataset(s: SparkSession, d: String)
       : Map[String, DataFrame] = {

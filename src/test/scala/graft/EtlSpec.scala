@@ -162,6 +162,26 @@ class EtlSpec extends AnyFunSuite {
     assert(both.select("chain_name").distinct().count() == 2L)
   }
 
+  test("concurrently: results in items order; a failure drains the " +
+      "in-flight siblings before the ORIGINAL exception rethrows") {
+    // order: the pool may finish out of order, results must not
+    assert(Writers.concurrently(spark, Seq(3, 1, 2))(_ * 10) ==
+      Seq(30, 10, 20))
+    // drain: item "boom" throws fast; the slow sibling must COMPLETE
+    // (not be orphaned mid-write) before the failure surfaces — an
+    // early rethrow would let the caller clean up paths/cached frames
+    // a still-running write job depends on
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val ex = intercept[IllegalStateException] {
+      Writers.concurrently(spark, Seq("boom", "slow")) {
+        case "boom" => throw new IllegalStateException("original")
+        case "slow" => Thread.sleep(300); done.set(true); "ok"
+      }
+    }
+    assert(ex.getMessage == "original") // the cause, not a wrapper
+    assert(done.get(), "in-flight sibling was orphaned, not drained")
+  }
+
   test("upsert: updates win on key, inserts appended") {
     val base = Seq((1L, "old", 1L), (2L, "keep", 1L))
       .toDF("k", "v", "ver")
