@@ -395,10 +395,15 @@ object Contracts {
     val spark = events.sparkSession
     graft.functions.Udfs.register(spark)
     val dim = chainDimOf(chains)
-    val code = wasmCodeRows(events, extrinsics)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val contract = contractRows(contractInfo, events)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both frames cross shuffles (the latest-wins groupBys) and feed
+    // the three writes both as scan inputs AND as broadcast builds —
+    // materialize them BEFORE the concurrent pool so the jobs read
+    // warm cache blocks instead of racing the first computation
+    // (Writers.materialize — the 32-core anti-scaling fix)
+    val code = Writers.materialize(wasmCodeRows(events, extrinsics)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val contract = Writers.materialize(contractRows(contractInfo, events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val tables = Map(
         "contractscode" -> contractsCode(code, dim, verified),

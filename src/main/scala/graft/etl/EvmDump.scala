@@ -437,8 +437,12 @@ object EvmDump {
     val spark = txs.sparkSession
     require(receipts.columns.contains("logs"),
       "dumpEvmDataset needs receipt logs — both tables project them")
-    val combined = EvmDecode.combineTxReceipt(txs, receipts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE the concurrent writes: the join in the
+    // lineage must not be first-computed by three racing jobs
+    // (Writers.materialize — the 32-core anti-scaling fix)
+    val combined = Writers.materialize(
+      EvmDecode.combineTxReceipt(txs, receipts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try Writers.concurrently(spark, Map(
       "transactions" -> evmTransactionsOf(combined, logDT, chains,
         signatures),
@@ -476,8 +480,10 @@ object EvmDump {
     // ONE tx⋈receipt join for the day, persisted across the two write
     // actions — the evmtxs projection and the transfer extraction both
     // consume it (the header's shuffle claim, made true structurally)
-    val combined = EvmDecode.combineTxReceipt(txs, receipts)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized before the pool, like dumpEvmDataset (join lineage)
+    val combined = Writers.materialize(
+      EvmDecode.combineTxReceipt(txs, receipts)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try Writers.concurrently(spark,
       evmProjections(combined, logDT, usd, tokenDecimals, signatures)
         .toSeq) { case (name, df) =>

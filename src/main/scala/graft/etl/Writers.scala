@@ -30,6 +30,21 @@ object Writers {
     * coexist). Results come back in `items` order; the first failure
     * rethrows its ORIGINAL exception after the pool drains, so error
     * semantics match the sequential loop this replaces. */
+  /** Materialize a persisted frame BEFORE submitting concurrent jobs
+    * over it. A persisted frame whose lineage crosses a SHUFFLE (a
+    * join or aggregation) must not meet its first readers
+    * concurrently: every job races to compute the same uncached
+    * partitions, the losers' tasks sit in block-lock waits occupying
+    * task slots, and a broadcast build off the same frame contends
+    * too — the contention grows with the slot count (measured: the
+    * evm/contracts dumps anti-scaled 32-core vs 8-core until this
+    * barrier). One count() populates the cache as a single
+    * fully-parallel job; the concurrent writes then read warm blocks.
+    * Narrow-lineage persists (a filtered scan) don't need this — a
+    * concurrent first reader there only waits out one partition's
+    * scan — so the barrier is opt-in, not part of [[concurrently]]. */
+  def materialize(df: DataFrame): DataFrame = { df.count(); df }
+
   def concurrently[A, B](spark: SparkSession, items: Seq[A])(
       f: A => B): Seq[B] = {
     val par = math.min(
@@ -52,7 +67,11 @@ object Writers {
           catch {
             case e: java.util.concurrent.ExecutionException =>
               Left(e.getCause)
-            case e: InterruptedException => Left(e)
+            case e: InterruptedException =>
+              // restore the interrupt so the caller stays
+              // interruptible while the remaining futures drain
+              Thread.currentThread().interrupt()
+              Left(e)
           }
         }
         results.collectFirst { case Left(e) => throw e }

@@ -182,6 +182,21 @@ class EtlSpec extends AnyFunSuite {
     assert(done.get(), "in-flight sibling was orphaned, not drained")
   }
 
+  test("materialize populates every cached partition before returning " +
+      "(the barrier concurrent dump writes rely on)") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .repartition(3).persist()
+    try {
+      Writers.materialize(df)
+      val info = spark.sparkContext.getRDDStorageInfo
+        .find(_.numCachedPartitions > 0)
+      assert(info.exists(i => i.numCachedPartitions == i.numPartitions),
+        "materialize must leave the persisted frame fully cached so " +
+          "concurrent first readers never race its computation")
+      assert(df.count() == 3L)
+    } finally df.unpersist(): Unit
+  }
+
   test("upsert: updates win on key, inserts appended") {
     val base = Seq((1L, "old", 1L), (2L, "keep", 1L))
       .toDF("k", "v", "ver")
