@@ -135,7 +135,13 @@ object FlattenOps {
     // by a join. The struct wrapper keeps dropDuplicates' null
     // semantics — a null user_id/value combination still counts as a
     // distinct identity (bare countDistinct would drop it).
-    Tables.events(s, d).groupBy(col("event_type"))
+    // isnotnull pins equivalence with the declared oracle on ALL
+    // inputs, not just generated ones: the oracle's raw⋈dedup INNER
+    // join on event_type drops a NULL event_type group, so this
+    // one-pass shape must too (no-op on the generator's data — the
+    // filter just reaches the scan as a pushed predicate)
+    Tables.events(s, d).filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_raw"),
         countDistinct(struct(col("user_id"), col("value")))
           .as("n_dedup"))
