@@ -86,6 +86,7 @@ object Bench {
     // a stage itself is then trend-guard-visible.
     operators.DedupOps.resetWordSetLabels()
     operators.DedupOps.resetLshPairs()
+    operators.TextOps.resetTokenizedDocs()
     operators.TextOps.resetBpeMerges()
     operators.VectorOps.resetKmeans()
     operators.VectorOps.resetPca()
@@ -231,7 +232,12 @@ object Bench {
     // round 18: previously each of the three queries re-ran the full
     // dump, tripling its cost across the suite)
     "stage:contracts_dump" ->
-      ((s, d) => operators.ContractOps.warmContractsDump(s, d)))
+      ((s, d) => operators.ContractOps.warmContractsDump(s, d)),
+    // the tokenized corpus shared by the x14–x17/x21–x23 text family
+    // (round 19: one scan+split materialization; each consumer
+    // previously re-planned its own tokenize subtree)
+    "stage:tokdocs_corpus" ->
+      ((s, d) => operators.TextOps.warmTokenizedDocs(s, d)))
 
   /** The one-line JSON contract, sized to survive a 2000-byte output-tail
     * capture alongside sbt's ~75-byte "[success]" trailer (hard budget

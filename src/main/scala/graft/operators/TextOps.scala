@@ -25,6 +25,34 @@ object TextOps {
     * (graft.streaming.CorpusStream) all reference THIS definition. */
   private[graft] def toks = expr("split(trim(text), '\\\\s+')")
 
+  /** Shared tokenized-corpus stage (round 19, guide §1.2/§2.4): the
+    * whitespace tokenization of `documents` — (doc_id, source, lang,
+    * ts = [[toks]]) — materialized ONCE per (session, sfDir) and
+    * consumed by the x14/x15/x16/x17/x21/x22/x23 family, each of which
+    * previously re-planned its own scan+split subtree. The production
+    * shape this models: a pipeline tokenizes a corpus release once and
+    * every downstream statistic reads the tokenized table, never raw
+    * text. Memoized via the established StageMemo pattern (CC labels,
+    * LSH pairs): Bench times the cold build as its own
+    * `stage:tokdocs_corpus` line and resets the memo per run, so the
+    * stage cost stays inside the bench total and every invocation
+    * still computes from the parquet inputs. Consumers that filter
+    * (x22/x23's doc_id < 2000) filter the checkpointed frame — the
+    * lost scan pushdown is exactly the trade the shared
+    * materialization makes, and it is the right one: the tokenize is
+    * the dominant subtree, the filter a cheap post-scan predicate. */
+  private val tokDocsStage = new StageMemo((s, d) =>
+    spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("lang"), toks.as("ts")))
+  private[graft] def tokenizedDocs(s: SparkSession, d: String): DataFrame =
+    tokDocsStage(s, d)
+  /** Bench hooks: build the shared tokenized corpus / drop it so the
+    * bench times the stage cold (Bench.main resets). */
+  def warmTokenizedDocs(s: SparkSession, d: String): Unit = {
+    tokDocsStage(s, d); ()
+  }
+  def resetTokenizedDocs(): Unit = tokDocsStage.reset()
+
   // X1 — per-language token statistics (length/token-count profile).
   private def x1(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -706,10 +734,12 @@ object TextOps {
   // is robust to last-bit ln() drift between engines; ties break on
   // the token string.
   private def x14(s: SparkSession, d: String): DataFrame = {
-    val ns = Tables.documents(s, d)
+    // both subtrees read the shared tokenized corpus (round 19) — the
+    // scan+split ran twice here before (once for ns, once for tf)
+    val ns = tokenizedDocs(s, d)
       .agg(countDistinct(col("source")).cast("double").as("n"))
-    val tf = Tables.documents(s, d)
-      .select(col("source"), explode(toks).as("tok"))
+    val tf = tokenizedDocs(s, d)
+      .select(col("source"), explode(col("ts")).as("tok"))
       .groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     // df via a window over tf instead of a groupBy+self-join (round
@@ -759,8 +789,8 @@ object TextOps {
     // scan + tokenize runs once instead of three times (the scoring
     // side's pushed join-key null filter made its tf subtree differ
     // from the derivation side's, defeating exchange reuse).
-    val tf = spread(Tables.documents(s, d))
-      .select(col("doc_id"), size(toks).as("len"), toks.as("ts"))
+    val tf = tokenizedDocs(s, d)
+      .select(col("doc_id"), size(col("ts")).as("len"), col("ts"))
       .select(col("doc_id"), col("len"), explode(col("ts")).as("tok"))
       .groupBy(col("doc_id"), col("len"), col("tok"))
       .agg(count(lit(1)).as("tf"))
@@ -866,15 +896,15 @@ object TextOps {
   // DECIMAL(38,6) before the per-doc sum (order-independent), mean
   // rounded at 6 (repo convention, same as tfidf/bm25's ln discipline).
   private def x16(s: SparkSession, d: String): DataFrame = {
-    val bi = spread(Tables.documents(s, d))
-      .select(col("doc_id"), toks.as("ts"))
+    val bi = tokenizedDocs(s, d)
+      .select(col("doc_id"), col("ts"))
       .select(col("doc_id"), explode(expr(
         "filter(transform(ts, (t, i) -> " +
           "struct(t AS w1, try_element_at(ts, i + 2) AS w2)), " +
           "p -> p.w2 IS NOT NULL)")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val v = spread(Tables.documents(s, d))
-      .select(explode(toks).as("tok"))
+    val v = tokenizedDocs(s, d)
+      .select(explode(col("ts")).as("tok"))
       .agg(countDistinct(col("tok")).cast("double").as("v"))
     // c1/c2 as windows over ONE w1-partitioned pass (round 18): the
     // old shape aggregated c2(w1,w2) and c1(w1) as separate tables and
@@ -947,8 +977,8 @@ object TextOps {
   // rides as a broadcast 1-row frame. Products run
   // in DECIMAL(38,0) — exact where BIGINT would overflow at 100 TB.
   private def x17(s: SparkSession, d: String): DataFrame = {
-    val srcCnt = Tables.documents(s, d)
-      .select(col("source"), explode(toks).as("w"))
+    val srcCnt = tokenizedDocs(s, d)
+      .select(col("source"), explode(col("ts")).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c_sw"))
     // c_w and t_s as windows over srcCnt (round 18): the old shape
@@ -1405,15 +1435,17 @@ object TextOps {
   /** Exact counts + CMS estimates for the top-k tokens — exposed with
     * a sketch-size knob so TextCmsSpec can force collisions with a
     * tiny width and assert the one-sided est ≥ exact guarantee. */
-  private[graft] def cmsEstimate(docs: DataFrame, depth: Int,
+  /** `tokenized` carries the corpus as token arrays in `ts` (the
+    * [[tokenizedDocs]] stage frame shape). */
+  private[graft] def cmsEstimate(tokenized: DataFrame, depth: Int,
       width: Int, k: Int): DataFrame = {
     // eager localCheckpoint: the exact-count frame feeds THREE plan
     // subtrees (cell build, top-k, probe side), and a lazy persist
     // released in a finally would be gone before the returned frame
     // ever executes — checkpoint blocks are not CacheManager entries
     // and simply age out (the Bench warm-block pattern)
-    val exact = spread(docs)
-      .select(explode(toks).as("tok"))
+    val exact = tokenized
+      .select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val cells = exact
@@ -1430,7 +1462,7 @@ object TextOps {
   }
 
   private def x21(s: SparkSession, d: String): DataFrame =
-    cmsEstimate(Tables.documents(s, d), CmsDepth, CmsWidth, 10)
+    cmsEstimate(tokenizedDocs(s, d), CmsDepth, CmsWidth, 10)
 
   private val x21Sql = {
     // oracle twin of [[cmsCells]]'s row hash, parameterized on the
@@ -1472,8 +1504,8 @@ object TextOps {
   // form = the higher-frequency side (ties: lexicographic min).
   private def x22(s: SparkSession, d: String): DataFrame = {
     graft.functions.Udfs.register(s) // levenshtein_le
-    val tokens = spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
-      .select(col("doc_id"), explode(toks).as("w"))
+    val tokens = tokenizedDocs(s, d).filter(col("doc_id") < 2000)
+      .select(col("doc_id"), explode(col("ts")).as("w"))
     val noisy = tokens
       .filter(col("doc_id") % 13 === 0 && length(col("w")) >= 3)
       .select(concat(
@@ -1538,17 +1570,16 @@ object TextOps {
   // probe); per-doc novelty is a left-join mark + one doc rollup.
   private val NoveltyGram = 3
   private def x23(s: SparkSession, d: String): DataFrame = {
-    val g = spread(Tables.documents(s, d).filter(col("doc_id") < 2000))
+    val g = tokenizedDocs(s, d).filter(col("doc_id") < 2000)
       // shorter docs have no full gram; filter BEFORE the sequence — a
       // negative stop would make sequence() count DOWN, not empty
-      .filter(size(expr("split(trim(text), '\\\\s+')")) >= NoveltyGram)
+      .filter(size(col("ts")) >= NoveltyGram)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(expr(
           s"""transform(
-             |  sequence(0, size(split(trim(text), '\\\\s+'))
-             |    - $NoveltyGram),
-             |  i -> array_join(slice(split(trim(text), '\\\\s+'),
-             |    i + 1, $NoveltyGram), ' '))""".stripMargin))).as("g"))
+             |  sequence(0, size(ts) - $NoveltyGram),
+             |  i -> array_join(slice(ts, i + 1, $NoveltyGram), ' '))"""
+            .stripMargin))).as("g"))
     val ref = g.filter(col("doc_id") % 100 === 0)
       .select(col("g")).distinct().withColumn("seen", lit(1))
     val perDoc = g.filter(col("doc_id") % 100 =!= 0)

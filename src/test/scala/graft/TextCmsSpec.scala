@@ -14,7 +14,7 @@ class TextCmsSpec extends AnyFunSuite {
 
   private def rows(depth: Int, width: Int, k: Int) =
     TextOps.cmsEstimate(
-      Tables.documents(spark, SparkTestBase.sf), depth, width, k)
+      TextOps.tokenizedDocs(spark, SparkTestBase.sf), depth, width, k)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
 
