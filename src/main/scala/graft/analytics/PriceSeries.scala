@@ -83,12 +83,24 @@ object PriceSeries {
   def asOfIntervals(priceLog: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("asset"), col("chain_id"))
       .orderBy(col("index_ts"))
+    // ONE dim-side exchange (round 19, guide §2.4): hash(asset)
+    // clusters the per-point dedup (keys ⊇ asset) AND the interval
+    // lead window (partition ⊇ asset), so both ride this exchange
+    // instead of shuffling the log twice — every usd-decorated dump
+    // re-plans this subtree per write job, so the saving multiplies
+    // across the dump family. Deliberately asset ALONE: callers pass
+    // literal chain_ids that constant-fold, and a folded key in the
+    // repartition breaks the subset-satisfaction match that elides
+    // the downstream exchanges (measured: (asset, chain_id) ADDED an
+    // exchange on p9). Co-locating all chains of an asset is fine at
+    // dim scale — the log is bounded by series count × points.
+    val byKey = priceLog.repartition(col("asset"))
     val deduped =
       if (priceLog.columns.contains("liquid"))
-        mostLiquid(priceLog)
+        mostLiquid(byKey)
           .select(col("asset"), col("chain_id"), col("index_ts"),
             col("price_usd"))
-      else priceLog
+      else byKey
         .groupBy(col("asset"), col("chain_id"), col("index_ts"))
         .agg(max(col("price_usd")).as("price_usd"))
     deduped.withColumn("px_until", lead(col("index_ts"), 1).over(w))
