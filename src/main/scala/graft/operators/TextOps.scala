@@ -1255,6 +1255,24 @@ object TextOps {
     runLr(s, d, cap = 0L); ()
   }
 
+  /** Bench warmup hook: pre-compile the distributed-LR codegen (the
+    * gradient/Brier job shapes — zip_with/aggregate dot, posexplode,
+    * exact-decimal sums) on a micro frame, so the timed
+    * stage:lrdist_train line measures the gradient compute, not
+    * Janino/JIT of its generated classes (measured: first run 4.7 s
+    * vs 1.7 s warm — a 2.7× cold-start the trend guard kept flagging).
+    * Corpus-independent: never touches sfDir. */
+  def warmLrCodegen(s: SparkSession): Unit = {
+    import s.implicits._
+    val tiny = Seq(
+      (1.0, Seq(1.0, 0.1, 0.2, 0.3, 0.4)),
+      (0.0, Seq(1.0, 0.5, 0.4, 0.3, 0.2))).toDF("y", "f")
+      .persist() // the real path reads a persisted frame - the fused
+    tiny.count() // codegen differs on the input shape, so match it
+    try { distributedLr(tiny, 2L); () }
+    finally { tiny.unpersist(false); () }
+  }
+
   /** (weights, final Brier score, n), memoized per (session, dir). */
   private[graft] def lrModel(s: SparkSession,
       d: String): (Array[Double], Double, Long) = synchronized {
