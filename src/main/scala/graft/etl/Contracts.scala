@@ -400,10 +400,14 @@ object Contracts {
     // materialize them BEFORE the concurrent pool so the jobs read
     // warm cache blocks instead of racing the first computation
     // (Writers.materialize — the 32-core anti-scaling fix)
-    val code = Writers.materialize(wasmCodeRows(events, extrinsics)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val contract = Writers.materialize(contractRows(contractInfo, events)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val code = wasmCodeRows(events, extrinsics)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val contract = contractRows(contractInfo, events)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the two frames are independent - their cache builds overlap in
+    // the same bounded pool the writes use (each build is still a
+    // barrier BEFORE any write can race its first computation)
+    Writers.concurrently(spark, Seq(code, contract))(Writers.materialize)
     try {
       val tables = Map(
         "contractscode" -> contractsCode(code, dim, verified),
