@@ -87,21 +87,28 @@ object Accounts {
       balancesPrev: DataFrame, logDT: String,
       outRoot: String): Map[String, DataFrame] = {
     val spark = extrinsics.sparkSession
-    val active = activeAccounts(extrinsics, blocks)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialized BEFORE the concurrent writes: the aggregation in
+    // active's lineage must not be first-computed by racing jobs
+    // (Writers.materialize — the round-19 anti-scaling rule; two of
+    // the four writes consume it, one as an anti-join build side)
+    val active = Writers.materialize(activeAccounts(extrinsics, blocks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val tables = Map(
         "accountsactive" -> active,
         "accountspassive" -> passiveAccounts(transfers, active),
         "accountsnew" -> newAccounts(balancesToday, balancesPrev),
         "accountsreaped" -> reapedAccounts(balancesToday, balancesPrev))
-      tables.map { case (name, df) =>
+      // four independent date-partition writes — concurrent submission
+      // back-fills each write's straggler tail (guide §2.6, the
+      // dumpDay pattern)
+      Writers.concurrently(spark, tables.toSeq) { case (name, df) =>
         val written = df.withColumn("log_dt", lit(logDT))
         Writers.overwritePartitions(written, s"$outRoot/$name",
           Seq("log_dt"))
         name -> spark.read.schema(written.schema)
           .parquet(s"$outRoot/$name")
-      }
+      }.toMap
     } finally active.unpersist(): Unit
   }
 
