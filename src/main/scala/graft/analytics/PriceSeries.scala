@@ -124,10 +124,21 @@ object PriceSeries {
     * Probe cost is O(points per asset) per row — pass the day's (or
     * window's) slice of the log, which is what the daily dump has. */
   def withAsOfPrice(df: DataFrame, priceLog: DataFrame,
+      tsCol: String = "block_time"): DataFrame =
+    withAsOfIntervals(df, asOfIntervals(priceLog), tsCol)
+
+  /** [[withAsOfPrice]] over an ALREADY-BUILT intervals dim (the
+    * [[asOfIntervals]] output shape) — the multi-table dump path
+    * (round 19): a day dump decorates several tables off one price
+    * log, and deriving the intervals inside each write job re-ran the
+    * dedup+window subtree once per table; callers that hold a
+    * [[graft.etl.Dump.UsdDims]] pass its one materialized dim
+    * instead. */
+  def withAsOfIntervals(df: DataFrame, intervals: DataFrame,
       tsCol: String = "block_time"): DataFrame = {
     require(!df.columns.contains("price_usd"),
       "frame already carries price_usd — drop or rename it first")
-    val iv = asOfIntervals(priceLog).select(
+    val iv = intervals.select(
       col("asset").as("_px_asset"), col("chain_id").as("_px_chain"),
       col("index_ts").as("_px_from"), col("px_until").as("_px_until"),
       col("price_usd"))

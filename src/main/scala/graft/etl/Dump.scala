@@ -38,17 +38,27 @@ object Dump {
     *
     * Both are bounded dimensions; the decoration never shuffles the
     * fact side (see [[graft.analytics.PriceSeries.withAsOfPrice]]). */
-  final case class UsdDims(priceLog: DataFrame, chains: DataFrame)
+  final case class UsdDims(priceLog: DataFrame, chains: DataFrame) {
+    /** The as-of validity-interval dim, built ONCE per dims instance
+      * and shared by every table write of the dump (round 19): the
+      * intervals are a bounded artifact (points per series), and the
+      * eager localCheckpoint stops each concurrent write job from
+      * re-running the log's dedup+window subtree. Lazy so a dump
+      * invoked without USD decoration never pays for it. */
+    lazy val intervals: DataFrame =
+      graft.analytics.PriceSeries.asOfIntervals(priceLog)
+        .localCheckpoint(true)
+  }
 
   /** Append `fee_usd` = fee × the chain's native-token as-of price —
     * the shared decoration of the extrinsics and calls projections. */
   private def withFeeUsd(df: DataFrame, usd: UsdDims): DataFrame =
-    graft.analytics.PriceSeries.withAsOfPrice(
+    graft.analytics.PriceSeries.withAsOfIntervals(
         df.join(broadcast(
             usd.chains.select(col("chain_id"),
               col("native_asset").as("asset"))),
           Seq("chain_id"), "left"),
-        usd.priceLog)
+        usd.intervals)
       .withColumn("fee_usd", col("fee") * col("price_usd"))
       .drop("asset", "price_usd")
 
@@ -176,7 +186,7 @@ object Dump {
     // footer-sampled reads nondeterministic about the USD columns).
     (usd match {
       case Some(u) =>
-        graft.analytics.PriceSeries.withAsOfPrice(base, u.priceLog)
+        graft.analytics.PriceSeries.withAsOfIntervals(base, u.intervals)
           .withColumn("amount_usd", col("amount") * col("price_usd"))
       case None => base
         .withColumn("price_usd", lit(null).cast("double"))
@@ -316,11 +326,11 @@ object Dump {
     // dims so the schema stays partition-invariant
     val decorated = usd match {
       case Some(u) =>
-        graft.analytics.PriceSeries.withAsOfPrice(
+        graft.analytics.PriceSeries.withAsOfIntervals(
             base.join(broadcast(u.chains.select(col("chain_id"),
                 col("native_asset").as("asset"), col("decimals"))),
               Seq("chain_id"), "left"),
-            u.priceLog)
+            u.intervals)
           .withColumn("amount",
             col("amount_raw").cast("double") /
               pow(lit(10.0), col("decimals")))
@@ -476,11 +486,11 @@ object Dump {
     }
     val decorated = usd match {
       case Some(u) =>
-        graft.analytics.PriceSeries.withAsOfPrice(
+        graft.analytics.PriceSeries.withAsOfIntervals(
             named.join(broadcast(u.chains.select(col("chain_id"),
                 col("native_asset").as("asset"), col("decimals"))),
               Seq("chain_id"), "left"),
-            u.priceLog)
+            u.intervals)
           .withColumn("contribution",
             col("amount_raw").cast("double") /
               pow(lit(10.0), col("decimals")))

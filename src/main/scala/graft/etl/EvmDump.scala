@@ -227,9 +227,9 @@ object EvmDump {
     val unioned = erc20.unionByName(erc721).unionByName(erc1155)
     val decorated = (usd, tokenDecimals) match {
       case (Some(u), Some(toks)) =>
-        graft.analytics.PriceSeries.withAsOfPrice(
+        graft.analytics.PriceSeries.withAsOfIntervals(
             unioned.withColumn("asset", col("token_address")),
-            u.priceLog, tsCol = "block_timestamp")
+            u.intervals, tsCol = "block_timestamp")
           .join(broadcast(toks.select(col("token_address"),
             col("decimals"))), Seq("token_address"), "left")
           .withColumn("value_usd",

@@ -46,10 +46,10 @@ object XcmExport {
     // without dims — partition-invariant schema, like Dump's tables.
     val priced = usd match {
       case Some(u) =>
-        graft.analytics.PriceSeries.withAsOfPrice(
+        graft.analytics.PriceSeries.withAsOfIntervals(
           joined.withColumn("asset",
             expr("asset_chain(symbol, chain_id)")),
-          u.priceLog, tsCol = "source_ts").drop("asset")
+          u.intervals, tsCol = "source_ts").drop("asset")
       case None =>
         joined.withColumn("price_usd", lit(null).cast("double"))
     }
