@@ -438,15 +438,17 @@ object BenchTrend {
     * re-pins to 7.13 × 1.15 ≈ 8.2. s:dumpsynth's clean record now
     * spans 0.95–2.25 → ceiling 2.6. s:dedup's clean records reached
     * 5.14 this round, so the max × 1.15 policy puts its ceiling at
-    * 5.9 (the old 5.2 left ~1% headroom over the record — routine
-    * variance would have read as a hard regression). s:lrdist keeps
+    * 5.92 (5.14 × 1.15 = 5.911, rounded UP so the pin never sits
+    * below the policy result; the old 5.2 left ~1% headroom over the
+    * record — routine variance would have read as a hard
+    * regression). s:lrdist keeps
     * 4.2: its committed WARM records span 2.05–3.65 and the 6.15
     * first-rep is the documented once-per-run JIT-absorption cold
     * shape, excluded from the band by round-12/18 measurements. */
   val StageCleanBand: Map[String, Double] = Map(
     "s:dump" -> 8.2,
     "s:dumpsynth" -> 2.6,
-    "s:dedup" -> 5.9,
+    "s:dedup" -> 5.92,
     "s:lrdist" -> 4.2)
 
   final case class Trend(

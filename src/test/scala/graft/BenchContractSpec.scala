@@ -278,7 +278,7 @@ class BenchContractSpec extends AnyFunSuite {
   test("stage clean band: pinned values match the documented idle-host " +
       "records") {
     assert(BenchTrend.StageCleanBand == Map("s:dump" -> 8.2,
-      "s:dumpsynth" -> 2.6, "s:dedup" -> 5.9, "s:lrdist" -> 4.2))
+      "s:dumpsynth" -> 2.6, "s:dedup" -> 5.92, "s:lrdist" -> 4.2))
   }
 
   test("adjudications ledger: adjudicated line is exempt, unadjudicated " +

@@ -59,7 +59,7 @@ CANARY_BAND = {"p0": 0.18, "x1": 0.15, "d1": 0.11}
 # Mirrors BenchTrend.StageCleanBand; re-pin only from idle-host records
 # noted in docs/BENCH.md.
 STAGE_CLEAN_BAND = {"s:dump": 8.2, "s:dumpsynth": 2.6,
-                    "s:dedup": 5.9, "s:lrdist": 4.2}
+                    "s:dedup": 5.92, "s:lrdist": 4.2}
 CANARY_STORM_FACTOR = 2.0
 SUB_SECOND_BAND = 1.0
 MAX_ISOLATED_SUB_SECOND = 2
