@@ -48,10 +48,14 @@ object DedupOps {
   /** (doc_id, source, token) inverted index, distinct tokens per doc.
     * The blocking unit for all pairwise similarity below. */
   private def docTokens(s: SparkSession, d: String, cap: Int): DataFrame =
-    spread(Tables.documents(s, d).filter(col("doc_id") < cap))
+    // tokens come off the shared tokenized-corpus stage (round 19):
+    // every dedup consumer (d2/d3/d7/d11, the CC and LSH stages)
+    // previously re-planned its own scan+split subtree; the filter and
+    // the distinct-explode run over the checkpointed arrays instead.
+    // ts IS split(trim(text), '\s+') — the stage pins the identity.
+    TextOps.tokenizedDocs(s, d).filter(col("doc_id") < cap)
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(expr("split(trim(text), '\\\\s+')")))
-          .as("w"))
+        explode(array_distinct(col("ts"))).as("w"))
 
   /** ONE source-blocked inverted-index candidate engine over any
     * (doc_id, source, w) token frame — (da, db, inter, na, nb) per
