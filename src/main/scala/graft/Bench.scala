@@ -73,7 +73,8 @@ object Bench {
     // Janino/JIT on their first-and-only run, which the trend guard
     // kept flagging as stage variance (round 19, VERDICT item 8)
     operators.TextOps.warmLrCodegen(spark)
-    operators.VectorOps.warmPcaCodegen(spark): Unit
+    operators.VectorOps.warmPcaCodegen(spark)
+    operators.DedupOps.warmCcCodegen(spark): Unit
   }
 
   def main(args: Array[String]): Unit = {

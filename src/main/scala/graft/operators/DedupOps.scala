@@ -582,6 +582,21 @@ object DedupOps {
     labels
   }
 
+  /** Warm the distributed-CC loop's generated code on a 2-edge micro
+    * frame (edgeCap = 0 forces the pointer-jumping path), so the timed
+    * stage:ccdist_labels line measures the loop, not Janino/JIT
+    * (measured: first run 5.5 s vs 2.2 s warm — the loop body's
+    * join + min-agg + least/coalesce + accumulator-UDF + checkpoint
+    * shapes all codegen on round 1). Corpus-independent: never touches
+    * sfDir. The same shapes serve the dispatched stage (d5/d6) when a
+    * real corpus crosses the edge cap. */
+  def warmCcCodegen(s: SparkSession): Unit = {
+    import s.implicits._
+    val tiny = Seq((1L, 2L), (3L, 4L)).toDF("da", "db")
+    val labels = connectedComponents(tiny, "da", "db", edgeCap = 0L)
+    releaseCheckpoint(labels)
+  }
+
   /** Component labels of the word-set near-dup graph, memoized one slot
     * per (session, sfDir): d5 and d6 are two consumers of ONE
     * pairs→components stage — a real dedup pipeline computes cluster
