@@ -74,7 +74,8 @@ object Bench {
     // kept flagging as stage variance (round 19, VERDICT item 8)
     operators.TextOps.warmLrCodegen(spark)
     operators.VectorOps.warmPcaCodegen(spark)
-    operators.DedupOps.warmCcCodegen(spark): Unit
+    operators.DedupOps.warmCcCodegen(spark)
+    operators.ContractOps.warmContractsCodegen(spark): Unit
   }
 
   def main(args: Array[String]): Unit = {
