@@ -75,7 +75,8 @@ object Bench {
     operators.TextOps.warmLrCodegen(spark)
     operators.VectorOps.warmPcaCodegen(spark)
     operators.DedupOps.warmCcCodegen(spark)
-    operators.ContractOps.warmContractsCodegen(spark): Unit
+    operators.ContractOps.warmContractsCodegen(spark)
+    etl.Dump.warmDumpDayCodegen(spark): Unit
   }
 
   def main(args: Array[String]): Unit = {
