@@ -76,7 +76,8 @@ object Bench {
     operators.VectorOps.warmPcaCodegen(spark)
     operators.DedupOps.warmCcCodegen(spark)
     operators.ContractOps.warmContractsCodegen(spark)
-    etl.Dump.warmDumpDayCodegen(spark): Unit
+    etl.Dump.warmDumpDayCodegen(spark)
+    operators.DedupOps.warmLshCodegen(spark): Unit
   }
 
   def main(args: Array[String]): Unit = {

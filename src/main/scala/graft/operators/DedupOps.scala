@@ -203,8 +203,25 @@ object DedupOps {
     * buckets as star edges) verified with exact Jaccard ≥ 0.5 —
     * (da, db, jaccard), unsorted. d12 consumes it filtered to pairs
     * touching the incoming batch. */
-  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    val t = docTokens(s, d, 2000).withColumn("h", h32(col("w"), 1))
+  private def lshVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    lshVerifiedPairsFrom(docTokens(s, d, 2000))
+
+  /** Warm the LSH stage's generated code on a micro token frame — the
+    * 32-permutation signature aggregation, band explode, bucket sizing
+    * and verify joins are codegen shapes unique to this stage, which
+    * runs once per bench and absorbed their Janino/JIT on its
+    * first-and-only run (the contracts/dump-day warm precedent).
+    * Corpus-independent. */
+  def warmLshCodegen(s: SparkSession): Unit = {
+    import s.implicits._
+    val t = Seq((1L, "a", "x"), (2L, "a", "x"), (2L, "a", "y"),
+      (3L, "b", "y"), (4L, "b", "y"))
+      .toDF("doc_id", "source", "w")
+    lshVerifiedPairsFrom(t).count(): Unit
+  }
+
+  private def lshVerifiedPairsFrom(tokens: DataFrame): DataFrame = {
+    val t = tokens.withColumn("h", h32(col("w"), 1))
     // column-wise min over the universal-hash family
     val sigCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * lit(a) + lit(b)) % lit(MinhashP)).as(s"m$i")
