@@ -446,15 +446,25 @@ object BenchTrend {
     * 5.92 (5.14 × 1.15 = 5.911, rounded UP so the pin never sits
     * below the policy result; the old 5.2 left ~1% headroom over the
     * record — routine variance would have read as a hard
-    * regression). s:lrdist keeps
-    * 4.2: its committed WARM records span 2.05–3.65 and the 6.15
-    * first-rep is the documented once-per-run JIT-absorption cold
-    * shape, excluded from the band by round-12/18 measurements. */
+    * regression). s:lrdist kept 4.2 in round 18 (warm records
+    * 2.05–3.65; the 6.15 first-rep is the documented once-per-run
+    * JIT-absorption cold shape, excluded from the band).
+    *
+    * Round-19 re-pin (docs/BENCH.md round-19 ledger): the shared
+    * tokenized-corpus stage and the codegen warms MOVED all four
+    * banded stages — the round-18 rationale again: the old ceilings
+    * would let 2–4× regressions of the optimized stages hide as "in
+    * band". Clean records this round (idle-host full runs at steal
+    * 111–693, canary factor ≤1.14, plus fresh-JVM BenchOne spans):
+    * s:dump 3.60–3.99 → 3.99 × 1.15 ≈ 4.6; s:dumpsynth 1.17–1.71 →
+    * 1.97, pinned 2.0; s:dedup 1.54–2.11 → 2.43, pinned 2.5;
+    * s:lrdist warm records 1.60–2.27 → 2.61, pinned 2.7 (the cold
+    * first-rep exclusion unchanged). */
   val StageCleanBand: Map[String, Double] = Map(
-    "s:dump" -> 8.2,
-    "s:dumpsynth" -> 2.6,
-    "s:dedup" -> 5.92,
-    "s:lrdist" -> 4.2)
+    "s:dump" -> 4.6,
+    "s:dumpsynth" -> 2.0,
+    "s:dedup" -> 2.5,
+    "s:lrdist" -> 2.7)
 
   final case class Trend(
       regressions: Seq[String], // hard failures (clean-run slowdowns, throws)

@@ -251,11 +251,12 @@ class BenchContractSpec extends AnyFunSuite {
       "above-band one stays hard (r12 task: judge long stages against " +
       "their own band, not sub-second canaries)") {
     val old =
-      """{"queries":{"s:dump":2.00,"x1":0.15,"q9":0.15},"sf":"sf0.1"}"""
-    // ratio trip but 7.5s <= the 8.2s pinned clean ceiling — the
-    // 2.0s comparison artifact was merely fast (memo-warm min-of-reps)
+      """{"queries":{"s:dump":1.20,"x1":0.15,"q9":0.15},"sf":"sf0.1"}"""
+    // ratio trip (4.4 > 3 x 1.2) but 4.4s <= the 4.6s pinned clean
+    // ceiling — the 1.2s comparison artifact was merely fast
+    // (memo-warm min-of-reps)
     val inBand =
-      """{"queries":{"s:dump":7.5,"x1":0.16,"q9":0.14},"steal_ticks":0}"""
+      """{"queries":{"s:dump":4.4,"x1":0.16,"q9":0.14},"steal_ticks":0}"""
     val t1 = BenchTrend.compare(old, inBand)
     assert(t1.regressions.isEmpty &&
       t1.inCleanBand.exists(_.startsWith("s:dump")), s"$t1")
@@ -277,8 +278,8 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("stage clean band: pinned values match the documented idle-host " +
       "records") {
-    assert(BenchTrend.StageCleanBand == Map("s:dump" -> 8.2,
-      "s:dumpsynth" -> 2.6, "s:dedup" -> 5.92, "s:lrdist" -> 4.2))
+    assert(BenchTrend.StageCleanBand == Map("s:dump" -> 4.6,
+      "s:dumpsynth" -> 2.0, "s:dedup" -> 2.5, "s:lrdist" -> 2.7))
   }
 
   test("adjudications ledger: adjudicated line is exempt, unadjudicated " +

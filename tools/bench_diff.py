@@ -58,8 +58,8 @@ CANARY_BAND = {"p0": 0.18, "x1": 0.15, "d1": 0.11}
 # says (the comparison artifact was merely fast) — info, never red.
 # Mirrors BenchTrend.StageCleanBand; re-pin only from idle-host records
 # noted in docs/BENCH.md.
-STAGE_CLEAN_BAND = {"s:dump": 8.2, "s:dumpsynth": 2.6,
-                    "s:dedup": 5.92, "s:lrdist": 4.2}
+STAGE_CLEAN_BAND = {"s:dump": 4.6, "s:dumpsynth": 2.0,
+                    "s:dedup": 2.5, "s:lrdist": 2.7}
 CANARY_STORM_FACTOR = 2.0
 SUB_SECOND_BAND = 1.0
 MAX_ISOLATED_SUB_SECOND = 2
